@@ -1,0 +1,107 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Deterministic interleaved text+media corpus synthesis.
+  *
+  * BASELINE.json's input is an Iceberg table of
+  * `(doc_id, spans: array<struct<kind,text,media_ref,offset>>)`. No such
+  * table ships in the sandbox, so we synthesize it — deterministically, with
+  * no randomness and no clock — from the driver-provided `documents` parquet
+  * (doc_id, text). The synthesis is a pure function of (doc_id, text), fully
+  * specified below, so the DuckDB oracle can independently recompute the
+  * EXPECTED extraction output from `documents` alone (see graft.Oracle).
+  *
+  * Spec (W = text split on single spaces, m = |W|, i1 = m/3, i2 = 2m/3;
+  * A = W[0,i1), B = W[i1,i2), C = W[i2,m)):
+  *
+  *  - offset 0, kind=html: A wrapped in a realistic boilerplate page
+  *    (head/title/style, link-only nav, `<h1>title <id></h1><p>A</p>`
+  *    content div, link-only footer, trailing script). Correct extraction
+  *    must recover exactly `title <id>\nA`.
+  *  - offset 1, kind=text: B verbatim (passthrough).
+  *  - offset 2, kind=pdf: C's words placed on a grid (5 words/line,
+  *    4 lines/page) and EMITTED IN SHUFFLED ORDER (sort key (j*13+7) mod 29);
+  *    correct layout parsing must re-sort by (page,y,x) to recover C.
+  *  - offset 3 (doc_id%3==0), kind=media: OCR-passthrough span with
+  *    content-addressed media_ref; text = "ocr <id>", or "" when
+  *    doc_id%21==0 (the content-less embed case).
+  *  - next offset (doc_id%13==0), kind=bin: junk payload of an unsupported
+  *    kind — must yield an empty span, never a failure.
+  */
+object Corpus {
+
+  def splitPoints(m: Int): (Int, Int) = (m / 3, 2 * m / 3)
+
+  def htmlWrap(docId: Long, a: String): String =
+    s"""<html><head><title>doc $docId</title><style>.x{color:red}</style></head><body>""" +
+      s"""<div id="nav"><ul><li><a href="/home">home</a></li><li><a href="/about">about</a></li><li><a href="/contact">contact</a></li></ul></div>""" +
+      s"""<div id="main"><h1>title $docId</h1><p>$a</p></div>""" +
+      s"""<div id="footer"><p><a href="/privacy">privacy</a> <a href="/terms">terms of use</a></p></div>""" +
+      s"""<script>var x=1;</script></body></html>"""
+
+  /** Positioned-word payload for C, emitted in a deterministic shuffled
+    * order. Grid: word j sits at page j/20, line (j%20)/5, column j%5.
+    */
+  def pdfPayload(cWords: Array[String]): String = {
+    val recs = cWords.iterator.zipWithIndex.map { case (w, j) =>
+      val page = j / 20
+      val y = (j % 20) / 5
+      val x = j % 5
+      ((j * 13 + 7) % 29, j, s"$x|$y|$page|$w")
+    }.toArray
+    java.util.Arrays.sort(recs, Ordering.by((t: (Int, Int, String)) => (t._1, t._2)))
+    recs.iterator.map(_._3).mkString(";")
+  }
+
+  def synthesizeOne(docId: Long, text: String): DocIn = {
+    val w = text.split(' ')
+    val (i1, i2) = splitPoints(w.length)
+    val a = w.slice(0, i1).mkString(" ")
+    val b = w.slice(i1, i2).mkString(" ")
+    val c = w.slice(i2, w.length)
+    val spans = Vector.newBuilder[SpanIn]
+    spans += SpanIn("html", htmlWrap(docId, a), "", 0)
+    spans += SpanIn("text", b, "", 1)
+    spans += SpanIn("pdf", pdfPayload(c), "", 2)
+    var next = 3
+    if (docId % 3 == 0) {
+      val t = if (docId % 21 == 0) "" else s"ocr $docId"
+      spans += SpanIn("media", t, Ids.artifactRef(docId), next)
+      next += 1
+    }
+    if (docId % 13 == 0) spans += SpanIn("bin", "binjunk" + docId, "", next)
+    DocIn(docId, spans.result())
+  }
+
+  /** The synthesized spans table as a typed Dataset. Reads only (doc_id,
+    * text) — column pruning reaches the parquet scan.
+    */
+  def spans(spark: SparkSession, sfDir: String): Dataset[DocIn] = {
+    import spark.implicits._
+    documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => synthesizeOne(id, t) })
+  }
+
+  /** Bench variant: corpus replicated `factor`x with shifted doc_ids, so
+    * throughput is measured on a meaningfully larger input while remaining
+    * deterministic. Shift of 10^7 keeps replica ids disjoint from originals.
+    */
+  def spansReplicated(spark: SparkSession, sfDir: String, factor: Int): Dataset[DocIn] = {
+    import spark.implicits._
+    val base = documents(spark, sfDir).select("doc_id", "text").as[(Long, String)]
+    base.flatMap { case (id, t) =>
+      Iterator.range(0, factor).map(k => (id + k.toLong * 10000000L, t))
+    }.mapPartitions(_.map { case (id, t) => synthesizeOne(id, t) })
+  }
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}

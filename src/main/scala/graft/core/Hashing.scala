@@ -1,0 +1,70 @@
+package graft.core
+
+import java.security.MessageDigest
+import java.nio.charset.StandardCharsets
+
+/** Deterministic hashing used across the engine.
+  *
+  * Everything here is a pure function of content — never of execution order —
+  * preserving the reference's parallel==serial determinism invariant
+  * (SURVEY §4; `ParallelOcrDeterminismTest.java`). All hex output is
+  * lowercase, matching both Spark's `sha2`/`md5` and DuckDB's
+  * `sha256`/`md5`, so every formula below is reproducible in the SQL oracle.
+  */
+object Ids {
+  private def digestHex(algo: String, s: String): String = {
+    val md = MessageDigest.getInstance(algo)
+    val b = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    val sb = new StringBuilder(b.length * 2)
+    var i = 0
+    while (i < b.length) { sb.append(f"${b(i) & 0xff}%02x"); i += 1 }
+    sb.toString
+  }
+
+  def sha256(s: String): String = digestHex("SHA-256", s)
+  def md5(s: String): String = digestHex("MD5", s)
+
+  /** 32-bit unsigned word code: first 8 hex chars of md5, as Long in
+    * [0, 2^32). SQL-reproducible: `conv(substr(md5(x),1,8),16,10)`.
+    */
+  def code32(s: String): Long = java.lang.Long.parseLong(md5(s).take(8), 16)
+
+  /** Root id: content hash of the document identity (DigestIdentifier
+    * semantics, `document/DigestIdentifier.java:21-23`).
+    */
+  def rootId(docId: Long): String = sha256(docId.toString)
+
+  /** Recursive embed id, after `DigestIdentifier.java:26-68`:
+    * SHA(contentHash ‖ parentId ‖ ordinal); a content-less embed drops only
+    * the hash component (`:45-52`).
+    */
+  def embedId(content: String, parentId: String, ordinal: Int): String =
+    if (content.isEmpty) sha256(s":$parentId:$ordinal")
+    else sha256(s"${sha256(content)}:$parentId:$ordinal")
+
+  /** Content-addressed artifact ref, after the reference's xx/yy/<id>/raw
+    * layout (`ArtifactUtils.java:6-8`), shortened to one level.
+    */
+  def artifactRef(docId: Long): String = {
+    val h = rootId(docId)
+    s"art/${h.substring(0, 2)}/$h"
+  }
+}
+
+/** MinHash / SimHash / polynomial fingerprint parameters shared with the
+  * SQL oracle (see graft.Oracle). Prime P fits in int32 so all modular
+  * arithmetic stays exact in int64 on both engines.
+  */
+object HashParams {
+  val P: Long = 2038074743L // prime < 2^31
+  val NumMinHash = 12
+  val BandSize = 3 // -> 4 bands
+  def a(i: Int): Long = 2L * i + 3
+  def b(i: Int): Long = 7L * i + 1
+  def minhash(i: Int, x: Long): Long = (a(i) * x + b(i)) % P
+
+  /** Powers of 31 for the polynomial fingerprint, cycled mod 8 so the max
+    * term (1e6 * 31^7 ~ 2.8e16) times 100 words stays < 2^63.
+    */
+  val Pow31: Array[Long] = Array.iterate(1L, 8)(_ * 31L)
+}

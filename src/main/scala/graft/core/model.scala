@@ -1,0 +1,81 @@
+package graft.core
+
+/** Data model for the extraction engine.
+  *
+  * Mirrors the reference's document abstraction (ICIJ/extract
+  * `TikaDocument.java:16` — path/id/metadata/embeds/reader) re-expressed as
+  * flat Spark rows per BASELINE.json input_hint:
+  * `(doc_id, spans: array<struct<kind,text,media_ref,offset>>)`.
+  */
+final case class SpanIn(
+    kind: String,
+    text: String,
+    media_ref: String, // "" when absent (kept non-null for stable hashing)
+    offset: Int
+)
+
+final case class DocIn(doc_id: Long, spans: Seq[SpanIn])
+
+/** Output span: `order` is the dense emission index in input-offset order —
+  * the reference's positional ordering invariant (DFS tree order / span
+  * offset order, SURVEY §2.13; `PageIndicesContentHandler.java:101-123`).
+  */
+final case class SpanOut(
+    kind: String,
+    text: String,
+    media_ref: String,
+    order: Int
+)
+
+/** One extracted document (root or embedded child).
+  *
+  * parent/root/level mirror the reference's flattened tree encoding
+  * (`SolrSpewer.java:320-329`, FieldNames extract_parent_id/extract_root/
+  * extract_level). Ids of embedded children are content-derived per
+  * `DigestIdentifier.java:26-68` (see [[Ids.embedId]]).
+  */
+final case class DocOut(
+    doc_id: String,
+    parent_id: String, // "" for roots
+    root_id: String,
+    level: Int,
+    spans: Seq[SpanOut],
+    no_content_reason: String // "" when content present (NoContentReason.java:13-37)
+)
+
+/** Lineage row — the resume/report surface (reference `ReportMap` +
+  * `ExtractionStatus.java:11-20` + `ExtractionProgress.java:7-54`).
+  */
+final case class LineageRow(
+    doc_id: Long,
+    partition_id: Int,
+    status: String,
+    error: String,
+    n_spans_in: Int,
+    n_spans_out: Int,
+    bytes_in: Long,
+    docs_per_sec: Double,
+    bytes_per_sec: Double
+)
+
+object Status {
+  // Exact enum values of reference ExtractionStatus.java:11-20.
+  val Success = "SUCCESS"
+  val NotFound = "FAILURE_NOT_FOUND"
+  val Unreadable = "FAILURE_UNREADABLE"
+  val NotDecrypted = "FAILURE_NOT_DECRYPTED"
+  val NotParsed = "FAILURE_NOT_PARSED"
+  val Unknown = "FAILURE_UNKNOWN"
+  val NotSaved = "FAILURE_NOT_SAVED"
+  val Fatal = "FAILURE_FATAL"
+  val Timeout = "FAILURE_TIMEOUT"
+  /** Terminal statuses skipped on resume (Reporter.java:120-135). */
+  val terminal: Set[String] = Set(Success, Timeout, Fatal)
+}
+
+object Reason {
+  // NoContentReason.java:13-21 values we use.
+  val Unsupported = "unsupported-media-type"
+  val Empty = "empty-file"
+  val Encrypted = "encrypted"
+}

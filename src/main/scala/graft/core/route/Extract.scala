@@ -1,0 +1,78 @@
+package graft.core.route
+
+import graft.core._
+import graft.core.html.HtmlExtractor
+import graft.core.pdf.PdfLayout
+
+/** The extraction operator proper: per-document span routing.
+  *
+  * Re-expresses the reference's parser dispatch (`AutoDetectParser` +
+  * `CompositeParser` surgery, `Extractor.java:937,1028-1078`) as a pure
+  * kind-match over spans, with the zip-bomb-style guards
+  * (`EmbedSpawner.java:389-402,881-906`) and FallbackParser semantics
+  * (`parser/FallbackParser.java:17-54`: unparseable content becomes an EMPTY
+  * span stamped with a NoContentReason — never a row failure).
+  *
+  * Pure functions only — no clock, no counters — preserving the reference's
+  * parallel==serial determinism (SURVEY §4 hard part 1).
+  */
+object Extract {
+
+  final case class Config(
+      maxSpanChars: Int = 16 << 20, // size guard (EmbedSpawner.java:64,393-402)
+      maxSpans: Int = 100000,       // breadth guard
+      maxEmbedDepth: Int = 20       // depth guard (EmbedSpawner.java:55)
+  )
+  val DefaultConfig: Config = Config()
+
+  /** Route one span. Returns (extractedText, reasonOrEmpty). */
+  def extractSpan(kind: String, text: String, cfg: Config = DefaultConfig): (String, String) = {
+    val t = if (text == null) "" else text
+    if (t.length > cfg.maxSpanChars) ("", Reason.Unsupported)
+    else kind match {
+      case "html"  => (HtmlExtractor.mainText(t), "")
+      case "pdf"   => (PdfLayout.text(t), "")
+      case "text"  => (t, "")
+      case "media" => (t, "") // OCR/media passthrough (north rule): text + media_ref unchanged
+      case _       => ("", Reason.Unsupported)
+    }
+  }
+
+  /** Extract one document: spans routed in offset order, `order` densely
+    * re-indexed (the positional-order invariant).
+    */
+  def extractDoc(doc: DocIn, cfg: Config = DefaultConfig): DocOut = {
+    val sorted = doc.spans.sortBy(_.offset).take(cfg.maxSpans)
+    var anyContent = false
+    val out = sorted.iterator.zipWithIndex.map { case (s, i) =>
+      val (txt, _) = extractSpan(s.kind, s.text, cfg)
+      if (txt.nonEmpty) anyContent = true
+      SpanOut(s.kind, txt, if (s.media_ref == null) "" else s.media_ref, i)
+    }.toVector
+    val reason = if (doc.spans.isEmpty || !anyContent) Reason.Empty else ""
+    val rid = Ids.rootId(doc.doc_id)
+    DocOut(rid, "", rid, 0, out, reason)
+  }
+
+  /** Embed explosion (the reference's flatMap, `EmbedSpawner.java:429-515`):
+    * the root row plus one child row per media span. Child ids are recursive
+    * content hashes (`DigestIdentifier.java:26-68` via [[Ids.embedId]]);
+    * ordinal = index among the doc's media spans (per-parent ordinal naming,
+    * `EmbedSpawner.java:264-281`). A content-less media span still spawns a
+    * child, with the hash component dropped and reason=empty-file.
+    */
+  def explode(doc: DocIn, cfg: Config = DefaultConfig): Seq[DocOut] = {
+    val root = extractDoc(doc, cfg)
+    val children = doc.spans.filter(_.kind == "media").sortBy(_.offset)
+      .zipWithIndex.map { case (s, ord) =>
+        val content = if (s.text == null) "" else s.text
+        val cid = Ids.embedId(content, root.doc_id, ord)
+        val spans =
+          if (content.isEmpty) Vector.empty[SpanOut]
+          else Vector(SpanOut("text", content, "", 0))
+        DocOut(cid, root.doc_id, root.doc_id, 1,
+          spans, if (content.isEmpty) Reason.Empty else "")
+      }
+    root +: children
+  }
+}
