@@ -1,0 +1,342 @@
+package graft
+
+/** DuckDB oracle SQL: for each query in [[Queries.all]], SQL that
+  * independently recomputes the expected output from the raw parquet tables
+  * (registered as views named documents/embeddings/events/lineitem/...).
+  *
+  * Conventions keeping the comparison engine-agnostic:
+  *  - every count/int column cast to BIGINT;
+  *  - no floating-point aggregates: money as floor(x*100) cents, cosines
+  *    over integer-quantized vectors (sum/sqrt/divide of exact ints is
+  *    IEEE-correctly-rounded and thus bit-identical across engines);
+  *  - lowercase-hex md5/sha256 shared by both engines.
+  */
+object Oracle {
+
+  /** DuckDB expression converting the first 8 hex chars held by column/expr
+    * `h8` to a BIGINT in [0, 2^32).
+    */
+  private def hex2int(h8: String): String =
+    (0 until 8).map { i =>
+      val w = 1L << (4 * (7 - i))
+      s"(strpos('0123456789abcdef',substr($h8,${i + 1},1))::BIGINT-1)*$w"
+    }.mkString("(", "+", ")")
+
+  /** Shared prelude: per-document word split and third-points, matching
+    * Corpus.splitPoints.
+    */
+  private val docParts: String =
+    """WITH p AS (
+      |  SELECT doc_id, string_split(text,' ') AS w, len(string_split(text,' ')) AS m,
+      |         len(string_split(text,' '))//3 AS i1, (2*len(string_split(text,' ')))//3 AS i2
+      |  FROM documents
+      |)""".stripMargin
+
+  /** documents plus the injected duplicates (Dedup.withInjectedDups). */
+  private val dupDocs: String =
+    """(SELECT doc_id, text FROM documents
+      | UNION ALL SELECT doc_id+1000000, text FROM documents WHERE doc_id<100)""".stripMargin
+
+  private val extractSpans: String =
+    s"""$docParts
+       |SELECT doc_id, 0 AS ord, 'html' AS kind,
+       |       'title '||doc_id||chr(10)||array_to_string(w[1:i1],' ') AS text, '' AS media_ref FROM p
+       |UNION ALL SELECT doc_id, 1, 'text', array_to_string(w[i1+1:i2],' '), '' FROM p
+       |UNION ALL SELECT doc_id, 2, 'pdf', array_to_string(w[i2+1:m],' '), '' FROM p
+       |UNION ALL SELECT doc_id, 3, 'media',
+       |       CASE WHEN doc_id%21=0 THEN '' ELSE 'ocr '||doc_id END,
+       |       'art/'||substr(sha256(doc_id::VARCHAR),1,2)||'/'||sha256(doc_id::VARCHAR)
+       |       FROM p WHERE doc_id%3=0
+       |UNION ALL SELECT doc_id, CASE WHEN doc_id%3=0 THEN 4 ELSE 3 END, 'bin', '', ''
+       |       FROM p WHERE doc_id%13=0""".stripMargin
+
+  private val embedExplode: String =
+    """WITH r AS (SELECT doc_id, sha256(doc_id::VARCHAR) AS rid FROM documents)
+      |SELECT rid AS doc_id, '' AS parent_id, rid AS root_id, 0 AS level FROM r
+      |UNION ALL
+      |SELECT CASE WHEN doc_id%21=0 THEN sha256(':'||rid||':0')
+      |            ELSE sha256(sha256('ocr '||doc_id)||':'||rid||':0') END,
+      |       rid, rid, 1
+      |FROM r WHERE doc_id%3=0""".stripMargin
+
+  private val reconcile: String =
+    """SELECT sha256(doc_id::VARCHAR) AS root_id, 1::BIGINT AS n_children,
+      |       (CASE WHEN doc_id%21=0 THEN 1 ELSE 0 END)::BIGINT AS n_empty
+      |FROM documents WHERE doc_id%3=0""".stripMargin
+
+  private val extractLineage: String =
+    """SELECT doc_id, 'SUCCESS' AS status,
+      | (3 + CASE WHEN doc_id%3=0 THEN 1 ELSE 0 END + CASE WHEN doc_id%13=0 THEN 1 ELSE 0 END)::BIGINT AS n_spans_in,
+      | (3 + CASE WHEN doc_id%3=0 THEN 1 ELSE 0 END + CASE WHEN doc_id%13=0 THEN 1 ELSE 0 END)::BIGINT AS n_spans_out
+      |FROM documents""".stripMargin
+
+  private val scanFilter: String =
+    """SELECT doc_id, source, n_chars FROM documents
+      |WHERE doc_id%37<>0 AND source<>'src13' AND n_chars BETWEEN 100 AND 500""".stripMargin
+
+  private val queueDedup: String =
+    """WITH d AS (SELECT doc_id, text, source FROM documents
+      | UNION ALL SELECT doc_id+1000000, text, source FROM documents WHERE doc_id<100)
+      |SELECT source, count(*)::BIGINT AS n_total, count(DISTINCT text)::BIGINT AS n_distinct
+      |FROM d GROUP BY source""".stripMargin
+
+  private val semiIntersect: String =
+    "SELECT c_custkey FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey=c.c_custkey)"
+
+  private val antiComplement: String =
+    "SELECT c_custkey FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey=c.c_custkey AND o.o_orderkey%7=0)"
+
+  private val resumeAnti: String =
+    "SELECT o_orderkey FROM orders WHERE o_orderkey%5>=2"
+
+  private val rehash: String =
+    """SELECT doc_id, regexp_replace(source,'^src','corpus/') AS new_path,
+      | sha256(regexp_replace(source,'^src','corpus/')||'/'||doc_id::VARCHAR) AS new_id
+      |FROM documents""".stripMargin
+
+  private val copyTag: String =
+    "SELECT p_partkey, string_split(p_type,' ')[1] AS base_type, 'batch-1' AS tag FROM part"
+
+  private val metaKeys: String =
+    """WITH k AS (SELECT doc_id, source,
+      | (['Content-Type','dcterms:created','X-Parsed-By','Message-ID','Page Count!'])[(doc_id%5)+1] AS raw_key
+      | FROM documents)
+      |SELECT doc_id, raw_key,
+      | 'tika_metadata_'||regexp_replace(lower(raw_key),'[^a-z0-9_]','_','g') AS norm_key,
+      | source AS value
+      |FROM k""".stripMargin
+
+  private val metaDates: String =
+    """WITH b AS (SELECT doc_id, 1400000000 + doc_id*997 AS es FROM documents)
+      |SELECT doc_id,
+      | CASE doc_id%4
+      |  WHEN 0 THEN es::VARCHAR
+      |  WHEN 1 THEN (es*1000 + doc_id%1000)::VARCHAR
+      |  WHEN 2 THEN strftime(to_timestamp(es) AT TIME ZONE 'UTC', '%Y%m%d%H%M%S')
+      |  ELSE strftime(to_timestamp(es) AT TIME ZONE 'UTC', '%a, %d %b %Y %H:%M:%S GMT')
+      | END AS raw,
+      | strftime(to_timestamp(es) AT TIME ZONE 'UTC', '%Y-%m-%dT%H:%M:%SZ') AS iso
+      |FROM b""".stripMargin
+
+  private val stopEnSql = "('the','a','and','of','to','in')"
+  private val stopFrSql = "('le','la','et','les','des','un')"
+  private val stopDeSql = "('der','die','und','das','ein','zu')"
+
+  private val langId: String =
+    s"""WITH c AS (SELECT doc_id,
+       | len(list_filter(string_split(text,' '), x -> x IN $stopEnSql)) AS en,
+       | len(list_filter(string_split(text,' '), x -> x IN $stopFrSql)) AS fr,
+       | len(list_filter(string_split(text,' '), x -> x IN $stopDeSql)) AS de
+       | FROM documents)
+       |SELECT doc_id, CASE WHEN en>=fr AND en>=de AND en>0 THEN 'en'
+       |  WHEN fr>=de AND fr>0 THEN 'fr' WHEN de>0 THEN 'de' ELSE 'und' END AS lang_pred
+       |FROM c""".stripMargin
+
+  private val quality: String =
+    s"""WITH c AS (SELECT doc_id, len(text) AS n_chars,
+       |  len(string_split(text,' ')) AS n,
+       |  len(list_filter(string_split(text,' '), x -> x IN $stopEnSql)) AS n_stop,
+       |  len(list_distinct(string_split(text,' '))) AS uniq
+       | FROM documents)
+       |SELECT doc_id, n::BIGINT AS n_tokens, n_chars::BIGINT AS n_chars, n_stop::BIGINT AS n_stop,
+       | (100*uniq//n)::BIGINT AS uniq_pct,
+       | (least(40, n//2) + least(30, 100*n_stop//n) + least(30, (100*uniq//n)//3))::BIGINT AS score
+       |FROM c""".stripMargin
+
+  private val tokenCount: String =
+    """SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_ws,
+      | list_sum(list_transform(string_split(text,' '), x -> (len(x)+3)//4))::BIGINT AS n_subword
+      |FROM documents""".stripMargin
+
+  private val pow31Sql =
+    "([1,31,961,29791,923521,28629151,887503681,27512614111]::BIGINT[])"
+
+  private val fingerprint: String =
+    s"""WITH e AS (SELECT doc_id,
+       |  unnest(string_split(text,' ')) AS word,
+       |  unnest(generate_series(1, len(string_split(text,' ')))) AS i
+       | FROM documents),
+       |h AS (SELECT doc_id, i, substr(md5(word),1,8) AS h8 FROM e)
+       |SELECT doc_id,
+       | (sum((${hex2int("h8")} % 1000003) * $pow31Sql[((i-1)%8)+1]) % 2038074743)::BIGINT AS fp
+       |FROM h GROUP BY doc_id""".stripMargin
+
+  private val winnow: String =
+    s"""WITH e AS (SELECT doc_id,
+       |  unnest(string_split(text,' ')) AS word,
+       |  unnest(generate_series(1, len(string_split(text,' ')))) AS i
+       | FROM documents),
+       |c AS (SELECT doc_id, i, ${hex2int("substr(md5(word),1,8)")} AS cd FROM e),
+       |m AS (SELECT doc_id, min(cd) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm FROM c)
+       |SELECT doc_id, count(DISTINCT wm)::BIGINT AS n_fp FROM m GROUP BY doc_id""".stripMargin
+
+  private val dedupExact: String =
+    s"""SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_copies, min(doc_id) AS keeper_id
+       |FROM $dupDocs AS d GROUP BY md5(text)""".stripMargin
+
+  private val dedupMinhash: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS words,
+       |  len(string_split(text,' ')) AS m FROM $dupDocs AS d),
+       |si AS (SELECT doc_id, words, unnest(generate_series(1, greatest(1, m-2))) AS i FROM w),
+       |cx AS (SELECT doc_id, ${hex2int("substr(md5(array_to_string(words[i:i+2],' ')),1,8)")} AS x FROM si),
+       |sg AS (SELECT doc_id, hi, min(((2*hi+3)*x + (7*hi+1)) % 2038074743) AS v
+       |       FROM cx, (SELECT unnest(generate_series(0,11)) AS hi) hs GROUP BY doc_id, hi),
+       |k AS (SELECT doc_id, (hi//3)||':'||string_agg(v::VARCHAR, ',' ORDER BY hi) AS key
+       |      FROM sg GROUP BY doc_id, hi//3)
+       |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |FROM k l JOIN k r ON l.key=r.key AND l.doc_id<r.doc_id""".stripMargin
+
+  private val dedupSimhash: String =
+    s"""WITH e AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+       |c AS (SELECT doc_id, ${hex2int("substr(md5(word),1,8)")} AS x FROM e),
+       |bt AS (SELECT doc_id, b, sum(CASE WHEN (x//(1::BIGINT<<b))%2=1 THEN 1 ELSE -1 END) AS s
+       |       FROM c, (SELECT unnest(generate_series(0,31)) AS b) bs GROUP BY doc_id, b)
+       |SELECT doc_id, sum(CASE WHEN s>0 THEN (1::BIGINT<<b) ELSE 0 END)::BIGINT AS simhash
+       |FROM bt GROUP BY doc_id""".stripMargin
+
+  private val dedupJaccard: String =
+    """WITH sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+1],' ') AS shingle
+      | FROM (SELECT doc_id, string_split(text,' ') AS words,
+      |       unnest(generate_series(1, len(string_split(text,' '))-1)) AS i FROM documents)),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |it AS (SELECT p.doc_id AS a, q.doc_id AS b, count(*) AS inter
+      |       FROM sh p JOIN sh q ON p.shingle=q.shingle AND p.doc_id%50=0 AND p.doc_id<>q.doc_id
+      |       GROUP BY p.doc_id, q.doc_id)
+      |SELECT a, b, inter::BIGINT AS inter, (sa.sz+sb.sz-inter)::BIGINT AS uni
+      |FROM it JOIN sz sa ON sa.doc_id=a JOIN sz sb ON sb.doc_id=b
+      |WHERE inter*5 >= sa.sz+sb.sz-inter""".stripMargin
+
+  /** Quantized-embedding prelude shared by cosine queries. */
+  private val quantEmb: String =
+    """WITH q AS (SELECT vec_id,
+      |  list_transform(embedding, x -> round(x::DOUBLE*1000)::BIGINT) AS qv
+      | FROM embeddings)""".stripMargin
+
+  private def cosExpr(a: String, b: String): String =
+    s"""(list_sum(list_transform(generate_series(1,64), i -> $a[i]*$b[i]))::DOUBLE /
+       | (sqrt(list_sum(list_transform($a, x->x*x))::DOUBLE) *
+       |  sqrt(list_sum(list_transform($b, x->x*x))::DOUBLE)))""".stripMargin
+
+  private val dedupCosine: String =
+    s"""$quantEmb,
+       |pr AS (SELECT vec_id AS a, qv AS pa FROM q WHERE vec_id%50=0)
+       |SELECT a, vec_id AS b FROM pr, q
+       |WHERE a<>vec_id AND ${cosExpr("pa", "qv")} >= 0.3""".stripMargin
+
+  private val knnBrute: String =
+    s"""$quantEmb,
+       |pr AS (SELECT vec_id AS probe_id, qv AS pq FROM q WHERE vec_id%100=0),
+       |sc AS (SELECT probe_id, vec_id AS neighbor_id, ${cosExpr("pq", "qv")} AS cos
+       |       FROM pr, q WHERE probe_id<>vec_id),
+       |r AS (SELECT probe_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rk FROM sc)
+       |SELECT probe_id, rk::BIGINT AS rnk, neighbor_id FROM r WHERE rk<=5""".stripMargin
+
+  private val knnLsh: String =
+    s"""$quantEmb,
+       |pb AS (SELECT vec_id, p,
+       |  list_sum(list_transform(generate_series(1,64),
+       |    i -> (((p*64+(i-1))*2654435761)%65536-32768)*qv[i])) AS dot
+       |  FROM q, (SELECT unnest(generate_series(0,7)) AS p) pl),
+       |bk AS (SELECT vec_id, sum(CASE WHEN dot>0 THEN (1::BIGINT<<p) ELSE 0 END)::BIGINT AS bucket
+       |       FROM pb GROUP BY vec_id),
+       |qb AS (SELECT q.vec_id, qv, bucket FROM q JOIN bk USING(vec_id)),
+       |pr AS (SELECT vec_id AS probe_id, qv AS pq, bucket FROM qb WHERE vec_id%100=0),
+       |sc AS (SELECT probe_id, c.vec_id AS neighbor_id, ${cosExpr("pq", "qv")} AS cos
+       |       FROM pr JOIN qb c USING(bucket) WHERE probe_id<>c.vec_id),
+       |r AS (SELECT probe_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rk FROM sc)
+       |SELECT probe_id, rk::BIGINT AS rnk, neighbor_id FROM r WHERE rk<=5""".stripMargin
+
+  private val eventsWindow: String =
+    """SELECT strftime(to_timestamp((floor(epoch(ts))::BIGINT//300)*300) AT TIME ZONE 'UTC',
+      |  '%Y-%m-%d %H:%M:%S') AS win, event_type,
+      | count(*)::BIGINT AS n, sum(floor(value*100)::BIGINT)::BIGINT AS cents
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  private val sessionize: String =
+    """WITH x AS (SELECT user_id, event_id, ts,
+      |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts FROM events),
+      |s AS (SELECT user_id, event_id, ts,
+      |  sum(CASE WHEN pts IS NULL OR floor(epoch(ts))::BIGINT - floor(epoch(pts))::BIGINT > 1800
+      |      THEN 1 ELSE 0 END)
+      |  OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+      |SELECT user_id, sid::BIGINT AS session_id, count(*)::BIGINT AS n_events,
+      | strftime(min(ts),'%Y-%m-%d %H:%M:%S') AS start_ts,
+      | strftime(max(ts),'%Y-%m-%d %H:%M:%S') AS end_ts
+      |FROM s GROUP BY user_id, sid""".stripMargin
+
+  private val mediaMeta: String =
+    """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+      | ord(substr(text,1,1))::BIGINT AS magic,
+      | (64 + (ord(substr(text,1,1))%8)*16)::BIGINT AS width,
+      | (64 + (ord(substr(text,2,1))%8)*16)::BIGINT AS height,
+      | (1 + octet_length(encode(text))//64)::BIGINT AS n_frames
+      |FROM documents""".stripMargin
+
+  private val mediaFrames: String =
+    """WITH f AS (SELECT doc_id, text,
+      |  unnest(generate_series(0, octet_length(encode(text))//64, 4)) AS fi FROM documents)
+      |SELECT doc_id, fi::BIGINT AS frame_idx, (fi*64)::BIGINT AS byte_offset,
+      | (CASE WHEN fi*64 < octet_length(encode(text)) THEN ord(substr(text, fi*64+1, 1)) ELSE 0 END)::BIGINT AS frame_byte
+      |FROM f""".stripMargin
+
+  private val tpchQ1: String =
+    """SELECT l_returnflag, l_linestatus,
+      | sum(floor(l_quantity)::BIGINT)::BIGINT AS sum_qty,
+      | sum(floor(l_extendedprice*100)::BIGINT)::BIGINT AS base_cents,
+      | sum(floor((l_extendedprice*(1.0-l_discount))*100)::BIGINT)::BIGINT AS disc_cents,
+      | count(*)::BIGINT AS n
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  private val joinTopn: String =
+    """SELECT n_name,
+      | sum(floor((l_extendedprice*(1.0-l_discount))*100)::BIGINT)::BIGINT AS revenue_cents
+      |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+      | JOIN customer ON o_custkey=c_custkey
+      | JOIN nation ON c_nationkey=n_nationkey
+      |GROUP BY n_name""".stripMargin
+
+  private val windowTopn: String =
+    """WITH r AS (SELECT o_orderpriority, o_orderkey,
+      |  row_number() OVER (PARTITION BY o_orderpriority
+      |    ORDER BY floor(o_totalprice*100) DESC, o_orderkey) AS rk FROM orders)
+      |SELECT o_orderpriority, rk::BIGINT AS rnk, o_orderkey FROM r WHERE rk<=3""".stripMargin
+
+  val all: Map[String, String] = Map(
+    "q_extract_spans" -> extractSpans,
+    "q_embed_explode" -> embedExplode,
+    "q_reconcile" -> reconcile,
+    "q_extract_lineage" -> extractLineage,
+    "q_scan_filter" -> scanFilter,
+    "q_queue_dedup" -> queueDedup,
+    "q_semi_intersect" -> semiIntersect,
+    "q_anti_complement" -> antiComplement,
+    "q_resume_anti" -> resumeAnti,
+    "q_rehash" -> rehash,
+    "q_copy_tag" -> copyTag,
+    "q_meta_keys" -> metaKeys,
+    "q_meta_dates" -> metaDates,
+    "q_lang_id" -> langId,
+    "q_quality" -> quality,
+    "q_token_count" -> tokenCount,
+    "q_fingerprint" -> fingerprint,
+    "q_winnow" -> winnow,
+    "q_dedup_exact" -> dedupExact,
+    "q_dedup_minhash" -> dedupMinhash,
+    "q_dedup_simhash" -> dedupSimhash,
+    "q_dedup_jaccard" -> dedupJaccard,
+    "q_dedup_cosine" -> dedupCosine,
+    "q_knn_brute" -> knnBrute,
+    "q_knn_lsh" -> knnLsh,
+    "q_events_window" -> eventsWindow,
+    "q_sessionize" -> sessionize,
+    "q_media_meta" -> mediaMeta,
+    "q_media_frames" -> mediaFrames,
+    "q_tpch_q1" -> tpchQ1,
+    "q_join_topn" -> joinTopn,
+    "q_window_topn" -> windowTopn
+  )
+}

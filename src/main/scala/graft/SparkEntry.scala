@@ -1,8 +1,14 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.core._
+import graft.core.meta.Meta
 import graft.core.route.Extract
+import graft.core.text.TextStats
+import graft.operators.{Dedup, Knn, SetOps}
+import graft.multimodal.Media
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -21,14 +27,22 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Oracle.all
 }
 
-/** The operator surface. Each entry is one operator from SURVEY.md §2 (or a
-  * training-data-pipeline op), expressed Spark-first.
+/** The operator surface. Each entry maps to a SURVEY.md §2 line (or a
+  * training-data-pipeline op), expressed Spark-first. All outputs are
+  * integer/string-typed (or IEEE-exact single-op floats) so the DuckDB
+  * oracle compares bit-for-bit.
   */
 object Queries {
 
-  /** §2.3+§2.4+§2.7: the extraction pipeline, flattened to one row per
-    * output span — the span-sequence correctness surface
-    * (kind, text, media_ref, order).
+  private def docs(s: SparkSession, dir: String) = Corpus.documents(s, dir)
+  private def emb(s: SparkSession, dir: String) = Corpus.embeddings(s, dir)
+  private def events(s: SparkSession, dir: String) = Corpus.events(s, dir)
+  private def tbl(s: SparkSession, dir: String, n: String) = Corpus.table(s, dir, n)
+
+  // ------------------------------------------------------------ extraction
+
+  /** §2.3+§2.7: the extraction pipeline flattened to one row per output
+    * span — the span-sequence correctness surface (kind,text,media_ref,order).
     */
   def extractSpans(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -40,40 +54,291 @@ object Queries {
       .toDF("doc_id", "ord", "kind", "text", "media_ref")
   }
 
-  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_extract_spans" -> ((s, dir) => extractSpans(s, dir))
-  )
-}
+  /** §2.4: embed explosion with recursive content-derived ids. */
+  def embedExplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Corpus.spans(spark, dir)
+      .flatMap(d => Extract.explode(d).map(o => (o.doc_id, o.parent_id, o.root_id, o.level)))
+      .toDF("doc_id", "parent_id", "root_id", "level")
+  }
 
-/** DuckDB oracle SQL, independently recomputing each query's expected output
-  * from the raw parquet tables (never from our engine's intermediates).
-  */
-object Oracle {
+  /** §2.6: per-root reconciliation counters (PST parity analog). */
+  def reconcile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Corpus.spans(spark, dir)
+      .flatMap(d => Extract.explode(d))
+      .filter(col("level") === 1)
+      .groupBy("root_id")
+      .agg(count(lit(1)).as("n_children"),
+        sum(when(col("no_content_reason") === Reason.Empty, 1L).otherwise(0L)).as("n_empty"))
+  }
 
-  /** Shared prelude: per-document word split and third-points, matching
-    * Corpus.splitPoints.
+  /** §2.10+§2.12: lineage rows (status + span counters) per document. */
+  def extractLineage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Corpus.spans(spark, dir)
+      .map { d =>
+        val out = Extract.extractDoc(d)
+        (d.doc_id, Status.Success, d.spans.size.toLong, out.spans.size.toLong)
+      }
+      .toDF("doc_id", "status", "n_spans_in", "n_spans_out")
+  }
+
+  // ------------------------------------------------------ sources / queue
+
+  /** §2.1: scanner filters (include/exclude + hidden/system analogs),
+    * pushed down to the parquet scan.
     */
-  val docParts: String =
-    """WITH p AS (
-      |  SELECT doc_id, string_split(text,' ') AS w, len(string_split(text,' ')) AS m,
-      |         len(string_split(text,' '))//3 AS i1, (2*len(string_split(text,' ')))//3 AS i2
-      |  FROM documents
-      |)""".stripMargin
+  def scanFilter(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .filter(col("doc_id") % 37 =!= 0) // hidden-file matcher analog
+      .filter(col("source") =!= "src13") // system-file matcher analog
+      .filter(col("n_chars").between(100, 500)) // size guard
+      .select("doc_id", "source", "n_chars")
 
-  val extractSpans: String =
-    s"""$docParts
-       |SELECT doc_id, 0 AS ord, 'html' AS kind,
-       |       'title '||doc_id||chr(10)||array_to_string(w[1:i1],' ') AS text, '' AS media_ref FROM p
-       |UNION ALL SELECT doc_id, 1, 'text', array_to_string(w[i1+1:i2],' '), '' FROM p
-       |UNION ALL SELECT doc_id, 2, 'pdf', array_to_string(w[i2+1:m],' '), '' FROM p
-       |UNION ALL SELECT doc_id, 3, 'media',
-       |       CASE WHEN doc_id%21=0 THEN '' ELSE 'ocr '||doc_id END,
-       |       'art/'||substr(sha256(doc_id::VARCHAR),1,2)||'/'||sha256(doc_id::VARCHAR)
-       |       FROM p WHERE doc_id%3=0
-       |UNION ALL SELECT doc_id, CASE WHEN doc_id%3=0 THEN 4 ELSE 3 END, 'bin', '', ''
-       |       FROM p WHERE doc_id%13=0""".stripMargin
+  /** §2.2: DocumentQueue.removeDuplicates analog. */
+  def queueDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.withInjectedDups(docs(spark, dir))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"), countDistinct("text").as("n_distinct"))
 
-  def all: Map[String, String] = Map(
-    "q_extract_spans" -> extractSpans
+  // ------------------------------------------------- §2.11 set/join ops
+
+  def semiIntersect(spark: SparkSession, dir: String): DataFrame =
+    SetOps.intersection(tbl(spark, dir, "customer"),
+      tbl(spark, dir, "orders").withColumnRenamed("o_custkey", "c_custkey"), "c_custkey")
+      .select("c_custkey")
+
+  def antiComplement(spark: SparkSession, dir: String): DataFrame =
+    SetOps.complement(tbl(spark, dir, "customer"),
+      tbl(spark, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+        .withColumnRenamed("o_custkey", "c_custkey"), "c_custkey")
+      .select("c_custkey")
+
+  /** §2.10: the exact-resume anti-join over a synthesized lineage table. */
+  def resumeAnti(spark: SparkSession, dir: String): DataFrame = {
+    val orders = tbl(spark, dir, "orders")
+    val lineage = orders.select(
+      col("o_orderkey"),
+      when(col("o_orderkey") % 5 === 0, Status.Success)
+        .when(col("o_orderkey") % 5 === 1, Status.Timeout)
+        .otherwise(Status.Unknown).as("status"))
+    SetOps.resume(orders, lineage, "o_orderkey").select("o_orderkey")
+  }
+
+  def rehash(spark: SparkSession, dir: String): DataFrame =
+    SetOps.rehash(docs(spark, dir))
+
+  /** SolrCopyConsumer + SolrTaggingConsumer + base-type projection. */
+  def copyTag(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "part").select(
+      col("p_partkey"),
+      element_at(split(col("p_type"), " "), 1).as("base_type"),
+      lit("batch-1").as("tag"))
+
+  // ----------------------------------------------------- §2.8 metadata
+
+  def metaKeys(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keys = Array("Content-Type", "dcterms:created", "X-Parsed-By",
+      "Message-ID", "Page Count!")
+    docs(spark, dir).select("doc_id", "source").as[(Long, String)]
+      .map { case (id, src) =>
+        val raw = keys((id % 5).toInt)
+        (id, raw, Meta.normalizeKey(raw), src)
+      }
+      .toDF("doc_id", "raw_key", "norm_key", "value")
+  }
+
+  /** The date-coercion cascade, round-tripped: raw strings in four formats
+    * (epoch10, epoch13, compact14, RFC-1123) -> ISO-8601.
+    */
+  def metaDates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select("doc_id").as[Long]
+      .map { id =>
+        val es = 1400000000L + id * 997L
+        val raw = (id % 4) match {
+          case 0 => es.toString
+          case 1 => (es * 1000 + id % 1000).toString
+          case 2 => Meta.formatCompact14(es)
+          case _ => Meta.formatRfc1123(es)
+        }
+        (id, raw, Meta.parseToIso(raw).getOrElse(""))
+      }
+      .toDF("doc_id", "raw", "iso")
+  }
+
+  // ------------------------------------------------------- text analysis
+
+  def langIdQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .map { case (id, t) => (id, TextStats.langId(t)) }
+      .toDF("doc_id", "lang_pred")
+  }
+
+  def qualityQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .map { case (id, t) =>
+        val q = TextStats.quality(t)
+        (id, q.nTokens.toLong, q.nChars.toLong, q.nStop.toLong, q.uniqPct.toLong, q.score.toLong)
+      }
+      .toDF("doc_id", "n_tokens", "n_chars", "n_stop", "uniq_pct", "score")
+  }
+
+  def tokenCountQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .map { case (id, t) =>
+        val (ws, sub) = TextStats.tokenCounts(t)
+        (id, ws.toLong, sub)
+      }
+      .toDF("doc_id", "n_ws", "n_subword")
+  }
+
+  def fingerprintQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .map { case (id, t) => (id, TextStats.fingerprint(t)) }
+      .toDF("doc_id", "fp")
+  }
+
+  def winnowQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .map { case (id, t) => (id, TextStats.winnowCount(t).toLong) }
+      .toDF("doc_id", "n_fp")
+  }
+
+  // ------------------------------------------------------------- dedup
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(spark, dir))
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(spark, docs(spark, dir))
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(spark, docs(spark, dir))
+
+  def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(spark, docs(spark, dir))
+
+  def dedupCosine(spark: SparkSession, dir: String): DataFrame =
+    Knn.cosinePairs(spark, emb(spark, dir), 0.3)
+
+  // -------------------------------------------------------- similarity
+
+  def knnBrute(spark: SparkSession, dir: String): DataFrame =
+    Knn.bruteTopK(spark, emb(spark, dir)).withColumnRenamed("rank", "rnk")
+
+  def knnLsh(spark: SparkSession, dir: String): DataFrame =
+    Knn.lshTopK(spark, emb(spark, dir)).withColumnRenamed("rank", "rnk")
+
+  // ------------------------------------------------- events / sessions
+
+  def eventsWindow(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("win", date_format(
+        timestamp_seconds(expr("unix_timestamp(ts) div 300") * 300),
+        "yyyy-MM-dd HH:mm:ss"))
+      .groupBy("win", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("cents"))
+
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .withColumn("pts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("pts").isNull ||
+          (unix_timestamp(col("ts")) - unix_timestamp(col("pts"))) > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("new_s").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("start_ts"),
+        date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("end_ts"))
+  }
+
+  // -------------------------------------------------------- multimodal
+
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame =
+    Media.decodeAll(spark, docs(spark, dir))
+
+  def mediaFrames(spark: SparkSession, dir: String): DataFrame =
+    Media.sampleFrames(spark, docs(spark, dir))
+
+  // ------------------------------------------------ relational headline
+
+  def tpchQ1(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(floor(col("l_quantity")).cast("long")).as("sum_qty"),
+        sum(floor(col("l_extendedprice") * 100).cast("long")).as("base_cents"),
+        sum(floor((col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * 100)
+          .cast("long")).as("disc_cents"),
+        count(lit(1)).as("n"))
+
+  def joinTopn(spark: SparkSession, dir: String): DataFrame = {
+    val c = tbl(spark, dir, "customer")
+    val o = tbl(spark, dir, "orders")
+    val l = tbl(spark, dir, "lineitem")
+    val n = tbl(spark, dir, "nation")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(floor((col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * 100)
+        .cast("long")).as("revenue_cents"))
+  }
+
+  def windowTopn(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(floor(col("o_totalprice") * 100).desc, col("o_orderkey").asc)
+    tbl(spark, dir, "orders")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_orderpriority"), col("rnk").cast("long").as("rnk"), col("o_orderkey"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_extract_spans" -> (extractSpans _),
+    "q_embed_explode" -> (embedExplode _),
+    "q_reconcile" -> (reconcile _),
+    "q_extract_lineage" -> (extractLineage _),
+    "q_scan_filter" -> (scanFilter _),
+    "q_queue_dedup" -> (queueDedup _),
+    "q_semi_intersect" -> (semiIntersect _),
+    "q_anti_complement" -> (antiComplement _),
+    "q_resume_anti" -> (resumeAnti _),
+    "q_rehash" -> (rehash _),
+    "q_copy_tag" -> (copyTag _),
+    "q_meta_keys" -> (metaKeys _),
+    "q_meta_dates" -> (metaDates _),
+    "q_lang_id" -> (langIdQ _),
+    "q_quality" -> (qualityQ _),
+    "q_token_count" -> (tokenCountQ _),
+    "q_fingerprint" -> (fingerprintQ _),
+    "q_winnow" -> (winnowQ _),
+    "q_dedup_exact" -> (dedupExact _),
+    "q_dedup_minhash" -> (dedupMinhash _),
+    "q_dedup_simhash" -> (dedupSimhash _),
+    "q_dedup_jaccard" -> (dedupJaccard _),
+    "q_dedup_cosine" -> (dedupCosine _),
+    "q_knn_brute" -> (knnBrute _),
+    "q_knn_lsh" -> (knnLsh _),
+    "q_events_window" -> (eventsWindow _),
+    "q_sessionize" -> (sessionize _),
+    "q_media_meta" -> (mediaMeta _),
+    "q_media_frames" -> (mediaFrames _),
+    "q_tpch_q1" -> (tpchQ1 _),
+    "q_join_topn" -> (joinTopn _),
+    "q_window_topn" -> (windowTopn _)
   )
 }
