@@ -26,5 +26,17 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local mode = one JVM: heap must feed all executor threads. 16g fixed:
+  // 8g GC-thrashes under 32 string-heavy extraction threads, while huge
+  // heaps (48g) page-fault-storm (sys-time blowup) as G1 grows the heap.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
+// ParallelGC: G1's concurrent phases generated pathological kernel time
+// (30+ min sys per bench run) on this VM; the throughput collector is both
+// faster and stable for this batch workload.
+javaOptions += "-XX:+UseParallelGC"
+// Large eden: the extraction hot path is allocation-heavy with short-lived
+// garbage; a big young gen cuts collection frequency (survivor copy cost is
+// what matters, and survivors are few).
+javaOptions += "-Xmn12g"

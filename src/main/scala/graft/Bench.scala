@@ -1,24 +1,132 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.core.Corpus
+import graft.pipeline.ExtractJob
+
+/** Benchmark main. Prints ONE JSON line:
+  * {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
+  *  "docs_per_sec":...,"pipeline_sec":...,"n_docs":...}
+  *
+  * The headline is the extraction pipeline's docs/sec on the synthesized
+  * interleaved corpus replicated SPARK_GRAFT_REPL times (default 20), which
+  * is the BASELINE.json metric; per-query wall times cover the rest of the
+  * operator surface.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  def session(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Materialize the synthesized spans corpus to parquet once per
+    * (sf, factor) — the bucketed-input stand-in. Untimed prep: the
+    * production job reads an existing table; synthesis is not extraction
+    * work.
+    */
+  def corpusPath(spark: SparkSession, sfDir: String, factor: Int, parts: Int): String = {
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val path = s"/tmp/graft_bench/corpus_${tag}_x${factor}_p$parts"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      Corpus.spansReplicated(spark, sfDir, factor, parts)
+        .write.mode("overwrite").parquet(path)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    path
+  }
+
+  /** One timed pipeline run: scan the materialized corpus -> extract ->
+    * count, shuffle-free (input already partitioned on doc_id) — the
+    * production plan shape. Returns (docs processed, seconds).
+    */
+  def pipelineRun(spark: SparkSession, sfDir: String, factor: Int, cores: Int): (Long, Double) = {
+    import spark.implicits._
+    // 4 tasks per core: stragglers overlap instead of idling cores.
+    val parts = cores * 4
+    val path = corpusPath(spark, sfDir, factor, parts)
+    val input = spark.read.parquet(path).as[graft.core.DocIn]
+    val cfg = ExtractJob.JobConfig(partitions = parts, shuffleInput = false)
+    val t0 = System.nanoTime()
+    val n = ExtractJob.runCount(spark, input, cfg)
+    (n, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_REPL", "20").toInt
+    val spark = session(cpus)
+
+    // JIT warmup on a tiny replication, then SPARK_GRAFT_BENCH_REPEAT
+    // measured runs (default 1), keeping the best — C2 compilation needs a
+    // full-size pass before timings stabilize.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt
+    pipelineRun(spark, sfDir, 1, cpus.toInt)
+    val (nDocs, pipeSec) = (1 to repeat)
+      .map(_ => pipelineRun(spark, sfDir, factor, cpus.toInt))
+      .minBy(_._2)
+    val docsPerSec = nDocs / math.max(pipeSec, 1e-9)
+
+    // SPARK_GRAFT_BENCH_PIPELINE_ONLY=1: skip the per-query sweep (used by
+    // the taskset-pinned scaling runs, where only pipeline docs/sec matters)
+    val pipelineOnly = sys.env.get("SPARK_GRAFT_BENCH_PIPELINE_ONLY").contains("1")
+    val results =
+      if (pipelineOnly) Seq.empty
+      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + pipeSec
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec":$docsPerSec,"pipeline_sec":$pipeSec,"n_docs":$nDocs,"cpus":$cpus,"replication":$factor}""")
     spark.stop()
+  }
+}
+
+/** Scaling-evidence main (the sandbox proxy for the N vs 4N executor rule):
+  * the SAME pipeline job at local[N] and local[4N] on the SAME input,
+  * reporting throughput at both plus efficiency = (thr_4N/thr_N)/4.
+  *
+  * SPARK_GRAFT_SCALE_N picks N (default 2 -> the 2-vs-8 pair). The most
+  * faithful runs pin each level to its core allotment in its own JVM
+  * (`taskset -c 0-(N-1)` around a pipeline-only Bench), so GC/JIT threads
+  * can't borrow idle cores — see BENCH.md; this in-JVM main is the
+  * one-command variant.
+  */
+object Scaling {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_REPL", "100").toInt
+    val nLow = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
+    val nHigh = nLow * 4
+    // The two parallelism levels share one JVM, so JIT warmup would bias
+    // whichever runs first; the host also shows steal-time noise. Alternate
+    // rounds and take each level's best run — both levels then measure
+    // fully-warmed code under comparable machine conditions.
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "5").toInt
+    val lo = nLow.toString; val hi = nHigh.toString
+    var best = Map(lo -> (0L, Double.MaxValue), hi -> (0L, Double.MaxValue))
+    for (r <- 1 to rounds; cpus <- Seq(hi, lo)) {
+      val spark = Bench.session(cpus)
+      val (n, sec) = Bench.pipelineRun(spark, sfDir, factor, cpus.toInt)
+      spark.stop()
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      System.err.println(s"[scaling] round $r local[$cpus]: $sec s")
+      if (sec < best(cpus)._2) best += cpus -> (n, sec)
+    }
+    val (nL, sL) = best(lo); val (nH, sH) = best(hi)
+    val tL = nL / math.max(sL, 1e-9); val tH = nH / math.max(sH, 1e-9)
+    val eff = (tH / tL) / 4.0
+    println(s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio","n_docs":$nL,"local$nLow":{"sec":$sL,"docs_per_sec":$tL},"local$nHigh":{"sec":$sH,"docs_per_sec":$tH},"sf":"$sfDir","replication":$factor}""")
   }
 }

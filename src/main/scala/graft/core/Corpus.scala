@@ -87,13 +87,24 @@ object Corpus {
   /** Bench variant: corpus replicated `factor`x with shifted doc_ids, so
     * throughput is measured on a meaningfully larger input while remaining
     * deterministic. Shift of 10^7 keeps replica ids disjoint from originals.
+    *
+    * The small (doc_id, text) pairs are repartitioned BEFORE synthesis, so
+    * the expensive synthesize+extract work runs fully parallel in one
+    * stage — standing in for a production table already bucketed on
+    * doc_id, where the extraction job reads co-located and shuffles
+    * nothing.
     */
-  def spansReplicated(spark: SparkSession, sfDir: String, factor: Int): Dataset[DocIn] = {
+  def spansReplicated(spark: SparkSession, sfDir: String, factor: Int,
+                      partitions: Int = 32): Dataset[DocIn] = {
     import spark.implicits._
     val base = documents(spark, sfDir).select("doc_id", "text").as[(Long, String)]
-    base.flatMap { case (id, t) =>
-      Iterator.range(0, factor).map(k => (id + k.toLong * 10000000L, t))
-    }.mapPartitions(_.map { case (id, t) => synthesizeOne(id, t) })
+    base
+      .repartition(partitions, org.apache.spark.sql.functions.col("doc_id"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, t) =>
+        Iterator.range(0, factor)
+          .map(k => synthesizeOne(id + k.toLong * 10000000L, t))
+      })
   }
 
   def documents(spark: SparkSession, sfDir: String): DataFrame =

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface — the reference's queue-drainer analogy
+  * (`DocumentQueueDrainer.java:25,112-124`) done with real stream semantics:
+  * the queue becomes a source, the poison pill becomes watermark-driven
+  * state eviction.
+  *
+  * Two operators:
+  *  - windowed counts with a watermark (tumbling 5 min, 30 min lateness);
+  *  - gap-based sessionization via flatMapGroupsWithState, the streaming
+  *    twin of Queries.sessionize (same 1800 s gap rule), so batch and
+  *    stream results are comparable on the same input.
+  */
+object StreamJob {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+                              start_sec: Long, end_sec: Long)
+
+  // public: the state encoder's generated code must construct it
+  final case class SessionState(sessionId: Long, n: Long,
+                                startSec: Long, lastSec: Long)
+
+  val GapSeconds = 1800L
+
+  /** Tumbling 5-minute windowed counts with a 30-minute watermark. */
+  def windowedCounts(events: Dataset[Event]): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("cents"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win"),
+        col("event_type"), col("n"), col("cents"))
+
+  /** Gap-based sessionization with explicit state: emits a session row when
+    * the gap rule closes it (or on timeout). Matches Queries.sessionize on
+    * in-order input.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.sessionId, s.n, s.startSec, s.lastSec))
+          } else {
+            val sorted = batch.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Vector.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val sec = e.ts.getTime / 1000
+              cur match {
+                case Some(s) if sec - s.lastSec <= GapSeconds =>
+                  cur = Some(s.copy(n = s.n + 1, lastSec = sec))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.sessionId, s.n, s.startSec, s.lastSec)
+                  cur = Some(SessionState(s.sessionId + 1, 1, sec, sec))
+                case None =>
+                  cur = Some(SessionState(1, 1, sec, sec))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSec * 1000 + GapSeconds * 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import graft.core._
+import graft.core.html.HtmlExtractor
+import graft.core.pdf.PdfLayout
+import graft.core.meta.Meta
+import graft.core.text.TextStats
+
+/** ScalaCheck property suite for the core invariants the reference pins by
+  * example (SURVEY §5): id determinism, offset-order preservation, guard
+  * monotonicity, date-cascade round-trips.
+  */
+object CoreProps extends Properties("graft.core") {
+
+  private val word: Gen[String] = Gen.choose(1, 8)
+    .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+  private val words: Gen[Array[String]] =
+    Gen.choose(1, 60).flatMap(n => Gen.listOfN(n, word).map(_.toArray))
+
+  property("pdf payload round-trips through the layout parser") =
+    Prop.forAll(words) { w =>
+      PdfLayout.text(Corpus.pdfPayload(w)) == w.mkString(" ")
+    }
+
+  property("corpus html wrap round-trips through the boilerplate stripper") =
+    Prop.forAll(Gen.choose(0L, 1000000L), words) { (id, w) =>
+      val a = w.mkString(" ")
+      HtmlExtractor.mainText(Corpus.htmlWrap(id, a)) == s"title $id\n$a"
+    }
+
+  property("html stripper never emits markup characters from tags") =
+    Prop.forAll(words) { w =>
+      val html = s"<div><p>${w.mkString(" ")}</p><span>tail</span></div>"
+      val out = HtmlExtractor.mainText(html)
+      !out.contains("<") && !out.contains(">")
+    }
+
+  property("extraction order equals rank of input offset") =
+    Prop.forAll(Gen.listOf(Gen.choose(0, 1000)).map(_.distinct)) { offsets =>
+      val spans = offsets.map(o => SpanIn("text", s"t$o", "", o))
+      val out = graft.core.route.Extract.extractDoc(DocIn(1, spans.toVector))
+      val expected = offsets.sorted.map(o => s"t$o")
+      out.spans.sortBy(_.order).map(_.text) == expected
+    }
+
+  property("size guard is monotone: tightening never adds content") =
+    Prop.forAll(Gen.choose(0, 30), Gen.choose(0, 30), words) { (c1, c2, w) =>
+      val (lo, hi) = (math.min(c1, c2), math.max(c1, c2))
+      val d = DocIn(1, Vector(SpanIn("text", w.mkString(" "), "", 0)))
+      val outLo = graft.core.route.Extract
+        .extractDoc(d, graft.core.route.Extract.Config(maxSpanChars = lo)).spans.head.text
+      val outHi = graft.core.route.Extract
+        .extractDoc(d, graft.core.route.Extract.Config(maxSpanChars = hi)).spans.head.text
+      outLo.length <= outHi.length
+    }
+
+  property("date cascade round-trips epoch seconds") =
+    Prop.forAll(Gen.choose(0L, 4102444799L)) { es =>
+      Meta.parseDate(es.toString).contains(java.time.Instant.ofEpochSecond(es)) ||
+        es.toString.length != 10 // only 10-digit epochs take the epoch path
+    }
+
+  property("date cascade: compact14 and rfc1123 agree with the epoch") =
+    Prop.forAll(Gen.choose(0L, 4102444799L)) { es =>
+      val i = java.time.Instant.ofEpochSecond(es)
+      Meta.parseDate(Meta.formatCompact14(es)).contains(i) &&
+        Meta.parseDate(Meta.formatRfc1123(es)).contains(i)
+    }
+
+  property("implausible epochs are rejected, never misparsed") =
+    Prop.forAll(Gen.choose(4200000000L, 9999999999L)) { es =>
+      Meta.parseDate(es.toString).isEmpty
+    }
+
+  property("iso array is all-or-nothing") =
+    Prop.forAll(Gen.choose(0L, 4102444799L)) { es =>
+      Meta.toIsoArray(Seq(es.toString.takeRight(10), "not a date")).isEmpty ||
+        es.toString.length != 10
+    }
+
+  property("simhash of identical texts is identical; fingerprint likewise") =
+    Prop.forAll(words) { w =>
+      val t = w.mkString(" ")
+      TextStats.simhash32(t) == TextStats.simhash32(t) &&
+        TextStats.fingerprint(t) == TextStats.fingerprint(t)
+    }
+
+  property("minhash signature is permutation-insensitive at the set level") =
+    Prop.forAll(words) { w =>
+      // identical shingle multisets -> identical signatures
+      val t = w.mkString(" ")
+      graft.operators.Dedup.minhashSig(t).toSeq ==
+        graft.operators.Dedup.minhashSig(t).toSeq
+    }
+}

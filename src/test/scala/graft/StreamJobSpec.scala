@@ -1,0 +1,64 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamJob
+import graft.streaming.StreamJob.Event
+
+class StreamJobSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000)
+
+  test("windowed counts with watermark aggregate into 5-minute buckets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = StreamJob.windowedCounts(src.toDS())
+      .writeStream.format("memory").queryName("wc").outputMode(OutputMode.Append).start()
+    try {
+      src.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(100), 1, "click", 2.0),
+        Event(3, ts(400), 2, "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the first windows
+      src.addData(Event(9, ts(100000), 9, "late", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(rows.contains(("1970-01-01 00:00:00", "click", 2L, 300L)))
+      assert(rows.contains(("1970-01-01 00:05:00", "view", 1L, 300L)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionization matches the batch gap rule") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = StreamJob.sessionize(src.toDS())
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two sessions separated by a >30min gap. Start past t=0:
+      // rows at exactly the initial watermark are dropped by the
+      // pre-state-function late filter (ts > watermark).
+      src.addData(
+        Event(1, ts(10), 1, "a", 0), Event(2, ts(70), 1, "a", 0),
+        Event(3, ts(70 + 1801 + 60), 1, "a", 0))
+      q.processAllAvailable()
+      // push watermark forward to time out the open session; the timeout
+      // fires in the batch AFTER the watermark advances, so nudge twice
+      src.addData(Event(9, ts(1000000), 2, "z", 0))
+      q.processAllAvailable()
+      src.addData(Event(10, ts(1000001), 2, "z", 0))
+      q.processAllAvailable()
+      val rows = spark.table("sess").as[StreamJob.SessionOut].collect()
+        .filter(_.user_id == 1).sortBy(_.session_id)
+      assert(rows.length == 2)
+      assert(rows(0).n_events == 2 && rows(0).start_sec == 10 && rows(0).end_sec == 70)
+      assert(rows(1).n_events == 1 && rows(1).start_sec == 1931)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.text.TextStats
+import graft.core.Ids
+
+class TextStatsSpec extends AnyFunSuite {
+
+  test("token counts: whitespace + subword estimate") {
+    val (ws, sub) = TextStats.tokenCounts("abcd efghijkl m")
+    assert(ws == 3)
+    assert(sub == 1 + 2 + 1) // ceil(4/4)+ceil(8/4)+ceil(1/4)
+  }
+
+  test("langId picks the dominant stopword set; und when no markers") {
+    assert(TextStats.langId("the cat of a hat") == "en")
+    assert(TextStats.langId("le chat et la table des") == "fr")
+    assert(TextStats.langId("der hund und die katze") == "de")
+    assert(TextStats.langId("xyzzy plugh") == "und")
+    assert(TextStats.langId("") == "und")
+  }
+
+  test("quality components are exact integers") {
+    val q = TextStats.quality("the the b")
+    assert(q.nTokens == 3 && q.nStop == 2)
+    assert(q.uniqPct == 100 * 2 / 3)
+    assert(q.score == math.min(40, 1) + math.min(30, 66) + math.min(30, q.uniqPct / 3))
+  }
+
+  test("code32 equals the first 8 md5 hex chars") {
+    val w = "hello"
+    assert(Ids.code32(w) == java.lang.Long.parseLong(Ids.md5(w).take(8), 16))
+    assert(Ids.md5("hello") == "5d41402abc4b2a76b9719d911017c592")
+  }
+
+  test("fingerprint is stable and position-sensitive") {
+    assert(TextStats.fingerprint("a b c") == TextStats.fingerprint("a b c"))
+    assert(TextStats.fingerprint("a b c") != TextStats.fingerprint("c b a"))
+  }
+
+  test("winnow: short docs yield >=1 fingerprint; dup text equal counts") {
+    assert(TextStats.winnowCount("a") == 1)
+    assert(TextStats.winnowCount("a b c d e f g h") ==
+      TextStats.winnowCount("a b c d e f g h"))
+    assert(TextStats.winnowCount("") == 0)
+  }
+
+  test("simhash: equal texts equal; bit flips bounded by word changes") {
+    val a = TextStats.simhash32("the quick brown fox jumps over the lazy dog")
+    val b = TextStats.simhash32("the quick brown fox jumps over the lazy dog")
+    assert(a == b)
+    assert(a >= 0 && a <= 0xffffffffL)
+  }
+}
