@@ -106,7 +106,7 @@ object Bench {
 object Scaling {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val factor = sys.env.getOrElse("SPARK_GRAFT_REPL", "100").toInt
+    val factor = sys.env.getOrElse("SPARK_GRAFT_REPL", "400").toInt
     val nLow = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
     val nHigh = nLow * 4
     // The two parallelism levels share one JVM, so JIT warmup would bias

@@ -60,7 +60,7 @@ object Corpus {
     val a = w.slice(0, i1).mkString(" ")
     val b = w.slice(i1, i2).mkString(" ")
     val c = w.slice(i2, w.length)
-    val spans = Vector.newBuilder[SpanIn]
+    val spans = Array.newBuilder[SpanIn]
     spans += SpanIn("html", htmlWrap(docId, a), "", 0)
     spans += SpanIn("text", b, "", 1)
     spans += SpanIn("pdf", pdfPayload(c), "", 2)

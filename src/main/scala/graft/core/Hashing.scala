@@ -12,22 +12,40 @@ import java.nio.charset.StandardCharsets
   * `sha256`/`md5`, so every formula below is reproducible in the SQL oracle.
   */
 object Ids {
-  private def digestHex(algo: String, s: String): String = {
-    val md = MessageDigest.getInstance(algo)
-    val b = md.digest(s.getBytes(StandardCharsets.UTF_8))
-    val sb = new StringBuilder(b.length * 2)
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  // MessageDigest.getInstance is allocation+lookup heavy; digests are
+  // reusable after digest() resets them. One pair per thread.
+  private val sha256Md = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("SHA-256"))
+  private val md5Md = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  private def toHex(b: Array[Byte]): String = {
+    val out = new Array[Char](b.length * 2)
     var i = 0
-    while (i < b.length) { sb.append(f"${b(i) & 0xff}%02x"); i += 1 }
-    sb.toString
+    while (i < b.length) {
+      val v = b(i) & 0xff
+      out(2 * i) = HexChars(v >>> 4)
+      out(2 * i + 1) = HexChars(v & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
-  def sha256(s: String): String = digestHex("SHA-256", s)
-  def md5(s: String): String = digestHex("MD5", s)
+  def sha256(s: String): String =
+    toHex(sha256Md.get().digest(s.getBytes(StandardCharsets.UTF_8)))
+  def md5(s: String): String =
+    toHex(md5Md.get().digest(s.getBytes(StandardCharsets.UTF_8)))
 
-  /** 32-bit unsigned word code: first 8 hex chars of md5, as Long in
-    * [0, 2^32). SQL-reproducible: `conv(substr(md5(x),1,8),16,10)`.
+  /** 32-bit unsigned word code: first 4 md5 bytes as Long in [0, 2^32) —
+    * identical to parsing the first 8 lowercase-hex md5 chars.
+    * SQL-reproducible: `conv(substr(md5(x),1,8),16,10)`.
     */
-  def code32(s: String): Long = java.lang.Long.parseLong(md5(s).take(8), 16)
+  def code32(s: String): Long = {
+    val b = md5Md.get().digest(s.getBytes(StandardCharsets.UTF_8))
+    ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) | ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
+  }
 
   /** Root id: content hash of the document identity (DigestIdentifier
     * semantics, `document/DigestIdentifier.java:21-23`).

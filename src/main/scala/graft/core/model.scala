@@ -14,7 +14,12 @@ final case class SpanIn(
     offset: Int
 )
 
-final case class DocIn(doc_id: Long, spans: Seq[SpanIn])
+/** spans is an Array: the Catalyst deserializer materializes arrays ~1.5x
+  * faster than Seq builders, and deserialization — not extraction — is the
+  * pipeline's throughput ceiling (see BENCH.md). Note Array gives reference
+  * equality in case classes; compare spans via .toSeq in tests.
+  */
+final case class DocIn(doc_id: Long, spans: Array[SpanIn])
 
 /** Output span: `order` is the dense emission index in input-offset order —
   * the reference's positional ordering invariant (DFS tree order / span
@@ -39,7 +44,7 @@ final case class DocOut(
     parent_id: String, // "" for roots
     root_id: String,
     level: Int,
-    spans: Seq[SpanOut],
+    spans: Array[SpanOut],
     no_content_reason: String // "" when content present (NoContentReason.java:13-37)
 )
 

@@ -60,9 +60,17 @@ object PdfLayout {
     * textual — offsets remain recoverable from word indices).
     */
   def text(payload: String, tol: Double = LineTolerance): String = {
-    val words = parse(payload)
-    if (words.isEmpty) return ""
-    val sorted = words.sortBy(w => (w.page, w.y, w.x))
+    val parsed = parse(payload)
+    if (parsed.isEmpty) return ""
+    val sorted = parsed.toArray
+    // comparator sort: no per-element tuple/boxing allocation in the hot path
+    java.util.Arrays.sort(sorted, new java.util.Comparator[Word] {
+      def compare(a: Word, b: Word): Int = {
+        if (a.page != b.page) return Integer.compare(a.page, b.page)
+        val cy = java.lang.Double.compare(a.y, b.y)
+        if (cy != 0) cy else java.lang.Double.compare(a.x, b.x)
+      }
+    })
     // cluster lines: new line when y-gap from the line anchor exceeds tol
     val sb = new StringBuilder
     var lineAnchorY = Double.NaN
@@ -70,8 +78,14 @@ object PdfLayout {
     val line = ArrayBuffer.empty[Word]
     def flushLine(): Unit = {
       if (line.nonEmpty) {
-        val inLine = line.sortBy(w => (w.x, w.text))
-        inLine.foreach { w =>
+        val arr = line.toArray
+        java.util.Arrays.sort(arr, new java.util.Comparator[Word] {
+          def compare(a: Word, b: Word): Int = {
+            val cx = java.lang.Double.compare(a.x, b.x)
+            if (cx != 0) cx else a.text.compareTo(b.text)
+          }
+        })
+        arr.foreach { w =>
           if (sb.nonEmpty) sb.append(' ')
           sb.append(w.text)
         }

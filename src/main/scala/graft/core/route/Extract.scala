@@ -44,11 +44,15 @@ object Extract {
   def extractDoc(doc: DocIn, cfg: Config = DefaultConfig): DocOut = {
     val sorted = doc.spans.sortBy(_.offset).take(cfg.maxSpans)
     var anyContent = false
-    val out = sorted.iterator.zipWithIndex.map { case (s, i) =>
+    val out = new Array[SpanOut](sorted.length)
+    var i = 0
+    while (i < sorted.length) {
+      val s = sorted(i)
       val (txt, _) = extractSpan(s.kind, s.text, cfg)
       if (txt.nonEmpty) anyContent = true
-      SpanOut(s.kind, txt, if (s.media_ref == null) "" else s.media_ref, i)
-    }.toVector
+      out(i) = SpanOut(s.kind, txt, if (s.media_ref == null) "" else s.media_ref, i)
+      i += 1
+    }
     val reason = if (doc.spans.isEmpty || !anyContent) Reason.Empty else ""
     val rid = Ids.rootId(doc.doc_id)
     DocOut(rid, "", rid, 0, out, reason)
@@ -68,11 +72,11 @@ object Extract {
         val content = if (s.text == null) "" else s.text
         val cid = Ids.embedId(content, root.doc_id, ord)
         val spans =
-          if (content.isEmpty) Vector.empty[SpanOut]
-          else Vector(SpanOut("text", content, "", 0))
+          if (content.isEmpty) Array.empty[SpanOut]
+          else Array(SpanOut("text", content, "", 0))
         DocOut(cid, root.doc_id, root.doc_id, 1,
           spans, if (content.isEmpty) Reason.Empty else "")
       }
-    root +: children
+    root +: children.toSeq
   }
 }

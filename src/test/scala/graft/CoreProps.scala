@@ -39,15 +39,15 @@ object CoreProps extends Properties("graft.core") {
   property("extraction order equals rank of input offset") =
     Prop.forAll(Gen.listOf(Gen.choose(0, 1000)).map(_.distinct)) { offsets =>
       val spans = offsets.map(o => SpanIn("text", s"t$o", "", o))
-      val out = graft.core.route.Extract.extractDoc(DocIn(1, spans.toVector))
+      val out = graft.core.route.Extract.extractDoc(DocIn(1, spans.toArray))
       val expected = offsets.sorted.map(o => s"t$o")
-      out.spans.sortBy(_.order).map(_.text) == expected
+      out.spans.sortBy(_.order).map(_.text).toSeq == expected
     }
 
   property("size guard is monotone: tightening never adds content") =
     Prop.forAll(Gen.choose(0, 30), Gen.choose(0, 30), words) { (c1, c2, w) =>
       val (lo, hi) = (math.min(c1, c2), math.max(c1, c2))
-      val d = DocIn(1, Vector(SpanIn("text", w.mkString(" "), "", 0)))
+      val d = DocIn(1, Array(SpanIn("text", w.mkString(" "), "", 0)))
       val outLo = graft.core.route.Extract
         .extractDoc(d, graft.core.route.Extract.Config(maxSpanChars = lo)).spans.head.text
       val outHi = graft.core.route.Extract

@@ -57,7 +57,7 @@ class PipelineSpec extends AnyFunSuite {
     import spark.implicits._
     // spans=null triggers an NPE inside extraction -> FAILURE_NOT_PARSED
     val poisoned = spark.createDataset(Seq(
-      DocIn(1, Vector(SpanIn("text", "fine", "", 0))),
+      DocIn(1, Array(SpanIn("text", "fine", "", 0))),
       DocIn(2, null)
     ))
     val res = ExtractJob.extractPartitions(poisoned, ExtractJob.JobConfig()).collect()
@@ -68,9 +68,9 @@ class PipelineSpec extends AnyFunSuite {
 
   test("salted repartition spreads oversized docs and keeps all rows") {
     import spark.implicits._
-    val big = DocIn(999, Vector(SpanIn("text", "x" * 2000, "", 0)))
+    val big = DocIn(999, Array(SpanIn("text", "x" * 2000, "", 0)))
     val docs = spark.createDataset(
-      (0 until 50).map(i => DocIn(i.toLong, Vector(SpanIn("text", "small", "", 0)))) :+ big)
+      (0 until 50).map(i => DocIn(i.toLong, Array(SpanIn("text", "small", "", 0)))) :+ big)
     val cfg = ExtractJob.JobConfig(partitions = 8, oversizedChars = 1000)
     val parted = ExtractJob.saltedRepartition(docs, cfg)
     assert(parted.count() == 51)
