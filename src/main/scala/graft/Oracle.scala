@@ -118,6 +118,24 @@ object Oracle {
       | strftime(to_timestamp(es) AT TIME ZONE 'UTC', '%Y-%m-%dT%H:%M:%SZ') AS iso
       |FROM b""".stripMargin
 
+  private val metaMap: String =
+    """SELECT doc_id, 'tika_metadata_author' AS norm_key, 'author '||(doc_id%7) AS vals FROM documents
+      |UNION ALL SELECT doc_id, 'tika_metadata_content_type', 'text/plain; charset=utf-8' FROM documents
+      |UNION ALL SELECT doc_id, 'tika_metadata_dcterms_created', (1400000000+doc_id)::VARCHAR FROM documents
+      |UNION ALL SELECT doc_id, 'tika_metadata_resourcename', 'doc-'||doc_id||'.txt' FROM documents""".stripMargin
+
+  private val ocrCache: String =
+    """SELECT doc_id,
+      | CASE WHEN doc_id%2=0 THEN 'cache' ELSE 'fresh' END AS src,
+      | CASE WHEN doc_id%2=0 THEN 'cached '||doc_id ELSE 'computed '||doc_id END AS text
+      |FROM documents WHERE doc_id%3=0 AND doc_id%21<>0""".stripMargin
+
+  private val mediaLinks: String =
+    """SELECT doc_id,
+      | '<a href="art/'||substr(sha256(doc_id::VARCHAR),1,2)||'/'||sha256(doc_id::VARCHAR)||'" download>'||
+      | CASE WHEN doc_id%21=0 THEN 'untitled_0' ELSE 'ocr '||doc_id END||'</a>' AS link
+      |FROM documents WHERE doc_id%3=0""".stripMargin
+
   private val stopEnSql = "('the','a','and','of','to','in')"
   private val stopFrSql = "('le','la','et','les','des','un')"
   private val stopDeSql = "('der','die','und','das','ein','zu')"
@@ -267,6 +285,9 @@ object Oracle {
       | strftime(max(ts),'%Y-%m-%d %H:%M:%S') AS end_ts
       |FROM s GROUP BY user_id, sid""".stripMargin
 
+  private val exprCode32: String =
+    s"""SELECT doc_id, ${hex2int("substr(md5(text),1,8)")} AS code FROM documents"""
+
   private val mediaMeta: String =
     """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
       | ord(substr(text,1,1))::BIGINT AS magic,
@@ -318,7 +339,10 @@ object Oracle {
     "q_rehash" -> rehash,
     "q_copy_tag" -> copyTag,
     "q_meta_keys" -> metaKeys,
+    "q_meta_map" -> metaMap,
     "q_meta_dates" -> metaDates,
+    "q_ocr_cache" -> ocrCache,
+    "q_media_links" -> mediaLinks,
     "q_lang_id" -> langId,
     "q_quality" -> quality,
     "q_token_count" -> tokenCount,
@@ -333,6 +357,7 @@ object Oracle {
     "q_knn_lsh" -> knnLsh,
     "q_events_window" -> eventsWindow,
     "q_sessionize" -> sessionize,
+    "q_expr_code32" -> exprCode32,
     "q_media_meta" -> mediaMeta,
     "q_media_frames" -> mediaFrames,
     "q_tpch_q1" -> tpchQ1,

@@ -169,6 +169,58 @@ object Queries {
       .toDF("doc_id", "raw", "iso")
   }
 
+  /** §2.8 full multimap semantics: key normalization + collision concat +
+    * noisy-field dedupe + glob block list, over a synthesized multimap.
+    */
+  def metaMap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select("doc_id").as[Long]
+      .flatMap { d =>
+        val meta = Seq(
+          "Content-Type" -> Seq("text/plain; charset=utf-8"),
+          "Content~Type" -> Seq("text/plain; charset=utf-8"), // key collision -> concat -> dedupe
+          "Author" -> Seq("author " + (d % 7)),
+          "X-TIKA:parse_time_millis" -> Seq((d % 100).toString), // block-listed
+          "dcterms:created" -> Seq((1400000000L + d).toString),
+          "resourceName" -> Seq(s"doc-$d.txt"))
+        Meta.normalizeMap(meta).map { case (k, vs) => (d, k, vs.mkString("|")) }
+      }
+      .toDF("doc_id", "norm_key", "vals")
+  }
+
+  /** §2.5 CacheParserDecorator: content-addressed OCR cache as a persisted
+    * table + left join before compute (cache hit wins, miss computes).
+    */
+  def ocrCache(spark: SparkSession, dir: String): DataFrame = {
+    val media = docs(spark, dir)
+      .filter(col("doc_id") % 3 === 0 && col("doc_id") % 21 =!= 0)
+      .select(col("doc_id"),
+        sha2(concat(lit("ocr "), col("doc_id").cast("string")), 256).as("content_key"))
+    val cache = docs(spark, dir)
+      .filter(col("doc_id") % 2 === 0)
+      .select(
+        sha2(concat(lit("ocr "), col("doc_id").cast("string")), 256).as("content_key"),
+        concat(lit("cached "), col("doc_id").cast("string")).as("cached_text"))
+    media.join(broadcast(cache), Seq("content_key"), "left")
+      .select(col("doc_id"),
+        when(col("cached_text").isNotNull, "cache").otherwise("fresh").as("src"),
+        coalesce(col("cached_text"),
+          concat(lit("computed "), col("doc_id").cast("string"))).as("text"))
+  }
+
+  /** §2.4 EmbedLinker: emit download links for media embeds instead of
+    * parsing them; nameless embeds get the untitled_<ordinal> convention.
+    */
+  def mediaLinks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Corpus.spans(spark, dir).flatMap { d =>
+      d.spans.filter(_.kind == "media").zipWithIndex.map { case (s, ord) =>
+        val name = if (s.text.isEmpty) s"untitled_$ord" else s.text
+        (d.doc_id, s"""<a href="${s.media_ref}" download>$name</a>""")
+      }
+    }.toDF("doc_id", "link")
+  }
+
   // ------------------------------------------------------- text analysis
 
   def langIdQ(spark: SparkSession, dir: String): DataFrame = {
@@ -272,6 +324,15 @@ object Queries {
   def mediaFrames(spark: SparkSession, dir: String): DataFrame =
     Media.sampleFrames(spark, docs(spark, dir))
 
+  /** The native codegen'd Catalyst expression (graft.functions.Code32)
+    * running inside whole-stage codegen.
+    */
+  def exprCode32(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    docs(spark, dir).select(col("doc_id"),
+      call_function("graft_code32", col("text")).as("code"))
+  }
+
   // ------------------------------------------------ relational headline
 
   def tpchQ1(spark: SparkSession, dir: String): DataFrame =
@@ -320,7 +381,10 @@ object Queries {
     "q_rehash" -> (rehash _),
     "q_copy_tag" -> (copyTag _),
     "q_meta_keys" -> (metaKeys _),
+    "q_meta_map" -> (metaMap _),
     "q_meta_dates" -> (metaDates _),
+    "q_ocr_cache" -> (ocrCache _),
+    "q_media_links" -> (mediaLinks _),
     "q_lang_id" -> (langIdQ _),
     "q_quality" -> (qualityQ _),
     "q_token_count" -> (tokenCountQ _),
@@ -335,6 +399,7 @@ object Queries {
     "q_knn_lsh" -> (knnLsh _),
     "q_events_window" -> (eventsWindow _),
     "q_sessionize" -> (sessionize _),
+    "q_expr_code32" -> (exprCode32 _),
     "q_media_meta" -> (mediaMeta _),
     "q_media_frames" -> (mediaFrames _),
     "q_tpch_q1" -> (tpchQ1 _),

@@ -80,6 +80,42 @@ object Meta {
     if (parsed.forall(_.isDefined)) Some(parsed.map(_.get)) else None
   }
 
+  /** Glob-style metadata block list (MetadataBlockList semantics,
+    * `spewer/MetadataBlockList.java`): '*' matches any suffix/prefix
+    * segment. Patterns are matched against the NORMALIZED key.
+    */
+  val DefaultBlockList: Seq[String] = Seq("tika_metadata_x_tika_*")
+
+  def isBlocked(normKey: String, blockList: Seq[String] = DefaultBlockList): Boolean =
+    blockList.exists { pat =>
+      if (pat.endsWith("*")) normKey.startsWith(pat.dropRight(1))
+      else if (pat.startsWith("*")) normKey.endsWith(pat.drop(1))
+      else normKey == pat
+    }
+
+  // Fields whose multi-values are known-noisy and get distinct-ified
+  // (MetadataTransformer.java:56-70 dedupe properties).
+  val DedupedFields: Set[String] =
+    Set("tika_metadata_content_type", "tika_metadata_author", "tika_metadata_title")
+
+  /** Full multimap normalization (MetadataTransformer.normalize semantics):
+    * normalize keys; on collision concatenate value lists (in input order);
+    * dedupe values for the known-noisy fields; drop blocked keys. Returns
+    * entries sorted by key for deterministic output.
+    */
+  def normalizeMap(meta: Seq[(String, Seq[String])],
+                   blockList: Seq[String] = DefaultBlockList): Seq[(String, Seq[String])] = {
+    val acc = scala.collection.mutable.LinkedHashMap.empty[String, Vector[String]]
+    meta.foreach { case (k, vs) =>
+      val nk = normalizeKey(k)
+      acc.update(nk, acc.getOrElse(nk, Vector.empty) ++ vs)
+    }
+    acc.iterator
+      .filterNot { case (k, _) => isBlocked(k, blockList) }
+      .map { case (k, vs) => (k, if (DedupedFields.contains(k)) vs.distinct else vs) }
+      .toVector.sortBy(_._1)
+  }
+
   // Formatters used by the corpus synthesis (and mirrored in the oracle).
   def formatRfc1123(epochSec: Long): String =
     Rfc1123.format(LocalDateTime.ofInstant(Instant.ofEpochSecond(epochSec), ZoneOffset.UTC))

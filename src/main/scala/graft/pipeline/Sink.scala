@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink-side merge semantics on plain parquet — the Iceberg-less stand-in
+  * for the reference's index maintenance:
+  *
+  *  - stale-children delete before rewrite (`SolrSpewer.java:134-142`:
+  *    delete WHERE root_id = x AND level >= 1, then re-add) becomes
+  *    filter-out + union + atomic swap;
+  *  - merge-on-write (`MergingSolrSpewer.java`: fetch existing doc, merge a
+  *    field, retry) becomes a full-outer merge on doc_id.
+  *
+  * On Iceberg these are `DELETE WHERE`/`MERGE INTO` with snapshot isolation;
+  * here atomicity comes from write-to-temp + directory swap, the same
+  * temp-then-atomic-rename discipline as the reference's artifact writes
+  * (`EmbeddedArtifactWriter.java:35-68`).
+  */
+object Sink {
+
+  /** Rewrite the trees rooted at `rootIds`: drop every existing row of
+    * those trees (root row AND children — the stale-children delete), then
+    * append `replacement`. All other rows are preserved byte-for-byte.
+    */
+  def replaceTrees(spark: SparkSession, path: String, rootIds: Seq[String],
+                   replacement: DataFrame): Unit = {
+    val existing = spark.read.parquet(path)
+    val kept = existing.filter(!col("root_id").isInCollection(rootIds))
+    writeAtomic(spark, path, kept.unionByName(replacement))
+  }
+
+  /** Merge-on-write for a multi-valued field: rows in `updates` merge their
+    * `paths` array into the existing row's (distinct, order-preserving),
+    * new doc_ids are inserted — MergingSolrSpewer's fetch+merge+retry loop
+    * as one deterministic join.
+    */
+  def mergePaths(spark: SparkSession, path: String, updates: DataFrame): Unit = {
+    val existing = spark.read.parquet(path)
+    val merged = existing.alias("e")
+      .join(updates.alias("u"), Seq("doc_id"), "full_outer")
+      .select(
+        col("doc_id"),
+        array_distinct(concat(
+          coalesce(col("e.paths"), array()),
+          coalesce(col("u.paths"), array()))).as("paths"))
+    writeAtomic(spark, path, merged)
+  }
+
+  /** Write df to a temp dir then swap it into place: never leaves the sink
+    * half-written, and readers see old-or-new, not mixed.
+    */
+  def writeAtomic(spark: SparkSession, path: String, df: DataFrame): Unit = {
+    val tmp = path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val dest = Paths.get(path)
+    val old = Paths.get(path + ".old")
+    if (Files.exists(dest)) Files.move(dest, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), dest, StandardCopyOption.ATOMIC_MOVE)
+    if (Files.exists(old)) deleteRecursively(old)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.forEach(c => deleteRecursively(c)) finally s.close()
+    }
+    Files.deleteIfExists(p)
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.core.Ids
+import graft.functions.{Code32, Code32Impl, GraftFunctions}
+
+class Code32Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("static impl equals Ids.code32 on ascii and non-ascii") {
+    for (s <- Seq("hello", "", "café 中文 😀", "the quick brown fox")) {
+      assert(Code32Impl.compute(UTF8String.fromString(s)) == Ids.code32(s))
+    }
+  }
+
+  test("interpreted eval path equals Ids.code32") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = Code32(Literal(UTF8String.fromString("hello"),
+      org.apache.spark.sql.types.StringType))
+    assert(e.eval(null) == Ids.code32("hello"))
+  }
+
+  test("codegen path through a DataFrame equals Ids.code32 row by row") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val data = Seq((1L, "alpha"), (2L, "beta gamma"), (3L, "中文"))
+    val got = data.toDF("id", "t")
+      .select($"id", call_function("graft_code32", $"t").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    data.foreach { case (id, t) => assert(got(id) == Ids.code32(t)) }
+  }
+
+  test("null input yields null (UnaryExpression null handling)") {
+    GraftFunctions.ensureRegistered(spark)
+    val row = spark.sql("SELECT graft_code32(CAST(NULL AS STRING)) AS c").collect()(0)
+    assert(row.isNullAt(0))
+  }
+}

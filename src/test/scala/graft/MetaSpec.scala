@@ -49,6 +49,21 @@ class MetaSpec extends AnyFunSuite {
     assert(Meta.parseToIso("20170714024000").contains("2017-07-14T02:40:00Z"))
   }
 
+  test("normalizeMap: collisions concat, noisy fields dedupe, blocklist drops") {
+    val out = Meta.normalizeMap(Seq(
+      "Content-Type" -> Seq("text/plain"),
+      "Content~Type" -> Seq("text/plain"),
+      "Author" -> Seq("a", "b", "a"),
+      "X-TIKA:parse_time_millis" -> Seq("123"),
+      "Keep Me" -> Seq("v1", "v1")))
+    assert(out == Seq(
+      "tika_metadata_author" -> Seq("a", "b"), // deduped (noisy field)
+      "tika_metadata_content_type" -> Seq("text/plain"), // collision + dedupe
+      "tika_metadata_keep_me" -> Seq("v1", "v1"))) // NOT a noisy field: kept as-is
+    assert(Meta.isBlocked("tika_metadata_x_tika_parse_time_millis"))
+    assert(!Meta.isBlocked("tika_metadata_author"))
+  }
+
   test("iso array all-or-nothing") {
     assert(Meta.toIsoArray(Seq("1500000000", "20170714"))
       .contains(Seq("2017-07-14T02:40:00Z", "2017-07-14T00:00:00Z")))

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.Sink
+
+class SinkSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-sink").resolve("t").toString
+
+  test("replaceTrees: stale children deleted, other trees untouched") {
+    import spark.implicits._
+    val path = tmp()
+    Seq(
+      ("r1", "", "r1", 0), ("c1a", "r1", "r1", 1), ("c1b", "r1", "r1", 1),
+      ("r2", "", "r2", 0), ("c2a", "r2", "r2", 1)
+    ).toDF("doc_id", "parent_id", "root_id", "level")
+      .write.parquet(path)
+
+    val replacement = Seq(("r1", "", "r1", 0), ("c1new", "r1", "r1", 1))
+      .toDF("doc_id", "parent_id", "root_id", "level")
+    Sink.replaceTrees(spark, path, Seq("r1"), replacement)
+
+    val after = spark.read.parquet(path).collect()
+      .map(r => r.getString(0)).sorted.toSeq
+    // c1a/c1b gone (stale-children delete), r1 tree replaced, r2 intact
+    assert(after == Seq("c1new", "c2a", "r1", "r2"))
+  }
+
+  test("mergePaths: existing paths merged distinct, new docs inserted") {
+    import spark.implicits._
+    val path = tmp()
+    Seq(("d1", Seq("/a")), ("d2", Seq("/b")))
+      .toDF("doc_id", "paths").write.parquet(path)
+
+    Sink.mergePaths(spark, path,
+      Seq(("d1", Seq("/a", "/c")), ("d3", Seq("/z"))).toDF("doc_id", "paths"))
+
+    val after = spark.read.parquet(path).collect()
+      .map(r => (r.getString(0), r.getSeq[String](1).toList)).toMap
+    assert(after("d1") == List("/a", "/c")) // merged, distinct
+    assert(after("d2") == List("/b"))       // untouched
+    assert(after("d3") == List("/z"))       // inserted
+  }
+
+  test("writeAtomic: old data fully replaced, no mixed state") {
+    import spark.implicits._
+    val path = tmp()
+    Seq(1, 2, 3).toDF("x").write.parquet(path)
+    Sink.writeAtomic(spark, path, Seq(9, 10).toDF("x"))
+    assert(spark.read.parquet(path).collect().map(_.getInt(0)).sorted.toSeq == Seq(9, 10))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path + ".old")))
+  }
+}
