@@ -62,13 +62,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val factor = sys.env.getOrElse("SPARK_GRAFT_REPL", "20").toInt
+    val factor = sys.env.getOrElse("SPARK_GRAFT_REPL", "100").toInt
     val spark = session(cpus)
 
     // JIT warmup on a tiny replication, then SPARK_GRAFT_BENCH_REPEAT
-    // measured runs (default 1), keeping the best — C2 compilation needs a
-    // full-size pass before timings stabilize.
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt
+    // measured runs (default 2), keeping the best — C2 compilation needs a
+    // full-size pass before timings stabilize, and the host shows steal
+    // noise.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "2").toInt
     pipelineRun(spark, sfDir, 1, cpus.toInt)
     val (nDocs, pipeSec) = (1 to repeat)
       .map(_ => pipelineRun(spark, sfDir, factor, cpus.toInt))

@@ -13,8 +13,10 @@ import scala.collection.mutable.ArrayBuffer
   * filter. The segmentation walk mirrors Tika's BodyContentHandler (head/
   * script/style/object subtrees are dropped entirely; block-level elements
   * delimit text runs), and the keep/drop rule is the classic link-density
-  * heuristic: a block is boilerplate iff the fraction of its characters that
-  * sit inside anchors is >= [[HtmlExtractor.MaxLinkDensity]].
+  * heuristic from the Boilerpipe line of work (Kohlschuetter, Fankhauser,
+  * Nejdl: "Boilerplate Detection using Shallow Text Features", WSDM 2010):
+  * a block is boilerplate iff the fraction of its characters that sit
+  * inside anchors is >= [[HtmlExtractor.MaxLinkDensity]].
   *
   * Determinism: pure function of the input string; no locale, no clock.
   */

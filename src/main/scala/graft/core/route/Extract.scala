@@ -59,24 +59,52 @@ object Extract {
   }
 
   /** Embed explosion (the reference's flatMap, `EmbedSpawner.java:429-515`):
-    * the root row plus one child row per media span. Child ids are recursive
-    * content hashes (`DigestIdentifier.java:26-68` via [[Ids.embedId]]);
-    * ordinal = index among the doc's media spans (per-parent ordinal naming,
-    * `EmbedSpawner.java:264-281`). A content-less media span still spawns a
-    * child, with the hash component dropped and reason=empty-file.
+    * the root row plus one child row per media span, RECURSIVELY — a media
+    * span whose text is `chain:a>b>c` models a nested container (msg-in-msg,
+    * archive-in-archive): it spawns child `a`, which spawns grandchild `b`,
+    * etc., depth-first, exactly like the reference's tikaDocumentStack DFS.
+    *
+    * Child ids are recursive content hashes (`DigestIdentifier.java:26-68`
+    * via [[Ids.embedId]]); ordinal = index among the parent's media spans
+    * (per-parent ordinal naming, `EmbedSpawner.java:264-281`). A content-less
+    * media span still spawns a child with the hash component dropped and
+    * reason=empty-file. Children beyond `cfg.maxEmbedDepth` are REFUSED
+    * before recursion (`EmbedSpawner.java:55,389-392`) and counted on the
+    * skipping ancestor's lineage via the returned skip count.
     */
-  def explode(doc: DocIn, cfg: Config = DefaultConfig): Seq[DocOut] = {
+  def explode(doc: DocIn, cfg: Config = DefaultConfig): Seq[DocOut] =
+    explodeCounted(doc, cfg)._1
+
+  /** As [[explode]], also returning the number of embeds skipped by the
+    * depth guard (the X-EXTRACT:embedsSkippedMaxDepth analog).
+    */
+  def explodeCounted(doc: DocIn, cfg: Config = DefaultConfig): (Seq[DocOut], Int) = {
     val root = extractDoc(doc, cfg)
-    val children = doc.spans.filter(_.kind == "media").sortBy(_.offset)
-      .zipWithIndex.map { case (s, ord) =>
-        val content = if (s.text == null) "" else s.text
-        val cid = Ids.embedId(content, root.doc_id, ord)
-        val spans =
-          if (content.isEmpty) Array.empty[SpanOut]
-          else Array(SpanOut("text", content, "", 0))
-        DocOut(cid, root.doc_id, root.doc_id, 1,
-          spans, if (content.isEmpty) Reason.Empty else "")
+    val out = Vector.newBuilder[DocOut]
+    out += root
+    var skipped = 0
+
+    def spawn(content: String, parentId: String, ord: Int, level: Int): Unit = {
+      if (level > cfg.maxEmbedDepth) { skipped += 1; return }
+      val (own, nested) =
+        if (content.startsWith("chain:")) {
+          val payload = content.substring(6)
+          val gt = payload.indexOf('>')
+          if (gt < 0) (payload, None) else (payload.substring(0, gt), Some(payload.substring(gt + 1)))
+        } else (content, None)
+      val cid = Ids.embedId(content, parentId, ord)
+      val spans =
+        if (own.isEmpty) Array.empty[SpanOut]
+        else Array(SpanOut("text", own, "", 0))
+      out += DocOut(cid, parentId, root.doc_id, level,
+        spans, if (own.isEmpty) Reason.Empty else "")
+      nested.foreach(n => spawn("chain:" + n, cid, 0, level + 1))
+    }
+
+    doc.spans.filter(_.kind == "media").sortBy(_.offset)
+      .zipWithIndex.foreach { case (s, ord) =>
+        spawn(if (s.text == null) "" else s.text, root.doc_id, ord, 1)
       }
-    root +: children.toSeq
+    (out.result(), skipped)
   }
 }

@@ -6,6 +6,12 @@ import graft.core.{HashParams, Ids}
 
 /** Deduplication operators for the training-data pipeline.
   *
+  * Algorithms: MinHash (Broder, "On the resemblance and containment of
+  * documents", 1997) with banded LSH; SimHash (Charikar, "Similarity
+  * estimation techniques from rounding algorithms", STOC 2002); shingled
+  * Jaccard; winnowing fingerprints live in TextStats (Schleimer/Wilkerson/
+  * Aiken, SIGMOD 2003).
+  *
   * Scale notes (100 TB target):
   *  - exact dedup is a single hash-shuffle on the content hash — the hash is
   *    computed BEFORE the shuffle so only (hash, id) moves, never the text;
