@@ -29,19 +29,37 @@ object Bench {
     s
   }
 
+  /** Bump when Corpus synthesis changes — stale cached corpora under /tmp
+    * would otherwise survive across rounds.
+    */
+  val CorpusSpecVersion = 1
+
   /** Materialize the synthesized spans corpus to parquet once per
     * (sf, factor) — the bucketed-input stand-in. Untimed prep: the
     * production job reads an existing table; synthesis is not extraction
-    * work.
+    * work. Cached corpora from other spec versions are deleted so /tmp
+    * doesn't accrete dead data across rounds.
     */
   def corpusPath(spark: SparkSession, sfDir: String, factor: Int, parts: Int): String = {
     val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
-    val path = s"/tmp/graft_bench/corpus_${tag}_x${factor}_p$parts"
+    val base = new java.io.File("/tmp/graft_bench")
+    val name = s"corpus_v${CorpusSpecVersion}_${tag}_x${factor}_p$parts"
+    val path = s"${base.getPath}/$name"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      Option(base.listFiles()).foreach(_.foreach { f =>
+        if (f.getName.startsWith("corpus_") &&
+          !f.getName.startsWith(s"corpus_v$CorpusSpecVersion"))
+          deleteRecursively(f)
+      })
       Corpus.spansReplicated(spark, sfDir, factor, parts)
         .write.mode("overwrite").parquet(path)
     }
     path
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
   }
 
   /** One timed pipeline run: scan the materialized corpus -> extract ->

@@ -79,6 +79,31 @@ object CoreProps extends Properties("graft.core") {
         es.toString.length != 10
     }
 
+  private val tagSoup: Gen[String] = {
+    val frag = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.const("<"), Gen.const(">"), Gen.const("</"), Gen.const("/>"),
+      Gen.const("<div"), Gen.const("<a href='"), Gen.const("\""),
+      Gen.const("&amp;"), Gen.const("&#"), Gen.const("&#x"),
+      Gen.const("<!--"), Gen.const("-->"), Gen.const("<script>"),
+      Gen.const("</script"), Gen.const("<!"), Gen.const("="),
+      Gen.const(" "), Gen.const("\n"), Gen.const("\u0000"))
+    Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, frag).map(_.mkString))
+  }
+
+  property("html extractor terminates and never throws on arbitrary tag soup") =
+    Prop.forAll(tagSoup) { soup =>
+      HtmlExtractor.mainText(soup); true // no exception, no hang
+    }
+
+  property("pdf parser terminates and never throws on arbitrary payloads") =
+    Prop.forAll(tagSoup.map(_.replace('<', '|').replace('>', ';'))) { junk =>
+      PdfLayout.text(junk); true
+    }
+
+  property("date cascade never throws on arbitrary strings") =
+    Prop.forAll(tagSoup) { s => Meta.parseDate(s); true }
+
   property("simhash of identical texts is identical; fingerprint likewise") =
     Prop.forAll(words) { w =>
       val t = w.mkString(" ")
