@@ -3,7 +3,9 @@ package graft.streaming
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.core.{DocIn, DocOut}
+import graft.core.route.Extract
 
 /** Structured Streaming surface — the reference's queue-drainer analogy
   * (`DocumentQueueDrainer.java:25,112-124`) done with real stream semantics:
@@ -29,6 +31,32 @@ object StreamJob {
                                 startSec: Long, lastSec: Long)
 
   val GapSeconds = 1800L
+
+  /** Streaming extraction drainer: the reference's scanner->queue->consumer
+    * loop (`DocumentQueueDrainer.java:25`) as a Structured Streaming job —
+    * new span files land in `inputDir`, are extracted incrementally, and
+    * the checkpoint gives exactly-once resume across restarts (the
+    * Reporter-skip semantics for free; a restarted query reprocesses
+    * nothing already committed).
+    */
+  def extractStream(spark: SparkSession, inputDir: String, checkpointDir: String,
+                    outDir: String): StreamingQuery = {
+    import spark.implicits._
+    val schema = spark.emptyDataset[DocIn].schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 4) // bounded micro-batches = backpressure
+      .parquet(inputDir)
+      .as[DocIn]
+      .mapPartitions(_.flatMap(d => Extract.explode(d)))
+      .writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpointDir)
+      .option("path", outDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 
   /** Tumbling 5-minute windowed counts with a 30-minute watermark. */
   def windowedCounts(events: Dataset[Event]): DataFrame =

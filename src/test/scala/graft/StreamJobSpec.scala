@@ -34,6 +34,35 @@ class StreamJobSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming extraction drains incrementally and resumes exactly-once") {
+    import spark.implicits._
+    import graft.core.Corpus
+    val base = java.nio.file.Files.createTempDirectory("graft-stream")
+    val (in, ckpt, out) = (s"$base/in", s"$base/ckpt", s"$base/out")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+
+    def addBatch(ids: Range): Unit =
+      spark.createDataset(ids.map(i =>
+        Corpus.synthesizeOne(i.toLong, "a b c d e f g h i j k l")))
+        .write.mode("append").parquet(in)
+
+    addBatch(0 until 10)
+    val q1 = graft.streaming.StreamJob.extractStream(spark, in, ckpt, out)
+    q1.awaitTermination() // AvailableNow: drains what exists, then stops
+    val n1 = spark.read.parquet(out).count()
+    // 10 roots + children for doc_id%3==0 (0,3,6,9)
+    assert(n1 == 14)
+
+    // second batch lands; a RESTARTED query must process only the new files
+    addBatch(10 until 20)
+    val q2 = graft.streaming.StreamJob.extractStream(spark, in, ckpt, out)
+    q2.awaitTermination()
+    val after = spark.read.parquet(out)
+    // + 10 roots + 3 children (12,15,18), nothing reprocessed or duplicated
+    assert(after.count() == 27)
+    assert(after.select("doc_id").distinct().count() == 27)
+  }
+
   test("streaming sessionization matches the batch gap rule") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
