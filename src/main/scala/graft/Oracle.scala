@@ -189,6 +189,15 @@ object Oracle {
        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm FROM c)
        |SELECT doc_id, count(DISTINCT wm)::BIGINT AS n_fp FROM m GROUP BY doc_id""".stripMargin
 
+  private val profile: String =
+    """WITH r AS (SELECT source, doc_id, n_chars,
+      |  row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+      |  count(*) OVER (PARTITION BY source) AS cnt FROM documents)
+      |SELECT source, max(cnt)::BIGINT AS n_docs, min(n_chars)::BIGINT AS min_chars,
+      | max(n_chars)::BIGINT AS max_chars,
+      | max(CASE WHEN rk=(cnt+1)//2 THEN n_chars END)::BIGINT AS median_chars
+      |FROM r GROUP BY source""".stripMargin
+
   private val dedupExact: String =
     s"""SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_copies, min(doc_id) AS keeper_id
        |FROM $dupDocs AS d GROUP BY md5(text)""".stripMargin
@@ -348,6 +357,7 @@ object Oracle {
     "q_token_count" -> tokenCount,
     "q_fingerprint" -> fingerprint,
     "q_winnow" -> winnow,
+    "q_profile" -> profile,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_simhash" -> dedupSimhash,

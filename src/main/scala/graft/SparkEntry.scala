@@ -264,6 +264,25 @@ object Queries {
       .toDF("doc_id", "n_fp")
   }
 
+  /** Data profiling for pipeline QA: per-source doc counts and exact
+    * length distribution stats (lower median via window rank — integral and
+    * engine-agnostic, unlike approximate percentile sketches).
+    */
+  def profile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    val cw = Window.partitionBy("source")
+    docs(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(cw))
+      .groupBy("source")
+      .agg(
+        max("cnt").as("n_docs"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"),
+        // integer div: Spark '/' on columns is double division
+        max(when(col("rk") === expr("(cnt + 1) div 2"), col("n_chars"))).as("median_chars"))
+  }
+
   // ------------------------------------------------------------- dedup
 
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -390,6 +409,7 @@ object Queries {
     "q_token_count" -> (tokenCountQ _),
     "q_fingerprint" -> (fingerprintQ _),
     "q_winnow" -> (winnowQ _),
+    "q_profile" -> (profile _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),
