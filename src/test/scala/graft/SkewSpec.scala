@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** AQE skew handling (north rule): a join with one pathological hot key is
+  * split at runtime by OptimizeSkewedJoin — no manual salting needed on the
+  * join path (salting remains for the map-side case, PipelineSpec).
+  */
+class SkewSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("AQE splits a skewed sort-merge join at runtime") {
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    ).map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+
+      // left: 100k rows on ONE key + a sprinkle of others; right: small dim
+      val left = spark.range(100000).select(
+        when(col("id") % 100 === 0, col("id") % 50).otherwise(lit(7L)).as("k"),
+        concat(lit("payload-payload-payload-"), col("id")).as("v"))
+      val right = spark.range(50).select(col("id").as("k"), lit("dim").as("d"))
+      val joined = left.join(right, "k")
+      // execute THIS queryExecution (count() would spawn a separate one
+      // and leave this plan un-finalized by AQE)
+      assert(joined.collect().length == 100000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew-split markers in:\n${plan.take(2000)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+}
