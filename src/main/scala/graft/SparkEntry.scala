@@ -250,11 +250,13 @@ object Queries {
       .toDF("doc_id", "n_ws", "n_subword")
   }
 
+  /** Fingerprint via the native codegen'd expression (Scala twin:
+    * TextStats.fingerprint — equality asserted in tests).
+    */
   def fingerprintQ(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
-      .map { case (id, t) => (id, TextStats.fingerprint(t)) }
-      .toDF("doc_id", "fp")
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    docs(spark, dir).select(col("doc_id"),
+      call_function("graft_fingerprint", col("text")).as("fp"))
   }
 
   def winnowQ(spark: SparkSession, dir: String): DataFrame = {
@@ -291,8 +293,14 @@ object Queries {
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(spark, docs(spark, dir))
 
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhash(spark, docs(spark, dir))
+  /** SimHash via the native codegen'd expression (Scala twin:
+    * Dedup.simhash / TextStats.simhash32).
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    docs(spark, dir).select(col("doc_id"),
+      call_function("graft_simhash32", col("text")).as("simhash"))
+  }
 
   def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(spark, docs(spark, dir))

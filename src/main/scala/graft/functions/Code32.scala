@@ -49,8 +49,10 @@ object Code32Impl {
 
 /** Session extensions wiring (spark.sql.extensions=graft.functions.GraftExtensions). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.code32Descriptor)
+    TextFunctions.descriptors.foreach(ext.injectFunction)
+  }
 }
 
 object GraftFunctions {
@@ -63,8 +65,8 @@ object GraftFunctions {
   /** Imperative registration for sessions built without the extensions
     * config (idempotent).
     */
-  def ensureRegistered(spark: SparkSession): Unit = {
-    val (id, info, builder) = code32Descriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  def ensureRegistered(spark: SparkSession): Unit =
+    (code32Descriptor +: TextFunctions.descriptors).foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -32,6 +32,23 @@ class Code32Spec extends AnyFunSuite {
     data.foreach { case (id, t) => assert(got(id) == Ids.code32(t)) }
   }
 
+  test("simhash/fingerprint expressions equal their TextStats twins") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val texts = Seq("the quick brown fox", "a", "", "中文 test words here")
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+      .select($"id",
+        call_function("graft_simhash32", $"t").as("s"),
+        call_function("graft_fingerprint", $"t").as("f"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (i, s, f) =>
+      val t = texts(i.toInt)
+      assert(s == graft.core.text.TextStats.simhash32(t))
+      assert(f == graft.core.text.TextStats.fingerprint(t))
+    }
+  }
+
   test("null input yields null (UnaryExpression null handling)") {
     GraftFunctions.ensureRegistered(spark)
     val row = spark.sql("SELECT graft_code32(CAST(NULL AS STRING)) AS c").collect()(0)
