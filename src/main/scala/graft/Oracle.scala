@@ -302,7 +302,9 @@ object Oracle {
       | ord(substr(text,1,1))::BIGINT AS magic,
       | (64 + (ord(substr(text,1,1))%8)*16)::BIGINT AS width,
       | (64 + (ord(substr(text,2,1))%8)*16)::BIGINT AS height,
-      | (1 + octet_length(encode(text))//64)::BIGINT AS n_frames
+      | (1 + octet_length(encode(text))//64)::BIGINT AS n_frames,
+      | greatest(16, (64 + (ord(substr(text,1,1))%8)*16)//4)::BIGINT AS thumb_w,
+      | greatest(16, (64 + (ord(substr(text,2,1))%8)*16)//4)::BIGINT AS thumb_h
       |FROM documents""".stripMargin
 
   private val mediaFrames: String =

@@ -20,7 +20,9 @@ object Media {
       magic: Long,
       width: Long,
       height: Long,
-      n_frames: Long
+      n_frames: Long,
+      thumb_w: Long, // resize stub: bounded quarter-size thumbnail dims
+      thumb_h: Long
   )
 
   /** STUB decoder: derives fake image metadata from header bytes.
@@ -30,13 +32,17 @@ object Media {
   def decodeStub(docId: Long, bytes: Array[Byte]): MediaMeta = {
     val b0 = if (bytes.length > 0) bytes(0) & 0xff else 0
     val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
+    val w = 64L + (b0 % 8) * 16
+    val h = 64L + (b1 % 8) * 16
     MediaMeta(
       doc_id = docId,
       n_bytes = bytes.length.toLong,
       magic = b0.toLong,
-      width = 64L + (b0 % 8) * 16,
-      height = 64L + (b1 % 8) * 16,
-      n_frames = 1L + bytes.length / 64)
+      width = w,
+      height = h,
+      n_frames = 1L + bytes.length / 64,
+      thumb_w = math.max(16L, w / 4), // resize stub (real impl: scaled decode)
+      thumb_h = math.max(16L, h / 4))
   }
 
   /** Build a binary media column from the documents table (UTF-8 payload
