@@ -297,22 +297,32 @@ object Oracle {
   private val exprCode32: String =
     s"""SELECT doc_id, ${hex2int("substr(md5(text),1,8)")} AS code FROM documents"""
 
+  /** BIGINT value of the idx-th (1-based) UTF-8 BYTE of `textExpr` — byte
+    * semantics matching Media's binary processing (ord()/substr() would use
+    * character semantics and diverge on non-ASCII).
+    */
+  private def byteAt(textExpr: String, idx: String): String = {
+    val hex = s"lower(to_hex(encode($textExpr)))"
+    s"((strpos('0123456789abcdef',substr($hex,2*($idx)-1,1))::BIGINT-1)*16" +
+      s" + (strpos('0123456789abcdef',substr($hex,2*($idx),1))::BIGINT-1))"
+  }
+
   private val mediaMeta: String =
-    """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
-      | ord(substr(text,1,1))::BIGINT AS magic,
-      | (64 + (ord(substr(text,1,1))%8)*16)::BIGINT AS width,
-      | (64 + (ord(substr(text,2,1))%8)*16)::BIGINT AS height,
-      | (1 + octet_length(encode(text))//64)::BIGINT AS n_frames,
-      | greatest(16, (64 + (ord(substr(text,1,1))%8)*16)//4)::BIGINT AS thumb_w,
-      | greatest(16, (64 + (ord(substr(text,2,1))%8)*16)//4)::BIGINT AS thumb_h
-      |FROM documents""".stripMargin
+    s"""SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+       | ${byteAt("text", "1")}::BIGINT AS magic,
+       | (64 + (${byteAt("text", "1")}%8)*16)::BIGINT AS width,
+       | (64 + (${byteAt("text", "2")}%8)*16)::BIGINT AS height,
+       | (1 + octet_length(encode(text))//64)::BIGINT AS n_frames,
+       | greatest(16, (64 + (${byteAt("text", "1")}%8)*16)//4)::BIGINT AS thumb_w,
+       | greatest(16, (64 + (${byteAt("text", "2")}%8)*16)//4)::BIGINT AS thumb_h
+       |FROM documents""".stripMargin
 
   private val mediaFrames: String =
-    """WITH f AS (SELECT doc_id, text,
-      |  unnest(generate_series(0, octet_length(encode(text))//64, 4)) AS fi FROM documents)
-      |SELECT doc_id, fi::BIGINT AS frame_idx, (fi*64)::BIGINT AS byte_offset,
-      | (CASE WHEN fi*64 < octet_length(encode(text)) THEN ord(substr(text, fi*64+1, 1)) ELSE 0 END)::BIGINT AS frame_byte
-      |FROM f""".stripMargin
+    s"""WITH f AS (SELECT doc_id, text,
+       |  unnest(generate_series(0, octet_length(encode(text))//64, 4)) AS fi FROM documents)
+       |SELECT doc_id, fi::BIGINT AS frame_idx, (fi*64)::BIGINT AS byte_offset,
+       | (CASE WHEN fi*64 < octet_length(encode(text)) THEN ${byteAt("text", "fi*64+1")} ELSE 0 END)::BIGINT AS frame_byte
+       |FROM f""".stripMargin
 
   private val tpchQ1: String =
     """SELECT l_returnflag, l_linestatus,

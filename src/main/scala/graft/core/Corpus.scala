@@ -28,6 +28,11 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   *    doc_id%21==0 (the content-less embed case).
   *  - next offset (doc_id%13==0), kind=bin: junk payload of an unsupported
   *    kind — must yield an empty span, never a failure.
+  *
+  * Precondition: corpus words match [a-z]+ (verified for the driver
+  * tables). A corpus with '|', ';', '<' or '&' in words would need an
+  * escaping payload codec — the synthesis (not the extractors) is what
+  * assumes clean words.
   */
 object Corpus {
 
@@ -55,7 +60,7 @@ object Corpus {
   }
 
   def synthesizeOne(docId: Long, text: String): DocIn = {
-    val w = text.split(' ')
+    val w = text.split(" ", -1) // string_split semantics (trailing empties kept)
     val (i1, i2) = splitPoints(w.length)
     val a = w.slice(0, i1).mkString(" ")
     val b = w.slice(i1, i2).mkString(" ")

@@ -153,10 +153,11 @@ object HtmlExtractor {
             case "apos" => "'"
             case "nbsp" => " "
             case e if e.startsWith("#x") || e.startsWith("#X") =>
-              try String.valueOf(Integer.parseInt(e.substring(2), 16).toChar)
+              // supplementary-plane refs need surrogate pairs, not toChar
+              try new String(Character.toChars(Integer.parseInt(e.substring(2), 16)))
               catch { case _: Exception => null }
             case e if e.startsWith("#") =>
-              try String.valueOf(Integer.parseInt(e.substring(1)).toChar)
+              try new String(Character.toChars(Integer.parseInt(e.substring(1))))
               catch { case _: Exception => null }
             case _ => null
           }

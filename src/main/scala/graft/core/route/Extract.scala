@@ -83,9 +83,14 @@ object Extract {
     val out = Vector.newBuilder[DocOut]
     out += root
     var skipped = 0
+    var spawned = 0
 
     def spawn(content: String, parentId: String, ord: Int, level: Int): Unit = {
-      if (level > cfg.maxEmbedDepth) { skipped += 1; return }
+      // guards refuse BEFORE recursion (EmbedSpawner.java:389-402): depth,
+      // declared size (the zip-bomb case), and breadth
+      if (level > cfg.maxEmbedDepth || content.length > cfg.maxSpanChars ||
+        spawned >= cfg.maxSpans) { skipped += 1; return }
+      spawned += 1
       val (own, nested) =
         if (content.startsWith("chain:")) {
           val payload = content.substring(6)

@@ -10,8 +10,12 @@ import graft.core.{HashParams, Ids}
   */
 object TextStats {
 
+  /** Space-split with DuckDB string_split semantics: trailing empties kept,
+    * "" yields [""] — keeping every tokenized formula oracle-aligned on
+    * texts with trailing/double spaces, not just on sanitized fixtures.
+    */
   def tokens(text: String): Array[String] =
-    if (text == null || text.isEmpty) Array.empty else text.split(' ')
+    if (text == null) Array.empty else text.split(" ", -1)
 
   /** Whitespace token count + a BPE-ish subword estimate:
     * sum over words of ceil(len/4).
@@ -75,17 +79,19 @@ object TextStats {
 
   /** Polynomial document fingerprint over md5-derived word codes:
     * fp = (sum_i (code32(w_i) mod 1000003) * 31^(i mod 8)) mod P.
-    * Max partial sum ~2.8e18 < 2^63, exact on both engines.
+    * The modulus is applied per step (mathematically identical to the
+    * oracle's HUGEINT sum-then-mod) so the accumulator never exceeds
+    * P + 2.8e16 regardless of document length.
     */
   def fingerprint(text: String): Long = {
     val w = tokens(text)
     var acc = 0L
     var i = 0
     while (i < w.length) {
-      acc += (Ids.code32(w(i)) % 1000003L) * HashParams.Pow31(i % 8)
+      acc = (acc + (Ids.code32(w(i)) % 1000003L) * HashParams.Pow31(i % 8)) % HashParams.P
       i += 1
     }
-    acc % HashParams.P
+    acc
   }
 
   /** Winnowing-style fingerprint count: distinct minima of rolling windows

@@ -47,7 +47,7 @@ object Dedup {
     * codes -> NumMinHash universal hashes, min over shingles.
     */
   def minhashSig(text: String): Array[Long] = {
-    val w = text.split(' ')
+    val w = text.split(" ", -1) // string_split semantics
     val sig = Array.fill(HashParams.NumMinHash)(Long.MaxValue)
     val nSh = math.max(1, w.length - 2)
     var i = 0
@@ -108,7 +108,7 @@ object Dedup {
     import spark.implicits._
     val shingles = docs.select("doc_id", "text").as[(Long, String)]
       .flatMap { case (id, t) =>
-        val w = t.split(' ')
+        val w = t.split(" ", -1) // string_split semantics
         val set = scala.collection.mutable.HashSet.empty[String]
         var i = 0
         while (i < w.length - 1) { set += (w(i) + " " + w(i + 1)); i += 1 }

@@ -75,8 +75,10 @@ object ExtractJob {
     input
       .withColumn("_sz", expr("aggregate(spans, 0L, (acc, s) -> acc + length(s.text))"))
       .withColumn("_salt",
+        // deterministic (pure function of doc_id): a position-dependent salt
+        // would re-route rows across task retries and duplicate/lose docs
         when(col("_sz") > cfg.oversizedChars,
-          pmod(hash(col("doc_id"), monotonically_increasing_id()), lit(cfg.partitions)))
+          pmod(hash(col("doc_id"), lit("oversized-salt")), lit(cfg.partitions)))
           .otherwise(lit(0)))
       .repartition(cfg.partitions, col("doc_id"), col("_salt"))
       .drop("_sz", "_salt").as[DocIn]
@@ -130,23 +132,27 @@ object ExtractJob {
     }
   }
 
-  /** End-to-end run writing the combined table once, then projecting
-    * extracted docs, lineage, and per-partition checkpoint manifests under
-    * `outDir`. Returns (docs written, lineage rows written).
+  /** End-to-end run: the combined table is written once into a run-scoped
+    * directory, then projected APPEND-wise into `extracted/` and
+    * `lineage/`, so a resumed run adds only its pending docs and never
+    * clobbers previously committed output (resume stays idempotent AND
+    * accumulative). Checkpoint manifests are recomputed over the full
+    * lineage. Returns (total docs in extracted, total lineage rows).
     */
   def run(spark: SparkSession, input: Dataset[DocIn], lineagePrev: Option[DataFrame],
           outDir: String, cfg: JobConfig = JobConfig()): (Long, Long) = {
     val pending = lineagePrev.map(resume(input, _)).getOrElse(input)
     val parted = prepare(pending, cfg)
 
+    val runDir = s"$outDir/combined/run-${java.util.UUID.randomUUID.toString.take(8)}"
     extractPartitions(parted, cfg).toDF("doc", "lineage")
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/combined")
+      .write.mode(SaveMode.Overwrite).parquet(runDir)
 
-    val c = spark.read.parquet(s"$outDir/combined")
+    val c = spark.read.parquet(runDir)
     c.filter(col("doc").isNotNull).select("doc.*")
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/extracted")
+      .write.mode(SaveMode.Append).parquet(s"$outDir/extracted")
     c.filter(col("lineage").isNotNull).select("lineage.*")
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineage")
+      .write.mode(SaveMode.Append).parquet(s"$outDir/lineage")
 
     val lineageOut = spark.read.parquet(s"$outDir/lineage")
     lineageOut.groupBy(col("partition_id"))

@@ -34,7 +34,8 @@ object Sink {
   /** Merge-on-write for a multi-valued field: rows in `updates` merge their
     * `paths` array into the existing row's (distinct, order-preserving),
     * new doc_ids are inserted — MergingSolrSpewer's fetch+merge+retry loop
-    * as one deterministic join.
+    * as one deterministic join. Scope: operates on (doc_id, paths) tables;
+    * a wider-schema merge belongs to Iceberg MERGE INTO.
     */
   def mergePaths(spark: SparkSession, path: String, updates: DataFrame): Unit = {
     val existing = spark.read.parquet(path)
@@ -48,14 +49,23 @@ object Sink {
     writeAtomic(spark, path, merged)
   }
 
-  /** Write df to a temp dir then swap it into place: never leaves the sink
-    * half-written, and readers see old-or-new, not mixed.
+  /** Write df to a temp dir then swap it into place: the sink is never
+    * half-written (readers see the previous dataset, a brief missing-dir
+    * window during the swap, or the new dataset — never a mix), and a
+    * crash mid-swap is self-healing: a stale `.old` left by an interrupted
+    * swap is cleaned up at the start of the next write. On Iceberg this
+    * whole dance is a snapshot commit.
     */
   def writeAtomic(spark: SparkSession, path: String, df: DataFrame): Unit = {
-    val tmp = path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
     val dest = Paths.get(path)
     val old = Paths.get(path + ".old")
+    // recover from a crash between the two moves of a previous call
+    if (Files.exists(old)) {
+      if (!Files.exists(dest)) Files.move(old, dest, StandardCopyOption.ATOMIC_MOVE)
+      else deleteRecursively(old)
+    }
+    val tmp = path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
     if (Files.exists(dest)) Files.move(dest, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), dest, StandardCopyOption.ATOMIC_MOVE)
     if (Files.exists(old)) deleteRecursively(old)

@@ -93,7 +93,11 @@ object StreamJob {
               val sec = e.ts.getTime / 1000
               cur match {
                 case Some(s) if sec - s.lastSec <= GapSeconds =>
-                  cur = Some(s.copy(n = s.n + 1, lastSec = sec))
+                  // late cross-batch events may have sec < lastSec: widen the
+                  // session bounds instead of regressing them
+                  cur = Some(s.copy(n = s.n + 1,
+                    startSec = math.min(s.startSec, sec),
+                    lastSec = math.max(s.lastSec, sec)))
                 case Some(s) =>
                   closed += SessionOut(userId, s.sessionId, s.n, s.startSec, s.lastSec)
                   cur = Some(SessionState(s.sessionId + 1, 1, sec, sec))

@@ -39,6 +39,10 @@ class HtmlExtractorSpec extends AnyFunSuite {
     assert(HtmlExtractor.mainText(html) == "a & b <c> \"d\" A B e")
   }
 
+  test("supplementary-plane numeric references become surrogate pairs") {
+    assert(HtmlExtractor.mainText("<p>&#128512; and &#x1F600;</p>") == "😀 and 😀")
+  }
+
   test("whitespace normalized") {
     val html = "<p>  a\n\t b   c  </p>"
     assert(HtmlExtractor.mainText(html) == "a b c")

@@ -42,7 +42,20 @@ class TextStatsSpec extends AnyFunSuite {
     assert(TextStats.winnowCount("a") == 1)
     assert(TextStats.winnowCount("a b c d e f g h") ==
       TextStats.winnowCount("a b c d e f g h"))
-    assert(TextStats.winnowCount("") == 0)
+    // string_split semantics: "" tokenizes to [""] (one empty word)
+    assert(TextStats.winnowCount("") == 1)
+  }
+
+  test("tokens follow DuckDB string_split semantics on edges") {
+    assert(TextStats.tokens("").toSeq == Seq(""))
+    assert(TextStats.tokens("a b ").toSeq == Seq("a", "b", ""))
+    assert(TextStats.tokens("a  b").toSeq == Seq("a", "", "b"))
+  }
+
+  test("fingerprint stays in [0,P) for arbitrarily long documents") {
+    val long = Array.fill(5000)("wordy").mkString(" ")
+    val fp = TextStats.fingerprint(long)
+    assert(fp >= 0 && fp < graft.core.HashParams.P)
   }
 
   test("simhash: equal texts equal; bit flips bounded by word changes") {
