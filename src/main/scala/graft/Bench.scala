@@ -32,7 +32,7 @@ object Bench {
   /** Bump when Corpus synthesis changes — stale cached corpora under /tmp
     * would otherwise survive across rounds.
     */
-  val CorpusSpecVersion = 1
+  val CorpusSpecVersion = 2
 
   /** Materialize the synthesized spans corpus to parquet once per
     * (sf, factor) — the bucketed-input stand-in. Untimed prep: the

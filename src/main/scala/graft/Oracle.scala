@@ -44,20 +44,30 @@ object Oracle {
        |UNION ALL SELECT doc_id, 1, 'text', array_to_string(w[i1+1:i2],' '), '' FROM p
        |UNION ALL SELECT doc_id, 2, 'pdf', array_to_string(w[i2+1:m],' '), '' FROM p
        |UNION ALL SELECT doc_id, 3, 'media',
-       |       CASE WHEN doc_id%21=0 THEN '' ELSE 'ocr '||doc_id END,
+       |       CASE WHEN doc_id%21=0 THEN ''
+       |            WHEN doc_id%27=0 THEN 'chain:ocr '||doc_id||'>sub '||doc_id
+       |            ELSE 'ocr '||doc_id END,
        |       'art/'||substr(sha256(doc_id::VARCHAR),1,2)||'/'||sha256(doc_id::VARCHAR)
        |       FROM p WHERE doc_id%3=0
        |UNION ALL SELECT doc_id, CASE WHEN doc_id%3=0 THEN 4 ELSE 3 END, 'bin', '', ''
        |       FROM p WHERE doc_id%13=0""".stripMargin
 
   private val embedExplode: String =
-    """WITH r AS (SELECT doc_id, sha256(doc_id::VARCHAR) AS rid FROM documents)
+    """WITH r AS (SELECT doc_id, sha256(doc_id::VARCHAR) AS rid FROM documents),
+      |c1 AS (SELECT doc_id, rid,
+      |  CASE WHEN doc_id%21=0 THEN ''
+      |       WHEN doc_id%27=0 THEN 'chain:ocr '||doc_id||'>sub '||doc_id
+      |       ELSE 'ocr '||doc_id END AS content
+      | FROM r WHERE doc_id%3=0),
+      |l1 AS (SELECT doc_id, rid,
+      |  CASE WHEN content='' THEN sha256(':'||rid||':0')
+      |       ELSE sha256(sha256(content)||':'||rid||':0') END AS cid
+      | FROM c1)
       |SELECT rid AS doc_id, '' AS parent_id, rid AS root_id, 0 AS level FROM r
+      |UNION ALL SELECT cid, rid, rid, 1 FROM l1
       |UNION ALL
-      |SELECT CASE WHEN doc_id%21=0 THEN sha256(':'||rid||':0')
-      |            ELSE sha256(sha256('ocr '||doc_id)||':'||rid||':0') END,
-      |       rid, rid, 1
-      |FROM r WHERE doc_id%3=0""".stripMargin
+      |SELECT sha256(sha256('chain:sub '||doc_id)||':'||cid||':0'), cid, rid, 2
+      |FROM l1 WHERE doc_id%27=0 AND doc_id%21<>0""".stripMargin
 
   private val reconcile: String =
     """SELECT sha256(doc_id::VARCHAR) AS root_id, 1::BIGINT AS n_children,
@@ -133,7 +143,9 @@ object Oracle {
   private val mediaLinks: String =
     """SELECT doc_id,
       | '<a href="art/'||substr(sha256(doc_id::VARCHAR),1,2)||'/'||sha256(doc_id::VARCHAR)||'" download>'||
-      | CASE WHEN doc_id%21=0 THEN 'untitled_0' ELSE 'ocr '||doc_id END||'</a>' AS link
+      | CASE WHEN doc_id%21=0 THEN 'untitled_0'
+      |      WHEN doc_id%27=0 THEN 'chain:ocr '||doc_id||'>sub '||doc_id
+      |      ELSE 'ocr '||doc_id END||'</a>' AS link
       |FROM documents WHERE doc_id%3=0""".stripMargin
 
   private val stopEnSql = "('the','a','and','of','to','in')"

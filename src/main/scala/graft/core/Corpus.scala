@@ -25,7 +25,9 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   *    correct layout parsing must re-sort by (page,y,x) to recover C.
   *  - offset 3 (doc_id%3==0), kind=media: OCR-passthrough span with
   *    content-addressed media_ref; text = "ocr <id>", or "" when
-  *    doc_id%21==0 (the content-less embed case).
+  *    doc_id%21==0 (the content-less embed case), or a two-level nested
+  *    container "chain:ocr <id>>sub <id>" when doc_id%27==0 (recursive
+  *    embed explosion, driver-verified to depth 2).
   *  - next offset (doc_id%13==0), kind=bin: junk payload of an unsupported
   *    kind — must yield an empty span, never a failure.
   *
@@ -71,7 +73,12 @@ object Corpus {
     spans += SpanIn("pdf", pdfPayload(c), "", 2)
     var next = 3
     if (docId % 3 == 0) {
-      val t = if (docId % 21 == 0) "" else s"ocr $docId"
+      // %21: content-less embed; %27: two-level nested container (chain);
+      // else plain OCR passthrough
+      val t =
+        if (docId % 21 == 0) ""
+        else if (docId % 27 == 0) s"chain:ocr $docId>sub $docId"
+        else s"ocr $docId"
       spans += SpanIn("media", t, Ids.artifactRef(docId), next)
       next += 1
     }

@@ -22,8 +22,9 @@ class PipelineSpec extends AnyFunSuite {
     val out = tmpDir()
     val (nd, nl) = ExtractJob.run(spark, corpus(30), None, out)
     assert(nl == 30)
-    // docs: 30 roots + children for doc_id%3==0 (10 of them)
-    assert(nd == 40)
+    // docs: 30 roots + 10 level-1 children (doc_id%3==0) + 1 level-2 child
+    // (doc 27 is a chain container)
+    assert(nd == 41)
     val lineage = spark.read.parquet(s"$out/lineage")
     assert(lineage.filter(col("status") === Status.Success).count() == 30)
     assert(lineage.filter(col("docs_per_sec") > 0).count() == 30)
