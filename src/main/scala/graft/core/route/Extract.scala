@@ -25,10 +25,17 @@ object Extract {
   )
   val DefaultConfig: Config = Config()
 
+  /** Marker an upstream splitter stamps on spans whose payload could not
+    * be decrypted (the `pdf/encrypted.pdf` case — reference classifies via
+    * EncryptedDocumentException, `Extractor.java:785-826`).
+    */
+  final val EncryptedMarker = "ENCRYPTED:"
+
   /** Route one span. Returns (extractedText, reasonOrEmpty). */
   def extractSpan(kind: String, text: String, cfg: Config = DefaultConfig): (String, String) = {
     val t = if (text == null) "" else text
     if (t.length > cfg.maxSpanChars) ("", Reason.Unsupported)
+    else if (t.startsWith(EncryptedMarker)) ("", Reason.Encrypted)
     else kind match {
       case "html"  => (HtmlExtractor.mainText(t), "")
       case "pdf"   => (PdfLayout.text(t), "")
@@ -44,16 +51,22 @@ object Extract {
   def extractDoc(doc: DocIn, cfg: Config = DefaultConfig): DocOut = {
     val sorted = doc.spans.sortBy(_.offset).take(cfg.maxSpans)
     var anyContent = false
+    var anyEncrypted = false
     val out = new Array[SpanOut](sorted.length)
     var i = 0
     while (i < sorted.length) {
       val s = sorted(i)
-      val (txt, _) = extractSpan(s.kind, s.text, cfg)
+      val (txt, why) = extractSpan(s.kind, s.text, cfg)
       if (txt.nonEmpty) anyContent = true
+      if (why == Reason.Encrypted) anyEncrypted = true
       out(i) = SpanOut(s.kind, txt, if (s.media_ref == null) "" else s.media_ref, i)
       i += 1
     }
-    val reason = if (doc.spans.isEmpty || !anyContent) Reason.Empty else ""
+    // doc-level reason: encrypted outranks empty (NOT_DECRYPTED taxonomy)
+    val reason =
+      if (!anyContent && anyEncrypted) Reason.Encrypted
+      else if (doc.spans.isEmpty || !anyContent) Reason.Empty
+      else ""
     val rid = Ids.rootId(doc.doc_id)
     DocOut(rid, "", rid, 0, out, reason)
   }

@@ -117,7 +117,13 @@ object ExtractJob {
         val elapsed = math.max(1e-9, (System.nanoTime() - t0) / 1e9)
         res match {
           case Right(outs) =>
-            val row = LineageRow(doc.doc_id, pid, Status.Success, "",
+            // taxonomy: undecryptable content is NOT_DECRYPTED (retryable,
+            // non-terminal), everything extracted is SUCCESS
+            val status = outs.headOption.map(_.no_content_reason) match {
+              case Some(Reason.Encrypted) => Status.NotDecrypted
+              case _ => Status.Success
+            }
+            val row = LineageRow(doc.doc_id, pid, status, "",
               nIn, outs.headOption.map(_.spans.size).getOrElse(0), bytesIn,
               docsDone / elapsed, bytesDone / elapsed)
             outs.iterator.map(o => (Option(o), Option.empty[LineageRow])) ++

@@ -56,15 +56,20 @@ class PipelineSpec extends AnyFunSuite {
 
   test("poison document yields a classified failure row, not a job failure") {
     import spark.implicits._
-    // spans=null triggers an NPE inside extraction -> FAILURE_NOT_PARSED
+    // spans=null triggers an NPE inside extraction -> FAILURE_NOT_PARSED;
+    // encrypted-only content -> FAILURE_NOT_DECRYPTED (retryable)
     val poisoned = spark.createDataset(Seq(
       DocIn(1, Array(SpanIn("text", "fine", "", 0))),
-      DocIn(2, null)
+      DocIn(2, null),
+      DocIn(3, Array(SpanIn("pdf", "ENCRYPTED:blob", "", 0)))
     ))
     val res = ExtractJob.extractPartitions(poisoned, ExtractJob.JobConfig()).collect()
     val lineages = res.flatMap(_._2)
     assert(lineages.find(_.doc_id == 2).get.status == Status.NotParsed)
     assert(lineages.find(_.doc_id == 1).get.status == Status.Success)
+    assert(lineages.find(_.doc_id == 3).get.status == Status.NotDecrypted)
+    // NOT_DECRYPTED is non-terminal: a resume retries it
+    assert(!Status.terminal.contains(Status.NotDecrypted))
   }
 
   test("salted repartition spreads oversized docs and keeps all rows") {
