@@ -28,6 +28,15 @@ object HtmlExtractor {
   final case class Elem(tag: String, children: ArrayBuffer[Node]) extends Node
   final case class Text(s: String) extends Node
 
+  /** Maximum element nesting the parser will build (browsers cap around
+    * 512): beyond this, open tags no longer push — bounding both the DOM
+    * and the recursive extraction walk, so adversarial tag soup (a million
+    * nested divs) cannot StackOverflowError a task. Errors escape the
+    * poison-row Exception handler, so this must be impossible by
+    * construction.
+    */
+  final val MaxDepth = 256
+
   private val VoidTags = Set("area", "base", "br", "col", "embed", "hr",
     "img", "input", "link", "meta", "param", "source", "track", "wbr")
   private val RawTextTags = Set("script", "style")
@@ -48,6 +57,7 @@ object HtmlExtractor {
   def parse(html: String): Elem = {
     val root = Elem("#root", ArrayBuffer.empty)
     var stack = List(root)
+    var depth = 1 // tracked separately: List.length is O(n)
     val n = html.length
     var i = 0
     val text = new StringBuilder
@@ -81,8 +91,12 @@ object HtmlExtractor {
             val name = html.substring(i + 2, end).trim.toLowerCase
             // pop to nearest matching open element, if any
             if (stack.exists { case Elem(t, _) => t == name; case _ => false })
-              while (stack.head.tag != name && stack.tail.nonEmpty) stack = stack.tail
-            if (stack.head.tag == name && stack.tail.nonEmpty) stack = stack.tail
+              while (stack.head.tag != name && stack.tail.nonEmpty) {
+                stack = stack.tail; depth -= 1
+              }
+            if (stack.head.tag == name && stack.tail.nonEmpty) {
+              stack = stack.tail; depth -= 1
+            }
             i = end + 1
           }
         } else if (c1.isLetter) {
@@ -115,8 +129,9 @@ object HtmlExtractor {
               val gt = html.indexOf('>', closeAt)
               if (gt < 0) n else gt + 1
             }
-          } else if (!selfClose && !VoidTags.contains(name)) {
+          } else if (!selfClose && !VoidTags.contains(name) && depth < MaxDepth) {
             stack = el :: stack
+            depth += 1
           }
         } else { text.append(c); i += 1 }
       } else { text.append(c); i += 1 }

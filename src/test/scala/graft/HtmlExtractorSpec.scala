@@ -80,6 +80,14 @@ class HtmlExtractorSpec extends AnyFunSuite {
     assert(HtmlExtractor.mainText(html) == "z")
   }
 
+  test("pathological nesting is depth-capped, never a stack overflow") {
+    val deep = "<div>" * 200000 + "payload" + "</div>" * 200000
+    assert(HtmlExtractor.mainText(deep) == "payload")
+    // text beyond the cap is still collected (flattened, not dropped)
+    val wide = "<p>" + "<span>" * 100000 + "kept"
+    assert(HtmlExtractor.mainText(wide) == "kept")
+  }
+
   test("empty input yields empty output") {
     assert(HtmlExtractor.mainText("") == "")
     assert(HtmlExtractor.mainText("<div></div>") == "")
