@@ -104,6 +104,30 @@ object CoreProps extends Properties("graft.core") {
   property("date cascade never throws on arbitrary strings") =
     Prop.forAll(tagSoup) { s => Meta.parseDate(s); true }
 
+  property("full synthesis+extraction matches the published spec on all branches") =
+    Prop.forAll(Gen.choose(0L, 10000L), Gen.choose(10, 99).flatMap(n =>
+      Gen.listOfN(n, word).map(_.toArray))) { (id, w) =>
+      val text = w.mkString(" ")
+      val out = graft.core.route.Extract.extractDoc(Corpus.synthesizeOne(id, text))
+      val m = w.length
+      val (i1, i2) = Corpus.splitPoints(m)
+      val expected = Vector.newBuilder[SpanOut]
+      expected += SpanOut("html", s"title $id\n${w.slice(0, i1).mkString(" ")}", "", 0)
+      expected += SpanOut("text", w.slice(i1, i2).mkString(" "), "", 1)
+      expected += SpanOut("pdf", w.slice(i2, m).mkString(" "), "", 2)
+      var next = 3
+      if (id % 3 == 0) {
+        val t =
+          if (id % 21 == 0) ""
+          else if (id % 27 == 0) s"chain:ocr $id>sub $id"
+          else s"ocr $id"
+        expected += SpanOut("media", t, Ids.artifactRef(id), next)
+        next += 1
+      }
+      if (id % 13 == 0) expected += SpanOut("bin", "", "", next)
+      out.spans.toSeq == expected.result()
+    }
+
   property("simhash of identical texts is identical; fingerprint likewise") =
     Prop.forAll(words) { w =>
       val t = w.mkString(" ")
