@@ -93,8 +93,19 @@ object Extract {
     */
   def explodeCounted(doc: DocIn, cfg: Config = DefaultConfig): (Seq[DocOut], Int) = {
     val root = extractDoc(doc, cfg)
+    val mediaContents = doc.spans.filter(_.kind == "media").sortBy(_.offset)
+      .map(s => if (s.text == null) "" else s.text).toSeq
+    val (children, skipped) = spawnEmbeds(mediaContents, root.doc_id, cfg)
+    (root +: children, skipped)
+  }
+
+  /** Spawn embedded child documents from the parent's media contents (in
+    * offset order) — shared by [[explodeCounted]] and the span-parallel
+    * reassembly path so both produce byte-identical trees.
+    */
+  def spawnEmbeds(mediaContents: Seq[String], rootId: String, cfg: Config)
+  : (Vector[DocOut], Int) = {
     val out = Vector.newBuilder[DocOut]
-    out += root
     var skipped = 0
     var spawned = 0
 
@@ -114,15 +125,12 @@ object Extract {
       val spans =
         if (own.isEmpty) Array.empty[SpanOut]
         else Array(SpanOut("text", own, "", 0))
-      out += DocOut(cid, parentId, root.doc_id, level,
+      out += DocOut(cid, parentId, rootId, level,
         spans, if (own.isEmpty) Reason.Empty else "")
       nested.foreach(n => spawn("chain:" + n, cid, 0, level + 1))
     }
 
-    doc.spans.filter(_.kind == "media").sortBy(_.offset)
-      .zipWithIndex.foreach { case (s, ord) =>
-        spawn(if (s.text == null) "" else s.text, root.doc_id, ord, 1)
-      }
+    mediaContents.zipWithIndex.foreach { case (c, ord) => spawn(c, rootId, ord, 1) }
     (out.result(), skipped)
   }
 }

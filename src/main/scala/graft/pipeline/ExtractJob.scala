@@ -84,6 +84,63 @@ object ExtractJob {
       .drop("_sz", "_salt").as[DocIn]
   }
 
+  /** Span-parallel extraction — the real skew answer for a GIANT document
+    * (SURVEY §7.4 hard part 4: one 10-GB-spans row cannot be split by
+    * Spark's row-level parallelism). The document's SPANS are exploded to
+    * individual rows, spread across partitions by (doc_id, offset) — this
+    * is the salted repartitioning that actually distributes one document's
+    * work — extracted span-locally, and reassembled per doc_id with order
+    * restored from offsets. Output is byte-identical to [[Extract.explode]]
+    * (asserted in tests); cost is one extra shuffle, so it is the path for
+    * the oversized tail, not the default.
+    */
+  def extractSpanParallel(input: Dataset[DocIn], cfg: JobConfig): Dataset[DocOut] = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    input
+      .flatMap { d =>
+        val spans = if (d.spans == null) Array.empty[graft.core.SpanIn] else d.spans
+        if (spans.isEmpty)
+          // sentinel keeps span-less docs visible to the reassembly
+          Iterator.single((d.doc_id, "", "", "", Int.MinValue))
+        else spans.iterator.map(s =>
+          (d.doc_id, s.kind, s.text, if (s.media_ref == null) "" else s.media_ref, s.offset))
+      }
+      .repartition(cfg.partitions, col("_1"), col("_5"))
+      .as[(Long, String, String, String, Int)]
+      .map { case (id, kind, text, ref, off) =>
+        val (txt, why) = Extract.extractSpan(kind, text, cfg.extract)
+        // raw media content rides along: children need it for ids/spawning
+        val raw = if (kind == "media") { if (text == null) "" else text } else ""
+        (id, kind, txt, ref, off, raw, why)
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (id: Long, it: Iterator[(Long, String, String, String, Int, String, String)]) =>
+        val rows = it.toArray.filter(_._5 != Int.MinValue)
+          .sortBy(_._5).take(cfg.extract.maxSpans)
+        var anyContent = false
+        var anyEncrypted = false
+        val spans = new Array[SpanOut](rows.length)
+        var i = 0
+        while (i < rows.length) {
+          val (_, kind, txt, ref, _, _, why) = rows(i)
+          if (txt.nonEmpty) anyContent = true
+          if (why == Reason.Encrypted) anyEncrypted = true
+          spans(i) = SpanOut(kind, txt, ref, i)
+          i += 1
+        }
+        val reason =
+          if (!anyContent && anyEncrypted) Reason.Encrypted
+          else if (rows.isEmpty || !anyContent) Reason.Empty
+          else ""
+        val rid = graft.core.Ids.rootId(id)
+        val root = DocOut(rid, "", rid, 0, spans, reason)
+        val mediaContents = rows.iterator.filter(_._2 == "media").map(_._6).toSeq
+        val (children, _) = Extract.spawnEmbeds(mediaContents, rid, cfg.extract)
+        Iterator.single(root) ++ children.iterator
+      }
+  }
+
   /** The core typed transformation, ONE pass: per-partition batched
     * extraction emitting doc rows (Some(doc), None) and one lineage row
     * (None, Some(lineage)) per input document. A poison row yields a
@@ -107,7 +164,7 @@ object ExtractJob {
             .map(s => if (s.text == null) 0L else s.text.length.toLong).sum
         val nIn = if (doc.spans == null) 0 else doc.spans.size
         val res =
-          try Right(Extract.explode(doc, cfg.extract))
+          try Right(Extract.explodeCounted(doc, cfg.extract))
           catch {
             case e: OutOfMemoryError => throw e
             case e: Exception => Left(e)
@@ -116,18 +173,24 @@ object ExtractJob {
         bytesDone += bytesIn
         val elapsed = math.max(1e-9, (System.nanoTime() - t0) / 1e9)
         res match {
-          case Right(outs) =>
+          case Right((outs, skipped)) =>
             // taxonomy: undecryptable content is NOT_DECRYPTED (retryable,
             // non-terminal), everything extracted is SUCCESS
             val status = outs.headOption.map(_.no_content_reason) match {
               case Some(Reason.Encrypted) => Status.NotDecrypted
               case _ => Status.Success
             }
-            val row = LineageRow(doc.doc_id, pid, status, "",
-              nIn, outs.headOption.map(_.spans.size).getOrElse(0), bytesIn,
+            val row = LineageRow(doc.doc_id, pid, status,
+              if (skipped > 0) s"embeds_skipped=$skipped" else "",
+              nIn, outs.iterator.map(_.spans.length).sum, bytesIn,
               docsDone / elapsed, bytesDone / elapsed)
-            outs.iterator.map(o => (Option(o), Option.empty[LineageRow])) ++
-              Iterator.single((Option.empty[DocOut], Option(row)))
+            // doc rows are emitted ONLY for SUCCESS: a retryable status must
+            // not append output that a later retry would append again
+            val docRows =
+              if (status == Status.Success)
+                outs.iterator.map(o => (Option(o), Option.empty[LineageRow]))
+              else Iterator.empty
+            docRows ++ Iterator.single((Option.empty[DocOut], Option(row)))
           case Left(e) =>
             val row = LineageRow(doc.doc_id, pid, Status.NotParsed,
               String.valueOf(e.getMessage), nIn, 0, bytesIn,
@@ -138,36 +201,49 @@ object ExtractJob {
     }
   }
 
-  /** End-to-end run: the combined table is written once into a run-scoped
-    * directory, then projected APPEND-wise into `extracted/` and
-    * `lineage/`, so a resumed run adds only its pending docs and never
-    * clobbers previously committed output (resume stays idempotent AND
-    * accumulative). Checkpoint manifests are recomputed over the full
-    * lineage. Returns (total docs in extracted, total lineage rows).
+  /** End-to-end run. Commit protocol:
+    *
+    *  1. extraction writes ONE combined table into a run-scoped directory —
+    *     the atomic unit (parquet job commit; Iceberg snapshot analog);
+    *     run dirs are append-only and are the source of truth;
+    *  2. `extracted/` and `lineage/` are REBUILT projections over all run
+    *     dirs, so a crash between projection writes can never desync
+    *     resume state from committed output: the next run rebuilds both
+    *     from the same truth. Extracted rows dedupe on doc_id (re-extracted
+    *     rows are bit-identical by determinism); lineage keeps every
+    *     attempt (it is a log — retries are part of the record);
+    *  3. checkpoint manifests carry (run_id, partition_id) so each run's
+    *     committed partitions are provable — appended, never rewritten.
+    *
+    * Returns (total docs in extracted, total lineage rows).
     */
   def run(spark: SparkSession, input: Dataset[DocIn], lineagePrev: Option[DataFrame],
           outDir: String, cfg: JobConfig = JobConfig()): (Long, Long) = {
     val pending = lineagePrev.map(resume(input, _)).getOrElse(input)
     val parted = prepare(pending, cfg)
 
-    val runDir = s"$outDir/combined/run-${java.util.UUID.randomUUID.toString.take(8)}"
+    val runId = java.util.UUID.randomUUID.toString.take(8)
+    val runDir = s"$outDir/combined/run-$runId"
     extractPartitions(parted, cfg).toDF("doc", "lineage")
       .write.mode(SaveMode.Overwrite).parquet(runDir)
 
-    val c = spark.read.parquet(runDir)
-    c.filter(col("doc").isNotNull).select("doc.*")
-      .write.mode(SaveMode.Append).parquet(s"$outDir/extracted")
-    c.filter(col("lineage").isNotNull).select("lineage.*")
-      .write.mode(SaveMode.Append).parquet(s"$outDir/lineage")
+    val all = spark.read.parquet(s"$outDir/combined/run-*")
+    all.filter(col("doc").isNotNull).select("doc.*")
+      .dropDuplicates("doc_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/extracted")
+    all.filter(col("lineage").isNotNull).select("lineage.*")
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineage")
 
-    val lineageOut = spark.read.parquet(s"$outDir/lineage")
-    lineageOut.groupBy(col("partition_id"))
+    spark.read.parquet(runDir)
+      .filter(col("lineage").isNotNull).select("lineage.*")
+      .groupBy(col("partition_id"))
       .agg(count(lit(1)).as("n_docs"), sum("n_spans_out").as("n_spans"))
+      .withColumn("run_id", lit(runId))
       .withColumn("committed", lit(true))
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/checkpoints")
+      .write.mode(SaveMode.Append).parquet(s"$outDir/checkpoints")
 
     val nd = spark.read.parquet(s"$outDir/extracted").count()
-    val nl = lineageOut.count()
+    val nl = spark.read.parquet(s"$outDir/lineage").count()
     (nd, nl)
   }
 

@@ -27,7 +27,10 @@ object Sink {
   def replaceTrees(spark: SparkSession, path: String, rootIds: Seq[String],
                    replacement: DataFrame): Unit = {
     val existing = spark.read.parquet(path)
-    val kept = existing.filter(!col("root_id").isInCollection(rootIds))
+    // null-safe: !isInCollection is NULL for null roots and filter would
+    // silently drop them; null-rooted rows must be preserved
+    val kept = existing.filter(
+      col("root_id").isNull || !col("root_id").isInCollection(rootIds))
     writeAtomic(spark, path, kept.unionByName(replacement))
   }
 
@@ -63,6 +66,15 @@ object Sink {
     if (Files.exists(old)) {
       if (!Files.exists(dest)) Files.move(old, dest, StandardCopyOption.ATOMIC_MOVE)
       else deleteRecursively(old)
+    }
+    // sweep orphaned temp dirs from crashed earlier writes
+    val parent = dest.toAbsolutePath.getParent
+    val tmpPrefix = dest.getFileName.toString + ".tmp-"
+    if (parent != null && Files.isDirectory(parent)) {
+      val s = Files.list(parent)
+      try s.forEach { p =>
+        if (p.getFileName.toString.startsWith(tmpPrefix)) deleteRecursively(p)
+      } finally s.close()
     }
     val tmp = path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
     df.write.mode(SaveMode.Overwrite).parquet(tmp)

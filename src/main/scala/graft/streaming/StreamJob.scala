@@ -48,7 +48,12 @@ object StreamJob {
       .option("maxFilesPerTrigger", 4) // bounded micro-batches = backpressure
       .parquet(inputDir)
       .as[DocIn]
-      .mapPartitions(_.flatMap(d => Extract.explode(d)))
+      .mapPartitions(_.flatMap { d =>
+        // poison tolerance: an uncatchable per-doc failure would wedge the
+        // checkpointed query forever (the batch replays on every restart)
+        try Extract.explode(d)
+        catch { case _: Exception => Iterator.empty }
+      })
       .writeStream
       .format("parquet")
       .option("checkpointLocation", checkpointDir)
@@ -83,8 +88,21 @@ object StreamJob {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
-            state.remove()
-            Iterator.single(SessionOut(userId, s.sessionId, s.n, s.startSec, s.lastSec))
+            if (s.n > 0) {
+              // close the open session but KEEP a sentinel (n=0) carrying
+              // the next session ordinal, so a user returning after an
+              // eviction doesn't restart numbering at 1; the sentinel
+              // itself times out one gap later and is then removed.
+              state.update(SessionState(s.sessionId + 1, 0, s.lastSec, s.lastSec))
+              // must stay above the current watermark or set() throws
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs + GapSeconds * 1000,
+                s.lastSec * 1000 + 2 * GapSeconds * 1000))
+              Iterator.single(SessionOut(userId, s.sessionId, s.n, s.startSec, s.lastSec))
+            } else {
+              state.remove()
+              Iterator.empty
+            }
           } else {
             val sorted = batch.toVector.sortBy(e => (e.ts.getTime, e.event_id))
             var cur = state.getOption
@@ -92,15 +110,17 @@ object StreamJob {
             sorted.foreach { e =>
               val sec = e.ts.getTime / 1000
               cur match {
-                case Some(s) if sec - s.lastSec <= GapSeconds =>
+                case Some(s) if s.n > 0 && sec - s.lastSec <= GapSeconds =>
                   // late cross-batch events may have sec < lastSec: widen the
                   // session bounds instead of regressing them
                   cur = Some(s.copy(n = s.n + 1,
                     startSec = math.min(s.startSec, sec),
                     lastSec = math.max(s.lastSec, sec)))
-                case Some(s) =>
+                case Some(s) if s.n > 0 =>
                   closed += SessionOut(userId, s.sessionId, s.n, s.startSec, s.lastSec)
                   cur = Some(SessionState(s.sessionId + 1, 1, sec, sec))
+                case Some(sentinel) => // n == 0: resume numbering after eviction
+                  cur = Some(SessionState(sentinel.sessionId, 1, sec, sec))
                 case None =>
                   cur = Some(SessionState(1, 1, sec, sec))
               }

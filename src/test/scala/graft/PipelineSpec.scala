@@ -83,6 +83,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(parted.rdd.getNumPartitions == 8)
   }
 
+  test("span-parallel extraction equals the per-doc path exactly (giant-doc skew)") {
+    import spark.implicits._
+    // mixed corpus incl. chain containers, content-less media, bin junk,
+    // encrypted spans
+    val docs = (0 until 60).map(i =>
+      Corpus.synthesizeOne(i.toLong, "a b c d e f g h i j k l m n")) :+
+      DocIn(900, Array(SpanIn("pdf", "ENCRYPTED:x", "", 0))) :+
+      DocIn(901, Array.empty[SpanIn])
+    val ds = spark.createDataset(docs)
+    def norm(d: DocOut) = (d.doc_id, d.parent_id, d.root_id, d.level,
+      d.spans.toSeq, d.no_content_reason)
+    val viaSpans = ExtractJob.extractSpanParallel(ds, ExtractJob.JobConfig(partitions = 6))
+      .collect().map(norm).toSet
+    val viaDocs = docs.flatMap(d => graft.core.route.Extract.explode(d)).map(norm).toSet
+    assert(viaSpans == viaDocs)
+  }
+
   test("extraction output equals the direct per-doc computation (plan-independent)") {
     import spark.implicits._
     val input = corpus(15)
