@@ -23,14 +23,15 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+val driverMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // local mode = one JVM: heap must feed all executor threads. 16g fixed:
   // 8g GC-thrashes under 32 string-heavy extraction threads, while huge
   // heaps (48g) page-fault-storm (sys-time blowup) as G1 grows the heap.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xms$driverMem",
+  s"-Xmx$driverMem",
 )
 // ParallelGC: G1's concurrent phases generated pathological kernel time
 // (30+ min sys per bench run) on this VM; the throughput collector is both
@@ -38,5 +39,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 javaOptions += "-XX:+UseParallelGC"
 // Large eden: the extraction hot path is allocation-heavy with short-lived
 // garbage; a big young gen cuts collection frequency (survivor copy cost is
-// what matters, and survivors are few).
-javaOptions += "-Xmn12g"
+// what matters, and survivors are few). NewRatio can't express eden > 50% of
+// heap, so derive -Xmn as 3/4 of the RESOLVED heap — a fixed 12g under an
+// 8g SPARK_DRIVER_MEM override would clamp the tenured gen to ~nothing and
+// OOM spuriously.
+javaOptions += {
+  val m = "^([0-9]+)([gGmM])$".r
+  driverMem match {
+    case m(n, u) => s"-Xmn${math.max(1L, n.toLong * 3 / 4)}$u"
+    case _       => "-Xmn12g" // unrecognized override: keep the 16g default's value
+  }
+}

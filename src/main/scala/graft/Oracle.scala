@@ -40,7 +40,9 @@ object Oracle {
   private val extractSpans: String =
     s"""$docParts
        |SELECT doc_id, 0 AS ord, 'html' AS kind,
-       |       'title '||doc_id||chr(10)||array_to_string(w[1:i1],' ') AS text, '' AS media_ref FROM p
+       |       'title '||doc_id||
+       |         CASE WHEN i1>0 THEN chr(10)||array_to_string(w[1:i1],' ') ELSE '' END AS text,
+       |       '' AS media_ref FROM p
        |UNION ALL SELECT doc_id, 1, 'text', array_to_string(w[i1+1:i2],' '), '' FROM p
        |UNION ALL SELECT doc_id, 2, 'pdf', array_to_string(w[i2+1:m],' '), '' FROM p
        |UNION ALL SELECT doc_id, 3, 'media',
@@ -78,6 +80,15 @@ object Oracle {
     """SELECT doc_id, 'SUCCESS' AS status,
       | (3 + CASE WHEN doc_id%3=0 THEN 1 ELSE 0 END + CASE WHEN doc_id%13=0 THEN 1 ELSE 0 END)::BIGINT AS n_spans_in,
       | (3 + CASE WHEN doc_id%3=0 THEN 1 ELSE 0 END + CASE WHEN doc_id%13=0 THEN 1 ELSE 0 END)::BIGINT AS n_spans_out
+      |FROM documents""".stripMargin
+
+  private val lineageTaxonomy: String =
+    """SELECT doc_id, CASE doc_id%23
+      | WHEN 1 THEN 'FAILURE_NOT_DECRYPTED'
+      | WHEN 2 THEN 'FAILURE_NOT_PARSED'
+      | WHEN 3 THEN 'FAILURE_NOT_FOUND'
+      | WHEN 4 THEN 'FAILURE_UNREADABLE'
+      | ELSE 'SUCCESS' END AS status
       |FROM documents""".stripMargin
 
   private val scanFilter: String =
@@ -252,10 +263,16 @@ object Oracle {
       |  list_transform(embedding, x -> round(x::DOUBLE*1000)::BIGINT) AS qv
       | FROM embeddings)""".stripMargin
 
+  /** Cosine over quantized vectors; zero-norm vectors yield 0.0 exactly like
+    * Knn.cosineQ (a bare divide would produce a non-finite DuckDB value and
+    * diverge).
+    */
   private def cosExpr(a: String, b: String): String =
-    s"""(list_sum(list_transform(generate_series(1,64), i -> $a[i]*$b[i]))::DOUBLE /
-       | (sqrt(list_sum(list_transform($a, x->x*x))::DOUBLE) *
-       |  sqrt(list_sum(list_transform($b, x->x*x))::DOUBLE)))""".stripMargin
+    s"""(CASE WHEN list_sum(list_transform($a, x->x*x))=0
+       |       OR list_sum(list_transform($b, x->x*x))=0 THEN 0.0
+       | ELSE list_sum(list_transform(generate_series(1,64), i -> $a[i]*$b[i]))::DOUBLE /
+       |  (sqrt(list_sum(list_transform($a, x->x*x))::DOUBLE) *
+       |   sqrt(list_sum(list_transform($b, x->x*x))::DOUBLE)) END)""".stripMargin
 
   private val dedupCosine: String =
     s"""$quantEmb,
@@ -364,6 +381,7 @@ object Oracle {
     "q_embed_explode" -> embedExplode,
     "q_reconcile" -> reconcile,
     "q_extract_lineage" -> extractLineage,
+    "q_lineage_taxonomy" -> lineageTaxonomy,
     "q_scan_filter" -> scanFilter,
     "q_queue_dedup" -> queueDedup,
     "q_semi_intersect" -> semiIntersect,

@@ -73,6 +73,18 @@ object Queries {
         sum(when(col("no_content_reason") === Reason.Empty, 1L).otherwise(0L)).as("n_empty"))
   }
 
+  /** §2.3 error taxonomy end-to-end: the REAL job path (extractPartitions —
+    * classification, doc-row suppression for failures) over a corpus slice
+    * with injected failure spans; statuses oracle-checked per doc_id%23.
+    */
+  def lineageTaxonomy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.pipeline.ExtractJob
+      .extractPartitions(Corpus.spansWithFailures(spark, dir), graft.pipeline.ExtractJob.JobConfig())
+      .flatMap(_._2.map(l => (l.doc_id, l.status)).iterator)
+      .toDF("doc_id", "status")
+  }
+
   /** §2.10+§2.12: lineage rows (status + span counters) per document. */
   def extractLineage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -192,14 +204,20 @@ object Queries {
     * table + left join before compute (cache hit wins, miss computes).
     */
   def ocrCache(spark: SparkSession, dir: String): DataFrame = {
+    // content-addressed on the ACTUAL synthesized media content (mirrors the
+    // %27 chain / plain-ocr CASE in Corpus.synthesizeOne), so chain-container
+    // docs key on their real payload, not a doc_id formula
+    def mediaContent = when(col("doc_id") % 27 === 0,
+      concat(lit("chain:ocr "), col("doc_id").cast("string"),
+        lit(">sub "), col("doc_id").cast("string")))
+      .otherwise(concat(lit("ocr "), col("doc_id").cast("string")))
     val media = docs(spark, dir)
       .filter(col("doc_id") % 3 === 0 && col("doc_id") % 21 =!= 0)
-      .select(col("doc_id"),
-        sha2(concat(lit("ocr "), col("doc_id").cast("string")), 256).as("content_key"))
+      .select(col("doc_id"), sha2(mediaContent, 256).as("content_key"))
     val cache = docs(spark, dir)
       .filter(col("doc_id") % 2 === 0)
       .select(
-        sha2(concat(lit("ocr "), col("doc_id").cast("string")), 256).as("content_key"),
+        sha2(mediaContent, 256).as("content_key"),
         concat(lit("cached "), col("doc_id").cast("string")).as("cached_text"))
     media.join(broadcast(cache), Seq("content_key"), "left")
       .select(col("doc_id"),
@@ -288,10 +306,10 @@ object Queries {
   // ------------------------------------------------------------- dedup
 
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
-    Dedup.exact(docs(spark, dir))
+    Dedup.exact(Dedup.withInjectedDups(docs(spark, dir)))
 
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashPairs(spark, docs(spark, dir))
+    Dedup.minhashPairs(spark, Dedup.withInjectedDups(docs(spark, dir)))
 
   /** SimHash via the native codegen'd expression (Scala twin:
     * Dedup.simhash / TextStats.simhash32).
@@ -400,6 +418,7 @@ object Queries {
     "q_embed_explode" -> (embedExplode _),
     "q_reconcile" -> (reconcile _),
     "q_extract_lineage" -> (extractLineage _),
+    "q_lineage_taxonomy" -> (lineageTaxonomy _),
     "q_scan_filter" -> (scanFilter _),
     "q_queue_dedup" -> (queueDedup _),
     "q_semi_intersect" -> (semiIntersect _),

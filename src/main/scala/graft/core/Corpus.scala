@@ -96,6 +96,27 @@ object Corpus {
       .mapPartitions(_.map { case (id, t) => synthesizeOne(id, t) })
   }
 
+  /** Failure-taxonomy variant: docs whose doc_id%23 falls in 1..4 have their
+    * spans replaced by a single failing span (encrypted / parser-crash /
+    * missing-payload / io-error), everything else synthesizes normally. A
+    * pure function of doc_id, so the DuckDB oracle recomputes the expected
+    * lineage status per doc (q_lineage_taxonomy).
+    */
+  def spansWithFailures(spark: SparkSession, sfDir: String): Dataset[DocIn] = {
+    import spark.implicits._
+    documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        (id % 23) match {
+          case 1 => DocIn(id, Array(SpanIn("html", "ENCRYPTED:" + t, "", 0)))
+          case 2 => DocIn(id, Array(SpanIn("text", "POISON:" + t, "", 0)))
+          case 3 => DocIn(id, Array(SpanIn("media", "MISSING:blob-" + id, Ids.artifactRef(id), 0)))
+          case 4 => DocIn(id, Array(SpanIn("pdf", "UNREADABLE:" + id, "", 0)))
+          case _ => synthesizeOne(id, t)
+        }
+      })
+  }
+
   /** Bench variant: corpus replicated `factor`x with shifted doc_ids, so
     * throughput is measured on a meaningfully larger input while remaining
     * deterministic. Shift of 10^7 keeps replica ids disjoint from originals.

@@ -84,3 +84,19 @@ object Reason {
   val Empty = "empty-file"
   val Encrypted = "encrypted"
 }
+
+/** Typed extraction failures — the producing side of the status taxonomy
+  * (`ExtractionStatus.java:11-20`; classification per `Extractor.java:
+  * 785-826`). Parsers throw these; [[graft.pipeline.ExtractJob.classify]]
+  * maps them to lineage statuses. VM errors are NOT wrapped — they escape to
+  * Spark's retry/blacklist machinery (the FATAL escalation path).
+  */
+final class ParseFailure(msg: String) extends RuntimeException(msg)
+final class PayloadMissing(msg: String) extends RuntimeException(msg)
+final class PayloadUnreadable(msg: String) extends java.io.IOException(msg)
+
+/** Per-document deadline exceeded — the reference's parse-timeout watchdog
+  * (`Extractor.java:620-648`), cooperative: raised at span/embed boundaries
+  * like the reference's embed-boundary aborts (`EmbedSpawner.java:353-356`).
+  */
+final class ExtractTimeout(msg: String) extends RuntimeException(msg)

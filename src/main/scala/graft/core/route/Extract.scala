@@ -13,8 +13,11 @@ import graft.core.pdf.PdfLayout
   * (`parser/FallbackParser.java:17-54`: unparseable content becomes an EMPTY
   * span stamped with a NoContentReason — never a row failure).
   *
-  * Pure functions only — no clock, no counters — preserving the reference's
-  * parallel==serial determinism (SURVEY §4 hard part 1).
+  * Pure functions of their inputs — no counters, no execution-order
+  * dependence — preserving the reference's parallel==serial determinism
+  * (SURVEY §4 hard part 1). The single exception is the cooperative
+  * per-document deadline (disabled by default): timeouts are inherently
+  * clock-bound, exactly as in the reference's watchdog.
   */
 object Extract {
 
@@ -31,11 +34,43 @@ object Extract {
     */
   final val EncryptedMarker = "ENCRYPTED:"
 
-  /** Route one span. Returns (extractedText, reasonOrEmpty). */
+  /** Failure-injection markers modeling the reference's exception surface
+    * (`Extractor.java:785-826`): a parser crash (tag-soup corner, corrupt
+    * container), a payload whose backing blob is gone, and an IO error
+    * mid-read. Each throws the matching typed exception — deterministically,
+    * so the status taxonomy is oracle-checkable (q_lineage_taxonomy).
+    */
+  final val PoisonMarker = "POISON:"
+  final val MissingMarker = "MISSING:"
+  final val UnreadableMarker = "UNREADABLE:"
+
+  /** `SLOW:<millis>` — a pathological span whose parse busy-waits (the
+    * reference tests its watchdog with a hanging-parser fixture the same
+    * way). Lets the per-document deadline be exercised deterministically:
+    * the wait is guaranteed >= millis, so any shorter deadline MUST fire at
+    * the next span boundary.
+    */
+  final val SlowMarker = "SLOW:"
+
+  /** Route one span. Returns (extractedText, reasonOrEmpty). Throws typed
+    * failures for the marker cases (classified to lineage statuses by the
+    * job layer, never a task failure).
+    */
   def extractSpan(kind: String, text: String, cfg: Config = DefaultConfig): (String, String) = {
     val t = if (text == null) "" else text
     if (t.length > cfg.maxSpanChars) ("", Reason.Unsupported)
     else if (t.startsWith(EncryptedMarker)) ("", Reason.Encrypted)
+    else if (t.startsWith(PoisonMarker)) throw new ParseFailure(s"parser crash on $kind span")
+    else if (t.startsWith(MissingMarker)) throw new PayloadMissing(s"payload blob missing for $kind span")
+    else if (t.startsWith(UnreadableMarker)) throw new PayloadUnreadable(s"io error reading $kind span")
+    else if (t.startsWith(SlowMarker)) {
+      val ms = t.substring(SlowMarker.length).takeWhile(_.isDigit) match {
+        case "" => 10L; case d => d.toLong
+      }
+      val until = System.nanoTime() + ms * 1000000L
+      while (System.nanoTime() < until) {} // simulated hanging parse
+      (t, "")
+    }
     else kind match {
       case "html"  => (HtmlExtractor.mainText(t), "")
       case "pdf"   => (PdfLayout.text(t), "")
@@ -45,16 +80,39 @@ object Extract {
     }
   }
 
-  /** Extract one document: spans routed in offset order, `order` densely
-    * re-indexed (the positional-order invariant).
+  /** Null spans (a row written with spans=NULL) are treated as an empty
+    * span array — reason=empty-file, never a failure — in BOTH the batch and
+    * span-parallel paths (the two must stay byte-identical).
     */
-  def extractDoc(doc: DocIn, cfg: Config = DefaultConfig): DocOut = {
-    val sorted = doc.spans.sortBy(_.offset).take(cfg.maxSpans)
+  def spansOrEmpty(doc: DocIn): Array[SpanIn] =
+    if (doc.spans == null) Array.empty[SpanIn] else doc.spans
+
+  /** Cooperative per-document deadline check (the reference's parse-timeout
+    * watchdog, `Extractor.java:620-648`, re-expressed as boundary checks —
+    * Spark tasks can't be safely interrupted mid-parse, so the deadline is
+    * tested between spans and before each embed spawn, exactly where the
+    * reference aborts between embeds, `EmbedSpawner.java:353-356`).
+    * `Long.MaxValue` = no deadline; the comparison is branch-predicted away
+    * in the hot path.
+    */
+  @inline private def checkDeadline(deadlineNanos: Long): Unit =
+    if (deadlineNanos != Long.MaxValue && System.nanoTime() > deadlineNanos)
+      throw new ExtractTimeout("per-document deadline exceeded")
+
+  /** Extract one document: spans routed in offset order, `order` densely
+    * re-indexed (the positional-order invariant). Ties on offset keep input
+    * array order (stable sort) — the determinism contract the span-parallel
+    * path reproduces via an explicit secondary key.
+    */
+  def extractDoc(doc: DocIn, cfg: Config = DefaultConfig,
+                 deadlineNanos: Long = Long.MaxValue): DocOut = {
+    val sorted = spansOrEmpty(doc).sortBy(_.offset).take(cfg.maxSpans)
     var anyContent = false
     var anyEncrypted = false
     val out = new Array[SpanOut](sorted.length)
     var i = 0
     while (i < sorted.length) {
+      checkDeadline(deadlineNanos)
       val s = sorted(i)
       val (txt, why) = extractSpan(s.kind, s.text, cfg)
       if (txt.nonEmpty) anyContent = true
@@ -65,7 +123,7 @@ object Extract {
     // doc-level reason: encrypted outranks empty (NOT_DECRYPTED taxonomy)
     val reason =
       if (!anyContent && anyEncrypted) Reason.Encrypted
-      else if (doc.spans.isEmpty || !anyContent) Reason.Empty
+      else if (sorted.isEmpty || !anyContent) Reason.Empty
       else ""
     val rid = Ids.rootId(doc.doc_id)
     DocOut(rid, "", rid, 0, out, reason)
@@ -91,11 +149,12 @@ object Extract {
   /** As [[explode]], also returning the number of embeds skipped by the
     * depth guard (the X-EXTRACT:embedsSkippedMaxDepth analog).
     */
-  def explodeCounted(doc: DocIn, cfg: Config = DefaultConfig): (Seq[DocOut], Int) = {
-    val root = extractDoc(doc, cfg)
-    val mediaContents = doc.spans.filter(_.kind == "media").sortBy(_.offset)
+  def explodeCounted(doc: DocIn, cfg: Config = DefaultConfig,
+                     deadlineNanos: Long = Long.MaxValue): (Seq[DocOut], Int) = {
+    val root = extractDoc(doc, cfg, deadlineNanos)
+    val mediaContents = spansOrEmpty(doc).filter(_.kind == "media").sortBy(_.offset)
       .map(s => if (s.text == null) "" else s.text).toSeq
-    val (children, skipped) = spawnEmbeds(mediaContents, root.doc_id, cfg)
+    val (children, skipped) = spawnEmbeds(mediaContents, root.doc_id, cfg, deadlineNanos)
     (root +: children, skipped)
   }
 
@@ -103,13 +162,15 @@ object Extract {
     * offset order) — shared by [[explodeCounted]] and the span-parallel
     * reassembly path so both produce byte-identical trees.
     */
-  def spawnEmbeds(mediaContents: Seq[String], rootId: String, cfg: Config)
+  def spawnEmbeds(mediaContents: Seq[String], rootId: String, cfg: Config,
+                  deadlineNanos: Long = Long.MaxValue)
   : (Vector[DocOut], Int) = {
     val out = Vector.newBuilder[DocOut]
     var skipped = 0
     var spawned = 0
 
     def spawn(content: String, parentId: String, ord: Int, level: Int): Unit = {
+      checkDeadline(deadlineNanos)
       // guards refuse BEFORE recursion (EmbedSpawner.java:389-402): depth,
       // declared size (the zip-bomb case), and breadth
       if (level > cfg.maxEmbedDepth || content.length > cfg.maxSpanChars ||

@@ -25,8 +25,11 @@ import graft.core.{HashParams, Ids}
   */
 object Dedup {
 
-  /** Documents plus injected duplicates (doc_id<100 copied, shifted by 1e6)
-    * so dedup operators have true positives to find. Deterministic.
+  /** TEST FIXTURE (not operator semantics): documents plus injected
+    * duplicates (doc_id<100 copied, shifted by 1e6) so dedup queries have
+    * true positives to find. Deterministic. Callers (the query layer / specs)
+    * apply this BEFORE an operator — the operators themselves dedupe exactly
+    * the frame they are given.
     */
   def withInjectedDups(docs: DataFrame): DataFrame = {
     val dups = docs.filter(col("doc_id") < 100)
@@ -38,7 +41,7 @@ object Dedup {
     * `TikaDocument.java:310-316`, generalized to hash-groupBy).
     */
   def exact(docs: DataFrame): DataFrame =
-    withInjectedDups(docs)
+    docs
       .select(md5(col("text")).as("content_hash"), col("doc_id"))
       .groupBy("content_hash")
       .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper_id"))
@@ -82,7 +85,7 @@ object Dedup {
   /** MinHash+LSH near-duplicate candidate pairs (a<b, distinct). */
   def minhashPairs(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val buckets = withInjectedDups(docs)
+    val buckets = docs
       .select("doc_id", "text").as[(Long, String)]
       .flatMap { case (id, t) => bandKeys(minhashSig(t)).map(k => (k, id)) }
       .toDF("bucket", "doc_id")

@@ -45,8 +45,29 @@ object ExtractJob {
         * parallel map. true re-balances unbucketed/skewed inputs via the
         * salted repartition.
         */
-      shuffleInput: Boolean = true
+      shuffleInput: Boolean = true,
+      /** Per-document parse deadline (reference watchdog,
+        * `Extractor.java:620-648`); 0 disables. A doc over deadline yields a
+        * FAILURE_TIMEOUT lineage row — terminal, so resume skips it instead
+        * of re-pinning a task forever.
+        */
+      docTimeoutMillis: Long = 0L
   )
+
+  /** Exception -> lineage status, per the reference's taxonomy
+    * (`Extractor.java:785-826`). VM errors never reach here (rethrown as
+    * the FATAL escalation path).
+    */
+  def classify(e: Throwable): String = e match {
+    case _: graft.core.ExtractTimeout       => Status.Timeout
+    case _: graft.core.PayloadMissing       => Status.NotFound
+    case _: java.io.FileNotFoundException   => Status.NotFound
+    case _: graft.core.PayloadUnreadable    => Status.Unreadable
+    case _: java.io.IOException             => Status.Unreadable
+    case _: graft.core.ParseFailure         => Status.NotParsed
+    case _: RuntimeException                => Status.NotParsed // parser crash surface
+    case _                                  => Status.Unknown
+  }
 
   private def prepare(input: Dataset[DocIn], cfg: JobConfig): Dataset[DocIn] =
     if (cfg.shuffleInput) saltedRepartition(input, cfg) else input
@@ -99,31 +120,37 @@ object ExtractJob {
     import spark.implicits._
     input
       .flatMap { d =>
-        val spans = if (d.spans == null) Array.empty[graft.core.SpanIn] else d.spans
+        val spans = Extract.spansOrEmpty(d)
         if (spans.isEmpty)
           // sentinel keeps span-less docs visible to the reassembly
-          Iterator.single((d.doc_id, "", "", "", Int.MinValue))
-        else spans.iterator.map(s =>
-          (d.doc_id, s.kind, s.text, if (s.media_ref == null) "" else s.media_ref, s.offset))
+          Iterator.single((d.doc_id, "", "", "", Int.MinValue, 0))
+        else Iterator.tabulate(spans.length) { idx =>
+          // idx = position in the input span array: the secondary sort key
+          // that makes reassembly deterministic under duplicate offsets
+          // (extractDoc's STABLE sortBy ties break on array order)
+          val s = spans(idx)
+          (d.doc_id, s.kind, s.text, if (s.media_ref == null) "" else s.media_ref, s.offset, idx)
+        }
       }
       .repartition(cfg.partitions, col("_1"), col("_5"))
-      .as[(Long, String, String, String, Int)]
-      .map { case (id, kind, text, ref, off) =>
+      .as[(Long, String, String, String, Int, Int)]
+      .map { case (id, kind, text, ref, off, idx) =>
         val (txt, why) = Extract.extractSpan(kind, text, cfg.extract)
         // raw media content rides along: children need it for ids/spawning
         val raw = if (kind == "media") { if (text == null) "" else text } else ""
-        (id, kind, txt, ref, off, raw, why)
+        (id, kind, txt, ref, off, idx, raw, why)
       }
       .groupByKey(_._1)
-      .flatMapGroups { (id: Long, it: Iterator[(Long, String, String, String, Int, String, String)]) =>
-        val rows = it.toArray.filter(_._5 != Int.MinValue)
-          .sortBy(_._5).take(cfg.extract.maxSpans)
+      .flatMapGroups { (id: Long, it: Iterator[(Long, String, String, String, Int, Int, String, String)]) =>
+        // total order (offset, input index) == extractDoc's stable offset sort
+        val all = it.toArray.filter(_._5 != Int.MinValue).sortBy(r => (r._5, r._6))
+        val rows = all.take(cfg.extract.maxSpans)
         var anyContent = false
         var anyEncrypted = false
         val spans = new Array[SpanOut](rows.length)
         var i = 0
         while (i < rows.length) {
-          val (_, kind, txt, ref, _, _, why) = rows(i)
+          val (_, kind, txt, ref, _, _, _, why) = rows(i)
           if (txt.nonEmpty) anyContent = true
           if (why == Reason.Encrypted) anyEncrypted = true
           spans(i) = SpanOut(kind, txt, ref, i)
@@ -135,7 +162,9 @@ object ExtractJob {
           else ""
         val rid = graft.core.Ids.rootId(id)
         val root = DocOut(rid, "", rid, 0, spans, reason)
-        val mediaContents = rows.iterator.filter(_._2 == "media").map(_._6).toSeq
+        // media children spawn from ALL media spans (pre-cap), matching
+        // explodeCounted, which derives mediaContents from the full array
+        val mediaContents = all.iterator.filter(_._2 == "media").map(_._7).toSeq
         val (children, _) = Extract.spawnEmbeds(mediaContents, rid, cfg.extract)
         Iterator.single(root) ++ children.iterator
       }
@@ -163,10 +192,14 @@ object ExtractJob {
           else doc.spans.iterator
             .map(s => if (s.text == null) 0L else s.text.length.toLong).sum
         val nIn = if (doc.spans == null) 0 else doc.spans.size
+        val deadline =
+          if (cfg.docTimeoutMillis > 0) System.nanoTime() + cfg.docTimeoutMillis * 1000000L
+          else Long.MaxValue
         val res =
-          try Right(Extract.explodeCounted(doc, cfg.extract))
+          try Right(Extract.explodeCounted(doc, cfg.extract, deadline))
           catch {
-            case e: OutOfMemoryError => throw e
+            // FATAL escalation: VM errors escape to Spark's retry/blacklist
+            case e: VirtualMachineError => throw e
             case e: Exception => Left(e)
           }
         docsDone += 1
@@ -192,7 +225,7 @@ object ExtractJob {
               else Iterator.empty
             docRows ++ Iterator.single((Option.empty[DocOut], Option(row)))
           case Left(e) =>
-            val row = LineageRow(doc.doc_id, pid, Status.NotParsed,
+            val row = LineageRow(doc.doc_id, pid, classify(e),
               String.valueOf(e.getMessage), nIn, 0, bytesIn,
               docsDone / elapsed, bytesDone / elapsed)
             Iterator.single((Option.empty[DocOut], Option(row)))
@@ -201,39 +234,71 @@ object ExtractJob {
     }
   }
 
-  /** End-to-end run. Commit protocol:
-    *
-    *  1. extraction writes ONE combined table into a run-scoped directory —
-    *     the atomic unit (parquet job commit; Iceberg snapshot analog);
-    *     run dirs are append-only and are the source of truth;
-    *  2. `extracted/` and `lineage/` are REBUILT projections over all run
-    *     dirs, so a crash between projection writes can never desync
-    *     resume state from committed output: the next run rebuilds both
-    *     from the same truth. Extracted rows dedupe on doc_id (re-extracted
-    *     rows are bit-identical by determinism); lineage keeps every
-    *     attempt (it is a log — retries are part of the record);
-    *  3. checkpoint manifests carry (run_id, partition_id) so each run's
-    *     committed partitions are provable — appended, never rewritten.
-    *
-    * Returns (total docs in extracted, total lineage rows).
+  // ------------------------------------------------ incremental commit ----
+  //
+  // The commit protocol is INCREMENTAL (Iceberg-snapshot analog on plain
+  // parquet): run N+1 writes O(run N+1) bytes, never a rewrite of history.
+  //
+  //  1. extraction writes ONE combined table into a run-scoped directory —
+  //     the atomic unit (parquet job commit); run dirs are append-only and
+  //     are the source of truth;
+  //  2. a one-row-per-run MANIFEST is appended AFTER the run dir commits —
+  //     the snapshot pointer. Readers resolve only manifested runs, so a
+  //     crash mid-run leaves an invisible orphan dir, never a torn read;
+  //  3. `extracted` and `lineage` are READ-TIME VIEWS over the manifested
+  //     run dirs (on Iceberg: actual views / MERGE): extracted dedupes on
+  //     doc_id at read (re-extracted rows are bit-identical by determinism,
+  //     and only retried non-terminal docs ever recur); lineage keeps every
+  //     attempt (it is a log — retries are part of the record);
+  //  4. checkpoint manifests carry (run_id, partition_id) so each run's
+  //     committed partitions are provable — appended, never rewritten.
+
+  /** Run ids recorded as committed, oldest-first. The manifest is one row
+    * per run — driver-side materialization stays trivial at any data scale.
+    */
+  def committedRuns(spark: SparkSession, outDir: String): Seq[String] = {
+    val p = new java.io.File(s"$outDir/manifest")
+    if (!p.exists()) Seq.empty
+    else spark.read.parquet(p.getPath)
+      .filter(col("committed"))
+      .select("run_id", "seq").distinct()
+      .collect().sortBy(_.getLong(1)).map(_.getString(0)).toSeq
+  }
+
+  /** The combined (doc, lineage) union over committed runs only. */
+  def readCombined(spark: SparkSession, outDir: String): Option[DataFrame] = {
+    val dirs = committedRuns(spark, outDir).map(r => s"$outDir/combined/run-$r")
+    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+  }
+
+  /** `extracted` as a read-time view: committed docs, dedup-on-read. */
+  def readExtracted(spark: SparkSession, outDir: String): Option[DataFrame] =
+    readCombined(spark, outDir).map(
+      _.filter(col("doc").isNotNull).select("doc.*").dropDuplicates("doc_id"))
+
+  /** `lineage` as a read-time view: the full attempt log. */
+  def readLineage(spark: SparkSession, outDir: String): Option[DataFrame] =
+    readCombined(spark, outDir).map(
+      _.filter(col("lineage").isNotNull).select("lineage.*"))
+
+  /** End-to-end incremental run (commit protocol above). Resumes against
+    * `lineagePrev` when given, else against the output's own lineage view —
+    * the Reporter.skip semantics (`Reporter.java:120-135`). Returns (total
+    * docs in the extracted view, total lineage rows) across ALL runs.
     */
   def run(spark: SparkSession, input: Dataset[DocIn], lineagePrev: Option[DataFrame],
           outDir: String, cfg: JobConfig = JobConfig()): (Long, Long) = {
-    val pending = lineagePrev.map(resume(input, _)).getOrElse(input)
+    val lineageView = lineagePrev.orElse(readLineage(spark, outDir))
+    val pending = lineageView.map(resume(input, _)).getOrElse(input)
     val parted = prepare(pending, cfg)
 
+    val prior = committedRuns(spark, outDir)
     val runId = java.util.UUID.randomUUID.toString.take(8)
     val runDir = s"$outDir/combined/run-$runId"
     extractPartitions(parted, cfg).toDF("doc", "lineage")
       .write.mode(SaveMode.Overwrite).parquet(runDir)
 
-    val all = spark.read.parquet(s"$outDir/combined/run-*")
-    all.filter(col("doc").isNotNull).select("doc.*")
-      .dropDuplicates("doc_id")
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/extracted")
-    all.filter(col("lineage").isNotNull).select("lineage.*")
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineage")
-
+    // per-partition checkpoint rows for THIS run only (O(run), appended)
     spark.read.parquet(runDir)
       .filter(col("lineage").isNotNull).select("lineage.*")
       .groupBy(col("partition_id"))
@@ -242,8 +307,14 @@ object ExtractJob {
       .withColumn("committed", lit(true))
       .write.mode(SaveMode.Append).parquet(s"$outDir/checkpoints")
 
-    val nd = spark.read.parquet(s"$outDir/extracted").count()
-    val nl = spark.read.parquet(s"$outDir/lineage").count()
+    // the commit point: one manifest row makes the run visible to readers
+    import spark.implicits._
+    Seq((runId, prior.size.toLong, true)).toDF("run_id", "seq", "committed")
+      .coalesce(1)
+      .write.mode(SaveMode.Append).parquet(s"$outDir/manifest")
+
+    val nd = readExtracted(spark, outDir).map(_.count()).getOrElse(0L)
+    val nl = readLineage(spark, outDir).map(_.count()).getOrElse(0L)
     (nd, nl)
   }
 

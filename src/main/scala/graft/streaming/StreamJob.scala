@@ -4,8 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
-import graft.core.{DocIn, DocOut}
-import graft.core.route.Extract
+import graft.core.DocIn
 
 /** Structured Streaming surface — the reference's queue-drainer analogy
   * (`DocumentQueueDrainer.java:25,112-124`) done with real stream semantics:
@@ -38,22 +37,27 @@ object StreamJob {
     * the checkpoint gives exactly-once resume across restarts (the
     * Reporter-skip semantics for free; a restarted query reprocesses
     * nothing already committed).
+    *
+    * Runs the SAME per-partition transformation as the batch job
+    * ([[graft.pipeline.ExtractJob.extractPartitions]]), so a poison document
+    * yields a classified failure lineage row — never a silent drop, never a
+    * wedged checkpointed query (the batch would replay the poison on every
+    * restart). Output rows are (doc, lineage) nullable structs, identical to
+    * the batch combined table.
     */
   def extractStream(spark: SparkSession, inputDir: String, checkpointDir: String,
-                    outDir: String): StreamingQuery = {
+                    outDir: String,
+                    cfg: graft.pipeline.ExtractJob.JobConfig =
+                      graft.pipeline.ExtractJob.JobConfig()): StreamingQuery = {
     import spark.implicits._
     val schema = spark.emptyDataset[DocIn].schema
-    spark.readStream
+    val stream = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 4) // bounded micro-batches = backpressure
       .parquet(inputDir)
       .as[DocIn]
-      .mapPartitions(_.flatMap { d =>
-        // poison tolerance: an uncatchable per-doc failure would wedge the
-        // checkpointed query forever (the batch replays on every restart)
-        try Extract.explode(d)
-        catch { case _: Exception => Iterator.empty }
-      })
+    graft.pipeline.ExtractJob.extractPartitions(stream, cfg)
+      .toDF("doc", "lineage")
       .writeStream
       .format("parquet")
       .option("checkpointLocation", checkpointDir)

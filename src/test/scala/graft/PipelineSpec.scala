@@ -25,12 +25,57 @@ class PipelineSpec extends AnyFunSuite {
     // docs: 30 roots + 10 level-1 children (doc_id%3==0) + 1 level-2 child
     // (doc 27 is a chain container)
     assert(nd == 41)
-    val lineage = spark.read.parquet(s"$out/lineage")
+    val lineage = ExtractJob.readLineage(spark, out).get
     assert(lineage.filter(col("status") === Status.Success).count() == 30)
     assert(lineage.filter(col("docs_per_sec") > 0).count() == 30)
     val ckpt = spark.read.parquet(s"$out/checkpoints")
     assert(ckpt.filter(col("committed")).count() > 0)
     assert(ckpt.agg(sum("n_docs")).first().getLong(0) == 30)
+  }
+
+  test("incremental commit: run N+1 writes O(run N+1), never rewrites history") {
+    val out = tmpDir()
+    ExtractJob.run(spark, corpus(10), None, out)
+    val run1 = ExtractJob.committedRuns(spark, out)
+    assert(run1.size == 1)
+    def snapshot(runId: String): Map[String, Long] = {
+      val d = new java.io.File(s"$out/combined/run-$runId")
+      d.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before = snapshot(run1.head)
+
+    // run 2 over a superset: auto-resume keeps only the 10 new docs
+    val (nd2, nl2) = ExtractJob.run(spark, corpus(20), None, out)
+    val runs2 = ExtractJob.committedRuns(spark, out)
+    assert(runs2.size == 2 && runs2.head == run1.head)
+    // history untouched: same files, same mtimes in run 1's dir
+    assert(snapshot(run1.head) == before)
+    // run 2's own dir holds exactly the 10 new docs' lineage
+    val run2Dir = s"$out/combined/run-${runs2(1)}"
+    val run2Lineage = spark.read.parquet(run2Dir)
+      .filter(col("lineage").isNotNull).select("lineage.*")
+    assert(run2Lineage.count() == 10)
+    assert(run2Lineage.agg(min("doc_id")).first().getLong(0) == 10L)
+    // views see the union
+    assert(nl2 == 20)
+    assert(ExtractJob.readExtracted(spark, out).get
+      .filter(col("level") === 0).count() == 20)
+
+    // run 3 over the same input: nothing pending, still O(nothing)
+    val (nd3, nl3) = ExtractJob.run(spark, corpus(20), None, out)
+    assert(nl3 == 20 && nd3 == nd2)
+  }
+
+  test("crash-orphaned run dir (no manifest row) is invisible to readers") {
+    val out = tmpDir()
+    ExtractJob.run(spark, corpus(5), None, out)
+    // simulate a crash after the run-dir write but before the manifest
+    // append: a bare run dir with no manifest row
+    ExtractJob.extractPartitions(corpus(8), ExtractJob.JobConfig())
+      .toDF("doc", "lineage")
+      .write.mode("overwrite").parquet(s"$out/combined/run-orphan99")
+    assert(ExtractJob.committedRuns(spark, out).size == 1)
+    assert(ExtractJob.readLineage(spark, out).get.count() == 5)
   }
 
   test("resume skips terminal statuses and retries the rest") {
@@ -49,27 +94,57 @@ class PipelineSpec extends AnyFunSuite {
     val out = tmpDir()
     val input = corpus(10)
     ExtractJob.run(spark, input, None, out)
-    val lineage = spark.read.parquet(s"$out/lineage")
+    val lineage = ExtractJob.readLineage(spark, out).get
     val pending = ExtractJob.resume(input, lineage)
     assert(pending.count() == 0)
   }
 
-  test("poison document yields a classified failure row, not a job failure") {
+  test("failure taxonomy: every producing path yields its classified status") {
     import spark.implicits._
-    // spans=null triggers an NPE inside extraction -> FAILURE_NOT_PARSED;
-    // encrypted-only content -> FAILURE_NOT_DECRYPTED (retryable)
     val poisoned = spark.createDataset(Seq(
       DocIn(1, Array(SpanIn("text", "fine", "", 0))),
-      DocIn(2, null),
-      DocIn(3, Array(SpanIn("pdf", "ENCRYPTED:blob", "", 0)))
+      DocIn(2, null), // null spans == empty doc: SUCCESS/empty-file, both paths
+      DocIn(3, Array(SpanIn("pdf", "ENCRYPTED:blob", "", 0))),
+      DocIn(4, Array(SpanIn("html", "POISON:tagsoup", "", 0))),
+      DocIn(5, Array(SpanIn("media", "MISSING:blobref", "", 0))),
+      DocIn(6, Array(SpanIn("pdf", "UNREADABLE:truncated", "", 0)))
     ))
     val res = ExtractJob.extractPartitions(poisoned, ExtractJob.JobConfig()).collect()
     val lineages = res.flatMap(_._2)
-    assert(lineages.find(_.doc_id == 2).get.status == Status.NotParsed)
-    assert(lineages.find(_.doc_id == 1).get.status == Status.Success)
-    assert(lineages.find(_.doc_id == 3).get.status == Status.NotDecrypted)
+    def st(id: Long) = lineages.find(_.doc_id == id).get.status
+    assert(st(1) == Status.Success)
+    assert(st(2) == Status.Success) // graceful empty, aligned with span-parallel
+    assert(st(3) == Status.NotDecrypted)
+    assert(st(4) == Status.NotParsed)
+    assert(st(5) == Status.NotFound)
+    assert(st(6) == Status.Unreadable)
     // NOT_DECRYPTED is non-terminal: a resume retries it
     assert(!Status.terminal.contains(Status.NotDecrypted))
+    // the empty doc still emitted a (reason-stamped) doc row, not a failure
+    val emptyDoc = res.flatMap(_._1).find(_.doc_id == graft.core.Ids.rootId(2L))
+    assert(emptyDoc.get.no_content_reason == Reason.Empty)
+  }
+
+  test("slow document hits the deadline -> FAILURE_TIMEOUT, terminal for resume") {
+    import spark.implicits._
+    val docs = spark.createDataset(Seq(
+      DocIn(1, Array(SpanIn("text", "fast", "", 0))),
+      // busy-waits >=100ms; the 20ms deadline MUST fire at the next boundary
+      DocIn(2, Array(SpanIn("text", "SLOW:100", "", 0), SpanIn("text", "after", "", 1)))
+    ))
+    val cfg = ExtractJob.JobConfig(docTimeoutMillis = 20)
+    val res = ExtractJob.extractPartitions(docs, cfg).collect()
+    val lineages = res.flatMap(_._2)
+    assert(lineages.find(_.doc_id == 1).get.status == Status.Success)
+    assert(lineages.find(_.doc_id == 2).get.status == Status.Timeout)
+    // no doc rows for the timed-out doc
+    assert(!res.flatMap(_._1).exists(_.doc_id == graft.core.Ids.rootId(2L)))
+    // TIMEOUT is terminal: resume skips it (the reference's Reporter.skip)
+    val lineageDf = spark.createDataset(lineages.toSeq).toDF()
+    assert(ExtractJob.resume(docs, lineageDf).count() == 0)
+    // without a deadline the same doc succeeds (cooperative, not spurious)
+    val ok = ExtractJob.extractPartitions(docs, ExtractJob.JobConfig()).collect()
+    assert(ok.flatMap(_._2).forall(_.status == Status.Success))
   }
 
   test("salted repartition spreads oversized docs and keeps all rows") {

@@ -36,6 +36,7 @@ class StreamJobSpec extends AnyFunSuite {
 
   test("streaming extraction drains incrementally and resumes exactly-once") {
     import spark.implicits._
+    import org.apache.spark.sql.functions.col
     import graft.core.Corpus
     val base = java.nio.file.Files.createTempDirectory("graft-stream")
     val (in, ckpt, out) = (s"$base/in", s"$base/ckpt", s"$base/out")
@@ -49,18 +50,46 @@ class StreamJobSpec extends AnyFunSuite {
     addBatch(0 until 10)
     val q1 = graft.streaming.StreamJob.extractStream(spark, in, ckpt, out)
     q1.awaitTermination() // AvailableNow: drains what exists, then stops
-    val n1 = spark.read.parquet(out).count()
+    val docs1 = spark.read.parquet(out).filter(col("doc").isNotNull)
     // 10 roots + children for doc_id%3==0 (0,3,6,9)
-    assert(n1 == 14)
+    assert(docs1.count() == 14)
 
     // second batch lands; a RESTARTED query must process only the new files
     addBatch(10 until 20)
     val q2 = graft.streaming.StreamJob.extractStream(spark, in, ckpt, out)
     q2.awaitTermination()
-    val after = spark.read.parquet(out)
+    val after = spark.read.parquet(out).filter(col("doc").isNotNull)
     // + 10 roots + 3 children (12,15,18), nothing reprocessed or duplicated
     assert(after.count() == 27)
-    assert(after.select("doc_id").distinct().count() == 27)
+    assert(after.select("doc.doc_id").distinct().count() == 27)
+    // per-doc lineage rides the same stream: one row per input doc
+    val lineage = spark.read.parquet(out).filter(col("lineage").isNotNull)
+    assert(lineage.count() == 20)
+  }
+
+  test("streaming poison doc yields a classified failure record, stream continues") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.core.{Corpus, DocIn, SpanIn, Status}
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-poison")
+    val (in, ckpt, out) = (s"$base/in", s"$base/ckpt", s"$base/out")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+
+    spark.createDataset(Seq(
+      Corpus.synthesizeOne(1L, "a b c d e f"),
+      DocIn(2L, Array(SpanIn("html", "POISON:tagsoup", "", 0))),
+      Corpus.synthesizeOne(4L, "g h i j k l")))
+      .write.mode("append").parquet(in)
+    val q = graft.streaming.StreamJob.extractStream(spark, in, ckpt, out)
+    q.awaitTermination()
+    val lineage = spark.read.parquet(out)
+      .filter(col("lineage").isNotNull).select("lineage.*")
+    // the poison doc is RECORDED (batch taxonomy), not silently dropped
+    assert(lineage.filter(col("doc_id") === 2 &&
+      col("status") === Status.NotParsed).count() == 1)
+    // and the stream still progressed: the healthy docs extracted
+    assert(spark.read.parquet(out).filter(col("doc").isNotNull)
+      .select("doc.doc_id").distinct().count() == 2)
   }
 
   test("streaming sessionization matches the batch gap rule") {
