@@ -71,6 +71,29 @@ object Oracle {
       |SELECT sha256(sha256('chain:sub '||doc_id)||':'||cid||':0'), cid, rid, 2
       |FROM l1 WHERE doc_id%27=0 AND doc_id%21<>0""".stripMargin
 
+  private val embedNamed: String =
+    """WITH m AS (SELECT doc_id, sha256(doc_id::VARCHAR) AS rid,
+      |  CASE WHEN doc_id%2=0 THEN 'att-'||doc_id||'.txt' ELSE '' END AS res0,
+      |  CASE WHEN doc_id%5=0 THEN 'rId'||(doc_id%97) ELSE '' END AS rel0
+      | FROM documents WHERE doc_id%3=0 AND doc_id%21<>0),
+      |e AS (SELECT doc_id, rid, res0, rel0,
+      |  sha256(sha256('att '||doc_id)||':'||rid||':0'||
+      |    CASE WHEN rel0='' THEN '' ELSE ':'||rel0 END||
+      |    CASE WHEN res0='' THEN '' ELSE ':'||res0 END) AS e0,
+      |  sha256(sha256('proj'||'att '||doc_id)||':'||rid||':0'||
+      |    CASE WHEN rel0='' THEN '' ELSE ':'||rel0 END||
+      |    CASE WHEN res0='' THEN '' ELSE ':'||res0 END) AS e0s
+      | FROM m)
+      |SELECT doc_id, 'e0' AS embed_key, e0 AS child_id, e0s AS child_id_salted,
+      |  CASE WHEN res0='' THEN 'untitled_0' ELSE res0 END AS name,
+      |  CASE WHEN res0='' THEN 'untitled_0' ELSE res0 END AS name_legacy FROM e
+      |UNION ALL SELECT doc_id, 'e1', sha256(sha256('img '||doc_id)||':'||rid||':1'),
+      |  sha256(sha256('proj'||'img '||doc_id)||':'||rid||':1'),
+      |  'untitled_1', 'untitled_1' FROM e
+      |UNION ALL SELECT doc_id, 'n0', sha256(sha256('sub '||doc_id)||':'||e0||':0'),
+      |  sha256(sha256('proj'||'sub '||doc_id)||':'||e0s||':0'),
+      |  'untitled_0', 'untitled_2' FROM e""".stripMargin
+
   private val reconcile: String =
     """SELECT sha256(doc_id::VARCHAR) AS root_id, 1::BIGINT AS n_children,
       |       (CASE WHEN doc_id%21=0 THEN 1 ELSE 0 END)::BIGINT AS n_empty
@@ -245,17 +268,34 @@ object Oracle {
        |SELECT doc_id, sum(CASE WHEN s>0 THEN (1::BIGINT<<b) ELSE 0 END)::BIGINT AS simhash
        |FROM bt GROUP BY doc_id""".stripMargin
 
-  private val dedupJaccard: String =
-    """WITH sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+1],' ') AS shingle
+  /** Shared by the jaccard queries: injected ubiquitous bigram + distinct
+    * shingles + the df>N/10 hot set.
+    */
+  private val jaccardPrelude: String =
+    """WITH d AS (SELECT doc_id, text||' ubiq bigram' AS text FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+1],' ') AS shingle
       | FROM (SELECT doc_id, string_split(text,' ') AS words,
-      |       unnest(generate_series(1, len(string_split(text,' '))-1)) AS i FROM documents)),
-      |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |       unnest(generate_series(1, len(string_split(text,' '))-1)) AS i FROM d)),
+      |cap AS (SELECT count(*)//10 AS cap FROM documents)""".stripMargin
+
+  private val dedupJaccard: String =
+    s"""$jaccardPrelude,
+      |hot AS (SELECT shingle FROM sh GROUP BY shingle
+      |        HAVING count(*) > (SELECT cap FROM cap)),
+      |r AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM r GROUP BY doc_id),
       |it AS (SELECT p.doc_id AS a, q.doc_id AS b, count(*) AS inter
-      |       FROM sh p JOIN sh q ON p.shingle=q.shingle AND p.doc_id%50=0 AND p.doc_id<>q.doc_id
+      |       FROM r p JOIN r q ON p.shingle=q.shingle AND p.doc_id%50=0 AND p.doc_id<>q.doc_id
       |       GROUP BY p.doc_id, q.doc_id)
       |SELECT a, b, inter::BIGINT AS inter, (sa.sz+sb.sz-inter)::BIGINT AS uni
       |FROM it JOIN sz sa ON sa.doc_id=a JOIN sz sb ON sb.doc_id=b
       |WHERE inter*5 >= sa.sz+sb.sz-inter""".stripMargin
+
+  private val jaccardDropped: String =
+    s"""$jaccardPrelude,
+      |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+      |SELECT sum(CASE WHEN df > (SELECT cap FROM cap) THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+      |       max(df)::BIGINT AS max_df FROM df""".stripMargin
 
   /** Quantized-embedding prelude shared by cosine queries. */
   private val quantEmb: String =
@@ -289,18 +329,31 @@ object Oracle {
        |      row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rk FROM sc)
        |SELECT probe_id, rk::BIGINT AS rnk, neighbor_id FROM r WHERE rk<=5""".stripMargin
 
+  /** Multi-table LSH mirror of Knn.lshTopK: BitsPerTable=3 sign bits per
+    * table, NumTables=10 tables (plane index = t*3+p), per-(t,bucket) cap
+    * 10000 by lowest vec_id, OR-amplified distinct candidates, exact cosine
+    * top-5.
+    */
   private val knnLsh: String =
     s"""$quantEmb,
-       |pb AS (SELECT vec_id, p,
+       |dot AS (SELECT vec_id, t, p,
        |  list_sum(list_transform(generate_series(1,64),
-       |    i -> (((p*64+(i-1))*2654435761)%65536-32768)*qv[i])) AS dot
-       |  FROM q, (SELECT unnest(generate_series(0,7)) AS p) pl),
-       |bk AS (SELECT vec_id, sum(CASE WHEN dot>0 THEN (1::BIGINT<<p) ELSE 0 END)::BIGINT AS bucket
-       |       FROM pb GROUP BY vec_id),
-       |qb AS (SELECT q.vec_id, qv, bucket FROM q JOIN bk USING(vec_id)),
-       |pr AS (SELECT vec_id AS probe_id, qv AS pq, bucket FROM qb WHERE vec_id%100=0),
-       |sc AS (SELECT probe_id, c.vec_id AS neighbor_id, ${cosExpr("pq", "qv")} AS cos
-       |       FROM pr JOIN qb c USING(bucket) WHERE probe_id<>c.vec_id),
+       |    i -> ((((t*3+p)*64+(i-1))*2654435761)%65536-32768)*qv[i])) AS d
+       |  FROM q, (SELECT unnest(generate_series(0,9)) AS t) ts,
+       |          (SELECT unnest(generate_series(0,2)) AS p) ps),
+       |mem AS (SELECT vec_id, t, sum(CASE WHEN d>0 THEN (1::BIGINT<<p) ELSE 0 END)::BIGINT AS bucket
+       |        FROM dot GROUP BY vec_id, t),
+       |cap AS (SELECT vec_id, t, bucket FROM (
+       |        SELECT vec_id, t, bucket,
+       |          row_number() OVER (PARTITION BY t, bucket ORDER BY vec_id) AS rk FROM mem)
+       |        WHERE rk<=10000),
+       |pb AS (SELECT vec_id AS probe_id, t, bucket FROM mem WHERE vec_id%100=0),
+       |cand AS (SELECT DISTINCT probe_id, c.vec_id AS neighbor_id
+       |         FROM pb JOIN cap c USING(t, bucket) WHERE probe_id<>c.vec_id),
+       |sc AS (SELECT probe_id, neighbor_id, ${cosExpr("pq", "qv")} AS cos
+       |       FROM cand
+       |       JOIN (SELECT vec_id, qv FROM q) cq ON cq.vec_id=neighbor_id
+       |       JOIN (SELECT vec_id AS probe_id, qv AS pq FROM q) pq USING(probe_id)),
        |r AS (SELECT probe_id, neighbor_id,
        |      row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rk FROM sc)
        |SELECT probe_id, rk::BIGINT AS rnk, neighbor_id FROM r WHERE rk<=5""".stripMargin
@@ -379,6 +432,7 @@ object Oracle {
   val all: Map[String, String] = Map(
     "q_extract_spans" -> extractSpans,
     "q_embed_explode" -> embedExplode,
+    "q_embed_named" -> embedNamed,
     "q_reconcile" -> reconcile,
     "q_extract_lineage" -> extractLineage,
     "q_lineage_taxonomy" -> lineageTaxonomy,
@@ -404,6 +458,7 @@ object Oracle {
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_jaccard" -> dedupJaccard,
+    "q_jaccard_dropped" -> jaccardDropped,
     "q_dedup_cosine" -> dedupCosine,
     "q_knn_brute" -> knnBrute,
     "q_knn_lsh" -> knnLsh,

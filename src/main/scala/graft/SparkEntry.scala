@@ -62,6 +62,36 @@ object Queries {
       .toDF("doc_id", "parent_id", "root_id", "level")
   }
 
+  /** §2.4 embed-id FULL fidelity (`DigestIdentifier.java:26-68` +
+    * `UpdatableDigester.java:6-19` + `EmbedSpawner.java:79-81`): for each
+    * media doc, three embeds exercising every id/name branch — named+
+    * relationship (e0), bare (e1), and nested (n0, child of e0) — with both
+    * the unsalted and project-salted id, and both naming modes (per-parent
+    * ordinal vs legacy document-global counter: n0 is untitled_0 per-parent
+    * but untitled_2 globally).
+    */
+  def embedNamed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select("doc_id").as[Long]
+      .filter(id => id % 3 == 0 && id % 21 != 0)
+      .flatMap { id =>
+        val rid = Ids.rootId(id)
+        val res0 = if (id % 2 == 0) s"att-$id.txt" else ""
+        val rel0 = if (id % 5 == 0) s"rId${id % 97}" else ""
+        val (c0, c1, c2) = (s"att $id", s"img $id", s"sub $id")
+        val e0 = Ids.embedId(c0, rid, 0, rel0, res0)
+        val e0s = Ids.embedId(c0, rid, 0, rel0, res0, salt = "proj")
+        Seq(
+          (id, "e0", e0, e0s,
+            Ids.embedName(res0, 0, 0), Ids.embedName(res0, 0, 0, legacy = true)),
+          (id, "e1", Ids.embedId(c1, rid, 1), Ids.embedId(c1, rid, 1, salt = "proj"),
+            Ids.embedName("", 1, 1), Ids.embedName("", 1, 1, legacy = true)),
+          (id, "n0", Ids.embedId(c2, e0, 0), Ids.embedId(c2, e0s, 0, salt = "proj"),
+            Ids.embedName("", 0, 2), Ids.embedName("", 0, 2, legacy = true)))
+      }
+      .toDF("doc_id", "embed_key", "child_id", "child_id_salted", "name", "name_legacy")
+  }
+
   /** §2.6: per-root reconciliation counters (PST parity analog). */
   def reconcile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -285,22 +315,31 @@ object Queries {
   }
 
   /** Data profiling for pipeline QA: per-source doc counts and exact
-    * length distribution stats (lower median via window rank — integral and
-    * engine-agnostic, unlike approximate percentile sketches).
+    * length distribution stats. The exact lower median comes from a
+    * HISTOGRAM plan: partial-aggregate (source, n_chars) counts map-side
+    * (bounded by the value domain, not the corpus), then a cumulative sum
+    * over the tiny histogram finds the rank-(cnt+1)/2 value — no
+    * full-corpus sort ever lands on one reducer, unlike a row_number
+    * window over a low-cardinality partition key.
     */
   def profile(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
-    val cw = Window.partitionBy("source")
-    docs(spark, dir)
-      .withColumn("rk", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(cw))
+    val hist = docs(spark, dir)
+      .groupBy("source", "n_chars")
+      .agg(count(lit(1)).as("c"))
+    val byVal = Window.partitionBy("source").orderBy("n_chars")
+    val all = Window.partitionBy("source")
+    hist
+      .withColumn("cum", sum("c").over(
+        byVal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cnt", sum("c").over(all))
       .groupBy("source")
       .agg(
         max("cnt").as("n_docs"),
         min("n_chars").as("min_chars"),
         max("n_chars").as("max_chars"),
-        // integer div: Spark '/' on columns is double division
-        max(when(col("rk") === expr("(cnt + 1) div 2"), col("n_chars"))).as("median_chars"))
+        // lower median = smallest value whose cumulative count reaches
+        // rank (cnt+1) div 2 (identical to the rank-based definition)
+        min(when(col("cum") >= expr("(cnt + 1) div 2"), col("n_chars"))).as("median_chars"))
   }
 
   // ------------------------------------------------------------- dedup
@@ -320,19 +359,51 @@ object Queries {
       call_function("graft_simhash32", col("text")).as("simhash"))
   }
 
-  def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccard(spark, docs(spark, dir))
+  /** Jaccard with the df-cap exercised: every doc gets an injected
+    * ubiquitous bigram ("ubiq bigram", df = N), which the cap (df > N/10)
+    * must drop before the candidate join. At 100 TB the cap is an absolute
+    * constant; on the fixture corpus (30-word vocabulary, natural df ~ N/15)
+    * only a fraction-of-corpus cap separates hot from natural.
+    */
+  private def jaccardInput(spark: SparkSession, dir: String): (DataFrame, Long) = {
+    val base = docs(spark, dir)
+    val injected = base.withColumn("text", concat(col("text"), lit(" ubiq bigram")))
+    (injected, base.count() / 10)
+  }
+
+  def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val (injected, cap) = jaccardInput(spark, dir)
+    Dedup.ngramJaccard(spark, injected, cap)
+  }
+
+  /** The no-silent-caps record for q_dedup_jaccard: how many shingles the
+    * df-cap dropped, and the hottest df observed.
+    */
+  def jaccardDropped(spark: SparkSession, dir: String): DataFrame = {
+    val (injected, cap) = jaccardInput(spark, dir)
+    Dedup.hotShingles(spark, injected, cap)
+  }
+
+  /** Explicit bounded probe sets (the operators' contract at scale; here a
+    * deterministic sample so the oracle can recompute them).
+    */
+  private def probes50(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir).filter(col("vec_id") % 50 === 0).select("vec_id")
+  private def probes100(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir).filter(col("vec_id") % 100 === 0).select("vec_id")
 
   def dedupCosine(spark: SparkSession, dir: String): DataFrame =
-    Knn.cosinePairs(spark, emb(spark, dir), 0.3)
+    Knn.cosinePairs(spark, emb(spark, dir), probes50(spark, dir), 0.3)
 
   // -------------------------------------------------------- similarity
 
   def knnBrute(spark: SparkSession, dir: String): DataFrame =
-    Knn.bruteTopK(spark, emb(spark, dir)).withColumnRenamed("rank", "rnk")
+    Knn.bruteTopK(spark, emb(spark, dir), probes100(spark, dir))
+      .withColumnRenamed("rank", "rnk")
 
   def knnLsh(spark: SparkSession, dir: String): DataFrame =
-    Knn.lshTopK(spark, emb(spark, dir)).withColumnRenamed("rank", "rnk")
+    Knn.lshTopK(spark, emb(spark, dir), probes100(spark, dir))
+      .withColumnRenamed("rank", "rnk")
 
   // ------------------------------------------------- events / sessions
 
@@ -416,6 +487,7 @@ object Queries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_extract_spans" -> (extractSpans _),
     "q_embed_explode" -> (embedExplode _),
+    "q_embed_named" -> (embedNamed _),
     "q_reconcile" -> (reconcile _),
     "q_extract_lineage" -> (extractLineage _),
     "q_lineage_taxonomy" -> (lineageTaxonomy _),
@@ -441,6 +513,7 @@ object Queries {
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_jaccard" -> (dedupJaccard _),
+    "q_jaccard_dropped" -> (jaccardDropped _),
     "q_dedup_cosine" -> (dedupCosine _),
     "q_knn_brute" -> (knnBrute _),
     "q_knn_lsh" -> (knnLsh _),

@@ -52,13 +52,35 @@ object Ids {
     */
   def rootId(docId: Long): String = sha256(docId.toString)
 
-  /** Recursive embed id, after `DigestIdentifier.java:26-68`:
-    * SHA(contentHash ‖ parentId ‖ ordinal); a content-less embed drops only
-    * the hash component (`:45-52`).
+  /** Recursive embed id, full composition after `DigestIdentifier.java:
+    * 26-68`: SHA(contentHash ‖ parentId ‖ ordinal ‖ embeddedRelationshipId?
+    * ‖ resourceName?), where
+    *  - a content-less embed drops only the hash component (`:45-52`);
+    *  - relationshipId / resourceName contribute only when present
+    *    (`:53-61` — the reference appends each identifier it has);
+    *  - `salt` is the optional per-project digest salt
+    *    (`UpdatableDigester.java:6-19`: the digest is primed with the
+    *    project key before the content bytes), so two projects ingesting
+    *    the same bytes get distinct ids.
     */
-  def embedId(content: String, parentId: String, ordinal: Int): String =
-    if (content.isEmpty) sha256(s":$parentId:$ordinal")
-    else sha256(s"${sha256(content)}:$parentId:$ordinal")
+  def embedId(content: String, parentId: String, ordinal: Int,
+              relationshipId: String = "", resourceName: String = "",
+              salt: String = ""): String = {
+    val contentPart = if (content.isEmpty) "" else sha256(salt + content)
+    val rel = if (relationshipId.isEmpty) "" else s":$relationshipId"
+    val res = if (resourceName.isEmpty) "" else s":$resourceName"
+    sha256(s"$contentPart:$parentId:$ordinal$rel$res")
+  }
+
+  /** Embed display name (`EmbedSpawner.java:79-81,264-281`): the resource
+    * name when present, else `untitled_<ordinal>` — per-parent ordinal by
+    * default, or the document-GLOBAL spawn counter in legacy mode (the
+    * reference's pre-9.x naming kept one counter per root document).
+    */
+  def embedName(resourceName: String, perParentOrdinal: Int,
+                globalOrdinal: Int, legacy: Boolean = false): String =
+    if (resourceName.nonEmpty) resourceName
+    else s"untitled_${if (legacy) globalOrdinal else perParentOrdinal}"
 
   /** Content-addressed artifact ref, after the reference's xx/yy/<id>/raw
     * layout (`ArtifactUtils.java:6-8`), shortened to one level.

@@ -103,13 +103,12 @@ object Dedup {
       .toDF("doc_id", "simhash")
   }
 
-  /** n-gram (2-word shingle) Jaccard similarity, probe-gated:
-    * probes = doc_id % 50 == 0; emit (a=probe, b, inter, uni) where
-    * 5*inter >= uni (Jaccard >= 0.2), a != b. Integer-only output.
+  /** Distinct (doc_id, shingle) pairs — 2-word shingles, string_split
+    * semantics.
     */
-  def ngramJaccard(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def shingled(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val shingles = docs.select("doc_id", "text").as[(Long, String)]
+    docs.select("doc_id", "text").as[(Long, String)]
       .flatMap { case (id, t) =>
         val w = t.split(" ", -1) // string_split semantics
         val set = scala.collection.mutable.HashSet.empty[String]
@@ -117,10 +116,32 @@ object Dedup {
         while (i < w.length - 1) { set += (w(i) + " " + w(i + 1)); i += 1 }
         set.iterator.map(s => (id, s))
       }.toDF("doc_id", "shingle")
-    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val probes = shingles.filter(col("doc_id") % 50 === 0)
-      .withColumnRenamed("doc_id", "a")
-    val inter = probes.join(shingles.withColumnRenamed("doc_id", "b"), "shingle")
+  }
+
+  /** n-gram (2-word shingle) Jaccard similarity, probe-gated and
+    * DOCUMENT-FREQUENCY-CAPPED: shingles appearing in more than `dfCap`
+    * documents are dropped from the profile (sizes AND intersection) before
+    * the candidate join — the standard hot-key guard. Without it, one
+    * ubiquitous shingle ("of the") makes its join-key fan-out
+    * |probes_with_it| x |docs_with_it|, near-cartesian at corpus scale.
+    * Dropped shingles are REPORTED by [[hotShingles]] (no silent caps).
+    *
+    * Emits (a=probe, b, inter, uni) where 5*inter >= uni (Jaccard >= 0.2)
+    * over the rare-shingle profile, a != b. Integer-only output.
+    */
+  def ngramJaccard(spark: SparkSession, docs: DataFrame,
+                   dfCap: Long = Long.MaxValue,
+                   probe: org.apache.spark.sql.Column = col("doc_id") % 50 === 0): DataFrame = {
+    val all = shingled(spark, docs)
+    // the HOT set (df > cap) is tiny by definition — a handful of ubiquitous
+    // shingles — so the drop is a broadcast anti-join: the big side never
+    // shuffles on the hot key at all. df itself is a partial-agg groupBy.
+    val hot = all.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("shingle")
+    val rare = all.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val sizes = rare.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val probes = rare.filter(probe).withColumnRenamed("doc_id", "a")
+    val inter = probes.join(rare.withColumnRenamed("doc_id", "b"), "shingle")
       .filter(col("a") =!= col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
     inter
@@ -130,4 +151,14 @@ object Dedup {
       .filter(col("inter") * 5 >= col("uni"))
       .select("a", "b", "inter", "uni")
   }
+
+  /** The shingles [[ngramJaccard]] dropped at `dfCap` — the no-silent-caps
+    * record: (n_dropped distinct shingles, max document frequency seen).
+    */
+  def hotShingles(spark: SparkSession, docs: DataFrame, dfCap: Long): DataFrame =
+    shingled(spark, docs)
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .agg(
+        sum(when(col("df") > dfCap, 1L).otherwise(0L)).as("n_dropped"),
+        max("df").as("max_df"))
 }

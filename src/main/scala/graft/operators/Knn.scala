@@ -12,18 +12,42 @@ import org.apache.spark.sql.expressions.Window
   * sqrt+divide over exact integers — bit-identical across engines. Ranking
   * ties break on vec_id.
   *
-  * Scale path: brute force is |probes| x |corpus| with a broadcast probe set
-  * (baseline); LSH restricts candidates to shared hyperplane-sign buckets —
-  * at 100 TB the bucketed variant shuffles (bucket, id, qvec) once and joins
-  * within buckets only.
+  * Scale design (the 100 TB story):
+  *  - probes are an EXPLICIT BOUNDED argument everywhere — the caller hands
+  *    a probe-id table whose size is theirs to control. Probe vectors are
+  *    broadcast; a %-of-corpus probe "set" (which grows with the corpus and
+  *    eventually can't broadcast) is expressible but no longer the operator's
+  *    own contract;
+  *  - the ANN index is MULTI-TABLE hyperplane LSH (OR-amplification):
+  *    `numTables` independent tables of `bitsPerTable` sign bits. Candidates
+  *    collide in ANY table (union + distinct), so recall amplifies as
+  *    1-(1-p^b)^L while per-table bucket count (2^b per table, L*2^b total)
+  *    keeps each bucket's occupancy bounded;
+  *  - each (table, bucket) is CAPPED at `bucketCap` members (deterministic:
+  *    lowest vec_ids kept), so a degenerate bucket (all-zero embeddings,
+  *    templated docs) cannot go quadratic; truncation is observable via
+  *    [[bucketStats]], never silent;
+  *  - parameter guidance: the fixture corpus has RANDOM embeddings — its
+  *    rank-5 neighbors sit at cos~0.3, barely above noise (bit-match p~0.6
+  *    vs 0.5), the hardest possible regime, so the defaults (b=3, L=10)
+  *    favor recall (measured 0.80-0.90 recall@5 vs brute here). On a real
+  *    near-duplicate corpus (cos >= 0.8, p >= 0.9) use b=16-24 bits per
+  *    table: per-table collision stays ~0.2-0.5 for true pairs while random
+  *    pairs collide at ~2^-b — that is what makes the index sub-linear at
+  *    10^12 docs.
   */
 object Knn {
 
   val Quant = 1000.0
-  val NumPlanes = 8
+
+  /** Fixture-tuned defaults — see scaladoc above for 100 TB settings. */
+  val BitsPerTable = 3
+  val NumTables = 10
+  val DefaultBucketCap = 10000
 
   /** Deterministic integer hyperplane weights: exact in any engine.
-    * w(p,d) = ((p*64+d) * 2654435761) mod 65536 - 32768.
+    * w(p,d) = ((p*64+d) * 2654435761) mod 65536 - 32768; table t uses the
+    * global plane indices [t*bits, (t+1)*bits).
     */
   def planeWeight(p: Int, d: Int): Long =
     ((p.toLong * 64 + d) * 2654435761L) % 65536L - 32768L
@@ -31,13 +55,15 @@ object Knn {
   def quantize(v: Seq[Float]): Array[Long] =
     v.iterator.map(e => math.round(e.toDouble * Quant)).toArray
 
-  def sigBucket(q: Array[Long]): Long = {
+  /** Sign-bit bucket of `q` in table `t` (bits-per-table `bits`). */
+  def tableBucket(q: Array[Long], t: Int, bits: Int): Long = {
     var bucket = 0L
     var p = 0
-    while (p < NumPlanes) {
+    while (p < bits) {
+      val plane = t * bits + p
       var dot = 0L
       var d = 0
-      while (d < q.length) { dot += planeWeight(p, d) * q(d); d += 1 }
+      while (d < q.length) { dot += planeWeight(plane, d) * q(d); d += 1 }
       if (dot > 0) bucket |= (1L << p)
       p += 1
     }
@@ -54,46 +80,94 @@ object Knn {
     else dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
   }
 
-  private def quantized(spark: SparkSession, emb: DataFrame): DataFrame = {
+  def quantized(spark: SparkSession, emb: DataFrame): DataFrame = {
     import spark.implicits._
     emb.select("vec_id", "embedding").as[(Long, Seq[Float])]
       .map { case (id, v) => (id, quantize(v)) }
       .toDF("vec_id", "q")
   }
 
-  /** Brute-force top-k cosine neighbors for probes (vec_id%100==0). */
-  def bruteTopK(spark: SparkSession, emb: DataFrame, k: Int = 5): DataFrame = {
+  /** (vec_id, t, bucket) membership rows — one per vector per table. */
+  def tableMemberships(spark: SparkSession, quant: DataFrame,
+                       bits: Int, tables: Int): DataFrame = {
     import spark.implicits._
-    val q = quantized(spark, emb)
-    val probes = q.filter(col("vec_id") % 100 === 0)
-      .withColumnRenamed("vec_id", "probe_id").withColumnRenamed("q", "pq")
-    val scored = broadcast(probes).join(q, col("probe_id") =!= col("vec_id"))
-      .as[(Long, Array[Long], Long, Array[Long])]
-      .map { case (pid, pq, vid, vq) => (pid, vid, cosineQ(pq, vq)) }
-      .toDF("probe_id", "neighbor_id", "cos")
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("probe_id", "rank", "neighbor_id")
+    quant.as[(Long, Array[Long])]
+      .flatMap { case (id, v) =>
+        Iterator.tabulate(tables)(t => (id, t, tableBucket(v, t, bits)))
+      }
+      .toDF("vec_id", "t", "bucket")
   }
 
-  /** LSH-bucketed ANN: candidates share the 8-bit hyperplane-sign bucket;
-    * top-k by exact cosine within the bucket.
+  /** Memberships with each (table, bucket) capped at `cap` members —
+    * deterministic (lowest vec_ids kept), so parallel plans and the SQL
+    * oracle agree exactly.
     */
-  def lshTopK(spark: SparkSession, emb: DataFrame, k: Int = 5): DataFrame = {
+  def cappedMemberships(memberships: DataFrame, cap: Int): DataFrame = {
+    val w = Window.partitionBy("t", "bucket").orderBy("vec_id")
+    memberships.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap).drop("rk")
+  }
+
+  /** Occupancy report per (table, bucket): total members and members kept
+    * under `cap` — the no-silent-caps observability surface.
+    */
+  def bucketStats(spark: SparkSession, emb: DataFrame,
+                  bits: Int = BitsPerTable, tables: Int = NumTables,
+                  cap: Int = DefaultBucketCap): DataFrame =
+    tableMemberships(spark, quantized(spark, emb), bits, tables)
+      .groupBy("t", "bucket")
+      .agg(count(lit(1)).as("n_members"))
+      .withColumn("n_kept", least(col("n_members"), lit(cap.toLong)))
+
+  /** Brute-force top-k cosine neighbors for an explicit bounded probe set
+    * (the exactness baseline: |probes| x |corpus| with broadcast probes).
+    */
+  def bruteTopK(spark: SparkSession, emb: DataFrame, probeIds: DataFrame,
+                k: Int = 5): DataFrame = {
     import spark.implicits._
-    val q = quantized(spark, emb).as[(Long, Array[Long])]
-      .map { case (id, v) => (id, v, sigBucket(v)) }
-      .toDF("vec_id", "q", "bucket")
-    val probes = q.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("bucket"))
-    val scored = probes.join(q, Seq("bucket"))
-      .filter(col("probe_id") =!= col("vec_id"))
+    val q = quantized(spark, emb)
+    val probes = q.join(probeIds, "vec_id")
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"))
+    val scored = broadcast(probes).join(q, col("probe_id") =!= col("vec_id"))
       .select("probe_id", "pq", "vec_id", "q")
       .as[(Long, Array[Long], Long, Array[Long])]
       .map { case (pid, pq, vid, vq) => (pid, vid, cosineQ(pq, vq)) }
       .toDF("probe_id", "neighbor_id", "cos")
+    topK(scored, k)
+  }
+
+  /** Multi-table LSH ANN: candidates collide with the probe in >=1 of the
+    * `tables` sign-bit tables (union, dedup), each bucket capped at
+    * `bucketCap`; exact cosine + top-k over the candidates only.
+    */
+  def lshTopK(spark: SparkSession, emb: DataFrame, probeIds: DataFrame,
+              k: Int = 5, bits: Int = BitsPerTable, tables: Int = NumTables,
+              bucketCap: Int = DefaultBucketCap): DataFrame = {
+    import spark.implicits._
+    val q = quantized(spark, emb)
+    val memberships = tableMemberships(spark, q, bits, tables)
+    val capped = cappedMemberships(memberships, bucketCap)
+    // the probe side reads its own buckets UNCAPPED (a probe must always
+    // find its buckets, even if the cap evicted it from the corpus side)
+    val probeBuckets = memberships.join(probeIds, "vec_id")
+      .select(col("vec_id").as("probe_id"), col("t"), col("bucket"))
+    val candIds = probeBuckets.join(capped, Seq("t", "bucket"))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select("probe_id", "vec_id")
+      .distinct() // OR-amplification: any-table collision, counted once
+    val probes = q.join(probeIds, "vec_id")
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"))
+    val scored = candIds
+      .join(q, "vec_id") // candidate vectors re-joined by id
+      .join(broadcast(probes), "probe_id")
+      .select("probe_id", "pq", "vec_id", "q")
+      .as[(Long, Array[Long], Long, Array[Long])]
+      .map { case (pid, pq, vid, vq) => (pid, vid, cosineQ(pq, vq)) }
+      .toDF("probe_id", "neighbor_id", "cos")
+    topK(scored, k)
+  }
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -101,15 +175,17 @@ object Knn {
       .select("probe_id", "rank", "neighbor_id")
   }
 
-  /** Embedding-cosine near-duplicate pairs: probes (vec_id%50==0) vs all,
-    * cosine >= minCos, a != b. Output integral ids only.
+  /** Embedding-cosine near-duplicate pairs: explicit bounded probe set vs
+    * all, cosine >= minCos, a != b. Output integral ids only.
     */
-  def cosinePairs(spark: SparkSession, emb: DataFrame, minCos: Double): DataFrame = {
+  def cosinePairs(spark: SparkSession, emb: DataFrame, probeIds: DataFrame,
+                  minCos: Double): DataFrame = {
     import spark.implicits._
     val q = quantized(spark, emb)
-    val probes = q.filter(col("vec_id") % 50 === 0)
-      .withColumnRenamed("vec_id", "a").withColumnRenamed("q", "pq")
+    val probes = q.join(probeIds, "vec_id")
+      .select(col("vec_id").as("a"), col("q").as("pq"))
     broadcast(probes).join(q.withColumnRenamed("vec_id", "b"), col("a") =!= col("b"))
+      .select("a", "pq", "b", "q")
       .as[(Long, Array[Long], Long, Array[Long])]
       .map { case (a, pq, b, vq) => (a, b, cosineQ(pq, vq)) }
       .toDF("a", "b", "cos")

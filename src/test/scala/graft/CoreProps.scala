@@ -128,6 +128,37 @@ object CoreProps extends Properties("graft.core") {
       out.spans.toSeq == expected.result()
     }
 
+  private val maybeStr: Gen[String] =
+    Gen.oneOf(Gen.const(""), word)
+
+  property("embedId composition is exact on every branch (DigestIdentifier fidelity)") =
+    Prop.forAll(maybeStr, word, Gen.choose(0, 9), maybeStr, maybeStr, maybeStr) {
+      (content, parent, ord, rel, res, salt) =>
+        val got = Ids.embedId(content, parent, ord, rel, res, salt)
+        val contentPart = if (content.isEmpty) "" else Ids.sha256(salt + content)
+        val relPart = if (rel.isEmpty) "" else s":$rel"
+        val resPart = if (res.isEmpty) "" else s":$res"
+        got == Ids.sha256(s"$contentPart:$parent:$ord$relPart$resPart") &&
+          // defaults reproduce the bare composition (back-compat with roots)
+          Ids.embedId(content, parent, ord) == Ids.embedId(content, parent, ord, "", "", "")
+    }
+
+  property("project salt changes every contentful id, never the content-less ones") =
+    Prop.forAll(word, word, Gen.choose(0, 9)) { (content, parent, ord) =>
+      Ids.embedId(content, parent, ord, salt = "p1") !=
+        Ids.embedId(content, parent, ord, salt = "p2") &&
+        Ids.embedId("", parent, ord, salt = "p1") ==
+          Ids.embedId("", parent, ord, salt = "p2")
+    }
+
+  property("embed naming: resource name wins; untitled falls back per mode") =
+    Prop.forAll(maybeStr, Gen.choose(0, 5), Gen.choose(6, 11)) { (res, perParent, global) =>
+      val std = Ids.embedName(res, perParent, global)
+      val legacy = Ids.embedName(res, perParent, global, legacy = true)
+      if (res.nonEmpty) std == res && legacy == res
+      else std == s"untitled_$perParent" && legacy == s"untitled_$global"
+    }
+
   property("simhash of identical texts is identical; fingerprint likewise") =
     Prop.forAll(words) { w =>
       val t = w.mkString(" ")

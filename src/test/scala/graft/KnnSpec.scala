@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Knn
+
+/** ANN scale guarantees: recall vs the exact baseline, and bounded bucket
+  * occupancy under skew (the 100 TB safety property — no bucket may go
+  * quadratic).
+  */
+class KnnSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private def probes = emb.filter(col("vec_id") % 100 === 0).select("vec_id")
+
+  test("LSH ANN reaches >=0.8 recall@5 vs brute force on the fixture corpus") {
+    val brute = Knn.bruteTopK(spark, emb, probes)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Knn.lshTopK(spark, emb, probes)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(brute.nonEmpty)
+    assert(recall >= 0.8, s"recall@5 = $recall")
+  }
+
+  test("bucket cap bounds occupancy on a skewed corpus; truncation is reported") {
+    import spark.implicits._
+    // worst-case skew: 400 identical vectors (templated docs) + 100 varied —
+    // the identical ones all land in the same bucket of every table
+    val skewed = spark.createDataset(
+      (0 until 400).map(i => (i.toLong, Seq.fill(64)(0.5f))) ++
+        (400 until 500).map(i => (i.toLong, Seq.tabulate(64)(d => ((i * 7 + d) % 13 - 6) / 6.0f)))
+    ).toDF("vec_id", "embedding")
+    val cap = 16
+    val capped = Knn.cappedMemberships(
+      Knn.tableMemberships(spark, Knn.quantized(spark, skewed), Knn.BitsPerTable, Knn.NumTables),
+      cap)
+    val maxOcc = capped.groupBy("t", "bucket").agg(count(lit(1)).as("n"))
+      .agg(max("n")).first().getLong(0)
+    assert(maxOcc <= cap, s"a bucket exceeded the cap: $maxOcc")
+    // and the truncation is observable, never silent
+    val stats = Knn.bucketStats(spark, skewed, cap = cap)
+    val truncated = stats.filter(col("n_members") > col("n_kept")).count()
+    assert(truncated > 0)
+    assert(stats.filter(col("n_kept") > cap).count() == 0)
+  }
+
+  test("deterministic cap keeps the lowest vec_ids (plan- and retry-stable)") {
+    import spark.implicits._
+    val dup = spark.createDataset(
+      (0 until 50).map(i => (i.toLong, Seq.fill(64)(1.0f)))).toDF("vec_id", "embedding")
+    val capped = Knn.cappedMemberships(
+      Knn.tableMemberships(spark, Knn.quantized(spark, dup), 2, 1), 10)
+    val kept = capped.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == (0L until 10L))
+  }
+}
