@@ -94,6 +94,42 @@ object Oracle {
       |  sha256(sha256('proj'||'sub '||doc_id)||':'||e0s||':0'),
       |  'untitled_0', 'untitled_2' FROM e""".stripMargin
 
+  private val embedConcat: String =
+    """WITH m AS (SELECT doc_id,
+      |  CASE WHEN doc_id%27=0 THEN 'chain:ocr '||doc_id||'>sub '||doc_id
+      |       ELSE 'ocr '||doc_id END AS c
+      | FROM documents WHERE doc_id%3=0 AND doc_id%21<>0)
+      |SELECT doc_id,
+      | '<div class="package-entry"><h1>untitled_0</h1><p>'||c||'</p></div>'
+      | ||CASE WHEN doc_id%2=0
+      |   THEN '<div class="package-entry"><h1>extra.txt</h1><p>x '||doc_id||'</p></div>'
+      |   ELSE '' END
+      | ||CASE WHEN doc_id%11=0
+      |   THEN '<div class="package-entry"><h1>untitled_'||(CASE WHEN doc_id%2=0 THEN 2 ELSE 1 END)
+      |     ||'</h1><p class="error">encrypted</p></div>'
+      |   ELSE '' END AS html,
+      | (CASE WHEN doc_id%11=0 THEN 1 ELSE 0 END)::BIGINT AS n_failed
+      |FROM m""".stripMargin
+
+  private val mediaDataUri: String =
+    """SELECT doc_id,
+      | '<img src="data:application/octet-stream;base64,'||
+      | to_base64(encode(CASE WHEN doc_id%27=0 THEN 'chain:ocr '||doc_id||'>sub '||doc_id
+      |   ELSE 'ocr '||doc_id END))||'">' AS html
+      |FROM documents WHERE doc_id%3=0 AND doc_id%21<>0""".stripMargin
+
+  private val metaIso: String =
+    """WITH b AS (SELECT doc_id, 1500000000 + doc_id*13 AS es FROM documents)
+      |SELECT doc_id, 'dcterms_modified' AS field,
+      | es::VARCHAR||'|'||strftime(to_timestamp(es+86400) AT TIME ZONE 'UTC',
+      |   '%a, %d %b %Y %H:%M:%S GMT')
+      |   ||CASE WHEN doc_id%7=0 THEN '|not a date' ELSE '' END AS raw_vals,
+      | CASE WHEN doc_id%7=0 THEN ''
+      |   ELSE strftime(to_timestamp(es) AT TIME ZONE 'UTC','%Y-%m-%dT%H:%M:%SZ')||'|'||
+      |        strftime(to_timestamp(es+86400) AT TIME ZONE 'UTC','%Y-%m-%dT%H:%M:%SZ') END AS iso_vals,
+      | doc_id%7<>0 AS has_iso
+      |FROM b""".stripMargin
+
   private val reconcile: String =
     """SELECT sha256(doc_id::VARCHAR) AS root_id, 1::BIGINT AS n_children,
       |       (CASE WHEN doc_id%21=0 THEN 1 ELSE 0 END)::BIGINT AS n_empty
@@ -433,6 +469,9 @@ object Oracle {
     "q_extract_spans" -> extractSpans,
     "q_embed_explode" -> embedExplode,
     "q_embed_named" -> embedNamed,
+    "q_embed_concat" -> embedConcat,
+    "q_embed_datauri" -> mediaDataUri,
+    "q_meta_iso" -> metaIso,
     "q_reconcile" -> reconcile,
     "q_extract_lineage" -> extractLineage,
     "q_lineage_taxonomy" -> lineageTaxonomy,

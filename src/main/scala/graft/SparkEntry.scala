@@ -92,6 +92,46 @@ object Queries {
       .toDF("doc_id", "embed_key", "child_id", "child_id_salted", "name", "name_legacy")
   }
 
+  /** §2.4 CONCATENATE embed mode (`EmbedParser.java:57-76`): per media doc,
+    * entries are parsed inline into package-entry divisions — a named
+    * second entry for even ids, and an injected encrypted entry for %11
+    * ids whose failure is captured IN the entry and counted, never thrown.
+    */
+  def embedConcat(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select("doc_id").as[Long]
+      .filter(id => id % 3 == 0 && id % 21 != 0)
+      .map { id =>
+        val content = if (id % 27 == 0) s"chain:ocr $id>sub $id" else s"ocr $id"
+        val entries = Seq(("", content)) ++
+          (if (id % 2 == 0) Seq(("extra.txt", s"x $id")) else Nil) ++
+          (if (id % 11 == 0) Seq(("", "ENCRYPTED:blob")) else Nil)
+        val (html, nf) = Extract.concatEmbeds(entries)
+        (id, html, nf.toLong)
+      }
+      .toDF("doc_id", "html", "n_failed")
+  }
+
+  /** §2.4 data-URI rewrite (`EmbeddingHTMLParsingReader.java:36`): media
+    * embeds inlined into the parent HTML as base64 data URIs instead of
+    * links — builtin base64, no UDF.
+    */
+  def mediaDataUri(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .filter(col("doc_id") % 3 === 0 && col("doc_id") % 21 =!= 0)
+      .select(col("doc_id"),
+        concat(lit("""<img src="data:application/octet-stream;base64,"""),
+          base64(mediaContentCol.cast("binary")), lit("\">")).as("html"))
+
+  /** The synthesized media-span content as a Column (mirrors
+    * Corpus.synthesizeOne's %27/%21 CASE for media docs).
+    */
+  private def mediaContentCol =
+    when(col("doc_id") % 27 === 0,
+      concat(lit("chain:ocr "), col("doc_id").cast("string"),
+        lit(">sub "), col("doc_id").cast("string")))
+      .otherwise(concat(lit("ocr "), col("doc_id").cast("string")))
+
   /** §2.6: per-root reconciliation counters (PST parity analog). */
   def reconcile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -211,6 +251,25 @@ object Queries {
       .toDF("doc_id", "raw", "iso")
   }
 
+  /** §2.9 `*_iso8601` parallel-field emission at the sink
+    * (`Spewer.java:239-255` via Meta.toIsoArray): a multi-valued date field
+    * emits its ISO-8601 twin only when EVERY value parses (all-or-nothing;
+    * %7 docs carry an unparseable value and get none).
+    */
+  def metaIso(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select("doc_id").as[Long]
+      .map { id =>
+        val es = 1500000000L + id * 13
+        val raws = Seq(es.toString, Meta.formatRfc1123(es + 86400)) ++
+          (if (id % 7 == 0) Seq("not a date") else Nil)
+        val iso = Meta.toIsoArray(raws)
+        (id, "dcterms_modified", raws.mkString("|"),
+          iso.map(_.mkString("|")).getOrElse(""), iso.isDefined)
+      }
+      .toDF("doc_id", "field", "raw_vals", "iso_vals", "has_iso")
+  }
+
   /** §2.8 full multimap semantics: key normalization + collision concat +
     * noisy-field dedupe + glob block list, over a synthesized multimap.
     */
@@ -237,17 +296,13 @@ object Queries {
     // content-addressed on the ACTUAL synthesized media content (mirrors the
     // %27 chain / plain-ocr CASE in Corpus.synthesizeOne), so chain-container
     // docs key on their real payload, not a doc_id formula
-    def mediaContent = when(col("doc_id") % 27 === 0,
-      concat(lit("chain:ocr "), col("doc_id").cast("string"),
-        lit(">sub "), col("doc_id").cast("string")))
-      .otherwise(concat(lit("ocr "), col("doc_id").cast("string")))
     val media = docs(spark, dir)
       .filter(col("doc_id") % 3 === 0 && col("doc_id") % 21 =!= 0)
-      .select(col("doc_id"), sha2(mediaContent, 256).as("content_key"))
+      .select(col("doc_id"), sha2(mediaContentCol, 256).as("content_key"))
     val cache = docs(spark, dir)
       .filter(col("doc_id") % 2 === 0)
       .select(
-        sha2(mediaContent, 256).as("content_key"),
+        sha2(mediaContentCol, 256).as("content_key"),
         concat(lit("cached "), col("doc_id").cast("string")).as("cached_text"))
     media.join(broadcast(cache), Seq("content_key"), "left")
       .select(col("doc_id"),
@@ -488,6 +543,9 @@ object Queries {
     "q_extract_spans" -> (extractSpans _),
     "q_embed_explode" -> (embedExplode _),
     "q_embed_named" -> (embedNamed _),
+    "q_embed_concat" -> (embedConcat _),
+    "q_embed_datauri" -> (mediaDataUri _),
+    "q_meta_iso" -> (metaIso _),
     "q_reconcile" -> (reconcile _),
     "q_extract_lineage" -> (extractLineage _),
     "q_lineage_taxonomy" -> (lineageTaxonomy _),

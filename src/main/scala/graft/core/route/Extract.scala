@@ -158,6 +158,34 @@ object Extract {
     (root +: children, skipped)
   }
 
+  /** CONCATENATE embed mode (`EmbedParser.java:57-76`): embedded documents
+    * are not spawned as rows — each is parsed INLINE and wrapped in a
+    * package-entry division inside the parent's output
+    * (`<div class="package-entry"><h1>name</h1>…`), nameless entries named
+    * untitled_<ordinal>. A per-entry failure (encrypted, unparseable,
+    * parser crash) is captured IN the entry (`<p class="error">reason</p>`)
+    * and counted — the reference records it in the entry's metadata rather
+    * than failing the parent. Returns (concatenated html, n failed entries).
+    */
+  def concatEmbeds(entries: Seq[(String, String)], cfg: Config = DefaultConfig)
+  : (String, Int) = {
+    var failed = 0
+    val sb = new StringBuilder
+    entries.zipWithIndex.foreach { case ((name, content), ord) =>
+      val nm = graft.core.Ids.embedName(name, ord, ord)
+      val body =
+        try {
+          val (txt, why) = extractSpan("text", content, cfg)
+          if (why.isEmpty) s"<p>$txt</p>"
+          else { failed += 1; s"""<p class="error">$why</p>""" }
+        } catch {
+          case _: Exception => failed += 1; """<p class="error">parse-error</p>"""
+        }
+      sb.append(s"""<div class="package-entry"><h1>$nm</h1>$body</div>""")
+    }
+    (sb.toString, failed)
+  }
+
   /** Spawn embedded child documents from the parent's media contents (in
     * offset order) — shared by [[explodeCounted]] and the span-parallel
     * reassembly path so both produce byte-identical trees.

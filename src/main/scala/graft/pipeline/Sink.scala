@@ -52,6 +52,36 @@ object Sink {
     writeAtomic(spark, path, merged)
   }
 
+  /** FileSpewer analog (`FileSpewer.java:30-78`): one output file per
+    * document (`<doc_id>.txt`, spans joined by newline), written from the
+    * partitions. A per-document IO failure becomes a FAILURE_NOT_SAVED
+    * status row — the spewer-failure branch of the taxonomy
+    * (`ExtractionStatus.java:17`) — never a task failure; everything else
+    * reports SUCCESS. Returns (doc_id, status).
+    *
+    * This is the per-doc ARTIFACT sink; table output goes through the
+    * job-level atomic writes above (where a write failure is a job failure
+    * that Spark retries, not a per-doc status).
+    */
+  def spewFiles(docs: org.apache.spark.sql.Dataset[graft.core.DocOut],
+                dir: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Files.createDirectories(Paths.get(dir))
+    docs.mapPartitions { it =>
+      it.map { d =>
+        val target = Paths.get(dir, d.doc_id + ".txt")
+        val body = d.spans.iterator.map(_.text).mkString("\n")
+        try {
+          Files.write(target, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          (d.doc_id, graft.core.Status.Success)
+        } catch {
+          case _: java.io.IOException => (d.doc_id, graft.core.Status.NotSaved)
+        }
+      }
+    }.toDF("doc_id", "status")
+  }
+
   /** Write df to a temp dir then swap it into place: the sink is never
     * half-written (readers see the previous dataset, a brief missing-dir
     * window during the swap, or the new dataset — never a mix), and a

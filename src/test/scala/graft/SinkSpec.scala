@@ -45,6 +45,23 @@ class SinkSpec extends AnyFunSuite {
     assert(after("d3") == List("/z"))       // inserted
   }
 
+  test("spewFiles: one file per doc; a per-doc IO failure -> FAILURE_NOT_SAVED") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import graft.core.{DocOut, SpanOut, Status}
+    val dir = Files.createTempDirectory("graft-spew").toString
+    val docs = spark.createDataset(Seq(
+      DocOut("aaa", "", "aaa", 0, Array(SpanOut("text", "hello", "", 0)), ""),
+      DocOut("bbb", "", "bbb", 0, Array(SpanOut("text", "world", "", 0)), "")))
+    // pre-existing DIRECTORY at bbb's target path: ITS write fails, others don't
+    Files.createDirectories(Paths.get(dir, "bbb.txt"))
+    val st = Sink.spewFiles(docs, dir).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(st("aaa") == Status.Success)
+    assert(st("bbb") == Status.NotSaved)
+    assert(new String(Files.readAllBytes(Paths.get(dir, "aaa.txt"))) == "hello")
+  }
+
   test("writeAtomic: old data fully replaced, no mixed state") {
     import spark.implicits._
     val path = tmp()
