@@ -81,18 +81,31 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val factor = sys.env.getOrElse("SPARK_GRAFT_REPL", "100").toInt
+    // 400x (2M docs at sf0.1): large enough that per-job fixed overhead
+    // (~0.4s scheduler/scan setup) stays <20% of the measured pass
+    val factor = sys.env.getOrElse("SPARK_GRAFT_REPL", "400").toInt
     val spark = session(cpus)
 
-    // JIT warmup on a tiny replication, then SPARK_GRAFT_BENCH_REPEAT
-    // measured runs (default 2), keeping the best — C2 compilation needs a
-    // full-size pass before timings stabilize, and the host shows steal
-    // noise.
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "2").toInt
-    pipelineRun(spark, sfDir, 1, cpus.toInt)
-    val (nDocs, pipeSec) = (1 to repeat)
-      .map(_ => pipelineRun(spark, sfDir, factor, cpus.toInt))
-      .minBy(_._2)
+    // JIT warmup on a LARGE pass (default min(factor,100) ~ 500k docs at
+    // sf0.1), then SPARK_GRAFT_BENCH_REPEAT measured runs (default 3),
+    // keeping the best. A tiny warmup is NOT enough: C2 compiles
+    // asynchronously, and a 500k-doc run completes mostly interpreted
+    // (~28k docs/sec) while the compiled steady state is ~800k docs/sec —
+    // a 20x methodology artifact, reproduced and fixed in round 2
+    // (BENCH.md). Warmup is capped so low-core pinned runs don't spend
+    // 20 minutes interpreting a full-size pass. Best-of-5: this host shows
+    // bimodal 3-4x run variance (steal + GC).
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "5").toInt
+    val warmupFactor = sys.env.getOrElse("SPARK_GRAFT_WARMUP_REPL",
+      math.min(factor, 100).toString).toInt
+    val ws = pipelineRun(spark, sfDir, warmupFactor, cpus.toInt)
+    System.err.println(s"[bench] warmup x$warmupFactor: ${ws._2}s")
+    val runs = (1 to repeat).map { r =>
+      val res = pipelineRun(spark, sfDir, factor, cpus.toInt)
+      System.err.println(s"[bench] run $r x$factor: ${res._2}s")
+      res
+    }
+    val (nDocs, pipeSec) = runs.minBy(_._2)
     val docsPerSec = nDocs / math.max(pipeSec, 1e-9)
 
     // SPARK_GRAFT_BENCH_PIPELINE_ONLY=1: skip the per-query sweep (used by
@@ -109,6 +122,52 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + pipeSec
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec":$docsPerSec,"pipeline_sec":$pipeSec,"n_docs":$nDocs,"cpus":$cpus,"replication":$factor}""")
+    spark.stop()
+  }
+}
+
+/** Deser-ceiling measurement: the SAME routing work (stable offset sort +
+  * per-kind extraction of every span) through (a) the typed Dataset path —
+  * full DocIn deserialization, Extract.extractDoc, result reduced to a
+  * count — and (b) the native expression path (graft_extract_spans) that
+  * reads ArrayData/UTF8String directly with no object graph either way.
+  * Both compute the total extracted-span count (cross-checked equal).
+  * Prints one JSON line with both times and us/doc.
+  */
+object DeserBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_REPL", "40").toInt
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "3").toInt
+    val spark = Bench.session(cpus)
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    import org.apache.spark.sql.functions._
+    val path = Bench.corpusPath(spark, sfDir, factor, cpus.toInt * 4)
+
+    def typedRun(): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = spark.read.parquet(path).as[graft.core.DocIn]
+        .map(d => graft.core.route.Extract.extractDoc(d).spans.length.toLong)
+        .reduce(_ + _)
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    def exprRun(): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = spark.read.parquet(path)
+        .select(sum(size(call_function("graft_extract_spans", col("spans")))))
+        .first().getLong(0)
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    val nDocs = spark.read.parquet(path).count()
+    typedRun(); exprRun() // full-size JIT warmup for both paths
+    val typed = (1 to repeat).map(_ => typedRun()).minBy(_._2)
+    val expr = (1 to repeat).map(_ => exprRun()).minBy(_._2)
+    require(typed._1 == expr._1, s"span counts diverge: ${typed._1} vs ${expr._1}")
+    val usT = typed._2 * 1e6 / nDocs
+    val usE = expr._2 * 1e6 / nDocs
+    println(s"""{"metric":"deser_paths","unit":"sec","n_docs":$nDocs,"n_spans":${typed._1},"typed_sec":${typed._2},"expr_sec":${expr._2},"typed_us_per_doc":$usT,"expr_us_per_doc":$usE,"speedup":${typed._2 / expr._2},"cpus":$cpus,"sf":"$sfDir","replication":$factor}""")
     spark.stop()
   }
 }

@@ -71,6 +71,14 @@ object Oracle {
       |SELECT sha256(sha256('chain:sub '||doc_id)||':'||cid||':0'), cid, rid, 2
       |FROM l1 WHERE doc_id%27=0 AND doc_id%21<>0""".stripMargin
 
+  private val pdfBytes: String =
+    """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
+      |  len(string_split(text,' ')) AS m FROM documents),
+      |l AS (SELECT doc_id, i, array_to_string(w[5*i+1:5*i+5],' ') AS line
+      |      FROM p, LATERAL unnest(generate_series(0, (m-1)//5)) AS t(i))
+      |SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS txt
+      |FROM l GROUP BY doc_id""".stripMargin
+
   private val embedNamed: String =
     """WITH m AS (SELECT doc_id, sha256(doc_id::VARCHAR) AS rid,
       |  CASE WHEN doc_id%2=0 THEN 'att-'||doc_id||'.txt' ELSE '' END AS res0,
@@ -149,6 +157,15 @@ object Oracle {
       | WHEN 4 THEN 'FAILURE_UNREADABLE'
       | ELSE 'SUCCESS' END AS status
       |FROM documents""".stripMargin
+
+  private val reportStatus: String =
+    """WITH s AS (SELECT CASE doc_id%23
+      | WHEN 1 THEN 'FAILURE_NOT_DECRYPTED'
+      | WHEN 2 THEN 'FAILURE_NOT_PARSED'
+      | WHEN 3 THEN 'FAILURE_NOT_FOUND'
+      | WHEN 4 THEN 'FAILURE_UNREADABLE'
+      | ELSE 'SUCCESS' END AS status FROM documents)
+      |SELECT status, count(*)::BIGINT AS n FROM s GROUP BY status""".stripMargin
 
   private val scanFilter: String =
     """SELECT doc_id, source, n_chars FROM documents
@@ -467,6 +484,7 @@ object Oracle {
 
   val all: Map[String, String] = Map(
     "q_extract_spans" -> extractSpans,
+    "q_pdf_bytes" -> pdfBytes,
     "q_embed_explode" -> embedExplode,
     "q_embed_named" -> embedNamed,
     "q_embed_concat" -> embedConcat,
@@ -475,6 +493,7 @@ object Oracle {
     "q_reconcile" -> reconcile,
     "q_extract_lineage" -> extractLineage,
     "q_lineage_taxonomy" -> lineageTaxonomy,
+    "q_report_status" -> reportStatus,
     "q_scan_filter" -> scanFilter,
     "q_queue_dedup" -> queueDedup,
     "q_semi_intersect" -> semiIntersect,

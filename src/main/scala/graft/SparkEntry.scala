@@ -132,6 +132,33 @@ object Queries {
         lit(">sub "), col("doc_id").cast("string")))
       .otherwise(concat(lit("ocr "), col("doc_id").cast("string")))
 
+  /** §2.1+§2.3 REAL byte-stream path: each doc's words typeset into an
+    * actual uncompressed PDF 1.4 byte stream (Tm-positioned Tj operators,
+    * 5 words/line), parsed back by the real-format parser
+    * ([[graft.core.pdf.PdfMini]]) through the normal extractSpan routing.
+    * The oracle recomputes the expected text from `documents` alone, so
+    * the whole build-bytes -> parse-bytes loop is correctness-gated.
+    */
+  def pdfBytes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .map { case (id, t) =>
+        val w = t.split(" ", -1)
+        val content = new StringBuilder("BT /F1 12 Tf ")
+        var li = 0
+        while (li * 5 < w.length) {
+          val line = w.slice(li * 5, math.min(w.length, li * 5 + 5)).mkString(" ")
+          content.append(s"1 0 0 1 72 ${720 - li * 14} Tm ($line) Tj ")
+          li += 1
+        }
+        content.append("ET")
+        val pdf = s"%PDF-1.4\n1 0 obj << /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\ntrailer\n%%EOF"
+        val (txt, _) = Extract.extractSpan("pdf_bytes", pdf)
+        (id, txt)
+      }
+      .toDF("doc_id", "txt")
+  }
+
   /** §2.6: per-root reconciliation counters (PST parity analog). */
   def reconcile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -153,6 +180,18 @@ object Queries {
       .extractPartitions(Corpus.spansWithFailures(spark, dir), graft.pipeline.ExtractJob.JobConfig())
       .flatMap(_._2.map(l => (l.doc_id, l.status)).iterator)
       .toDF("doc_id", "status")
+  }
+
+  /** §2.10 report maintenance: the status-histogram command over the real
+    * job's lineage output for the failure-injected corpus.
+    */
+  def reportStatus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lineage = graft.pipeline.ExtractJob
+      .extractPartitions(Corpus.spansWithFailures(spark, dir), graft.pipeline.ExtractJob.JobConfig())
+      .flatMap(_._2.map(l => (l.doc_id, l.status)).iterator)
+      .toDF("doc_id", "status")
+    graft.operators.ReportOps.statusCounts(lineage)
   }
 
   /** §2.10+§2.12: lineage rows (status + span counters) per document. */
@@ -541,6 +580,7 @@ object Queries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_extract_spans" -> (extractSpans _),
+    "q_pdf_bytes" -> (pdfBytes _),
     "q_embed_explode" -> (embedExplode _),
     "q_embed_named" -> (embedNamed _),
     "q_embed_concat" -> (embedConcat _),
@@ -549,6 +589,7 @@ object Queries {
     "q_reconcile" -> (reconcile _),
     "q_extract_lineage" -> (extractLineage _),
     "q_lineage_taxonomy" -> (lineageTaxonomy _),
+    "q_report_status" -> (reportStatus _),
     "q_scan_filter" -> (scanFilter _),
     "q_queue_dedup" -> (queueDedup _),
     "q_semi_intersect" -> (semiIntersect _),

@@ -1,0 +1,154 @@
+package graft.core.pdf
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Minimal REAL-PDF text extractor for uncompressed PDFs (PDF 1.x is a
+  * published ISO format; this parses the text-showing subset the reference
+  * exercises through PDFBox: content streams, BT/ET text objects, Td/TD/Tm/
+  * T* positioning, Tj/TJ/'/" show operators, literal strings with escapes).
+  * No object/xref resolution is attempted beyond locating stream payloads —
+  * FlateDecode'd streams are out of scope (no codec jars in the sandbox)
+  * and documented as such.
+  *
+  * Reading order mirrors [[PdfLayout]]: lines sorted by descending y (PDF's
+  * y axis points up), then x; text chunks on one line ordered by x.
+  */
+object PdfMini {
+
+  def text(bytes: Array[Byte]): String =
+    textFromLatin1(new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1))
+
+  private final case class Chunk(y: Double, x: Double, text: String)
+
+  def textFromLatin1(pdf: String): String = {
+    val chunks = ArrayBuffer.empty[Chunk]
+    var from = 0
+    while (from >= 0 && from < pdf.length) {
+      val s = pdf.indexOf("stream", from)
+      if (s < 0) from = -1
+      else {
+        // stream keyword is followed by CRLF or LF, payload runs to endstream
+        var payloadStart = s + "stream".length
+        if (payloadStart < pdf.length && pdf.charAt(payloadStart) == '\r') payloadStart += 1
+        if (payloadStart < pdf.length && pdf.charAt(payloadStart) == '\n') payloadStart += 1
+        val e = pdf.indexOf("endstream", payloadStart)
+        if (e < 0) from = -1
+        else {
+          extractStream(pdf.substring(payloadStart, e), chunks)
+          from = e + "endstream".length
+        }
+      }
+    }
+    val lines = chunks.groupBy(_.y).toSeq.sortBy(-_._1)
+    lines.iterator
+      .map { case (_, cs) => cs.sortBy(_.x).iterator.map(_.text).mkString(" ") }
+      .filter(_.nonEmpty)
+      .mkString("\n")
+  }
+
+  /** Parse one content stream's text operators. */
+  private def extractStream(s: String, out: ArrayBuffer[Chunk]): Unit = {
+    var i = 0
+    val n = s.length
+    var x = 0.0; var y = 0.0          // current text position
+    var lineX = 0.0                   // line start (Td/TD translate from here)
+    var leading = 12.0
+    var inText = false
+    var pendingStr: String = null     // last parsed literal/array string
+    val nums = ArrayBuffer.empty[Double] // numeric operand stack
+
+    def emit(str: String): Unit =
+      if (inText && str != null && str.nonEmpty) out += Chunk(y, x, str)
+
+    def parseString(start: Int): (String, Int) = {
+      // literal string with escapes and balanced-paren nesting (PDF 7.3.4.2)
+      val sb = new StringBuilder
+      var j = start + 1
+      var depth = 1
+      while (j < n && depth > 0) {
+        val c = s.charAt(j)
+        if (c == '\\' && j + 1 < n) {
+          val e = s.charAt(j + 1)
+          e match {
+            case 'n' => sb.append('\n'); j += 2
+            case 'r' => sb.append('\r'); j += 2
+            case 't' => sb.append('\t'); j += 2
+            case 'b' => sb.append('\b'); j += 2
+            case 'f' => sb.append('\f'); j += 2
+            case '(' | ')' | '\\' => sb.append(e); j += 2
+            case d if d >= '0' && d <= '7' =>
+              var k = j + 1; var v = 0; var cnt = 0
+              while (k < n && cnt < 3 && s.charAt(k) >= '0' && s.charAt(k) <= '7') {
+                v = v * 8 + (s.charAt(k) - '0'); k += 1; cnt += 1
+              }
+              sb.append(v.toChar); j = k
+            case '\n' => j += 2 // line continuation
+            case _ => sb.append(e); j += 2
+          }
+        } else {
+          if (c == '(') { depth += 1; sb.append(c) }
+          else if (c == ')') { depth -= 1; if (depth > 0) sb.append(c) }
+          else sb.append(c)
+          j += 1
+        }
+      }
+      (sb.toString, j)
+    }
+
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '(') {
+        val (str, j) = parseString(i)
+        pendingStr = str; i = j
+      } else if (c == '[') {
+        // TJ array: concatenate its strings, ignore kerning numbers
+        val sb = new StringBuilder
+        var j = i + 1
+        while (j < n && s.charAt(j) != ']') {
+          if (s.charAt(j) == '(') {
+            val (str, k) = parseString(j); sb.append(str); j = k
+          } else j += 1
+        }
+        pendingStr = sb.toString
+        i = if (j < n) j + 1 else j
+      } else if (c == '<' && i + 1 < n && s.charAt(i + 1) == '<') {
+        i += 2 // dict open — skip
+      } else if (c == '/' ) {
+        // name token: skip to delimiter
+        var j = i + 1
+        while (j < n && !s.charAt(j).isWhitespace && "()<>[]{}/%".indexOf(s.charAt(j)) < 0) j += 1
+        i = j
+      } else if (c == '-' || c == '.' || (c >= '0' && c <= '9')) {
+        var j = i + 1
+        while (j < n && (s.charAt(j) == '.' || (s.charAt(j) >= '0' && s.charAt(j) <= '9'))) j += 1
+        nums += s.substring(i, j).toDouble
+        i = j
+      } else {
+        // operator token
+        var j = i + 1
+        while (j < n && !s.charAt(j).isWhitespace && "()<>[]{}/%".indexOf(s.charAt(j)) < 0) j += 1
+        val op = s.substring(i, j)
+        op match {
+          case "BT" => inText = true; x = 0; y = 0; lineX = 0
+          case "ET" => inText = false
+          case "Td" if nums.size >= 2 =>
+            lineX += nums(nums.size - 2); y += nums.last; x = lineX
+          case "TD" if nums.size >= 2 =>
+            leading = -nums.last; lineX += nums(nums.size - 2); y += nums.last; x = lineX
+          case "TL" if nums.nonEmpty => leading = nums.last
+          case "Tm" if nums.size >= 6 =>
+            lineX = nums(nums.size - 2); x = lineX; y = nums.last
+          case "T*" => y -= leading; x = lineX
+          case "Tj" => emit(pendingStr); pendingStr = null
+          case "TJ" => emit(pendingStr); pendingStr = null
+          case "'" => y -= leading; x = lineX; emit(pendingStr); pendingStr = null
+          case "\"" => y -= leading; x = lineX; emit(pendingStr); pendingStr = null
+          case _ => ()
+        }
+        nums.clear()
+        i = if (j > i) j else i + 1
+      }
+    }
+  }
+}

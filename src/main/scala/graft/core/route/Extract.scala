@@ -72,11 +72,12 @@ object Extract {
       (t, "")
     }
     else kind match {
-      case "html"  => (HtmlExtractor.mainText(t), "")
-      case "pdf"   => (PdfLayout.text(t), "")
-      case "text"  => (t, "")
-      case "media" => (t, "") // OCR/media passthrough (north rule): text + media_ref unchanged
-      case _       => ("", Reason.Unsupported)
+      case "html"      => (HtmlExtractor.mainText(t), "")
+      case "pdf"       => (PdfLayout.text(t), "")
+      case "pdf_bytes" => (graft.core.pdf.PdfMini.textFromLatin1(t), "") // REAL uncompressed-PDF bytes (Ingest)
+      case "text"      => (t, "")
+      case "media"     => (t, "") // OCR/media passthrough (north rule): text + media_ref unchanged
+      case _           => ("", Reason.Unsupported)
     }
   }
 

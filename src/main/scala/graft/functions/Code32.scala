@@ -52,6 +52,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.code32Descriptor)
     TextFunctions.descriptors.foreach(ext.injectFunction)
+    ext.injectFunction(ExtractSpansExpr.descriptor)
   }
 }
 
@@ -66,7 +67,8 @@ object GraftFunctions {
     * config (idempotent).
     */
   def ensureRegistered(spark: SparkSession): Unit =
-    (code32Descriptor +: TextFunctions.descriptors).foreach { case (id, info, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-    }
+    (code32Descriptor +: ExtractSpansExpr.descriptor +: TextFunctions.descriptors)
+      .foreach { case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+      }
 }

@@ -320,9 +320,13 @@ object ExtractJob {
 
   /** Throughput-only variant for the bench harness: same plan shape, no
     * intermediate writes — extraction forced by a count over the combined
-    * rows.
+    * rows. The filter is COLUMNAR (lineage.isNotNull on the encoded row),
+    * so the count never re-deserializes the DocOut objects it just encoded —
+    * a typed `.filter(_._2.isDefined)` would decode every row a second time
+    * and overstate pipeline cost.
     */
   def runCount(spark: SparkSession, input: Dataset[DocIn], cfg: JobConfig = JobConfig()): Long =
     extractPartitions(prepare(input, cfg), cfg)
-      .filter(_._2.isDefined).count()
+      .toDF("doc", "lineage")
+      .filter(col("lineage").isNotNull).count()
 }

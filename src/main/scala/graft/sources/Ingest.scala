@@ -1,0 +1,68 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.core.{DocIn, SpanIn}
+
+/** Real byte-stream ingestion — the reference's file-walk + MIME-sniff front
+  * end (`Extractor.java:937` AutoDetectParser magic-byte detection) for the
+  * span model: a directory of real files becomes DocIn rows whose span kind
+  * is sniffed from leading bytes, with PDF bytes routed to the real
+  * [[graft.core.pdf.PdfMini]] parser and HTML/text decoded as UTF-8.
+  *
+  * Bytes ride in `SpanIn.text` as ISO-8859-1 (a lossless byte<->char
+  * codec), so the existing string span model carries binary payloads
+  * unchanged — the kind tells the router how to decode.
+  */
+object Ingest {
+
+  /** Magic-byte MIME sniff (public magic numbers): %PDF -> pdf_bytes,
+    * <!doctype/<html -> html, PK\x03\x04 -> zip container (unparsed here),
+    * mostly-printable -> text, else bin.
+    */
+  def sniffKind(bytes: Array[Byte]): String = {
+    def startsWith(sig: Array[Byte]): Boolean =
+      bytes.length >= sig.length && sig.indices.forall(i => bytes(i) == sig(i))
+    val lowerHead = new String(bytes.take(64), StandardCharsets.ISO_8859_1)
+      .toLowerCase(java.util.Locale.ROOT)
+    if (startsWith("%PDF".getBytes(StandardCharsets.ISO_8859_1))) "pdf_bytes"
+    else if (lowerHead.startsWith("<!doctype") || lowerHead.startsWith("<html")) "html"
+    else if (startsWith(Array[Byte](0x50, 0x4b, 0x03, 0x04))) "zip"
+    else {
+      val probe = bytes.take(512)
+      if (probe.nonEmpty && probe.count(b => b >= 0x20 || b == '\n' || b == '\r' || b == '\t') * 10 >= probe.length * 9)
+        "text"
+      else "bin"
+    }
+  }
+
+  /** Stable 63-bit doc id from the file path (content-independent, so
+    * re-ingesting a changed file keeps its identity — the reference's
+    * path-derived ids).
+    */
+  def pathId(path: String): Long = {
+    val h = graft.core.Ids.sha256(path)
+    java.lang.Long.parseUnsignedLong(h.substring(0, 15), 16)
+  }
+
+  /** Ingest a directory of real files via Spark's binaryFile source: one
+    * DocIn per file, one span of the sniffed kind. Distributed read —
+    * binaryFile splits files across partitions by size.
+    */
+  def readDir(spark: SparkSession, dir: String, glob: String = "*"): Dataset[DocIn] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .map { case (path, bytes) =>
+        val kind = sniffKind(bytes)
+        val text = kind match {
+          case "html" | "text" => new String(bytes, StandardCharsets.UTF_8)
+          case _ => new String(bytes, StandardCharsets.ISO_8859_1) // lossless bytes
+        }
+        DocIn(pathId(path), Array(SpanIn(kind, text, "", 0)))
+      }
+  }
+}
