@@ -82,18 +82,39 @@ object Dedup {
     }
   }
 
-  /** MinHash+LSH near-duplicate candidate pairs (a<b, distinct). */
-  def minhashPairs(spark: SparkSession, docs: DataFrame): DataFrame = {
-    import spark.implicits._
-    val buckets = docs
-      .select("doc_id", "text").as[(Long, String)]
-      .flatMap { case (id, t) => bandKeys(minhashSig(t)).map(k => (k, id)) }
-      .toDF("bucket", "doc_id")
-    buckets.as("l").join(buckets.as("r"), col("l.bucket") === col("r.bucket")
+  /** MinHash+LSH near-duplicate candidate pairs (a<b, distinct), with a
+    * deterministic per-bucket candidate cap: near-empty/templated documents
+    * share entire signatures, and an uncapped hot band bucket goes
+    * quadratic (|bucket|^2 pairs). Members beyond `bucketCap` (lowest
+    * doc_ids kept — plan- and retry-stable) are dropped and observable via
+    * [[hotBuckets]], never silently.
+    */
+  def minhashPairs(spark: SparkSession, docs: DataFrame,
+                   bucketCap: Int = 10000): DataFrame = {
+    val buckets = minhashBuckets(spark, docs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("doc_id")
+    val capped = buckets.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= bucketCap).drop("rk")
+    capped.as("l").join(capped.as("r"), col("l.bucket") === col("r.bucket")
         && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
       .distinct()
   }
+
+  /** (bucket, doc_id) band-bucket membership rows. */
+  def minhashBuckets(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select("doc_id", "text").as[(Long, String)]
+      .flatMap { case (id, t) => bandKeys(minhashSig(t)).map(k => (k, id)) }
+      .toDF("bucket", "doc_id")
+  }
+
+  /** Band-bucket occupancy vs the cap — the no-silent-caps record. */
+  def hotBuckets(spark: SparkSession, docs: DataFrame, bucketCap: Int): DataFrame =
+    minhashBuckets(spark, docs)
+      .groupBy("bucket").agg(count(lit(1)).as("n_members"))
+      .withColumn("n_kept", least(col("n_members"), lit(bucketCap.toLong)))
 
   /** SimHash signatures (map-only; one row per doc). */
   def simhash(spark: SparkSession, docs: DataFrame): DataFrame = {

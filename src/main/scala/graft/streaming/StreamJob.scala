@@ -100,7 +100,7 @@ object StreamJob {
               state.update(SessionState(s.sessionId + 1, 0, s.lastSec, s.lastSec))
               // must stay above the current watermark or set() throws
               state.setTimeoutTimestamp(math.max(
-                state.getCurrentWatermarkMs + GapSeconds * 1000,
+                state.getCurrentWatermarkMs() + GapSeconds * 1000,
                 s.lastSec * 1000 + 2 * GapSeconds * 1000))
               Iterator.single(SessionOut(userId, s.sessionId, s.n, s.startSec, s.lastSec))
             } else {

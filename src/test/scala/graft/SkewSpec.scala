@@ -41,4 +41,19 @@ class SkewSpec extends AnyFunSuite {
       v.fold(conf.unset(k))(conf.set(k, _))
     }
   }
+
+  test("minhash bucket cap bounds a templated-document hot bucket, reported") {
+    import spark.implicits._
+    // 300 byte-identical templated docs: every band bucket is shared by all
+    val docs = ((0 until 300).map(i => (i.toLong, "the same template text here")) ++
+      (300 until 350).map(i => (i.toLong, s"unique content number $i with words")))
+      .toDF("doc_id", "text")
+    val cap = 20
+    val pairs = graft.operators.Dedup.minhashPairs(spark, docs, cap)
+    // uncapped would be C(300,2)=44850 pairs from the hot bucket alone;
+    // capped: only the 20 lowest-id templated docs pair up -> C(20,2)
+    assert(pairs.filter(col("a") < 300 && col("b") < 300).count() == 190)
+    val hot = graft.operators.Dedup.hotBuckets(spark, docs, cap)
+    assert(hot.filter(col("n_members") > col("n_kept")).count() > 0)
+  }
 }
