@@ -452,6 +452,22 @@ object Oracle {
        | greatest(16, (64 + (${byteAt("text", "2")}%8)*16)//4)::BIGINT AS thumb_h
        |FROM documents""".stripMargin
 
+  /** Expected REAL-PNG decode output, recomputed arithmetically (the PNG is
+    * lossless and solid-colored, so decode/resize must recover exactly
+    * these values from the bytes).
+    */
+  private val mediaDecode: String =
+    """SELECT doc_id,
+      | (16 + doc_id%16)::BIGINT AS width,
+      | (16 + doc_id%11)::BIGINT AS height,
+      | (doc_id%256)::BIGINT AS r,
+      | ((doc_id*7)%256)::BIGINT AS g,
+      | ((doc_id*13)%256)::BIGINT AS b,
+      | ((16 + doc_id%16)//2)::BIGINT AS thumb_w,
+      | ((16 + doc_id%11)//2)::BIGINT AS thumb_h,
+      | (doc_id%256)::BIGINT AS thumb_r
+      |FROM documents""".stripMargin
+
   private val mediaFrames: String =
     s"""WITH f AS (SELECT doc_id, text,
        |  unnest(generate_series(0, octet_length(encode(text))//64, 4)) AS fi FROM documents)
@@ -524,6 +540,7 @@ object Oracle {
     "q_sessionize" -> sessionize,
     "q_expr_code32" -> exprCode32,
     "q_media_meta" -> mediaMeta,
+    "q_media_decode" -> mediaDecode,
     "q_media_frames" -> mediaFrames,
     "q_tpch_q1" -> tpchQ1,
     "q_join_topn" -> joinTopn,

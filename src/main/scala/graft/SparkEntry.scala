@@ -531,6 +531,14 @@ object Queries {
   def mediaMeta(spark: SparkSession, dir: String): DataFrame =
     Media.decodeAll(spark, docs(spark, dir))
 
+  /** REAL image decode via JDK ImageIO: actual PNG bytes (dims/color a pure
+    * function of doc_id) decoded and resized by the engine; the oracle
+    * recomputes the expected values arithmetically — the engine only
+    * matches if the real decode recovered them from the bytes.
+    */
+  def mediaDecode(spark: SparkSession, dir: String): DataFrame =
+    Media.decodeImages(spark, docs(spark, dir))
+
   def mediaFrames(spark: SparkSession, dir: String): DataFrame =
     Media.sampleFrames(spark, docs(spark, dir))
 
@@ -620,6 +628,7 @@ object Queries {
     "q_sessionize" -> (sessionize _),
     "q_expr_code32" -> (exprCode32 _),
     "q_media_meta" -> (mediaMeta _),
+    "q_media_decode" -> (mediaDecode _),
     "q_media_frames" -> (mediaFrames _),
     "q_tpch_q1" -> (tpchQ1 _),
     "q_join_topn" -> (joinTopn _),

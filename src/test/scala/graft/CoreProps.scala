@@ -23,6 +23,17 @@ object CoreProps extends Properties("graft.core") {
       PdfLayout.text(Corpus.pdfPayload(w)) == w.mkString(" ")
     }
 
+  property("real PDF bytes round-trip through PdfMini (Tm-positioned lines)") =
+    Prop.forAll(words) { w =>
+      val sb = new StringBuilder("%PDF-1.4\nstream\nBT ")
+      val lines = w.grouped(5).map(_.mkString(" ")).toVector
+      lines.zipWithIndex.foreach { case (line, i) =>
+        sb.append(s"1 0 0 1 72 ${720 - i * 14} Tm ($line) Tj ")
+      }
+      sb.append("ET\nendstream")
+      graft.core.pdf.PdfMini.textFromLatin1(sb.toString) == lines.mkString("\n")
+    }
+
   property("corpus html wrap round-trips through the boilerplate stripper") =
     Prop.forAll(Gen.choose(0L, 1000000L), words) { (id, w) =>
       val a = w.mkString(" ")
