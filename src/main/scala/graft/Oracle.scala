@@ -260,6 +260,27 @@ object Oracle {
        | (least(40, n//2) + least(30, 100*n_stop//n) + least(30, (100*uniq//n)//3))::BIGINT AS score
        |FROM c""".stripMargin
 
+  private val qualityGopher: String =
+    s"""WITH c AS (SELECT doc_id,
+       |  string_split(text,' ') AS w,
+       |  len(string_split(text,' ')) AS n FROM documents),
+       |m AS (SELECT doc_id, n,
+       |  list_sum(list_transform(w, x -> len(x))) AS len_sum,
+       |  len(list_filter(w, x -> x IN $stopEnSql)) AS n_stop,
+       |  len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha,
+       |  len(list_distinct(w)) AS uniq
+       | FROM c)
+       |SELECT doc_id, n::BIGINT AS n_words,
+       | (100*len_sum//n)::BIGINT AS mean_wlen_x100,
+       | n_stop::BIGINT AS n_stop,
+       | (100*alpha//n)::BIGINT AS alpha_pct,
+       | (100*uniq//n)::BIGINT AS uniq_pct,
+       | (CASE WHEN n BETWEEN 10 AND 100000
+       |   AND 100*len_sum//n BETWEEN 200 AND 1200
+       |   AND n_stop >= 1 AND 100*alpha//n >= 80 AND 100*uniq//n >= 20
+       |  THEN 1 ELSE 0 END)::BIGINT AS passes
+       |FROM m""".stripMargin
+
   private val tokenCount: String =
     """SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_ws,
       | list_sum(list_transform(string_split(text,' '), x -> (len(x)+3)//4))::BIGINT AS n_subword
@@ -524,6 +545,7 @@ object Oracle {
     "q_media_links" -> mediaLinks,
     "q_lang_id" -> langId,
     "q_quality" -> quality,
+    "q_quality_gopher" -> qualityGopher,
     "q_token_count" -> tokenCount,
     "q_fingerprint" -> fingerprint,
     "q_winnow" -> winnow,

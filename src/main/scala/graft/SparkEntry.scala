@@ -382,6 +382,21 @@ object Queries {
       .toDF("doc_id", "n_tokens", "n_chars", "n_stop", "uniq_pct", "score")
   }
 
+  /** Gopher-style quality rules (Rae et al. 2021): per-doc rule inputs and
+    * the pass/fail verdict, all integer-exact.
+    */
+  def qualityGopher(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .map { case (id, t) =>
+        val g = TextStats.gopher(t)
+        (id, g.nWords.toLong, g.meanWlenX100, g.nStop.toLong,
+          g.alphaPctX100, g.uniqPctX100, g.passes.toLong)
+      }
+      .toDF("doc_id", "n_words", "mean_wlen_x100", "n_stop",
+        "alpha_pct", "uniq_pct", "passes")
+  }
+
   def tokenCountQ(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     docs(spark, dir).select("doc_id", "text").as[(Long, String)]
@@ -612,6 +627,7 @@ object Queries {
     "q_media_links" -> (mediaLinks _),
     "q_lang_id" -> (langIdQ _),
     "q_quality" -> (qualityQ _),
+    "q_quality_gopher" -> (qualityGopher _),
     "q_token_count" -> (tokenCountQ _),
     "q_fingerprint" -> (fingerprintQ _),
     "q_winnow" -> (winnowQ _),

@@ -77,6 +77,43 @@ object TextStats {
     Quality(n, text.length, nStop, uniqPct, score)
   }
 
+  final case class Gopher(
+      nWords: Int,
+      meanWlenX100: Long, // 100*sum(len)/n, integer division
+      nStop: Int,
+      alphaPctX100: Long, // 100*words-with-an-alphabetic-char/n
+      uniqPctX100: Long,  // 100*distinct/n
+      passes: Int         // 1 iff every rule holds
+  )
+
+  /** Gopher-style document quality rules (Rae et al. 2021, public paper):
+    * word-count bounds, mean-word-length bounds, minimum stop-word
+    * presence, minimum fraction of alphabetic words, minimum lexical
+    * diversity. Integer-exact, oracle-mirrored (q_quality_gopher).
+    */
+  def gopher(text: String): Gopher = {
+    val w = tokens(text)
+    val n = w.length
+    if (n == 0) return Gopher(0, 0L, 0, 0L, 0L, 0)
+    var lenSum = 0L
+    var alpha = 0
+    var i = 0
+    while (i < n) {
+      lenSum += w(i).length
+      if (w(i).exists(_.isLetter)) alpha += 1
+      i += 1
+    }
+    val nStop = w.count(StopEn.contains)
+    val meanX100 = 100L * lenSum / n
+    val alphaX100 = 100L * alpha / n
+    val uniqX100 = 100L * w.toSet.size / n
+    val passes =
+      if (n >= 10 && n <= 100000 &&
+        meanX100 >= 200 && meanX100 <= 1200 &&
+        nStop >= 1 && alphaX100 >= 80 && uniqX100 >= 20) 1 else 0
+    Gopher(n, meanX100, nStop, alphaX100, uniqX100, passes)
+  }
+
   /** Polynomial document fingerprint over md5-derived word codes:
     * fp = (sum_i (code32(w_i) mod 1000003) * 31^(i mod 8)) mod P.
     * The modulus is applied per step (mathematically identical to the

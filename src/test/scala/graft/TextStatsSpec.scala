@@ -6,6 +6,31 @@ import graft.core.Ids
 
 class TextStatsSpec extends AnyFunSuite {
 
+  test("n-gram LangId classifies real sentences in four languages") {
+    import graft.core.text.LangId
+    assert(LangId.classify("the quick brown fox jumps over the lazy dog and runs into the woods") == "en")
+    assert(LangId.classify("le chat noir dort dans la maison et les enfants jouent dans le jardin") == "fr")
+    assert(LangId.classify("der schnelle braune fuchs springt über den faulen hund und läuft in den wald") == "de")
+    assert(LangId.classify("el perro corre por la calle y los niños juegan en el parque con una pelota") == "es")
+    assert(LangId.classify("") == "und")
+    assert(LangId.classify("zzz qqq xxx") == "und")
+  }
+
+  test("gopher rules: a normal doc passes, degenerate docs fail the named rule") {
+    import graft.core.text.TextStats
+    val good = TextStats.gopher("the cat sat on the mat and then the dog ran off to town")
+    assert(good.passes == 1)
+    assert(TextStats.gopher("a b").passes == 0) // too few words
+    // no stopwords
+    assert(TextStats.gopher("zebra yak xylophone walrus vulture toad snake rat quail pig").nStop == 0)
+    assert(TextStats.gopher("zebra yak xylophone walrus vulture toad snake rat quail pig").passes == 0)
+    // repeated single word: uniq 10% < 20%
+    assert(TextStats.gopher(Seq.fill(20)("the").mkString(" ")).passes == 0)
+    // numeric tokens: alpha% = 0
+    assert(TextStats.gopher(Seq.tabulate(20)(i => s"$i$i").mkString(" ")).alphaPctX100 == 0)
+  }
+
+
   test("token counts: whitespace + subword estimate") {
     val (ws, sub) = TextStats.tokenCounts("abcd efghijkl m")
     assert(ws == 3)
