@@ -342,6 +342,13 @@ object Oracle {
        |SELECT doc_id, sum(CASE WHEN s>0 THEN (1::BIGINT<<b) ELSE 0 END)::BIGINT AS simhash
        |FROM bt GROUP BY doc_id""".stripMargin
 
+  private val dedupEdit: String =
+    s"""SELECT cand.a, cand.b, levenshtein(da.text, db.text)::BIGINT AS dist
+       |FROM ( $dedupMinhash ) cand
+       |JOIN $dupDocs da ON da.doc_id=cand.a
+       |JOIN $dupDocs db ON db.doc_id=cand.b
+       |WHERE levenshtein(da.text, db.text) <= 20""".stripMargin
+
   /** Shared by the jaccard queries: injected ubiquitous bigram + distinct
     * shingles + the df>N/10 hot set.
     */
@@ -552,6 +559,7 @@ object Oracle {
     "q_profile" -> profile,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinhash,
+    "q_dedup_edit" -> dedupEdit,
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_jaccard" -> dedupJaccard,
     "q_jaccard_dropped" -> jaccardDropped,

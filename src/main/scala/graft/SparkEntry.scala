@@ -462,6 +462,15 @@ object Queries {
   /** SimHash via the native codegen'd expression (Scala twin:
     * Dedup.simhash / TextStats.simhash32).
     */
+  /** LSH-candidates -> edit-distance verification (the two-stage dedup
+    * pipeline): MinHash proposes, levenshtein confirms exact/near copies.
+    */
+  def dedupEdit(spark: SparkSession, dir: String): DataFrame = {
+    val injected = Dedup.withInjectedDups(docs(spark, dir))
+    val candidates = Dedup.minhashPairs(spark, injected)
+    Dedup.editVerify(injected, candidates, maxDist = 20)
+  }
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     docs(spark, dir).select(col("doc_id"),
@@ -634,6 +643,7 @@ object Queries {
     "q_profile" -> (profile _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash" -> (dedupMinhash _),
+    "q_dedup_edit" -> (dedupEdit _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_jaccard" -> (dedupJaccard _),
     "q_jaccard_dropped" -> (jaccardDropped _),

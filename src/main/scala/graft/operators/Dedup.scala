@@ -102,6 +102,21 @@ object Dedup {
       .distinct()
   }
 
+  /** Candidate-verification stage of the dedup pipeline: LSH candidates are
+    * cheap but approximate; this re-joins each candidate pair to its texts
+    * and keeps pairs within `maxDist` edit distance (Spark's builtin
+    * codegen'd levenshtein — classic DP, identical semantics in DuckDB, so
+    * the stage is oracle-checkable). The pair set is the bounded side and
+    * broadcasts; texts stream through once.
+    */
+  def editVerify(docs: DataFrame, candidates: DataFrame, maxDist: Int): DataFrame =
+    docs.select(col("doc_id").as("a"), col("text").as("ta"))
+      .join(broadcast(candidates), "a")
+      .join(docs.select(col("doc_id").as("b"), col("text").as("tb")), "b")
+      .withColumn("dist", levenshtein(col("ta"), col("tb")))
+      .filter(col("dist") <= maxDist)
+      .select("a", "b", "dist")
+
   /** (bucket, doc_id) band-bucket membership rows. */
   def minhashBuckets(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._

@@ -67,6 +67,18 @@ object StreamJob {
       .start()
   }
 
+  /** Streaming exact deduplication — the DocumentQueue.removeDuplicates
+    * semantics on an unbounded stream: state is bounded by the watermark
+    * (a duplicate arriving within the lateness horizon is dropped; state
+    * older than the watermark is evicted), so the operator runs forever at
+    * O(watermark-window) memory instead of O(stream) — the only dedup
+    * contract that survives an unbounded source.
+    */
+  def dedupStream(events: Dataset[Event]): Dataset[Event] =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Tumbling 5-minute windowed counts with a 30-minute watermark. */
   def windowedCounts(events: Dataset[Event]): DataFrame =
     events

@@ -92,6 +92,23 @@ class StreamJobSpec extends AnyFunSuite {
       .select("doc.doc_id").distinct().count() == 2)
   }
 
+  test("streaming dedup drops watermark-window duplicates across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = StreamJob.dedupStream(src.toDS())
+      .writeStream.format("memory").queryName("dedup").outputMode(OutputMode.Append).start()
+    try {
+      src.addData(Event(1, ts(100), 1, "a", 0), Event(2, ts(150), 1, "a", 0))
+      q.processAllAvailable()
+      // same event_id replayed in a LATER batch, still inside the watermark
+      src.addData(Event(1, ts(160), 1, "a", 0), Event(3, ts(200), 2, "b", 0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").as[Event].collect().map(_.event_id).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L)) // each id exactly once
+    } finally q.stop()
+  }
+
   test("streaming sessionization matches the batch gap rule") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
