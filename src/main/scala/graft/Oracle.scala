@@ -249,6 +249,38 @@ object Oracle {
        |  WHEN fr>=de AND fr>0 THEN 'fr' WHEN de>0 THEN 'de' ELSE 'und' END AS lang_pred
        |FROM c""".stripMargin
 
+  /** Per-language scoring CASE generated from LangId.Profiles — the SQL
+    * oracle and the Scala classifier share one profile definition.
+    */
+  private def langCase(grams: Vector[String]): String =
+    "sum(CASE tg " + grams.zipWithIndex.map { case (g, i) =>
+      s"WHEN '$g' THEN ${grams.length - i}"
+    }.mkString(" ") + " ELSE 0 END)"
+
+  private val langTrigram: String = {
+    val profs = graft.core.text.LangId.Profiles.toMap
+    s"""WITH base AS (SELECT doc_id, ' '||lower(text)||' ' AS t FROM documents),
+       |g AS (SELECT doc_id, substr(t, i, 3) AS tg
+       |      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM base)),
+       |s AS (SELECT doc_id,
+       |  ${langCase(profs("en"))} AS en,
+       |  ${langCase(profs("fr"))} AS fr,
+       |  ${langCase(profs("de"))} AS de,
+       |  ${langCase(profs("es"))} AS es
+       | FROM g GROUP BY doc_id),
+       |c AS (SELECT b.doc_id, coalesce(en,0) AS en, coalesce(fr,0) AS fr,
+       |             coalesce(de,0) AS de, coalesce(es,0) AS es
+       |      FROM base b LEFT JOIN s USING(doc_id))
+       |SELECT doc_id,
+       | CASE WHEN en>0 AND en>=fr AND en>=de AND en>=es THEN 'en'
+       |      WHEN fr>0 AND fr>=de AND fr>=es THEN 'fr'
+       |      WHEN de>0 AND de>=es THEN 'de'
+       |      WHEN es>0 THEN 'es' ELSE 'und' END AS lang_pred,
+       | en::BIGINT AS s_en, fr::BIGINT AS s_fr,
+       | de::BIGINT AS s_de, es::BIGINT AS s_es
+       |FROM c""".stripMargin
+  }
+
   private val quality: String =
     s"""WITH c AS (SELECT doc_id, len(text) AS n_chars,
        |  len(string_split(text,' ')) AS n,
@@ -348,6 +380,15 @@ object Oracle {
        |JOIN $dupDocs da ON da.doc_id=cand.a
        |JOIN $dupDocs db ON db.doc_id=cand.b
        |WHERE levenshtein(da.text, db.text) <= 20""".stripMargin
+
+  private val decontaminate: String =
+    """WITH sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+1],' ') AS s
+      | FROM (SELECT doc_id, string_split(text,' ') AS w,
+      |       unnest(generate_series(1, len(string_split(text,' '))-1)) AS i FROM documents)),
+      |b AS (SELECT DISTINCT s FROM sh WHERE doc_id%97=0)
+      |SELECT doc_id, count(*)::BIGINT AS n_shared
+      |FROM sh JOIN b USING(s) WHERE doc_id%97<>0
+      |GROUP BY doc_id HAVING count(*) >= 20""".stripMargin
 
   /** Shared by the jaccard queries: injected ubiquitous bigram + distinct
     * shingles + the df>N/10 hot set.
@@ -551,6 +592,7 @@ object Oracle {
     "q_ocr_cache" -> ocrCache,
     "q_media_links" -> mediaLinks,
     "q_lang_id" -> langId,
+    "q_lang_trigram" -> langTrigram,
     "q_quality" -> quality,
     "q_quality_gopher" -> qualityGopher,
     "q_token_count" -> tokenCount,
@@ -560,6 +602,7 @@ object Oracle {
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_edit" -> dedupEdit,
+    "q_decontaminate" -> decontaminate,
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_jaccard" -> dedupJaccard,
     "q_jaccard_dropped" -> jaccardDropped,

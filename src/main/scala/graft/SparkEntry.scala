@@ -372,6 +372,21 @@ object Queries {
       .toDF("doc_id", "lang_pred")
   }
 
+  /** The production trigram classifier, oracle-checked: per-language rank
+    * scores AND the argmax label (the oracle generates its scoring CASEs
+    * from LangId.Profiles — same data, zero drift).
+    */
+  def langTrigram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .map { case (id, t) =>
+        val s = graft.core.text.LangId.scores(t).toMap
+        (id, graft.core.text.LangId.classify(t),
+          s("en"), s("fr"), s("de"), s("es"))
+      }
+      .toDF("doc_id", "lang_pred", "s_en", "s_fr", "s_de", "s_es")
+  }
+
   def qualityQ(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     docs(spark, dir).select("doc_id", "text").as[(Long, String)]
@@ -510,6 +525,16 @@ object Queries {
   private def probes100(spark: SparkSession, dir: String): DataFrame =
     emb(spark, dir).filter(col("vec_id") % 100 === 0).select("vec_id")
 
+  /** Benchmark decontamination: docs sharing >=20 distinct bigrams with the
+    * benchmark slice (doc_id%97==0) are flagged for exclusion.
+    */
+  def decontaminateQ(spark: SparkSession, dir: String): DataFrame = {
+    val all = docs(spark, dir)
+    Dedup.decontaminate(spark,
+      all.filter(col("doc_id") % 97 =!= 0),
+      all.filter(col("doc_id") % 97 === 0), minShared = 20)
+  }
+
   def dedupCosine(spark: SparkSession, dir: String): DataFrame =
     Knn.cosinePairs(spark, emb(spark, dir), probes50(spark, dir), 0.3)
 
@@ -635,6 +660,7 @@ object Queries {
     "q_ocr_cache" -> (ocrCache _),
     "q_media_links" -> (mediaLinks _),
     "q_lang_id" -> (langIdQ _),
+    "q_lang_trigram" -> (langTrigram _),
     "q_quality" -> (qualityQ _),
     "q_quality_gopher" -> (qualityGopher _),
     "q_token_count" -> (tokenCountQ _),
@@ -644,6 +670,7 @@ object Queries {
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_edit" -> (dedupEdit _),
+    "q_decontaminate" -> (decontaminateQ _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_jaccard" -> (dedupJaccard _),
     "q_jaccard_dropped" -> (jaccardDropped _),

@@ -16,9 +16,11 @@ package graft.core.text
 object LangId {
 
   /** Rank-ordered trigram profiles (most characteristic first). Spaces
-    * mark word boundaries, as in the paper's padded n-grams.
+    * mark word boundaries, as in the paper's padded n-grams. Public so the
+    * SQL oracle generates its scoring CASEs from the SAME profile data —
+    * the two scorers cannot drift.
     */
-  private val Profiles: Seq[(String, Vector[String])] = Seq(
+  val Profiles: Seq[(String, Vector[String])] = Seq(
     "en" -> Vector(
       " th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", "ng ",
       " to", "to ", "ion", "ed ", " in", "in ", "tio", "ent", " is", "is ",
@@ -48,22 +50,25 @@ object LangId {
     Iterator.range(0, math.max(0, t.length - 2)).map(i => t.substring(i, i + 3))
   }
 
+  /** Per-language rank-weight scores, in profile order. */
+  def scores(text: String): Seq[(String, Long)] = {
+    val grams =
+      if (text == null) Array.empty[String] else trigrams(text).toArray
+    ProfileMaps.map { case (lang, weights) =>
+      var s = 0L
+      var i = 0
+      while (i < grams.length) { s += weights.getOrElse(grams(i), 0); i += 1 }
+      lang -> s
+    }
+  }
+
   /** Classify: argmax of summed rank weights; ties break by profile order;
     * zero everywhere -> "und".
     */
   def classify(text: String): String = {
-    if (text == null || text.isEmpty) return "und"
     var best = "und"
     var bestScore = 0L
-    val grams = trigrams(text).toArray
-    ProfileMaps.foreach { case (lang, weights) =>
-      var s = 0L
-      var i = 0
-      while (i < grams.length) {
-        val w = weights.getOrElse(grams(i), 0)
-        s += w
-        i += 1
-      }
+    scores(text).foreach { case (lang, s) =>
       if (s > bestScore) { bestScore = s; best = lang }
     }
     best

@@ -188,6 +188,19 @@ object Dedup {
       .select("a", "b", "inter", "uni")
   }
 
+  /** Benchmark decontamination (standard training-data hygiene, GPT-3-style
+    * n-gram overlap): flag corpus docs sharing at least `minShared` distinct
+    * shingles with the UNION of benchmark shingles. The benchmark shingle
+    * set is small by definition — it broadcasts, and the corpus side never
+    * shuffles: flag computation is a map-side semi-join + partial-agg count.
+    */
+  def decontaminate(spark: SparkSession, corpus: DataFrame, benchmark: DataFrame,
+                    minShared: Long): DataFrame =
+    shingled(spark, corpus)
+      .join(broadcast(shingled(spark, benchmark).select("shingle").distinct()), "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+
   /** The shingles [[ngramJaccard]] dropped at `dfCap` — the no-silent-caps
     * record: (n_dropped distinct shingles, max document frequency seen).
     */

@@ -52,6 +52,27 @@ object Sink {
     writeAtomic(spark, path, merged)
   }
 
+  /** Small-file compaction for an append-heavy parquet dir (the incremental
+    * commit protocol appends run dirs; long-lived tables eventually want
+    * fewer, larger files — on Iceberg this is rewrite_data_files). Sizes
+    * the output file count from the actual on-disk bytes and rewrites
+    * atomically via [[writeAtomic]]; COALESCE (not repartition) merges
+    * splits map-side with no shuffle. Returns the output file count.
+    */
+  def compact(spark: SparkSession, path: String,
+              targetBytesPerFile: Long = 128L << 20): Int = {
+    val totalBytes = {
+      def sizeOf(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(sizeOf).sum).getOrElse(0L)
+        else f.length()
+      sizeOf(new java.io.File(path))
+    }
+    val nFiles = math.max(1, ((totalBytes + targetBytesPerFile - 1) / targetBytesPerFile).toInt)
+    val df = spark.read.parquet(path).coalesce(nFiles)
+    writeAtomic(spark, path, df)
+    nFiles
+  }
+
   /** FileSpewer analog (`FileSpewer.java:30-78`): one output file per
     * document (`<doc_id>.txt`, spans joined by newline), written from the
     * partitions. A per-document IO failure becomes a FAILURE_NOT_SAVED

@@ -62,6 +62,19 @@ class SinkSpec extends AnyFunSuite {
     assert(new String(Files.readAllBytes(Paths.get(dir, "aaa.txt"))) == "hello")
   }
 
+  test("compact merges a many-small-files dir losslessly") {
+    import spark.implicits._
+    val path = tmp()
+    (1 to 3000).toDF("x").repartition(30).write.parquet(path)
+    def parquetFiles = new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles == 30)
+    val n = Sink.compact(spark, path) // tiny data -> 1 target file
+    assert(n == 1 && parquetFiles == 1)
+    assert(spark.read.parquet(path).agg(org.apache.spark.sql.functions.sum("x"))
+      .first().getLong(0) == 3000L * 3001 / 2)
+  }
+
   test("writeAtomic: old data fully replaced, no mixed state") {
     import spark.implicits._
     val path = tmp()
