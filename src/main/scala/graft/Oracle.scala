@@ -537,6 +537,16 @@ object Oracle {
       | (doc_id%256)::BIGINT AS thumb_r
       |FROM documents""".stripMargin
 
+  /** Expected REAL-WAV decode output, recomputed arithmetically. */
+  private val mediaAudio: String =
+    """SELECT doc_id,
+      | (8000 + (doc_id%4)*4000)::BIGINT AS sample_rate,
+      | 1::BIGINT AS channels, 16::BIGINT AS bits,
+      | (100 + doc_id%50)::BIGINT AS n_frames,
+      | (doc_id%1000)::BIGINT AS first_sample,
+      | ((100 + doc_id%50)*1000000//(8000 + (doc_id%4)*4000))::BIGINT AS dur_us
+      |FROM documents""".stripMargin
+
   private val mediaFrames: String =
     s"""WITH f AS (SELECT doc_id, text,
        |  unnest(generate_series(0, octet_length(encode(text))//64, 4)) AS fi FROM documents)
@@ -614,6 +624,7 @@ object Oracle {
     "q_expr_code32" -> exprCode32,
     "q_media_meta" -> mediaMeta,
     "q_media_decode" -> mediaDecode,
+    "q_media_audio" -> mediaAudio,
     "q_media_frames" -> mediaFrames,
     "q_tpch_q1" -> tpchQ1,
     "q_join_topn" -> joinTopn,

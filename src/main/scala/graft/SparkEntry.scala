@@ -588,6 +588,13 @@ object Queries {
   def mediaDecode(spark: SparkSession, dir: String): DataFrame =
     Media.decodeImages(spark, docs(spark, dir))
 
+  /** REAL audio decode via JDK javax.sound: actual RIFF/WAVE bytes whose
+    * rate/length/amplitude derive from doc_id; oracle recomputes them
+    * arithmetically — matching requires genuinely parsing the container.
+    */
+  def mediaAudio(spark: SparkSession, dir: String): DataFrame =
+    Media.decodeAudios(spark, docs(spark, dir))
+
   def mediaFrames(spark: SparkSession, dir: String): DataFrame =
     Media.sampleFrames(spark, docs(spark, dir))
 
@@ -682,6 +689,7 @@ object Queries {
     "q_expr_code32" -> (exprCode32 _),
     "q_media_meta" -> (mediaMeta _),
     "q_media_decode" -> (mediaDecode _),
+    "q_media_audio" -> (mediaAudio _),
     "q_media_frames" -> (mediaFrames _),
     "q_tpch_q1" -> (tpchQ1 _),
     "q_join_topn" -> (joinTopn _),

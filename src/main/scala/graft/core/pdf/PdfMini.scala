@@ -46,6 +46,51 @@ object PdfMini {
       .mkString("\n")
   }
 
+  /** The standard PDF document-information keys the reference's
+    * MetadataCleaner strips (`cleaner/MetadataCleaner.java:49-66` nulls the
+    * PDDocumentInformation fields and the XMP catalog metadata).
+    */
+  val InfoKeys: Seq[String] =
+    Seq("Title", "Author", "Subject", "Keywords", "Creator", "Producer")
+
+  /** MetadataCleaner analog on the BYTES: blanks every info-key literal
+    * string value (`/Title (secret)` -> `/Title ()`) while leaving content
+    * streams byte-identical — the reference's "clean the file, keep the
+    * content" contract. Escape- and nesting-aware; idempotent.
+    */
+  def cleanInfo(pdf: String): String = {
+    var s = pdf
+    InfoKeys.foreach { key =>
+      var from = 0
+      var continue = true
+      while (continue) {
+        val k = s.indexOf("/" + key, from)
+        if (k < 0) continue = false
+        else {
+          var j = k + key.length + 1
+          while (j < s.length && s.charAt(j).isWhitespace) j += 1
+          if (j < s.length && s.charAt(j) == '(') {
+            // find the matching close paren (escapes + nesting)
+            var depth = 1
+            var e = j + 1
+            while (e < s.length && depth > 0) {
+              val c = s.charAt(e)
+              if (c == '\\') e += 2
+              else {
+                if (c == '(') depth += 1
+                else if (c == ')') depth -= 1
+                e += 1
+              }
+            }
+            if (s.substring(j, e) != "()") s = s.substring(0, j) + "()" + s.substring(e)
+            from = j + 2
+          } else from = k + key.length + 1
+        }
+      }
+    }
+    s
+  }
+
   /** Parse one content stream's text operators. */
   private def extractStream(s: String, out: ArrayBuffer[Chunk]): Unit = {
     var i = 0

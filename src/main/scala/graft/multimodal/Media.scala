@@ -62,6 +62,62 @@ object Media {
     (w, h, dst.getRGB(0, 0) & 0xffffff)
   }
 
+  /** Synthesize a REAL RIFF/WAVE file (PCM 16-bit mono) — fixture generator
+    * for the real audio-decode path.
+    */
+  def encodeWav(sampleRate: Int, nSamples: Int, amplitude: Short): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) { bb.putShort(amplitude); i += 1 }
+    bb.array()
+  }
+
+  /** REAL audio decode (JDK javax.sound.sampled — WAV/AIFF/AU built in):
+    * (sampleRateHz, channels, bitsPerSample, frameCount, firstSample).
+    */
+  def decodeAudio(bytes: Array[Byte]): (Int, Int, Int, Long, Int) = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val f = in.getFormat
+      val frames = in.getFrameLength
+      val buf = new Array[Byte](2)
+      val read = in.read(buf)
+      val first =
+        if (read == 2) ((buf(1) << 8) | (buf(0) & 0xff)) // little-endian s16
+        else 0
+      (f.getSampleRate.toInt, f.getChannels, f.getSampleSizeInBits, frames, first)
+    } finally in.close()
+  }
+
+  /** Real-audio pipeline over synthesized REAL WAV bytes: rate/length/
+    * amplitude derive from doc_id, and the decode must recover them from
+    * the RIFF container for the oracle to match.
+    */
+  def decodeAudios(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select("doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val rate = 8000 + (id % 4).toInt * 4000
+        val n = 100 + (id % 50).toInt
+        val amp = (id % 1000).toShort
+        val wav = encodeWav(rate, n, amp)
+        val (r, ch, bits, frames, first) = decodeAudio(wav)
+        // duration in microseconds: integer-exact for these rates
+        val durUs = frames * 1000000L / r
+        (id, r.toLong, ch.toLong, bits.toLong, frames, first.toLong, durUs)
+      })
+      .toDF("doc_id", "sample_rate", "channels", "bits", "n_frames", "first_sample", "dur_us")
+  }
+
   /** Real-decode pipeline over synthesized REAL PNG bytes: encode (fixture)
     * then decode + resize (the operators under test) per partition batch.
     */

@@ -46,6 +46,19 @@ class IngestSpec extends AnyFunSuite {
     PdfMini.textFromLatin1("no streams here")
   }
 
+  test("cleanInfo strips document-information values, content byte-identical") {
+    val withInfo = fixturePdf.replace("trailer << /Root 1 0 R >>",
+      "5 0 obj << /Title (secret \\(draft\\)) /Author (alice) /Producer (tool v1) >> endobj\n" +
+        "trailer << /Root 1 0 R /Info 5 0 R >>")
+    val cleaned = PdfMini.cleanInfo(withInfo)
+    assert(!cleaned.contains("secret") && !cleaned.contains("alice") && !cleaned.contains("tool v1"))
+    assert(cleaned.contains("/Title ()") && cleaned.contains("/Author ()"))
+    // extracted text content is untouched
+    assert(PdfMini.textFromLatin1(cleaned) == PdfMini.textFromLatin1(withInfo))
+    // idempotent
+    assert(PdfMini.cleanInfo(cleaned) == cleaned)
+  }
+
   test("sniffKind detects pdf/html/zip/text/bin from magic bytes") {
     assert(Ingest.sniffKind("%PDF-1.7 x".getBytes) == "pdf_bytes")
     assert(Ingest.sniffKind("<!DOCTYPE html><p>x</p>".getBytes) == "html")
