@@ -535,7 +535,7 @@ object Oracle {
       | ((16 + doc_id%16)//2)::BIGINT AS thumb_w,
       | ((16 + doc_id%11)//2)::BIGINT AS thumb_h,
       | (doc_id%256)::BIGINT AS thumb_r
-      |FROM documents""".stripMargin
+      |FROM documents WHERE doc_id%5=0""".stripMargin
 
   /** Expected REAL-WAV decode output, recomputed arithmetically. */
   private val mediaAudio: String =
