@@ -480,6 +480,34 @@ object Oracle {
        |      row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rk FROM sc)
        |SELECT probe_id, rk::BIGINT AS rnk, neighbor_id FROM r WHERE rk<=5""".stripMargin
 
+  /** IVF-flat mirror of Knn.ivfTopK: 16 lowest-id seed lists, exact-cosine
+    * assignment (ties to lowest list id), probes search their 8 nearest
+    * lists, exact top-5 within candidates.
+    */
+  private val knnIvf: String =
+    s"""$quantEmb,
+       |sd AS (SELECT vec_id AS list_id, qv AS sv FROM q ORDER BY vec_id LIMIT 16),
+       |asg AS (SELECT vec_id, list_id FROM (
+       |  SELECT q.vec_id, sd.list_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${cosExpr("qv", "sv")} DESC, sd.list_id) AS rk
+       |  FROM q CROSS JOIN sd) WHERE rk=1),
+       |pr AS (SELECT vec_id AS probe_id, qv AS pq FROM q WHERE vec_id%100=0),
+       |pl AS (SELECT probe_id, list_id FROM (
+       |  SELECT pr.probe_id, sd.list_id,
+       |    row_number() OVER (PARTITION BY pr.probe_id
+       |      ORDER BY ${cosExpr("pq", "sv")} DESC, sd.list_id) AS rk
+       |  FROM pr CROSS JOIN sd) WHERE rk<=8),
+       |cand AS (SELECT probe_id, a.vec_id AS neighbor_id
+       |         FROM pl JOIN asg a USING(list_id) WHERE a.vec_id<>probe_id),
+       |sc AS (SELECT probe_id, neighbor_id, ${cosExpr("pq", "qv")} AS cos
+       |       FROM cand
+       |       JOIN (SELECT vec_id, qv FROM q) cq ON cq.vec_id=neighbor_id
+       |       JOIN (SELECT vec_id AS probe_id, qv AS pq FROM q) pq USING(probe_id)),
+       |r AS (SELECT probe_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rk FROM sc)
+       |SELECT probe_id, rk::BIGINT AS rnk, neighbor_id FROM r WHERE rk<=5""".stripMargin
+
   private val eventsWindow: String =
     """SELECT strftime(to_timestamp((floor(epoch(ts))::BIGINT//300)*300) AT TIME ZONE 'UTC',
       |  '%Y-%m-%d %H:%M:%S') AS win, event_type,
@@ -619,6 +647,7 @@ object Oracle {
     "q_dedup_cosine" -> dedupCosine,
     "q_knn_brute" -> knnBrute,
     "q_knn_lsh" -> knnLsh,
+    "q_knn_ivf" -> knnIvf,
     "q_events_window" -> eventsWindow,
     "q_sessionize" -> sessionize,
     "q_expr_code32" -> exprCode32,

@@ -548,6 +548,10 @@ object Queries {
     Knn.lshTopK(spark, emb(spark, dir), probes100(spark, dir))
       .withColumnRenamed("rank", "rnk")
 
+  def knnIvf(spark: SparkSession, dir: String): DataFrame =
+    Knn.ivfTopK(spark, emb(spark, dir), probes100(spark, dir))
+      .withColumnRenamed("rank", "rnk")
+
   // ------------------------------------------------- events / sessions
 
   def eventsWindow(spark: SparkSession, dir: String): DataFrame =
@@ -684,6 +688,7 @@ object Queries {
     "q_dedup_cosine" -> (dedupCosine _),
     "q_knn_brute" -> (knnBrute _),
     "q_knn_lsh" -> (knnLsh _),
+    "q_knn_ivf" -> (knnIvf _),
     "q_events_window" -> (eventsWindow _),
     "q_sessionize" -> (sessionize _),
     "q_expr_code32" -> (exprCode32 _),

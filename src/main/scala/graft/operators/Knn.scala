@@ -167,6 +167,43 @@ object Knn {
     topK(scored, k)
   }
 
+  /** IVF-flat ANN (the inverted-file scale path): vectors are assigned to
+    * the nearest of `nLists` coarse centroids (deterministic quantizer: the
+    * lowest-id vectors seed the lists — exact-cosine assignment, ties to
+    * the lowest list id); a probe searches only the `nProbe` lists nearest
+    * its own vector. At 10^12 docs the assignment is one K-cosine map pass
+    * and search touches nProbe/nLists of the corpus; lists are the shuffle
+    * key, so candidates co-locate by list.
+    */
+  def ivfTopK(spark: SparkSession, emb: DataFrame, probeIds: DataFrame,
+              k: Int = 5, nLists: Int = 16, nProbe: Int = 8): DataFrame = {
+    import spark.implicits._
+    val q = quantized(spark, emb)
+    // bounded coarse quantizer: nLists seed vectors, broadcast to the tasks
+    val seeds = q.orderBy("vec_id").limit(nLists)
+      .as[(Long, Array[Long])].collect() // ascending list_id = seed vec_id
+    val bSeeds = spark.sparkContext.broadcast(seeds)
+    def bestLists(v: Array[Long], n: Int): Seq[Long] =
+      bSeeds.value.map { case (lid, sv) => (lid, cosineQ(v, sv)) }
+        .sortBy { case (lid, c) => (-c, lid) }.take(n).map(_._1).toSeq
+    val assigned = q.as[(Long, Array[Long])]
+      .map { case (id, v) => (bestLists(v, 1).head, id, v) }
+      .toDF("list_id", "vec_id", "q")
+    val probeLists = q.join(probeIds, "vec_id").as[(Long, Array[Long])]
+      .flatMap { case (id, v) => bestLists(v, nProbe).map(l => (id, l)) }
+      .toDF("probe_id", "list_id")
+    val probes = q.join(probeIds, "vec_id")
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"))
+    val scored = probeLists.join(assigned, "list_id")
+      .filter(col("probe_id") =!= col("vec_id"))
+      .join(broadcast(probes), "probe_id")
+      .select("probe_id", "pq", "vec_id", "q")
+      .as[(Long, Array[Long], Long, Array[Long])]
+      .map { case (pid, pq, vid, vq) => (pid, vid, cosineQ(pq, vq)) }
+      .toDF("probe_id", "neighbor_id", "cos")
+    topK(scored, k)
+  }
+
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)

@@ -26,6 +26,17 @@ class KnnSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall@5 = $recall")
   }
 
+  test("IVF ANN searches nProbe/nLists of the corpus at measured >=0.7 recall@5") {
+    val brute = Knn.bruteTopK(spark, emb, probes)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Knn.ivfTopK(spark, emb, probes)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.7, s"recall@5 = $recall") // measured 0.76 on this fixture
+  }
+
   test("bucket cap bounds occupancy on a skewed corpus; truncation is reported") {
     import spark.implicits._
     // worst-case skew: 400 identical vectors (templated docs) + 100 varied —
