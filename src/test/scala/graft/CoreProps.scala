@@ -170,6 +170,34 @@ object CoreProps extends Properties("graft.core") {
       else std == s"untitled_$perParent" && legacy == s"untitled_$global"
     }
 
+  property("concatEmbeds fails exactly the marked entries, parent never throws") =
+    Prop.forAll(Gen.listOf(Gen.oneOf(
+      Gen.const(("", "plain content")),
+      Gen.const(("named.txt", "more content")),
+      Gen.const(("", "ENCRYPTED:blob")),
+      Gen.const(("", "POISON:crash"))))) { entries =>
+      val (html, failed) = graft.core.route.Extract.concatEmbeds(entries)
+      val expectFail = entries.count { case (_, c) =>
+        c.startsWith("ENCRYPTED:") || c.startsWith("POISON:") }
+      failed == expectFail &&
+        html.sliding("package-entry".length).count(_ == "package-entry") == entries.length
+    }
+
+  property("cleanInfo never throws and is idempotent on arbitrary junk") =
+    Prop.forAll(tagSoup) { junk =>
+      val c = graft.core.pdf.PdfMini.cleanInfo("/Title (" + junk + ") /Author (x)")
+      graft.core.pdf.PdfMini.cleanInfo(c) == c
+    }
+
+  property("WAV encode/decode round-trips rate, frames, and amplitude") =
+    Prop.forAll(Gen.choose(0, 3), Gen.choose(1, 200), Gen.choose(0, 999)) {
+      (ri, n, amp) =>
+        val rate = 8000 + ri * 4000
+        val wav = graft.multimodal.Media.encodeWav(rate, n, amp.toShort)
+        val (r, ch, bits, frames, first) = graft.multimodal.Media.decodeAudio(wav)
+        r == rate && ch == 1 && bits == 16 && frames == n.toLong && first == amp
+    }
+
   property("simhash of identical texts is identical; fingerprint likewise") =
     Prop.forAll(words) { w =>
       val t = w.mkString(" ")
