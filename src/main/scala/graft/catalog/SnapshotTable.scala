@@ -1,0 +1,126 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+
+/** Minimal snapshot-table layer — the Iceberg-semantics stand-in (no
+  * Iceberg jars ship in this sandbox's offline cache; the abstraction
+  * matches so the real thing can slot in):
+  *
+  *  - DATA is immutable: every write lands in a fresh `data/<uuid>` dir;
+  *  - a SNAPSHOT is a numbered JSON file listing the data dirs visible at
+  *    that version; committing = atomically creating `snapshots/v<N+1>`
+  *    (Files.move without REPLACE — the filesystem's create-if-absent);
+  *  - OPTIMISTIC CONCURRENCY: two writers racing to v<N+1> — one rename
+  *    wins, the loser re-reads the new current snapshot and retries on top
+  *    of it (Iceberg's commit loop);
+  *  - READERS resolve a snapshot once and see an immutable view: a reader
+  *    pinned to v3 is untouched by later commits (snapshot isolation), and
+  *    passing an old version is time travel;
+  *  - DELETE is copy-on-write: affected rows are filtered into a rewrite
+  *    dir and the new snapshot swaps it in; untouched dirs carry over
+  *    byte-identical.
+  */
+object SnapshotTable {
+
+  private def snapDir(table: String): Path = Paths.get(table, "snapshots")
+  private def dataDir(table: String): Path = Paths.get(table, "data")
+
+  /** Committed snapshot versions, ascending; empty for a fresh table. */
+  def snapshots(table: String): Seq[Long] = {
+    val d = snapDir(table)
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("v") => n.drop(1).toLong }
+        .toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  private implicit class IterAsScala[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext: Boolean = it.hasNext
+      def next(): A = it.next()
+    }
+  }
+
+  def currentVersion(table: String): Option[Long] = snapshots(table).lastOption
+
+  private def readManifest(table: String, version: Long): Seq[String] = {
+    val content = Files.readString(snapDir(table).resolve(s"v$version"))
+    content.split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Read the table at a snapshot (default: latest). The resolved dir list
+    * is immutable — concurrent commits cannot tear this read.
+    */
+  def read(spark: SparkSession, table: String, snapshot: Option[Long] = None): DataFrame = {
+    val v = snapshot.orElse(currentVersion(table))
+      .getOrElse(throw new IllegalStateException(s"no snapshots in $table"))
+    val dirs = readManifest(table, v).map(n => dataDir(table).resolve(n).toString)
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** One optimistic-commit attempt loop: compute the next manifest from the
+    * current one and atomically publish it; on a lost race, re-read and
+    * retry (bounded).
+    */
+  private def commit(table: String, nextDirs: Seq[String] => Seq[String],
+                     maxRetries: Int = 10): Long = {
+    Files.createDirectories(snapDir(table))
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = currentVersion(table)
+      val curDirs = cur.map(readManifest(table, _)).getOrElse(Seq.empty)
+      val next = cur.getOrElse(0L) + 1
+      val tmp = snapDir(table).resolve(s".tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+      Files.writeString(tmp, nextDirs(curDirs).mkString("\n"))
+      try {
+        // create-if-absent: ATOMIC_MOVE without REPLACE fails if v<next>
+        // exists — the loser of a racing commit lands here and retries
+        Files.move(tmp, snapDir(table).resolve(s"v$next"), StandardCopyOption.ATOMIC_MOVE)
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.FileSystemException =>
+          Files.deleteIfExists(tmp)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException(s"commit contention: $maxRetries retries exhausted")
+  }
+
+  private def writeData(spark: SparkSession, table: String, df: DataFrame): String = {
+    val name = java.util.UUID.randomUUID.toString.take(8)
+    df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir(table).resolve(name).toString)
+    name
+  }
+
+  /** Append: new data dir + snapshot = old dirs ++ new dir. */
+  def append(spark: SparkSession, table: String, df: DataFrame): Long = {
+    val name = writeData(spark, table, df)
+    commit(table, dirs => dirs :+ name)
+  }
+
+  /** Overwrite: snapshot = just the new dir (old data stays readable via
+    * time travel).
+    */
+  def overwrite(spark: SparkSession, table: String, df: DataFrame): Long = {
+    val name = writeData(spark, table, df)
+    commit(table, _ => Seq(name))
+  }
+
+  /** Copy-on-write DELETE WHERE: survivors are rewritten into one dir and
+    * the snapshot swaps to it. (File-level pruning — rewriting only dirs
+    * that contain matches — is the Iceberg refinement; semantics here are
+    * identical.)
+    */
+  def deleteWhere(spark: SparkSession, table: String, predicate: Column): Long = {
+    val survivors = read(spark, table).filter(!predicate)
+    val name = writeData(spark, table, survivors)
+    commit(table, _ => Seq(name))
+  }
+}
