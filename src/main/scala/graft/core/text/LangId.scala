@@ -38,10 +38,20 @@ object LangId {
       "ión", "que", " qu", "ue ", "ent", " en", "en ", "ar ", " co", "con",
       " es", "es ", "ado", "cio", " un", "una", "nte", "sta", "era", "por"))
 
-  private val ProfileMaps: Seq[(String, Map[String, Int])] =
+  /** Trigram packed into a Long (16 bits per char) — scoring never
+    * allocates a string per position.
+    */
+  @inline private def pack(c0: Char, c1: Char, c2: Char): Long =
+    (c0.toLong << 32) | (c1.toLong << 16) | c2.toLong
+
+  private val ProfileMaps: Seq[(String, java.util.HashMap[java.lang.Long, Integer])] =
     Profiles.map { case (lang, grams) =>
       // rank weight: top trigram scores |profile|, last scores 1
-      lang -> grams.zipWithIndex.map { case (g, i) => g -> (grams.length - i) }.toMap
+      val m = new java.util.HashMap[java.lang.Long, Integer]()
+      grams.zipWithIndex.foreach { case (g, i) =>
+        m.put(pack(g.charAt(0), g.charAt(1), g.charAt(2)), grams.length - i)
+      }
+      lang -> m
     }
 
   /** Document trigrams over a lowercased, space-padded text. */
@@ -50,16 +60,26 @@ object LangId {
     Iterator.range(0, math.max(0, t.length - 2)).map(i => t.substring(i, i + 3))
   }
 
-  /** Per-language rank-weight scores, in profile order. */
+  /** Per-language rank-weight scores, in profile order. One rolling pass
+    * over the padded text; per-position cost is four hash probes on packed
+    * Long keys (no substring allocation).
+    */
   def scores(text: String): Seq[(String, Long)] = {
-    val grams =
-      if (text == null) Array.empty[String] else trigrams(text).toArray
-    ProfileMaps.map { case (lang, weights) =>
-      var s = 0L
-      var i = 0
-      while (i < grams.length) { s += weights.getOrElse(grams(i), 0); i += 1 }
-      lang -> s
+    val t = " " + (if (text == null) "" else text).toLowerCase(java.util.Locale.ROOT) + " "
+    val acc = new Array[Long](ProfileMaps.length)
+    var i = 0
+    val end = t.length - 2
+    while (i < end) {
+      val key = pack(t.charAt(i), t.charAt(i + 1), t.charAt(i + 2))
+      var l = 0
+      while (l < ProfileMaps.length) {
+        val w = ProfileMaps(l)._2.get(key)
+        if (w != null) acc(l) += w.intValue()
+        l += 1
+      }
+      i += 1
     }
+    ProfileMaps.indices.map(l => ProfileMaps(l)._1 -> acc(l))
   }
 
   /** Classify: argmax of summed rank weights; ties break by profile order;
