@@ -318,6 +318,29 @@ object ExtractJob {
     (nd, nl)
   }
 
+  /** [[run]] variant writing through the snapshot-table layer
+    * ([[graft.catalog.SnapshotTable]] — the Iceberg stand-in): each run
+    * appends ONE immutable data dir and publishes one snapshot; resume
+    * reads the current snapshot's lineage view. Same O(run N+1) write cost;
+    * the commit point is the table layer's optimistic snapshot publish, so
+    * racing writers are detected instead of silently interleaving (the
+    * plain-dir protocol in [[run]] assumes a single writer).
+    */
+  def runSnapshot(spark: SparkSession, input: Dataset[DocIn], table: String,
+                  cfg: JobConfig = JobConfig()): (Long, Long) = {
+    import graft.catalog.SnapshotTable
+    val lineagePrev =
+      if (SnapshotTable.snapshots(table).isEmpty) None
+      else Some(SnapshotTable.read(spark, table)
+        .filter(col("lineage").isNotNull).select("lineage.*"))
+    val pending = lineagePrev.map(resume(input, _)).getOrElse(input)
+    val combined = extractPartitions(prepare(pending, cfg), cfg).toDF("doc", "lineage")
+    SnapshotTable.append(spark, table, combined)
+    val all = SnapshotTable.read(spark, table)
+    (all.filter(col("doc").isNotNull).select("doc.*").dropDuplicates("doc_id").count(),
+      all.filter(col("lineage").isNotNull).count())
+  }
+
   /** Throughput-only variant for the bench harness: same plan shape, no
     * intermediate writes — extraction forced by a count over the combined
     * rows. The filter is COLUMNAR (lineage.isNotNull on the encoded row),

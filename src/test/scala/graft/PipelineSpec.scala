@@ -66,6 +66,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(nl3 == 20 && nd3 == nd2)
   }
 
+  test("snapshot-table runs: incremental appends, resume from the snapshot view") {
+    val table = tmpDir() + "/tbl"
+    val (nd1, nl1) = ExtractJob.runSnapshot(spark, corpus(10), table)
+    assert(nl1 == 10)
+    val (nd2, nl2) = ExtractJob.runSnapshot(spark, corpus(20), table)
+    assert(nl2 == 20) // only the 10 new docs extracted on run 2
+    assert(graft.catalog.SnapshotTable.snapshots(table) == Seq(1L, 2L))
+    // time travel: run 1's view still shows only the first 10 docs' lineage
+    val v1 = graft.catalog.SnapshotTable.read(spark, table, Some(1))
+    assert(v1.filter(col("lineage").isNotNull).count() == 10)
+    // idempotent third run over the same input
+    val (_, nl3) = ExtractJob.runSnapshot(spark, corpus(20), table)
+    assert(nl3 == 20)
+  }
+
   test("crash-orphaned run dir (no manifest row) is invisible to readers") {
     val out = tmpDir()
     ExtractJob.run(spark, corpus(5), None, out)
