@@ -43,10 +43,15 @@ javaOptions += "-XX:+UseParallelGC"
 // heap, so derive -Xmn as 3/4 of the RESOLVED heap — a fixed 12g under an
 // 8g SPARK_DRIVER_MEM override would clamp the tenured gen to ~nothing and
 // OOM spuriously.
-javaOptions += {
+javaOptions ++= {
   val m = "^([0-9]+)([gGmM])$".r
   driverMem match {
-    case m(n, u) => s"-Xmn${math.max(1L, n.toLong * 3 / 4)}$u"
-    case _       => "-Xmn12g" // unrecognized override: keep the 16g default's value
+    // only scale when 3/4 leaves a real tenured gen: at tiny heaps (1-2
+    // units) the derived -Xmn would swallow nearly the whole heap, so let
+    // the JVM's own ergonomics pick the young size instead
+    case m(n, u) if n.toLong * 3 / 4 >= 1 && n.toLong - n.toLong * 3 / 4 >= 1 =>
+      Seq(s"-Xmn${n.toLong * 3 / 4}$u")
+    case m(_, _) => Seq.empty
+    case _       => Seq("-Xmn12g") // unrecognized override: 16g default's value
   }
 }

@@ -87,7 +87,7 @@ object Bench {
     val spark = session(cpus)
 
     // JIT warmup on a LARGE pass (default min(factor,100) ~ 500k docs at
-    // sf0.1), then SPARK_GRAFT_BENCH_REPEAT measured runs (default 3),
+    // sf0.1), then SPARK_GRAFT_BENCH_REPEAT measured runs (default 5),
     // keeping the best. A tiny warmup is NOT enough: C2 compiles
     // asynchronously, and a 500k-doc run completes mostly interpreted
     // (~28k docs/sec) while the compiled steady state is ~800k docs/sec —

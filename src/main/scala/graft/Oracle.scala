@@ -108,7 +108,8 @@ object Oracle {
       |       ELSE 'ocr '||doc_id END AS c
       | FROM documents WHERE doc_id%3=0 AND doc_id%21<>0)
       |SELECT doc_id,
-      | '<div class="package-entry"><h1>untitled_0</h1><p>'||c||'</p></div>'
+      | '<div class="package-entry"><h1>untitled_0</h1><p>'||
+      |   replace(replace(replace(c,'&','&amp;'),'<','&lt;'),'>','&gt;')||'</p></div>'
       | ||CASE WHEN doc_id%2=0
       |   THEN '<div class="package-entry"><h1>extra.txt</h1><p>x '||doc_id||'</p></div>'
       |   ELSE '' END

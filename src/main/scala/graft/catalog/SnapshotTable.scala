@@ -1,6 +1,6 @@
 package graft.catalog
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 
 /** Minimal snapshot-table layer — the Iceberg-semantics stand-in (no
@@ -64,31 +64,45 @@ object SnapshotTable {
     spark.read.parquet(dirs: _*)
   }
 
-  /** One optimistic-commit attempt loop: compute the next manifest from the
-    * current one and atomically publish it; on a lost race, re-read and
-    * retry (bounded).
+  /** Atomically publish `dirs` as the snapshot AFTER `expectedVersion` —
+    * compare-and-set. POSIX rename REPLACES an existing target (so
+    * Files.move can never be create-if-absent on Linux); the atomic
+    * create-if-absent primitive here is a HARD LINK: link(2) fails with
+    * EEXIST when the target exists, it never clobbers. Returns false when
+    * a racing writer won `v<expected+1>`.
+    *
+    * `beforePublish` is a test seam: it runs between manifest preparation
+    * and the publish attempt, where a racing commit would interleave.
+    */
+  def commitIf(table: String, expectedVersion: Long, dirs: Seq[String],
+               beforePublish: () => Unit = () => ()): Boolean = {
+    Files.createDirectories(snapDir(table))
+    val tmp = snapDir(table).resolve(s".tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    Files.writeString(tmp, dirs.mkString("\n"))
+    beforePublish()
+    try {
+      Files.createLink(snapDir(table).resolve(s"v${expectedVersion + 1}"), tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Optimistic-commit loop for COMMUTATIVE manifest edits (append-style):
+    * the next manifest is recomputed from the CURRENT one on every attempt,
+    * so a lost race retries on top of the winner's state.
     */
   private def commit(table: String, nextDirs: Seq[String] => Seq[String],
-                     maxRetries: Int = 10): Long = {
-    Files.createDirectories(snapDir(table))
+                     maxRetries: Int = 10,
+                     beforePublish: () => Unit = () => ()): Long = {
     var attempt = 0
     while (attempt < maxRetries) {
       val cur = currentVersion(table)
       val curDirs = cur.map(readManifest(table, _)).getOrElse(Seq.empty)
-      val next = cur.getOrElse(0L) + 1
-      val tmp = snapDir(table).resolve(s".tmp-${java.util.UUID.randomUUID.toString.take(8)}")
-      Files.writeString(tmp, nextDirs(curDirs).mkString("\n"))
-      try {
-        // create-if-absent: ATOMIC_MOVE without REPLACE fails if v<next>
-        // exists — the loser of a racing commit lands here and retries
-        Files.move(tmp, snapDir(table).resolve(s"v$next"), StandardCopyOption.ATOMIC_MOVE)
-        return next
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.FileSystemException =>
-          Files.deleteIfExists(tmp)
-          attempt += 1
-      }
+      val expected = cur.getOrElse(0L)
+      if (commitIf(table, expected, nextDirs(curDirs), beforePublish))
+        return expected + 1
+      attempt += 1
     }
     throw new IllegalStateException(s"commit contention: $maxRetries retries exhausted")
   }
@@ -99,14 +113,20 @@ object SnapshotTable {
     name
   }
 
-  /** Append: new data dir + snapshot = old dirs ++ new dir. */
-  def append(spark: SparkSession, table: String, df: DataFrame): Long = {
+  /** Append: new data dir + snapshot = old dirs ++ new dir. Appends are
+    * commutative, so a lost race safely re-applies onto the winner's
+    * manifest. `beforePublish` is the race-test seam.
+    */
+  def append(spark: SparkSession, table: String, df: DataFrame,
+             beforePublish: () => Unit = () => ()): Long = {
     val name = writeData(spark, table, df)
-    commit(table, dirs => dirs :+ name)
+    commit(table, dirs => dirs :+ name, beforePublish = beforePublish)
   }
 
   /** Overwrite: snapshot = just the new dir (old data stays readable via
-    * time travel).
+    * time travel). By CONTRACT overwrite replaces whatever is current at
+    * commit time — like Iceberg's overwrite, a concurrent append's rows are
+    * replaced along with everything else.
     */
   def overwrite(spark: SparkSession, table: String, df: DataFrame): Long = {
     val name = writeData(spark, table, df)
@@ -114,13 +134,25 @@ object SnapshotTable {
   }
 
   /** Copy-on-write DELETE WHERE: survivors are rewritten into one dir and
-    * the snapshot swaps to it. (File-level pruning — rewriting only dirs
-    * that contain matches — is the Iceberg refinement; semantics here are
-    * identical.)
+    * the snapshot swaps to it. NOT commutative — survivors were computed
+    * from a specific snapshot, so the commit is compare-and-set on that
+    * version: a racing commit forces a full RECOMPUTE from the new current
+    * snapshot (Iceberg's conflict validation), never a silent lost update
+    * of the racer's rows. (File-level pruning — rewriting only dirs that
+    * contain matches — is the Iceberg refinement; semantics are identical.)
     */
-  def deleteWhere(spark: SparkSession, table: String, predicate: Column): Long = {
-    val survivors = read(spark, table).filter(!predicate)
-    val name = writeData(spark, table, survivors)
-    commit(table, _ => Seq(name))
+  def deleteWhere(spark: SparkSession, table: String, predicate: Column,
+                  maxRetries: Int = 10,
+                  beforePublish: () => Unit = () => ()): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = currentVersion(table)
+        .getOrElse(throw new IllegalStateException(s"no snapshots in $table"))
+      val survivors = read(spark, table, Some(base)).filter(!predicate)
+      val name = writeData(spark, table, survivors)
+      if (commitIf(table, base, Seq(name), beforePublish)) return base + 1
+      attempt += 1 // lost the race: recompute survivors from the new snapshot
+    }
+    throw new IllegalStateException(s"commit contention: $maxRetries retries exhausted")
   }
 }

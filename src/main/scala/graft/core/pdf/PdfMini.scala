@@ -164,10 +164,15 @@ object PdfMini {
         var j = i + 1
         while (j < n && !s.charAt(j).isWhitespace && "()<>[]{}/%".indexOf(s.charAt(j)) < 0) j += 1
         i = j
-      } else if (c == '-' || c == '.' || (c >= '0' && c <= '9')) {
+      } else if (c == '-' || c == '+' || c == '.' || (c >= '0' && c <= '9')) {
         var j = i + 1
         while (j < n && (s.charAt(j) == '.' || (s.charAt(j) >= '0' && s.charAt(j) <= '9'))) j += 1
-        nums += s.substring(i, j).toDouble
+        // malformed numerics ('-', '1.2.3') in corrupt PDFs must not throw:
+        // treat them like an unknown operator (clear the operand stack)
+        s.substring(i, j).toDoubleOption match {
+          case Some(d) => nums += d
+          case None    => nums.clear()
+        }
         i = j
       } else {
         // operator token

@@ -168,16 +168,35 @@ object Extract {
     * and counted — the reference records it in the entry's metadata rather
     * than failing the parent. Returns (concatenated html, n failed entries).
     */
+  /** XML-escape for entry names/text interpolated into the package markup —
+    * the reference writes entries through an escaping XHTML content handler,
+    * so entry CONTENT can never forge or break package-entry structure.
+    */
+  private def xmlEscape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '&' => sb.append("&amp;")
+        case '<' => sb.append("&lt;")
+        case '>' => sb.append("&gt;")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
   def concatEmbeds(entries: Seq[(String, String)], cfg: Config = DefaultConfig)
   : (String, Int) = {
     var failed = 0
     val sb = new StringBuilder
     entries.zipWithIndex.foreach { case ((name, content), ord) =>
-      val nm = graft.core.Ids.embedName(name, ord, ord)
+      val nm = xmlEscape(graft.core.Ids.embedName(name, ord, ord))
       val body =
         try {
           val (txt, why) = extractSpan("text", content, cfg)
-          if (why.isEmpty) s"<p>$txt</p>"
+          if (why.isEmpty) s"<p>${xmlEscape(txt)}</p>"
           else { failed += 1; s"""<p class="error">$why</p>""" }
         } catch {
           case _: Exception => failed += 1; """<p class="error">parse-error</p>"""

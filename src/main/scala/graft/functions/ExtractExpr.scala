@@ -41,23 +41,25 @@ case class ExtractSpansExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ExtractSpansExpr.OutType
   override def prettyName: String = "graft_extract_spans"
 
-  @transient private lazy val idx: (Int, Int, Int, Int) = {
+  @transient private lazy val idx: (Int, Int, Int, Int, Int) = {
     val s = spanStruct.get
+    // the struct's REAL field count must reach getStruct: decoding an
+    // UnsafeRow with the wrong arity misreads the null bitset and offsets
     (s.fieldIndex("kind"), s.fieldIndex("text"),
-      s.fieldIndex("media_ref"), s.fieldIndex("offset"))
+      s.fieldIndex("media_ref"), s.fieldIndex("offset"), s.length)
   }
 
   override protected def nullSafeEval(input: Any): Any = {
-    val (ki, ti, ri, oi) = idx
-    ExtractSpansExpr.compute(input.asInstanceOf[ArrayData], ki, ti, ri, oi)
+    val (ki, ti, ri, oi, nf) = idx
+    ExtractSpansExpr.compute(input.asInstanceOf[ArrayData], ki, ti, ri, oi, nf)
   }
 
   // falls back to the interpreted eval via a static call — the work is the
   // parser itself, not expression glue, so codegen'd dispatch adds nothing
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val (ki, ti, ri, oi) = idx
+    val (ki, ti, ri, oi, nf) = idx
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.ExtractSpansExpr.compute($c, $ki, $ti, $ri, $oi)")
+      s"graft.functions.ExtractSpansExpr.compute($c, $ki, $ti, $ri, $oi, $nf)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): ExtractSpansExpr =
@@ -76,7 +78,7 @@ object ExtractSpansExpr {
   /** Static impl reachable from generated Java. Mirrors Extract.extractDoc's
     * span loop on raw Catalyst data.
     */
-  def compute(spans: ArrayData, ki: Int, ti: Int, ri: Int, oi: Int): ArrayData = {
+  def compute(spans: ArrayData, ki: Int, ti: Int, ri: Int, oi: Int, numFields: Int): ArrayData = {
     val cfg = Extract.DefaultConfig
     val n = spans.numElements()
     require(n < (1 << 20), s"span array too wide for packed sort keys: $n")
@@ -86,7 +88,7 @@ object ExtractSpansExpr {
     val order = new Array[Long](n)
     var i = 0
     while (i < n) {
-      val off = spans.getStruct(i, 4).getInt(oi)
+      val off = spans.getStruct(i, numFields).getInt(oi)
       order(i) = ((off.toLong - Int.MinValue.toLong) << 20) | i.toLong
       i += 1
     }
@@ -96,7 +98,7 @@ object ExtractSpansExpr {
     i = 0
     while (i < m) {
       val srcIdx = (order(i) & 0xfffff).toInt
-      val row = spans.getStruct(srcIdx, 4)
+      val row = spans.getStruct(srcIdx, numFields)
       val kind = row.getUTF8String(ki)
       val text = row.getUTF8String(ti)
       val ref = row.getUTF8String(ri)

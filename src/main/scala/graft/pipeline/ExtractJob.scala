@@ -115,7 +115,19 @@ object ExtractJob {
     * (asserted in tests); cost is one extra shuffle, so it is the path for
     * the oversized tail, not the default.
     */
-  def extractSpanParallel(input: Dataset[DocIn], cfg: JobConfig): Dataset[DocOut] = {
+  /** As the batch path, a failing span yields a CLASSIFIED lineage row for
+    * its document, never a task failure — the batch path aborts a doc at
+    * its first failing span in (offset, index) order, and reassembly picks
+    * exactly that span's classification, so the two paths agree on status.
+    * The deadline is enforced per SPAN here (a document's spans run on
+    * different executors, so a per-doc wall clock doesn't exist; each span
+    * gets the doc budget — still bounding any single runaway parse).
+    * Returns the combined (doc, lineage) rows like [[extractPartitions]];
+    * lineage throughput rates are 0 in this path (rates are per-partition
+    * wall-clock figures, meaningless after the reassembly shuffle).
+    */
+  def extractSpanParallel(input: Dataset[DocIn], cfg: JobConfig)
+  : Dataset[(Option[DocOut], Option[LineageRow])] = {
     val spark = input.sparkSession
     import spark.implicits._
     input
@@ -135,38 +147,68 @@ object ExtractJob {
       .repartition(cfg.partitions, col("_1"), col("_5"))
       .as[(Long, String, String, String, Int, Int)]
       .map { case (id, kind, text, ref, off, idx) =>
-        val (txt, why) = Extract.extractSpan(kind, text, cfg.extract)
+        val deadline =
+          if (cfg.docTimeoutMillis > 0) System.nanoTime() + cfg.docTimeoutMillis * 1000000L
+          else Long.MaxValue
+        val (txt, why, failStatus) =
+          try {
+            val r = Extract.extractSpan(kind, text, cfg.extract)
+            // cooperative deadline, checked at the span boundary like the
+            // batch path — flags the doc TIMEOUT when this parse overran
+            if (deadline != Long.MaxValue && System.nanoTime() > deadline)
+              throw new graft.core.ExtractTimeout("span deadline exceeded")
+            (r._1, r._2, "")
+          } catch {
+            case e: VirtualMachineError => throw e
+            case e: Exception => ("", "", classify(e))
+          }
         // raw media content rides along: children need it for ids/spawning
         val raw = if (kind == "media") { if (text == null) "" else text } else ""
-        (id, kind, txt, ref, off, idx, raw, why)
+        (id, kind, txt, ref, off, idx, raw, why, failStatus)
       }
       .groupByKey(_._1)
-      .flatMapGroups { (id: Long, it: Iterator[(Long, String, String, String, Int, Int, String, String)]) =>
+      .flatMapGroups { (id: Long, it: Iterator[(Long, String, String, String, Int, Int, String, String, String)]) =>
         // total order (offset, input index) == extractDoc's stable offset sort
         val all = it.toArray.filter(_._5 != Int.MinValue).sortBy(r => (r._5, r._6))
         val rows = all.take(cfg.extract.maxSpans)
-        var anyContent = false
-        var anyEncrypted = false
-        val spans = new Array[SpanOut](rows.length)
-        var i = 0
-        while (i < rows.length) {
-          val (_, kind, txt, ref, _, _, _, why) = rows(i)
-          if (txt.nonEmpty) anyContent = true
-          if (why == Reason.Encrypted) anyEncrypted = true
-          spans(i) = SpanOut(kind, txt, ref, i)
-          i += 1
+        // batch parity: the FIRST failing span (in sorted order, pre-cap
+        // like extractDoc's loop order) classifies the whole document
+        val firstFail = rows.iterator.map(_._9).find(_.nonEmpty)
+        firstFail match {
+          case Some(status) =>
+            val lrow = LineageRow(id, -1, status, "span failure", all.length, 0, 0L, 0.0, 0.0)
+            Iterator.single((Option.empty[DocOut], Option(lrow)))
+          case None =>
+            var anyContent = false
+            var anyEncrypted = false
+            val spans = new Array[SpanOut](rows.length)
+            var i = 0
+            while (i < rows.length) {
+              val (_, kind, txt, ref, _, _, _, why, _) = rows(i)
+              if (txt.nonEmpty) anyContent = true
+              if (why == Reason.Encrypted) anyEncrypted = true
+              spans(i) = SpanOut(kind, txt, ref, i)
+              i += 1
+            }
+            val reason =
+              if (!anyContent && anyEncrypted) Reason.Encrypted
+              else if (rows.isEmpty || !anyContent) Reason.Empty
+              else ""
+            val rid = graft.core.Ids.rootId(id)
+            val root = DocOut(rid, "", rid, 0, spans, reason)
+            // media children spawn from ALL media spans (pre-cap), matching
+            // explodeCounted, which derives mediaContents from the full array
+            val mediaContents = all.iterator.filter(_._2 == "media").map(_._7).toSeq
+            val (children, _) = Extract.spawnEmbeds(mediaContents, rid, cfg.extract)
+            val status = if (reason == Reason.Encrypted) Status.NotDecrypted else Status.Success
+            val nOut = spans.length + children.iterator.map(_.spans.length).sum
+            val lrow = LineageRow(id, -1, status, "", all.length, nOut, 0L, 0.0, 0.0)
+            val docRows =
+              if (status == Status.Success)
+                (Iterator.single(root) ++ children.iterator).map(o => (Option(o), Option.empty[LineageRow]))
+              else Iterator.empty
+            docRows ++ Iterator.single((Option.empty[DocOut], Option(lrow)))
         }
-        val reason =
-          if (!anyContent && anyEncrypted) Reason.Encrypted
-          else if (rows.isEmpty || !anyContent) Reason.Empty
-          else ""
-        val rid = graft.core.Ids.rootId(id)
-        val root = DocOut(rid, "", rid, 0, spans, reason)
-        // media children spawn from ALL media spans (pre-cap), matching
-        // explodeCounted, which derives mediaContents from the full array
-        val mediaContents = all.iterator.filter(_._2 == "media").map(_._7).toSeq
-        val (children, _) = Extract.spawnEmbeds(mediaContents, rid, cfg.extract)
-        Iterator.single(root) ++ children.iterator
       }
   }
 

@@ -44,8 +44,14 @@ object RestSpewer {
           val ok = resp.statusCode() >= 200 && resp.statusCode() < 300
           (d.doc_id, if (ok) Status.Success else Status.NotSaved, resp.statusCode().toLong)
         } catch {
-          case _: java.io.IOException | _: InterruptedException =>
+          case _: java.io.IOException =>
             (d.doc_id, Status.NotSaved, 0L)
+          case ie: InterruptedException =>
+            // a task-kill interrupt must PROPAGATE, not be absorbed as a
+            // per-doc status — restoring the flag and rethrowing lets Spark
+            // cancel the partition immediately
+            Thread.currentThread().interrupt()
+            throw new RuntimeException("interrupted during REST spew", ie)
         }
       }
     }.toDF("doc_id", "status", "http_code")

@@ -29,9 +29,15 @@ object Ingest {
     else if (lowerHead.startsWith("<!doctype") || lowerHead.startsWith("<html")) "html"
     else if (startsWith(Array[Byte](0x50, 0x4b, 0x03, 0x04))) "zip"
     else {
+      // UNSIGNED byte compare: JVM bytes are signed, so `b >= 0x20` would
+      // class every UTF-8 multi-byte sequence (>= 0x80) as non-printable
+      // and silently drop non-ASCII text corpora as 'bin'
       val probe = bytes.take(512)
-      if (probe.nonEmpty && probe.count(b => b >= 0x20 || b == '\n' || b == '\r' || b == '\t') * 10 >= probe.length * 9)
-        "text"
+      def printable(b: Byte): Boolean = {
+        val u = b & 0xff
+        u >= 0x20 || u == '\n' || u == '\r' || u == '\t'
+      }
+      if (probe.nonEmpty && probe.count(printable) * 10 >= probe.length * 9) "text"
       else "bin"
     }
   }

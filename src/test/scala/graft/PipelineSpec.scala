@@ -184,10 +184,37 @@ class PipelineSpec extends AnyFunSuite {
     val ds = spark.createDataset(docs)
     def norm(d: DocOut) = (d.doc_id, d.parent_id, d.root_id, d.level,
       d.spans.toSeq, d.no_content_reason)
-    val viaSpans = ExtractJob.extractSpanParallel(ds, ExtractJob.JobConfig(partitions = 6))
-      .collect().map(norm).toSet
-    val viaDocs = docs.flatMap(d => graft.core.route.Extract.explode(d)).map(norm).toSet
+    val res = ExtractJob.extractSpanParallel(ds, ExtractJob.JobConfig(partitions = 6)).collect()
+    val viaSpans = res.flatMap(_._1).map(norm).toSet
+    // batch parity for DOC rows: only SUCCESS docs emit rows, so the
+    // encrypted doc 900 (NOT_DECRYPTED) contributes lineage only
+    val viaDocs = docs.filter(_.doc_id != 900)
+      .flatMap(d => graft.core.route.Extract.explode(d)).map(norm).toSet
     assert(viaSpans == viaDocs)
+    val lineages = res.flatMap(_._2)
+    assert(lineages.length == docs.length) // one lineage row per input doc
+    assert(lineages.find(_.doc_id == 900).get.status == Status.NotDecrypted)
+    assert(lineages.find(_.doc_id == 901).get.status == Status.Success)
+  }
+
+  test("span-parallel path classifies failing spans instead of failing the job") {
+    import spark.implicits._
+    val docs = Seq(
+      DocIn(1, Array(SpanIn("text", "fine", "", 0))),
+      DocIn(2, Array(SpanIn("text", "ok", "", 0), SpanIn("html", "POISON:x", "", 1))),
+      DocIn(3, Array(SpanIn("media", "MISSING:ref", "", 0))),
+      // SLOW span overruns its 20ms budget -> per-span deadline -> TIMEOUT
+      DocIn(4, Array(SpanIn("text", "SLOW:100", "", 0))))
+    val cfg = ExtractJob.JobConfig(partitions = 4, docTimeoutMillis = 20)
+    val res = ExtractJob.extractSpanParallel(spark.createDataset(docs), cfg).collect()
+    val st = res.flatMap(_._2).map(l => l.doc_id -> l.status).toMap
+    assert(st(1L) == Status.Success)
+    assert(st(2L) == Status.NotParsed)
+    assert(st(3L) == Status.NotFound)
+    assert(st(4L) == Status.Timeout)
+    // failed docs emit no doc rows (batch parity)
+    val docIds = res.flatMap(_._1).map(_.doc_id).toSet
+    assert(docIds == Set(graft.core.Ids.rootId(1L)))
   }
 
   test("extraction output equals the direct per-doc computation (plan-independent)") {

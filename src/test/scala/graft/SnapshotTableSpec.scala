@@ -48,17 +48,47 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.read(spark, t).count() == 0)
   }
 
-  test("optimistic concurrency: a lost race retries onto the new snapshot") {
+  test("optimistic concurrency: a racing commit NEVER clobbers the winner") {
     import spark.implicits._
     val t = tmp()
     SnapshotTable.append(spark, t, Seq(1).toDF("x"))
-    // simulate a racing writer that grabs v2 first
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(t, "snapshots", "v2"),
-      java.nio.file.Files.readString(java.nio.file.Paths.get(t, "snapshots", "v1")))
-    // our commit must lose v2, re-read, and land on v3 ON TOP of v2's state
-    val v = SnapshotTable.append(spark, t, Seq(7).toDF("x"))
+    // a racing writer grabs v2 in the window BETWEEN our manifest
+    // computation and our publish attempt (the beforePublish test seam) —
+    // exactly where rename-based publishes silently clobber on Linux
+    val v1Content = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(t, "snapshots", "v1"))
+    var raced = false
+    val v = SnapshotTable.append(spark, t, Seq(7).toDF("x"), beforePublish = () => {
+      if (!raced) {
+        raced = true
+        // winner publishes a valid v2 (same dirs as v1)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(t, "snapshots", "v2"), v1Content)
+      }
+    })
+    // our first attempt targeted v2, MUST have lost, and retried to v3
     assert(v == 3L)
-    assert(SnapshotTable.read(spark, t).collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 7))
+    // the winner's v2 manifest survives byte-identical (no clobber)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(t, "snapshots", "v2")) == v1Content)
+    // and v3 was recomputed ON TOP of the winner's state
+    assert(SnapshotTable.read(spark, t, Some(3))
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 7))
+  }
+
+  test("deleteWhere lost race recomputes from the new snapshot (no lost update)") {
+    import spark.implicits._
+    val t = tmp()
+    SnapshotTable.append(spark, t, Seq(1, 2).toDF("x"))
+    // a concurrent APPEND of row 3 lands between the delete's survivor
+    // computation (from v1) and its publish attempt
+    var raced = false
+    SnapshotTable.deleteWhere(spark, t, col("x") === 1, beforePublish = () => {
+      if (!raced) { raced = true; SnapshotTable.append(spark, t, Seq(3).toDF("x")): Unit }
+    })
+    // row 3 SURVIVES: the delete recomputed from the appended snapshot
+    // instead of silently replacing it with v1-derived survivors
+    assert(SnapshotTable.read(spark, t).collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3))
+    assert(SnapshotTable.snapshots(t) == Seq(1L, 2L, 3L))
   }
 }
