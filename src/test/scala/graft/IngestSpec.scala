@@ -44,6 +44,11 @@ class IngestSpec extends AnyFunSuite {
     PdfMini.textFromLatin1("stream BT ( unclosed \\ ET endstream ((( [ /// 1 2")
     PdfMini.textFromLatin1("")
     PdfMini.textFromLatin1("no streams here")
+    // malformed numerics from corrupt PDFs: bare signs, multi-dot, dangling
+    PdfMini.textFromLatin1("stream\nBT - . -. 1.2.3 +. (x) Tj ET\nendstream")
+    // legal '+'-signed numbers position correctly
+    assert(PdfMini.textFromLatin1(
+      "stream\nBT 1 0 0 1 +72 +700 Tm (a) Tj ET\nendstream") == "a")
   }
 
   test("cleanInfo strips document-information values, content byte-identical") {
