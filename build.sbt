@@ -46,12 +46,11 @@ javaOptions += "-XX:+UseParallelGC"
 javaOptions ++= {
   val m = "^([0-9]+)([gGmM])$".r
   driverMem match {
-    // only scale when 3/4 leaves a real tenured gen: at tiny heaps (1-2
-    // units) the derived -Xmn would swallow nearly the whole heap, so let
-    // the JVM's own ergonomics pick the young size instead
-    case m(n, u) if n.toLong * 3 / 4 >= 1 && n.toLong - n.toLong * 3 / 4 >= 1 =>
-      Seq(s"-Xmn${n.toLong * 3 / 4}$u")
-    case m(_, _) => Seq.empty
-    case _       => Seq("-Xmn12g") // unrecognized override: 16g default's value
+    // only scale when the heap is big enough that 3/4-young still leaves a
+    // meaningful tenured gen (>= 1 unit AND >= 1/4 of the heap); heaps
+    // under 4 units fall through to JVM ergonomics
+    case m(n, u) if n.toLong >= 4 => Seq(s"-Xmn${n.toLong * 3 / 4}$u")
+    case m(_, _)                  => Seq.empty
+    case _                        => Seq("-Xmn12g") // unrecognized override: 16g default's value
   }
 }

@@ -78,13 +78,19 @@ object SnapshotTable {
                beforePublish: () => Unit = () => ()): Boolean = {
     Files.createDirectories(snapDir(table))
     val tmp = snapDir(table).resolve(s".tmp-${java.util.UUID.randomUUID.toString.take(8)}")
-    Files.writeString(tmp, dirs.mkString("\n"))
-    beforePublish()
     try {
-      Files.createLink(snapDir(table).resolve(s"v${expectedVersion + 1}"), tmp)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
+      Files.writeString(tmp, dirs.mkString("\n"))
+      beforePublish()
+      val target = snapDir(table).resolve(s"v${expectedVersion + 1}")
+      try {
+        Files.createLink(target, tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        // some filesystems surface EEXIST as a bare FileSystemException:
+        // treat it as a lost race ONLY when the target verifiably exists
+        case _: java.nio.file.FileSystemException if Files.exists(target) => false
+      }
     } finally Files.deleteIfExists(tmp)
   }
 
@@ -151,8 +157,19 @@ object SnapshotTable {
       val survivors = read(spark, table, Some(base)).filter(!predicate)
       val name = writeData(spark, table, survivors)
       if (commitIf(table, base, Seq(name), beforePublish)) return base + 1
-      attempt += 1 // lost the race: recompute survivors from the new snapshot
+      // lost the race: the rewrite computed from a stale snapshot is dead —
+      // reclaim it, then recompute survivors from the new current snapshot
+      deleteRecursively(dataDir(table).resolve(name))
+      attempt += 1
     }
     throw new IllegalStateException(s"commit contention: $maxRetries retries exhausted")
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator().asScala.foreach(deleteRecursively) finally s.close()
+    }
+    Files.deleteIfExists(p)
   }
 }

@@ -60,26 +60,31 @@ object LangId {
     Iterator.range(0, math.max(0, t.length - 2)).map(i => t.substring(i, i + 3))
   }
 
+  // hot-loop views: array-indexed maps, one boxed key per position
+  private val MapArray: Array[java.util.HashMap[java.lang.Long, Integer]] =
+    ProfileMaps.map(_._2).toArray
+  private val LangNames: Array[String] = ProfileMaps.map(_._1).toArray
+
   /** Per-language rank-weight scores, in profile order. One rolling pass
-    * over the padded text; per-position cost is four hash probes on packed
-    * Long keys (no substring allocation).
+    * over the padded text; per-position cost is one boxed key plus four
+    * array-indexed hash probes (no substring allocation, no List walking).
     */
   def scores(text: String): Seq[(String, Long)] = {
     val t = " " + (if (text == null) "" else text).toLowerCase(java.util.Locale.ROOT) + " "
-    val acc = new Array[Long](ProfileMaps.length)
+    val acc = new Array[Long](MapArray.length)
     var i = 0
     val end = t.length - 2
     while (i < end) {
-      val key = pack(t.charAt(i), t.charAt(i + 1), t.charAt(i + 2))
+      val key: java.lang.Long = pack(t.charAt(i), t.charAt(i + 1), t.charAt(i + 2))
       var l = 0
-      while (l < ProfileMaps.length) {
-        val w = ProfileMaps(l)._2.get(key)
+      while (l < MapArray.length) {
+        val w = MapArray(l).get(key)
         if (w != null) acc(l) += w.intValue()
         l += 1
       }
       i += 1
     }
-    ProfileMaps.indices.map(l => ProfileMaps(l)._1 -> acc(l))
+    LangNames.indices.map(l => LangNames(l) -> acc(l))
   }
 
   /** Classify: argmax of summed rank weights; ties break by profile order;

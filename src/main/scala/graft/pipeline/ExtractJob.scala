@@ -115,13 +115,20 @@ object ExtractJob {
     * (asserted in tests); cost is one extra shuffle, so it is the path for
     * the oversized tail, not the default.
     */
+  /** Span-parallel row type flowing from the parse stage into reassembly. */
+  private type SpanRow = (Long, String, String, String, Int, Int, String, String, String, String, Long)
+  // fields: (doc_id, kind, extractedText, media_ref, offset, idx(-1=sentinel),
+  //          rawMedia, reason, failStatus, failMsg, bytesIn)
+
   /** As the batch path, a failing span yields a CLASSIFIED lineage row for
-    * its document, never a task failure — the batch path aborts a doc at
-    * its first failing span in (offset, index) order, and reassembly picks
-    * exactly that span's classification, so the two paths agree on status.
-    * The deadline is enforced per SPAN here (a document's spans run on
-    * different executors, so a per-doc wall clock doesn't exist; each span
-    * gets the doc budget — still bounding any single runaway parse).
+    * its document, never a task failure — for non-timeout failures the
+    * batch path aborts a doc at its first failing span in (offset, index)
+    * order, and reassembly picks exactly that span's classification, so
+    * the two paths agree on status. TIMEOUT semantics necessarily differ:
+    * a document's spans run on different executors, so no per-doc wall
+    * clock exists — here each SPAN gets the doc budget (checked after its
+    * parse), which still bounds any single runaway parse but can time out
+    * docs the batch path would pass and vice versa.
     * Returns the combined (doc, lineage) rows like [[extractPartitions]];
     * lineage throughput rates are 0 in this path (rates are per-partition
     * wall-clock figures, meaningless after the reassembly shuffle).
@@ -134,8 +141,10 @@ object ExtractJob {
       .flatMap { d =>
         val spans = Extract.spansOrEmpty(d)
         if (spans.isEmpty)
-          // sentinel keeps span-less docs visible to the reassembly
-          Iterator.single((d.doc_id, "", "", "", Int.MinValue, 0))
+          // sentinel keeps span-less docs visible to the reassembly;
+          // idx = -1 can never collide with a real span (array positions
+          // are >= 0 — an offset-based sentinel could collide with data)
+          Iterator.single((d.doc_id, "", "", "", 0, -1))
         else Iterator.tabulate(spans.length) { idx =>
           // idx = position in the input span array: the secondary sort key
           // that makes reassembly deterministic under duplicate offsets
@@ -146,37 +155,38 @@ object ExtractJob {
       }
       .repartition(cfg.partitions, col("_1"), col("_5"))
       .as[(Long, String, String, String, Int, Int)]
-      .map { case (id, kind, text, ref, off, idx) =>
+      .map[SpanRow] { case (id, kind, text, ref, off, idx) =>
+        val bytesIn = if (text == null) 0L else text.length.toLong
         val deadline =
           if (cfg.docTimeoutMillis > 0) System.nanoTime() + cfg.docTimeoutMillis * 1000000L
           else Long.MaxValue
-        val (txt, why, failStatus) =
+        val (txt, why, failStatus, failMsg) =
           try {
             val r = Extract.extractSpan(kind, text, cfg.extract)
-            // cooperative deadline, checked at the span boundary like the
-            // batch path — flags the doc TIMEOUT when this parse overran
+            // cooperative deadline, checked at the span boundary
             if (deadline != Long.MaxValue && System.nanoTime() > deadline)
               throw new graft.core.ExtractTimeout("span deadline exceeded")
-            (r._1, r._2, "")
+            (r._1, r._2, "", "")
           } catch {
             case e: VirtualMachineError => throw e
-            case e: Exception => ("", "", classify(e))
+            case e: Exception => ("", "", classify(e), String.valueOf(e.getMessage))
           }
         // raw media content rides along: children need it for ids/spawning
         val raw = if (kind == "media") { if (text == null) "" else text } else ""
-        (id, kind, txt, ref, off, idx, raw, why, failStatus)
+        (id, kind, txt, ref, off, idx, raw, why, failStatus, failMsg, bytesIn)
       }
       .groupByKey(_._1)
-      .flatMapGroups { (id: Long, it: Iterator[(Long, String, String, String, Int, Int, String, String, String)]) =>
+      .flatMapGroups { (id: Long, it: Iterator[SpanRow]) =>
         // total order (offset, input index) == extractDoc's stable offset sort
-        val all = it.toArray.filter(_._5 != Int.MinValue).sortBy(r => (r._5, r._6))
+        val all = it.toArray.filter(_._6 >= 0).sortBy(r => (r._5, r._6))
+        val bytesIn = all.iterator.map(_._11).sum
         val rows = all.take(cfg.extract.maxSpans)
         // batch parity: the FIRST failing span (in sorted order, pre-cap
         // like extractDoc's loop order) classifies the whole document
-        val firstFail = rows.iterator.map(_._9).find(_.nonEmpty)
+        val firstFail = rows.iterator.find(_._9.nonEmpty)
         firstFail match {
-          case Some(status) =>
-            val lrow = LineageRow(id, -1, status, "span failure", all.length, 0, 0L, 0.0, 0.0)
+          case Some(f) =>
+            val lrow = LineageRow(id, -1, f._9, f._10, all.length, 0, bytesIn, 0.0, 0.0)
             Iterator.single((Option.empty[DocOut], Option(lrow)))
           case None =>
             var anyContent = false
@@ -184,10 +194,10 @@ object ExtractJob {
             val spans = new Array[SpanOut](rows.length)
             var i = 0
             while (i < rows.length) {
-              val (_, kind, txt, ref, _, _, _, why, _) = rows(i)
-              if (txt.nonEmpty) anyContent = true
-              if (why == Reason.Encrypted) anyEncrypted = true
-              spans(i) = SpanOut(kind, txt, ref, i)
+              val row = rows(i)
+              if (row._3.nonEmpty) anyContent = true
+              if (row._8 == Reason.Encrypted) anyEncrypted = true
+              spans(i) = SpanOut(row._2, row._3, row._4, i)
               i += 1
             }
             val reason =
@@ -199,10 +209,11 @@ object ExtractJob {
             // media children spawn from ALL media spans (pre-cap), matching
             // explodeCounted, which derives mediaContents from the full array
             val mediaContents = all.iterator.filter(_._2 == "media").map(_._7).toSeq
-            val (children, _) = Extract.spawnEmbeds(mediaContents, rid, cfg.extract)
+            val (children, skipped) = Extract.spawnEmbeds(mediaContents, rid, cfg.extract)
             val status = if (reason == Reason.Encrypted) Status.NotDecrypted else Status.Success
             val nOut = spans.length + children.iterator.map(_.spans.length).sum
-            val lrow = LineageRow(id, -1, status, "", all.length, nOut, 0L, 0.0, 0.0)
+            val err = if (skipped > 0) s"embeds_skipped=$skipped" else ""
+            val lrow = LineageRow(id, -1, status, err, all.length, nOut, bytesIn, 0.0, 0.0)
             val docRows =
               if (status == Status.Success)
                 (Iterator.single(root) ++ children.iterator).map(o => (Option(o), Option.empty[LineageRow]))
