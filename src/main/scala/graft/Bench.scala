@@ -87,15 +87,15 @@ object Bench {
     val spark = session(cpus)
 
     // JIT warmup on a LARGE pass (default min(factor,100) ~ 500k docs at
-    // sf0.1), then SPARK_GRAFT_BENCH_REPEAT measured runs (default 5),
+    // sf0.1), then SPARK_GRAFT_BENCH_REPEAT measured runs (default 8),
     // keeping the best. A tiny warmup is NOT enough: C2 compiles
     // asynchronously, and a 500k-doc run completes mostly interpreted
     // (~28k docs/sec) while the compiled steady state is ~800k docs/sec —
     // a 20x methodology artifact, reproduced and fixed in round 2
     // (BENCH.md). Warmup is capped so low-core pinned runs don't spend
-    // 20 minutes interpreting a full-size pass. Best-of-5: this host shows
+    // 20 minutes interpreting a full-size pass. Best-of-8: this host shows
     // bimodal 3-4x run variance (steal + GC).
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "5").toInt
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "8").toInt
     val warmupFactor = sys.env.getOrElse("SPARK_GRAFT_WARMUP_REPL",
       math.min(factor, 100).toString).toInt
     val ws = pipelineRun(spark, sfDir, warmupFactor, cpus.toInt)
