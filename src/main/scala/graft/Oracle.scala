@@ -566,6 +566,20 @@ object Oracle {
       | (doc_id%256)::BIGINT AS thumb_r
       |FROM documents WHERE doc_id%5=0""".stripMargin
 
+  /** Expected REAL-AVI/MJPEG parse output, recomputed arithmetically
+    * (header fields and chunk count must be recovered from real container
+    * bytes; the first frame's JPEG dims must agree with the header).
+    */
+  private val mediaVideo: String =
+    """SELECT doc_id,
+      | (2 + doc_id%4)::BIGINT AS n_frames,
+      | (32 + (doc_id%8)*4)::BIGINT AS width,
+      | (24 + (doc_id%5)*4)::BIGINT AS height,
+      | (2 + doc_id%4)::BIGINT AS n_chunks,
+      | (32 + (doc_id%8)*4)::BIGINT AS frame_w,
+      | (24 + (doc_id%5)*4)::BIGINT AS frame_h
+      |FROM documents WHERE doc_id%7=0""".stripMargin
+
   /** Expected REAL-WAV decode output, recomputed arithmetically. */
   private val mediaAudio: String =
     """SELECT doc_id,
@@ -655,6 +669,7 @@ object Oracle {
     "q_media_meta" -> mediaMeta,
     "q_media_decode" -> mediaDecode,
     "q_media_audio" -> mediaAudio,
+    "q_media_video" -> mediaVideo,
     "q_media_frames" -> mediaFrames,
     "q_tpch_q1" -> tpchQ1,
     "q_join_topn" -> joinTopn,

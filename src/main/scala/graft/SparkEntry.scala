@@ -599,6 +599,14 @@ object Queries {
   def mediaAudio(spark: SparkSession, dir: String): DataFrame =
     Media.decodeAudios(spark, docs(spark, dir))
 
+  /** REAL video-container parse (RIFF/AVI + MJPEG frames via ImageIO):
+    * header fields, frame-chunk walk, and an actual first-frame JPEG
+    * decode whose dims must agree with the header — oracle recomputes all
+    * of it arithmetically from doc_id.
+    */
+  def mediaVideo(spark: SparkSession, dir: String): DataFrame =
+    Media.decodeVideos(spark, docs(spark, dir))
+
   def mediaFrames(spark: SparkSession, dir: String): DataFrame =
     Media.sampleFrames(spark, docs(spark, dir))
 
@@ -695,6 +703,7 @@ object Queries {
     "q_media_meta" -> (mediaMeta _),
     "q_media_decode" -> (mediaDecode _),
     "q_media_audio" -> (mediaAudio _),
+    "q_media_video" -> (mediaVideo _),
     "q_media_frames" -> (mediaFrames _),
     "q_tpch_q1" -> (tpchQ1 _),
     "q_join_topn" -> (joinTopn _),

@@ -118,6 +118,125 @@ object Media {
       .toDF("doc_id", "sample_rate", "channels", "bits", "n_frames", "first_sample", "dur_us")
   }
 
+  // ------------------------------------------------------------- video ----
+
+  /** Synthesize a REAL AVI (RIFF) container with MJPEG frames — minimal
+    * spec-conformant layout: RIFF('AVI ') { LIST('hdrl'){ 'avih' main
+    * header carrying frame count + dims } LIST('movi'){ '00dc' JPEG
+    * chunks } }. Frames are solid-color JPEGs encoded by ImageIO.
+    */
+  def encodeAviMjpeg(width: Int, height: Int, frameRgbs: Seq[Int]): Array[Byte] = {
+    def chunk(fourcc: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(fourcc.getBytes("US-ASCII")).putInt(body.length).put(body)
+      if ((body.length & 1) == 1) bb.put(0.toByte) // RIFF chunks pad to even
+      bb.array()
+    }
+    def list(listType: String, bodies: Seq[Array[Byte]]): Array[Byte] = {
+      val inner = bodies.flatten.toArray
+      val bb = java.nio.ByteBuffer.allocate(12 + inner.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("LIST".getBytes("US-ASCII")).putInt(4 + inner.length)
+        .put(listType.getBytes("US-ASCII")).put(inner)
+      bb.array()
+    }
+    val avih = { // MainAVIHeader: the fields a reader needs, rest zero
+      val bb = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(33333) // dwMicroSecPerFrame (30fps)
+      bb.putInt(0).putInt(0).putInt(0)
+      bb.putInt(frameRgbs.length) // dwTotalFrames
+      bb.putInt(0).putInt(1).putInt(0)
+      bb.putInt(width).putInt(height)
+      bb.array()
+    }
+    val frames = frameRgbs.map { rgb =>
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics(); g.setColor(new java.awt.Color(rgb))
+      g.fillRect(0, 0, width, height); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      chunk("00dc", bos.toByteArray)
+    }
+    val inner = list("hdrl", Seq(chunk("avih", avih))) ++ list("movi", frames)
+    val bb = java.nio.ByteBuffer.allocate(12 + inner.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + inner.length)
+      .put("AVI ".getBytes("US-ASCII")).put(inner)
+    bb.array()
+  }
+
+  /** REAL AVI/MJPEG parse: walk the RIFF tree, read the avih main header
+    * (declared frames + dims), collect '00dc' frame chunks, and ImageIO-
+    * decode the first frame's JPEG to cross-check the header dims against
+    * actual pixel data. Returns (declaredFrames, width, height,
+    * parsedChunks, firstFrameW, firstFrameH).
+    */
+  def decodeAviMjpeg(bytes: Array[Byte]): (Int, Int, Int, Int, Int, Int) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", "not a RIFF file")
+    bb.getInt // riff size
+    require(fourcc() == "AVI ", "not an AVI")
+    var declaredFrames = 0; var w = 0; var h = 0
+    var chunks = 0; var firstFrame: Array[Byte] = null
+    def walk(end: Int): Unit = {
+      while (bb.position() < end) {
+        val id = fourcc(); val size = bb.getInt
+        val next = bb.position() + size + (size & 1)
+        id match {
+          case "LIST" =>
+            val contentEnd = bb.position() + size // children end (excl. pad)
+            fourcc() // list type — descend regardless
+            walk(contentEnd)
+            bb.position(next)
+          case "avih" =>
+            val p = bb.position()
+            bb.position(p + 16); declaredFrames = bb.getInt
+            bb.position(p + 32); w = bb.getInt; h = bb.getInt
+            bb.position(next)
+          case "00dc" =>
+            chunks += 1
+            if (firstFrame == null) {
+              firstFrame = new Array[Byte](size); bb.get(firstFrame)
+            }
+            bb.position(next)
+          case _ =>
+            bb.position(next)
+        }
+      }
+    }
+    walk(bytes.length)
+    val (fw, fh) =
+      if (firstFrame == null) (0, 0)
+      else {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(firstFrame))
+        (img.getWidth, img.getHeight)
+      }
+    (declaredFrames, w, h, chunks, fw, fh)
+  }
+
+  /** Real-video pipeline: REAL AVI/MJPEG containers (params = f(doc_id))
+    * parsed and first-frame-decoded; the oracle recomputes the expected
+    * values arithmetically. %7 sample bounds the JPEG-encode fixture cost.
+    */
+  def decodeVideos(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select("doc_id").filter(col("doc_id") % 7 === 0).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 32 + (id % 8).toInt * 4
+        val h = 24 + (id % 5).toInt * 4
+        val n = 2 + (id % 4).toInt
+        val avi = encodeAviMjpeg(w, h, Seq.tabulate(n)(f => (f * 37 + id % 200).toInt))
+        val (df, dw, dh, chunks, fw, fh) = decodeAviMjpeg(avi)
+        (id, df.toLong, dw.toLong, dh.toLong, chunks.toLong, fw.toLong, fh.toLong)
+      })
+      .toDF("doc_id", "n_frames", "width", "height", "n_chunks", "frame_w", "frame_h")
+  }
+
   /** Real-decode pipeline over synthesized REAL PNG bytes: encode (fixture)
     * then decode + resize (the operators under test) per partition batch.
     */
