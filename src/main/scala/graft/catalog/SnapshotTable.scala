@@ -156,7 +156,14 @@ object SnapshotTable {
         .getOrElse(throw new IllegalStateException(s"no snapshots in $table"))
       val survivors = read(spark, table, Some(base)).filter(!predicate)
       val name = writeData(spark, table, survivors)
-      if (commitIf(table, base, Seq(name), beforePublish)) return base + 1
+      val committed =
+        try commitIf(table, base, Seq(name), beforePublish)
+        catch {
+          case e: Throwable =>
+            // a throwing publish must not orphan the rewrite either
+            deleteRecursively(dataDir(table).resolve(name)); throw e
+        }
+      if (committed) return base + 1
       // lost the race: the rewrite computed from a stale snapshot is dead —
       // reclaim it, then recompute survivors from the new current snapshot
       deleteRecursively(dataDir(table).resolve(name))

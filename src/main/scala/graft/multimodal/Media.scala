@@ -6,15 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque binary columns
   * with typed metadata, processed in partition-level batches.
   *
-  * IMAGES decode FOR REAL via the JDK's own codecs (`javax.imageio`
-  * supports PNG/GIF/BMP/JPEG with no external jars): [[decodeImage]] /
-  * [[resizeImage]] below run actual byte-level decodes, oracle-checked by
-  * q_media_decode (real PNGs are synthesized whose dimensions/color are a
-  * pure function of doc_id, so DuckDB can recompute the expected decode
-  * output without a codec). Audio/video codecs are NOT in this container,
-  * so those stay a clearly-marked DETERMINISTIC STUB (header-byte
-  * arithmetic); everything Spark-side — binary columns, schema, batched
-  * mapPartitions shape — is real either way.
+  * ALL THREE modalities decode REAL container bytes with pure JDK:
+  * images via `javax.imageio` (PNG/GIF/BMP/JPEG ship with the JDK —
+  * [[decodeImage]]/[[resizeImage]]), audio via `javax.sound.sampled`
+  * (RIFF/WAVE — [[decodeAudio]]), and video via a RIFF/AVI chunk walker
+  * plus ImageIO MJPEG frame decode ([[decodeAviMjpeg]]). Each is
+  * oracle-checked by synthesizing real containers whose parameters are a
+  * pure function of doc_id, so DuckDB recomputes the expected decode
+  * output without any codec. The header-byte-arithmetic STUB remains only
+  * as the generic-binary fallback (decodeStub / q_media_meta).
   */
 object Media {
 
@@ -27,10 +27,10 @@ object Media {
       thumb_r: Long                   // resized top-left red channel
   )
 
-  /** Synthesize a REAL PNG (solid color, dims/color derived from the id) —
-    * the fixture generator for the real-decode path.
+  /** Synthesize a REAL solid-color image in the given ImageIO format —
+    * the shared fixture generator for the real-decode paths.
     */
-  def encodePng(width: Int, height: Int, rgb: Int): Array[Byte] = {
+  def encodeSolid(width: Int, height: Int, rgb: Int, format: String): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val gfx = img.createGraphics()
@@ -38,9 +38,12 @@ object Media {
     gfx.fillRect(0, 0, width, height)
     gfx.dispose()
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(img, format, bos)
     bos.toByteArray
   }
+
+  def encodePng(width: Int, height: Int, rgb: Int): Array[Byte] =
+    encodeSolid(width, height, rgb, "png")
 
   /** REAL image decode (JDK ImageIO): dimensions + top-left pixel. */
   def decodeImage(bytes: Array[Byte]): (Int, Int, Int) = {
@@ -150,15 +153,8 @@ object Media {
       bb.putInt(width).putInt(height)
       bb.array()
     }
-    val frames = frameRgbs.map { rgb =>
-      val img = new java.awt.image.BufferedImage(width, height,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val g = img.createGraphics(); g.setColor(new java.awt.Color(rgb))
-      g.fillRect(0, 0, width, height); g.dispose()
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "jpg", bos)
-      chunk("00dc", bos.toByteArray)
-    }
+    val frames = frameRgbs.map(rgb =>
+      chunk("00dc", encodeSolid(width, height, rgb, "jpg")))
     val inner = list("hdrl", Seq(chunk("avih", avih))) ++ list("movi", frames)
     val bb = java.nio.ByteBuffer.allocate(12 + inner.length)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -178,42 +174,49 @@ object Media {
     def fourcc(): String = {
       val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
     }
+    require(bytes.length >= 12, "truncated RIFF header")
     require(fourcc() == "RIFF", "not a RIFF file")
     bb.getInt // riff size
     require(fourcc() == "AVI ", "not an AVI")
     var declaredFrames = 0; var w = 0; var h = 0
     var chunks = 0; var firstFrame: Array[Byte] = null
-    def walk(end: Int): Unit = {
-      while (bb.position() < end) {
-        val id = fourcc(); val size = bb.getInt
-        val next = bb.position() + size + (size & 1)
+    // malformed-input guards: a lying/negative chunk size must neither
+    // spin the walk (next <= position), overrun the buffer, nor allocate
+    // from attacker-controlled lengths; list nesting is depth-capped
+    def walk(end: Int, depth: Int): Unit = {
+      if (depth > 64) throw new graft.core.ParseFailure("RIFF list nesting > 64")
+      while (bb.position() + 8 <= end) {
+        val id = fourcc(); val rawSize = bb.getInt
+        if (rawSize < 0 || rawSize > end - bb.position())
+          throw new graft.core.ParseFailure(s"RIFF chunk '$id' size $rawSize out of bounds")
+        val next = bb.position() + rawSize + (rawSize & 1)
         id match {
           case "LIST" =>
-            val contentEnd = bb.position() + size // children end (excl. pad)
+            val contentEnd = bb.position() + rawSize // children end (excl. pad)
+            if (rawSize < 4) throw new graft.core.ParseFailure("RIFF LIST too small")
             fourcc() // list type — descend regardless
-            walk(contentEnd)
-            bb.position(next)
+            walk(contentEnd, depth + 1)
           case "avih" =>
+            if (rawSize < 40) throw new graft.core.ParseFailure("avih too small")
             val p = bb.position()
             bb.position(p + 16); declaredFrames = bb.getInt
             bb.position(p + 32); w = bb.getInt; h = bb.getInt
-            bb.position(next)
           case "00dc" =>
             chunks += 1
             if (firstFrame == null) {
-              firstFrame = new Array[Byte](size); bb.get(firstFrame)
+              firstFrame = new Array[Byte](rawSize); bb.get(firstFrame)
             }
-            bb.position(next)
-          case _ =>
-            bb.position(next)
+          case _ => ()
         }
+        bb.position(math.min(math.max(next, bb.position()), end))
       }
     }
-    walk(bytes.length)
+    walk(bytes.length, 0)
     val (fw, fh) =
       if (firstFrame == null) (0, 0)
       else {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(firstFrame))
+        if (img == null) throw new graft.core.ParseFailure("first frame is not a decodable image")
         (img.getWidth, img.getHeight)
       }
     (declaredFrames, w, h, chunks, fw, fh)

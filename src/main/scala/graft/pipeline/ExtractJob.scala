@@ -156,6 +156,9 @@ object ExtractJob {
       .repartition(cfg.partitions, col("_1"), col("_5"))
       .as[(Long, String, String, String, Int, Int)]
       .map[SpanRow] { case (id, kind, text, ref, off, idx) =>
+        if (idx < 0) { // sentinel: no parse work, reassembly drops it anyway
+          (id, kind, "", ref, off, idx, "", "", "", "", 0L)
+        } else {
         val bytesIn = if (text == null) 0L else text.length.toLong
         val deadline =
           if (cfg.docTimeoutMillis > 0) System.nanoTime() + cfg.docTimeoutMillis * 1000000L
@@ -174,6 +177,7 @@ object ExtractJob {
         // raw media content rides along: children need it for ids/spawning
         val raw = if (kind == "media") { if (text == null) "" else text } else ""
         (id, kind, txt, ref, off, idx, raw, why, failStatus, failMsg, bytesIn)
+        }
       }
       .groupByKey(_._1)
       .flatMapGroups { (id: Long, it: Iterator[SpanRow]) =>
@@ -181,8 +185,10 @@ object ExtractJob {
         val all = it.toArray.filter(_._6 >= 0).sortBy(r => (r._5, r._6))
         val bytesIn = all.iterator.map(_._11).sum
         val rows = all.take(cfg.extract.maxSpans)
-        // batch parity: the FIRST failing span (in sorted order, pre-cap
-        // like extractDoc's loop order) classifies the whole document
+        // batch parity: the FIRST failing span among the CAPPED rows (in
+        // sorted order) classifies the whole document — extractDoc likewise
+        // loops over sortBy(_.offset).take(maxSpans), so a failing span
+        // beyond the cap is invisible to both paths
         val firstFail = rows.iterator.find(_._9.nonEmpty)
         firstFail match {
           case Some(f) =>

@@ -99,4 +99,26 @@ class IngestSpec extends AnyFunSuite {
     // lineage: all four SUCCESS
     assert(extracted.flatMap(_._2).count(_.status == graft.core.Status.Success) == 4)
   }
+
+  test("decodeAviMjpeg round-trips and rejects malformed containers cleanly") {
+    import graft.multimodal.Media
+    val avi = Media.encodeAviMjpeg(40, 28, Seq(0xff0000, 0x00ff00, 0x0000ff))
+    assert(Media.decodeAviMjpeg(avi) == (3, 40, 28, 3, 40, 28))
+    // malformed inputs: classified failures, never hangs/overruns/NPEs
+    def rejects(b: Array[Byte]): Unit =
+      intercept[Exception](Media.decodeAviMjpeg(b)): Unit
+    rejects(Array[Byte](1, 2, 3))                       // truncated
+    rejects("RIFF\u0000\u0000\u0000\u0000AVI ".getBytes("ISO-8859-1") ++
+      "00dc".getBytes ++ Array[Byte](-1, -1, -1, -1))   // negative chunk size
+    rejects("RIFFxxxxAVI 00dc".getBytes("ISO-8859-1") ++
+      Array[Byte](100, 0, 0, 0))                        // size beyond buffer
+    val notJpeg = {
+      val bb = java.nio.ByteBuffer.allocate(12 + 8 + 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(16).put("AVI ".getBytes)
+        .put("00dc".getBytes).putInt(4).put("junk".getBytes)
+      bb.array()
+    }
+    rejects(notJpeg)                                    // undecodable frame
+  }
 }
