@@ -91,7 +91,14 @@ object SnapshotTable {
         // treat it as a lost race ONLY when the target verifiably exists
         case _: java.nio.file.FileSystemException if Files.exists(target) => false
       }
-    } finally Files.deleteIfExists(tmp)
+    } finally {
+      // once the link is published this method MUST report success: a
+      // throwing tmp cleanup would make callers believe the commit failed
+      // and roll back data a live snapshot references. A leaked tmp file
+      // is benign; swept opportunistically, never at correctness cost.
+      try Files.deleteIfExists(tmp)
+      catch { case _: java.io.IOException => () }
+    }
   }
 
   /** Optimistic-commit loop for COMMUTATIVE manifest edits (append-style):
@@ -159,9 +166,13 @@ object SnapshotTable {
       val committed =
         try commitIf(table, base, Seq(name), beforePublish)
         catch {
-          case e: Throwable =>
-            // a throwing publish must not orphan the rewrite either
-            deleteRecursively(dataDir(table).resolve(name)); throw e
+          case scala.util.control.NonFatal(e) =>
+            // commitIf only throws when NOTHING was published (post-publish
+            // cleanup errors are absorbed there), so reclaiming the rewrite
+            // is safe; the cleanup itself must never mask the real error
+            try deleteRecursively(dataDir(table).resolve(name))
+            catch { case scala.util.control.NonFatal(_) => () }
+            throw e
         }
       if (committed) return base + 1
       // lost the race: the rewrite computed from a stale snapshot is dead —
