@@ -115,8 +115,16 @@ object Bench {
       if (pipelineOnly) Seq.empty
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        // a broken query must be LOUD (-1 timing + stderr), never a silent
+        // plausible-looking duration — correctness is the driver's gate, but
+        // the bench must not hide a query that stopped running at all
+        val failed =
+          try { fn(spark, sfDir).count(); false }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] QUERY FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
+            true
+          }
+        name -> (if (failed) -1.0 else (System.nanoTime() - t0) / 1e9)
       }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

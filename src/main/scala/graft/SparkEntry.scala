@@ -343,7 +343,11 @@ object Queries {
       .select(
         sha2(mediaContentCol, 256).as("content_key"),
         concat(lit("cached "), col("doc_id").cast("string")).as("cached_text"))
-    media.join(broadcast(cache), Seq("content_key"), "left")
+    // NO broadcast hint: the OCR cache is content-addressed over all media
+    // ever processed — it GROWS with the corpus and is exactly the side one
+    // must not pin as broadcast at 100 TB. AQE broadcasts it while it
+    // actually fits and shuffles once it doesn't.
+    media.join(cache, Seq("content_key"), "left")
       .select(col("doc_id"),
         when(col("cached_text").isNotNull, "cache").otherwise("fresh").as("src"),
         coalesce(col("cached_text"),
@@ -498,10 +502,15 @@ object Queries {
     * constant; on the fixture corpus (30-word vocabulary, natural df ~ N/15)
     * only a fraction-of-corpus cap separates hot from natural.
     */
+  // the df-cap needs |documents|; memoized per sf dir so the two jaccard
+  // queries don't each re-run a count() action per invocation
+  private val docCountMemo = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
   private def jaccardInput(spark: SparkSession, dir: String): (DataFrame, Long) = {
     val base = docs(spark, dir)
+    val n = docCountMemo.computeIfAbsent(dir, _ => base.count())
     val injected = base.withColumn("text", concat(col("text"), lit(" ubiq bigram")))
-    (injected, base.count() / 10)
+    (injected, n / 10)
   }
 
   def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {

@@ -75,7 +75,9 @@ object PdfMini {
             var e = j + 1
             while (e < s.length && depth > 0) {
               val c = s.charAt(e)
-              if (c == '\\') e += 2
+              // a truncated trailing escape ('...\' at end-of-input) must not
+              // step past the string — clamp the 2-char skip to what's left
+              if (c == '\\') e += math.min(2, s.length - e)
               else {
                 if (c == '(') depth += 1
                 else if (c == ')') depth -= 1

@@ -104,17 +104,25 @@ object Dedup {
 
   /** Candidate-verification stage of the dedup pipeline: LSH candidates are
     * cheap but approximate; this re-joins each candidate pair to its texts
-    * and keeps pairs within `maxDist` edit distance (Spark's builtin
-    * codegen'd levenshtein — classic DP, identical semantics in DuckDB, so
-    * the stage is oracle-checkable). The pair set is the bounded side and
-    * broadcasts; texts stream through once.
+    * and keeps pairs within `maxDist` edit distance.
+    *
+    * Scale notes: the pair set is NOT broadcast-hinted — minhashPairs bounds
+    * pairs per bucket at cap^2/2, so a single at-cap bucket can emit ~5e7
+    * pairs, far past broadcast range; AQE broadcasts while it actually fits
+    * and shuffles when it doesn't. Before the O(n*m) DP runs, two cheap
+    * prefilters eliminate most pairs: `abs(len(ta)-len(tb)) <= maxDist`
+    * (a length gap is a lower bound on edit distance) and the THRESHOLDED
+    * levenshtein (Spark 3.5+ 3-arg form) that abandons the DP as soon as
+    * the running minimum exceeds maxDist — both return the exact distance
+    * for every surviving pair, so the stage stays oracle-checkable.
     */
   def editVerify(docs: DataFrame, candidates: DataFrame, maxDist: Int): DataFrame =
     docs.select(col("doc_id").as("a"), col("text").as("ta"))
-      .join(broadcast(candidates), "a")
+      .join(candidates, "a")
       .join(docs.select(col("doc_id").as("b"), col("text").as("tb")), "b")
-      .withColumn("dist", levenshtein(col("ta"), col("tb")))
-      .filter(col("dist") <= maxDist)
+      .filter(abs(length(col("ta")) - length(col("tb"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist))
+      .filter(col("dist") >= 0) // thresholded form returns -1 past maxDist
       .select("a", "b", "dist")
 
   /** (bucket, doc_id) band-bucket membership rows. */
@@ -180,9 +188,14 @@ object Dedup {
     val inter = probes.join(rare.withColumnRenamed("doc_id", "b"), "shingle")
       .filter(col("a") =!= col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    // sizes is one row per DOCUMENT — O(corpus), the side that must never
+    // carry a broadcast hint (unbroadcastable at 1e12 docs). The bounded
+    // side here is `inter` (|probes| x neighbors); no hint is needed at
+    // all: AQE broadcasts the small side while it fits and falls back to a
+    // shuffle join when it doesn't.
     inter
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza")), "a")
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb")), "b")
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
       .withColumn("uni", col("sza") + col("szb") - col("inter"))
       .filter(col("inter") * 5 >= col("uni"))
       .select("a", "b", "inter", "uni")

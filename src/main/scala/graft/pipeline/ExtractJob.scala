@@ -213,18 +213,33 @@ object ExtractJob {
             val rid = graft.core.Ids.rootId(id)
             val root = DocOut(rid, "", rid, 0, spans, reason)
             // media children spawn from ALL media spans (pre-cap), matching
-            // explodeCounted, which derives mediaContents from the full array
+            // explodeCounted, which derives mediaContents from the full array.
+            // Same never-a-task-failure contract as the per-span parse stage:
+            // an exception while spawning embeds classifies the DOCUMENT
+            // (the batch path wraps the whole explodeCounted the same way).
             val mediaContents = all.iterator.filter(_._2 == "media").map(_._7).toSeq
-            val (children, skipped) = Extract.spawnEmbeds(mediaContents, rid, cfg.extract)
-            val status = if (reason == Reason.Encrypted) Status.NotDecrypted else Status.Success
-            val nOut = spans.length + children.iterator.map(_.spans.length).sum
-            val err = if (skipped > 0) s"embeds_skipped=$skipped" else ""
-            val lrow = LineageRow(id, -1, status, err, all.length, nOut, bytesIn, 0.0, 0.0)
-            val docRows =
-              if (status == Status.Success)
-                (Iterator.single(root) ++ children.iterator).map(o => (Option(o), Option.empty[LineageRow]))
-              else Iterator.empty
-            docRows ++ Iterator.single((Option.empty[DocOut], Option(lrow)))
+            val spawned =
+              try Right(Extract.spawnEmbeds(mediaContents, rid, cfg.extract))
+              catch {
+                case e: VirtualMachineError => throw e
+                case e: Exception => Left(e)
+              }
+            spawned match {
+              case Left(e) =>
+                val lrow = LineageRow(id, -1, classify(e),
+                  String.valueOf(e.getMessage), all.length, 0, bytesIn, 0.0, 0.0)
+                Iterator.single((Option.empty[DocOut], Option(lrow)))
+              case Right((children, skipped)) =>
+                val status = if (reason == Reason.Encrypted) Status.NotDecrypted else Status.Success
+                val nOut = spans.length + children.iterator.map(_.spans.length).sum
+                val err = if (skipped > 0) s"embeds_skipped=$skipped" else ""
+                val lrow = LineageRow(id, -1, status, err, all.length, nOut, bytesIn, 0.0, 0.0)
+                val docRows =
+                  if (status == Status.Success)
+                    (Iterator.single(root) ++ children.iterator).map(o => (Option(o), Option.empty[LineageRow]))
+                  else Iterator.empty
+                docRows ++ Iterator.single((Option.empty[DocOut], Option(lrow)))
+            }
         }
       }
   }
@@ -340,6 +355,21 @@ object ExtractJob {
     readCombined(spark, outDir).map(
       _.filter(col("lineage").isNotNull).select("lineage.*"))
 
+  /** Per-partition checkpoint rows of COMMITTED runs only: orphan-run
+    * checkpoint rows (a crash window, or rows from a racing writer) are
+    * filtered against the manifest exactly like orphan run dirs — the
+    * "provable committed partitions" surface never overstates.
+    */
+  def readCheckpoints(spark: SparkSession, outDir: String): Option[DataFrame] = {
+    val p = new java.io.File(s"$outDir/checkpoints")
+    if (!p.exists()) None
+    else {
+      val committed = committedRuns(spark, outDir)
+      Some(spark.read.parquet(p.getPath)
+        .filter(col("run_id").isin(committed: _*)))
+    }
+  }
+
   /** End-to-end incremental run (commit protocol above). Resumes against
     * `lineagePrev` when given, else against the output's own lineage view —
     * the Reporter.skip semantics (`Reporter.java:120-135`). Returns (total
@@ -357,7 +387,18 @@ object ExtractJob {
     extractPartitions(parted, cfg).toDF("doc", "lineage")
       .write.mode(SaveMode.Overwrite).parquet(runDir)
 
-    // per-partition checkpoint rows for THIS run only (O(run), appended)
+    // the commit point: one manifest row makes the run visible to readers
+    import spark.implicits._
+    Seq((runId, prior.size.toLong, true)).toDF("run_id", "seq", "committed")
+      .coalesce(1)
+      .write.mode(SaveMode.Append).parquet(s"$outDir/manifest")
+
+    // per-partition checkpoint rows for THIS run only (O(run), appended) —
+    // written AFTER the manifest commit point, so a crash between the two
+    // can only UNDERSTATE committed partitions (a visible run briefly
+    // missing its checkpoint rows), never assert partitions for a run that
+    // is invisible to readers. readCheckpoints additionally filters to
+    // manifested runs, so even stale rows from a pre-fix layout are dropped.
     spark.read.parquet(runDir)
       .filter(col("lineage").isNotNull).select("lineage.*")
       .groupBy(col("partition_id"))
@@ -365,12 +406,6 @@ object ExtractJob {
       .withColumn("run_id", lit(runId))
       .withColumn("committed", lit(true))
       .write.mode(SaveMode.Append).parquet(s"$outDir/checkpoints")
-
-    // the commit point: one manifest row makes the run visible to readers
-    import spark.implicits._
-    Seq((runId, prior.size.toLong, true)).toDF("run_id", "seq", "committed")
-      .coalesce(1)
-      .write.mode(SaveMode.Append).parquet(s"$outDir/manifest")
 
     val nd = readExtracted(spark, outDir).map(_.count()).getOrElse(0L)
     val nl = readLineage(spark, outDir).map(_.count()).getOrElse(0L)

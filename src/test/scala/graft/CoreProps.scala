@@ -189,6 +189,14 @@ object CoreProps extends Properties("graft.core") {
       graft.core.pdf.PdfMini.cleanInfo(c) == c
     }
 
+  property("cleanInfo never throws on TRUNCATED input (mid-escape / unclosed)") =
+    Prop.forAll(tagSoup, Gen.oneOf("\\", "(", "\\(", "")) { (junk, tail) =>
+      // the value string ends mid-escape or unclosed at end-of-file — the
+      // escape skip must clamp, never step past the input
+      val c = graft.core.pdf.PdfMini.cleanInfo("/Title (" + junk + tail)
+      graft.core.pdf.PdfMini.cleanInfo(c) == c
+    }
+
   property("WAV encode/decode round-trips rate, frames, and amplitude") =
     Prop.forAll(Gen.choose(0, 3), Gen.choose(1, 200), Gen.choose(0, 999)) {
       (ri, n, amp) =>
