@@ -355,6 +355,10 @@ object Oracle {
     s"""SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_copies, min(doc_id) AS keeper_id
        |FROM $dupDocs AS d GROUP BY md5(text)""".stripMargin
 
+  /** Mirrors Dedup.minhashPairs INCLUDING the per-bucket cap (10000 lowest
+    * doc_ids kept) — the operator and oracle must share the cap semantics,
+    * not just happen to agree while fixture buckets are small.
+    */
   private val dedupMinhash: String =
     s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS words,
        |  len(string_split(text,' ')) AS m FROM $dupDocs AS d),
@@ -362,8 +366,12 @@ object Oracle {
        |cx AS (SELECT doc_id, ${hex2int("substr(md5(array_to_string(words[i:i+2],' ')),1,8)")} AS x FROM si),
        |sg AS (SELECT doc_id, hi, min(((2*hi+3)*x + (7*hi+1)) % 2038074743) AS v
        |       FROM cx, (SELECT unnest(generate_series(0,11)) AS hi) hs GROUP BY doc_id, hi),
-       |k AS (SELECT doc_id, (hi//3)||':'||string_agg(v::VARCHAR, ',' ORDER BY hi) AS key
-       |      FROM sg GROUP BY doc_id, hi//3)
+       |k0 AS (SELECT doc_id, (hi//3)||':'||string_agg(v::VARCHAR, ',' ORDER BY hi) AS key
+       |      FROM sg GROUP BY doc_id, hi//3),
+       |k AS (SELECT doc_id, key FROM (
+       |      SELECT doc_id, key,
+       |        row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rk FROM k0)
+       |      WHERE rk<=10000)
        |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
        |FROM k l JOIN k r ON l.key=r.key AND l.doc_id<r.doc_id""".stripMargin
 

@@ -88,14 +88,19 @@ object Dedup {
     * quadratic (|bucket|^2 pairs). Members beyond `bucketCap` (lowest
     * doc_ids kept — plan- and retry-stable) are dropped and observable via
     * [[hotBuckets]], never silently.
+    *
+    * The cap is a BOUNDED-HEAP aggregate ([[graft.functions.BoundedMinIds]]),
+    * not a row_number window: a window would sort a hot bucket's FULL
+    * membership on one reducer before discarding; the aggregate reduces each
+    * map task's slice to <= cap ids before the shuffle, so no task ever
+    * materializes or sorts an unbounded bucket. Identical kept set.
     */
   def minhashPairs(spark: SparkSession, docs: DataFrame,
                    bucketCap: Int = 10000): DataFrame = {
     val buckets = minhashBuckets(spark, docs)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("bucket").orderBy("doc_id")
-    val capped = buckets.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= bucketCap).drop("rk")
+    val capped = buckets.groupBy("bucket")
+      .agg(graft.functions.BoundedMinIds.minIds(bucketCap)(col("doc_id")).as("ids"))
+      .select(col("bucket"), explode(col("ids")).as("doc_id"))
     capped.as("l").join(capped.as("r"), col("l.bucket") === col("r.bucket")
         && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))

@@ -100,13 +100,15 @@ object Knn {
 
   /** Memberships with each (table, bucket) capped at `cap` members —
     * deterministic (lowest vec_ids kept), so parallel plans and the SQL
-    * oracle agree exactly.
+    * oracle agree exactly. Bounded-heap aggregate, not a row_number window:
+    * each map task reduces its slice of a hot bucket to <= cap ids BEFORE
+    * the shuffle, so a degenerate bucket (all-zero embeddings) never lands
+    * as an unbounded single-task sort (see [[graft.functions.BoundedMinIds]]).
     */
-  def cappedMemberships(memberships: DataFrame, cap: Int): DataFrame = {
-    val w = Window.partitionBy("t", "bucket").orderBy("vec_id")
-    memberships.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= cap).drop("rk")
-  }
+  def cappedMemberships(memberships: DataFrame, cap: Int): DataFrame =
+    memberships.groupBy("t", "bucket")
+      .agg(graft.functions.BoundedMinIds.minIds(cap)(col("vec_id")).as("ids"))
+      .select(col("t"), col("bucket"), explode(col("ids")).as("vec_id"))
 
   /** Occupancy report per (table, bucket): total members and members kept
     * under `cap` — the no-silent-caps observability surface.

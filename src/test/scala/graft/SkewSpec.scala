@@ -56,4 +56,30 @@ class SkewSpec extends AnyFunSuite {
     val hot = graft.operators.Dedup.hotBuckets(spark, docs, cap)
     assert(hot.filter(col("n_members") > col("n_kept")).count() > 0)
   }
+
+  test("bounded-heap cap == row_number cap semantics, with NO window sort in the plan") {
+    import spark.implicits._
+    // adversarial: one hot group (7) with 50k members, plus sparse groups
+    val rows = spark.range(50000).select(
+      when(col("id") % 1000 === 0, col("id") % 13).otherwise(lit(7L)).as("bucket"),
+      // ids arrive in a scrambled order so 'lowest cap ids' is a real selection
+      ((col("id") * 48271) % 100003).as("doc_id"))
+    val cap = 100
+    val viaAgg = rows.groupBy("bucket")
+      .agg(graft.functions.BoundedMinIds.minIds(cap)(col("doc_id")).as("ids"))
+      .select(col("bucket"), explode(col("ids")).as("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("bucket").orderBy("doc_id")
+    val viaWindow = rows.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap).drop("rk")
+    // identical kept sets (distinct: the scramble can collide doc_ids, and
+    // row_number keeps a duplicated value twice while the heap keeps values)
+    assert(viaAgg.distinct().except(viaWindow.distinct()).count() == 0)
+    assert(viaWindow.distinct().except(viaAgg.distinct()).count() == 0)
+    // the scale claim: the capped path is an ObjectHashAggregate (map-side
+    // partial) — no Window operator, no full-bucket sort on one task
+    viaAgg.collect()
+    val plan = viaAgg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate in:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"), s"window sort crept back into:\n${plan.take(1500)}")
+  }
 }
