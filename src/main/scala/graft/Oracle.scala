@@ -22,6 +22,11 @@ object Oracle {
       s"(strpos('0123456789abcdef',substr($h8,${i + 1},1))::BIGINT-1)*$w"
     }.mkString("(", "+", ")")
 
+  /** Length-prefixed embed-id field (mirror of Ids.lenc): utf8-byte length,
+    * ':' separator, raw value. sha256 hex fields are always 64 bytes.
+    */
+  private def lencSql(x: String): String = s"octet_length(encode($x))||':'||$x"
+
   /** Shared prelude: per-document word split and third-points, matching
     * Corpus.splitPoints.
     */
@@ -62,13 +67,13 @@ object Oracle {
       |       ELSE 'ocr '||doc_id END AS content
       | FROM r WHERE doc_id%3=0),
       |l1 AS (SELECT doc_id, rid,
-      |  CASE WHEN content='' THEN sha256(':'||rid||':0')
-      |       ELSE sha256(sha256(content)||':'||rid||':0') END AS cid
+      |  sha256(CASE WHEN content='' THEN '0:' ELSE '64:'||sha256(content) END
+      |    ||'64:'||rid||'1:0'||'0:'||'0:') AS cid
       | FROM c1)
       |SELECT rid AS doc_id, '' AS parent_id, rid AS root_id, 0 AS level FROM r
       |UNION ALL SELECT cid, rid, rid, 1 FROM l1
       |UNION ALL
-      |SELECT sha256(sha256('chain:sub '||doc_id)||':'||cid||':0'), cid, rid, 2
+      |SELECT sha256('64:'||sha256('chain:sub '||doc_id)||'64:'||cid||'1:0'||'0:'||'0:'), cid, rid, 2
       |FROM l1 WHERE doc_id%27=0 AND doc_id%21<>0""".stripMargin
 
   private val pdfBytes: String =
@@ -79,27 +84,28 @@ object Oracle {
       |SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS txt
       |FROM l GROUP BY doc_id""".stripMargin
 
+  private val LENC_REL = lencSql("rel0")
+  private val LENC_RES = lencSql("res0")
+
   private val embedNamed: String =
-    """WITH m AS (SELECT doc_id, sha256(doc_id::VARCHAR) AS rid,
+    s"""WITH m AS (SELECT doc_id, sha256(doc_id::VARCHAR) AS rid,
       |  CASE WHEN doc_id%2=0 THEN 'att-'||doc_id||'.txt' ELSE '' END AS res0,
       |  CASE WHEN doc_id%5=0 THEN 'rId'||(doc_id%97) ELSE '' END AS rel0
       | FROM documents WHERE doc_id%3=0 AND doc_id%21<>0),
       |e AS (SELECT doc_id, rid, res0, rel0,
-      |  sha256(sha256('att '||doc_id)||':'||rid||':0'||
-      |    CASE WHEN rel0='' THEN '' ELSE ':'||rel0 END||
-      |    CASE WHEN res0='' THEN '' ELSE ':'||res0 END) AS e0,
-      |  sha256(sha256('proj'||'att '||doc_id)||':'||rid||':0'||
-      |    CASE WHEN rel0='' THEN '' ELSE ':'||rel0 END||
-      |    CASE WHEN res0='' THEN '' ELSE ':'||res0 END) AS e0s
+      |  sha256('64:'||sha256('att '||doc_id)||'64:'||rid||'1:0'||
+      |    ${LENC_REL}||${LENC_RES}) AS e0,
+      |  sha256('64:'||sha256('proj'||'att '||doc_id)||'64:'||rid||'1:0'||
+      |    ${LENC_REL}||${LENC_RES}) AS e0s
       | FROM m)
       |SELECT doc_id, 'e0' AS embed_key, e0 AS child_id, e0s AS child_id_salted,
       |  CASE WHEN res0='' THEN 'untitled_0' ELSE res0 END AS name,
       |  CASE WHEN res0='' THEN 'untitled_0' ELSE res0 END AS name_legacy FROM e
-      |UNION ALL SELECT doc_id, 'e1', sha256(sha256('img '||doc_id)||':'||rid||':1'),
-      |  sha256(sha256('proj'||'img '||doc_id)||':'||rid||':1'),
+      |UNION ALL SELECT doc_id, 'e1', sha256('64:'||sha256('img '||doc_id)||'64:'||rid||'1:1'||'0:'||'0:'),
+      |  sha256('64:'||sha256('proj'||'img '||doc_id)||'64:'||rid||'1:1'||'0:'||'0:'),
       |  'untitled_1', 'untitled_1' FROM e
-      |UNION ALL SELECT doc_id, 'n0', sha256(sha256('sub '||doc_id)||':'||e0||':0'),
-      |  sha256(sha256('proj'||'sub '||doc_id)||':'||e0s||':0'),
+      |UNION ALL SELECT doc_id, 'n0', sha256('64:'||sha256('sub '||doc_id)||'64:'||e0||'1:0'||'0:'||'0:'),
+      |  sha256('64:'||sha256('proj'||'sub '||doc_id)||'64:'||e0s||'1:0'||'0:'||'0:'),
       |  'untitled_0', 'untitled_2' FROM e""".stripMargin
 
   private val embedConcat: String =

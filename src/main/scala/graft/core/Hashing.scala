@@ -52,12 +52,26 @@ object Ids {
     */
   def rootId(docId: Long): String = sha256(docId.toString)
 
-  /** Recursive embed id, full composition after `DigestIdentifier.java:
-    * 26-68`: SHA(contentHash ‖ parentId ‖ ordinal ‖ embeddedRelationshipId?
-    * ‖ resourceName?), where
-    *  - a content-less embed drops only the hash component (`:45-52`);
-    *  - relationshipId / resourceName contribute only when present
-    *    (`:53-61` — the reference appends each identifier it has);
+  /** Length-prefixed field for the embed-id preimage: `<utf8ByteLen>:<s>`.
+    * Concatenating length-prefixed fields in fixed arity is injective — no
+    * two distinct component tuples share a preimage (a bare ':'-join is
+    * ambiguous when a field itself contains ':'). UTF-8 BYTE length, not
+    * chars, so the SQL oracle's `octet_length(encode(x))` matches exactly
+    * for any input.
+    */
+  private def lenc(s: String): String =
+    s"${s.getBytes(StandardCharsets.UTF_8).length}:$s"
+
+  /** Recursive embed id — the SAME COMPONENTS as the reference's
+    * `DigestIdentifier.java:26-68` (content hash, parent id, optional
+    * embedded-relationship id, optional resource name, plus a graft-local
+    * sibling ordinal), in a GRAFT-LOCAL ENCODING: the reference concatenates
+    * raw fields with no separators into the digest; graft length-prefixes
+    * each field ([[lenc]]) in fixed arity so the composition is injective
+    * ((rel="", res="a:b") and (rel="a", res="b") hash differently).
+    * Semantics preserved from the reference:
+    *  - a content-less embed drops only the hash component (`:45-52` —
+    *    contentPart is the empty field, all other fields still contribute);
     *  - `salt` is the optional per-project digest salt
     *    (`UpdatableDigester.java:6-19`: the digest is primed with the
     *    project key before the content bytes), so two projects ingesting
@@ -67,9 +81,8 @@ object Ids {
               relationshipId: String = "", resourceName: String = "",
               salt: String = ""): String = {
     val contentPart = if (content.isEmpty) "" else sha256(salt + content)
-    val rel = if (relationshipId.isEmpty) "" else s":$relationshipId"
-    val res = if (resourceName.isEmpty) "" else s":$resourceName"
-    sha256(s"$contentPart:$parentId:$ordinal$rel$res")
+    sha256(lenc(contentPart) + lenc(parentId) + lenc(ordinal.toString) +
+      lenc(relationshipId) + lenc(resourceName))
   }
 
   /** Embed display name (`EmbedSpawner.java:79-81,264-281`): the resource

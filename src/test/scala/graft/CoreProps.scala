@@ -142,16 +142,24 @@ object CoreProps extends Properties("graft.core") {
   private val maybeStr: Gen[String] =
     Gen.oneOf(Gen.const(""), word)
 
-  property("embedId composition is exact on every branch (DigestIdentifier fidelity)") =
+  property("embedId composition is exact on every branch (length-prefixed encoding)") =
     Prop.forAll(maybeStr, word, Gen.choose(0, 9), maybeStr, maybeStr, maybeStr) {
       (content, parent, ord, rel, res, salt) =>
         val got = Ids.embedId(content, parent, ord, rel, res, salt)
         val contentPart = if (content.isEmpty) "" else Ids.sha256(salt + content)
-        val relPart = if (rel.isEmpty) "" else s":$rel"
-        val resPart = if (res.isEmpty) "" else s":$res"
-        got == Ids.sha256(s"$contentPart:$parent:$ord$relPart$resPart") &&
+        def enc(s: String) = s"${s.getBytes("UTF-8").length}:$s"
+        got == Ids.sha256(enc(contentPart) + enc(parent) + enc(ord.toString) +
+            enc(rel) + enc(res)) &&
           // defaults reproduce the bare composition (back-compat with roots)
           Ids.embedId(content, parent, ord) == Ids.embedId(content, parent, ord, "", "", "")
+    }
+
+  property("embedId is injective across field boundaries (no ':'-shift collisions)") =
+    Prop.forAll(word, word, Gen.choose(0, 9), word, word) { (content, parent, ord, x, y) =>
+      // the classic ambiguity of separator joins: (rel='', res='x:y') vs
+      // (rel='x', res='y') — length-prefixing must keep them distinct
+      Ids.embedId(content, parent, ord, "", s"$x:$y") !=
+        Ids.embedId(content, parent, ord, x, y)
     }
 
   property("project salt changes every contentful id, never the content-less ones") =
