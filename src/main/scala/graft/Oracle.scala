@@ -637,6 +637,9 @@ object Oracle {
   val all: Map[String, String] = Map(
     "q_extract_spans" -> extractSpans,
     "q_pdf_bytes" -> pdfBytes,
+    // same expected text as q_pdf_bytes: the oracle can't inflate, but it
+    // doesn't need to — it recomputes what the TEXT must be from documents
+    "q_pdf_flate" -> pdfBytes,
     "q_embed_explode" -> embedExplode,
     "q_embed_named" -> embedNamed,
     "q_embed_concat" -> embedConcat,

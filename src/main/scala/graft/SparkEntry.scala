@@ -139,20 +139,52 @@ object Queries {
     * The oracle recomputes the expected text from `documents` alone, so
     * the whole build-bytes -> parse-bytes loop is correctness-gated.
     */
+  /** Content stream typesetting a document's words, 5/line (shared by the
+    * raw and Flate-compressed PDF round-trip queries).
+    */
+  private def pdfContentStream(t: String): String = {
+    val w = t.split(" ", -1)
+    val content = new StringBuilder("BT /F1 12 Tf ")
+    var li = 0
+    while (li * 5 < w.length) {
+      val line = w.slice(li * 5, math.min(w.length, li * 5 + 5)).mkString(" ")
+      content.append(s"1 0 0 1 72 ${720 - li * 14} Tm ($line) Tj ")
+      li += 1
+    }
+    content.append("ET")
+    content.toString
+  }
+
   def pdfBytes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     docs(spark, dir).select("doc_id", "text").as[(Long, String)]
       .map { case (id, t) =>
-        val w = t.split(" ", -1)
-        val content = new StringBuilder("BT /F1 12 Tf ")
-        var li = 0
-        while (li * 5 < w.length) {
-          val line = w.slice(li * 5, math.min(w.length, li * 5 + 5)).mkString(" ")
-          content.append(s"1 0 0 1 72 ${720 - li * 14} Tm ($line) Tj ")
-          li += 1
-        }
-        content.append("ET")
+        val content = pdfContentStream(t)
         val pdf = s"%PDF-1.4\n1 0 obj << /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\ntrailer\n%%EOF"
+        val (txt, _) = Extract.extractSpan("pdf_bytes", pdf)
+        (id, txt)
+      }
+      .toDF("doc_id", "txt")
+  }
+
+  /** §2.3 REAL compressed-PDF path: the same typeset content stream,
+    * DEFLATE-compressed with `/Filter /FlateDecode` (how virtually every
+    * real-world PDF ships; reference handles via PDFBox,
+    * `Extractor.java:189,245-250`), inflated and parsed back by PdfMini
+    * through the normal pdf_bytes route. Oracle recomputes the expected
+    * text from `documents` alone — the whole deflate->inflate->parse loop
+    * is correctness-gated.
+    */
+  def pdfFlate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .map { case (id, t) =>
+        val content = pdfContentStream(t)
+        val comp = new String(
+          graft.core.pdf.PdfMini.deflate(
+            content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)),
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        val pdf = s"%PDF-1.4\n1 0 obj << /Length ${comp.length} /Filter /FlateDecode >>\nstream\n$comp\nendstream\nendobj\ntrailer\n%%EOF"
         val (txt, _) = Extract.extractSpan("pdf_bytes", pdf)
         (id, txt)
       }
@@ -666,6 +698,7 @@ object Queries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_extract_spans" -> (extractSpans _),
     "q_pdf_bytes" -> (pdfBytes _),
+    "q_pdf_flate" -> (pdfFlate _),
     "q_embed_explode" -> (embedExplode _),
     "q_embed_named" -> (embedNamed _),
     "q_embed_concat" -> (embedConcat _),

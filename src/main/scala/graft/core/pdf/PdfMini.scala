@@ -2,13 +2,15 @@ package graft.core.pdf
 
 import scala.collection.mutable.ArrayBuffer
 
-/** Minimal REAL-PDF text extractor for uncompressed PDFs (PDF 1.x is a
-  * published ISO format; this parses the text-showing subset the reference
-  * exercises through PDFBox: content streams, BT/ET text objects, Td/TD/Tm/
-  * T* positioning, Tj/TJ/'/" show operators, literal strings with escapes).
-  * No object/xref resolution is attempted beyond locating stream payloads —
-  * FlateDecode'd streams are out of scope (no codec jars in the sandbox)
-  * and documented as such.
+/** Minimal REAL-PDF text extractor (PDF 1.x is a published ISO format; this
+  * parses the text-showing subset the reference exercises through PDFBox:
+  * content streams, BT/ET text objects, Td/TD/Tm/T* positioning, Tj/TJ/'/"
+  * show operators, literal strings with escapes). Content streams may be
+  * raw or `/Filter /FlateDecode` — Flate is DEFLATE, shipped in the JDK
+  * (`java.util.zip.Inflater`), and virtually every real-world PDF compresses
+  * its content streams, so the real-ingestion route (Ingest.readDir ->
+  * pdf_bytes) handles them. No object/xref resolution is attempted beyond
+  * locating stream payloads and their owning dictionary.
   *
   * Reading order mirrors [[PdfLayout]]: lines sorted by descending y (PDF's
   * y axis points up), then x; text chunks on one line ordered by x.
@@ -19,6 +21,46 @@ object PdfMini {
     textFromLatin1(new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1))
 
   private final case class Chunk(y: Double, x: Double, text: String)
+
+  /** Zip-bomb guard: a Flate stream may not inflate past this (the
+    * reference's declared-size guard, `EmbedSpawner.java:393-402`, applied
+    * to the decode itself). 64 MB, matching Extract.Config.maxSpanChars.
+    */
+  val MaxInflatedBytes: Int = 64 << 20
+
+  /** Inflate a DEFLATE payload; None on malformed/truncated data or when
+    * the output would exceed [[MaxInflatedBytes]] (never throws — malformed
+    * real-world input must degrade, not fail the task).
+    */
+  def inflate(data: Array[Byte]): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(math.min(data.length * 4, 1 << 16))
+      val buf = new Array[Byte](8192)
+      var bad = false
+      while (!bad && !inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+        else if (inf.needsInput() || inf.needsDictionary()) bad = true // truncated / preset-dict
+        if (out.size() > MaxInflatedBytes) bad = true
+      }
+      if (bad) None else Some(out.toByteArray)
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
+  }
+
+  def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    try {
+      d.setInput(data); d.finish()
+      val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
 
   def textFromLatin1(pdf: String): String = {
     val chunks = ArrayBuffer.empty[Chunk]
@@ -34,7 +76,18 @@ object PdfMini {
         val e = pdf.indexOf("endstream", payloadStart)
         if (e < 0) from = -1
         else {
-          extractStream(pdf.substring(payloadStart, e), chunks)
+          // the owning stream dict sits between the preceding 'obj' token
+          // and the stream keyword: '/Filter /FlateDecode' there means the
+          // payload is DEFLATE-compressed (PDF 7.4.4)
+          val dictStart = math.max(0, pdf.lastIndexOf("obj", s))
+          val isFlate = pdf.substring(dictStart, s).contains("/FlateDecode")
+          val raw = pdf.substring(payloadStart, e)
+          if (isFlate)
+            inflate(raw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+              .foreach { b =>
+                extractStream(new String(b, java.nio.charset.StandardCharsets.ISO_8859_1), chunks)
+              } // malformed Flate data: skip the stream, never throw
+          else extractStream(raw, chunks)
           from = e + "endstream".length
         }
       }

@@ -51,6 +51,37 @@ class IngestSpec extends AnyFunSuite {
       "stream\nBT 1 0 0 1 +72 +700 Tm (a) Tj ET\nendstream") == "a")
   }
 
+  test("FlateDecode: compressed content streams round-trip through inflate") {
+    val content =
+      "BT /F1 12 Tf 72 720 Td (Hello flate) Tj 0 -14 Td (compressed \\(line\\) two) Tj ET"
+    val comp = new String(
+      PdfMini.deflate(content.getBytes(StandardCharsets.ISO_8859_1)),
+      StandardCharsets.ISO_8859_1)
+    val pdf = s"%PDF-1.4\n4 0 obj << /Length ${comp.length} /Filter /FlateDecode >>\nstream\n$comp\nendstream\nendobj\n%%EOF"
+    assert(PdfMini.textFromLatin1(pdf) == "Hello flate\ncompressed (line) two")
+    // mixed document: one Flate stream + one raw stream, both extracted
+    val mixed = pdf.replace("endobj\n%%EOF",
+      "endobj\n5 0 obj << /Length 30 >>\nstream\nBT 72 600 Td (raw tail) Tj ET\nendstream\nendobj\n%%EOF")
+    assert(PdfMini.textFromLatin1(mixed) ==
+      "Hello flate\ncompressed (line) two\nraw tail")
+  }
+
+  test("FlateDecode: malformed/truncated/bomb-ish streams degrade, never throw") {
+    // garbage bytes behind a Flate filter: stream skipped, parse continues
+    val bad = "%PDF-1.4\n1 0 obj << /Filter /FlateDecode >>\nstream\nnot deflate at all\nendstream\n" +
+      "2 0 obj << /Length 5 >>\nstream\nBT 72 700 Td (ok) Tj ET\nendstream\n%%EOF"
+    assert(PdfMini.textFromLatin1(bad) == "ok")
+    // truncated deflate payload
+    val content = "BT (x) Tj ET"
+    val comp = PdfMini.deflate(content.getBytes(StandardCharsets.ISO_8859_1))
+    val trunc = new String(comp.take(comp.length / 2), StandardCharsets.ISO_8859_1)
+    PdfMini.textFromLatin1(
+      s"stream-owner obj << /Filter /FlateDecode >>\nstream\n$trunc\nendstream")
+    assert(PdfMini.inflate(comp.take(comp.length / 2)).isEmpty)
+    assert(PdfMini.inflate(comp).map(new String(_, StandardCharsets.ISO_8859_1))
+      .contains(content))
+  }
+
   test("cleanInfo strips document-information values, content byte-identical") {
     val withInfo = fixturePdf.replace("trailer << /Root 1 0 R >>",
       "5 0 obj << /Title (secret \\(draft\\)) /Author (alice) /Producer (tool v1) >> endobj\n" +
