@@ -76,6 +76,33 @@ object Oracle {
       |SELECT sha256('64:'||sha256('chain:sub '||doc_id)||'64:'||cid||'1:0'||'0:'||'0:'), cid, rid, 2
       |FROM l1 WHERE doc_id%27=0 AND doc_id%21<>0""".stripMargin
 
+  /** Mirror of Queries.zipExplode: every node id recomputed from documents
+    * arithmetic — text entries as sha256 of content, the nested container
+    * over its canonical (length-prefixed) entry sequence.
+    */
+  private val zipExplode: String =
+    """WITH z AS (SELECT doc_id, sha256(doc_id::VARCHAR) AS rid
+      |           FROM documents WHERE doc_id%4=0),
+      |n AS (SELECT doc_id, rid,
+      |  sha256('64:'||sha256('5:c.txt'||octet_length(encode('gamma '||doc_id))||':gamma '||doc_id)
+      |    ||'64:'||rid||'1:3'||'0:'||'10:nested.zip') AS nzid
+      | FROM z WHERE doc_id%16=0)
+      |SELECT doc_id, rid AS node_id, '' AS parent_id, 0 AS level, '' AS txt,
+      |       'empty-file' AS reason FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('alpha '||doc_id)||'64:'||rid||'1:0'||'0:'||'5:a.txt'),
+      |  rid, 1, 'alpha '||doc_id, '' FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('beta '||doc_id)||'64:'||rid||'1:1'||'0:'||'5:b.txt'),
+      |  rid, 1, 'beta '||doc_id, '' FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('alpha '||doc_id)||'64:'||rid||'1:2'||'0:'||'7:dup.txt'),
+      |  rid, 1, 'alpha '||doc_id, '' FROM z WHERE doc_id%8=0
+      |UNION ALL SELECT doc_id, nzid, rid, 1, '', 'empty-file' FROM n
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('gamma '||doc_id)||'64:'||nzid||'1:0'||'0:'||'5:c.txt'),
+      |  nzid, 2, 'gamma '||doc_id, '' FROM n""".stripMargin
+
   private val pdfBytes: String =
     """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
       |  len(string_split(text,' ')) AS m FROM documents),
@@ -641,6 +668,7 @@ object Oracle {
     // doesn't need to — it recomputes what the TEXT must be from documents
     "q_pdf_flate" -> pdfBytes,
     "q_embed_explode" -> embedExplode,
+    "q_zip_explode" -> zipExplode,
     "q_embed_named" -> embedNamed,
     "q_embed_concat" -> embedConcat,
     "q_embed_datauri" -> mediaDataUri,

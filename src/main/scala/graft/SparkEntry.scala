@@ -191,6 +191,37 @@ object Queries {
       .toDF("doc_id", "txt")
   }
 
+  /** §2.4+§2.6 REAL archive explosion (`EmbedSpawner.java:429-515`; fixture
+    * `embedded_with_duplicate.tgz`): each %4 doc becomes an actual ZIP
+    * (java.util.zip bytes) with named text entries — including a
+    * DUPLICATE-content entry (%8; distinct id via per-parent ordinal, the
+    * reference's duplicate-embed case) and a nested zip-in-zip (%16) whose
+    * entries recurse depth-first. The engine explodes real container bytes;
+    * the oracle recomputes every node id (container ids over canonical
+    * entries, [[graft.core.Ids.canonicalEntries]]) and text from
+    * `documents` arithmetic alone.
+    */
+  def zipExplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    import graft.sources.Archive
+    docs(spark, dir).select("doc_id").as[Long]
+      .filter(id => id % 4 == 0)
+      .flatMap { id =>
+        val entries = Seq(
+          ("a.txt", s"alpha $id".getBytes(UTF_8)),
+          ("b.txt", s"beta $id".getBytes(UTF_8))) ++
+          (if (id % 8 == 0) Seq(("dup.txt", s"alpha $id".getBytes(UTF_8))) else Nil) ++
+          (if (id % 16 == 0) Seq(("nested.zip",
+            Archive.zipBytes(Seq(("c.txt", s"gamma $id".getBytes(UTF_8)))))) else Nil)
+        val zip = Archive.zipBytes(entries)
+        val d = DocIn(id, Array(SpanIn("zip", new String(zip, ISO_8859_1), "", 0)))
+        Extract.explode(d).map(o =>
+          (id, o.doc_id, o.parent_id, o.level, o.spans.map(_.text).mkString(""), o.no_content_reason))
+      }
+      .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
+  }
+
   /** §2.6: per-root reconciliation counters (PST parity analog). */
   def reconcile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -700,6 +731,7 @@ object Queries {
     "q_pdf_bytes" -> (pdfBytes _),
     "q_pdf_flate" -> (pdfFlate _),
     "q_embed_explode" -> (embedExplode _),
+    "q_zip_explode" -> (zipExplode _),
     "q_embed_named" -> (embedNamed _),
     "q_embed_concat" -> (embedConcat _),
     "q_embed_datauri" -> (mediaDataUri _),

@@ -85,6 +85,18 @@ object Ids {
       lenc(relationshipId) + lenc(resourceName))
   }
 
+  /** Canonical content key of a CONTAINER embed (archive-in-archive): the
+    * length-prefixed (name, content) entry sequence, in archive order —
+    * graft-local semantics on top of the reference's content addressing.
+    * Hashing the logical entries instead of the on-disk bytes means the
+    * same archive re-zipped at a different compression level keeps its id,
+    * and the SQL oracle can recompute container ids without a deflate
+    * implementation. Injective by the same length-prefix argument as
+    * [[embedId]].
+    */
+  def canonicalEntries(entries: Seq[(String, String)]): String =
+    entries.iterator.map { case (n, c) => lenc(n) + lenc(c) }.mkString
+
   /** Embed display name (`EmbedSpawner.java:79-81,264-281`): the resource
     * name when present, else `untitled_<ordinal>` — per-parent ordinal by
     * default, or the document-GLOBAL spawn counter in legacy mode (the

@@ -74,12 +74,19 @@ object Extract {
     else kind match {
       case "html"      => (HtmlExtractor.mainText(t), "")
       case "pdf"       => (PdfLayout.text(t), "")
-      case "pdf_bytes" => (graft.core.pdf.PdfMini.textFromLatin1(t), "") // REAL uncompressed-PDF bytes (Ingest)
+      case "pdf_bytes" => (graft.core.pdf.PdfMini.textFromLatin1(t), "") // REAL PDF bytes, raw or FlateDecode (Ingest)
       case "text"      => (t, "")
       case "media"     => (t, "") // OCR/media passthrough (north rule): text + media_ref unchanged
+      case "zip" | "gzip" => ("", "") // container: no own text, entries explode to children
       case _           => ("", Reason.Unsupported)
     }
   }
+
+  /** Span kinds that spawn embedded children in [[explodeCounted]] /
+    * [[spawnContainers]] (and whose raw payload therefore rides through the
+    * span-parallel path for reassembly).
+    */
+  val ContainerKinds: Set[String] = Set("media", "zip", "gzip")
 
   /** Null spans (a row written with spans=NULL) are treated as an empty
     * span array — reason=empty-file, never a failure — in BOTH the batch and
@@ -153,9 +160,9 @@ object Extract {
   def explodeCounted(doc: DocIn, cfg: Config = DefaultConfig,
                      deadlineNanos: Long = Long.MaxValue): (Seq[DocOut], Int) = {
     val root = extractDoc(doc, cfg, deadlineNanos)
-    val mediaContents = spansOrEmpty(doc).filter(_.kind == "media").sortBy(_.offset)
-      .map(s => if (s.text == null) "" else s.text).toSeq
-    val (children, skipped) = spawnEmbeds(mediaContents, root.doc_id, cfg, deadlineNanos)
+    val containers = spansOrEmpty(doc).filter(s => ContainerKinds(s.kind)).sortBy(_.offset)
+      .map(s => (s.kind, if (s.text == null) "" else s.text)).toSeq
+    val (children, skipped) = spawnContainers(containers, root.doc_id, cfg, deadlineNanos)
     (root +: children, skipped)
   }
 
@@ -206,23 +213,48 @@ object Extract {
     (sb.toString, failed)
   }
 
-  /** Spawn embedded child documents from the parent's media contents (in
-    * offset order) — shared by [[explodeCounted]] and the span-parallel
-    * reassembly path so both produce byte-identical trees.
+  /** Back-compat wrapper: media-only container spawning (the original
+    * surface; tests and callers with media-only corpora use this).
     */
   def spawnEmbeds(mediaContents: Seq[String], rootId: String, cfg: Config,
-                  deadlineNanos: Long = Long.MaxValue)
+                  deadlineNanos: Long = Long.MaxValue): (Vector[DocOut], Int) =
+    spawnContainers(mediaContents.map(("media", _)), rootId, cfg, deadlineNanos)
+
+  /** Spawn embedded child documents from the parent's container spans (in
+    * offset order) — shared by [[explodeCounted]] and the span-parallel
+    * reassembly path so both produce byte-identical trees.
+    *
+    * Container kinds:
+    *  - `media`: the synthetic chain model (`chain:a>b` nests) — ids from
+    *    the raw content;
+    *  - `zip`: REAL archive bytes (`java.util.zip`) — one child per entry
+    *    with resourceName = entry name (`EmbedSpawner.java:429-515`
+    *    semantics); an entry that is itself a zip becomes a container child
+    *    (id over its canonical entries, [[Ids.canonicalEntries]]) whose own
+    *    entries recurse depth-first, exactly like the reference's
+    *    tikaDocumentStack;
+    *  - `gzip`: single-member container, FNAME as the resource name.
+    *
+    * Guards refuse BEFORE recursion (`EmbedSpawner.java:389-402`): depth,
+    * declared/actual decompressed size, and breadth — refusals are counted,
+    * never silent. A corrupt container throws ParseFailure, which the job
+    * layer classifies to a lineage status (never a task failure).
+    */
+  def spawnContainers(containers: Seq[(String, String)], rootId: String, cfg: Config,
+                      deadlineNanos: Long = Long.MaxValue)
   : (Vector[DocOut], Int) = {
     val out = Vector.newBuilder[DocOut]
     var skipped = 0
     var spawned = 0
 
+    def guardsRefuse(level: Int, contentLen: Int): Boolean =
+      level > cfg.maxEmbedDepth || contentLen > cfg.maxSpanChars ||
+        spawned >= cfg.maxSpans
+
+    // synthetic media chain (the original model)
     def spawn(content: String, parentId: String, ord: Int, level: Int): Unit = {
       checkDeadline(deadlineNanos)
-      // guards refuse BEFORE recursion (EmbedSpawner.java:389-402): depth,
-      // declared size (the zip-bomb case), and breadth
-      if (level > cfg.maxEmbedDepth || content.length > cfg.maxSpanChars ||
-        spawned >= cfg.maxSpans) { skipped += 1; return }
+      if (guardsRefuse(level, content.length)) { skipped += 1; return }
       spawned += 1
       val (own, nested) =
         if (content.startsWith("chain:")) {
@@ -239,7 +271,54 @@ object Extract {
       nested.foreach(n => spawn("chain:" + n, cid, 0, level + 1))
     }
 
-    mediaContents.zipWithIndex.foreach { case (c, ord) => spawn(c, rootId, ord, 1) }
+    // one REAL archive entry -> one child document (recursing into nested zips)
+    def spawnEntry(name: String, bytes: Option[Array[Byte]], parentId: String,
+                   ord: Int, level: Int): Unit = {
+      checkDeadline(deadlineNanos)
+      val declaredLen = bytes.map(_.length).getOrElse(Int.MaxValue) // None = size guard refused
+      if (bytes.isEmpty || guardsRefuse(level, declaredLen)) { skipped += 1; return }
+      spawned += 1
+      val data = bytes.get
+      if (graft.sources.Archive.isZip(data)) {
+        val entries = graft.sources.Archive.unzip(data, cfg.maxSpanChars)
+        val canonical = Ids.canonicalEntries(entries.map { case (n, b) =>
+          (n, b.map(x => new String(x, java.nio.charset.StandardCharsets.ISO_8859_1)).getOrElse(""))
+        })
+        val cid = Ids.embedId(canonical, parentId, ord, resourceName = name)
+        // container node: no own text; its content lives in its children
+        out += DocOut(cid, parentId, rootId, level, Array.empty[SpanOut], Reason.Empty)
+        entries.zipWithIndex.foreach { case ((n, b), i) =>
+          spawnEntry(n, b, cid, i, level + 1)
+        }
+      } else {
+        val text = new String(data, java.nio.charset.StandardCharsets.UTF_8)
+        val cid = Ids.embedId(text, parentId, ord, resourceName = name)
+        val spans =
+          if (text.isEmpty) Array.empty[SpanOut]
+          else Array(SpanOut("text", text, "", 0))
+        out += DocOut(cid, parentId, rootId, level, spans,
+          if (text.isEmpty) Reason.Empty else "")
+      }
+    }
+
+    var ord = 0
+    containers.foreach { case (kind, content) =>
+      kind match {
+        case "media" =>
+          spawn(content, rootId, ord, 1); ord += 1
+        case "zip" =>
+          // the archive IS the parent document: entries are its children
+          val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          graft.sources.Archive.unzip(bytes, cfg.maxSpanChars).foreach { case (n, b) =>
+            spawnEntry(n, b, rootId, ord, 1); ord += 1
+          }
+        case "gzip" =>
+          val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          val (n, b) = graft.sources.Archive.gunzip(bytes, cfg.maxSpanChars)
+          spawnEntry(n, b, rootId, ord, 1); ord += 1
+        case _ => () // non-container kinds never reach here
+      }
+    }
     (out.result(), skipped)
   }
 }

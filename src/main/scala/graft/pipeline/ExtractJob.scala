@@ -174,8 +174,9 @@ object ExtractJob {
             case e: VirtualMachineError => throw e
             case e: Exception => ("", "", classify(e), String.valueOf(e.getMessage))
           }
-        // raw media content rides along: children need it for ids/spawning
-        val raw = if (kind == "media") { if (text == null) "" else text } else ""
+        // raw container content (media/zip/gzip) rides along: children need
+        // it for ids/spawning at reassembly
+        val raw = if (Extract.ContainerKinds(kind)) { if (text == null) "" else text } else ""
         (id, kind, txt, ref, off, idx, raw, why, failStatus, failMsg, bytesIn)
         }
       }
@@ -217,9 +218,10 @@ object ExtractJob {
             // Same never-a-task-failure contract as the per-span parse stage:
             // an exception while spawning embeds classifies the DOCUMENT
             // (the batch path wraps the whole explodeCounted the same way).
-            val mediaContents = all.iterator.filter(_._2 == "media").map(_._7).toSeq
+            val containerContents = all.iterator
+              .filter(r => Extract.ContainerKinds(r._2)).map(r => (r._2, r._7)).toSeq
             val spawned =
-              try Right(Extract.spawnEmbeds(mediaContents, rid, cfg.extract))
+              try Right(Extract.spawnContainers(containerContents, rid, cfg.extract))
               catch {
                 case e: VirtualMachineError => throw e
                 case e: Exception => Left(e)

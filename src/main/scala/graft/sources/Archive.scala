@@ -1,0 +1,156 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets
+import java.util.zip.{GZIPInputStream, GZIPOutputStream, ZipEntry, ZipInputStream, ZipOutputStream}
+import graft.core.ParseFailure
+
+/** Archive/container codecs — pure JDK (`java.util.zip`), no parser jars.
+  *
+  * The reference's embed explosion over archives is core behavior
+  * (`EmbedSpawner.java:429-515`; fixture `embedded_with_duplicate.tgz`):
+  * each archive entry becomes an embedded child document. These helpers
+  * give [[graft.core.route.Extract]] real container bytes to explode:
+  * ZIP (multi-entry, recursive zip-in-zip) and GZIP (single member with
+  * optional FNAME).
+  *
+  * Determinism: [[zipBytes]]/[[gzipBytes]] pin every timestamp, so fixture
+  * bytes are a pure function of the entries.
+  */
+object Archive {
+
+  /** Fixed DOS epoch-ish time for deterministic zip bytes. */
+  private val FixedTime = 315532800000L // 1980-01-01, the ZIP epoch
+
+  def isZip(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && bytes(0) == 0x50 && bytes(1) == 0x4b &&
+      bytes(2) == 0x03 && bytes(3) == 0x04
+
+  def isGzip(bytes: Array[Byte]): Boolean =
+    bytes.length >= 2 && bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte
+
+  /** Deterministic ZIP of (name, bytes) entries (DEFLATED; the reader
+    * inflates, so compression details never reach ids — see
+    * [[graft.core.Ids.canonicalEntries]]).
+    */
+  def zipBytes(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val zos = new ZipOutputStream(bos)
+    entries.foreach { case (name, data) =>
+      val e = new ZipEntry(name)
+      e.setTime(FixedTime)
+      zos.putNextEntry(e)
+      zos.write(data)
+      zos.closeEntry()
+    }
+    zos.close()
+    bos.toByteArray
+  }
+
+  /** GZIP with an optional FNAME member name. */
+  def gzipBytes(data: Array[Byte], name: String = ""): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val gos = new GZIPOutputStream(bos)
+    gos.write(data)
+    gos.close()
+    val raw = bos.toByteArray
+    if (name.isEmpty) raw
+    else {
+      // splice FNAME in: set FLG.FNAME (bit 3) and insert the
+      // zero-terminated name after the 10-byte fixed header (RFC 1952)
+      val out = new ByteArrayOutputStream(raw.length + name.length + 1)
+      out.write(raw, 0, 3)
+      out.write(raw(3) | 0x08)
+      out.write(raw, 4, 6)
+      out.write(name.getBytes(StandardCharsets.ISO_8859_1))
+      out.write(0)
+      out.write(raw, 10, raw.length - 10)
+      out.toByteArray
+    }
+  }
+
+  /** One decoded archive entry: `bytes` is None when the entry was refused
+    * by the size guard — DECLARED size first (the reference's zip-bomb
+    * guard checks the declared decompressed size before spooling,
+    * `EmbedSpawner.java:64,393-402` — real ZIP64-style input at last), then
+    * an actual-read cap for entries that lie about their size.
+    */
+  type UnzippedEntry = (String, Option[Array[Byte]])
+
+  /** Decode ZIP entries in archive order. Malformed containers throw
+    * [[ParseFailure]] (classified NOT_PARSED by the job layer, never a task
+    * failure). `maxEntries` bounds the walk (entries beyond it are refused
+    * as (name, None) and the walk stops reading payloads).
+    */
+  def unzip(bytes: Array[Byte], maxEntryBytes: Int,
+            maxEntries: Int = 10000): Vector[UnzippedEntry] = {
+    val out = Vector.newBuilder[UnzippedEntry]
+    val zis = new ZipInputStream(new ByteArrayInputStream(bytes))
+    try {
+      var n = 0
+      var entry: ZipEntry = zis.getNextEntry
+      if (entry == null && bytes.nonEmpty)
+        throw new ParseFailure("zip container with no readable entries")
+      while (entry != null) {
+        if (!entry.isDirectory) {
+          n += 1
+          if (n > maxEntries) out += ((entry.getName, None))
+          else if (entry.getSize > maxEntryBytes) out += ((entry.getName, None)) // declared-size guard
+          else {
+            val data = readCapped(zis, maxEntryBytes)
+            out += ((entry.getName, data))
+          }
+        }
+        entry = zis.getNextEntry
+      }
+      out.result()
+    } catch {
+      case e: java.util.zip.ZipException => throw new ParseFailure(s"corrupt zip: ${e.getMessage}")
+      case e: java.io.EOFException => throw new ParseFailure(s"truncated zip: ${e.getMessage}")
+      case e: java.io.IOException => throw new ParseFailure(s"unreadable zip: ${e.getMessage}")
+    } finally zis.close()
+  }
+
+  /** GZIP member: (FNAME or "", payload). Malformed -> ParseFailure. */
+  def gunzip(bytes: Array[Byte], maxBytes: Int): (String, Option[Array[Byte]]) = {
+    val name = gzipName(bytes)
+    try {
+      val gis = new GZIPInputStream(new ByteArrayInputStream(bytes))
+      try (name, readCapped(gis, maxBytes))
+      finally gis.close()
+    } catch {
+      case e: java.util.zip.ZipException => throw new ParseFailure(s"corrupt gzip: ${e.getMessage}")
+      case e: java.io.EOFException => throw new ParseFailure(s"truncated gzip: ${e.getMessage}")
+      case e: java.io.IOException => throw new ParseFailure(s"unreadable gzip: ${e.getMessage}")
+    }
+  }
+
+  /** FNAME from the RFC-1952 header ("" when absent/out-of-bounds). */
+  def gzipName(bytes: Array[Byte]): String = {
+    if (bytes.length < 10 || !isGzip(bytes) || (bytes(3) & 0x08) == 0) return ""
+    var i = 10
+    if ((bytes(3) & 0x04) != 0) { // FEXTRA: skip 2-byte little-endian XLEN
+      if (bytes.length < 12) return ""
+      i = 12 + ((bytes(10) & 0xff) | ((bytes(11) & 0xff) << 8))
+    }
+    val start = i
+    while (i < bytes.length && bytes(i) != 0) i += 1
+    if (i >= bytes.length) "" // unterminated name: treat as absent
+    else new String(bytes, start, i - start, StandardCharsets.ISO_8859_1)
+  }
+
+  /** Read the whole stream up to `max` bytes; None when the payload runs
+    * past the cap (the actual-read guard behind the declared-size check).
+    */
+  private def readCapped(in: java.io.InputStream, max: Int): Option[Array[Byte]] = {
+    val out = new ByteArrayOutputStream(1024)
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) {
+      out.write(buf, 0, n)
+      if (out.size() > max) return None
+      n = in.read(buf)
+    }
+    Some(out.toByteArray)
+  }
+}

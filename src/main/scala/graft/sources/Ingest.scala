@@ -17,7 +17,8 @@ import graft.core.{DocIn, SpanIn}
 object Ingest {
 
   /** Magic-byte MIME sniff (public magic numbers): %PDF -> pdf_bytes,
-    * <!doctype/<html -> html, PK\x03\x04 -> zip container (unparsed here),
+    * <!doctype/<html -> html, PK\x03\x04 -> zip container (exploded to
+    * children by Extract.spawnContainers), 1f 8b -> gzip,
     * mostly-printable -> text, else bin.
     */
   def sniffKind(bytes: Array[Byte]): String = {
@@ -28,6 +29,7 @@ object Ingest {
     if (startsWith("%PDF".getBytes(StandardCharsets.ISO_8859_1))) "pdf_bytes"
     else if (lowerHead.startsWith("<!doctype") || lowerHead.startsWith("<html")) "html"
     else if (startsWith(Array[Byte](0x50, 0x4b, 0x03, 0x04))) "zip"
+    else if (startsWith(Array[Byte](0x1f, 0x8b.toByte))) "gzip"
     else {
       // UNSIGNED byte compare: JVM bytes are signed, so `b >= 0x20` would
       // class every UTF-8 multi-byte sequence (>= 0x80) as non-printable

@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.core.route.Extract
+import graft.sources.Archive
+
+/** REAL archive/container explosion (reference `EmbedSpawner.java:429-515`;
+  * fixture `embedded_with_duplicate.tgz`): zip entries become embedded
+  * children, nested zips recurse, guards refuse with counts, corruption
+  * classifies, and the span-parallel path stays byte-identical.
+  */
+class ArchiveSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def zipDoc(id: Long, entries: Seq[(String, Array[Byte])]): DocIn =
+    DocIn(id, Array(SpanIn("zip",
+      new String(Archive.zipBytes(entries), ISO_8859_1), "", 0)))
+
+  test("zip entries explode to children with resource-named recursive ids") {
+    val d = zipDoc(10, Seq(
+      ("a.txt", "alpha ten".getBytes(UTF_8)),
+      ("b.txt", "beta ten".getBytes(UTF_8))))
+    val out = Extract.explode(d)
+    val rid = Ids.rootId(10)
+    assert(out.map(_.doc_id) == Seq(rid,
+      Ids.embedId("alpha ten", rid, 0, resourceName = "a.txt"),
+      Ids.embedId("beta ten", rid, 1, resourceName = "b.txt")))
+    assert(out(1).spans.toSeq == Seq(SpanOut("text", "alpha ten", "", 0)))
+    assert(out.head.no_content_reason == Reason.Empty) // container has no own text
+    assert(out.forall(_.root_id == rid))
+    assert(out.drop(1).forall(_.level == 1))
+  }
+
+  test("duplicate-content entries keep DISTINCT ids via per-parent ordinal") {
+    val d = zipDoc(11, Seq(
+      ("a.txt", "same".getBytes(UTF_8)),
+      ("copy.txt", "same".getBytes(UTF_8))))
+    val out = Extract.explode(d)
+    assert(out(1).doc_id != out(2).doc_id)
+    assert(out(1).spans.map(_.text).toSeq == out(2).spans.map(_.text).toSeq)
+  }
+
+  test("zip-in-zip recurses depth-first; container id over canonical entries") {
+    val inner = Archive.zipBytes(Seq(("c.txt", "gamma".getBytes(UTF_8))))
+    val d = zipDoc(12, Seq(("a.txt", "alpha".getBytes(UTF_8)), ("nested.zip", inner)))
+    val out = Extract.explode(d)
+    val rid = Ids.rootId(12)
+    val nzid = Ids.embedId(Ids.canonicalEntries(Seq(("c.txt", "gamma"))), rid, 1,
+      resourceName = "nested.zip")
+    assert(out.map(d => (d.doc_id, d.parent_id, d.level)) == Seq(
+      (rid, "", 0),
+      (Ids.embedId("alpha", rid, 0, resourceName = "a.txt"), rid, 1),
+      (nzid, rid, 1),
+      (Ids.embedId("gamma", nzid, 0, resourceName = "c.txt"), nzid, 2)))
+    // container id is over logical entries, NOT on-disk bytes: re-zipping the
+    // same entries (bytes differ only if compression did) keeps the id
+    val d2 = zipDoc(12, Seq(("a.txt", "alpha".getBytes(UTF_8)),
+      ("nested.zip", Archive.zipBytes(Seq(("c.txt", "gamma".getBytes(UTF_8)))))))
+    assert(Extract.explode(d2).map(_.doc_id) == out.map(_.doc_id))
+  }
+
+  test("declared-size and depth guards refuse entries WITH counts, never silently") {
+    val cfg = Extract.Config(maxSpanChars = 8)
+    val d = zipDoc(13, Seq(
+      ("small.txt", "tiny".getBytes(UTF_8)),
+      ("big.txt", "way past the eight byte cap".getBytes(UTF_8))))
+    val (outs, skipped) = Extract.explodeCounted(d, cfg)
+    assert(outs.count(_.level == 1) == 1 && skipped == 1)
+    // depth guard: zip nested beyond maxEmbedDepth is refused before recursion
+    val deep = zipDoc(14, Seq(("n.zip",
+      Archive.zipBytes(Seq(("x.txt", "x".getBytes(UTF_8)))))))
+    val (outs2, skipped2) = Extract.explodeCounted(deep, Extract.Config(maxEmbedDepth = 1))
+    assert(outs2.map(_.level).max == 1 && skipped2 == 1)
+  }
+
+  test("corrupt zip bytes classify to FAILURE_NOT_PARSED, never a task failure") {
+    import spark.implicits._
+    val junk = Array[Byte](0x50, 0x4b, 0x03, 0x04) ++ Array.fill[Byte](64)(7)
+    val docs = spark.createDataset(Seq(
+      DocIn(1, Array(SpanIn("zip", new String(junk, ISO_8859_1), "", 0))),
+      zipDoc(2, Seq(("ok.txt", "fine".getBytes(UTF_8))))))
+    val res = graft.pipeline.ExtractJob
+      .extractPartitions(docs, graft.pipeline.ExtractJob.JobConfig()).collect()
+    val lineage = res.flatMap(_._2).map(l => l.doc_id -> l.status).toMap
+    assert(lineage(1L) == Status.NotParsed)
+    assert(lineage(2L) == Status.Success)
+  }
+
+  test("gzip member explodes with FNAME as the resource name") {
+    val gz = Archive.gzipBytes("hello gz".getBytes(UTF_8), "member.txt")
+    assert(Archive.gzipName(gz) == "member.txt")
+    val d = DocIn(15, Array(SpanIn("gzip", new String(gz, ISO_8859_1), "", 0)))
+    val out = Extract.explode(d)
+    val rid = Ids.rootId(15)
+    assert(out.map(_.doc_id) == Seq(rid,
+      Ids.embedId("hello gz", rid, 0, resourceName = "member.txt")))
+    assert(out(1).spans.head.text == "hello gz")
+    // nameless gzip falls back to empty resource name
+    val gz2 = Archive.gzipBytes("anon".getBytes(UTF_8))
+    assert(Archive.gzipName(gz2) == "")
+  }
+
+  test("span-parallel reassembly is byte-identical to batch explode on archives") {
+    import spark.implicits._
+    val docs = Seq(
+      zipDoc(20, Seq(("a.txt", "aa".getBytes(UTF_8)), ("n.zip",
+        Archive.zipBytes(Seq(("c.txt", "cc".getBytes(UTF_8))))))),
+      DocIn(21, Array(
+        SpanIn("text", "plain", "", 0),
+        SpanIn("zip", new String(Archive.zipBytes(Seq(("z.txt", "zz".getBytes(UTF_8)))), ISO_8859_1), "", 1),
+        SpanIn("media", "ocr 21", "m", 2))))
+    val cfg = graft.pipeline.ExtractJob.JobConfig(partitions = 4)
+    def norm(d: DocOut) = (d.doc_id, d.parent_id, d.root_id, d.level,
+      d.spans.toSeq, d.no_content_reason)
+    val batch = docs.flatMap(d => Extract.explode(d)).map(norm).toSet
+    val par = graft.pipeline.ExtractJob
+      .extractSpanParallel(spark.createDataset(docs), cfg)
+      .collect().flatMap(_._1).map(norm).toSet
+    assert(par == batch)
+  }
+}
