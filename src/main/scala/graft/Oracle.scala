@@ -103,6 +103,33 @@ object Oracle {
       |  sha256('64:'||sha256('gamma '||doc_id)||'64:'||nzid||'1:0'||'0:'||'5:c.txt'),
       |  nzid, 2, 'gamma '||doc_id, '' FROM n""".stripMargin
 
+  /** Mirror of Queries.emlExplode: body + two attachments per %5 doc. */
+  private val emlExplode: String =
+    """WITH z AS (SELECT doc_id, sha256(doc_id::VARCHAR) AS rid
+      |           FROM documents WHERE doc_id%5=0)
+      |SELECT doc_id, rid AS node_id, '' AS parent_id, 0 AS level,
+      |       'body words '||doc_id AS txt, '' AS reason FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('payload '||doc_id)||'64:'||rid||'1:0'||'0:'
+      |    ||octet_length(encode('att-'||doc_id||'.bin'))||':att-'||doc_id||'.bin'),
+      |  rid, 1, 'payload '||doc_id, '' FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('second attachment '||doc_id)||'64:'||rid||'1:1'||'0:'||'9:notes.txt'),
+      |  rid, 1, 'second attachment '||doc_id, '' FROM z""".stripMargin
+
+  /** Mirror of Queries.emlHeaders: the normalized header multimap —
+    * repeated Received headers concatenate; keys normalize and sort.
+    */
+  private val emlHeaders: String =
+    """WITH z AS (SELECT doc_id FROM documents WHERE doc_id%5=0)
+      |SELECT doc_id, 'tika_metadata_content_type' AS norm_key,
+      |       'multipart/mixed; boundary="b'||doc_id||'"' AS vals FROM z
+      |UNION ALL SELECT doc_id, 'tika_metadata_from', 'sender'||doc_id||'@example.org' FROM z
+      |UNION ALL SELECT doc_id, 'tika_metadata_received', 'hop1 '||doc_id||'|hop2 '||doc_id FROM z
+      |UNION ALL SELECT doc_id, 'tika_metadata_subject', 'subj '||doc_id FROM z
+      |UNION ALL SELECT doc_id, 'tika_metadata_to', 'dest'||doc_id||'@example.org' FROM z
+      |UNION ALL SELECT doc_id, 'tika_metadata_x_mailer', 'graft '||(doc_id%3) FROM z""".stripMargin
+
   private val pdfBytes: String =
     """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
       |  len(string_split(text,' ')) AS m FROM documents),
@@ -669,6 +696,8 @@ object Oracle {
     "q_pdf_flate" -> pdfBytes,
     "q_embed_explode" -> embedExplode,
     "q_zip_explode" -> zipExplode,
+    "q_eml_explode" -> emlExplode,
+    "q_eml_headers" -> emlHeaders,
     "q_embed_named" -> embedNamed,
     "q_embed_concat" -> embedConcat,
     "q_embed_datauri" -> mediaDataUri,

@@ -222,6 +222,78 @@ object Queries {
       .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
   }
 
+  /** Deterministic RFC-822/MIME fixture per doc: multipart/mixed with a
+    * text body (quoted-printable for %10 docs), a base64 binary attachment,
+    * a plain attachment, repeated Received headers (multimap collision),
+    * preamble + epilogue. Pure function of doc_id.
+    */
+  private def emlRaw(id: Long): String = {
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      s"payload $id".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val bodyPart =
+      if (id % 10 == 0)
+        s"Content-Type: text/plain\nContent-Transfer-Encoding: quoted-printable\n\nbody=20words=20$id"
+      else
+        s"Content-Type: text/plain; charset=utf-8\n\nbody words $id"
+    s"""From: sender$id@example.org
+       |To: dest$id@example.org
+       |Subject: subj $id
+       |Received: hop1 $id
+       |Received: hop2 $id
+       |X-Mailer: graft ${id % 3}
+       |Content-Type: multipart/mixed; boundary="b$id"
+       |
+       |preamble is ignored
+       |--b$id
+       |$bodyPart
+       |--b$id
+       |Content-Type: application/octet-stream
+       |Content-Transfer-Encoding: base64
+       |Content-Disposition: attachment; filename="att-$id.bin"
+       |
+       |$b64
+       |--b$id
+       |Content-Type: text/plain
+       |Content-Disposition: attachment; filename=notes.txt
+       |
+       |second attachment $id
+       |--b$id--
+       |epilogue""".stripMargin
+  }
+
+  /** §2.4 EML/MIME explosion (reference fixtures `embedded_file_bug.eml`,
+    * `image_attachment.eml`): the message body becomes the root text, each
+    * attachment an embedded child with filename as resource name. The
+    * oracle recomputes every node id and text from documents arithmetic.
+    */
+  def emlExplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select("doc_id").as[Long]
+      .filter(id => id % 5 == 0)
+      .flatMap { id =>
+        val d = DocIn(id, Array(SpanIn("eml", emlRaw(id), "", 0)))
+        Extract.explode(d).map(o =>
+          (id, o.doc_id, o.parent_id, o.level, o.spans.map(_.text).mkString(""), o.no_content_reason))
+      }
+      .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
+  }
+
+  /** §2.8 on REAL header data: parsed RFC-822 headers (unfolded, repeated
+    * keys) through the full Meta.normalizeMap pipeline — collision concat
+    * on the duplicated Received header, key normalization, block list.
+    */
+  def emlHeaders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select("doc_id").as[Long]
+      .filter(id => id % 5 == 0)
+      .flatMap { id =>
+        val msg = graft.core.mail.Eml.parse(emlRaw(id))
+        Meta.normalizeMap(graft.core.mail.Eml.headerMultimap(msg))
+          .map { case (k, vs) => (id, k, vs.mkString("|")) }
+      }
+      .toDF("doc_id", "norm_key", "vals")
+  }
+
   /** §2.6: per-root reconciliation counters (PST parity analog). */
   def reconcile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -732,6 +804,8 @@ object Queries {
     "q_pdf_flate" -> (pdfFlate _),
     "q_embed_explode" -> (embedExplode _),
     "q_zip_explode" -> (zipExplode _),
+    "q_eml_explode" -> (emlExplode _),
+    "q_eml_headers" -> (emlHeaders _),
     "q_embed_named" -> (embedNamed _),
     "q_embed_concat" -> (embedConcat _),
     "q_embed_datauri" -> (mediaDataUri _),

@@ -1,0 +1,173 @@
+package graft.core.mail
+
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+
+/** RFC-822 / MIME (RFC 2045-2047) message parsing, from scratch on the
+  * published formats — the reference's bread-and-butter corpus
+  * (`extract-lib` fixtures `embedded_file_bug.eml`, `image_attachment.eml`:
+  * mail-with-attachments explosion via Tika's RFC822Parser).
+  *
+  * Covered: header unfolding (continuation lines), repeated headers (the
+  * multimap that finally feeds Meta.normalizeMap real data), multipart
+  * boundaries with preamble/epilogue, attachment detection via
+  * Content-Disposition, and the two transfer encodings real mail uses
+  * (base64, quoted-printable). Parsing is TOTAL: malformed input degrades
+  * to a plain-text body, never an exception (FallbackParser semantics).
+  *
+  * Attachment payloads are returned as raw BYTES (base64 decodes losslessly;
+  * the part text maps through ISO-8859-1, the byte-transparent codec), so a
+  * zipped attachment re-enters the container explosion intact.
+  */
+object Eml {
+
+  final case class Message(
+      headers: Vector[(String, String)], // occurrence order, repeated keys kept
+      body: String,
+      attachments: Vector[(String, Array[Byte])] // (filename, raw bytes)
+  )
+
+  /** Headers as the (key -> values) multimap Meta.normalizeMap consumes. */
+  def headerMultimap(m: Message): Seq[(String, Seq[String])] =
+    m.headers.map { case (k, v) => (k, Seq(v)) }
+
+  def parse(raw: String): Message = {
+    val (headerBlock, body) = splitHeadersBody(raw)
+    val headers = unfoldHeaders(headerBlock)
+    val ct = firstHeader(headers, "Content-Type").getOrElse("")
+    val boundary = param(ct, "boundary")
+    if (boundary.isEmpty) {
+      val cte = firstHeader(headers, "Content-Transfer-Encoding").getOrElse("")
+      Message(headers, new String(decodeBody(body, cte), UTF_8), Vector.empty)
+    } else {
+      var mainBody: Option[String] = None
+      val atts = Vector.newBuilder[(String, Array[Byte])]
+      splitParts(body, boundary).foreach { part =>
+        val (ph, pb) = splitHeadersBody(part)
+        val phs = unfoldHeaders(ph)
+        val disp = firstHeader(phs, "Content-Disposition").getOrElse("")
+        val cte = firstHeader(phs, "Content-Transfer-Encoding").getOrElse("")
+        val decoded = decodeBody(pb, cte)
+        if (disp.toLowerCase(java.util.Locale.ROOT).contains("attachment"))
+          atts += ((param(disp, "filename"), decoded))
+        else if (mainBody.isEmpty)
+          mainBody = Some(new String(decoded, UTF_8))
+      }
+      Message(headers, mainBody.getOrElse(""), atts.result())
+    }
+  }
+
+  /** Split at the first blank line; an input with no blank line is all
+    * headers and an empty body (RFC 5322 allows body-less messages).
+    */
+  private def splitHeadersBody(s: String): (String, String) = {
+    val lf = s.indexOf("\n\n")
+    val crlf = s.indexOf("\r\n\r\n")
+    if (crlf >= 0 && (lf < 0 || crlf + 1 <= lf)) (s.substring(0, crlf), s.substring(crlf + 4))
+    else if (lf >= 0) (s.substring(0, lf), s.substring(lf + 2))
+    else (s, "")
+  }
+
+  /** Unfold continuation lines (leading WS joins to the previous header)
+    * and split on the first ':'. Lines without a colon are skipped
+    * (malformed-input tolerance).
+    */
+  def unfoldHeaders(block: String): Vector[(String, String)] = {
+    val out = Vector.newBuilder[(String, String)]
+    var cur: (String, StringBuilder) = null
+    block.split("\r?\n", -1).foreach { line =>
+      if (line.nonEmpty && (line.charAt(0) == ' ' || line.charAt(0) == '\t')) {
+        if (cur != null) cur._2.append(' ').append(line.trim)
+      } else {
+        if (cur != null) { out += ((cur._1, cur._2.toString)); cur = null }
+        val c = line.indexOf(':')
+        if (c > 0) cur = (line.substring(0, c).trim, new StringBuilder(line.substring(c + 1).trim))
+      }
+    }
+    if (cur != null) out += ((cur._1, cur._2.toString))
+    out.result()
+  }
+
+  private def firstHeader(hs: Vector[(String, String)], name: String): Option[String] =
+    hs.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+
+  /** `name=value` / `name="value"` parameter from a structured header. */
+  def param(header: String, name: String): String = {
+    val lower = header.toLowerCase(java.util.Locale.ROOT)
+    val key = name.toLowerCase(java.util.Locale.ROOT) + "="
+    val i = lower.indexOf(key)
+    if (i < 0) return ""
+    var j = i + key.length
+    if (j < header.length && header.charAt(j) == '"') {
+      val e = header.indexOf('"', j + 1)
+      if (e < 0) header.substring(j + 1) else header.substring(j + 1, e)
+    } else {
+      var e = j
+      while (e < header.length && !";, \t".contains(header.charAt(e))) e += 1
+      header.substring(j, e)
+    }
+  }
+
+  /** Part bodies between --boundary delimiter lines, ending at
+    * --boundary-- (preamble before the first delimiter and the epilogue
+    * after the close are discarded, RFC 2046 5.1.1).
+    */
+  private def splitParts(body: String, boundary: String): Vector[String] = {
+    val delim = "--" + boundary
+    val out = Vector.newBuilder[String]
+    val lines = body.split("\r?\n", -1)
+    var cur: StringBuilder = null
+    var done = false
+    lines.foreach { line =>
+      if (!done) {
+        if (line == delim + "--") {
+          if (cur != null) { out += trimOneTrailingNl(cur.toString); cur = null }
+          done = true
+        } else if (line == delim) {
+          if (cur != null) out += trimOneTrailingNl(cur.toString)
+          cur = new StringBuilder
+        } else if (cur != null) cur.append(line).append('\n')
+      }
+    }
+    // unterminated multipart (missing close delimiter): keep the open part
+    if (!done && cur != null) out += trimOneTrailingNl(cur.toString)
+    out.result()
+  }
+
+  private def trimOneTrailingNl(s: String): String =
+    if (s.endsWith("\n")) s.substring(0, s.length - 1) else s
+
+  /** Transfer decoding: base64 (MIME decoder, line-break tolerant),
+    * quoted-printable (=XX + soft breaks), else the identity bytes
+    * (ISO-8859-1: byte-transparent). Malformed encodings degrade to the
+    * raw bytes — never throw.
+    */
+  def decodeBody(body: String, cte: String): Array[Byte] =
+    cte.trim.toLowerCase(java.util.Locale.ROOT) match {
+      case "base64" =>
+        try java.util.Base64.getMimeDecoder.decode(body.trim)
+        catch { case _: IllegalArgumentException => body.getBytes(ISO_8859_1) }
+      case "quoted-printable" => decodeQp(body)
+      case _ => body.getBytes(ISO_8859_1)
+    }
+
+  def decodeQp(s: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '=') {
+        if (i + 1 < s.length && s.charAt(i + 1) == '\n') i += 2 // soft break LF
+        else if (i + 2 < s.length && s.charAt(i + 1) == '\r' && s.charAt(i + 2) == '\n') i += 3
+        else if (i + 2 < s.length) {
+          val hex = Character.digit(s.charAt(i + 1), 16) * 16 +
+            Character.digit(s.charAt(i + 2), 16)
+          if (hex >= 0 && Character.digit(s.charAt(i + 1), 16) >= 0 &&
+            Character.digit(s.charAt(i + 2), 16) >= 0) {
+            out.write(hex); i += 3
+          } else { out.write(c.toInt); i += 1 } // malformed escape: literal
+        } else { out.write(c.toInt); i += 1 } // trailing '=': literal
+      } else { out.write(c.toInt); i += 1 }
+    }
+    out.toByteArray
+  }
+}

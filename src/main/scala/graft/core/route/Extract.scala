@@ -78,6 +78,7 @@ object Extract {
       case "text"      => (t, "")
       case "media"     => (t, "") // OCR/media passthrough (north rule): text + media_ref unchanged
       case "zip" | "gzip" => ("", "") // container: no own text, entries explode to children
+      case "eml"       => (graft.core.mail.Eml.parse(t).body, "") // RFC-822: body text; attachments explode
       case _           => ("", Reason.Unsupported)
     }
   }
@@ -86,7 +87,7 @@ object Extract {
     * [[spawnContainers]] (and whose raw payload therefore rides through the
     * span-parallel path for reassembly).
     */
-  val ContainerKinds: Set[String] = Set("media", "zip", "gzip")
+  val ContainerKinds: Set[String] = Set("media", "zip", "gzip", "eml")
 
   /** Null spans (a row written with spans=NULL) are treated as an empty
     * span array — reason=empty-file, never a failure — in BOTH the batch and
@@ -316,6 +317,13 @@ object Extract {
           val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
           val (n, b) = graft.sources.Archive.gunzip(bytes, cfg.maxSpanChars)
           spawnEntry(n, b, rootId, ord, 1); ord += 1
+        case "eml" =>
+          // mail attachments are entries of the message (RFC822Parser
+          // semantics): filename as resource name; a zipped attachment
+          // re-enters the archive recursion via spawnEntry's sniff
+          graft.core.mail.Eml.parse(content).attachments.foreach { case (n, b) =>
+            spawnEntry(n, Some(b), rootId, ord, 1); ord += 1
+          }
         case _ => () // non-container kinds never reach here
       }
     }

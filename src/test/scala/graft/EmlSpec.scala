@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.core.mail.Eml
+import graft.core.route.Extract
+
+/** RFC-822/MIME parsing goldens (reference fixtures embedded_file_bug.eml /
+  * image_attachment.eml semantics): header unfolding + multimap, multipart
+  * boundaries, transfer decodings, attachment explosion, malformed-input
+  * tolerance.
+  */
+class EmlSpec extends AnyFunSuite {
+
+  private val simple =
+    """From: alice@example.org
+      |Subject: a folded
+      |  subject line
+      |Received: hop one
+      |Received: hop two
+      |Content-Type: text/plain
+      |
+      |plain body
+      |two lines""".stripMargin
+
+  test("headers unfold continuation lines and keep repeated keys in order") {
+    val m = Eml.parse(simple)
+    assert(m.headers == Vector(
+      "From" -> "alice@example.org",
+      "Subject" -> "a folded subject line",
+      "Received" -> "hop one",
+      "Received" -> "hop two",
+      "Content-Type" -> "text/plain"))
+    assert(m.body == "plain body\ntwo lines")
+    assert(m.attachments.isEmpty)
+  }
+
+  test("multipart: first text part is the body; attachments decode base64/QP") {
+    val b64 = java.util.Base64.getEncoder.encodeToString("binary blob".getBytes(UTF_8))
+    val raw =
+      s"""Content-Type: multipart/mixed; boundary="XY"
+         |
+         |preamble
+         |--XY
+         |Content-Type: text/plain
+         |Content-Transfer-Encoding: quoted-printable
+         |
+         |body=20with=20spaces=
+         |continued
+         |--XY
+         |Content-Disposition: attachment; filename="file.bin"
+         |Content-Transfer-Encoding: base64
+         |
+         |$b64
+         |--XY
+         |Content-Disposition: attachment; filename=plain.txt
+         |
+         |verbatim text
+         |--XY--
+         |epilogue""".stripMargin
+    val m = Eml.parse(raw)
+    assert(m.body == "body with spacescontinued") // soft break joins lines
+    assert(m.attachments.map(_._1) == Vector("file.bin", "plain.txt"))
+    assert(new String(m.attachments(0)._2, UTF_8) == "binary blob")
+    assert(new String(m.attachments(1)._2, UTF_8) == "verbatim text")
+  }
+
+  test("eml span explodes: body on root, attachments as resource-named children") {
+    val b64 = java.util.Base64.getEncoder.encodeToString("att content".getBytes(UTF_8))
+    val raw =
+      s"""Subject: s
+         |Content-Type: multipart/mixed; boundary=bb
+         |
+         |--bb
+         |Content-Type: text/plain
+         |
+         |the body
+         |--bb
+         |Content-Disposition: attachment; filename="a.txt"
+         |Content-Transfer-Encoding: base64
+         |
+         |$b64
+         |--bb--""".stripMargin
+    val out = Extract.explode(DocIn(30, Array(SpanIn("eml", raw, "", 0))))
+    val rid = Ids.rootId(30)
+    assert(out.head.spans.head.text == "the body")
+    assert(out.map(_.doc_id) == Seq(rid,
+      Ids.embedId("att content", rid, 0, resourceName = "a.txt")))
+    assert(out(1).level == 1 && out(1).parent_id == rid)
+  }
+
+  test("a ZIPPED attachment re-enters archive recursion (mail -> zip -> entry)") {
+    val zip = graft.sources.Archive.zipBytes(Seq(("inner.txt", "deep".getBytes(UTF_8))))
+    val b64 = java.util.Base64.getEncoder.encodeToString(zip)
+    val raw =
+      s"""Content-Type: multipart/mixed; boundary=bb
+         |
+         |--bb
+         |Content-Type: text/plain
+         |
+         |b
+         |--bb
+         |Content-Disposition: attachment; filename="arch.zip"
+         |Content-Transfer-Encoding: base64
+         |
+         |$b64
+         |--bb--""".stripMargin
+    val out = Extract.explode(DocIn(31, Array(SpanIn("eml", raw, "", 0))))
+    val rid = Ids.rootId(31)
+    val zid = Ids.embedId(Ids.canonicalEntries(Seq(("inner.txt", "deep"))), rid, 0,
+      resourceName = "arch.zip")
+    assert(out.map(d => (d.doc_id, d.level)) == Seq(
+      (rid, 0), (zid, 1),
+      (Ids.embedId("deep", zid, 0, resourceName = "inner.txt"), 2)))
+  }
+
+  test("malformed mail degrades, never throws: no blank line, bad base64, open multipart") {
+    assert(Eml.parse("Only: headers here").body == "")
+    assert(Eml.parse("no colon lines at all\njust text").body == "")
+    val badB64 = Eml.parse(
+      "Content-Transfer-Encoding: base64\n\n!!! not base64 !!!")
+    assert(badB64.body.nonEmpty) // degrades to raw bytes
+    val open = Eml.parse(
+      "Content-Type: multipart/mixed; boundary=q\n\n--q\nContent-Type: text/plain\n\nunclosed part")
+    assert(open.body == "unclosed part")
+    assert(Eml.decodeQp("=ZZ literal=").nonEmpty) // malformed escapes stay literal
+  }
+}
