@@ -103,6 +103,23 @@ object Oracle {
       |  sha256('64:'||sha256('gamma '||doc_id)||'64:'||nzid||'1:0'||'0:'||'5:c.txt'),
       |  nzid, 2, 'gamma '||doc_id, '' FROM n""".stripMargin
 
+  /** Mirror of Queries.artifactLookup: the level-1 embed fetched by its
+    * independently recomputed digest, with the content-addressed path.
+    */
+  private val artifactLookup: String =
+    """WITH m AS (SELECT doc_id, sha256(doc_id::VARCHAR) AS rid,
+      |  CASE WHEN doc_id%21=0 THEN ''
+      |       WHEN doc_id%27=0 THEN 'chain:ocr '||doc_id||'>sub '||doc_id
+      |       ELSE 'ocr '||doc_id END AS content
+      | FROM documents WHERE doc_id%3=0)
+      |SELECT doc_id,
+      | sha256(CASE WHEN content='' THEN '0:' ELSE '64:'||sha256(content) END
+      |   ||'64:'||rid||'1:0'||'0:'||'0:') AS child_id,
+      | 1 AS level,
+      | CASE WHEN doc_id%21=0 THEN '' ELSE 'ocr '||doc_id END AS txt,
+      | 'art/'||substr(rid,1,2)||'/'||rid AS media_path
+      |FROM m""".stripMargin
+
   /** Mirror of Queries.emlExplode: body + two attachments per %5 doc. */
   private val emlExplode: String =
     """WITH z AS (SELECT doc_id, sha256(doc_id::VARCHAR) AS rid
@@ -698,6 +715,7 @@ object Oracle {
     "q_zip_explode" -> zipExplode,
     "q_eml_explode" -> emlExplode,
     "q_eml_headers" -> emlHeaders,
+    "q_artifact_lookup" -> artifactLookup,
     "q_embed_named" -> embedNamed,
     "q_embed_concat" -> embedConcat,
     "q_embed_datauri" -> mediaDataUri,

@@ -305,6 +305,38 @@ object Queries {
         sum(when(col("no_content_reason") === Reason.Empty, 1L).otherwise(0L)).as("n_empty"))
   }
 
+  /** §3.3 on-demand artifact retrieval
+    * (`EmbeddedDocumentExtractor.java:111-136`): a caller holding only an
+    * embed's content-derived digest fetches its spans from the output and
+    * resolves the content-addressed media path. The request digests are
+    * recomputed INDEPENDENTLY (what an index client would hold), so the
+    * lookup only matches if retrieval ids equal index-time ids.
+    */
+  def artifactLookup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // index side: the flattened extraction output
+    val indexed = Corpus.spans(spark, dir)
+      .flatMap(d => Extract.explode(d).map(o =>
+        (o.doc_id, o.level, o.spans.map(_.text).mkString(""))))
+      .toDF("doc_id", "level", "txt")
+    // retrieval side: independently recomputed digests + artifact paths
+    val requests = docs(spark, dir).select("doc_id").as[Long]
+      .filter(id => id % 3 == 0)
+      .map { id =>
+        val rid = Ids.rootId(id)
+        val content =
+          if (id % 21 == 0) ""
+          else if (id % 27 == 0) s"chain:ocr $id>sub $id"
+          else s"ocr $id"
+        (id, Ids.embedId(content, rid, 0), Ids.artifactRef(id))
+      }
+      .toDF("src_id", "doc_id", "media_path")
+    graft.operators.Artifacts.lookup(indexed, requests)
+      .join(requests, "doc_id")
+      .select(col("src_id").as("doc_id"), col("doc_id").as("child_id"),
+        col("level"), col("txt"), col("media_path"))
+  }
+
   /** §2.3 error taxonomy end-to-end: the REAL job path (extractPartitions —
     * classification, doc-row suppression for failures) over a corpus slice
     * with injected failure spans; statuses oracle-checked per doc_id%23.
@@ -806,6 +838,7 @@ object Queries {
     "q_zip_explode" -> (zipExplode _),
     "q_eml_explode" -> (emlExplode _),
     "q_eml_headers" -> (emlHeaders _),
+    "q_artifact_lookup" -> (artifactLookup _),
     "q_embed_named" -> (embedNamed _),
     "q_embed_concat" -> (embedConcat _),
     "q_embed_datauri" -> (mediaDataUri _),
