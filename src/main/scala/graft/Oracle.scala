@@ -594,6 +594,18 @@ object Oracle {
        |      row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rk FROM sc)
        |SELECT probe_id, rk::BIGINT AS rnk, neighbor_id FROM r WHERE rk<=5""".stripMargin
 
+  /** Mirror of Knn.ivfStats derivation: nLists = max(16, ceil(sqrt(N))),
+    * nProbe = max(2, nLists/8) — sqrt/ceil are IEEE-exact on both engines.
+    */
+  private val ivfStats: String =
+    """WITH n AS (SELECT count(*)::BIGINT AS n_vecs FROM embeddings),
+      |p AS (SELECT n_vecs, greatest(16, ceil(sqrt(n_vecs::DOUBLE))::BIGINT) AS n_lists FROM n),
+      |q AS (SELECT n_vecs, n_lists, greatest(2, n_lists//8) AS n_probe FROM p)
+      |SELECT n_vecs, n_lists::BIGINT AS n_lists, n_probe::BIGINT AS n_probe,
+      | (n_vecs//n_lists)::BIGINT AS avg_list_size,
+      | (100*n_probe//n_lists)::BIGINT AS selectivity_pct
+      |FROM q""".stripMargin
+
   private val eventsWindow: String =
     """SELECT strftime(to_timestamp((floor(epoch(ts))::BIGINT//300)*300) AT TIME ZONE 'UTC',
       |  '%Y-%m-%d %H:%M:%S') AS win, event_type,
@@ -755,6 +767,7 @@ object Oracle {
     "q_knn_brute" -> knnBrute,
     "q_knn_lsh" -> knnLsh,
     "q_knn_ivf" -> knnIvf,
+    "q_ivf_stats" -> ivfStats,
     "q_events_window" -> eventsWindow,
     "q_sessionize" -> sessionize,
     "q_expr_code32" -> exprCode32,

@@ -724,9 +724,19 @@ object Queries {
     Knn.lshTopK(spark, emb(spark, dir), probes100(spark, dir))
       .withColumnRenamed("rank", "rnk")
 
+  /** Fixture-PINNED parameters (nLists=16/nProbe=8) so the hand-written SQL
+    * mirror stays tractable; production callers omit them and get the
+    * sqrt(N)-derived scaling (q_ivf_stats oracle-checks the derivation).
+    */
   def knnIvf(spark: SparkSession, dir: String): DataFrame =
-    Knn.ivfTopK(spark, emb(spark, dir), probes100(spark, dir))
+    Knn.ivfTopK(spark, emb(spark, dir), probes100(spark, dir), nLists = 16, nProbe = 8)
       .withColumnRenamed("rank", "rnk")
+
+  /** The derived IVF parameterization + selectivity, oracle-checked: the
+    * engine and the SQL oracle independently compute nLists=ceil(sqrt(N)).
+    */
+  def ivfStatsQ(spark: SparkSession, dir: String): DataFrame =
+    Knn.ivfStats(spark, emb(spark, dir))
 
   // ------------------------------------------------- events / sessions
 
@@ -878,6 +888,7 @@ object Queries {
     "q_knn_brute" -> (knnBrute _),
     "q_knn_lsh" -> (knnLsh _),
     "q_knn_ivf" -> (knnIvf _),
+    "q_ivf_stats" -> (ivfStatsQ _),
     "q_events_window" -> (eventsWindow _),
     "q_sessionize" -> (sessionize _),
     "q_expr_code32" -> (exprCode32 _),

