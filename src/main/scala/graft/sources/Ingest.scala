@@ -53,15 +53,45 @@ object Ingest {
     java.lang.Long.parseUnsignedLong(h.substring(0, 15), 16)
   }
 
+  /** OS-junk names the reference's SystemFileMatcher
+    * (`io/file/SystemFileMatcher.java`) excludes from the walk.
+    */
+  val SystemFileNames: Set[String] = Set(
+    ".DS_Store", "Thumbs.db", "ehthumbs.db", "desktop.ini",
+    "lost+found", "$RECYCLE.BIN", "System Volume Information")
+
+  /** Hidden/system predicate on a path (PosixHiddenFileMatcher +
+    * SystemFileMatcher semantics): dotfiles, Office lock files (~$),
+    * and the OS-junk name set.
+    */
+  def isHiddenOrSystem(path: String): Boolean = {
+    val name = path.substring(path.lastIndexOf('/') + 1)
+    name.startsWith(".") || name.startsWith("~$") || SystemFileNames.contains(name)
+  }
+
   /** Ingest a directory of real files via Spark's binaryFile source: one
     * DocIn per file, one span of the sniffed kind. Distributed read —
     * binaryFile splits files across partitions by size.
+    *
+    * Hidden/system exclusion (the reference's Posix/Dos hidden +
+    * SystemFileMatcher walk filters): names starting with '.' or '_' are
+    * already dropped by Spark's FILE INDEX at listing time (scan-level,
+    * before any read); `excludeHidden` additionally filters OS-junk names
+    * (Thumbs.db, desktop.ini, ~$ lock files, ...) as a path predicate
+    * before decode. Globs push down via pathGlobFilter.
     */
-  def readDir(spark: SparkSession, dir: String, glob: String = "*"): Dataset[DocIn] = {
+  def readDir(spark: SparkSession, dir: String, glob: String = "*",
+              excludeHidden: Boolean = true): Dataset[DocIn] = {
     import spark.implicits._
-    spark.read.format("binaryFile")
+    import org.apache.spark.sql.functions.{col, element_at, split, not}
+    val base = spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .load(dir)
+    val name = element_at(split(col("path"), "/"), -1)
+    val junk = name.startsWith(".") || name.startsWith("~$") ||
+      name.isin(SystemFileNames.toSeq: _*)
+    val kept = if (excludeHidden) base.filter(not(junk)) else base
+    kept
       .select("path", "content")
       .as[(String, Array[Byte])]
       .map { case (path, bytes) =>

@@ -131,6 +131,27 @@ class IngestSpec extends AnyFunSuite {
     assert(extracted.flatMap(_._2).count(_.status == graft.core.Status.Success) == 4)
   }
 
+  test("hidden/system matchers exclude dotfiles and OS junk from the walk") {
+    val dir = Files.createTempDirectory("graft-hidden")
+    Files.write(dir.resolve("normal.txt"), "keep me".getBytes(StandardCharsets.UTF_8))
+    Files.write(dir.resolve(".hidden.txt"), "dotfile".getBytes(StandardCharsets.UTF_8))
+    Files.write(dir.resolve("Thumbs.db"), Array[Byte](0, 1, 2, 3))
+    Files.write(dir.resolve("desktop.ini"), "[junk]".getBytes(StandardCharsets.UTF_8))
+    Files.write(dir.resolve("~$lock.docx"), Array[Byte](4, 5))
+    val kept = Ingest.readDir(spark, dir.toString).collect()
+    assert(kept.length == 1)
+    assert(kept.head.spans.head.text == "keep me")
+    // opt-out keeps the junk (dotfiles stay excluded — Spark's file index
+    // drops '.'/'_' prefixed names at LISTING time, before any read)
+    val all = Ingest.readDir(spark, dir.toString, excludeHidden = false).collect()
+    assert(all.length == 4)
+    // the predicate itself
+    assert(Ingest.isHiddenOrSystem("/a/b/.profile"))
+    assert(Ingest.isHiddenOrSystem("/a/b/Thumbs.db"))
+    assert(Ingest.isHiddenOrSystem("/a/~$doc.docx"))
+    assert(!Ingest.isHiddenOrSystem("/a/b/report.pdf"))
+  }
+
   test("decodeAviMjpeg round-trips and rejects malformed containers cleanly") {
     import graft.multimodal.Media
     val avi = Media.encodeAviMjpeg(40, 28, Seq(0xff0000, 0x00ff00, 0x0000ff))
