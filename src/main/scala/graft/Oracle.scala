@@ -120,6 +120,45 @@ object Oracle {
       | 'art/'||substr(rid,1,2)||'/'||rid AS media_path
       |FROM m""".stripMargin
 
+  /** Mirror of Queries.docxExplode: the docx PACKAGE root carries the
+    * 5-words-per-line body text; the %12 media part is a level-1 child.
+    */
+  private val docxExplode: String =
+    """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
+      |  len(string_split(text,' ')) AS m FROM documents WHERE doc_id%6=0),
+      |l AS (SELECT doc_id, i, array_to_string(w[5*i+1:5*i+5],' ') AS line
+      |      FROM p, LATERAL unnest(generate_series(0, (m-1)//5)) AS t(i)),
+      |r AS (SELECT doc_id, sha256(doc_id::VARCHAR) AS rid,
+      |      string_agg(line, chr(10) ORDER BY i) AS txt
+      |      FROM l GROUP BY doc_id)
+      |SELECT doc_id, rid AS node_id, '' AS parent_id, 0 AS level, txt, '' AS reason FROM r
+      |UNION ALL SELECT doc_id,
+      | sha256('64:'||sha256('img '||doc_id)||'64:'||rid||'1:0'||'0:'
+      |   ||octet_length(encode('word/media/img1.bin'))||':word/media/img1.bin'),
+      | rid, 1, 'img '||doc_id, '' FROM r WHERE doc_id%12=0""".stripMargin
+
+  /** Mirror of Queries.tgzExplode: gzip root -> tar container (canonical
+    * entry id) -> two file entries.
+    */
+  private val tgzExplode: String =
+    """WITH z AS (SELECT doc_id, sha256(doc_id::VARCHAR) AS rid
+      |           FROM documents WHERE doc_id%9=0),
+      |t AS (SELECT doc_id, rid,
+      |  sha256('64:'||sha256(
+      |     '5:x.txt'||octet_length(encode('xray '||doc_id))||':xray '||doc_id
+      |   ||'5:y.txt'||octet_length(encode('yank '||doc_id))||':yank '||doc_id)
+      |   ||'64:'||rid||'1:0'||'0:'||'10:bundle.tar') AS tid
+      | FROM z)
+      |SELECT doc_id, rid AS node_id, '' AS parent_id, 0 AS level, '' AS txt,
+      |       'empty-file' AS reason FROM z
+      |UNION ALL SELECT doc_id, tid, rid, 1, '', 'empty-file' FROM t
+      |UNION ALL SELECT doc_id,
+      | sha256('64:'||sha256('xray '||doc_id)||'64:'||tid||'1:0'||'0:'||'5:x.txt'),
+      | tid, 2, 'xray '||doc_id, '' FROM t
+      |UNION ALL SELECT doc_id,
+      | sha256('64:'||sha256('yank '||doc_id)||'64:'||tid||'1:1'||'0:'||'5:y.txt'),
+      | tid, 2, 'yank '||doc_id, '' FROM t""".stripMargin
+
   /** Mirror of Queries.emlExplode: body + two attachments per %5 doc. */
   private val emlExplode: String =
     """WITH z AS (SELECT doc_id, sha256(doc_id::VARCHAR) AS rid
@@ -725,6 +764,8 @@ object Oracle {
     "q_pdf_flate" -> pdfBytes,
     "q_embed_explode" -> embedExplode,
     "q_zip_explode" -> zipExplode,
+    "q_docx_explode" -> docxExplode,
+    "q_tgz_explode" -> tgzExplode,
     "q_eml_explode" -> emlExplode,
     "q_eml_headers" -> emlHeaders,
     "q_artifact_lookup" -> artifactLookup,

@@ -222,6 +222,53 @@ object Queries {
       .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
   }
 
+  /** §2.3+§2.4 REAL OOXML route (`recursive_embedded.docx` fixture): each
+    * %6 doc becomes an actual docx PACKAGE (zip + WordprocessingML built by
+    * the engine) whose paragraphs carry the document's words 5-per-line;
+    * %12 docs embed a media part that spawns as a child. Extraction must
+    * unzip, parse word/document.xml, and recover the exact text — the
+    * oracle recomputes everything from `documents` arithmetic.
+    */
+  def docxExplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .filter(_._1 % 6 == 0)
+      .flatMap { case (id, t) =>
+        val paras = t.split(" ", -1).grouped(5).map(_.mkString(" ")).toSeq
+        val media =
+          if (id % 12 == 0) Seq(("word/media/img1.bin", s"img $id".getBytes(UTF_8)))
+          else Nil
+        val bytes = graft.core.office.Docx.buildMinimal(paras, media)
+        val d = DocIn(id, Array(SpanIn("zip", new String(bytes, ISO_8859_1), "", 0)))
+        Extract.explode(d).map(o =>
+          (id, o.doc_id, o.parent_id, o.level, o.spans.map(_.text).mkString(""), o.no_content_reason))
+      }
+      .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
+  }
+
+  /** §2.4 TGZ (gzip-of-tar — the reference's `embedded_with_duplicate.tgz`
+    * shape): gzip member (FNAME names it) -> tar container child -> file
+    * entries at level 2, all REAL bytes built and re-parsed by the engine.
+    */
+  def tgzExplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    import graft.sources.Archive
+    docs(spark, dir).select("doc_id").as[Long]
+      .filter(id => id % 9 == 0)
+      .flatMap { id =>
+        val tar = Archive.tarBytes(Seq(
+          ("x.txt", s"xray $id".getBytes(UTF_8)),
+          ("y.txt", s"yank $id".getBytes(UTF_8))))
+        val tgz = Archive.gzipBytes(tar, "bundle.tar")
+        val d = DocIn(id, Array(SpanIn("gzip", new String(tgz, ISO_8859_1), "", 0)))
+        Extract.explode(d).map(o =>
+          (id, o.doc_id, o.parent_id, o.level, o.spans.map(_.text).mkString(""), o.no_content_reason))
+      }
+      .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
+  }
+
   /** Deterministic RFC-822/MIME fixture per doc: multipart/mixed with a
     * text body (quoted-printable for %10 docs), a base64 binary attachment,
     * a plain attachment, repeated Received headers (multimap collision),
@@ -846,6 +893,8 @@ object Queries {
     "q_pdf_flate" -> (pdfFlate _),
     "q_embed_explode" -> (embedExplode _),
     "q_zip_explode" -> (zipExplode _),
+    "q_docx_explode" -> (docxExplode _),
+    "q_tgz_explode" -> (tgzExplode _),
     "q_eml_explode" -> (emlExplode _),
     "q_eml_headers" -> (emlHeaders _),
     "q_artifact_lookup" -> (artifactLookup _),

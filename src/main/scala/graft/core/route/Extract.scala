@@ -77,7 +77,9 @@ object Extract {
       case "pdf_bytes" => (graft.core.pdf.PdfMini.textFromLatin1(t), "") // REAL PDF bytes, raw or FlateDecode (Ingest)
       case "text"      => (t, "")
       case "media"     => (t, "") // OCR/media passthrough (north rule): text + media_ref unchanged
-      case "zip" | "gzip" => ("", "") // container: no own text, entries explode to children
+      // zip: a docx PACKAGE yields its body text; a plain archive has none
+      case "zip"       => (graft.core.office.Docx.zipText(t, cfg.maxSpanChars), "")
+      case "gzip" | "tar" => ("", "") // container: no own text, entries explode to children
       case "eml"       => (graft.core.mail.Eml.parse(t).body, "") // RFC-822: body text; attachments explode
       case _           => ("", Reason.Unsupported)
     }
@@ -87,7 +89,7 @@ object Extract {
     * [[spawnContainers]] (and whose raw payload therefore rides through the
     * span-parallel path for reassembly).
     */
-  val ContainerKinds: Set[String] = Set("media", "zip", "gzip", "eml")
+  val ContainerKinds: Set[String] = Set("media", "zip", "gzip", "tar", "eml")
 
   /** Null spans (a row written with spans=NULL) are treated as an empty
     * span array — reason=empty-file, never a failure — in BOTH the batch and
@@ -272,7 +274,15 @@ object Extract {
       nested.foreach(n => spawn("chain:" + n, cid, 0, level + 1))
     }
 
-    // one REAL archive entry -> one child document (recursing into nested zips)
+    def canonicalOf(entries: Vector[graft.sources.Archive.UnzippedEntry]): String =
+      Ids.canonicalEntries(entries.map { case (n, b) =>
+        (n, b.map(x => new String(x, java.nio.charset.StandardCharsets.ISO_8859_1)).getOrElse(""))
+      })
+
+    // one REAL archive entry -> one child document: plain archives (zip/tar)
+    // become container nodes whose entries recurse; an OOXML package (docx)
+    // becomes a DOCUMENT child (body text + its embedded parts); anything
+    // else is a text child
     def spawnEntry(name: String, bytes: Option[Array[Byte]], parentId: String,
                    ord: Int, level: Int): Unit = {
       checkDeadline(deadlineNanos)
@@ -280,25 +290,41 @@ object Extract {
       if (bytes.isEmpty || guardsRefuse(level, declaredLen)) { skipped += 1; return }
       spawned += 1
       val data = bytes.get
-      if (graft.sources.Archive.isZip(data)) {
-        val entries = graft.sources.Archive.unzip(data, cfg.maxSpanChars)
-        val canonical = Ids.canonicalEntries(entries.map { case (n, b) =>
-          (n, b.map(x => new String(x, java.nio.charset.StandardCharsets.ISO_8859_1)).getOrElse(""))
-        })
-        val cid = Ids.embedId(canonical, parentId, ord, resourceName = name)
-        // container node: no own text; its content lives in its children
-        out += DocOut(cid, parentId, rootId, level, Array.empty[SpanOut], Reason.Empty)
-        entries.zipWithIndex.foreach { case ((n, b), i) =>
-          spawnEntry(n, b, cid, i, level + 1)
-        }
-      } else {
-        val text = new String(data, java.nio.charset.StandardCharsets.UTF_8)
-        val cid = Ids.embedId(text, parentId, ord, resourceName = name)
-        val spans =
-          if (text.isEmpty) Array.empty[SpanOut]
-          else Array(SpanOut("text", text, "", 0))
-        out += DocOut(cid, parentId, rootId, level, spans,
-          if (text.isEmpty) Reason.Empty else "")
+      val containerEntries: Option[Vector[graft.sources.Archive.UnzippedEntry]] =
+        if (graft.sources.Archive.isZip(data))
+          Some(graft.sources.Archive.unzip(data, cfg.maxSpanChars))
+        else if (graft.sources.Archive.isTar(data))
+          Some(graft.sources.Archive.untar(data, cfg.maxSpanChars))
+        else None
+      containerEntries match {
+        case Some(entries) if graft.core.office.Docx.isDocx(entries.map(_._1)) =>
+          // embedded Word document: body text, embedded parts as children
+          val cid = Ids.embedId(canonicalOf(entries), parentId, ord, resourceName = name)
+          val body = entries.collectFirst {
+            case (graft.core.office.Docx.DocumentEntry, Some(b)) =>
+              graft.core.office.Docx.bodyText(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+          }.getOrElse("")
+          val spans =
+            if (body.isEmpty) Array.empty[SpanOut] else Array(SpanOut("text", body, "", 0))
+          out += DocOut(cid, parentId, rootId, level, spans,
+            if (body.isEmpty) Reason.Empty else "")
+          entries.filter(e => graft.core.office.Docx.isEmbeddedPart(e._1))
+            .zipWithIndex.foreach { case ((n, b), i) => spawnEntry(n, b, cid, i, level + 1) }
+        case Some(entries) =>
+          val cid = Ids.embedId(canonicalOf(entries), parentId, ord, resourceName = name)
+          // container node: no own text; its content lives in its children
+          out += DocOut(cid, parentId, rootId, level, Array.empty[SpanOut], Reason.Empty)
+          entries.zipWithIndex.foreach { case ((n, b), i) =>
+            spawnEntry(n, b, cid, i, level + 1)
+          }
+        case None =>
+          val text = new String(data, java.nio.charset.StandardCharsets.UTF_8)
+          val cid = Ids.embedId(text, parentId, ord, resourceName = name)
+          val spans =
+            if (text.isEmpty) Array.empty[SpanOut]
+            else Array(SpanOut("text", text, "", 0))
+          out += DocOut(cid, parentId, rootId, level, spans,
+            if (text.isEmpty) Reason.Empty else "")
       }
     }
 
@@ -308,9 +334,21 @@ object Extract {
         case "media" =>
           spawn(content, rootId, ord, 1); ord += 1
         case "zip" =>
-          // the archive IS the parent document: entries are its children
+          // the archive IS the parent document: entries are its children.
+          // A docx PACKAGE instead contributes body text to the parent
+          // (extractSpan's zip route) and spawns only its embedded parts.
           val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-          graft.sources.Archive.unzip(bytes, cfg.maxSpanChars).foreach { case (n, b) =>
+          val entries = graft.sources.Archive.unzip(bytes, cfg.maxSpanChars)
+          val spawnable =
+            if (graft.core.office.Docx.isDocx(entries.map(_._1)))
+              entries.filter(e => graft.core.office.Docx.isEmbeddedPart(e._1))
+            else entries
+          spawnable.foreach { case (n, b) =>
+            spawnEntry(n, b, rootId, ord, 1); ord += 1
+          }
+        case "tar" =>
+          val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          graft.sources.Archive.untar(bytes, cfg.maxSpanChars).foreach { case (n, b) =>
             spawnEntry(n, b, rootId, ord, 1); ord += 1
           }
         case "gzip" =>

@@ -30,6 +30,7 @@ object Ingest {
     else if (lowerHead.startsWith("<!doctype") || lowerHead.startsWith("<html")) "html"
     else if (startsWith(Array[Byte](0x50, 0x4b, 0x03, 0x04))) "zip"
     else if (startsWith(Array[Byte](0x1f, 0x8b.toByte))) "gzip"
+    else if (Archive.isTar(bytes)) "tar"
     else {
       // UNSIGNED byte compare: JVM bytes are signed, so `b >= 0x20` would
       // class every UTF-8 multi-byte sequence (>= 0x80) as non-printable

@@ -102,6 +102,40 @@ class ArchiveSpec extends AnyFunSuite {
     assert(Archive.gzipName(gz2) == "")
   }
 
+  test("tar round-trips entries; declared octal size is the guard input") {
+    val tar = Archive.tarBytes(Seq(
+      ("a.txt", "alpha".getBytes(UTF_8)),
+      ("dir/b.txt", "beta content".getBytes(UTF_8))))
+    assert(Archive.isTar(tar))
+    val back = Archive.untar(tar, 1 << 20)
+    assert(back.map(e => (e._1, e._2.map(new String(_, UTF_8)))) == Vector(
+      ("a.txt", Some("alpha")), ("dir/b.txt", Some("beta content"))))
+    // declared-size guard refuses without reading (cap between the sizes)
+    assert(Archive.untar(tar, 8).map(_._2.isEmpty) == Vector(false, true))
+    // corrupt header -> ParseFailure
+    intercept[graft.core.ParseFailure] {
+      Archive.untar("ustar junk".getBytes(UTF_8) ++ new Array[Byte](600), 1 << 20)
+    }
+  }
+
+  test("tgz (gzip of tar) explodes two levels like the reference's .tgz fixture") {
+    val tar = Archive.tarBytes(Seq(
+      ("x.txt", "same".getBytes(UTF_8)),
+      ("x_copy.txt", "same".getBytes(UTF_8)))) // the duplicate-entry case
+    val tgz = Archive.gzipBytes(tar, "bundle.tar")
+    val d = DocIn(16, Array(SpanIn("gzip", new String(tgz, ISO_8859_1), "", 0)))
+    val out = Extract.explode(d)
+    val rid = Ids.rootId(16)
+    val tid = Ids.embedId(Ids.canonicalEntries(Seq(("x.txt", "same"), ("x_copy.txt", "same"))),
+      rid, 0, resourceName = "bundle.tar")
+    assert(out.map(o => (o.doc_id, o.parent_id, o.level)) == Seq(
+      (rid, "", 0), (tid, rid, 1),
+      (Ids.embedId("same", tid, 0, resourceName = "x.txt"), tid, 2),
+      (Ids.embedId("same", tid, 1, resourceName = "x_copy.txt"), tid, 2)))
+    // duplicate contents, distinct ids (per-parent ordinal)
+    assert(out(2).doc_id != out(3).doc_id)
+  }
+
   test("span-parallel reassembly is byte-identical to batch explode on archives") {
     import spark.implicits._
     val docs = Seq(
