@@ -467,6 +467,30 @@ object Oracle {
       | max(CASE WHEN rk=(cnt+1)//2 THEN n_chars END)::BIGINT AS median_chars
       |FROM r GROUP BY source""".stripMargin
 
+  /** Mirror of Queries.piiScrub: same injected text, same RE2 regexes. */
+  private val piiScrub: String =
+    """WITH d AS (SELECT doc_id,
+      |  text||' contact x'||doc_id||'@mail.com or '||
+      |  (doc_id%900+100)||'-'||(doc_id%800+100)||'-'||(doc_id%9000+1000) AS text
+      | FROM documents)
+      |SELECT doc_id,
+      | len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.]+'))::BIGINT AS n_emails,
+      | len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phones,
+      | regexp_replace(regexp_replace(text, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+      |                '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+      |FROM d""".stripMargin
+
+  /** Mirror of Queries.repetitionQ: 4-word lines, distinct count, dup pct. */
+  private val repetition: String =
+    """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
+      |  len(string_split(text,' ')) AS m FROM documents),
+      |l AS (SELECT doc_id, array_to_string(w[4*i+1:4*i+4],' ') AS line
+      |      FROM p, LATERAL unnest(generate_series(0, (m-1)//4)) AS t(i))
+      |SELECT doc_id, count(*)::BIGINT AS n_lines,
+      | count(DISTINCT line)::BIGINT AS n_distinct,
+      | (100*(count(*)-count(DISTINCT line))//count(*))::BIGINT AS dup_pct
+      |FROM l GROUP BY doc_id""".stripMargin
+
   private val dedupExact: String =
     s"""SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_copies, min(doc_id) AS keeper_id
        |FROM $dupDocs AS d GROUP BY md5(text)""".stripMargin
@@ -645,6 +669,19 @@ object Oracle {
       | (100*n_probe//n_lists)::BIGINT AS selectivity_pct
       |FROM q""".stripMargin
 
+  /** Mirror of Knn.deriveBits/lshStats: smallest b in [3,24] with
+    * n/2^b <= 1000 — integer arithmetic only, no float log.
+    */
+  private val lshStats: String =
+    """WITH n AS (SELECT count(*)::BIGINT AS n_vecs FROM embeddings),
+      |b AS (SELECT n_vecs, coalesce(
+      |        (SELECT min(x) FROM (SELECT unnest(generate_series(3,24)) AS x)
+      |         WHERE n_vecs//(1::BIGINT<<x) <= 1000), 24) AS bits FROM n)
+      |SELECT n_vecs, bits::BIGINT AS bits, 10::BIGINT AS tables,
+      | (1::BIGINT<<bits)::BIGINT AS buckets_per_table,
+      | (n_vecs//(1::BIGINT<<bits))::BIGINT AS expected_occupancy
+      |FROM b""".stripMargin
+
   private val eventsWindow: String =
     """SELECT strftime(to_timestamp((floor(epoch(ts))::BIGINT//300)*300) AT TIME ZONE 'UTC',
       |  '%Y-%m-%d %H:%M:%S') AS win, event_type,
@@ -797,6 +834,8 @@ object Oracle {
     "q_fingerprint" -> fingerprint,
     "q_winnow" -> winnow,
     "q_profile" -> profile,
+    "q_pii_scrub" -> piiScrub,
+    "q_repetition" -> repetition,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_edit" -> dedupEdit,
@@ -809,6 +848,7 @@ object Oracle {
     "q_knn_lsh" -> knnLsh,
     "q_knn_ivf" -> knnIvf,
     "q_ivf_stats" -> ivfStats,
+    "q_lsh_stats" -> lshStats,
     "q_events_window" -> eventsWindow,
     "q_sessionize" -> sessionize,
     "q_expr_code32" -> exprCode32,

@@ -656,6 +656,27 @@ object Queries {
       .toDF("doc_id", "n_fp")
   }
 
+  /** Training-data PII redaction: deterministic email+phone injected per
+    * doc, redacted by RE2-safe regexes with redaction COUNTS (never a
+    * silent scrub). Map-only; oracle mirrors the identical regex.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val injected = docs(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact x"), col("doc_id").cast("string"), lit("@mail.com or "),
+        (col("doc_id") % 900 + 100).cast("string"), lit("-"),
+        (col("doc_id") % 800 + 100).cast("string"), lit("-"),
+        (col("doc_id") % 9000 + 1000).cast("string")).as("text"))
+    graft.operators.Scrub.scrubPii(injected)
+      .select("doc_id", "n_emails", "n_phones", "scrubbed")
+  }
+
+  /** Within-document repetition stats (C4/Gopher repetitious-content rule)
+    * over 4-word lines of the natural corpus text.
+    */
+  def repetitionQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Scrub.repetitionStats(spark, docs(spark, dir))
+
   /** Data profiling for pipeline QA: per-source doc counts and exact
     * length distribution stats. The exact lower median comes from a
     * HISTOGRAM plan: partial-aggregate (source, n_chars) counts map-side
@@ -767,9 +788,16 @@ object Queries {
     Knn.bruteTopK(spark, emb(spark, dir), probes100(spark, dir))
       .withColumnRenamed("rank", "rnk")
 
+  /** Fixture-PINNED bits=3 (the hand-written SQL mirror's setting);
+    * production callers omit it and get the occupancy-derived width
+    * (q_lsh_stats oracle-checks the derivation).
+    */
   def knnLsh(spark: SparkSession, dir: String): DataFrame =
-    Knn.lshTopK(spark, emb(spark, dir), probes100(spark, dir))
+    Knn.lshTopK(spark, emb(spark, dir), probes100(spark, dir), bits = Knn.BitsPerTable)
       .withColumnRenamed("rank", "rnk")
+
+  def lshStatsQ(spark: SparkSession, dir: String): DataFrame =
+    Knn.lshStats(spark, emb(spark, dir))
 
   /** Fixture-PINNED parameters (nLists=16/nProbe=8) so the hand-written SQL
     * mirror stays tractable; production callers omit them and get the
@@ -926,6 +954,8 @@ object Queries {
     "q_fingerprint" -> (fingerprintQ _),
     "q_winnow" -> (winnowQ _),
     "q_profile" -> (profile _),
+    "q_pii_scrub" -> (piiScrub _),
+    "q_repetition" -> (repetitionQ _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_edit" -> (dedupEdit _),
@@ -938,6 +968,7 @@ object Queries {
     "q_knn_lsh" -> (knnLsh _),
     "q_knn_ivf" -> (knnIvf _),
     "q_ivf_stats" -> (ivfStatsQ _),
+    "q_lsh_stats" -> (lshStatsQ _),
     "q_events_window" -> (eventsWindow _),
     "q_sessionize" -> (sessionize _),
     "q_expr_code32" -> (exprCode32 _),

@@ -45,6 +45,30 @@ object Knn {
   val NumTables = 10
   val DefaultBucketCap = 10000
 
+  /** Per-table bit width derived from corpus size: the smallest b in
+    * [3, 24] whose expected bucket occupancy n/2^b is at most
+    * `targetOccupancy` — per-table work then stays bounded as N grows
+    * (this is what makes the index sub-linear at 10^12 docs); integer-only
+    * so the SQL oracle reproduces it exactly.
+    */
+  def deriveBits(n: Long, targetOccupancy: Long = 1000L): Int = {
+    var b = 3
+    while (b < 24 && (n >> b) > targetOccupancy) b += 1
+    b
+  }
+
+  /** LSH parameterization report — the selectivity/occupancy observability
+    * surface (no silent defaults), mirroring [[ivfStats]].
+    */
+  def lshStats(spark: SparkSession, emb: DataFrame,
+               bits: Int = 0, tables: Int = NumTables): DataFrame = {
+    import spark.implicits._
+    val n = emb.count()
+    val b = if (bits > 0) bits else deriveBits(n)
+    Seq((n, b.toLong, tables.toLong, 1L << b, n >> b))
+      .toDF("n_vecs", "bits", "tables", "buckets_per_table", "expected_occupancy")
+  }
+
   /** Deterministic integer hyperplane weights: exact in any engine.
     * w(p,d) = ((p*64+d) * 2654435761) mod 65536 - 32768; table t uses the
     * global plane indices [t*bits, (t+1)*bits).
@@ -143,11 +167,14 @@ object Knn {
     * `bucketCap`; exact cosine + top-k over the candidates only.
     */
   def lshTopK(spark: SparkSession, emb: DataFrame, probeIds: DataFrame,
-              k: Int = 5, bits: Int = BitsPerTable, tables: Int = NumTables,
+              k: Int = 5, bits: Int = 0, tables: Int = NumTables,
               bucketCap: Int = DefaultBucketCap): DataFrame = {
     import spark.implicits._
+    // bits <= 0 (the default) derives the width from corpus size; the
+    // fixture-pinned oracle query passes bits=3 explicitly
+    val b = if (bits > 0) bits else deriveBits(emb.count())
     val q = quantized(spark, emb)
-    val memberships = tableMemberships(spark, q, bits, tables)
+    val memberships = tableMemberships(spark, q, b, tables)
     val capped = cappedMemberships(memberships, bucketCap)
     // the probe side reads its own buckets UNCAPPED (a probe must always
     // find its buckets, even if the cap evicted it from the corpus side)

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-scrubbing operators a training-data pipeline runs before anything
+  * else: PII redaction and within-document repetition measurement
+  * (the C4/Gopher "repetitious content" rules, Raffel et al. 2020 /
+  * Rae et al. 2021).
+  *
+  * Scale: both are MAP-ONLY — codegen'd regexp/string expressions for the
+  * scrub, a per-row aggregation for repetition — no shuffle, no UDF.
+  * Patterns stay inside the RE2-compatible subset so the DuckDB oracle
+  * evaluates the identical regex semantics.
+  */
+object Scrub {
+
+  /** RE2-safe patterns (no backrefs/lookaround): both engines agree. */
+  val EmailRe = "[a-z0-9._]+@[a-z0-9.]+"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Redact emails/phones in `textCol`, counting what was redacted
+    * (observability: scrubbing is never silent).
+    */
+  def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_emails", size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))).cast("long"))
+      .withColumn("n_phones", size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0))).cast("long"))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"))
+
+  /** Within-document repetition stats over fixed-width word lines (the
+    * repetitious-content signal): line count, distinct-line count, and the
+    * duplicate percentage. Integer-exact; `wordsPerLine` defines the
+    * dedup granularity (C4 uses sentences/lines; the span corpus is
+    * unsegmented, so fixed word windows stand in deterministically).
+    */
+  def repetitionStats(spark: SparkSession, docs: DataFrame,
+                      wordsPerLine: Int = 4): DataFrame = {
+    import spark.implicits._
+    docs.select("doc_id", "text").as[(Long, String)]
+      .map { case (id, t) =>
+        val lines = t.split(" ", -1).grouped(wordsPerLine).map(_.mkString(" ")).toSeq
+        val n = lines.length.toLong
+        val d = lines.distinct.length.toLong
+        (id, n, d, 100L * (n - d) / n)
+      }
+      .toDF("doc_id", "n_lines", "n_distinct", "dup_pct")
+  }
+}

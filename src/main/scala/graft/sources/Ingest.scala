@@ -31,6 +31,7 @@ object Ingest {
     else if (startsWith(Array[Byte](0x50, 0x4b, 0x03, 0x04))) "zip"
     else if (startsWith(Array[Byte](0x1f, 0x8b.toByte))) "gzip"
     else if (Archive.isTar(bytes)) "tar"
+    else if (hasUtf16Bom(bytes)) "text" // UTF-16 BOM: decoded per-charset below
     else {
       // UNSIGNED byte compare: JVM bytes are signed, so `b >= 0x20` would
       // class every UTF-8 multi-byte sequence (>= 0x80) as non-printable
@@ -44,6 +45,21 @@ object Ingest {
       else "bin"
     }
   }
+
+  /** UTF-16 byte-order mark, either endianness (the reference's
+    * utf16-txt fixture route: Tika's charset detection; we detect by BOM).
+    */
+  def hasUtf16Bom(bytes: Array[Byte]): Boolean =
+    bytes.length >= 2 &&
+      ((bytes(0) == 0xfe.toByte && bytes(1) == 0xff.toByte) ||
+        (bytes(0) == 0xff.toByte && bytes(1) == 0xfe.toByte))
+
+  /** Charset-aware text decode: UTF-16 (BOM-detecting, either endianness,
+    * BOM stripped by the JDK decoder) when a BOM is present, else UTF-8.
+    */
+  def decodeText(bytes: Array[Byte]): String =
+    if (hasUtf16Bom(bytes)) new String(bytes, StandardCharsets.UTF_16)
+    else new String(bytes, StandardCharsets.UTF_8)
 
   /** Stable 63-bit doc id from the file path (content-independent, so
     * re-ingesting a changed file keeps its identity — the reference's
@@ -98,7 +114,7 @@ object Ingest {
       .map { case (path, bytes) =>
         val kind = sniffKind(bytes)
         val text = kind match {
-          case "html" | "text" => new String(bytes, StandardCharsets.UTF_8)
+          case "html" | "text" => decodeText(bytes)
           case _ => new String(bytes, StandardCharsets.ISO_8859_1) // lossless bytes
         }
         DocIn(pathId(path), Array(SpanIn(kind, text, "", 0)))

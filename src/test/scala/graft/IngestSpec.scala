@@ -131,6 +131,23 @@ class IngestSpec extends AnyFunSuite {
     assert(extracted.flatMap(_._2).count(_.status == graft.core.Status.Success) == 4)
   }
 
+  test("UTF-16 text (either BOM) ingests byte-exact (utf16-txt fixture analog)") {
+    val txt = "heavy métal 中文 content"
+    for (cs <- Seq(StandardCharsets.UTF_16LE, StandardCharsets.UTF_16BE)) {
+      val bom: Array[Byte] =
+        if (cs == StandardCharsets.UTF_16LE) Array(0xff.toByte, 0xfe.toByte)
+        else Array(0xfe.toByte, 0xff.toByte)
+      val bytes = bom ++ txt.getBytes(cs)
+      assert(Ingest.sniffKind(bytes) == "text")
+      assert(Ingest.decodeText(bytes) == txt)
+    }
+    val dir = Files.createTempDirectory("graft-utf16")
+    Files.write(dir.resolve("u16.txt"),
+      Array(0xff.toByte, 0xfe.toByte) ++ txt.getBytes(StandardCharsets.UTF_16LE))
+    val got = Ingest.readDir(spark, dir.toString).collect()
+    assert(got.head.spans.head.text == txt)
+  }
+
   test("hidden/system matchers exclude dotfiles and OS junk from the walk") {
     val dir = Files.createTempDirectory("graft-hidden")
     Files.write(dir.resolve("normal.txt"), "keep me".getBytes(StandardCharsets.UTF_8))
