@@ -82,7 +82,7 @@ object Corpus {
       spans += SpanIn("media", t, Ids.artifactRef(docId), next)
       next += 1
     }
-    if (docId % 13 == 0) spans += SpanIn("bin", "binjunk" + docId, "", next)
+    if (docId % 13 == 0) spans += SpanIn("bin", "\u0001binjunk" + docId, "", next)
     DocIn(docId, spans.result())
   }
 

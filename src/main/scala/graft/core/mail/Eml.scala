@@ -56,15 +56,25 @@ object Eml {
     }
   }
 
-  /** Split at the first blank line; an input with no blank line is all
-    * headers and an empty body (RFC 5322 allows body-less messages).
+  /** Split at the first blank line — any '\n' directly followed by '\n'
+    * or "\r\n", so MIXED line endings (LF headers, CRLF blank line — common
+    * in real corpora) still find the body. A trailing '\r' left on the
+    * header block is absorbed by unfoldHeaders' value trim. An input with
+    * no blank line is all headers and an empty body (RFC 5322 allows
+    * body-less messages).
     */
   private def splitHeadersBody(s: String): (String, String) = {
-    val lf = s.indexOf("\n\n")
-    val crlf = s.indexOf("\r\n\r\n")
-    if (crlf >= 0 && (lf < 0 || crlf + 1 <= lf)) (s.substring(0, crlf), s.substring(crlf + 4))
-    else if (lf >= 0) (s.substring(0, lf), s.substring(lf + 2))
-    else (s, "")
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\n') {
+        if (i + 1 < s.length && s.charAt(i + 1) == '\n')
+          return (s.substring(0, i), s.substring(i + 2))
+        if (i + 2 < s.length && s.charAt(i + 1) == '\r' && s.charAt(i + 2) == '\n')
+          return (s.substring(0, i), s.substring(i + 3))
+      }
+      i += 1
+    }
+    (s, "")
   }
 
   /** Unfold continuation lines (leading WS joins to the previous header)
@@ -90,11 +100,17 @@ object Eml {
   private def firstHeader(hs: Vector[(String, String)], name: String): Option[String] =
     hs.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
 
-  /** `name=value` / `name="value"` parameter from a structured header. */
+  /** `name=value` / `name="value"` parameter from a structured header.
+    * The key must start at a parameter BOUNDARY (start of header, or after
+    * ';'/','/whitespace) — a bare substring match would read
+    * `x-boundary=no; boundary=yes` as "no" and silently drop every part.
+    */
   def param(header: String, name: String): String = {
     val lower = header.toLowerCase(java.util.Locale.ROOT)
     val key = name.toLowerCase(java.util.Locale.ROOT) + "="
-    val i = lower.indexOf(key)
+    var i = lower.indexOf(key)
+    while (i > 0 && !"; ,\t".contains(lower.charAt(i - 1)))
+      i = lower.indexOf(key, i + 1)
     if (i < 0) return ""
     var j = i + key.length
     if (j < header.length && header.charAt(j) == '"') {

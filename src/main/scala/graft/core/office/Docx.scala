@@ -50,7 +50,10 @@ object Docx {
       val p = xml.indexOf("</w:p>", i)
       if (t < 0 && p < 0) i = n
       else if (p >= 0 && (t < 0 || p < t)) {
-        if (sb.nonEmpty && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
+        // one newline per CLOSED paragraph, unconditionally — an empty
+        // paragraph is an empty line, exactly like the SQL oracle's
+        // string_agg over lines (the final close's newline is trimmed below)
+        sb.append('\n')
         i = p + 6
       } else {
         val gt = xml.indexOf('>', t)
@@ -104,14 +107,14 @@ object Docx {
 
   /** Top-level zip-span text route: a docx package yields its body text;
     * a plain archive has no own text. Corrupt bytes throw ParseFailure
-    * (classified by the job layer).
+    * (classified by the job layer). SINGLE streaming pass that inflates
+    * only word/document.xml — a plain 16 MB archive costs one entry-name
+    * walk here, not a full decompression of every payload.
     */
   def zipText(zipLatin1: String, maxEntryBytes: Int): String = {
     val bytes = zipLatin1.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-    val entries = graft.sources.Archive.unzip(bytes, maxEntryBytes)
-    if (!isDocx(entries.map(_._1))) ""
-    else entries.collectFirst { case (DocumentEntry, Some(b)) =>
-      bodyText(new String(b, UTF_8))
-    }.getOrElse("")
+    val (names, doc) = graft.sources.Archive.unzipNamesAndOne(bytes, DocumentEntry, maxEntryBytes)
+    if (!isDocx(names)) ""
+    else doc.map(b => bodyText(new String(b, UTF_8))).getOrElse("")
   }
 }

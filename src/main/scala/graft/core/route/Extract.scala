@@ -295,6 +295,10 @@ object Extract {
           Some(graft.sources.Archive.unzip(data, cfg.maxSpanChars))
         else if (graft.sources.Archive.isTar(data))
           Some(graft.sources.Archive.untar(data, cfg.maxSpanChars))
+        else if (graft.sources.Archive.isGzip(data))
+          // a nested gzip member (e.g. a .tgz mail attachment) is a
+          // single-entry container; a tar payload then recurses below
+          Some(Vector(graft.sources.Archive.gunzip(data, cfg.maxSpanChars)))
         else None
       containerEntries match {
         case Some(entries) if graft.core.office.Docx.isDocx(entries.map(_._1)) =>
@@ -318,8 +322,13 @@ object Extract {
             spawnEntry(n, b, cid, i, level + 1)
           }
         case None =>
+          // content IDENTITY hashes the raw bytes (byte-transparent
+          // ISO-8859-1 mapping); the DISPLAY text decodes UTF-8. A lossy
+          // UTF-8 id would collide two distinct binary payloads onto one
+          // replacement-char string — breaking content-derived injectivity
+          val latin1 = new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
           val text = new String(data, java.nio.charset.StandardCharsets.UTF_8)
-          val cid = Ids.embedId(text, parentId, ord, resourceName = name)
+          val cid = Ids.embedId(latin1, parentId, ord, resourceName = name)
           val spans =
             if (text.isEmpty) Array.empty[SpanOut]
             else Array(SpanOut("text", text, "", 0))

@@ -389,18 +389,13 @@ object ExtractJob {
     extractPartitions(parted, cfg).toDF("doc", "lineage")
       .write.mode(SaveMode.Overwrite).parquet(runDir)
 
-    // the commit point: one manifest row makes the run visible to readers
-    import spark.implicits._
-    Seq((runId, prior.size.toLong, true)).toDF("run_id", "seq", "committed")
-      .coalesce(1)
-      .write.mode(SaveMode.Append).parquet(s"$outDir/manifest")
-
     // per-partition checkpoint rows for THIS run only (O(run), appended) —
-    // written AFTER the manifest commit point, so a crash between the two
-    // can only UNDERSTATE committed partitions (a visible run briefly
-    // missing its checkpoint rows), never assert partitions for a run that
-    // is invisible to readers. readCheckpoints additionally filters to
-    // manifested runs, so even stale rows from a pre-fix layout are dropped.
+    // written BEFORE the manifest: a crash between the two leaves orphan
+    // checkpoint rows for an uncommitted run, which readCheckpoints filters
+    // against the manifest exactly like orphan run dirs. (Writing them
+    // after the manifest instead would make the asymmetric failure
+    // PERMANENT: a committed, visible run forever missing its checkpoint
+    // proof, with no read-side repair possible.)
     spark.read.parquet(runDir)
       .filter(col("lineage").isNotNull).select("lineage.*")
       .groupBy(col("partition_id"))
@@ -408,6 +403,12 @@ object ExtractJob {
       .withColumn("run_id", lit(runId))
       .withColumn("committed", lit(true))
       .write.mode(SaveMode.Append).parquet(s"$outDir/checkpoints")
+
+    // the commit point: one manifest row makes the run visible to readers
+    import spark.implicits._
+    Seq((runId, prior.size.toLong, true)).toDF("run_id", "seq", "committed")
+      .coalesce(1)
+      .write.mode(SaveMode.Append).parquet(s"$outDir/manifest")
 
     val nd = readExtracted(spark, outDir).map(_.count()).getOrElse(0L)
     val nl = readLineage(spark, outDir).map(_.count()).getOrElse(0L)

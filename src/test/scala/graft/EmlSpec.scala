@@ -115,6 +115,65 @@ class EmlSpec extends AnyFunSuite {
       (Ids.embedId("deep", zid, 0, resourceName = "inner.txt"), 2)))
   }
 
+  test("param matches only at parameter boundaries; mixed EOLs still find the body") {
+    // x-boundary must NOT shadow boundary (substring-match regression)
+    assert(Eml.param("multipart/mixed; x-boundary=no; boundary=yes", "boundary") == "yes")
+    assert(Eml.param("attachment; xfilename=a; filename=b.txt", "filename") == "b.txt")
+    assert(Eml.param("boundary=first", "boundary") == "first") // key at start
+    // LF header lines + CRLF blank line (common in real corpora)
+    val mixed = Eml.parse("Subject: x\n\r\nthe body")
+    assert(mixed.body == "the body")
+    assert(mixed.headers == Vector("Subject" -> "x"))
+    val mixed2 = Eml.parse("Subject: y\r\nTo: z\r\n\nbody2")
+    assert(mixed2.body == "body2" && mixed2.headers.length == 2)
+  }
+
+  test("a TGZ attachment explodes gzip -> tar -> entries (nested-gzip regression)") {
+    val tar = graft.sources.Archive.tarBytes(Seq(("t.txt", "tar text".getBytes(UTF_8))))
+    val tgz = graft.sources.Archive.gzipBytes(tar, "inner.tar")
+    val b64 = java.util.Base64.getEncoder.encodeToString(tgz)
+    val raw =
+      s"""Content-Type: multipart/mixed; boundary=bb
+         |
+         |--bb
+         |Content-Type: text/plain
+         |
+         |b
+         |--bb
+         |Content-Disposition: attachment; filename="bundle.tgz"
+         |Content-Transfer-Encoding: base64
+         |
+         |$b64
+         |--bb--""".stripMargin
+    val out = Extract.explode(DocIn(32, Array(SpanIn("eml", raw, "", 0))))
+    // root -> gzip container child -> tar container -> entry
+    assert(out.map(_.level) == Seq(0, 1, 2, 3))
+    assert(out.last.spans.head.text == "tar text")
+  }
+
+  test("distinct INVALID-UTF-8 attachment payloads keep distinct ids") {
+    def mail(b: Array[Byte]) = {
+      val b64 = java.util.Base64.getEncoder.encodeToString(b)
+      s"""Content-Type: multipart/mixed; boundary=bb
+         |
+         |--bb
+         |Content-Type: text/plain
+         |
+         |x
+         |--bb
+         |Content-Disposition: attachment; filename="blob.bin"
+         |Content-Transfer-Encoding: base64
+         |
+         |$b64
+         |--bb--""".stripMargin
+    }
+    // both byte strings are invalid UTF-8 and decode to the same
+    // replacement chars — ids must hash the BYTES, not the lossy decode
+    val a = Extract.explode(DocIn(33, Array(SpanIn("eml", mail(Array(0xff.toByte, 0xfe.toByte)), "", 0))))
+    val b = Extract.explode(DocIn(33, Array(SpanIn("eml", mail(Array(0xfe.toByte, 0xff.toByte)), "", 0))))
+    assert(a(1).doc_id != b(1).doc_id)
+  }
+
   test("malformed mail degrades, never throws: no blank line, bad base64, open multipart") {
     assert(Eml.parse("Only: headers here").body == "")
     assert(Eml.parse("no colon lines at all\njust text").body == "")
