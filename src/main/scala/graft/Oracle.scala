@@ -197,6 +197,19 @@ object Oracle {
   private val LENC_REL = lencSql("rel0")
   private val LENC_RES = lencSql("res0")
 
+  /** Mirror of Queries.csvTable: two-word tab-joined rows + the quoted
+    * final row with embedded comma and "" escapes.
+    */
+  private val csvTable: String =
+    """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
+      |  len(string_split(text,' ')) AS m FROM documents),
+      |r AS (SELECT doc_id, i, array_to_string(w[2*i+1:2*i+2], chr(9)) AS row
+      |      FROM p, LATERAL unnest(generate_series(0, (m-1)//2)) AS t(i))
+      |SELECT doc_id,
+      | string_agg(row, chr(10) ORDER BY i) || chr(10) ||
+      | 'x,"y" '||doc_id||chr(9)||'tail' AS txt
+      |FROM r GROUP BY doc_id""".stripMargin
+
   private val embedNamed: String =
     s"""WITH m AS (SELECT doc_id, sha256(doc_id::VARCHAR) AS rid,
       |  CASE WHEN doc_id%2=0 THEN 'att-'||doc_id||'.txt' ELSE '' END AS res0,
@@ -799,6 +812,9 @@ object Oracle {
     // same expected text as q_pdf_bytes: the oracle can't inflate, but it
     // doesn't need to — it recomputes what the TEXT must be from documents
     "q_pdf_flate" -> pdfBytes,
+    // rtf typesets the same 5-words-per-line layout: expected text identical
+    "q_rtf_bytes" -> pdfBytes,
+    "q_csv_table" -> csvTable,
     "q_embed_explode" -> embedExplode,
     "q_zip_explode" -> zipExplode,
     "q_docx_explode" -> docxExplode,

@@ -341,6 +341,41 @@ object Queries {
       .toDF("doc_id", "norm_key", "vals")
   }
 
+  /** §2.3 REAL RTF route (reference rtf fixture, `ExtractorTest.java:
+    * 132-148`): document words typeset into actual RTF (header + font
+    * table destination + \par-separated lines), parsed back by the
+    * from-scratch RTF reader. Oracle recomputes the text from documents.
+    */
+  def rtfBytes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .map { case (id, t) =>
+        val lines = t.split(" ", -1).grouped(5).map(_.mkString(" ")).toSeq
+        val rtf = """{\rtf1\ansi{\fonttbl{\f0 Times New Roman;}}\f0 """ +
+          lines.mkString("""\par """) + "}"
+        val (txt, _) = Extract.extractSpan("rtf", rtf)
+        (id, txt)
+      }
+      .toDF("doc_id", "txt")
+  }
+
+  /** §2.3 delimited-table route (reference csv fixture): two-word rows plus
+    * a final QUOTED field exercising embedded commas and "" escapes; the
+    * parser renders tab-joined cells per row.
+    */
+  def csvTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .map { case (id, t) =>
+        val w = t.split(" ", -1)
+        val rows = w.grouped(2).map(_.mkString(",")).toSeq
+        val csv = rows.mkString("\n") + "\n\"x,\"\"y\"\" " + id + "\",tail"
+        val (txt, _) = Extract.extractSpan("csv", csv)
+        (id, txt)
+      }
+      .toDF("doc_id", "txt")
+  }
+
   /** §2.6: per-root reconciliation counters (PST parity analog). */
   def reconcile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -919,6 +954,8 @@ object Queries {
     "q_extract_spans" -> (extractSpans _),
     "q_pdf_bytes" -> (pdfBytes _),
     "q_pdf_flate" -> (pdfFlate _),
+    "q_rtf_bytes" -> (rtfBytes _),
+    "q_csv_table" -> (csvTable _),
     "q_embed_explode" -> (embedExplode _),
     "q_zip_explode" -> (zipExplode _),
     "q_docx_explode" -> (docxExplode _),

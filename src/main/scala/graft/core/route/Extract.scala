@@ -81,6 +81,8 @@ object Extract {
       case "zip"       => (graft.core.office.Docx.zipText(t, cfg.maxSpanChars), "")
       case "gzip" | "tar" => ("", "") // container: no own text, entries explode to children
       case "eml"       => (graft.core.mail.Eml.parse(t).body, "") // RFC-822: body text; attachments explode
+      case "rtf"       => (graft.core.text.Rtf.text(t), "")  // real RTF bytes (reference rtf fixture)
+      case "csv"       => (graft.core.text.Csv.text(t), "")  // delimited table text (reference csv fixture)
       case _           => ("", Reason.Unsupported)
     }
   }

@@ -27,6 +27,7 @@ object Ingest {
     val lowerHead = new String(bytes.take(64), StandardCharsets.ISO_8859_1)
       .toLowerCase(java.util.Locale.ROOT)
     if (startsWith("%PDF".getBytes(StandardCharsets.ISO_8859_1))) "pdf_bytes"
+    else if (startsWith("{\\rtf".getBytes(StandardCharsets.ISO_8859_1))) "rtf"
     else if (lowerHead.startsWith("<!doctype") || lowerHead.startsWith("<html")) "html"
     else if (startsWith(Array[Byte](0x50, 0x4b, 0x03, 0x04))) "zip"
     else if (startsWith(Array[Byte](0x1f, 0x8b.toByte))) "gzip"
