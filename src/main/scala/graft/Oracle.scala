@@ -504,6 +504,46 @@ object Oracle {
       | (100*(count(*)-count(DISTINCT line))//count(*))::BIGINT AS dup_pct
       |FROM l GROUP BY doc_id""".stripMargin
 
+  /** Mirror of Queries.prepSummary: the full prep funnel recomputed
+    * independently — Gopher gate inline, window-min exact dedup, bigram
+    * decontamination, per-source counts.
+    */
+  private val prepSummary: String =
+    """WITH d AS (SELECT doc_id, source, text FROM documents
+      | UNION ALL SELECT doc_id+1000000, source, text FROM documents WHERE doc_id<100),
+      |m AS (SELECT doc_id, source, text,
+      |  len(string_split(text,' ')) AS n,
+      |  list_sum(list_transform(string_split(text,' '), x -> len(x))) AS len_sum,
+      |  len(list_filter(string_split(text,' '),
+      |      x -> x IN ('the','a','and','of','to','in'))) AS n_stop,
+      |  len(list_filter(string_split(text,' '), x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha,
+      |  len(list_distinct(string_split(text,' '))) AS uniq
+      | FROM d),
+      |g AS (SELECT doc_id, source, text FROM m
+      |      WHERE n BETWEEN 10 AND 100000 AND 100*len_sum//n BETWEEN 200 AND 1200
+      |        AND n_stop >= 1 AND 100*alpha//n >= 80 AND 100*uniq//n >= 20),
+      |k AS (SELECT doc_id, source, text FROM (
+      |      SELECT doc_id, source, text,
+      |        min(doc_id) OVER (PARTITION BY md5(text)) AS k0 FROM g)
+      |      WHERE doc_id = k0),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+1],' ') AS s
+      |  FROM (SELECT doc_id, string_split(text,' ') AS w,
+      |        unnest(generate_series(1, len(string_split(text,' '))-1)) AS i FROM k)),
+      |bm AS (SELECT DISTINCT array_to_string(w[i:i+1],' ') AS s
+      |  FROM (SELECT string_split(text,' ') AS w,
+      |        unnest(generate_series(1, len(string_split(text,' '))-1)) AS i
+      |        FROM documents WHERE doc_id%97=0)),
+      |f AS (SELECT doc_id FROM sh JOIN bm USING(s) GROUP BY doc_id HAVING count(*) >= 20),
+      |c AS (SELECT * FROM k WHERE doc_id NOT IN (SELECT doc_id FROM f)),
+      |s0 AS (SELECT source, count(*)::BIGINT AS n_in FROM d GROUP BY source),
+      |s1 AS (SELECT source, count(*)::BIGINT AS n_quality FROM g GROUP BY source),
+      |s2 AS (SELECT source, count(*)::BIGINT AS n_kept FROM k GROUP BY source),
+      |s3 AS (SELECT source, count(*)::BIGINT AS n_clean FROM c GROUP BY source)
+      |SELECT s0.source, n_in, coalesce(n_quality,0)::BIGINT AS n_quality,
+      | coalesce(n_kept,0)::BIGINT AS n_kept, coalesce(n_clean,0)::BIGINT AS n_clean
+      |FROM s0 LEFT JOIN s1 USING(source) LEFT JOIN s2 USING(source)
+      |LEFT JOIN s3 USING(source)""".stripMargin
+
   private val dedupExact: String =
     s"""SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_copies, min(doc_id) AS keeper_id
        |FROM $dupDocs AS d GROUP BY md5(text)""".stripMargin
@@ -852,6 +892,7 @@ object Oracle {
     "q_profile" -> profile,
     "q_pii_scrub" -> piiScrub,
     "q_repetition" -> repetition,
+    "q_prep_summary" -> prepSummary,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_edit" -> dedupEdit,

@@ -712,6 +712,42 @@ object Queries {
   def repetitionQ(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Scrub.repetitionStats(spark, docs(spark, dir))
 
+  /** The COMPOSITE training-data prep pipeline in one Catalyst plan — the
+    * operators composing as a library user would chain them:
+    * inject dups -> Gopher quality gate (map-only) -> exact dedup
+    * (hash-groupBy keepers, lowest id wins) -> benchmark decontamination
+    * (broadcast shingle semi-join) -> per-source funnel counts. Each stage
+    * reuses an oracle-proven operator; the oracle recomputes the whole
+    * funnel independently.
+    */
+  def prepSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = docs(spark, dir)
+    val injected = Dedup.withInjectedDups(base)
+    val quality = injected.select("doc_id", "source", "text").as[(Long, String, String)]
+      .map { case (id, src, t) => (id, src, t, TextStats.gopher(t).passes.toLong) }
+      .toDF("doc_id", "source", "text", "passes")
+      .filter(col("passes") === 1)
+    val hashed = quality.withColumn("h", md5(col("text")))
+    val keepIds = hashed.groupBy("h").agg(min("doc_id").as("doc_id"))
+    val kept = hashed.join(keepIds, Seq("h", "doc_id"), "left_semi")
+    val bench = base.filter(col("doc_id") % 97 === 0)
+    val flagged = Dedup.decontaminate(spark, kept.select("doc_id", "text"), bench, 20)
+      .select("doc_id")
+    val clean = kept.join(flagged, Seq("doc_id"), "left_anti")
+    def cnt(df: DataFrame, name: String) =
+      df.groupBy("source").agg(count(lit(1)).as(name))
+    cnt(injected, "n_in")
+      .join(cnt(quality, "n_quality"), Seq("source"), "left")
+      .join(cnt(kept, "n_kept"), Seq("source"), "left")
+      .join(cnt(clean, "n_clean"), Seq("source"), "left")
+      .select(col("source"),
+        col("n_in"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_clean"), lit(0L)).as("n_clean"))
+  }
+
   /** Data profiling for pipeline QA: per-source doc counts and exact
     * length distribution stats. The exact lower median comes from a
     * HISTOGRAM plan: partial-aggregate (source, n_chars) counts map-side
@@ -993,6 +1029,7 @@ object Queries {
     "q_profile" -> (profile _),
     "q_pii_scrub" -> (piiScrub _),
     "q_repetition" -> (repetitionQ _),
+    "q_prep_summary" -> (prepSummary _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_edit" -> (dedupEdit _),
