@@ -325,17 +325,24 @@ object Extract {
           }
         case None =>
           // content IDENTITY hashes the raw bytes (byte-transparent
-          // ISO-8859-1 mapping); the DISPLAY text decodes UTF-8. A lossy
-          // UTF-8 id would collide two distinct binary payloads onto one
-          // replacement-char string — breaking content-derived injectivity
+          // ISO-8859-1 mapping); a lossy UTF-8 id would collide two
+          // distinct binary payloads onto one replacement-char string.
+          // The entry's KIND is sniffed like a top-level file (magic
+          // bytes), so an rtf/pdf/html nested in an archive extracts the
+          // same clean text it would standalone instead of leaking markup
           val latin1 = new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
-          val text = new String(data, java.nio.charset.StandardCharsets.UTF_8)
+          val kind = graft.sources.Ingest.sniffKind(data)
+          val payload = kind match {
+            case "html" | "text" => graft.sources.Ingest.decodeText(data)
+            case _ => latin1
+          }
+          val (txt, why) = extractSpan(kind, payload, cfg)
           val cid = Ids.embedId(latin1, parentId, ord, resourceName = name)
           val spans =
-            if (text.isEmpty) Array.empty[SpanOut]
-            else Array(SpanOut("text", text, "", 0))
+            if (txt.isEmpty) Array.empty[SpanOut]
+            else Array(SpanOut(kind, txt, "", 0))
           out += DocOut(cid, parentId, rootId, level, spans,
-            if (text.isEmpty) Reason.Empty else "")
+            if (txt.nonEmpty) "" else if (why.nonEmpty) why else Reason.Empty)
       }
     }
 

@@ -10,8 +10,24 @@ package graft.core.text
   */
 object Rtf {
 
+  /** Groups whose payload is NOT body text: header tables, metadata, and —
+    * critically for real Word output — picture/object data ({\pict emitted
+    * WITHOUT \* by Word inside {\nonshppict}) whose hex stream would
+    * otherwise dump megabytes into the text. Footnotes/headers are
+    * non-body furniture and skip too.
+    */
   private val Destinations =
-    Seq("\\fonttbl", "\\colortbl", "\\stylesheet", "\\info", "\\*")
+    Seq("\\fonttbl", "\\colortbl", "\\stylesheet", "\\info", "\\*",
+      "\\pict", "\\nonshppict", "\\shppict", "\\object",
+      "\\footnote", "\\header", "\\footer")
+
+  /** cp1252 decode of one \'hh byte: every `\ansi` RTF writer means
+    * Windows-1252, where 0x80-0x9F are smart quotes/dashes — a raw
+    * `toChar` would emit invisible C1 control characters instead.
+    */
+  private val Cp1252 = java.nio.charset.Charset.forName("windows-1252")
+  private def cp1252Char(b: Int): Char =
+    new String(Array(b.toByte), Cp1252).charAt(0)
 
   def text(rtf: String): String = {
     val sb = new StringBuilder
@@ -39,7 +55,7 @@ object Rtf {
             val hx = Character.digit(rtf.charAt(i + 2), 16)
             val lx = Character.digit(rtf.charAt(i + 3), 16)
             if (hx >= 0 && lx >= 0) {
-              if (emitting) sb.append((hx * 16 + lx).toChar)
+              if (emitting) sb.append(cp1252Char(hx * 16 + lx))
               i += 4
             } else i += 2 // malformed hex escape: drop the marker, keep going
           } else if (d == '\\' || d == '{' || d == '}') {
@@ -82,27 +98,32 @@ object Csv {
     val out = new StringBuilder
     val field = new StringBuilder
     var inQuotes = false
+    // true only while the most recent processed char was an UNQUOTED row
+    // terminator — distinguishes 'source ends with CRLF' (dangling empty
+    // row, stripped) from 'last quoted field ends in \n' (data, kept)
+    var atRowEnd = false
     var i = 0
     val n = csv.length
     def endField(): Unit = { out.append(field); field.setLength(0) }
     while (i < n) {
       val c = csv.charAt(i)
       if (inQuotes) {
+        atRowEnd = false
         if (c == '"') {
           if (i + 1 < n && csv.charAt(i + 1) == '"') { field.append('"'); i += 2 }
           else { inQuotes = false; i += 1 }
         } else { field.append(c); i += 1 }
       } else c match {
-        case '"' => inQuotes = true; i += 1
-        case ',' => endField(); out.append('\t'); i += 1
-        case '\r' => i += 1
-        case '\n' => endField(); out.append('\n'); i += 1
-        case _ => field.append(c); i += 1
+        case '"' => inQuotes = true; atRowEnd = false; i += 1
+        case ',' => endField(); out.append('\t'); atRowEnd = false; i += 1
+        case '\r' => i += 1 // CR folds into the following LF's row end
+        case '\n' => endField(); out.append('\n'); atRowEnd = true; i += 1
+        case _ => field.append(c); atRowEnd = false; i += 1
       }
     }
     endField()
-    // a trailing newline in the source leaves a dangling empty row
-    if (out.nonEmpty && out.charAt(out.length - 1) == '\n') out.setLength(out.length - 1)
+    if (atRowEnd && out.nonEmpty && out.charAt(out.length - 1) == '\n')
+      out.setLength(out.length - 1)
     out.toString
   }
 }

@@ -23,12 +23,40 @@ class SimpleFormatsSpec extends AnyFunSuite {
     assert(Rtf.text("") == "")
   }
 
+  test("rtf: picture/object destinations skip; cp1252 smart quotes decode") {
+    // Word emits {\nonshppict{\pict ...}} WITHOUT \* — hex must not leak
+    val withPict = """{\rtf1\ansi before {\nonshppict{\pict\jpegblip 01050000ffd8ffe0}} after}"""
+    assert(Rtf.text(withPict) == "before  after")
+    assert(Rtf.text("""{\rtf1{\footnote see below}body}""") == "body")
+    // \ansi means Windows-1252: \'93..\'94 are smart quotes, \'96 en dash
+    assert(Rtf.text("""{\rtf1 \'93q\'94 \'96 x}""") == "“q” – x")
+  }
+
   test("csv: quoted fields, embedded commas/quotes/newlines, CRLF") {
     assert(Csv.text("a,b\nc,d") == "a\tb\nc\td")
     assert(Csv.text("a,\"b,c\",d\r\ne,\"f\"\"g\"\"\"") == "a\tb,c\td\ne\tf\"g\"")
     assert(Csv.text("\"multi\nline\",x") == "multi\nline\tx")
     assert(Csv.text("a,b\n") == "a\tb") // trailing newline: no dangling row
+    // a newline INSIDE the final quoted field is data, not a row terminator
+    assert(Csv.text("a,\"b\n\"") == "a\tb\n")
     assert(Csv.text("") == "")
     Csv.text("\"unclosed") // junk never throws
+  }
+
+  test("nested rtf/pdf entries extract clean text, same as standalone") {
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    import graft.core.{DocIn, SpanIn}
+    import graft.core.route.Extract
+    val rtf = """{\rtf1\ansi nested rtf body}"""
+    val pdf = "%PDF-1.4\n1 0 obj << /Length 9 >>\nstream\nBT 72 700 Td (pdf inside) Tj ET\nendstream\n%%EOF"
+    val zip = graft.sources.Archive.zipBytes(Seq(
+      ("doc.rtf", rtf.getBytes(ISO_8859_1)),
+      ("doc.pdf", pdf.getBytes(ISO_8859_1))))
+    val out = Extract.explode(DocIn(50, Array(SpanIn("zip",
+      new String(zip, ISO_8859_1), "", 0))))
+    assert(out(1).spans.head.kind == "rtf")
+    assert(out(1).spans.head.text == "nested rtf body")
+    assert(out(2).spans.head.kind == "pdf_bytes")
+    assert(out(2).spans.head.text == "pdf inside")
   }
 }
