@@ -544,6 +544,26 @@ object Oracle {
       |FROM s0 LEFT JOIN s1 USING(source) LEFT JOIN s2 USING(source)
       |LEFT JOIN s3 USING(source)""".stripMargin
 
+  /** Mirror of Queries.tokenBpe: same injected text, same RE2 classes. */
+  private val tokenBpe: String =
+    """WITH d AS (SELECT doc_id,
+      |  text||' v'||(doc_id%10)||'.2, end-'||doc_id||'!' AS text FROM documents)
+      |SELECT doc_id,
+      | len(regexp_extract_all(text, '[a-z]+'))::BIGINT AS n_alpha,
+      | len(regexp_extract_all(text, '[0-9]+'))::BIGINT AS n_num,
+      | len(regexp_extract_all(text, '[^a-z0-9 ]'))::BIGINT AS n_punct
+      |FROM d""".stripMargin
+
+  /** Mirror of Queries.cosineZipwith over the quantized ints. */
+  private val cosineZipwith: String =
+    """WITH q AS (SELECT vec_id,
+      | list_transform(embedding, x -> round(x::DOUBLE*1000)::BIGINT) AS qv
+      | FROM embeddings)
+      |SELECT vec_id,
+      | list_sum(list_transform(generate_series(1,64), i -> qv[i]*qv[65-i]))::BIGINT AS dot_rev,
+      | list_sum(list_transform(qv, x -> x*x))::BIGINT AS norm2
+      |FROM q""".stripMargin
+
   private val dedupExact: String =
     s"""SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_copies, min(doc_id) AS keeper_id
        |FROM $dupDocs AS d GROUP BY md5(text)""".stripMargin
@@ -893,6 +913,8 @@ object Oracle {
     "q_pii_scrub" -> piiScrub,
     "q_repetition" -> repetition,
     "q_prep_summary" -> prepSummary,
+    "q_token_bpe" -> tokenBpe,
+    "q_cosine_zipwith" -> cosineZipwith,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_edit" -> dedupEdit,

@@ -748,6 +748,36 @@ object Queries {
         coalesce(col("n_clean"), lit(0L)).as("n_clean"))
   }
 
+  /** BPE-ish regex tokenization (the brief's "whitespace + a BPE-ish
+    * regex"): letter runs / digit runs / single punctuation marks, counted
+    * per class — codegen'd regexp, RE2-safe so the oracle shares semantics.
+    * Punctuation+digits are injected (the corpus is pure lowercase words).
+    */
+  def tokenBpe(spark: SparkSession, dir: String): DataFrame = {
+    val injected = docs(spark, dir).select(col("doc_id"),
+      concat(col("text"), lit(" v"), (col("doc_id") % 10).cast("string"),
+        lit(".2, end-"), col("doc_id").cast("string"), lit("!")).as("text"))
+    injected.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long").as("n_alpha"),
+      size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).cast("long").as("n_num"),
+      size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).cast("long").as("n_punct"))
+  }
+
+  /** The brief's preferred embedding-math pattern: dot product via builtin
+    * `zip_with` + `aggregate` (whole-stage codegen, no UDF, no typed map).
+    * Computes each vector's dot with its own reversal plus its norm^2 over
+    * the exact quantized ints — bit-stable on both engines.
+    */
+  def cosineZipwith(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir).select(
+      col("vec_id"),
+      expr("transform(embedding, x -> cast(round(x * 1000.0) AS bigint))").as("q"))
+      .select(
+        col("vec_id"),
+        expr("aggregate(zip_with(q, reverse(q), (a, b) -> a * b), 0L, (acc, x) -> acc + x)").as("dot_rev"),
+        expr("aggregate(transform(q, x -> x * x), 0L, (acc, x) -> acc + x)").as("norm2"))
+
   /** Data profiling for pipeline QA: per-source doc counts and exact
     * length distribution stats. The exact lower median comes from a
     * HISTOGRAM plan: partial-aggregate (source, n_chars) counts map-side
@@ -1030,6 +1060,8 @@ object Queries {
     "q_pii_scrub" -> (piiScrub _),
     "q_repetition" -> (repetitionQ _),
     "q_prep_summary" -> (prepSummary _),
+    "q_token_bpe" -> (tokenBpe _),
+    "q_cosine_zipwith" -> (cosineZipwith _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_edit" -> (dedupEdit _),
