@@ -55,10 +55,18 @@ object Extract {
   /** Route one span. Returns (extractedText, reasonOrEmpty). Throws typed
     * failures for the marker cases (classified to lineage statuses by the
     * job layer, never a task failure).
+    *
+    * `markers=false` disables the failure-injection markers: they model the
+    * exception surface of TOP-LEVEL span payloads (the synthetic corpus
+    * contract), and must NOT be reachable from untrusted nested archive
+    * entry bytes — an entry starting with "POISON:" is ordinary content,
+    * not an instruction to fail its parent document.
     */
-  def extractSpan(kind: String, text: String, cfg: Config = DefaultConfig): (String, String) = {
+  def extractSpan(kind: String, text: String, cfg: Config = DefaultConfig,
+                  markers: Boolean = true): (String, String) = {
     val t = if (text == null) "" else text
     if (t.length > cfg.maxSpanChars) ("", Reason.Unsupported)
+    else if (!markers) routeKind(kind, t, cfg)
     else if (t.startsWith(EncryptedMarker)) ("", Reason.Encrypted)
     else if (t.startsWith(PoisonMarker)) throw new ParseFailure(s"parser crash on $kind span")
     else if (t.startsWith(MissingMarker)) throw new PayloadMissing(s"payload blob missing for $kind span")
@@ -71,7 +79,11 @@ object Extract {
       while (System.nanoTime() < until) {} // simulated hanging parse
       (t, "")
     }
-    else kind match {
+    else routeKind(kind, t, cfg)
+  }
+
+  private def routeKind(kind: String, t: String, cfg: Config): (String, String) =
+    kind match {
       case "html"      => (HtmlExtractor.mainText(t), "")
       case "pdf"       => (PdfLayout.text(t), "")
       case "pdf_bytes" => (graft.core.pdf.PdfMini.textFromLatin1(t), "") // REAL PDF bytes, raw or FlateDecode (Ingest)
@@ -85,7 +97,6 @@ object Extract {
       case "csv"       => (graft.core.text.Csv.text(t), "")  // delimited table text (reference csv fixture)
       case _           => ("", Reason.Unsupported)
     }
-  }
 
   /** Span kinds that spawn embedded children in [[explodeCounted]] /
     * [[spawnContainers]] (and whose raw payload therefore rides through the
@@ -281,10 +292,11 @@ object Extract {
         (n, b.map(x => new String(x, java.nio.charset.StandardCharsets.ISO_8859_1)).getOrElse(""))
       })
 
-    // one REAL archive entry -> one child document: plain archives (zip/tar)
-    // become container nodes whose entries recurse; an OOXML package (docx)
-    // becomes a DOCUMENT child (body text + its embedded parts); anything
-    // else is a text child
+    // one REAL archive entry -> one child document: plain archives
+    // (zip/tar/gzip) become container nodes whose entries recurse; an OOXML
+    // package (docx) becomes a DOCUMENT child (body text + its embedded
+    // parts); anything else SNIFFS its kind and extracts like a top-level
+    // file (rtf/pdf/html/text/bin)
     def spawnEntry(name: String, bytes: Option[Array[Byte]], parentId: String,
                    ord: Int, level: Int): Unit = {
       checkDeadline(deadlineNanos)
@@ -332,11 +344,10 @@ object Extract {
           // same clean text it would standalone instead of leaking markup
           val latin1 = new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
           val kind = graft.sources.Ingest.sniffKind(data)
-          val payload = kind match {
-            case "html" | "text" => graft.sources.Ingest.decodeText(data)
-            case _ => latin1
-          }
-          val (txt, why) = extractSpan(kind, payload, cfg)
+          val payload = graft.sources.Ingest.decodePayload(kind, data)
+          // markers=false: failure-injection markers are a top-level-span
+          // contract; untrusted entry BYTES must never fail/hang the parent
+          val (txt, why) = extractSpan(kind, payload, cfg, markers = false)
           val cid = Ids.embedId(latin1, parentId, ord, resourceName = name)
           val spans =
             if (txt.isEmpty) Array.empty[SpanOut]

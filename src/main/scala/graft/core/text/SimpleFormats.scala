@@ -21,13 +21,21 @@ object Rtf {
       "\\pict", "\\nonshppict", "\\shppict", "\\object",
       "\\footnote", "\\header", "\\footer")
 
-  /** cp1252 decode of one \'hh byte: every `\ansi` RTF writer means
-    * Windows-1252, where 0x80-0x9F are smart quotes/dashes — a raw
-    * `toChar` would emit invisible C1 control characters instead.
+  /** Per-codepage 256-entry decode tables for \'hh escapes, honoring the
+    * document's `\ansicpg<n>` declaration (single-byte Windows codepages
+    * 1250-1258/874; DBCS codepages like 932 can't be decoded bytewise and
+    * fall back, as does an unknown n). Default 1252: 0x80-0x9F are smart
+    * quotes/dashes there — a raw toChar would emit invisible C1 controls.
+    * Table built once per codepage (memoized), so the hot path is a single
+    * array index, not a CharsetDecoder call per escape.
     */
-  private val Cp1252 = java.nio.charset.Charset.forName("windows-1252")
-  private def cp1252Char(b: Int): Char =
-    new String(Array(b.toByte), Cp1252).charAt(0)
+  private val SingleByteCps: Set[Int] = Set(874, 1250, 1251, 1252, 1253, 1254, 1255, 1256, 1257, 1258)
+  private val cpTables = new java.util.concurrent.ConcurrentHashMap[Int, Array[Char]]()
+  private def cpTable(cp: Int): Array[Char] =
+    cpTables.computeIfAbsent(if (SingleByteCps(cp)) cp else 1252, c => {
+      val cs = java.nio.charset.Charset.forName("windows-" + c)
+      Array.tabulate(256)(b => new String(Array(b.toByte), cs).charAt(0))
+    })
 
   def text(rtf: String): String = {
     val sb = new StringBuilder
@@ -35,6 +43,7 @@ object Rtf {
     val n = rtf.length
     var depth = 0
     var skipDepth = 0 // depth of the destination group being skipped (0 = none)
+    var table = cpTable(1252) // \'hh decode table; switched by \ansicpg<n>
     def emitting: Boolean = skipDepth == 0
     while (i < n) {
       rtf.charAt(i) match {
@@ -55,7 +64,7 @@ object Rtf {
             val hx = Character.digit(rtf.charAt(i + 2), 16)
             val lx = Character.digit(rtf.charAt(i + 3), 16)
             if (hx >= 0 && lx >= 0) {
-              if (emitting) sb.append(cp1252Char(hx * 16 + lx))
+              if (emitting) sb.append(table(hx * 16 + lx))
               i += 4
             } else i += 2 // malformed hex escape: drop the marker, keep going
           } else if (d == '\\' || d == '{' || d == '}') {
@@ -70,10 +79,13 @@ object Rtf {
               k += 1
               while (k < n && rtf.charAt(k).isDigit) k += 1
             }
+            val numStr = rtf.substring(j, k)
             if (k < n && rtf.charAt(k) == ' ') k += 1 // delimiter space consumed
             if (emitting) word match {
               case "par" | "line" => sb.append('\n')
               case "tab" => sb.append('\t')
+              case "ansicpg" if numStr.nonEmpty && numStr.length <= 6 && numStr.head != '-' =>
+                table = cpTable(numStr.toInt) // document codepage declaration
               case _ => () // formatting control words contribute no text
             }
             i = k

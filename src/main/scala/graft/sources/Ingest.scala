@@ -62,6 +62,17 @@ object Ingest {
     if (hasUtf16Bom(bytes)) new String(bytes, StandardCharsets.UTF_16)
     else new String(bytes, StandardCharsets.UTF_8)
 
+  /** Kind-appropriate payload decode, shared by the top-level walk
+    * ([[readDir]]) and nested archive-entry spawning — one place, so a
+    * charset fix can never silently diverge between the two paths: textual
+    * kinds decode per-charset, everything else rides byte-transparent
+    * ISO-8859-1.
+    */
+  def decodePayload(kind: String, bytes: Array[Byte]): String = kind match {
+    case "html" | "text" => decodeText(bytes)
+    case _ => new String(bytes, StandardCharsets.ISO_8859_1) // lossless bytes
+  }
+
   /** Stable 63-bit doc id from the file path (content-independent, so
     * re-ingesting a changed file keeps its identity — the reference's
     * path-derived ids).
@@ -114,10 +125,7 @@ object Ingest {
       .as[(String, Array[Byte])]
       .map { case (path, bytes) =>
         val kind = sniffKind(bytes)
-        val text = kind match {
-          case "html" | "text" => decodeText(bytes)
-          case _ => new String(bytes, StandardCharsets.ISO_8859_1) // lossless bytes
-        }
+        val text = decodePayload(kind, bytes)
         DocIn(pathId(path), Array(SpanIn(kind, text, "", 0)))
       }
   }

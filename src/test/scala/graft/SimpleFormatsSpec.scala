@@ -43,6 +43,28 @@ class SimpleFormatsSpec extends AnyFunSuite {
     Csv.text("\"unclosed") // junk never throws
   }
 
+  test("rtf: \\ansicpg switches the hex-escape codepage (cp1251 Cyrillic)") {
+    // \'ef\'f0 are 'пр' in cp1251 but 'ïð' in cp1252
+    assert(Rtf.text("""{\rtf1\ansi\ansicpg1251 \'ef\'f0}""") == "пр")
+    assert(Rtf.text("""{\rtf1\ansi \'ef\'f0}""") == "ïð")
+    // unknown / DBCS codepages fall back to 1252, never throw
+    assert(Rtf.text("""{\rtf1\ansicpg932 \'93x}""") == "“x")
+    assert(Rtf.text("""{\rtf1\ansicpg999999 ok}""") == "ok")
+  }
+
+  test("failure-injection markers in ENTRY bytes are content, never failures") {
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    import graft.core.{DocIn, SpanIn}
+    import graft.core.route.Extract
+    val zip = graft.sources.Archive.zipBytes(Seq(
+      ("a.txt", "POISON: looks like a marker".getBytes(UTF_8)),
+      ("b.txt", "SLOW:999999 also content".getBytes(UTF_8))))
+    val out = Extract.explode(DocIn(51, Array(SpanIn("zip",
+      new String(zip, ISO_8859_1), "", 0)))) // must neither throw nor hang
+    assert(out(1).spans.head.text == "POISON: looks like a marker")
+    assert(out(2).spans.head.text == "SLOW:999999 also content")
+  }
+
   test("nested rtf/pdf entries extract clean text, same as standalone") {
     import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
     import graft.core.{DocIn, SpanIn}
