@@ -137,6 +137,27 @@ object Oracle {
       |   ||octet_length(encode('word/media/img1.bin'))||':word/media/img1.bin'),
       | rid, 1, 'img '||doc_id, '' FROM r WHERE doc_id%12=0""".stripMargin
 
+  /** Mirror of Queries.xlsxTable: two-word tab rows + 'total<TAB><id>'. */
+  private val xlsxTable: String =
+    """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
+      |  len(string_split(text,' ')) AS m FROM documents WHERE doc_id%7=0),
+      |r AS (SELECT doc_id, i, array_to_string(w[2*i+1:2*i+2], chr(9)) AS row
+      |      FROM p, LATERAL unnest(generate_series(0, (m-1)//2)) AS t(i))
+      |SELECT doc_id,
+      | string_agg(row, chr(10) ORDER BY i) || chr(10) || 'total' || chr(9) || doc_id AS txt
+      |FROM r GROUP BY doc_id""".stripMargin
+
+  /** Mirror of Queries.pptxSlides: the 5-word lines reordered slide-major
+    * (even line indices first, then odd), paragraphs newline-joined.
+    */
+  private val pptxSlides: String =
+    """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
+      |  len(string_split(text,' ')) AS m FROM documents WHERE doc_id%11=0),
+      |l AS (SELECT doc_id, i, array_to_string(w[5*i+1:5*i+5],' ') AS line
+      |      FROM p, LATERAL unnest(generate_series(0, (m-1)//5)) AS t(i))
+      |SELECT doc_id, string_agg(line, chr(10) ORDER BY i%2, i) AS txt
+      |FROM l GROUP BY doc_id""".stripMargin
+
   /** Mirror of Queries.tgzExplode: gzip root -> tar container (canonical
     * entry id) -> two file entries.
     */
@@ -878,6 +899,8 @@ object Oracle {
     "q_embed_explode" -> embedExplode,
     "q_zip_explode" -> zipExplode,
     "q_docx_explode" -> docxExplode,
+    "q_xlsx_table" -> xlsxTable,
+    "q_pptx_slides" -> pptxSlides,
     "q_tgz_explode" -> tgzExplode,
     "q_eml_explode" -> emlExplode,
     "q_eml_headers" -> emlHeaders,

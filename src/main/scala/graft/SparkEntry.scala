@@ -247,6 +247,51 @@ object Queries {
       .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
   }
 
+  /** §2.3 REAL SpreadsheetML (xlsx) route: two-word rows as SHARED-STRING
+    * cells plus a final row with a string label and a NUMERIC cell — the
+    * engine must resolve the shared-string indirection and read numeric
+    * values verbatim; the oracle recomputes everything from documents.
+    */
+  def xlsxTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .filter(_._1 % 7 == 0)
+      .map { case (id, t) =>
+        val rows = t.split(" ", -1).grouped(2)
+          .map(_.toSeq.map(w => (w, false))).toSeq ++
+          Seq(Seq(("total", false), (id.toString, true)))
+        val bytes = graft.core.office.Xlsx.buildMinimal(rows)
+        val d = DocIn(id, Array(SpanIn("zip", new String(bytes, ISO_8859_1), "", 0)))
+        val out = Extract.extractDoc(d)
+        (id, out.spans.map(_.text).mkString(""))
+      }
+      .toDF("doc_id", "txt")
+  }
+
+  /** §2.3 REAL PresentationML (pptx) route: the document's 5-word lines
+    * split round-robin over two slides (even-indexed lines on slide 1, odd
+    * on slide 2); extraction must order slides numerically and paragraphs
+    * within — the oracle reorders the same lines arithmetically.
+    */
+  def pptxSlides(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .filter(_._1 % 11 == 0)
+      .map { case (id, t) =>
+        val lines = t.split(" ", -1).grouped(5).map(_.mkString(" ")).toVector
+        val slide1 = lines.indices.filter(_ % 2 == 0).map(lines)
+        val slide2 = lines.indices.filter(_ % 2 == 1).map(lines)
+        val bytes = graft.core.office.Pptx.buildMinimal(
+          Seq(slide1) ++ (if (slide2.nonEmpty) Seq(slide2) else Nil))
+        val d = DocIn(id, Array(SpanIn("zip", new String(bytes, ISO_8859_1), "", 0)))
+        val out = Extract.extractDoc(d)
+        (id, out.spans.map(_.text).mkString(""))
+      }
+      .toDF("doc_id", "txt")
+  }
+
   /** §2.4 TGZ (gzip-of-tar — the reference's `embedded_with_duplicate.tgz`
     * shape): gzip member (FNAME names it) -> tar container child -> file
     * entries at level 2, all REAL bytes built and re-parsed by the engine.
@@ -1025,6 +1070,8 @@ object Queries {
     "q_embed_explode" -> (embedExplode _),
     "q_zip_explode" -> (zipExplode _),
     "q_docx_explode" -> (docxExplode _),
+    "q_xlsx_table" -> (xlsxTable _),
+    "q_pptx_slides" -> (pptxSlides _),
     "q_tgz_explode" -> (tgzExplode _),
     "q_eml_explode" -> (emlExplode _),
     "q_eml_headers" -> (emlHeaders _),

@@ -30,39 +30,47 @@ object Docx {
     * order, a newline per closed paragraph, XML entities unescaped.
     * Tolerant of junk — scans, never throws.
     */
-  def bodyText(xml: String): String = {
+  def bodyText(xml: String): String = runsText(xml, "w:t", "w:p")
+
+  /** Generic OOXML run scanner: `<runTag>` contents in document order, a
+    * newline per closed `</paraTag>` (WordprocessingML w:t/w:p,
+    * DrawingML a:t/a:p). Lookalike tags (w:tbl vs w:t) are skipped by
+    * requiring a name-terminating char.
+    */
+  private[office] def runsText(xml: String, runTag: String, paraTag: String): String = {
+    val open = "<" + runTag
+    val close = "</" + runTag + ">"
+    val paraClose = "</" + paraTag + ">"
     val sb = new StringBuilder
     var i = 0
     val n = xml.length
     def isRunOpen(t: Int): Boolean = {
-      // "<w:t" must be the full tag name: next char ends the name
-      val c = if (t + 4 < n) xml.charAt(t + 4) else ' '
+      val c = if (t + open.length < n) xml.charAt(t + open.length) else ' '
       c == '>' || c == ' ' || c == '/'
     }
     while (i < n) {
-      val t0 = xml.indexOf("<w:t", i)
+      val t0 = xml.indexOf(open, i)
       val t = if (t0 >= 0 && !isRunOpen(t0)) {
-        // skip lookalikes (<w:tbl, <w:tc, ...) by advancing past them
         var k = t0
-        while (k >= 0 && !isRunOpen(k)) k = xml.indexOf("<w:t", k + 4)
+        while (k >= 0 && !isRunOpen(k)) k = xml.indexOf(open, k + open.length)
         k
       } else t0
-      val p = xml.indexOf("</w:p>", i)
+      val p = xml.indexOf(paraClose, i)
       if (t < 0 && p < 0) i = n
       else if (p >= 0 && (t < 0 || p < t)) {
         // one newline per CLOSED paragraph, unconditionally — an empty
         // paragraph is an empty line, exactly like the SQL oracle's
         // string_agg over lines (the final close's newline is trimmed below)
         sb.append('\n')
-        i = p + 6
+        i = p + paraClose.length
       } else {
         val gt = xml.indexOf('>', t)
         if (gt < 0) i = n
-        else if (xml.charAt(gt - 1) == '/') i = gt + 1 // self-closing <w:t/>
+        else if (xml.charAt(gt - 1) == '/') i = gt + 1 // self-closing run
         else {
-          val end = xml.indexOf("</w:t>", gt)
+          val end = xml.indexOf(close, gt)
           if (end < 0) i = n
-          else { sb.append(unescape(xml.substring(gt + 1, end))); i = end + 6 }
+          else { sb.append(unescape(xml.substring(gt + 1, end))); i = end + close.length }
         }
       }
     }
@@ -105,16 +113,194 @@ object Docx {
       (DocumentEntry, doc.getBytes(UTF_8))) ++ media)
   }
 
-  /** Top-level zip-span text route: a docx package yields its body text;
-    * a plain archive has no own text. Corrupt bytes throw ParseFailure
-    * (classified by the job layer). SINGLE streaming pass that inflates
-    * only word/document.xml — a plain 16 MB archive costs one entry-name
-    * walk here, not a full decompression of every payload.
+}
+
+/** SpreadsheetML (xlsx): sheets under xl/worksheets/, string cells indirect
+  * through xl/sharedStrings.xml `<si>` items (each the concat of its `<t>`
+  * runs), numeric cells carry their `<v>` literally, inline strings ride in
+  * `<is><t>`. Rendered as tab-joined cells, newline-joined rows, sheets in
+  * numeric order — the delimited-table convention [[graft.core.text.Csv]]
+  * uses. Linear scans, junk-tolerant.
+  */
+object Xlsx {
+
+  def sharedStrings(xml: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    val n = xml.length
+    while (i < n) {
+      val s = xml.indexOf("<si>", i)
+      if (s < 0) i = n
+      else {
+        val e = xml.indexOf("</si>", s)
+        if (e < 0) i = n
+        else {
+          out += Docx.runsText(xml.substring(s + 4, e), "t", "si")
+          i = e + 5
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** One worksheet's cells: rows by `<row>`, cells by `<c ...>`; `t="s"`
+    * resolves through the shared-string table, `t="inlineStr"` reads
+    * `<is><t>`, anything else takes `<v>` verbatim (numbers).
     */
-  def zipText(zipLatin1: String, maxEntryBytes: Int): String = {
+  def sheetText(xml: String, shared: Vector[String]): String = {
+    val rows = new StringBuilder
+    var i = 0
+    val n = xml.length
+    var firstRow = true
+    while (i < n) {
+      val r = xml.indexOf("<row", i)
+      if (r < 0 || r + 4 >= n) i = n
+      else {
+        val re = xml.indexOf("</row>", r)
+        val rowEnd = if (re < 0) n else re
+        if (!firstRow) rows.append('\n')
+        firstRow = false
+        var j = r
+        var firstCell = true
+        var continue = true
+        while (continue) {
+          val c = xml.indexOf("<c", j)
+          val cOk = c >= 0 && c < rowEnd && c + 2 < n &&
+            (xml.charAt(c + 2) == ' ' || xml.charAt(c + 2) == '>' || xml.charAt(c + 2) == '/')
+          if (!cOk && (c < 0 || c >= rowEnd)) continue = false
+          else if (!cOk) j = c + 2
+          else {
+            val gt = xml.indexOf('>', c)
+            if (gt < 0) { continue = false }
+            else {
+              val attrs = xml.substring(c, gt)
+              val cellEnd0 = xml.indexOf("</c>", gt)
+              val cellEnd = if (cellEnd0 < 0 || cellEnd0 > rowEnd) math.min(rowEnd, n) else cellEnd0
+              val body = if (xml.charAt(gt - 1) == '/') "" else xml.substring(gt + 1, cellEnd)
+              val v = {
+                val vs = body.indexOf("<v>")
+                val ve = body.indexOf("</v>")
+                if (vs >= 0 && ve > vs) body.substring(vs + 3, ve) else ""
+              }
+              val cell =
+                if (attrs.contains("t=\"s\"")) {
+                  val idx = v.toIntOption.getOrElse(-1)
+                  if (idx >= 0 && idx < shared.length) shared(idx) else ""
+                } else if (attrs.contains("t=\"inlineStr\""))
+                  Docx.runsText(body, "t", "is")
+                else Docx.unescape(v)
+              if (!firstCell) rows.append('\t')
+              firstCell = false
+              rows.append(cell)
+              j = cellEnd + 1
+            }
+          }
+        }
+        i = rowEnd + 6
+      }
+    }
+    rows.toString
+  }
+
+  /** Deterministic minimal xlsx: every string cell shared, the per-row
+    * `nums` flags marking numeric `<v>` cells. Round-trips through
+    * [[Ooxml.packageText]].
+    */
+  def buildMinimal(rows: Seq[Seq[(String, Boolean)]]): Array[Byte] = { // (value, isNumber)
+    val strings = rows.flatten.collect { case (v, false) => v }.distinct
+    val idx = strings.zipWithIndex.toMap
+    val sst = "<sst>" + strings.map(s => s"<si><t>${Docx.escape(s)}</t></si>").mkString + "</sst>"
+    val body = rows.map { cells =>
+      "<row>" + cells.map {
+        case (v, true) => s"<c><v>${Docx.escape(v)}</v></c>"
+        case (v, false) => s"""<c t="s"><v>${idx(v)}</v></c>"""
+      }.mkString + "</row>"
+    }.mkString
+    graft.sources.Archive.zipBytes(Seq(
+      ("[Content_Types].xml", "<Types/>".getBytes(UTF_8)),
+      ("xl/workbook.xml", "<workbook/>".getBytes(UTF_8)),
+      ("xl/sharedStrings.xml", sst.getBytes(UTF_8)),
+      ("xl/worksheets/sheet1.xml", s"<worksheet><sheetData>$body</sheetData></worksheet>".getBytes(UTF_8))))
+  }
+}
+
+/** PresentationML (pptx): slides under ppt/slides/slideN.xml carry
+  * DrawingML `<a:p>` paragraphs of `<a:r><a:t>` runs; text is slides in
+  * numeric order, one line per paragraph.
+  */
+object Pptx {
+
+  def slideText(xml: String): String = Docx.runsText(xml, "a:t", "a:p")
+
+  def buildMinimal(slides: Seq[Seq[String]]): Array[Byte] = {
+    val slideEntries = slides.zipWithIndex.map { case (paras, i) =>
+      val body = paras.map(p =>
+        s"<a:p><a:r><a:t>${Docx.escape(p)}</a:t></a:r></a:p>").mkString
+      (s"ppt/slides/slide${i + 1}.xml",
+        s"<p:sld><p:txBody>$body</p:txBody></p:sld>".getBytes(UTF_8))
+    }
+    graft.sources.Archive.zipBytes(Seq(
+      ("[Content_Types].xml", "<Types/>".getBytes(UTF_8)),
+      ("ppt/presentation.xml", "<p:presentation/>".getBytes(UTF_8))) ++ slideEntries)
+  }
+}
+
+/** The OOXML package router: one streaming pass over a zip span reads only
+  * the text-bearing parts (word/document.xml, xl/sharedStrings + sheets,
+  * ppt/slides) and renders the package's body text; a plain archive
+  * yields "". Shared by the top-level zip route and nested-entry spawning.
+  */
+object Ooxml {
+
+  def isPackage(names: Seq[String]): Boolean =
+    names.contains(Docx.DocumentEntry) ||
+      names.exists(_.startsWith("xl/worksheets/")) ||
+      names.exists(_.startsWith("ppt/slides/"))
+
+  /** Embedded parts that spawn as children (media/objects); package
+    * internals (content types, styles, rels, the text parts themselves)
+    * do not.
+    */
+  def isEmbeddedPart(name: String): Boolean =
+    name.startsWith("word/media/") || name.startsWith("word/embeddings/") ||
+      name.startsWith("xl/media/") || name.startsWith("ppt/media/")
+
+  private def wantedPart(n: String): Boolean =
+    n == Docx.DocumentEntry || n == "xl/sharedStrings.xml" ||
+      n.startsWith("xl/worksheets/") || n.startsWith("ppt/slides/")
+
+  /** Numeric suffix for sheetN/slideN ordering (archive order is not the
+    * document order).
+    */
+  private def partNo(name: String): Int =
+    name.reverse.dropWhile(!_.isDigit).takeWhile(_.isDigit).reverse
+      .toIntOption.getOrElse(Int.MaxValue)
+
+  def textFromEntries(entries: Vector[(String, Option[Array[Byte]])]): String = {
+    def str(b: Array[Byte]) = new String(b, UTF_8)
+    val byName = entries.collect { case (n, Some(b)) => (n, b) }
+    if (entries.exists(_._1 == Docx.DocumentEntry))
+      byName.collectFirst { case (Docx.DocumentEntry, b) => Docx.bodyText(str(b)) }.getOrElse("")
+    else if (entries.exists(_._1.startsWith("xl/worksheets/"))) {
+      val shared = byName.collectFirst { case ("xl/sharedStrings.xml", b) =>
+        Xlsx.sharedStrings(str(b)) }.getOrElse(Vector.empty)
+      byName.filter(_._1.startsWith("xl/worksheets/"))
+        .sortBy(e => (partNo(e._1), e._1))
+        .map(e => Xlsx.sheetText(str(e._2), shared))
+        .filter(_.nonEmpty).mkString("\n")
+    } else if (entries.exists(_._1.startsWith("ppt/slides/")))
+      byName.filter(_._1.startsWith("ppt/slides/"))
+        .sortBy(e => (partNo(e._1), e._1))
+        .map(e => Pptx.slideText(str(e._2)))
+        .filter(_.nonEmpty).mkString("\n")
+    else ""
+  }
+
+  /** Top-level zip-span text route (single streaming pass, text parts
+    * only inflated); corrupt bytes throw ParseFailure for the job layer.
+    */
+  def packageText(zipLatin1: String, maxEntryBytes: Int): String = {
     val bytes = zipLatin1.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-    val (names, doc) = graft.sources.Archive.unzipNamesAndOne(bytes, DocumentEntry, maxEntryBytes)
-    if (!isDocx(names)) ""
-    else doc.map(b => bodyText(new String(b, UTF_8))).getOrElse("")
+    textFromEntries(graft.sources.Archive.unzipWanted(bytes, wantedPart, maxEntryBytes))
   }
 }

@@ -89,8 +89,9 @@ object Extract {
       case "pdf_bytes" => (graft.core.pdf.PdfMini.textFromLatin1(t), "") // REAL PDF bytes, raw or FlateDecode (Ingest)
       case "text"      => (t, "")
       case "media"     => (t, "") // OCR/media passthrough (north rule): text + media_ref unchanged
-      // zip: a docx PACKAGE yields its body text; a plain archive has none
-      case "zip"       => (graft.core.office.Docx.zipText(t, cfg.maxSpanChars), "")
+      // zip: an OOXML PACKAGE (docx/xlsx/pptx) yields its body text;
+      // a plain archive has none
+      case "zip"       => (graft.core.office.Ooxml.packageText(t, cfg.maxSpanChars), "")
       case "gzip" | "tar" => ("", "") // container: no own text, entries explode to children
       case "eml"       => (graft.core.mail.Eml.parse(t).body, "") // RFC-822: body text; attachments explode
       case "rtf"       => (graft.core.text.Rtf.text(t), "")  // real RTF bytes (reference rtf fixture)
@@ -315,18 +316,16 @@ object Extract {
           Some(Vector(graft.sources.Archive.gunzip(data, cfg.maxSpanChars)))
         else None
       containerEntries match {
-        case Some(entries) if graft.core.office.Docx.isDocx(entries.map(_._1)) =>
-          // embedded Word document: body text, embedded parts as children
+        case Some(entries) if graft.core.office.Ooxml.isPackage(entries.map(_._1)) =>
+          // embedded Office document (docx/xlsx/pptx): body text on the
+          // child, embedded media/object parts recurse
           val cid = Ids.embedId(canonicalOf(entries), parentId, ord, resourceName = name)
-          val body = entries.collectFirst {
-            case (graft.core.office.Docx.DocumentEntry, Some(b)) =>
-              graft.core.office.Docx.bodyText(new String(b, java.nio.charset.StandardCharsets.UTF_8))
-          }.getOrElse("")
+          val body = graft.core.office.Ooxml.textFromEntries(entries)
           val spans =
             if (body.isEmpty) Array.empty[SpanOut] else Array(SpanOut("text", body, "", 0))
           out += DocOut(cid, parentId, rootId, level, spans,
             if (body.isEmpty) Reason.Empty else "")
-          entries.filter(e => graft.core.office.Docx.isEmbeddedPart(e._1))
+          entries.filter(e => graft.core.office.Ooxml.isEmbeddedPart(e._1))
             .zipWithIndex.foreach { case ((n, b), i) => spawnEntry(n, b, cid, i, level + 1) }
         case Some(entries) =>
           val cid = Ids.embedId(canonicalOf(entries), parentId, ord, resourceName = name)
@@ -364,13 +363,14 @@ object Extract {
           spawn(content, rootId, ord, 1); ord += 1
         case "zip" =>
           // the archive IS the parent document: entries are its children.
-          // A docx PACKAGE instead contributes body text to the parent
-          // (extractSpan's zip route) and spawns only its embedded parts.
+          // An OOXML PACKAGE (docx/xlsx/pptx) instead contributes body text
+          // to the parent (extractSpan's zip route) and spawns only its
+          // embedded media/object parts.
           val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
           val entries = graft.sources.Archive.unzip(bytes, cfg.maxSpanChars)
           val spawnable =
-            if (graft.core.office.Docx.isDocx(entries.map(_._1)))
-              entries.filter(e => graft.core.office.Docx.isEmbeddedPart(e._1))
+            if (graft.core.office.Ooxml.isPackage(entries.map(_._1)))
+              entries.filter(e => graft.core.office.Ooxml.isEmbeddedPart(e._1))
             else entries
           spawnable.foreach { case (n, b) =>
             spawnEntry(n, b, rootId, ord, 1); ord += 1

@@ -111,15 +111,14 @@ object Archive {
     } finally zis.close()
   }
 
-  /** Single streaming pass: all entry NAMES, plus the inflated payload of
-    * ONLY `wanted` (other payloads are skipped by the stream, never
-    * inflated) — the cheap probe for package formats (docx) that route by
-    * entry name. Same malformed-input contract as [[unzip]].
+  /** Single streaming pass reading payloads for ONLY the entries `wanted`
+    * accepts (others listed with None payload, their bytes skipped by the
+    * stream) — the general package-format probe. Same malformed-input
+    * contract as [[unzip]].
     */
-  def unzipNamesAndOne(bytes: Array[Byte], wanted: String,
-                       maxEntryBytes: Int): (Vector[String], Option[Array[Byte]]) = {
-    val names = Vector.newBuilder[String]
-    var payload: Option[Array[Byte]] = None
+  def unzipWanted(bytes: Array[Byte], wanted: String => Boolean,
+                  maxEntryBytes: Int): Vector[UnzippedEntry] = {
+    val out = Vector.newBuilder[UnzippedEntry]
     val zis = new ZipInputStream(new ByteArrayInputStream(bytes))
     try {
       var entry: ZipEntry = zis.getNextEntry
@@ -127,14 +126,13 @@ object Archive {
         throw new ParseFailure("zip container with no readable entries")
       while (entry != null) {
         if (!entry.isDirectory) {
-          names += entry.getName
-          if (entry.getName == wanted && payload.isEmpty &&
-            entry.getSize <= maxEntryBytes)
-            payload = readCapped(zis, maxEntryBytes)
+          if (wanted(entry.getName) && entry.getSize <= maxEntryBytes)
+            out += ((entry.getName, readCapped(zis, maxEntryBytes)))
+          else out += ((entry.getName, None))
         }
         entry = zis.getNextEntry
       }
-      (names.result(), payload)
+      out.result()
     } catch {
       case e: java.util.zip.ZipException => throw new ParseFailure(s"corrupt zip: ${e.getMessage}")
       case e: java.io.EOFException => throw new ParseFailure(s"truncated zip: ${e.getMessage}")

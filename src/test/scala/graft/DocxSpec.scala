@@ -34,7 +34,7 @@ class DocxSpec extends AnyFunSuite {
   test("buildMinimal round-trips paragraphs (incl. XML-special chars)") {
     val paras = Seq("plain words", "with & < > \" specials", "third")
     val bytes = Docx.buildMinimal(paras)
-    val txt = Docx.zipText(new String(bytes, ISO_8859_1), 1 << 20)
+    val txt = graft.core.office.Ooxml.packageText(new String(bytes, ISO_8859_1), 1 << 20)
     assert(txt == paras.mkString("\n"))
   }
 
@@ -50,6 +50,43 @@ class DocxSpec extends AnyFunSuite {
     assert(out(1).doc_id == Ids.embedId("picture bytes", rid, 0, resourceName = "word/media/pic.bin"))
     // package internals ([Content_Types], document.xml) do NOT spawn
     assert(out(1).spans.head.text == "picture bytes")
+  }
+
+  test("xlsx: shared strings resolve, numeric and inline cells read, sheets ordered") {
+    import graft.core.office.{Ooxml, Xlsx}
+    val bytes = Xlsx.buildMinimal(Seq(
+      Seq(("alpha", false), ("beta", false)),
+      Seq(("alpha", false), ("42", true)))) // shared string reused + numeric cell
+    val txt = Ooxml.packageText(new String(bytes, ISO_8859_1), 1 << 20)
+    assert(txt == "alpha\tbeta\nalpha\t42")
+    // inline strings + junk tolerance + entity unescape in shared strings
+    assert(Xlsx.sheetText(
+      """<sheetData><row><c t="inlineStr"><is><t>in line</t></is></c><c><v>7</v></c></row></sheetData>""",
+      Vector.empty) == "in line\t7")
+    assert(Xlsx.sharedStrings("<sst><si><t>a &amp; b</t></si><si><t>x</t><t>y</t></si></sst>")
+      == Vector("a & b", "xy"))
+    Xlsx.sheetText("<row><c t=\"s\"><v>99</v></c></row>", Vector.empty) // OOB index -> ""
+  }
+
+  test("pptx: slides extract in numeric order, one line per a:p paragraph") {
+    import graft.core.office.{Ooxml, Pptx}
+    val bytes = Pptx.buildMinimal(Seq(
+      Seq("slide one line a", "slide one line b"),
+      Seq("slide two line a")))
+    val txt = Ooxml.packageText(new String(bytes, ISO_8859_1), 1 << 20)
+    assert(txt == "slide one line a\nslide one line b\nslide two line a")
+  }
+
+  test("xlsx/pptx EMBEDDED in an archive become document children with body text") {
+    import graft.core.office.{Pptx, Xlsx}
+    val xlsx = Xlsx.buildMinimal(Seq(Seq(("cell", false))))
+    val pptx = Pptx.buildMinimal(Seq(Seq("deck text")))
+    val zip = Archive.zipBytes(Seq(("sheet.xlsx", xlsx), ("deck.pptx", pptx)))
+    val out = Extract.explode(DocIn(42, Array(SpanIn("zip",
+      new String(zip, ISO_8859_1), "", 0))))
+    assert(out.length == 3)
+    assert(out(1).spans.map(_.text).toSeq == Seq("cell"))
+    assert(out(2).spans.map(_.text).toSeq == Seq("deck text"))
   }
 
   test("docx EMBEDDED in a zip becomes a document child with body text") {
