@@ -18,14 +18,6 @@ object Docx {
 
   val DocumentEntry = "word/document.xml"
 
-  def isDocx(entryNames: Seq[String]): Boolean = entryNames.contains(DocumentEntry)
-
-  /** Package parts that are embedded DOCUMENTS/media (spawn as children),
-    * vs package internals (do not).
-    */
-  def isEmbeddedPart(name: String): Boolean =
-    name.startsWith("word/media/") || name.startsWith("word/embeddings/")
-
   /** Body text of word/document.xml: `<w:t>` run contents in document
     * order, a newline per closed paragraph, XML entities unescaped.
     * Tolerant of junk — scans, never throws.
@@ -152,9 +144,19 @@ object Xlsx {
     var i = 0
     val n = xml.length
     var firstRow = true
+    // tag-open matcher with a name-terminating char, so <rowBreaks>/<cols>
+    // never parse as <row>/<c> (same rule as Docx.runsText)
+    def tagAt(tag: String, from: Int, until: Int): Int = {
+      var k = xml.indexOf(tag, from)
+      while (k >= 0 && k < until && {
+        val c = if (k + tag.length < n) xml.charAt(k + tag.length) else '>'
+        !(c == ' ' || c == '>' || c == '/')
+      }) k = xml.indexOf(tag, k + tag.length)
+      if (k >= 0 && k < until) k else -1
+    }
     while (i < n) {
-      val r = xml.indexOf("<row", i)
-      if (r < 0 || r + 4 >= n) i = n
+      val r = tagAt("<row", i, n)
+      if (r < 0) i = n
       else {
         val re = xml.indexOf("</row>", r)
         val rowEnd = if (re < 0) n else re
@@ -164,19 +166,20 @@ object Xlsx {
         var firstCell = true
         var continue = true
         while (continue) {
-          val c = xml.indexOf("<c", j)
-          val cOk = c >= 0 && c < rowEnd && c + 2 < n &&
-            (xml.charAt(c + 2) == ' ' || xml.charAt(c + 2) == '>' || xml.charAt(c + 2) == '/')
-          if (!cOk && (c < 0 || c >= rowEnd)) continue = false
-          else if (!cOk) j = c + 2
+          val c = tagAt("<c", j, rowEnd)
+          if (c < 0) continue = false
           else {
             val gt = xml.indexOf('>', c)
-            if (gt < 0) { continue = false }
+            if (gt < 0 || gt >= rowEnd) continue = false // unterminated cell tag: row over
             else {
               val attrs = xml.substring(c, gt)
+              val selfClosing = xml.charAt(gt - 1) == '/'
               val cellEnd0 = xml.indexOf("</c>", gt)
-              val cellEnd = if (cellEnd0 < 0 || cellEnd0 > rowEnd) math.min(rowEnd, n) else cellEnd0
-              val body = if (xml.charAt(gt - 1) == '/') "" else xml.substring(gt + 1, cellEnd)
+              val cellEnd =
+                if (selfClosing) gt // a bare <c/> owns no body, never the NEXT cell's close
+                else if (cellEnd0 < 0 || cellEnd0 > rowEnd) rowEnd
+                else cellEnd0
+              val body = if (selfClosing || gt + 1 > cellEnd) "" else xml.substring(gt + 1, cellEnd)
               val v = {
                 val vs = body.indexOf("<v>")
                 val ve = body.indexOf("</v>")
@@ -192,7 +195,7 @@ object Xlsx {
               if (!firstCell) rows.append('\t')
               firstCell = false
               rows.append(cell)
-              j = cellEnd + 1
+              j = if (selfClosing) gt + 1 else cellEnd + 4
             }
           }
         }
@@ -252,22 +255,32 @@ object Pptx {
   */
 object Ooxml {
 
+  /** Text-part name prefixes — deliberately TIGHT (`.../sheet`, not
+    * `xl/worksheets/`), so the per-part _rels relationship files real
+    * Office writers emit under `xl/worksheets/_rels/` never parse (or
+    * inflate) as sheets/slides.
+    */
+  private val SheetPrefix = "xl/worksheets/sheet"
+  private val SlidePrefix = "ppt/slides/slide"
+
   def isPackage(names: Seq[String]): Boolean =
     names.contains(Docx.DocumentEntry) ||
-      names.exists(_.startsWith("xl/worksheets/")) ||
-      names.exists(_.startsWith("ppt/slides/"))
+      names.exists(_.startsWith(SheetPrefix)) ||
+      names.exists(_.startsWith(SlidePrefix))
 
-  /** Embedded parts that spawn as children (media/objects); package
+  /** Embedded parts that spawn as children (media AND OLE-embedded
+    * objects, consistently across the three package types); package
     * internals (content types, styles, rels, the text parts themselves)
     * do not.
     */
   def isEmbeddedPart(name: String): Boolean =
     name.startsWith("word/media/") || name.startsWith("word/embeddings/") ||
-      name.startsWith("xl/media/") || name.startsWith("ppt/media/")
+      name.startsWith("xl/media/") || name.startsWith("xl/embeddings/") ||
+      name.startsWith("ppt/media/") || name.startsWith("ppt/embeddings/")
 
   private def wantedPart(n: String): Boolean =
     n == Docx.DocumentEntry || n == "xl/sharedStrings.xml" ||
-      n.startsWith("xl/worksheets/") || n.startsWith("ppt/slides/")
+      n.startsWith(SheetPrefix) || n.startsWith(SlidePrefix)
 
   /** Numeric suffix for sheetN/slideN ordering (archive order is not the
     * document order).
@@ -279,20 +292,23 @@ object Ooxml {
   def textFromEntries(entries: Vector[(String, Option[Array[Byte]])]): String = {
     def str(b: Array[Byte]) = new String(b, UTF_8)
     val byName = entries.collect { case (n, Some(b)) => (n, b) }
+    // NO nonEmpty filtering: an all-empty sheet/slide is an empty LINE,
+    // exactly like the SQL oracle's string_agg over lines — silently
+    // dropping it would diverge on documents with empty trailing parts
     if (entries.exists(_._1 == Docx.DocumentEntry))
       byName.collectFirst { case (Docx.DocumentEntry, b) => Docx.bodyText(str(b)) }.getOrElse("")
-    else if (entries.exists(_._1.startsWith("xl/worksheets/"))) {
+    else if (entries.exists(_._1.startsWith(SheetPrefix))) {
       val shared = byName.collectFirst { case ("xl/sharedStrings.xml", b) =>
         Xlsx.sharedStrings(str(b)) }.getOrElse(Vector.empty)
-      byName.filter(_._1.startsWith("xl/worksheets/"))
+      byName.filter(_._1.startsWith(SheetPrefix))
         .sortBy(e => (partNo(e._1), e._1))
         .map(e => Xlsx.sheetText(str(e._2), shared))
-        .filter(_.nonEmpty).mkString("\n")
-    } else if (entries.exists(_._1.startsWith("ppt/slides/")))
-      byName.filter(_._1.startsWith("ppt/slides/"))
+        .mkString("\n")
+    } else if (entries.exists(_._1.startsWith(SlidePrefix)))
+      byName.filter(_._1.startsWith(SlidePrefix))
         .sortBy(e => (partNo(e._1), e._1))
         .map(e => Pptx.slideText(str(e._2)))
-        .filter(_.nonEmpty).mkString("\n")
+        .mkString("\n")
     else ""
   }
 

@@ -114,21 +114,31 @@ object Archive {
   /** Single streaming pass reading payloads for ONLY the entries `wanted`
     * accepts (others listed with None payload, their bytes skipped by the
     * stream) — the general package-format probe. Same malformed-input
-    * contract as [[unzip]].
+    * contract and entry-count cap as [[unzip]], plus an AGGREGATE inflated
+    * budget across all wanted payloads (a crafted package with thousands
+    * of tiny-compressed wanted parts must not accumulate unbounded memory
+    * — the zip-bomb guard applies to the sum, not just each part).
     */
   def unzipWanted(bytes: Array[Byte], wanted: String => Boolean,
-                  maxEntryBytes: Int): Vector[UnzippedEntry] = {
+                  maxEntryBytes: Int, maxEntries: Int = 10000,
+                  maxTotalBytes: Long = 256L << 20): Vector[UnzippedEntry] = {
     val out = Vector.newBuilder[UnzippedEntry]
     val zis = new ZipInputStream(new ByteArrayInputStream(bytes))
     try {
+      var n = 0
+      var total = 0L
       var entry: ZipEntry = zis.getNextEntry
       if (entry == null && bytes.nonEmpty)
         throw new ParseFailure("zip container with no readable entries")
       while (entry != null) {
         if (!entry.isDirectory) {
-          if (wanted(entry.getName) && entry.getSize <= maxEntryBytes)
-            out += ((entry.getName, readCapped(zis, maxEntryBytes)))
-          else out += ((entry.getName, None))
+          n += 1
+          if (n <= maxEntries && wanted(entry.getName) &&
+            entry.getSize <= maxEntryBytes && total < maxTotalBytes) {
+            val data = readCapped(zis, maxEntryBytes)
+            data.foreach(d => total += d.length)
+            out += ((entry.getName, data))
+          } else out += ((entry.getName, None))
         }
         entry = zis.getNextEntry
       }

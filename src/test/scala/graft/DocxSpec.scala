@@ -66,6 +66,16 @@ class DocxSpec extends AnyFunSuite {
     assert(Xlsx.sharedStrings("<sst><si><t>a &amp; b</t></si><si><t>x</t><t>y</t></si></sst>")
       == Vector("a & b", "xy"))
     Xlsx.sheetText("<row><c t=\"s\"><v>99</v></c></row>", Vector.empty) // OOB index -> ""
+    // malformed cell with no '>' must degrade, never throw (untrusted bytes)
+    Xlsx.sheetText("<row><c x</row>", Vector.empty)
+    // a self-closing styled cell must NOT swallow its successor
+    assert(Xlsx.sheetText(
+      """<row><c r="A1" s="1"/><c t="s"><v>0</v></c></row>""",
+      Vector("kept")) == "\tkept")
+    // <rowBreaks> is not a row (name-terminator check)
+    assert(Xlsx.sheetText(
+      """<sheetData><row><c><v>1</v></c></row></sheetData><rowBreaks count="1"/>""",
+      Vector.empty) == "1")
   }
 
   test("pptx: slides extract in numeric order, one line per a:p paragraph") {
