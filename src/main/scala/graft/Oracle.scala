@@ -103,6 +103,53 @@ object Oracle {
       |  sha256('64:'||sha256('gamma '||doc_id)||'64:'||nzid||'1:0'||'0:'||'5:c.txt'),
       |  nzid, 2, 'gamma '||doc_id, '' FROM n""".stripMargin
 
+  /** Mirror of Queries.msgExplode: the .msg root carries the document text
+    * as its body; the %18 file attachment and %27 nested message are
+    * level-1 children whose ids recompute over the message's LOGICAL
+    * canonical fields (length-prefixed (field, value) pairs — no UTF-16
+    * or CFB framing in the preimage, by design).
+    */
+  private val msgExplode: String =
+    """WITH z AS (SELECT doc_id, text, sha256(doc_id::VARCHAR) AS rid
+      |           FROM documents WHERE doc_id%9=0)
+      |SELECT doc_id, rid AS node_id, '' AS parent_id, 0 AS level, text AS txt,
+      |       CASE WHEN text='' THEN 'empty-file' ELSE '' END AS reason FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('att '||doc_id)||'64:'||rid||'1:0'||'0:'
+      |    ||octet_length(encode('att_'||doc_id||'.txt'))||':att_'||doc_id||'.txt'),
+      |  rid, 1, 'att '||doc_id, '' FROM z WHERE doc_id%18=0
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('7:subject'||octet_length(encode('re '||doc_id))||':re '||doc_id
+      |      ||'4:from'||octet_length(encode('nested '||doc_id))||':nested '||doc_id
+      |      ||'4:body'||octet_length(encode('nested body '||doc_id))||':nested body '||doc_id)
+      |    ||'64:'||rid||'1:'||CASE WHEN doc_id%18=0 THEN 1 ELSE 0 END||'0:'
+      |    ||octet_length(encode('re '||doc_id))||':re '||doc_id),
+      |  rid, 1, 'nested body '||doc_id, '' FROM z WHERE doc_id%27=0""".stripMargin
+
+  /** Mirror of Queries.cfbExplode: generic compound-file container — the
+    * empty root, two sniffed text streams in CFB name order, and the %26
+    * nested-zip stream recomputed like zipExplode's container child.
+    */
+  private val cfbExplode: String =
+    """WITH z AS (SELECT doc_id, sha256(doc_id::VARCHAR) AS rid
+      |           FROM documents WHERE doc_id%13=0),
+      |n AS (SELECT doc_id, rid,
+      |  sha256('64:'||sha256('5:c.txt'||octet_length(encode('gamma '||doc_id))||':gamma '||doc_id)
+      |    ||'64:'||rid||'1:2'||'0:'||'7:ccc.zip') AS nzid
+      | FROM z WHERE doc_id%26=0)
+      |SELECT doc_id, rid AS node_id, '' AS parent_id, 0 AS level, '' AS txt,
+      |       'empty-file' AS reason FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('alpha '||doc_id)||'64:'||rid||'1:0'||'0:'||'5:a.txt'),
+      |  rid, 1, 'alpha '||doc_id, '' FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('beta '||doc_id)||'64:'||rid||'1:1'||'0:'||'6:bb.txt'),
+      |  rid, 1, 'beta '||doc_id, '' FROM z
+      |UNION ALL SELECT doc_id, nzid, rid, 1, '', 'empty-file' FROM n
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('gamma '||doc_id)||'64:'||nzid||'1:0'||'0:'||'5:c.txt'),
+      |  nzid, 2, 'gamma '||doc_id, '' FROM n""".stripMargin
+
   /** Mirror of Queries.artifactLookup: the level-1 embed fetched by its
     * independently recomputed digest, with the content-addressed path.
     */
@@ -903,6 +950,8 @@ object Oracle {
     "q_pptx_slides" -> pptxSlides,
     "q_tgz_explode" -> tgzExplode,
     "q_eml_explode" -> emlExplode,
+    "q_msg_explode" -> msgExplode,
+    "q_cfb_explode" -> cfbExplode,
     "q_eml_headers" -> emlHeaders,
     "q_artifact_lookup" -> artifactLookup,
     "q_embed_named" -> embedNamed,

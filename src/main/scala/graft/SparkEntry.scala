@@ -370,6 +370,63 @@ object Queries {
       .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
   }
 
+  /** §2.6 REAL Outlook-message route (the reference's
+    * `3rd-level-bug-732.msg` / `outlook-message.msg` fixtures): each %9 doc
+    * becomes an actual `.msg` COMPOUND FILE (CFB FAT/miniFAT/directory +
+    * MAPI property streams, built by the engine) whose body carries the
+    * document text; %18 docs add a file attachment, %27 docs an attached
+    * nested MESSAGE. Extraction must walk the compound file, decode the
+    * UTF-16LE property streams, and spawn attachments as embedded children
+    * — the oracle recomputes every node id from `documents` arithmetic
+    * over the message's logical canonical fields ([[graft.core.office.Msg.canonical]]).
+    */
+  def msgExplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    import graft.core.office.Msg
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .filter(_._1 % 9 == 0)
+      .flatMap { case (id, t) =>
+        val atts = Vector.newBuilder[Msg.Attachment]
+        if (id % 18 == 0) atts += Msg.FileAtt(s"att_$id.txt", s"att $id".getBytes(UTF_8))
+        if (id % 27 == 0)
+          atts += Msg.MsgAtt(Msg.MsgDoc(s"re $id", s"nested $id", s"nested body $id", Vector.empty))
+        val m = Msg.MsgDoc(s"subject $id", s"sender $id", t, atts.result())
+        val d = DocIn(id, Array(SpanIn("cfb", new String(Msg.build(m), ISO_8859_1), "", 0)))
+        Extract.explode(d).map(o =>
+          (id, o.doc_id, o.parent_id, o.level, o.spans.map(_.text).mkString(""), o.no_content_reason))
+      }
+      .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
+  }
+
+  /** §2.4 generic OLE2 compound-file route (the reference's POIFS
+    * container behavior): each %13 doc becomes a real CFB container whose
+    * streams spawn as sniffed children — including a nested zip stream
+    * (%26) that recurses through the archive machinery. Stream names have
+    * distinct lengths, so the CFB canonical name order (length, then
+    * uppercase) pins the ordinals the oracle recomputes.
+    */
+  def cfbExplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    import graft.core.office.Cfb
+    import graft.sources.Archive
+    docs(spark, dir).select("doc_id").as[Long]
+      .filter(id => id % 13 == 0)
+      .flatMap { id =>
+        val streams = Seq(
+          ("a.txt", s"alpha $id".getBytes(UTF_8)),
+          ("bb.txt", s"beta $id".getBytes(UTF_8))) ++
+          (if (id % 26 == 0)
+            Seq(("ccc.zip", Archive.zipBytes(Seq(("c.txt", s"gamma $id".getBytes(UTF_8))))))
+          else Nil)
+        val d = DocIn(id, Array(SpanIn("cfb", new String(Cfb.build(streams), ISO_8859_1), "", 0)))
+        Extract.explode(d).map(o =>
+          (id, o.doc_id, o.parent_id, o.level, o.spans.map(_.text).mkString(""), o.no_content_reason))
+      }
+      .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
+  }
+
   /** §2.8 on REAL header data: parsed RFC-822 headers (unfolded, repeated
     * keys) through the full Meta.normalizeMap pipeline — collision concat
     * on the duplicated Received header, key normalization, block list.
@@ -1074,6 +1131,8 @@ object Queries {
     "q_pptx_slides" -> (pptxSlides _),
     "q_tgz_explode" -> (tgzExplode _),
     "q_eml_explode" -> (emlExplode _),
+    "q_msg_explode" -> (msgExplode _),
+    "q_cfb_explode" -> (cfbExplode _),
     "q_eml_headers" -> (emlHeaders _),
     "q_artifact_lookup" -> (artifactLookup _),
     "q_embed_named" -> (embedNamed _),

@@ -1,0 +1,126 @@
+package graft.core.office
+
+import java.nio.charset.StandardCharsets
+
+/** Outlook `.msg` (MS-OXMSG) message parsing over [[Cfb]] — the reference's
+  * OutlookExtractor path (fixtures `3rd-level-bug-732.msg`,
+  * `outlook-message.msg`): a message is a compound file whose properties
+  * live in `__substg1.0_<tag><type>` streams (type 001F = UTF-16LE string,
+  * 0102 = binary) and whose attachments are `__attach_version1.0_#NNNNNNNN`
+  * storages — a file attachment carries its bytes in `37010102` and long
+  * filename in `3707001F`; an attached MESSAGE instead nests a whole
+  * sub-message under a `__substg1.0_3701000D` storage (the 3rd-level-bug
+  * fixture is exactly msg-in-msg-in-msg).
+  *
+  * Identity: [[canonical]] folds a message to its logical fields
+  * (subject/from/body + attachments), so a message's embed id is invariant
+  * to property-stream encoding details (ANSI vs Unicode streams, storage
+  * order) — the same recompression-invariance argument as
+  * [[graft.core.Ids.canonicalEntries]], and the reason the SQL oracle can
+  * recompute msg-in-msg ids without a UTF-16 encoder.
+  */
+object Msg {
+
+  /** One parsed attachment: a plain file (sniffed downstream like any
+    * archive entry) or a nested message.
+    */
+  sealed trait Attachment
+  final case class FileAtt(name: String, bytes: Array[Byte]) extends Attachment
+  final case class MsgAtt(msg: MsgDoc) extends Attachment
+
+  final case class MsgDoc(subject: String, from: String, body: String,
+                          attachments: Vector[Attachment])
+
+  private val AttachPrefix = "__attach_version1.0_#"
+
+  /** A compound file is a message when it carries MAPI property streams. */
+  def isMsg(entries: Seq[(String, Option[Array[Byte]])]): Boolean =
+    entries.exists { case (p, _) =>
+      p.startsWith("__substg1.0_") || p == "__properties_version1.0"
+    }
+
+  private def utf16(bytes: Option[Array[Byte]]): String =
+    bytes.map(b => new String(b, StandardCharsets.UTF_16LE)).getOrElse("")
+
+  /** Parse the property streams of one message level. Paths are the
+    * slash-joined [[Cfb.streamEntries]] form; `prefix` scopes recursion
+    * into a `3701000D` embedded-message storage.
+    */
+  def parse(entries: Seq[(String, Option[Array[Byte]])]): MsgDoc = {
+    def str(tag: String): String =
+      utf16(entries.collectFirst { case (p, b) if p == s"__substg1.0_${tag}001F" => b }.flatten)
+
+    val groups = entries.iterator.flatMap { case (p, _) =>
+      if (p.startsWith(AttachPrefix) && p.length > AttachPrefix.length + 8)
+        Some(p.substring(0, AttachPrefix.length + 8))
+      else None
+    }.toVector.distinct.sorted
+
+    val atts = groups.map { g =>
+      val nestedPrefix = s"$g/__substg1.0_3701000D/"
+      val nested = entries.collect {
+        case (p, b) if p.startsWith(nestedPrefix) => (p.substring(nestedPrefix.length), b)
+      }
+      if (nested.nonEmpty) MsgAtt(parse(nested))
+      else {
+        val name = utf16(entries.collectFirst {
+          case (p, b) if p == s"$g/__substg1.0_3707001F" => b
+        }.flatten)
+        val data = entries.collectFirst {
+          case (p, b) if p == s"$g/__substg1.0_37010102" => b
+        }.flatten.getOrElse(Array.empty[Byte])
+        FileAtt(name, data)
+      }
+    }
+    MsgDoc(str("0037"), str("0C1A"), str("1000"), atts)
+  }
+
+  /** Logical canonical content key (embed-id preimage) of a message:
+    * length-prefixed (field, value) pairs, attachments as (name, latin1
+    * bytes), nested messages recursively by their own canonical string.
+    */
+  def canonical(m: MsgDoc): String = {
+    val fields = Seq(("subject", m.subject), ("from", m.from), ("body", m.body)) ++
+      m.attachments.map {
+        case FileAtt(n, b) => (n, new String(b, StandardCharsets.ISO_8859_1))
+        case MsgAtt(sub) => (sub.subject, canonical(sub))
+      }
+    graft.core.Ids.canonicalEntries(fields)
+  }
+
+  /** Own text of a `cfb` span (the [[graft.core.route.Extract]] route):
+    * a message contributes its body; a generic compound file is a pure
+    * container whose content lives in its stream children.
+    */
+  def cfbText(latin1: String, maxEntryBytes: Int): String = {
+    val entries = Cfb.streamEntries(
+      latin1.getBytes(StandardCharsets.ISO_8859_1), maxEntryBytes)
+    if (isMsg(entries)) parse(entries).body else ""
+  }
+
+  // ---------------------------------------------------------------- writer
+
+  private def u16(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_16LE)
+
+  /** The property streams of one message level (no container framing). */
+  def streams(m: MsgDoc, prefix: String = ""): Vector[(String, Array[Byte])] = {
+    val base = Vector(
+      (s"${prefix}__substg1.0_0037001F", u16(m.subject)),
+      (s"${prefix}__substg1.0_0C1A001F", u16(m.from)),
+      (s"${prefix}__substg1.0_1000001F", u16(m.body)),
+      (s"${prefix}__properties_version1.0", new Array[Byte](32)))
+    val atts = m.attachments.zipWithIndex.flatMap { case (a, i) =>
+      val g = f"$prefix$AttachPrefix$i%08X"
+      a match {
+        case FileAtt(n, b) => Vector(
+          (s"$g/__substg1.0_3707001F", u16(n)),
+          (s"$g/__substg1.0_37010102", b))
+        case MsgAtt(sub) => streams(sub, s"$g/__substg1.0_3701000D/")
+      }
+    }
+    base ++ atts
+  }
+
+  /** Deterministic `.msg` bytes: [[streams]] framed by [[Cfb.build]]. */
+  def build(m: MsgDoc): Array[Byte] = Cfb.build(streams(m))
+}

@@ -93,6 +93,9 @@ object Extract {
       // a plain archive has none
       case "zip"       => (graft.core.office.Ooxml.packageText(t, cfg.maxSpanChars), "")
       case "gzip" | "tar" => ("", "") // container: no own text, entries explode to children
+      // cfb: an Outlook MESSAGE yields its body text; a generic compound
+      // file is a pure container (streams explode to children)
+      case "cfb"       => (graft.core.office.Msg.cfbText(t, cfg.maxSpanChars), "")
       case "eml"       => (graft.core.mail.Eml.parse(t).body, "") // RFC-822: body text; attachments explode
       case "rtf"       => (graft.core.text.Rtf.text(t), "")  // real RTF bytes (reference rtf fixture)
       case "csv"       => (graft.core.text.Csv.text(t), "")  // delimited table text (reference csv fixture)
@@ -103,7 +106,7 @@ object Extract {
     * [[spawnContainers]] (and whose raw payload therefore rides through the
     * span-parallel path for reassembly).
     */
-  val ContainerKinds: Set[String] = Set("media", "zip", "gzip", "tar", "eml")
+  val ContainerKinds: Set[String] = Set("media", "zip", "gzip", "tar", "eml", "cfb")
 
   /** Null spans (a row written with spans=NULL) are treated as an empty
     * span array — reason=empty-file, never a failure — in BOTH the batch and
@@ -293,6 +296,29 @@ object Extract {
         (n, b.map(x => new String(x, java.nio.charset.StandardCharsets.ISO_8859_1)).getOrElse(""))
       })
 
+    // one parsed Outlook message -> one DOCUMENT child (body text), its
+    // attachments recursing: file attachments re-enter the sniffed entry
+    // path; an attached message (msg-in-msg, the reference's
+    // `3rd-level-bug-732.msg` shape) recurses as another message child.
+    // Identity hashes the message's LOGICAL canonical fields
+    // (Msg.canonical), so property-stream encoding never changes ids.
+    def spawnMsg(m: graft.core.office.Msg.MsgDoc, resourceName: String,
+                 parentId: String, ord: Int, level: Int): Unit = {
+      checkDeadline(deadlineNanos)
+      val canon = graft.core.office.Msg.canonical(m)
+      if (guardsRefuse(level, canon.length)) { skipped += 1; return }
+      spawned += 1
+      val cid = Ids.embedId(canon, parentId, ord, resourceName = resourceName)
+      val spans =
+        if (m.body.isEmpty) Array.empty[SpanOut] else Array(SpanOut("text", m.body, "", 0))
+      out += DocOut(cid, parentId, rootId, level, spans,
+        if (m.body.isEmpty) Reason.Empty else "")
+      m.attachments.zipWithIndex.foreach {
+        case (graft.core.office.Msg.FileAtt(n, b), i) => spawnEntry(n, Some(b), cid, i, level + 1)
+        case (graft.core.office.Msg.MsgAtt(sub), i) => spawnMsg(sub, sub.subject, cid, i, level + 1)
+      }
+    }
+
     // one REAL archive entry -> one child document: plain archives
     // (zip/tar/gzip) become container nodes whose entries recurse; an OOXML
     // package (docx) becomes a DOCUMENT child (body text + its embedded
@@ -305,6 +331,23 @@ object Extract {
       if (bytes.isEmpty || guardsRefuse(level, declaredLen)) { skipped += 1; return }
       spawned += 1
       val data = bytes.get
+      if (graft.core.office.Cfb.isCfb(data)) {
+        // OLE2 compound file: a MESSAGE becomes a document child (undo the
+        // spawned count — spawnMsg re-applies its own guards); a generic
+        // compound file is a container node whose streams recurse
+        val entries = graft.core.office.Cfb.streamEntries(data, cfg.maxSpanChars)
+        if (graft.core.office.Msg.isMsg(entries)) {
+          spawned -= 1
+          spawnMsg(graft.core.office.Msg.parse(entries), name, parentId, ord, level)
+        } else {
+          val cid = Ids.embedId(canonicalOf(entries), parentId, ord, resourceName = name)
+          out += DocOut(cid, parentId, rootId, level, Array.empty[SpanOut], Reason.Empty)
+          entries.zipWithIndex.foreach { case ((n, b), i) =>
+            spawnEntry(n, b, cid, i, level + 1)
+          }
+        }
+        return
+      }
       val containerEntries: Option[Vector[graft.sources.Archive.UnzippedEntry]] =
         if (graft.sources.Archive.isZip(data))
           Some(graft.sources.Archive.unzip(data, cfg.maxSpanChars))
@@ -384,6 +427,23 @@ object Extract {
           val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
           val (n, b) = graft.sources.Archive.gunzip(bytes, cfg.maxSpanChars)
           spawnEntry(n, b, rootId, ord, 1); ord += 1
+        case "cfb" =>
+          // the compound file IS the parent document: a message's
+          // attachments (file or nested message) become its children; a
+          // generic compound file spawns each stream sniffed like an
+          // archive entry
+          val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          val entries = graft.core.office.Cfb.streamEntries(bytes, cfg.maxSpanChars)
+          if (graft.core.office.Msg.isMsg(entries))
+            graft.core.office.Msg.parse(entries).attachments.foreach {
+              case graft.core.office.Msg.FileAtt(n, b) =>
+                spawnEntry(n, Some(b), rootId, ord, 1); ord += 1
+              case graft.core.office.Msg.MsgAtt(sub) =>
+                spawnMsg(sub, sub.subject, rootId, ord, 1); ord += 1
+            }
+          else entries.foreach { case (n, b) =>
+            spawnEntry(n, b, rootId, ord, 1); ord += 1
+          }
         case "eml" =>
           // mail attachments are entries of the message (RFC822Parser
           // semantics): filename as resource name; a zipped attachment

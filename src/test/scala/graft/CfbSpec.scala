@@ -1,0 +1,147 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{DocIn, ParseFailure, SpanIn}
+import graft.core.office.{Cfb, Msg}
+import graft.core.route.Extract
+import graft.sources.{Archive, Ingest}
+
+/** Compound File Binary (OLE2) reader/writer and the MS-OXMSG (.msg) route:
+  * round-trips, mini-vs-regular sector placement, malformed-input contract,
+  * and msg-in-msg-in-msg explosion (the reference's `3rd-level-bug-732.msg`
+  * shape).
+  */
+class CfbSpec extends AnyFunSuite {
+
+  private def b(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)
+
+  test("build/entries round-trips streams across mini and regular sectors") {
+    val big = Array.tabulate[Byte](5000)(i => (i % 251).toByte) // >= 4096: regular FAT
+    val streams = Seq(
+      ("small.txt", b("tiny payload")),       // < 4096: mini stream
+      ("empty.bin", Array.empty[Byte]),       // zero-length stream
+      ("big.bin", big),
+      ("dir/inner.txt", b("nested storage payload")))
+    val bytes = Cfb.build(streams)
+    assert(Cfb.isCfb(bytes))
+    val got = Cfb.streamEntries(bytes, maxEntryBytes = 1 << 20)
+    val byName = got.toMap
+    assert(byName.keySet == Set("small.txt", "empty.bin", "big.bin", "dir/inner.txt"))
+    assert(byName("small.txt").get.sameElements(b("tiny payload")))
+    assert(byName("empty.bin").get.isEmpty)
+    assert(byName("big.bin").get.sameElements(big))
+    assert(byName("dir/inner.txt").get.sameElements(b("nested storage payload")))
+    // storage node appears in the full entry listing
+    assert(Cfb.entries(bytes, 1 << 20).exists(e => e.path == "dir" && e.isStorage))
+  }
+
+  test("entries come back in canonical CFB name order (length, then upper)") {
+    val bytes = Cfb.build(Seq(
+      ("bb", b("1")), ("a", b("2")), ("ccc", b("3")), ("AB", b("4"))))
+    val names = Cfb.streamEntries(bytes, 1 << 20).map(_._1)
+    // shorter first; same length compares uppercase
+    assert(names == Vector("a", "AB", "bb", "ccc"))
+  }
+
+  test("determinism: same streams give byte-identical containers") {
+    val s = Seq(("x.txt", b("one")), ("y/z.txt", b("two")))
+    assert(Cfb.build(s).sameElements(Cfb.build(s)))
+  }
+
+  test("declared-size guard refuses oversized streams as None") {
+    val bytes = Cfb.build(Seq(("ok.txt", b("ok")), ("huge.txt", b("x" * 500))))
+    val got = Cfb.streamEntries(bytes, maxEntryBytes = 100).toMap
+    assert(got("ok.txt").isDefined && got("huge.txt").isEmpty)
+  }
+
+  test("malformed input throws ParseFailure, never anything else") {
+    val good = Cfb.build(Seq(("a.txt", b("payload here"))))
+    intercept[ParseFailure](Cfb.entries("nonsense".getBytes, 1 << 20))
+    intercept[ParseFailure](Cfb.entries(good.take(200), 1 << 20)) // truncated
+    // corrupt the directory start sector to an out-of-range value
+    val corrupt = good.clone()
+    corrupt(48) = 0x7f; corrupt(49) = 0x7f; corrupt(50) = 0x7f; corrupt(51) = 0x7f
+    intercept[ParseFailure](Cfb.entries(corrupt, 1 << 20))
+  }
+
+  test("sniffKind detects compound files") {
+    assert(Ingest.sniffKind(Cfb.build(Seq(("s", b("x"))))) == "cfb")
+  }
+
+  private val threeLevel = Msg.MsgDoc(
+    subject = "outer", from = "alice@example.com", body = "outer body",
+    attachments = Vector(
+      Msg.FileAtt("notes.txt", b("plain attachment")),
+      Msg.MsgAtt(Msg.MsgDoc("middle", "bob@example.com", "middle body",
+        Vector(Msg.MsgAtt(Msg.MsgDoc("inner", "carol@example.com", "inner body",
+          Vector(Msg.FileAtt("deep.txt", b("third level payload"))))))))))
+
+  test("msg build/parse round-trips three levels of nesting") {
+    val parsed = Msg.parse(Cfb.streamEntries(Msg.build(threeLevel), 1 << 20))
+    assert(parsed.subject == "outer" && parsed.from == "alice@example.com" &&
+      parsed.body == "outer body")
+    assert(parsed.attachments.length == 2)
+    val Msg.FileAtt(n0, d0) = parsed.attachments(0): @unchecked
+    assert(n0 == "notes.txt" && d0.sameElements(b("plain attachment")))
+    val Msg.MsgAtt(mid) = parsed.attachments(1): @unchecked
+    assert(mid.body == "middle body")
+    val Msg.MsgAtt(inner) = mid.attachments(0): @unchecked
+    assert(inner.subject == "inner")
+    val Msg.FileAtt(n3, d3) = inner.attachments(0): @unchecked
+    assert(n3 == "deep.txt" && d3.sameElements(b("third level payload")))
+  }
+
+  test("msg canonical is invariant to rebuild but distinguishes fields") {
+    val again = Msg.parse(Cfb.streamEntries(Msg.build(threeLevel), 1 << 20))
+    assert(Msg.canonical(again) == Msg.canonical(threeLevel))
+    assert(Msg.canonical(threeLevel.copy(subject = "other")) != Msg.canonical(threeLevel))
+  }
+
+  test("explode walks msg-in-msg-in-msg with per-level document children") {
+    val latin1 = new String(Msg.build(threeLevel), StandardCharsets.ISO_8859_1)
+    val doc = DocIn(7L, Array(SpanIn("cfb", latin1, "", 0)))
+    val nodes = Extract.explode(doc)
+    val byLevel = nodes.groupBy(_.level)
+    // root (body text) + 2 level-1 (file att, middle msg) + 1 level-2 + 1 level-3
+    assert(nodes.map(_.level).sorted == Seq(0, 1, 1, 2, 3))
+    assert(byLevel(0).head.spans.map(_.text).mkString == "outer body")
+    val texts = nodes.map(n => n.spans.map(_.text).mkString).toSet
+    assert(texts.contains("plain attachment") && texts.contains("middle body") &&
+      texts.contains("inner body") && texts.contains("third level payload"))
+    // parent chain: inner msg's parent is middle msg's node
+    val middle = nodes.find(n => n.spans.map(_.text).mkString == "middle body").get
+    val inner = nodes.find(n => n.spans.map(_.text).mkString == "inner body").get
+    assert(inner.parent_id == middle.doc_id && middle.parent_id == byLevel(0).head.doc_id)
+  }
+
+  test("zip attachment inside a msg re-enters the archive recursion") {
+    val zip = Archive.zipBytes(Seq(("in.txt", b("zipped text"))))
+    val m = Msg.MsgDoc("s", "f@example.com", "body", Vector(Msg.FileAtt("a.zip", zip)))
+    val latin1 = new String(Msg.build(m), StandardCharsets.ISO_8859_1)
+    val nodes = Extract.explode(DocIn(8L, Array(SpanIn("cfb", latin1, "", 0))))
+    // root + zip container node + its entry
+    assert(nodes.map(_.level).sorted == Seq(0, 1, 2))
+    assert(nodes.exists(n => n.level == 2 && n.spans.map(_.text).mkString == "zipped text"))
+  }
+
+  test("generic (non-msg) compound file explodes streams as sniffed children") {
+    val cfb = Cfb.build(Seq(
+      ("readme.txt", b("generic stream")),
+      ("inner.zip", Archive.zipBytes(Seq(("z.txt", b("nested via cfb")))))))
+    val latin1 = new String(cfb, StandardCharsets.ISO_8859_1)
+    val nodes = Extract.explode(DocIn(9L, Array(SpanIn("cfb", latin1, "", 0))))
+    assert(nodes.exists(n => n.level == 1 && n.spans.map(_.text).mkString == "generic stream"))
+    assert(nodes.exists(n => n.level == 2 && n.spans.map(_.text).mkString == "nested via cfb"))
+    // the container root has no own text (its content lives in children)
+    assert(nodes.find(_.level == 0).get.spans.map(_.text).mkString.isEmpty)
+  }
+
+  test("msg nested inside a zip becomes a document child with body text") {
+    val inner = Msg.MsgDoc("zipped msg", "z@example.com", "msg body in zip", Vector.empty)
+    val zip = Archive.zipBytes(Seq(("mail.msg", Msg.build(inner))))
+    val nodes = Extract.explode(
+      DocIn(10L, Array(SpanIn("zip", new String(zip, StandardCharsets.ISO_8859_1), "", 0))))
+    assert(nodes.exists(n => n.level == 1 && n.spans.map(_.text).mkString == "msg body in zip"))
+  }
+}
