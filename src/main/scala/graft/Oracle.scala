@@ -150,6 +150,54 @@ object Oracle {
       |  sha256('64:'||sha256('gamma '||doc_id)||'64:'||nzid||'1:0'||'0:'||'5:c.txt'),
       |  nzid, 2, 'gamma '||doc_id, '' FROM n""".stripMargin
 
+  /** Mirror of Queries.docxMedia: the decoded PNG fields recomputed
+    * arithmetically (the engine's side must unzip + ImageIO-decode to
+    * reproduce these values from real bytes).
+    */
+  private val docxMedia: String =
+    """SELECT doc_id,
+      | (2 + doc_id%3)::BIGINT AS width,
+      | (3 + doc_id%2)::BIGINT AS height,
+      | ((doc_id%250)*1000 + 7)::BIGINT AS rgb,
+      | 1::BIGINT AS n_children
+      |FROM documents WHERE doc_id%12=0""".stripMargin
+
+  /** Mirror of Queries.qualityC4: the construction arithmetic — 5-word
+    * groups, terminal punctuation unless (id+i)%3=0, javascript mention
+    * when (id+i)%7=0, lorem/brace page poisons at %31/%37.
+    */
+  private val qualityC4: String =
+    """WITH p AS (SELECT doc_id, len(string_split(text,' ')) AS m FROM documents),
+      |l AS (SELECT doc_id, i,
+      |        CASE WHEN least(5, m-5*i)=5 AND (doc_id+i)%3<>0 AND (doc_id+i)%7<>0
+      |             THEN 1 ELSE 0 END AS kept
+      |      FROM p, LATERAL unnest(generate_series(0,(m-1)//5)) AS t(i)),
+      |k AS (SELECT doc_id, sum(kept) AS n_kept, count(*) AS n_groups
+      |      FROM l GROUP BY doc_id)
+      |SELECT doc_id,
+      |  (n_groups + CASE WHEN doc_id%31=0 THEN 1 ELSE 0 END
+      |            + CASE WHEN doc_id%37=0 THEN 1 ELSE 0 END)::BIGINT AS n_lines,
+      |  n_kept::BIGINT AS n_kept,
+      |  (CASE WHEN doc_id%31<>0 AND doc_id%37<>0 AND n_kept>=3
+      |        THEN 1 ELSE 0 END)::BIGINT AS page_kept
+      |FROM k""".stripMargin
+
+  /** Mirror of Queries.c4SpanDedup: 15-word spans at 5-word stride, the
+    * first owner per span text the min (doc_id, sid) key, later
+    * occurrences counted as duplicates.
+    */
+  private val c4SpanDedup: String =
+    """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
+      |  len(string_split(text,' ')) AS m FROM documents),
+      |s AS (SELECT doc_id, i AS sid, array_to_string(w[5*i+1:5*i+15],' ') AS span,
+      |        doc_id*1000000+i AS k
+      |      FROM p, LATERAL unnest(generate_series(0,(m-15)//5)) AS t(i)
+      |      WHERE m>=15),
+      |f AS (SELECT span, min(k) AS fk FROM s GROUP BY span)
+      |SELECT s.doc_id, count(*)::BIGINT AS n_spans,
+      |  sum(CASE WHEN s.k<>f.fk THEN 1 ELSE 0 END)::BIGINT AS n_dup
+      |FROM s JOIN f USING (span) GROUP BY s.doc_id""".stripMargin
+
   /** Mirror of Queries.artifactLookup: the level-1 embed fetched by its
     * independently recomputed digest, with the content-addressed path.
     */
@@ -952,6 +1000,7 @@ object Oracle {
     "q_eml_explode" -> emlExplode,
     "q_msg_explode" -> msgExplode,
     "q_cfb_explode" -> cfbExplode,
+    "q_docx_media" -> docxMedia,
     "q_eml_headers" -> emlHeaders,
     "q_artifact_lookup" -> artifactLookup,
     "q_embed_named" -> embedNamed,
@@ -978,6 +1027,8 @@ object Oracle {
     "q_lang_trigram" -> langTrigram,
     "q_quality" -> quality,
     "q_quality_gopher" -> qualityGopher,
+    "q_quality_c4" -> qualityC4,
+    "q_c4_spandedup" -> c4SpanDedup,
     "q_token_count" -> tokenCount,
     "q_fingerprint" -> fingerprint,
     "q_winnow" -> winnow,

@@ -427,6 +427,39 @@ object Queries {
       .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
   }
 
+  /** §2.5 REAL media inside an Office package — the reference's
+    * image-in-docx explosion (`EmbedSpawner` over Tika's package parser)
+    * joined to the multimodal decode path: each %12 doc's docx embeds an
+    * actual PNG part whose dims/color derive from doc_id; the engine must
+    * unzip the package, recover the part bytes, decode them with ImageIO,
+    * and still spawn the part as an embedded child. The oracle recomputes
+    * the decoded fields arithmetically — matching requires a real zip walk
+    * plus a real PNG decode.
+    */
+  def docxMedia(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    import graft.sources.Archive
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .filter(_._1 % 12 == 0)
+      .map { case (id, t) =>
+        val w = 2 + (id % 3).toInt
+        val h = 3 + (id % 2).toInt
+        val rgb = ((id % 250) * 1000 + 7).toInt
+        val png = Media.encodePng(w, h, rgb)
+        val paras = t.split(" ", -1).grouped(5).map(_.mkString(" ")).toSeq
+        val docx = graft.core.office.Docx.buildMinimal(paras, Seq(("word/media/img1.png", png)))
+        // real round trip: walk the package for the media part, decode it
+        val part = Archive.unzipWanted(docx, _ == "word/media/img1.png", 16 << 20)
+          .collectFirst { case (_, Some(b)) => b }.get
+        val (dw, dh, pix) = Media.decodeImage(part)
+        val d = DocIn(id, Array(SpanIn("zip", new String(docx, ISO_8859_1), "", 0)))
+        val nChildren = Extract.explode(d).count(_.level == 1).toLong
+        (id, dw.toLong, dh.toLong, pix.toLong, nChildren)
+      }
+      .toDF("doc_id", "width", "height", "rgb", "n_children")
+  }
+
   /** §2.8 on REAL header data: parsed RFC-822 headers (unfolded, repeated
     * keys) through the full Meta.normalizeMap pipeline — collision concat
     * on the duplicated Received header, key normalization, block list.
@@ -765,6 +798,54 @@ object Queries {
       }
       .toDF("doc_id", "n_words", "mean_wlen_x100", "n_stop",
         "alpha_pct", "uniq_pct", "passes")
+  }
+
+  /** C4 page cleaning over deterministically typeset pages: each doc's
+    * words become 5-word lines, where line i gets terminal punctuation
+    * unless (id+i)%3=0 and a "javascript" mention when (id+i)%7=0; %31
+    * docs gain a "lorem ipsum" line, %37 docs a curly-brace line. The
+    * REAL [[graft.core.text.TextStats.c4]] filter runs over the page;
+    * the oracle recomputes every count from the construction arithmetic.
+    */
+  def qualityC4(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .map { case (id, t) =>
+        val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+        t.split(" ", -1).grouped(5).zipWithIndex.foreach { case (g, i) =>
+          val base = g.mkString(" ")
+          val withJs = if ((id + i) % 7 == 0) base + " javascript" else base
+          lines += (if ((id + i) % 3 != 0) withJs + "." else withJs)
+        }
+        if (id % 31 == 0) lines += "lorem ipsum"
+        if (id % 37 == 0) lines += "{ code }"
+        val s = TextStats.c4(lines.mkString("\n"))
+        (id, s.nLines.toLong, s.nKept.toLong, if (s.pageKept) 1L else 0L)
+      }
+      .toDF("doc_id", "n_lines", "n_kept", "page_kept")
+  }
+
+  /** C4's OTHER dedup rule — exact three-sentence-span deduplication
+    * across the whole corpus (keep the first occurrence): documents
+    * explode into 15-word spans at sentence (5-word) stride, the first
+    * owner per span is a map-side-combinable min over (doc_id, span idx),
+    * and every later occurrence counts as a duplicate. The only shuffle
+    * keys on the span text; no window, no broadcast of an O(corpus) side.
+    */
+  def c4SpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spans = docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val w = t.split(" ", -1)
+        (0 to w.length - 15 by 5).map(i => (id, i / 5, w.slice(i, i + 15).mkString(" ")))
+      }
+      .toDF("doc_id", "sid", "span")
+      .withColumn("k", col("doc_id") * lit(1000000L) + col("sid"))
+    val first = spans.groupBy("span").agg(min(col("k")).as("fk"))
+    spans.join(first, "span")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("k") =!= col("fk"), 1L).otherwise(0L)).as("n_dup"))
   }
 
   def tokenCountQ(spark: SparkSession, dir: String): DataFrame = {
@@ -1133,6 +1214,7 @@ object Queries {
     "q_eml_explode" -> (emlExplode _),
     "q_msg_explode" -> (msgExplode _),
     "q_cfb_explode" -> (cfbExplode _),
+    "q_docx_media" -> (docxMedia _),
     "q_eml_headers" -> (emlHeaders _),
     "q_artifact_lookup" -> (artifactLookup _),
     "q_embed_named" -> (embedNamed _),
@@ -1159,6 +1241,8 @@ object Queries {
     "q_lang_trigram" -> (langTrigram _),
     "q_quality" -> (qualityQ _),
     "q_quality_gopher" -> (qualityGopher _),
+    "q_quality_c4" -> (qualityC4 _),
+    "q_c4_spandedup" -> (c4SpanDedup _),
     "q_token_count" -> (tokenCountQ _),
     "q_fingerprint" -> (fingerprintQ _),
     "q_winnow" -> (winnowQ _),

@@ -114,6 +114,38 @@ object TextStats {
     Gopher(n, meanX100, nStop, alphaX100, uniqX100, passes)
   }
 
+  final case class C4Stats(nLines: Int, nKept: Int, hasLorem: Boolean,
+                           hasBrace: Boolean, pageKept: Boolean)
+
+  /** C4-style page cleaning (Raffel et al. 2020 §2.2 — the published C4
+    * heuristics): keep only lines that end in terminal punctuation
+    * (.!?") and carry at least 5 words; drop lines mentioning
+    * "javascript"; drop the whole page when it contains "lorem ipsum" or
+    * a curly brace, or keeps fewer than 3 terminal lines (the 3-sentence
+    * rule, sentences approximated by kept terminal lines). Map-only,
+    * integer-exact — the oracle recomputes every count arithmetically.
+    */
+  def c4(text: String): C4Stats = {
+    val lines = text.split('\n')
+    var kept = 0
+    var i = 0
+    while (i < lines.length) {
+      val l = lines(i).trim
+      if (l.nonEmpty) {
+        val last = l.charAt(l.length - 1)
+        val terminal = last == '.' || last == '!' || last == '?' || last == '"'
+        if (terminal && l.split("\\s+").length >= 5 &&
+          !l.toLowerCase(java.util.Locale.ROOT).contains("javascript")) kept += 1
+      }
+      i += 1
+    }
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
+    val hasLorem = lower.contains("lorem ipsum")
+    val hasBrace = text.indexOf('{') >= 0
+    C4Stats(lines.length, kept, hasLorem, hasBrace,
+      !hasLorem && !hasBrace && kept >= 3)
+  }
+
   /** Polynomial document fingerprint over md5-derived word codes:
     * fp = (sum_i (code32(w_i) mod 1000003) * 31^(i mod 8)) mod P.
     * The modulus is applied per step (mathematically identical to the

@@ -89,4 +89,29 @@ class TextStatsSpec extends AnyFunSuite {
     assert(a == b)
     assert(a >= 0 && a <= 0xffffffffL)
   }
+
+  test("c4: line filters — terminal punctuation, 5 words, javascript") {
+    val page = Seq(
+      "one two three four five.",        // kept
+      "short line here.",                // < 5 words: dropped
+      "no terminal punctuation on this", // dropped
+      "uses JavaScript alert popup code.", // mentions javascript: dropped
+      "does it end with a question?",    // kept (terminal ?)
+      "he said \"quote five words here\"" // kept (terminal ")
+    ).mkString("\n")
+    val s = TextStats.c4(page)
+    assert(s.nLines == 6 && s.nKept == 3)
+    assert(s.pageKept) // 3 kept lines, no poisons
+  }
+
+  test("c4: page poisons — lorem ipsum, curly brace, <3 sentences") {
+    val good = "a b c d e.\nf g h i j.\nk l m n o."
+    assert(TextStats.c4(good).pageKept)
+    assert(!TextStats.c4(good + "\nsome Lorem Ipsum filler").pageKept)
+    assert(TextStats.c4(good + "\nsome Lorem Ipsum filler").hasLorem)
+    assert(!TextStats.c4(good + "\nif (x) { y }").pageKept)
+    assert(!TextStats.c4("a b c d e.\nf g h i j.").pageKept) // only 2 sentences
+    val empty = TextStats.c4("")
+    assert(empty.nKept == 0 && !empty.pageKept)
+  }
 }
