@@ -99,6 +99,38 @@ object Ingest {
     name.startsWith(".") || name.startsWith("~$") || SystemFileNames.contains(name)
   }
 
+  /** One real file -> one DocIn: sniffed kind, kind-appropriate decode,
+    * path-derived id. Shared by the batch walk ([[readDir]]) and the
+    * streaming walk ([[graft.streaming.StreamJob.ingestStream]]) so the
+    * two can never diverge on sniffing or charset rules.
+    */
+  def toDocIn(path: String, bytes: Array[Byte]): DocIn = {
+    val kind = sniffKind(bytes)
+    DocIn(pathId(path), Array(SpanIn(kind, decodePayload(kind, bytes), "", 0)))
+  }
+
+  /** The hidden/system junk predicate as a Column over a `path` column
+    * (shared batch/stream): OS-junk names, dotfiles, Office lock files.
+    */
+  def junkNameFilter(path: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{element_at, split}
+    val name = element_at(split(path, "/"), -1)
+    name.startsWith(".") || name.startsWith("~$") ||
+      name.isin(SystemFileNames.toSeq: _*)
+  }
+
+  /** The binaryFile source's fixed schema — streaming reads require it
+    * declared up front (a streaming source cannot infer).
+    */
+  val BinaryFileSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+  }
+
   /** Ingest a directory of real files via Spark's binaryFile source: one
     * DocIn per file, one span of the sniffed kind. Distributed read —
     * binaryFile splits files across partitions by size.
@@ -113,21 +145,14 @@ object Ingest {
   def readDir(spark: SparkSession, dir: String, glob: String = "*",
               excludeHidden: Boolean = true): Dataset[DocIn] = {
     import spark.implicits._
-    import org.apache.spark.sql.functions.{col, element_at, split, not}
+    import org.apache.spark.sql.functions.{col, not}
     val base = spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .load(dir)
-    val name = element_at(split(col("path"), "/"), -1)
-    val junk = name.startsWith(".") || name.startsWith("~$") ||
-      name.isin(SystemFileNames.toSeq: _*)
-    val kept = if (excludeHidden) base.filter(not(junk)) else base
+    val kept = if (excludeHidden) base.filter(not(junkNameFilter(col("path")))) else base
     kept
       .select("path", "content")
       .as[(String, Array[Byte])]
-      .map { case (path, bytes) =>
-        val kind = sniffKind(bytes)
-        val text = decodePayload(kind, bytes)
-        DocIn(pathId(path), Array(SpanIn(kind, text, "", 0)))
-      }
+      .map { case (path, bytes) => toDocIn(path, bytes) }
   }
 }

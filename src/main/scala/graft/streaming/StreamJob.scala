@@ -67,6 +67,44 @@ object StreamJob {
       .start()
   }
 
+  /** Streaming RAW-FILE ingestion — the reference's directory Scanner
+    * feeding its queue continuously (`Scanner.java` + `DocumentQueueDrainer`)
+    * as one Structured Streaming job over the binaryFile source: real files
+    * (PDF/zip/msg/eml/text bytes) landing in `inputDir` are magic-byte
+    * sniffed, extracted, and container-EXPLODED incrementally, with the
+    * checkpoint giving exactly-once resume. Same shared mapping as the
+    * batch walk ([[graft.sources.Ingest.toDocIn]]) and the same
+    * per-partition transformation as the batch job, so stream output is
+    * row-identical to a batch run over the same files.
+    */
+  def ingestStream(spark: SparkSession, inputDir: String, checkpointDir: String,
+                   outDir: String, glob: String = "*",
+                   cfg: graft.pipeline.ExtractJob.JobConfig =
+                     graft.pipeline.ExtractJob.JobConfig()): StreamingQuery = {
+    import spark.implicits._
+    import graft.sources.Ingest
+    val base = spark.readStream
+      .format("binaryFile")
+      .schema(Ingest.BinaryFileSchema)
+      .option("pathGlobFilter", glob)
+      .option("maxFilesPerTrigger", 16) // bounded micro-batches = backpressure
+      .load(inputDir)
+    val docs = base
+      .filter(!Ingest.junkNameFilter(col("path")))
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .map { case (p, b) => Ingest.toDocIn(p, b) }
+    graft.pipeline.ExtractJob.extractPartitions(docs, cfg)
+      .toDF("doc", "lineage")
+      .writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpointDir)
+      .option("path", outDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming exact deduplication — the DocumentQueue.removeDuplicates
     * semantics on an unbounded stream: state is bounded by the watermark
     * (a duplicate arriving within the lateness horizon is dropped; state

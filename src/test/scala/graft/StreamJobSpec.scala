@@ -67,6 +67,43 @@ class StreamJobSpec extends AnyFunSuite {
     assert(lineage.count() == 20)
   }
 
+  test("streaming raw-file ingestion sniffs, explodes containers, resumes") {
+    import org.apache.spark.sql.functions.col
+    import java.nio.charset.StandardCharsets.UTF_8
+    import java.nio.file.{Files, Paths}
+    import graft.core.office.Msg
+    import graft.sources.Archive
+    val base = Files.createTempDirectory("graft-stream-ingest")
+    val (in, ckpt, out) = (s"$base/in", s"$base/ckpt", s"$base/out")
+    Files.createDirectories(Paths.get(in))
+
+    Files.write(Paths.get(in, "plain.txt"), "hello stream world again".getBytes(UTF_8))
+    Files.write(Paths.get(in, "arch.zip"),
+      Archive.zipBytes(Seq(("a.txt", "alpha".getBytes(UTF_8)), ("b.txt", "beta".getBytes(UTF_8)))))
+    Files.write(Paths.get(in, "mail.msg"), Msg.build(Msg.MsgDoc(
+      "subj", "from@example.com", "msg body",
+      Vector(Msg.FileAtt("att.txt", "attached".getBytes(UTF_8))))))
+    Files.write(Paths.get(in, "Thumbs.db"), Array[Byte](1, 2, 3)) // junk: excluded
+
+    val q1 = StreamJob.ingestStream(spark, in, ckpt, out)
+    q1.awaitTermination()
+    val docs1 = spark.read.parquet(out).filter(col("doc").isNotNull).select("doc.*")
+    // 3 roots (junk excluded) + 2 zip children + 1 msg attachment child
+    assert(docs1.count() == 6)
+    val texts = docs1.collect().map(r =>
+      r.getAs[Seq[org.apache.spark.sql.Row]]("spans").map(_.getString(1)).mkString).toSet
+    assert(texts.contains("hello stream world again") && texts.contains("alpha") &&
+      texts.contains("beta") && texts.contains("msg body") && texts.contains("attached"))
+
+    // a new file lands; the restarted query processes ONLY it
+    Files.write(Paths.get(in, "late.txt"), "late arrival".getBytes(UTF_8))
+    val q2 = StreamJob.ingestStream(spark, in, ckpt, out)
+    q2.awaitTermination()
+    val docs2 = spark.read.parquet(out).filter(col("doc").isNotNull)
+    assert(docs2.count() == 7)
+    assert(docs2.select("doc.doc_id").distinct().count() == 7) // no reprocessing
+  }
+
   test("streaming poison doc yields a classified failure record, stream continues") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
