@@ -1001,6 +1001,7 @@ object Oracle {
     "q_msg_explode" -> msgExplode,
     "q_cfb_explode" -> cfbExplode,
     "q_docx_media" -> docxMedia,
+    "q_doc_bytes" -> pdfBytes, // same 5-word-line text, shared mirror
     "q_eml_headers" -> emlHeaders,
     "q_artifact_lookup" -> artifactLookup,
     "q_embed_named" -> embedNamed,

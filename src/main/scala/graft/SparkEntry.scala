@@ -494,6 +494,25 @@ object Queries {
       .toDF("doc_id", "txt")
   }
 
+  /** §2.3 REAL legacy Word binary route (the reference's POI WordExtractor
+    * .doc fixtures): document words typeset into an actual MS-DOC compound
+    * file (FIB + Clx piece table, one cp1252 piece + one UTF-16LE piece,
+    * CR paragraph marks), extracted back through the CFB walk + piece-table
+    * reader. Oracle recomputes the 5-word lines from documents.
+    */
+  def docBytes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .map { case (id, t) =>
+        val lines = t.split(" ", -1).grouped(5).map(_.mkString(" ")).toSeq
+        val doc = graft.core.office.WordDoc.build(lines.mkString("\n"))
+        val (txt, _) = Extract.extractSpan("cfb", new String(doc, ISO_8859_1))
+        (id, txt)
+      }
+      .toDF("doc_id", "txt")
+  }
+
   /** §2.3 delimited-table route (reference csv fixture): two-word rows plus
     * a final QUOTED field exercising embedded commas and "" escapes; the
     * parser renders tab-joined cells per row.
@@ -1215,6 +1234,7 @@ object Queries {
     "q_msg_explode" -> (msgExplode _),
     "q_cfb_explode" -> (cfbExplode _),
     "q_docx_media" -> (docxMedia _),
+    "q_doc_bytes" -> (docBytes _),
     "q_eml_headers" -> (emlHeaders _),
     "q_artifact_lookup" -> (artifactLookup _),
     "q_embed_named" -> (embedNamed _),

@@ -89,13 +89,16 @@ object Msg {
   }
 
   /** Own text of a `cfb` span (the [[graft.core.route.Extract]] route):
-    * a message contributes its body; a generic compound file is a pure
-    * container whose content lives in its stream children.
+    * a message contributes its body, a legacy Word binary its piece-table
+    * text; a generic compound file is a pure container whose content
+    * lives in its stream children.
     */
   def cfbText(latin1: String, maxEntryBytes: Int): String = {
     val entries = Cfb.streamEntries(
       latin1.getBytes(StandardCharsets.ISO_8859_1), maxEntryBytes)
-    if (isMsg(entries)) parse(entries).body else ""
+    if (isMsg(entries)) parse(entries).body
+    else if (WordDoc.isDoc(entries)) WordDoc.text(entries)
+    else ""
   }
 
   // ---------------------------------------------------------------- writer

@@ -137,6 +137,42 @@ class CfbSpec extends AnyFunSuite {
     assert(nodes.find(_.level == 0).get.spans.map(_.text).mkString.isEmpty)
   }
 
+  test("WordDoc build/text round-trips across cp1252 and utf16 pieces") {
+    import graft.core.office.WordDoc
+    val t = "first line of the doc\nsecond line here\nthird"
+    assert(WordDoc.text(Cfb.streamEntries(WordDoc.build(t), 1 << 20)) == t)
+    // non-ASCII forces a real utf16 piece split at the charset boundary
+    val uni = "ascii prefix éü世界 suffix"
+    assert(WordDoc.text(Cfb.streamEntries(WordDoc.build(uni), 1 << 20)) == uni)
+    assert(WordDoc.text(Cfb.streamEntries(WordDoc.build(""), 1 << 20)) == "")
+  }
+
+  test("WordDoc malformed inputs throw ParseFailure") {
+    import graft.core.office.WordDoc
+    // WordDocument stream present but garbage
+    intercept[ParseFailure](WordDoc.text(Vector(("WordDocument", Some(new Array[Byte](64))))))
+    // valid FIB magic but missing table stream
+    val good = Cfb.streamEntries(WordDoc.build("some text body"), 1 << 20)
+    val noTable = good.filterNot(_._1 == "1Table")
+    intercept[ParseFailure](WordDoc.text(noTable))
+  }
+
+  test("a .doc explodes as a document: body text, no stream children") {
+    import graft.core.office.WordDoc
+    val latin1 = new String(WordDoc.build("legacy word body text"), StandardCharsets.ISO_8859_1)
+    val nodes = Extract.explode(DocIn(11L, Array(SpanIn("cfb", latin1, "", 0))))
+    assert(nodes.length == 1) // no WordDocument/1Table stream children
+    assert(nodes.head.spans.map(_.text).mkString == "legacy word body text")
+  }
+
+  test("a .doc inside a zip becomes a document child with its text") {
+    import graft.core.office.WordDoc
+    val zip = Archive.zipBytes(Seq(("old.doc", WordDoc.build("doc in archive"))))
+    val nodes = Extract.explode(
+      DocIn(12L, Array(SpanIn("zip", new String(zip, StandardCharsets.ISO_8859_1), "", 0))))
+    assert(nodes.exists(n => n.level == 1 && n.spans.map(_.text).mkString == "doc in archive"))
+  }
+
   test("msg nested inside a zip becomes a document child with body text") {
     val inner = Msg.MsgDoc("zipped msg", "z@example.com", "msg body in zip", Vector.empty)
     val zip = Archive.zipBytes(Seq(("mail.msg", Msg.build(inner))))
