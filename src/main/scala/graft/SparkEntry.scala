@@ -830,8 +830,20 @@ object Queries {
     import spark.implicits._
     docs(spark, dir).select("doc_id", "text").as[(Long, String)]
       .map { case (id, t) =>
+        // the oracle models the INJECTED filter triggers arithmetically, so
+        // the construction must guarantee no corpus word can trigger one on
+        // its own: any hazardous word (filter keywords, terminal-punctuation
+        // tail, brace, whitespace, empty) is replaced by a neutral token —
+        // word COUNTS, the only compared quantity, are unchanged
+        val safe = t.split(" ", -1).map { w0 =>
+          val lw = w0.toLowerCase(java.util.Locale.ROOT)
+          if (w0.isEmpty || w0.exists(_.isWhitespace) ||
+            "\".!?{".indexOf(w0.last.toInt) >= 0 || w0.contains("{") ||
+            lw.contains("javascript") || lw.contains("lorem") || lw.contains("ipsum")) "w"
+          else w0
+        }
         val lines = scala.collection.mutable.ArrayBuffer.empty[String]
-        t.split(" ", -1).grouped(5).zipWithIndex.foreach { case (g, i) =>
+        safe.grouped(5).zipWithIndex.foreach { case (g, i) =>
           val base = g.mkString(" ")
           val withJs = if ((id + i) % 7 == 0) base + " javascript" else base
           lines += (if ((id + i) % 3 != 0) withJs + "." else withJs)

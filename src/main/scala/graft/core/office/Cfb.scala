@@ -66,6 +66,7 @@ object Cfb {
     if (!isCfb(bytes)) throw new ParseFailure("not a compound file: bad signature")
     if (bytes.length < SectorSize) throw new ParseFailure("truncated compound file header")
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val majorVersion = bb.getShort(26) & 0xffff
     val sectorShift = bb.getShort(30) & 0xffff
     if (sectorShift != 9 && sectorShift != 12)
       throw new ParseFailure(s"unsupported sector shift $sectorShift")
@@ -154,8 +155,12 @@ object Cfb {
         val name =
           if (nameLen < 2 || nameLen > 64) ""
           else new String(bytes, o, nameLen - 2, StandardCharsets.UTF_16LE)
+        // version-3 readers must use only the LOW 32 bits of stream size —
+        // real writers leave garbage in bytes 124-127 (MS-CFB §2.6.1)
+        val rawSize = bb.getLong(o + 120)
+        val size = if (majorVersion == 3) rawSize & 0xffffffffL else rawSize
         dir += DirEntry(name, objType, bb.getInt(o + 68), bb.getInt(o + 72),
-          bb.getInt(o + 76), bb.getInt(o + 116), bb.getLong(o + 120))
+          bb.getInt(o + 76), bb.getInt(o + 116), size)
         k += 1
       }
     }
@@ -197,38 +202,54 @@ object Cfb {
     }
 
     // in-order sibling-tree walk (left, self, right) = CFB canonical name
-    // order; storages recurse through their child pointer
+    // order; storages recurse through their child pointer. ITERATIVE with
+    // an explicit stack: a crafted file with a 100k-long left-linked
+    // sibling chain must yield ParseFailure/refusals, never a
+    // StackOverflowError task failure. Entries beyond `maxEntries` are
+    // listed with bytes=None (the breadth guard as a counted refusal,
+    // same contract as the zip entry cap), not silently dropped.
     val out = Vector.newBuilder[Entry]
     var count = 0
     val visited = new java.util.BitSet(entriesArr.length)
-    def walk(id: Int, prefix: String): Unit = {
-      if (id == NoStream) return
-      if (id < 0 || id >= entriesArr.length) throw new ParseFailure(s"directory id $id out of range")
-      if (visited.get(id)) throw new ParseFailure("directory sibling-tree cycle")
-      visited.set(id)
-      val e = entriesArr(id)
-      walk(e.left, prefix)
-      if (count < maxEntries) {
-        val path = if (prefix.isEmpty) e.name else prefix + "/" + e.name
-        e.objType match {
-          case 2 => // stream
-            count += 1
-            val payload =
-              if (e.size > maxEntryBytes) None // declared-size guard
-              else if (e.size == 0) Some(Array.empty[Byte])
-              else if (e.size < cutoff) Some(readMiniChain(e.startSector, e.size))
-              else Some(readChain(e.startSector, e.size))
-            out += Entry(path, payload, isStorage = false)
-          case 1 => // storage
-            count += 1
-            out += Entry(path, None, isStorage = true)
-            walk(e.child, path)
-          case _ => ()
+    // frame: (directory id, storage path prefix, expanded?) — an
+    // unexpanded frame schedules its left subtree; an expanded frame
+    // emits itself, then schedules its storage child subtree (between
+    // self and right, matching the recursive order) and right subtree
+    val stack = new java.util.ArrayDeque[(Int, String, Boolean)]
+    stack.push((root.child, "", false))
+    while (!stack.isEmpty) {
+      val (id, prefix, expanded) = stack.pop()
+      if (id != NoStream) {
+        if (id < 0 || id >= entriesArr.length)
+          throw new ParseFailure(s"directory id $id out of range")
+        val e = entriesArr(id)
+        if (!expanded) {
+          if (visited.get(id)) throw new ParseFailure("directory sibling-tree cycle")
+          visited.set(id)
+          stack.push((id, prefix, true))
+          stack.push((e.left, prefix, false))
+        } else {
+          val path = if (prefix.isEmpty) e.name else prefix + "/" + e.name
+          stack.push((e.right, prefix, false))
+          e.objType match {
+            case 2 => // stream
+              count += 1
+              val payload =
+                if (count > maxEntries) None        // breadth guard
+                else if (e.size > maxEntryBytes) None // declared-size guard
+                else if (e.size == 0) Some(Array.empty[Byte])
+                else if (e.size < cutoff) Some(readMiniChain(e.startSector, e.size))
+                else Some(readChain(e.startSector, e.size))
+              out += Entry(path, payload, isStorage = false)
+            case 1 => // storage
+              count += 1
+              out += Entry(path, None, isStorage = true)
+              stack.push((e.child, path, false))
+            case _ => ()
+          }
         }
       }
-      walk(e.right, prefix)
     }
-    walk(root.child, "")
     out.result()
   }
 
@@ -239,6 +260,26 @@ object Cfb {
                     maxEntries: Int = 10000): Vector[(String, Option[Array[Byte]])] =
     entries(bytes, maxEntryBytes, maxEntries).filterNot(_.isStorage)
       .map(e => (e.path, e.bytes))
+
+  /** [[streamEntries]] memoized per thread on the latin1 payload's
+    * IDENTITY: the extraction router (own-text) and the container spawner
+    * (children) parse the SAME span string instance back-to-back, so a
+    * one-slot reference-keyed cache halves the per-document FAT/directory
+    * walk with no cross-document state and no effect on determinism.
+    */
+  def streamEntriesOf(latin1: String, maxEntryBytes: Int): Vector[(String, Option[Array[Byte]])] = {
+    val cached = lastParse.get()
+    if (cached != null && (cached.key eq latin1) && cached.max == maxEntryBytes) cached.value
+    else {
+      val v = streamEntries(
+        latin1.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), maxEntryBytes)
+      lastParse.set(new Memo(latin1, maxEntryBytes, v))
+      v
+    }
+  }
+  private final class Memo(val key: String, val max: Int,
+                           val value: Vector[(String, Option[Array[Byte]])])
+  private val lastParse = new ThreadLocal[Memo]
 
   // ---------------------------------------------------------------- writer
 
@@ -336,11 +377,20 @@ object Cfb {
     val miniStreamSecs = (miniBytes + SectorSize - 1) / SectorSize
     val bigSecs = bigs.map(n => ((n.size + SectorSize - 1) / SectorSize).toInt)
     val payloadSecs = dirSecs + miniFatSecs + miniStreamSecs + bigSecs.sum
-    // FAT sectors also occupy FAT slots: solve the fixed point
+    // FAT and DIFAT sectors also occupy FAT slots: solve the fixed point.
+    // The header DIFAT holds 109 FAT locations; beyond that, chained
+    // DIFAT sectors carry 127 locations each (+ a next pointer).
     var numFat = 1
-    while (numFat * (SectorSize / 4) < numFat + payloadSecs) numFat += 1
-    require(numFat <= 109, s"container too large for header-DIFAT writer ($numFat FAT sectors)")
-    val total = numFat + payloadSecs
+    var numDifat = 0
+    var stable = false
+    while (!stable) {
+      val total = numDifat + numFat + payloadSecs
+      val needFat = (total + (SectorSize / 4) - 1) / (SectorSize / 4)
+      val needDifat = if (needFat <= 109) 0 else (needFat - 109 + 126) / 127
+      stable = needFat == numFat && needDifat == numDifat
+      numFat = needFat; numDifat = needDifat
+    }
+    val total = numDifat + numFat + payloadSecs
 
     val fat = Array.fill(numFat * (SectorSize / 4))(FreeSect)
     var next = 0
@@ -350,10 +400,11 @@ object Cfb {
       while (k < count) { fat(next) = if (k == count - 1) EndOfChain else next + 1; next += 1; k += 1 }
       start
     }
-    // layout: [FAT][directory][miniFAT][mini stream][big streams]
+    // layout: [DIFAT][FAT][directory][miniFAT][mini stream][big streams]
     var k = 0
-    while (k < numFat) { fat(k) = FatSect; k += 1 }
-    next = numFat
+    while (k < numDifat) { fat(k) = DifSect; k += 1 }
+    while (k < numDifat + numFat) { fat(k) = FatSect; k += 1 }
+    next = numDifat + numFat
     val firstDir = alloc(dirSecs)
     val firstMiniFat = if (miniFatSecs > 0) alloc(miniFatSecs) else EndOfChain
     val firstMiniStream = if (miniStreamSecs > 0) alloc(miniStreamSecs) else EndOfChain
@@ -376,15 +427,29 @@ object Cfb {
     out.putInt(MiniCutoff)
     out.putInt(firstMiniFat)
     out.putInt(miniFatSecs)
-    out.putInt(EndOfChain)           // no DIFAT sectors (<=109 FAT sectors)
-    out.putInt(0)
+    out.putInt(if (numDifat > 0) 0 else EndOfChain) // first DIFAT sector
+    out.putInt(numDifat)
+    // FAT sector ids: numDifat..numDifat+numFat-1 (header carries 109)
     var d = 0
-    while (d < 109) { out.putInt(if (d < numFat) d else FreeSect); d += 1 }
+    while (d < 109) { out.putInt(if (d < numFat) numDifat + d else FreeSect); d += 1 }
 
     def sectorPos(s: Int): Int = SectorSize + s * SectorSize
+    // chained DIFAT sectors: 127 FAT locations each + next pointer
+    var ds = 0
+    while (ds < numDifat) {
+      val base = sectorPos(ds)
+      var j = 0
+      while (j < 127) {
+        val fatIdx = 109 + ds * 127 + j
+        out.putInt(base + 4 * j, if (fatIdx < numFat) numDifat + fatIdx else FreeSect)
+        j += 1
+      }
+      out.putInt(base + SectorSize - 4, if (ds == numDifat - 1) EndOfChain else ds + 1)
+      ds += 1
+    }
     // FAT
     var f = 0
-    while (f < fat.length) { out.putInt(sectorPos(0) + 4 * f, fat(f)); f += 1 }
+    while (f < fat.length) { out.putInt(sectorPos(numDifat) + 4 * f, fat(f)); f += 1 }
     // directory
     nodes.foreach { n =>
       val o = sectorPos(firstDir) + n.id * 128

@@ -42,13 +42,32 @@ object Msg {
   private def utf16(bytes: Option[Array[Byte]]): String =
     bytes.map(b => new String(b, StandardCharsets.UTF_16LE)).getOrElse("")
 
-  /** Parse the property streams of one message level. Paths are the
-    * slash-joined [[Cfb.streamEntries]] form; `prefix` scopes recursion
-    * into a `3701000D` embedded-message storage.
+  private val Cp1252 = java.nio.charset.Charset.forName("windows-1252")
+
+  /** Message nesting ceiling: beyond this a crafted msg-in-msg chain is
+    * malformed input (ParseFailure, classified NOT_PARSED) rather than a
+    * recursion-depth task failure. Generous vs the reference's embed
+    * depth guard of 20 (`EmbedSpawner.java:55`).
     */
-  def parse(entries: Seq[(String, Option[Array[Byte]])]): MsgDoc = {
+  val MaxNesting = 64
+
+  /** Parse the property streams of one message level. Paths are the
+    * slash-joined [[Cfb.streamEntries]] form; recursion descends into
+    * `3701000D` embedded-message storages, depth-capped by [[MaxNesting]].
+    */
+  def parse(entries: Seq[(String, Option[Array[Byte]])]): MsgDoc = parse(entries, 0)
+
+  private def parse(entries: Seq[(String, Option[Array[Byte]])], depth: Int): MsgDoc = {
+    if (depth > MaxNesting)
+      throw new graft.core.ParseFailure(s"msg nesting deeper than $MaxNesting")
+    // string property: Unicode stream (001F, UTF-16LE) wins, ANSI
+    // fallback (001E, cp1252) — real Outlook writes either
     def str(tag: String): String =
-      utf16(entries.collectFirst { case (p, b) if p == s"__substg1.0_${tag}001F" => b }.flatten)
+      entries.collectFirst { case (p, b) if p == s"__substg1.0_${tag}001F" => utf16(b) }
+        .orElse(entries.collectFirst {
+          case (p, Some(b)) if p == s"__substg1.0_${tag}001E" => new String(b, Cp1252)
+        })
+        .getOrElse("")
 
     val groups = entries.iterator.flatMap { case (p, _) =>
       if (p.startsWith(AttachPrefix) && p.length > AttachPrefix.length + 8)
@@ -61,11 +80,13 @@ object Msg {
       val nested = entries.collect {
         case (p, b) if p.startsWith(nestedPrefix) => (p.substring(nestedPrefix.length), b)
       }
-      if (nested.nonEmpty) MsgAtt(parse(nested))
+      if (nested.nonEmpty) MsgAtt(parse(nested, depth + 1))
       else {
-        val name = utf16(entries.collectFirst {
-          case (p, b) if p == s"$g/__substg1.0_3707001F" => b
-        }.flatten)
+        val name = entries.collectFirst {
+          case (p, b) if p == s"$g/__substg1.0_3707001F" => utf16(b)
+        }.orElse(entries.collectFirst {
+          case (p, Some(b)) if p == s"$g/__substg1.0_3707001E" => new String(b, Cp1252)
+        }).getOrElse("")
         val data = entries.collectFirst {
           case (p, b) if p == s"$g/__substg1.0_37010102" => b
         }.flatten.getOrElse(Array.empty[Byte])
@@ -94,8 +115,7 @@ object Msg {
     * lives in its stream children.
     */
   def cfbText(latin1: String, maxEntryBytes: Int): String = {
-    val entries = Cfb.streamEntries(
-      latin1.getBytes(StandardCharsets.ISO_8859_1), maxEntryBytes)
+    val entries = Cfb.streamEntriesOf(latin1, maxEntryBytes)
     if (isMsg(entries)) parse(entries).body
     else if (WordDoc.isDoc(entries)) WordDoc.text(entries)
     else ""

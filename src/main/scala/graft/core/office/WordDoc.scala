@@ -84,18 +84,23 @@ object WordDoc {
       val cpStart = u32(table, plc + 4 * k)
       val cpEnd = u32(table, plc + 4 * (k + 1))
       if (cpEnd < cpStart) throw new ParseFailure("doc: piece CPs not monotone")
-      val cpLen = (cpEnd - cpStart).toInt
+      // LONG length guarded BEFORE the Int narrowing: a crafted
+      // cpEnd-cpStart of 2^31 would wrap negative, slip past the bounds
+      // checks, and surface as the wrong exception type
+      val cpLenL = cpEnd - cpStart
+      if (cpLenL > word.length) throw new ParseFailure("doc: piece longer than stream")
+      val cpLen = cpLenL.toInt
       val pcdOff = plc + 4 * (n + 1) + 8 * k
       val fcRaw = u32(table, pcdOff + 2)
       val compressed = (fcRaw & 0x40000000L) != 0
       val piece =
         if (compressed) {
           val fc = ((fcRaw & 0x3fffffffL) / 2).toInt
-          if (fc + cpLen > word.length) throw new ParseFailure("doc: cp1252 piece past stream end")
+          if (fc + cpLenL > word.length) throw new ParseFailure("doc: cp1252 piece past stream end")
           new String(word, fc, cpLen, Cp1252)
         } else {
           val fc = (fcRaw & 0x3fffffffL).toInt
-          if (fc + 2 * cpLen > word.length) throw new ParseFailure("doc: utf16 piece past stream end")
+          if (fc + 2 * cpLenL > word.length) throw new ParseFailure("doc: utf16 piece past stream end")
           new String(word, fc, 2 * cpLen, Utf16Le)
         }
       sb.append(piece)

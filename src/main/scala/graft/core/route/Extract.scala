@@ -441,8 +441,7 @@ object Extract {
           // attachments (file or nested message) become its children; a
           // generic compound file spawns each stream sniffed like an
           // archive entry
-          val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-          val entries = graft.core.office.Cfb.streamEntries(bytes, cfg.maxSpanChars)
+          val entries = graft.core.office.Cfb.streamEntriesOf(content, cfg.maxSpanChars)
           if (graft.core.office.Msg.isMsg(entries))
             graft.core.office.Msg.parse(entries).attachments.foreach {
               case graft.core.office.Msg.FileAtt(n, b) =>

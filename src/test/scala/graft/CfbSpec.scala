@@ -15,6 +15,7 @@ import graft.sources.{Archive, Ingest}
 class CfbSpec extends AnyFunSuite {
 
   private def b(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)
+  private val Cp1252Charset = java.nio.charset.Charset.forName("windows-1252")
 
   test("build/entries round-trips streams across mini and regular sectors") {
     val big = Array.tabulate[Byte](5000)(i => (i % 251).toByte) // >= 4096: regular FAT
@@ -67,6 +68,56 @@ class CfbSpec extends AnyFunSuite {
 
   test("sniffKind detects compound files") {
     assert(Ingest.sniffKind(Cfb.build(Seq(("s", b("x"))))) == "cfb")
+  }
+
+  test("large containers spill FAT locations into chained DIFAT sectors") {
+    // > 109 FAT sectors needs > ~7MB of payload
+    val big = Array.tabulate[Byte](8 << 20)(i => (i * 31 % 251).toByte)
+    val bytes = Cfb.build(Seq(("big.bin", big), ("small.txt", b("side payload"))))
+    val got = Cfb.streamEntries(bytes, maxEntryBytes = 32 << 20).toMap
+    assert(got("big.bin").get.sameElements(big))
+    assert(got("small.txt").get.sameElements(b("side payload")))
+  }
+
+  test("v3 readers ignore garbage in the high 4 bytes of stream size") {
+    val bytes = Cfb.build(Seq(("s.txt", b("low bits only"))))
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val firstDir = bb.getInt(48)
+    // directory ids are pre-order: root=0, the stream=1; poke junk into
+    // size bytes 124..127 of its 128-byte entry (MS-CFB says v3 readers
+    // must read only the low 32 bits)
+    val entryOff = 512 + firstDir * 512 + 128 + 124
+    (0 until 4).foreach(i => bytes(entryOff + i) = 0xde.toByte)
+    val got = Cfb.streamEntries(bytes, 1 << 20).toMap
+    assert(got("s.txt").get.sameElements(b("low bits only")))
+  }
+
+  test("entry-cap overflow surfaces as counted refusals, not silence") {
+    val many = (0 until 30).map(i => (f"s$i%02d.txt", b(s"payload $i")))
+    val bytes = Cfb.build(many)
+    val got = Cfb.streamEntries(bytes, 1 << 20, maxEntries = 10)
+    assert(got.length == 30) // every entry listed
+    assert(got.count(_._2.isDefined) == 10 && got.count(_._2.isEmpty) == 20)
+  }
+
+  test("ANSI (001E) property streams parse with the cp1252 fallback") {
+    val streams = Seq(
+      ("__substg1.0_0037001E", "ansi subject".getBytes(Cp1252Charset)),
+      ("__substg1.0_0C1A001E", "ansi sender".getBytes(Cp1252Charset)),
+      ("__substg1.0_1000001E", "ansi body éü".getBytes(Cp1252Charset)),
+      ("__properties_version1.0", new Array[Byte](32)))
+    val parsed = Msg.parse(Cfb.streamEntries(Cfb.build(streams), 1 << 20))
+    assert(parsed.subject == "ansi subject" && parsed.from == "ansi sender" &&
+      parsed.body == "ansi body éü")
+  }
+
+  test("msg nesting beyond the ceiling is ParseFailure, not stack overflow") {
+    val deep = (0 until Msg.MaxNesting + 2).foldLeft(
+      Msg.MsgDoc("innermost", "x@example.com", "core", Vector.empty)) { (inner, k) =>
+      Msg.MsgDoc(s"level $k", "x@example.com", s"body $k", Vector(Msg.MsgAtt(inner)))
+    }
+    val entries = Cfb.streamEntries(Msg.build(deep), 64 << 20, maxEntries = 100000)
+    intercept[ParseFailure](Msg.parse(entries))
   }
 
   private val threeLevel = Msg.MsgDoc(
