@@ -198,6 +198,27 @@ object Oracle {
       |  sum(CASE WHEN s.k<>f.fk THEN 1 ELSE 0 END)::BIGINT AS n_dup
       |FROM s JOIN f USING (span) GROUP BY s.doc_id""".stripMargin
 
+  /** Mirror of Queries.xlsTable: the xlsxTable construction at %15 —
+    * two-word tab rows + 'total<TAB><id>'.
+    */
+  private val xlsTable: String =
+    """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
+      |  len(string_split(text,' ')) AS m FROM documents WHERE doc_id%15=0),
+      |r AS (SELECT doc_id, i, array_to_string(w[2*i+1:2*i+2], chr(9)) AS row
+      |      FROM p, LATERAL unnest(generate_series(0, (m-1)//2)) AS t(i))
+      |SELECT doc_id,
+      | string_agg(row, chr(10) ORDER BY i) || chr(10) || 'total' || chr(9) || doc_id AS txt
+      |FROM r GROUP BY doc_id""".stripMargin
+
+  /** Mirror of Queries.pptText: 5-word lines in document order at %17. */
+  private val pptText: String =
+    """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
+      |  len(string_split(text,' ')) AS m FROM documents WHERE doc_id%17=0),
+      |l AS (SELECT doc_id, i, array_to_string(w[5*i+1:5*i+5],' ') AS line
+      |      FROM p, LATERAL unnest(generate_series(0, (m-1)//5)) AS t(i))
+      |SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS txt
+      |FROM l GROUP BY doc_id""".stripMargin
+
   /** Mirror of Queries.artifactLookup: the level-1 embed fetched by its
     * independently recomputed digest, with the content-addressed path.
     */
@@ -1002,6 +1023,8 @@ object Oracle {
     "q_cfb_explode" -> cfbExplode,
     "q_docx_media" -> docxMedia,
     "q_doc_bytes" -> pdfBytes, // same 5-word-line text, shared mirror
+    "q_xls_table" -> xlsTable,
+    "q_ppt_text" -> pptText,
     "q_eml_headers" -> emlHeaders,
     "q_artifact_lookup" -> artifactLookup,
     "q_embed_named" -> embedNamed,

@@ -513,6 +513,47 @@ object Queries {
       .toDF("doc_id", "txt")
   }
 
+  /** §2.3 REAL legacy Excel binary route (POI ExcelExtractor fixtures):
+    * the xlsx construction re-typeset as an actual BIFF8 workbook —
+    * two-word rows as SST-indirected LABELSST cells (alternating
+    * compressed/UTF-16 storage) plus a final NUMBER cell — read back
+    * through the CFB walk + record parser. Oracle recomputes from
+    * documents.
+    */
+  def xlsTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .filter(_._1 % 15 == 0)
+      .map { case (id, t) =>
+        val rows = t.split(" ", -1).grouped(2)
+          .map(_.toSeq.map(w => (w, false))).toSeq ++
+          Seq(Seq(("total", false), (id.toString, true)))
+        val bytes = graft.core.office.Xls.build(rows)
+        val (txt, _) = Extract.extractSpan("cfb", new String(bytes, ISO_8859_1))
+        (id, txt)
+      }
+      .toDF("doc_id", "txt")
+  }
+
+  /** §2.3 REAL legacy PowerPoint binary route (POI PowerPointExtractor
+    * fixtures): 5-word lines as alternating TextBytesAtom/TextCharsAtom
+    * records inside a container, walked back out in document order.
+    */
+  def pptText(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .filter(_._1 % 17 == 0)
+      .map { case (id, t) =>
+        val lines = t.split(" ", -1).grouped(5).map(_.mkString(" ")).toSeq
+        val bytes = graft.core.office.Ppt.build(lines)
+        val (txt, _) = Extract.extractSpan("cfb", new String(bytes, ISO_8859_1))
+        (id, txt)
+      }
+      .toDF("doc_id", "txt")
+  }
+
   /** §2.3 delimited-table route (reference csv fixture): two-word rows plus
     * a final QUOTED field exercising embedded commas and "" escapes; the
     * parser renders tab-joined cells per row.
@@ -1247,6 +1288,8 @@ object Queries {
     "q_cfb_explode" -> (cfbExplode _),
     "q_docx_media" -> (docxMedia _),
     "q_doc_bytes" -> (docBytes _),
+    "q_xls_table" -> (xlsTable _),
+    "q_ppt_text" -> (pptText _),
     "q_eml_headers" -> (emlHeaders _),
     "q_artifact_lookup" -> (artifactLookup _),
     "q_embed_named" -> (embedNamed _),

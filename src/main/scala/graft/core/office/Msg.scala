@@ -117,9 +117,25 @@ object Msg {
   def cfbText(latin1: String, maxEntryBytes: Int): String = {
     val entries = Cfb.streamEntriesOf(latin1, maxEntryBytes)
     if (isMsg(entries)) parse(entries).body
-    else if (WordDoc.isDoc(entries)) WordDoc.text(entries)
-    else ""
+    else docText(entries).getOrElse("")
   }
+
+  /** Own text of a legacy Office DOCUMENT compound file (Some), or None
+    * for a generic/unrecognized container — the single dispatch point the
+    * router and both spawn paths share, so adding a legacy format can
+    * never diverge between them.
+    */
+  def docText(entries: Seq[(String, Option[Array[Byte]])]): Option[String] =
+    if (WordDoc.isDoc(entries)) Some(WordDoc.text(entries))
+    else if (Xls.isXls(entries)) Some(Xls.text(entries))
+    else if (Ppt.isPpt(entries)) Some(Ppt.text(entries))
+    else None
+
+  /** Cheap name-only predicate for [[docText]]'s Some case — for callers
+    * that only need to know whether stream children should be suppressed.
+    */
+  def isLegacyDoc(entries: Seq[(String, Option[Array[Byte]])]): Boolean =
+    WordDoc.isDoc(entries) || Xls.isXls(entries) || Ppt.isPpt(entries)
 
   // ---------------------------------------------------------------- writer
 

@@ -339,21 +339,22 @@ object Extract {
         if (graft.core.office.Msg.isMsg(entries)) {
           spawned -= 1
           spawnMsg(graft.core.office.Msg.parse(entries), name, parentId, ord, level)
-        } else if (graft.core.office.WordDoc.isDoc(entries)) {
-          // legacy Word binary: a DOCUMENT child carrying its piece-table
-          // text (its streams are format plumbing, not embedded children)
-          val body = graft.core.office.WordDoc.text(entries)
-          val cid = Ids.embedId(canonicalOf(entries), parentId, ord, resourceName = name)
-          val spans =
-            if (body.isEmpty) Array.empty[SpanOut] else Array(SpanOut("text", body, "", 0))
-          out += DocOut(cid, parentId, rootId, level, spans,
-            if (body.isEmpty) Reason.Empty else "")
-        } else {
-          val cid = Ids.embedId(canonicalOf(entries), parentId, ord, resourceName = name)
-          out += DocOut(cid, parentId, rootId, level, Array.empty[SpanOut], Reason.Empty)
-          entries.zipWithIndex.foreach { case ((n, b), i) =>
-            spawnEntry(n, b, cid, i, level + 1)
-          }
+        } else graft.core.office.Msg.docText(entries) match {
+          case Some(body) =>
+            // legacy Office binary (.doc/.xls/.ppt): a DOCUMENT child
+            // carrying its extracted text (its streams are format
+            // plumbing, not embedded children)
+            val cid = Ids.embedId(canonicalOf(entries), parentId, ord, resourceName = name)
+            val spans =
+              if (body.isEmpty) Array.empty[SpanOut] else Array(SpanOut("text", body, "", 0))
+            out += DocOut(cid, parentId, rootId, level, spans,
+              if (body.isEmpty) Reason.Empty else "")
+          case None =>
+            val cid = Ids.embedId(canonicalOf(entries), parentId, ord, resourceName = name)
+            out += DocOut(cid, parentId, rootId, level, Array.empty[SpanOut], Reason.Empty)
+            entries.zipWithIndex.foreach { case ((n, b), i) =>
+              spawnEntry(n, b, cid, i, level + 1)
+            }
         }
         return
       }
@@ -449,8 +450,8 @@ object Extract {
               case graft.core.office.Msg.MsgAtt(sub) =>
                 spawnMsg(sub, sub.subject, rootId, ord, 1); ord += 1
             }
-          else if (graft.core.office.WordDoc.isDoc(entries))
-            () // legacy Word binary: body text via routeKind, no children
+          else if (graft.core.office.Msg.isLegacyDoc(entries))
+            () // legacy Office document: body text via routeKind, no children
           else entries.foreach { case (n, b) =>
             spawnEntry(n, b, rootId, ord, 1); ord += 1
           }

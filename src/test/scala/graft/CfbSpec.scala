@@ -224,6 +224,51 @@ class CfbSpec extends AnyFunSuite {
     assert(nodes.exists(n => n.level == 1 && n.spans.map(_.text).mkString == "doc in archive"))
   }
 
+  test("Xls build/text round-trips SST indirection and numeric cells") {
+    import graft.core.office.Xls
+    val rows = Seq(
+      Seq(("alpha", false), ("beta", false)),
+      Seq(("gamma", false), ("alpha", false)), // duplicate string: same SST slot
+      Seq(("total", false), ("42", true)))     // numeric cell
+    val txt = Xls.text(Cfb.streamEntries(Xls.build(rows), 1 << 20))
+    assert(txt == "alpha\tbeta\ngamma\talpha\ntotal\t42")
+    // non-ASCII forces the UTF-16 SST branch
+    val uni = Xls.text(Cfb.streamEntries(
+      Xls.build(Seq(Seq(("héllo wörld", false)))), 1 << 20))
+    assert(uni == "héllo wörld")
+  }
+
+  test("Xls malformed records throw ParseFailure") {
+    import graft.core.office.Xls
+    intercept[ParseFailure](Xls.text(Vector(("Workbook", Some(Array[Byte](1, 2, 3))))))
+    intercept[ParseFailure](Xls.text(Vector(("other", Some(Array.empty[Byte])))))
+  }
+
+  test("Ppt build/text round-trips both atom encodings in document order") {
+    import graft.core.office.Ppt
+    val paras = Seq("first slide line", "second slide line", "third après ça")
+    val txt = Ppt.text(Cfb.streamEntries(Ppt.build(paras), 1 << 20))
+    assert(txt == paras.mkString("\n"))
+  }
+
+  test("legacy xls and ppt explode as documents with text, no children") {
+    import graft.core.office.{Ppt, Xls}
+    val xls = Xls.build(Seq(Seq(("cell", false), ("7", true))))
+    val n1 = Extract.explode(
+      DocIn(13L, Array(SpanIn("cfb", new String(xls, StandardCharsets.ISO_8859_1), "", 0))))
+    assert(n1.length == 1 && n1.head.spans.map(_.text).mkString == "cell\t7")
+    val ppt = Ppt.build(Seq("deck text here"))
+    val n2 = Extract.explode(
+      DocIn(14L, Array(SpanIn("cfb", new String(ppt, StandardCharsets.ISO_8859_1), "", 0))))
+    assert(n2.length == 1 && n2.head.spans.map(_.text).mkString == "deck text here")
+    // and inside a zip they become document children
+    val zip = Archive.zipBytes(Seq(("old.xls", xls), ("old.ppt", ppt)))
+    val n3 = Extract.explode(
+      DocIn(15L, Array(SpanIn("zip", new String(zip, StandardCharsets.ISO_8859_1), "", 0))))
+    val texts = n3.filter(_.level == 1).map(_.spans.map(_.text).mkString).toSet
+    assert(texts == Set("cell\t7", "deck text here"))
+  }
+
   test("msg nested inside a zip becomes a document child with body text") {
     val inner = Msg.MsgDoc("zipped msg", "z@example.com", "msg body in zip", Vector.empty)
     val zip = Archive.zipBytes(Seq(("mail.msg", Msg.build(inner))))
