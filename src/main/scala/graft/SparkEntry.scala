@@ -901,8 +901,14 @@ object Queries {
     * across the whole corpus (keep the first occurrence): documents
     * explode into 15-word spans at sentence (5-word) stride, the first
     * owner per span is a map-side-combinable min over (doc_id, span idx),
-    * and every later occurrence counts as a duplicate. The only shuffle
-    * keys on the span text; no window, no broadcast of an O(corpus) side.
+    * and every later occurrence counts as a duplicate. The only shuffles
+    * key on the span text; no window (a hot span would sort its whole
+    * membership on one reducer), no broadcast hint (AQE picks the join;
+    * the min-owner side is O(distinct spans) and must be allowed to
+    * shuffle at scale). The span explode feeds both sides and is
+    * recomputed rather than persisted — map-side work is the cheap term
+    * next to the two shuffles, and caching an O(corpus) explode is
+    * exactly what a 100 TB run cannot do.
     */
   def c4SpanDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
