@@ -210,6 +210,19 @@ object Oracle {
       | string_agg(row, chr(10) ORDER BY i) || chr(10) || 'total' || chr(9) || doc_id AS txt
       |FROM r GROUP BY doc_id""".stripMargin
 
+  /** Mirror of Queries.pdfEncrypted: %38 docs classify encrypted (empty
+    * text), the rest extract their 5-word lines.
+    */
+  private val pdfEncrypted: String =
+    """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
+      |  len(string_split(text,' ')) AS m FROM documents WHERE doc_id%19=0),
+      |l AS (SELECT doc_id, i, array_to_string(w[5*i+1:5*i+5],' ') AS line
+      |      FROM p, LATERAL unnest(generate_series(0, (m-1)//5)) AS t(i))
+      |SELECT doc_id,
+      | CASE WHEN doc_id%38=0 THEN '' ELSE string_agg(line, chr(10) ORDER BY i) END AS txt,
+      | CASE WHEN doc_id%38=0 THEN 'encrypted' ELSE '' END AS reason
+      |FROM l GROUP BY doc_id""".stripMargin
+
   /** Mirror of Queries.pptText: 5-word lines in document order at %17. */
   private val pptText: String =
     """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
@@ -1025,6 +1038,7 @@ object Oracle {
     "q_doc_bytes" -> pdfBytes, // same 5-word-line text, shared mirror
     "q_xls_table" -> xlsTable,
     "q_ppt_text" -> pptText,
+    "q_pdf_encrypted" -> pdfEncrypted,
     "q_eml_headers" -> emlHeaders,
     "q_artifact_lookup" -> artifactLookup,
     "q_embed_named" -> embedNamed,

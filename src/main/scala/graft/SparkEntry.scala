@@ -191,6 +191,29 @@ object Queries {
       .toDF("doc_id", "txt")
   }
 
+  /** §2.3 REAL encrypted-PDF classification (the reference's
+    * `pdf/encrypted.pdf` fixture -> EncryptedDocumentException ->
+    * NOT_DECRYPTED, `Extractor.java:785-826`): %38 docs carry an /Encrypt
+    * trailer entry (their content streams would be ciphertext, so
+    * extraction must yield the REASON, not garbage); the other %19 docs
+    * are plain PDFs whose text extracts normally — both branches through
+    * the one pdf_bytes route.
+    */
+  def pdfEncrypted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .filter(_._1 % 19 == 0)
+      .map { case (id, t) =>
+        val content = pdfContentStream(t)
+        val trailer =
+          if (id % 38 == 0) "trailer << /Root 1 0 R /Encrypt 5 0 R >>" else "trailer << /Root 1 0 R >>"
+        val pdf = s"%PDF-1.4\n1 0 obj << /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n$trailer\n%%EOF"
+        val (txt, why) = Extract.extractSpan("pdf_bytes", pdf)
+        (id, txt, why)
+      }
+      .toDF("doc_id", "txt", "reason")
+  }
+
   /** §2.4+§2.6 REAL archive explosion (`EmbedSpawner.java:429-515`; fixture
     * `embedded_with_duplicate.tgz`): each %4 doc becomes an actual ZIP
     * (java.util.zip bytes) with named text entries — including a
@@ -1296,6 +1319,7 @@ object Queries {
     "q_doc_bytes" -> (docBytes _),
     "q_xls_table" -> (xlsTable _),
     "q_ppt_text" -> (pptText _),
+    "q_pdf_encrypted" -> (pdfEncrypted _),
     "q_eml_headers" -> (emlHeaders _),
     "q_artifact_lookup" -> (artifactLookup _),
     "q_embed_named" -> (embedNamed _),

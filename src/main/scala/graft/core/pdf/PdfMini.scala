@@ -62,6 +62,17 @@ object PdfMini {
     } finally d.end()
   }
 
+  /** Real encryption detection (the reference's `pdf/encrypted.pdf` route:
+    * PDFBox raises EncryptedDocumentException from the trailer's /Encrypt
+    * entry, `Extractor.java:785-826`): a `/Encrypt` name in the TRAILER
+    * dictionary — scoped after the last `trailer` keyword so an
+    * occurrence inside a content-stream string can't false-positive.
+    */
+  def isEncryptedLatin1(pdf: String): Boolean = {
+    val t = pdf.lastIndexOf("trailer")
+    t >= 0 && pdf.indexOf("/Encrypt", t) >= 0
+  }
+
   def textFromLatin1(pdf: String): String = {
     val chunks = ArrayBuffer.empty[Chunk]
     var from = 0

@@ -86,7 +86,13 @@ object Extract {
     kind match {
       case "html"      => (HtmlExtractor.mainText(t), "")
       case "pdf"       => (PdfLayout.text(t), "")
-      case "pdf_bytes" => (graft.core.pdf.PdfMini.textFromLatin1(t), "") // REAL PDF bytes, raw or FlateDecode (Ingest)
+      // REAL PDF bytes, raw or FlateDecode (Ingest); an /Encrypt trailer
+      // classifies as encrypted exactly like the reference's
+      // EncryptedDocumentException route — content streams are ciphertext,
+      // so extraction must yield the reason, not garbage text
+      case "pdf_bytes" =>
+        if (graft.core.pdf.PdfMini.isEncryptedLatin1(t)) ("", Reason.Encrypted)
+        else (graft.core.pdf.PdfMini.textFromLatin1(t), "")
       case "text"      => (t, "")
       case "media"     => (t, "") // OCR/media passthrough (north rule): text + media_ref unchanged
       // zip: an OOXML PACKAGE (docx/xlsx/pptx) yields its body text;

@@ -31,6 +31,18 @@ class IngestSpec extends AnyFunSuite {
     assert(txt == "Hello world\nsecond (escaped) line\nthird line")
   }
 
+  test("PdfMini classifies /Encrypt trailers, not content-stream mentions") {
+    val enc = "%PDF-1.4\nstream\nBT (x) Tj ET\nendstream\ntrailer << /Root 1 0 R /Encrypt 5 0 R >>\n%%EOF"
+    assert(PdfMini.isEncryptedLatin1(enc))
+    // the word '/Encrypt' INSIDE a content stream string is not encryption
+    val mention = "%PDF-1.4\nstream\nBT (/Encrypt is a pdf key) Tj ET\nendstream\ntrailer << /Root 1 0 R >>\n%%EOF"
+    assert(!PdfMini.isEncryptedLatin1(mention))
+    assert(PdfMini.textFromLatin1(mention) == "/Encrypt is a pdf key")
+    // routed: encrypted yields the reason, never garbage text
+    val (txt, why) = graft.core.route.Extract.extractSpan("pdf_bytes", enc)
+    assert(txt == "" && why == graft.core.Reason.Encrypted)
+  }
+
   test("PdfMini handles Tm positioning, TJ arrays, and reading order") {
     val pdf =
       "%PDF-1.4\nstream\n" +
