@@ -223,6 +223,24 @@ object Oracle {
       | CASE WHEN doc_id%38=0 THEN 'encrypted' ELSE '' END AS reason
       |FROM l GROUP BY doc_id""".stripMargin
 
+  /** Mirror of Queries.docObjects: the .doc root carries the 5-word-line
+    * body; the ObjectPool text object is a level-1 child.
+    */
+  private val docObjects: String =
+    """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
+      |  len(string_split(text,' ')) AS m FROM documents WHERE doc_id%21=0),
+      |l AS (SELECT doc_id, i, array_to_string(w[5*i+1:5*i+5],' ') AS line
+      |      FROM p, LATERAL unnest(generate_series(0, (m-1)//5)) AS t(i)),
+      |r AS (SELECT doc_id, sha256(doc_id::VARCHAR) AS rid,
+      |      string_agg(line, chr(10) ORDER BY i) AS txt
+      |      FROM l GROUP BY doc_id)
+      |SELECT doc_id, rid AS node_id, '' AS parent_id, 0 AS level, txt,
+      |       CASE WHEN txt='' THEN 'empty-file' ELSE '' END AS reason FROM r
+      |UNION ALL SELECT doc_id,
+      | sha256('64:'||sha256('obj '||doc_id)||'64:'||rid||'1:0'||'0:'
+      |   ||octet_length(encode('ObjectPool/_1000/obj1.txt'))||':ObjectPool/_1000/obj1.txt'),
+      | rid, 1, 'obj '||doc_id, '' FROM r""".stripMargin
+
   /** Mirror of Queries.pptText: 5-word lines in document order at %17. */
   private val pptText: String =
     """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
@@ -335,6 +353,15 @@ object Oracle {
       |UNION ALL SELECT doc_id, 'tika_metadata_subject', 'subj '||doc_id FROM z
       |UNION ALL SELECT doc_id, 'tika_metadata_to', 'dest'||doc_id||'@example.org' FROM z
       |UNION ALL SELECT doc_id, 'tika_metadata_x_mailer', 'graft '||(doc_id%3) FROM z""".stripMargin
+
+  /** Mirror of Queries.msgHeaders: the MAPI subject/from promoted through
+    * key normalization.
+    */
+  private val msgHeaders: String =
+    """WITH z AS (SELECT doc_id FROM documents WHERE doc_id%9=0)
+      |SELECT doc_id, 'tika_metadata_from' AS norm_key,
+      |       'sender '||doc_id AS vals FROM z
+      |UNION ALL SELECT doc_id, 'tika_metadata_subject', 'subject '||doc_id FROM z""".stripMargin
 
   private val pdfBytes: String =
     """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
@@ -1039,6 +1066,8 @@ object Oracle {
     "q_xls_table" -> xlsTable,
     "q_ppt_text" -> pptText,
     "q_pdf_encrypted" -> pdfEncrypted,
+    "q_msg_headers" -> msgHeaders,
+    "q_doc_objects" -> docObjects,
     "q_eml_headers" -> emlHeaders,
     "q_artifact_lookup" -> artifactLookup,
     "q_embed_named" -> embedNamed,

@@ -536,6 +536,27 @@ object Queries {
       .toDF("doc_id", "txt")
   }
 
+  /** §2.8 MAPI property promotion (the reference's OutlookExtractor
+    * metadata: subject/from land in the Tika metadata multimap): the .msg
+    * is built, round-tripped through the compound-file walk, parsed, and
+    * its string properties run the full Meta.normalizeMap pipeline —
+    * parity with the RFC-822 header route (q_eml_headers).
+    */
+  def msgHeaders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.core.office.{Cfb, Msg}
+    docs(spark, dir).select("doc_id").as[Long]
+      .filter(id => id % 9 == 0)
+      .flatMap { id =>
+        val m = Msg.MsgDoc(s"subject $id", s"sender $id", "", Vector.empty)
+        val parsed = Msg.parse(Cfb.streamEntries(Msg.build(m), 16 << 20))
+        Meta.normalizeMap(Seq(
+          ("Subject", Seq(parsed.subject)), ("From", Seq(parsed.from))))
+          .map { case (k, vs) => (id, k, vs.mkString("|")) }
+      }
+      .toDF("doc_id", "norm_key", "vals")
+  }
+
   /** §2.3 REAL legacy Excel binary route (POI ExcelExtractor fixtures):
     * the xlsx construction re-typeset as an actual BIFF8 workbook —
     * two-word rows as SST-indirected LABELSST cells (alternating
@@ -575,6 +596,27 @@ object Queries {
         (id, txt)
       }
       .toDF("doc_id", "txt")
+  }
+
+  /** §2.4 embedded OLE objects in a legacy .doc (POI's ObjectPool walk):
+    * %21 docs build a real .doc whose ObjectPool carries a text object;
+    * extraction yields the body on the root and the object as a sniffed
+    * level-1 child. Oracle recomputes both node ids from documents.
+    */
+  def docObjects(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .filter(_._1 % 21 == 0)
+      .flatMap { case (id, t) =>
+        val lines = t.split(" ", -1).grouped(5).map(_.mkString(" ")).toSeq
+        val doc = graft.core.office.WordDoc.build(lines.mkString("\n"),
+          objects = Seq(("obj1.txt", s"obj $id".getBytes(UTF_8))))
+        val d = DocIn(id, Array(SpanIn("cfb", new String(doc, ISO_8859_1), "", 0)))
+        Extract.explode(d).map(o =>
+          (id, o.doc_id, o.parent_id, o.level, o.spans.map(_.text).mkString(""), o.no_content_reason))
+      }
+      .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
   }
 
   /** §2.3 delimited-table route (reference csv fixture): two-word rows plus
@@ -1320,6 +1362,8 @@ object Queries {
     "q_xls_table" -> (xlsTable _),
     "q_ppt_text" -> (pptText _),
     "q_pdf_encrypted" -> (pdfEncrypted _),
+    "q_msg_headers" -> (msgHeaders _),
+    "q_doc_objects" -> (docObjects _),
     "q_eml_headers" -> (emlHeaders _),
     "q_artifact_lookup" -> (artifactLookup _),
     "q_embed_named" -> (embedNamed _),

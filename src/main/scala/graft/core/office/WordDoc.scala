@@ -163,6 +163,13 @@ object WordDoc {
     Seq(("WordDocument", word.array()), ("1Table", table))
   }
 
-  /** Deterministic `.doc` bytes: [[buildStreams]] framed by [[Cfb.build]]. */
-  def build(text: String): Array[Byte] = Cfb.build(buildStreams(text))
+  /** Deterministic `.doc` bytes: [[buildStreams]] framed by [[Cfb.build]];
+    * `objects` become ObjectPool streams — the embedded-OLE-object layout
+    * POI walks — which the extractor spawns as sniffed children.
+    */
+  def build(text: String,
+            objects: Seq[(String, Array[Byte])] = Nil): Array[Byte] =
+    Cfb.build(buildStreams(text) ++ objects.zipWithIndex.map {
+      case ((name, data), i) => (s"ObjectPool/_${1000 + i}/$name", data)
+    })
 }

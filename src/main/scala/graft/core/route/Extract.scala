@@ -348,13 +348,18 @@ object Extract {
         } else graft.core.office.Msg.docText(entries) match {
           case Some(body) =>
             // legacy Office binary (.doc/.xls/.ppt): a DOCUMENT child
-            // carrying its extracted text (its streams are format
-            // plumbing, not embedded children)
+            // carrying its extracted text. Format-plumbing streams never
+            // spawn, but EMBEDDED OBJECTS (the ObjectPool storage POI
+            // walks for OLE attachments) do, each sniffed like an
+            // archive entry
             val cid = Ids.embedId(canonicalOf(entries), parentId, ord, resourceName = name)
             val spans =
               if (body.isEmpty) Array.empty[SpanOut] else Array(SpanOut("text", body, "", 0))
             out += DocOut(cid, parentId, rootId, level, spans,
               if (body.isEmpty) Reason.Empty else "")
+            entries.filter(_._1.startsWith("ObjectPool/")).zipWithIndex.foreach {
+              case ((n, b), i) => spawnEntry(n, b, cid, i, level + 1)
+            }
           case None =>
             val cid = Ids.embedId(canonicalOf(entries), parentId, ord, resourceName = name)
             out += DocOut(cid, parentId, rootId, level, Array.empty[SpanOut], Reason.Empty)
@@ -457,7 +462,11 @@ object Extract {
                 spawnMsg(sub, sub.subject, rootId, ord, 1); ord += 1
             }
           else if (graft.core.office.Msg.isLegacyDoc(entries))
-            () // legacy Office document: body text via routeKind, no children
+            // legacy Office document: body text via routeKind; only
+            // embedded OLE objects (ObjectPool) spawn as children
+            entries.filter(_._1.startsWith("ObjectPool/")).foreach { case (n, b) =>
+              spawnEntry(n, b, rootId, ord, 1); ord += 1
+            }
           else entries.foreach { case (n, b) =>
             spawnEntry(n, b, rootId, ord, 1); ord += 1
           }

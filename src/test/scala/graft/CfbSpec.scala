@@ -216,6 +216,26 @@ class CfbSpec extends AnyFunSuite {
     assert(nodes.head.spans.map(_.text).mkString == "legacy word body text")
   }
 
+  test(".doc ObjectPool embedded objects spawn as sniffed children") {
+    import graft.core.office.WordDoc
+    val doc = WordDoc.build("host document body",
+      objects = Seq(("note.txt", b("embedded note")),
+        ("inner.zip", Archive.zipBytes(Seq(("z.txt", b("zip in objectpool")))))))
+    val nodes = Extract.explode(
+      DocIn(16L, Array(SpanIn("cfb", new String(doc, StandardCharsets.ISO_8859_1), "", 0))))
+    assert(nodes.find(_.level == 0).get.spans.map(_.text).mkString == "host document body")
+    val texts = nodes.map(n => n.spans.map(_.text).mkString).toSet
+    assert(texts.contains("embedded note"))
+    assert(nodes.exists(n => n.level == 2 && n.spans.map(_.text).mkString == "zip in objectpool"))
+    // and via a zip: the .doc child still spawns its embedded object below it
+    val zip = Archive.zipBytes(Seq(("host.doc", doc)))
+    val nested = Extract.explode(
+      DocIn(17L, Array(SpanIn("zip", new String(zip, StandardCharsets.ISO_8859_1), "", 0))))
+    val docChild = nested.find(n => n.spans.map(_.text).mkString == "host document body").get
+    assert(nested.exists(n => n.parent_id == docChild.doc_id &&
+      n.spans.map(_.text).mkString == "embedded note"))
+  }
+
   test("a .doc inside a zip becomes a document child with its text") {
     import graft.core.office.WordDoc
     val zip = Archive.zipBytes(Seq(("old.doc", WordDoc.build("doc in archive"))))
