@@ -30,12 +30,18 @@ object Biff {
   private[office] val Cp1252: Charset = Charset.forName("windows-1252")
   private[office] val Utf16Le: Charset = Charset.forName("UTF-16LE")
 
+  // shared little-endian bounds-checked reads for the whole legacy-Office
+  // package (WordDoc and Msg reuse these — one place for any bounds fix)
+  private[office] def u8(b: Array[Byte], off: Int): Int = {
+    if (off < 0 || off >= b.length) throw new ParseFailure(s"ole2: byte read past end at $off")
+    b(off) & 0xff
+  }
   private[office] def u16(b: Array[Byte], off: Int): Int = {
-    if (off + 2 > b.length) throw new ParseFailure(s"biff: u16 read past end at $off")
+    if (off < 0 || off + 2 > b.length) throw new ParseFailure(s"ole2: u16 read past end at $off")
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
   }
   private[office] def u32(b: Array[Byte], off: Int): Long = {
-    if (off + 4 > b.length) throw new ParseFailure(s"biff: u32 read past end at $off")
+    if (off < 0 || off + 4 > b.length) throw new ParseFailure(s"ole2: u32 read past end at $off")
     (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
       ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
   }
@@ -52,6 +58,7 @@ object Xls {
   private final val RecSst = 0x00fc
   private final val RecLabelSst = 0x00fd
   private final val RecNumber = 0x0203
+  private final val RecContinue = 0x003c
 
   /** Render an IEEE cell value the way the xlsx fixtures carry `<v>`:
     * integral doubles print without a decimal point.
@@ -65,7 +72,7 @@ object Xls {
     */
   private def xlString(b: Array[Byte], off: Int): (String, Int) = {
     val cch = u16(b, off)
-    val flags = b(off + 2) & 0xff
+    val flags = u8(b, off + 2)
     var p = off + 3
     val cRun = if ((flags & 0x08) != 0) { val v = u16(b, p); p += 2; v } else 0
     val cbExt = if ((flags & 0x04) != 0) { val v = u32(b, p); p += 4; v } else 0L
@@ -77,9 +84,11 @@ object Xls {
         if (p + cch > b.length) throw new ParseFailure("xls: compressed sst string past end")
         val v = new String(b, p, cch, Cp1252); p += cch; v
       }
-    p += cRun * 4 + cbExt.toInt
-    if (p > b.length) throw new ParseFailure("xls: sst rich/ext data past end")
-    (s, p)
+    // LONG arithmetic: a crafted cbExt near 2^31 would wrap the Int offset
+    // negative and slip past the bounds check
+    val pL = p.toLong + cRun.toLong * 4 + cbExt
+    if (pL > b.length) throw new ParseFailure("xls: sst rich/ext data past end")
+    (s, pL.toInt)
   }
 
   /** Extract the workbook text: cells grouped by row, columns sorted,
@@ -90,44 +99,60 @@ object Xls {
       case (n, Some(b)) if n == "Workbook" || n == "Book" => b
     }.getOrElse(throw new ParseFailure("xls: Workbook stream missing or refused"))
 
-    var sst = Vector.empty[String]
-    val cells = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    // pass 1: record directory, merging CONTINUE payloads into their
+    // predecessor (SSTs larger than the 64 KiB record cap span continues;
+    // our subset splits at string boundaries, so concatenation
+    // reconstructs the logical payload — mid-string flag restarts are
+    // out of scope and fail closed as ParseFailure in xlString)
+    final case class Rec(rt: Int, payload: Array[Byte])
+    val recs = scala.collection.mutable.ArrayBuffer.empty[Rec]
     var off = 0
-    var sawBof = false
     while (off + 4 <= book.length) {
       val rt = u16(book, off)
       val len = u16(book, off + 2)
       val p = off + 4
       if (p + len > book.length) throw new ParseFailure(f"xls: record 0x$rt%04x past stream end")
+      val payload = java.util.Arrays.copyOfRange(book, p, p + len)
+      if (rt == RecContinue) {
+        if (recs.isEmpty) throw new ParseFailure("xls: continue record with no predecessor")
+        val prev = recs.last
+        recs(recs.length - 1) = Rec(prev.rt, prev.payload ++ payload)
+      } else recs += Rec(rt, payload)
+      off = p + len
+    }
+    if (!recs.exists(_.rt == RecBof)) throw new ParseFailure("xls: no BOF record")
+
+    // pass 2: text content
+    var sst = Vector.empty[String]
+    val cells = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    recs.foreach { case Rec(rt, b) =>
       rt match {
-        case RecBof => sawBof = true
         case RecSst =>
-          val unique = u32(book, p + 4).toInt
-          if (unique < 0 || unique > len) throw new ParseFailure("xls: sst count implausible")
-          var q = p + 8
+          val unique = u32(b, 4).toInt
+          if (unique < 0 || unique > b.length) throw new ParseFailure("xls: sst count implausible")
+          var q = 8
           val acc = Vector.newBuilder[String]
           var k = 0
           while (k < unique) {
-            val (s, q2) = xlString(book, q)
-            if (q2 > p + len) throw new ParseFailure("xls: sst string past record end")
+            val (s, q2) = xlString(b, q)
             acc += s; q = q2; k += 1
           }
           sst = acc.result()
         case RecLabelSst =>
-          val row = u16(book, p); val col = u16(book, p + 2)
-          val isst = u32(book, p + 6).toInt
+          if (b.length < 10) throw new ParseFailure("xls: labelsst record too short")
+          val row = u16(b, 0); val col = u16(b, 2)
+          val isst = u32(b, 6).toInt
           if (isst < 0 || isst >= sst.length)
             throw new ParseFailure(s"xls: labelsst index $isst outside sst of ${sst.length}")
           cells += ((row, col, sst(isst)))
         case RecNumber =>
-          val row = u16(book, p); val col = u16(book, p + 2)
-          val bits = ByteBuffer.wrap(book, p + 6, 8).order(ByteOrder.LITTLE_ENDIAN).getDouble
+          if (b.length < 14) throw new ParseFailure("xls: number record too short")
+          val row = u16(b, 0); val col = u16(b, 2)
+          val bits = ByteBuffer.wrap(b, 6, 8).order(ByteOrder.LITTLE_ENDIAN).getDouble
           cells += ((row, col, renderNum(bits)))
-        case _ => () // formats, dimensions, EOF padding: irrelevant to text
+        case _ => () // BOF, formats, dimensions, EOF: irrelevant to text
       }
-      off = p + len
     }
-    if (!sawBof) throw new ParseFailure("xls: no BOF record")
     cells.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (_, cs) => cs.sortBy(_._2).map(_._3).mkString("\t") }
       .mkString("\n")
@@ -152,21 +177,36 @@ object Xls {
       b.putShort(0x0600.toShort); b.putShort(0x0005.toShort) // BIFF8, workbook globals
       b.array()
     })
-    rec(RecSst, {
-      val body = new java.io.ByteArrayOutputStream()
+    // SST, split across CONTINUE records at string boundaries whenever a
+    // chunk would pass 8 KiB — BIFF records cap at 64 KiB, so one big SST
+    // record would silently truncate its u16 length for large documents
+    locally {
+      val chunks = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var cur = new java.io.ByteArrayOutputStream()
       val cnt = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
       cnt.putInt(strings.length); cnt.putInt(strings.length)
-      body.write(cnt.array())
+      cur.write(cnt.array())
       strings.zipWithIndex.foreach { case (s, i) =>
+        if (s.length > 0xffff)
+          throw new ParseFailure("xls: string exceeds the BIFF8 cch limit")
         val ascii = s.forall(_ < 0x80)
         val utf16 = !ascii || i % 2 == 1 // alternate storage for coverage
         val h = ByteBuffer.allocate(3).order(ByteOrder.LITTLE_ENDIAN)
         h.putShort(s.length.toShort); h.put((if (utf16) 1 else 0).toByte)
-        body.write(h.array())
-        body.write(s.getBytes(if (utf16) Utf16Le else Cp1252))
+        val payload = s.getBytes(if (utf16) Utf16Le else Cp1252)
+        if (payload.length + 3 > 0xffff)
+          throw new ParseFailure("xls: string too large for one record (mid-string continuation unsupported)")
+        if (cur.size() + 3 + payload.length > 8192 && cur.size() > 0) {
+          chunks += cur.toByteArray; cur = new java.io.ByteArrayOutputStream()
+        }
+        cur.write(h.array()); cur.write(payload)
       }
-      body.toByteArray
-    })
+      chunks += cur.toByteArray
+      rec(RecSst, chunks.head)
+      chunks.tail.foreach(c => rec(RecContinue, c))
+    }
+    if (rows.length > 0x10000)
+      throw new ParseFailure("xls: row count exceeds the BIFF8 sheet limit")
     rows.zipWithIndex.foreach { case (cs, r) =>
       cs.zipWithIndex.foreach { case ((v, isNum), c) =>
         if (isNum) rec(RecNumber, {

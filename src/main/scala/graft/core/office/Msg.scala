@@ -40,9 +40,9 @@ object Msg {
     }
 
   private def utf16(bytes: Option[Array[Byte]]): String =
-    bytes.map(b => new String(b, StandardCharsets.UTF_16LE)).getOrElse("")
+    bytes.map(b => new String(b, Biff.Utf16Le)).getOrElse("")
 
-  private val Cp1252 = java.nio.charset.Charset.forName("windows-1252")
+  private val Cp1252 = Biff.Cp1252 // one charset instance package-wide
 
   /** Message nesting ceiling: beyond this a crafted msg-in-msg chain is
     * malformed input (ParseFailure, classified NOT_PARSED) rather than a
@@ -60,10 +60,12 @@ object Msg {
   private def parse(entries: Seq[(String, Option[Array[Byte]])], depth: Int): MsgDoc = {
     if (depth > MaxNesting)
       throw new graft.core.ParseFailure(s"msg nesting deeper than $MaxNesting")
-    // string property: Unicode stream (001F, UTF-16LE) wins, ANSI
-    // fallback (001E, cp1252) — real Outlook writes either
+    // string property: a READABLE Unicode stream (001F, UTF-16LE) wins,
+    // ANSI fallback (001E, cp1252) — real Outlook writes either; a
+    // size-refused 001F (bytes=None) must fall through to the ANSI copy,
+    // not shadow it with ""
     def str(tag: String): String =
-      entries.collectFirst { case (p, b) if p == s"__substg1.0_${tag}001F" => utf16(b) }
+      entries.collectFirst { case (p, Some(b)) if p == s"__substg1.0_${tag}001F" => utf16(Some(b)) }
         .orElse(entries.collectFirst {
           case (p, Some(b)) if p == s"__substg1.0_${tag}001E" => new String(b, Cp1252)
         })
@@ -83,7 +85,7 @@ object Msg {
       if (nested.nonEmpty) MsgAtt(parse(nested, depth + 1))
       else {
         val name = entries.collectFirst {
-          case (p, b) if p == s"$g/__substg1.0_3707001F" => utf16(b)
+          case (p, Some(b)) if p == s"$g/__substg1.0_3707001F" => utf16(Some(b))
         }.orElse(entries.collectFirst {
           case (p, Some(b)) if p == s"$g/__substg1.0_3707001E" => new String(b, Cp1252)
         }).getOrElse("")

@@ -24,21 +24,12 @@ import graft.core.ParseFailure
   */
 object WordDoc {
 
-  private val Cp1252: Charset = Charset.forName("windows-1252")
-  private val Utf16Le: Charset = Charset.forName("UTF-16LE")
+  private val Cp1252: Charset = Biff.Cp1252
+  private val Utf16Le: Charset = Biff.Utf16Le
+  import Biff.{u16, u32} // shared bounds-checked little-endian reads
 
   def isDoc(entries: Seq[(String, Option[Array[Byte]])]): Boolean =
     entries.exists(_._1 == "WordDocument")
-
-  private def u16(b: Array[Byte], off: Int): Int = {
-    if (off + 2 > b.length) throw new ParseFailure(s"doc: u16 read past end at $off")
-    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
-  }
-  private def u32(b: Array[Byte], off: Int): Long = {
-    if (off + 4 > b.length) throw new ParseFailure(s"doc: u32 read past end at $off")
-    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
-      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
-  }
 
   /** Extract the document text by walking FIB -> Clx -> piece table. */
   def text(entries: Seq[(String, Option[Array[Byte]])]): String = {

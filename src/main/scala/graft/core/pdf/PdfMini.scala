@@ -64,13 +64,28 @@ object PdfMini {
 
   /** Real encryption detection (the reference's `pdf/encrypted.pdf` route:
     * PDFBox raises EncryptedDocumentException from the trailer's /Encrypt
-    * entry, `Extractor.java:785-826`): a `/Encrypt` name in the TRAILER
-    * dictionary — scoped after the last `trailer` keyword so an
-    * occurrence inside a content-stream string can't false-positive.
+    * entry, `Extractor.java:785-826`): a `/Encrypt` name OUTSIDE stream
+    * payloads — covering both classic `trailer` dictionaries and the
+    * PDF-1.5+ cross-reference-stream layout (no trailer keyword; /Encrypt
+    * lives in the xref stream dict), while an occurrence inside a content
+    * stream's data can't false-positive.
     */
   def isEncryptedLatin1(pdf: String): Boolean = {
-    val t = pdf.lastIndexOf("trailer")
-    t >= 0 && pdf.indexOf("/Encrypt", t) >= 0
+    var from = 0
+    while (from < pdf.length) {
+      val hit = pdf.indexOf("/Encrypt", from)
+      if (hit < 0) return false
+      // inside a stream payload? the nearest preceding 'stream' keyword
+      // without an intervening 'endstream' means yes
+      val s = pdf.lastIndexOf("stream", hit)
+      val inPayload = s >= 0 && !pdf.substring(s, hit).contains("endstream") &&
+        // 'endstream'.lastIndexOf also matches 'stream' at its tail:
+        // a hit at s-3 == 'endstream' start means we're AFTER a payload
+        !(s >= 3 && pdf.regionMatches(s - 3, "endstream", 0, 9))
+      if (!inPayload) return true
+      from = hit + 1
+    }
+    false
   }
 
   def textFromLatin1(pdf: String): String = {

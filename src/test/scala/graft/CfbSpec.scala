@@ -258,6 +258,23 @@ class CfbSpec extends AnyFunSuite {
     assert(uni == "héllo wörld")
   }
 
+  test("Xls SST larger than one record spans CONTINUE records") {
+    import graft.core.office.Xls
+    // ~1200 distinct ~16-byte strings ≈ 20 KB of SST: forces >= 3 chunks
+    val rows = (0 until 600).map(i => Seq((f"alpha$i%05d", false), (f"beta$i%05d", false)))
+    val txt = Xls.text(Cfb.streamEntries(Xls.build(rows), 1 << 20))
+    val lines = txt.split('\n')
+    assert(lines.length == 600)
+    assert(lines(0) == "alpha00000\tbeta00000" && lines(599) == "alpha00599\tbeta00599")
+  }
+
+  test("a size-refused Unicode property falls back to its ANSI copy") {
+    val entries = Vector[(String, Option[Array[Byte]])](
+      ("__substg1.0_1000001F", None), // refused by the size guard
+      ("__substg1.0_1000001E", Some("ansi fallback body".getBytes(Cp1252Charset))))
+    assert(Msg.parse(entries).body == "ansi fallback body")
+  }
+
   test("Xls malformed records throw ParseFailure") {
     import graft.core.office.Xls
     intercept[ParseFailure](Xls.text(Vector(("Workbook", Some(Array[Byte](1, 2, 3))))))

@@ -41,6 +41,13 @@ class IngestSpec extends AnyFunSuite {
     // routed: encrypted yields the reason, never garbage text
     val (txt, why) = graft.core.route.Extract.extractSpan("pdf_bytes", enc)
     assert(txt == "" && why == graft.core.Reason.Encrypted)
+    // PDF 1.5+ cross-reference-stream layout: no 'trailer' keyword,
+    // /Encrypt lives in the xref stream dict (outside any payload)
+    val xref = "%PDF-1.5\n5 0 obj << /Type /XRef /Encrypt 9 0 R /W [1 2 1] >>\nstream\nxx\nendstream\nendobj\nstartxref\n9\n%%EOF"
+    assert(PdfMini.isEncryptedLatin1(xref))
+    // .../Encrypt appearing only after 'endstream' inside ANOTHER payload
+    val after = "%PDF-1.4\nstream\nBT (a) Tj ET\nendstream\ntrailer << /Root 1 0 R >>\n%%EOF"
+    assert(!PdfMini.isEncryptedLatin1(after))
   }
 
   test("PdfMini handles Tm positioning, TJ arrays, and reading order") {
