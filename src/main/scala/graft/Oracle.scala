@@ -363,6 +363,16 @@ object Oracle {
       |       'sender '||doc_id AS vals FROM z
       |UNION ALL SELECT doc_id, 'tika_metadata_subject', 'subject '||doc_id FROM z""".stripMargin
 
+  /** Mirror of Queries.htmlCharsetQ: the boilerplate page's title+content
+    * with the accented prefix — reproducible only if the engine decoded
+    * the declared windows-1252 charset correctly.
+    */
+  private val htmlCharset: String =
+    """SELECT doc_id,
+      |  'title '||doc_id||chr(10)||
+      |  trim('café déjà vu '||array_to_string(string_split(text,' ')[1:5],' ')) AS txt
+      |FROM documents WHERE doc_id%23=0""".stripMargin
+
   private val pdfBytes: String =
     """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
       |  len(string_split(text,' ')) AS m FROM documents),
@@ -1068,6 +1078,7 @@ object Oracle {
     "q_pdf_encrypted" -> pdfEncrypted,
     "q_msg_headers" -> msgHeaders,
     "q_doc_objects" -> docObjects,
+    "q_html_charset" -> htmlCharset,
     "q_eml_headers" -> emlHeaders,
     "q_artifact_lookup" -> artifactLookup,
     "q_embed_named" -> embedNamed,

@@ -536,6 +536,31 @@ object Queries {
       .toDF("doc_id", "txt")
   }
 
+  /** §2.1+§2.3 declared-charset HTML ingestion (Tika's
+    * HtmlEncodingDetector): %23 docs become REAL windows-1252 bytes of the
+    * standard boilerplate page with accented content and a meta charset
+    * declaration — the sniff must detect html, the decode must honor the
+    * declared charset (a UTF-8 decode would mangle the accents), and the
+    * boilerplate stripper must still recover exactly title+content.
+    */
+  def htmlCharsetQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .filter(_._1 % 23 == 0)
+      .map { case (id, t) =>
+        val a = (Seq("café", "déjà", "vu") ++
+          t.split(" ", -1).take(5).filter(_.nonEmpty)).mkString(" ")
+        val page = graft.core.Corpus.htmlWrap(id, a)
+          .replace("<head>", "<head><meta charset=\"windows-1252\">")
+        val bytes = page.getBytes(java.nio.charset.Charset.forName("windows-1252"))
+        val kind = graft.sources.Ingest.sniffKind(bytes)
+        val payload = graft.sources.Ingest.decodePayload(kind, bytes)
+        val (txt, _) = Extract.extractSpan(kind, payload)
+        (id, txt)
+      }
+      .toDF("doc_id", "txt")
+  }
+
   /** §2.8 MAPI property promotion (the reference's OutlookExtractor
     * metadata: subject/from land in the Tika metadata multimap): the .msg
     * is built, round-tripped through the compound-file walk, parsed, and
@@ -1364,6 +1389,7 @@ object Queries {
     "q_pdf_encrypted" -> (pdfEncrypted _),
     "q_msg_headers" -> (msgHeaders _),
     "q_doc_objects" -> (docObjects _),
+    "q_html_charset" -> (htmlCharsetQ _),
     "q_eml_headers" -> (emlHeaders _),
     "q_artifact_lookup" -> (artifactLookup _),
     "q_embed_named" -> (embedNamed _),

@@ -63,14 +63,32 @@ object Ingest {
     if (hasUtf16Bom(bytes)) new String(bytes, StandardCharsets.UTF_16)
     else new String(bytes, StandardCharsets.UTF_8)
 
+  /** Declared-charset sniff for HTML bytes (Tika's HtmlEncodingDetector):
+    * a `charset=` token — `<meta charset="...">` or the http-equiv
+    * `content="text/html; charset=..."` form — in the first 1 KiB. An
+    * unknown/unsupported name falls back to the default decode rather
+    * than failing the document.
+    */
+  private val CharsetRe = "charset=[\"']?([A-Za-z0-9_:.\\-]+)".r
+  def htmlCharset(bytes: Array[Byte]): Option[java.nio.charset.Charset] = {
+    if (hasUtf16Bom(bytes)) return None // BOM outranks the meta declaration
+    val head = new String(bytes, 0, math.min(bytes.length, 1024), StandardCharsets.ISO_8859_1)
+    CharsetRe.findFirstMatchIn(head).flatMap { m =>
+      try Some(java.nio.charset.Charset.forName(m.group(1)))
+      catch { case _: IllegalArgumentException => None }
+    }
+  }
+
   /** Kind-appropriate payload decode, shared by the top-level walk
-    * ([[readDir]]) and nested archive-entry spawning — one place, so a
-    * charset fix can never silently diverge between the two paths: textual
-    * kinds decode per-charset, everything else rides byte-transparent
+    * ([[readDir]]), the streaming walk, and nested archive-entry spawning
+    * — one place, so a charset fix can never silently diverge between
+    * paths: HTML honors its declared meta charset, other textual kinds
+    * decode per-BOM/UTF-8, everything else rides byte-transparent
     * ISO-8859-1.
     */
   def decodePayload(kind: String, bytes: Array[Byte]): String = kind match {
-    case "html" | "text" => decodeText(bytes)
+    case "html" => htmlCharset(bytes).map(new String(bytes, _)).getOrElse(decodeText(bytes))
+    case "text" => decodeText(bytes)
     case _ => new String(bytes, StandardCharsets.ISO_8859_1) // lossless bytes
   }
 

@@ -31,6 +31,22 @@ class IngestSpec extends AnyFunSuite {
     assert(txt == "Hello world\nsecond (escaped) line\nthird line")
   }
 
+  test("HTML bytes decode via their declared meta charset") {
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    val html = "<html><head><meta charset=\"windows-1252\"></head>" +
+      "<body><p>café déjà vu money</p></body></html>"
+    val bytes = html.getBytes(cp1252)
+    assert(Ingest.sniffKind(bytes) == "html")
+    assert(Ingest.htmlCharset(bytes).map(_.name).contains("windows-1252"))
+    assert(Ingest.decodePayload("html", bytes).contains("café déjà vu"))
+    // http-equiv form + unknown charset fallback
+    val equiv = ("<html><head><meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=iso-8859-1\"></head><body>olé</body></html>").getBytes(cp1252)
+    assert(Ingest.decodePayload("html", equiv).contains("olé"))
+    val junkCharset = "<html><head><meta charset=\"no-such-cs\"></head><body>x</body></html>".getBytes
+    assert(Ingest.decodePayload("html", junkCharset).contains("x")) // utf-8 fallback
+  }
+
   test("PdfMini classifies /Encrypt trailers, not content-stream mentions") {
     val enc = "%PDF-1.4\nstream\nBT (x) Tj ET\nendstream\ntrailer << /Root 1 0 R /Encrypt 5 0 R >>\n%%EOF"
     assert(PdfMini.isEncryptedLatin1(enc))
