@@ -963,6 +963,26 @@ object Oracle {
   private val exprCode32: String =
     s"""SELECT doc_id, ${hex2int("substr(md5(text),1,8)")} AS code FROM documents"""
 
+  /** Mirror of Queries.splitAssign: content-hash bucket + split label. */
+  private val splitAssign: String = {
+    val bucket = s"(${hex2int("substr(md5(text),1,8)")} % 100)"
+    s"""SELECT doc_id, $bucket::BIGINT AS bucket,
+       | CASE WHEN $bucket < 80 THEN 'train'
+       |      WHEN $bucket < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+  }
+
+  /** Mirror of Queries.wordFreqScore: corpus unigram counts joined back,
+    * mean frequency x100 in integer arithmetic.
+    */
+  private val wordFreq: String =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+      |w2 AS (SELECT doc_id, w FROM w WHERE w <> ''),
+      |c AS (SELECT w, count(*) AS cnt FROM w2 GROUP BY w)
+      |SELECT doc_id, count(*)::BIGINT AS n_words, sum(cnt)::BIGINT AS freq_sum,
+      |  ((sum(cnt)*100)//count(*))::BIGINT AS mean_freq_x100
+      |FROM w2 JOIN c USING (w) GROUP BY doc_id""".stripMargin
+
   /** BIGINT value of the idx-th (1-based) UTF-8 BYTE of `textExpr` — byte
     * semantics matching Media's binary processing (ord()/substr() would use
     * character semantics and diverge on non-ASCII).
@@ -1079,6 +1099,8 @@ object Oracle {
     "q_msg_headers" -> msgHeaders,
     "q_doc_objects" -> docObjects,
     "q_html_charset" -> htmlCharset,
+    "q_split_assign" -> splitAssign,
+    "q_word_freq" -> wordFreq,
     "q_eml_headers" -> emlHeaders,
     "q_artifact_lookup" -> artifactLookup,
     "q_embed_named" -> embedNamed,

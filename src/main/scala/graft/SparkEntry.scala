@@ -1332,6 +1332,43 @@ object Queries {
       call_function("graft_code32", col("text")).as("code"))
   }
 
+  /** Deterministic content-hash dataset split — how a training pipeline
+    * assigns train/val/test held-out sets so membership is stable across
+    * re-runs and shards: bucket = code32(text) % 100 via the native
+    * codegen'd expression, split thresholds 80/90. Map-only, no state.
+    */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    docs(spark, dir).select(col("doc_id"),
+      (call_function("graft_code32", col("text")) % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+  }
+
+  /** Corpus word-frequency scoring (the CCNet-style LM-quality signal,
+    * integer-exact stand-in: a document of globally rare words scores
+    * low): words explode, the corpus unigram counts aggregate map-side
+    * before their one shuffle, and the counts join back to score each
+    * document by mean word frequency x100. The counts side is O(vocab) —
+    * no broadcast hint, AQE chooses (broadcast while vocab fits, shuffle
+    * join at web scale).
+    */
+  def wordFreqScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .flatMap { case (id, t) => t.split(" ", -1).filter(_.nonEmpty).map((id, _)) }
+      .toDF("doc_id", "w")
+    val counts = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+    words.join(counts, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("cnt")).as("freq_sum"))
+      // integral `div`, not `/` (double division would break bit-equality)
+      .withColumn("mean_freq_x100", expr("(freq_sum * 100) div n_words"))
+  }
+
   // ------------------------------------------------ relational headline
 
   def tpchQ1(spark: SparkSession, dir: String): DataFrame =
@@ -1390,6 +1427,8 @@ object Queries {
     "q_msg_headers" -> (msgHeaders _),
     "q_doc_objects" -> (docObjects _),
     "q_html_charset" -> (htmlCharsetQ _),
+    "q_split_assign" -> (splitAssign _),
+    "q_word_freq" -> (wordFreqScore _),
     "q_eml_headers" -> (emlHeaders _),
     "q_artifact_lookup" -> (artifactLookup _),
     "q_embed_named" -> (embedNamed _),
