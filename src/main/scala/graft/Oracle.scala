@@ -775,6 +775,24 @@ object Oracle {
        |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
        |FROM k l JOIN k r ON l.key=r.key AND l.doc_id<r.doc_id""".stripMargin
 
+  /** Mirror of Queries.dedupCluster: connected components of the minhash
+    * pair graph via a recursive reachability closure, component = min
+    * reachable id. (The closure is O(component^2) rows — fine for the
+    * oracle's fixture-sized components; the ENGINE uses label
+    * propagation, which is the scalable formulation.)
+    */
+  private val dedupCluster: String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT a AS s, b AS d FROM ( $dedupMinhash ) p
+       |  UNION ALL SELECT b AS s, a AS d FROM ( $dedupMinhash ) p2),
+       |n AS (SELECT DISTINCT s AS id FROM e),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM n
+       |  UNION
+       |  SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s)
+       |SELECT id AS doc_id, min(r)::BIGINT AS component
+       |FROM reach GROUP BY id""".stripMargin
+
   private val dedupSimhash: String =
     s"""WITH e AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
        |c AS (SELECT doc_id, ${hex2int("substr(md5(word),1,8)")} AS x FROM e),
@@ -1101,6 +1119,7 @@ object Oracle {
     "q_html_charset" -> htmlCharset,
     "q_split_assign" -> splitAssign,
     "q_word_freq" -> wordFreq,
+    "q_dedup_cluster" -> dedupCluster,
     "q_eml_headers" -> emlHeaders,
     "q_artifact_lookup" -> artifactLookup,
     "q_embed_named" -> embedNamed,

@@ -1165,6 +1165,15 @@ object Queries {
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(spark, Dedup.withInjectedDups(docs(spark, dir)))
 
+  /** Pairs -> duplicate CLUSTERS: connected components over the MinHash
+    * near-dup graph (min-label propagation; see
+    * [[graft.operators.Dedup.connectedComponents]]) — the keep-one-per-
+    * component step that actual dedup requires beyond pairwise output.
+    */
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.minhashPairs(spark, Dedup.withInjectedDups(docs(spark, dir))))
+
   /** SimHash via the native codegen'd expression (Scala twin:
     * Dedup.simhash / TextStats.simhash32).
     */
@@ -1429,6 +1438,7 @@ object Queries {
     "q_html_charset" -> (htmlCharsetQ _),
     "q_split_assign" -> (splitAssign _),
     "q_word_freq" -> (wordFreqScore _),
+    "q_dedup_cluster" -> (dedupCluster _),
     "q_eml_headers" -> (emlHeaders _),
     "q_artifact_lookup" -> (artifactLookup _),
     "q_embed_named" -> (embedNamed _),

@@ -228,4 +228,48 @@ object Dedup {
       .agg(
         sum(when(col("df") > dfCap, 1L).otherwise(0L)).as("n_dropped"),
         max("df").as("max_df"))
+
+  /** Duplicate-CLUSTER assignment — the finishing step a web-scale dedup
+    * pipeline needs after pair generation: keep one document per
+    * connected COMPONENT of the near-dup graph, not one per pair (A~B,
+    * B~C must collapse A,B,C together even when A~C was never proposed).
+    *
+    * Iterative min-label propagation: every round each node adopts the
+    * smallest label among itself and its neighbors; converges in
+    * O(component diameter) rounds — near-dup components are clique-like,
+    * so 1-3 rounds in practice — with an early-exit convergence check
+    * and `maxIters` as the pathological-chain bound (the
+    * large-star/small-star refinement would make that O(log n)). Each
+    * round is shuffle joins keyed on node id: no windows, no driver-side
+    * graph, no O(corpus) broadcast; per-round `localCheckpoint` truncates
+    * the growing lineage exactly as iterative Spark algorithms must.
+    *
+    * Input: pair columns (a, b). Output: (doc_id, component) for every
+    * endpoint, component = smallest doc_id reachable.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a").as("s"), col("b").as("d"))
+      .union(pairs.select(col("b").as("s"), col("a").as("d")))
+      .localCheckpoint()
+    var labels = edges.select(col("s").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val candidate = edges.join(labels, edges("s") === labels("id"))
+        .select(col("d").as("cid"), col("label").as("nlabel"))
+        .groupBy("cid").agg(min("nlabel").as("nlabel"))
+      val next = labels.join(candidate, labels("id") === candidate("cid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint() // truncate iterative lineage
+      val changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("component"))
+  }
 }

@@ -82,4 +82,20 @@ class SkewSpec extends AnyFunSuite {
     assert(plan.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate in:\n${plan.take(1500)}")
     assert(!plan.contains("Window"), s"window sort crept back into:\n${plan.take(1500)}")
   }
+
+  test("connected components collapse transitive near-dup chains") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // a-b, b-c (transitive, A~C never proposed), d-e, isolated pair f-g
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("a", "b")
+    val cc = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L)
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    assert(cc(20L) == 20L && cc(21L) == 20L)
+    // a longer chain exercises multi-round propagation to convergence
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("a", "b")
+    val ccChain = Dedup.connectedComponents(chain).as[(Long, Long)].collect().toMap
+    assert(ccChain.values.toSet == Set(1L) && ccChain.size == 9)
+  }
 }
