@@ -103,6 +103,27 @@ object Oracle {
       |  sha256('64:'||sha256('gamma '||doc_id)||'64:'||nzid||'1:0'||'0:'||'5:c.txt'),
       |  nzid, 2, 'gamma '||doc_id, '' FROM n""".stripMargin
 
+  /** Mirror of Queries.zstdExplode: zstd member child at ordinal 0; the
+    * %66 bzip2-wrapped zip is a container child at ordinal 1 with its
+    * entry below it.
+    */
+  private val zstdExplode: String =
+    """WITH z AS (SELECT doc_id, sha256(doc_id::VARCHAR) AS rid
+      |           FROM documents WHERE doc_id%33=0),
+      |n AS (SELECT doc_id, rid,
+      |  sha256('64:'||sha256('5:z.txt'||octet_length(encode('inner '||doc_id))||':inner '||doc_id)
+      |    ||'64:'||rid||'1:1'||'0:'||'0:') AS nz
+      | FROM z WHERE doc_id%66=0)
+      |SELECT doc_id, rid AS node_id, '' AS parent_id, 0 AS level, '' AS txt,
+      |       'empty-file' AS reason FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('zst '||doc_id)||'64:'||rid||'1:0'||'0:'||'0:'),
+      |  rid, 1, 'zst '||doc_id, '' FROM z
+      |UNION ALL SELECT doc_id, nz, rid, 1, '', 'empty-file' FROM n
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('inner '||doc_id)||'64:'||nz||'1:0'||'0:'||'5:z.txt'),
+      |  nz, 2, 'inner '||doc_id, '' FROM n""".stripMargin
+
   /** Mirror of Queries.msgExplode: the .msg root carries the document text
     * as its body; the %18 file attachment and %27 nested message are
     * level-1 children whose ids recompute over the message's LOGICAL
@@ -1120,6 +1141,7 @@ object Oracle {
     "q_split_assign" -> splitAssign,
     "q_word_freq" -> wordFreq,
     "q_dedup_cluster" -> dedupCluster,
+    "q_zstd_explode" -> zstdExplode,
     "q_eml_headers" -> emlHeaders,
     "q_artifact_lookup" -> artifactLookup,
     "q_embed_named" -> embedNamed,

@@ -483,6 +483,32 @@ object Queries {
       .toDF("doc_id", "width", "height", "rgb", "n_children")
   }
 
+  /** §2.4 modern-compression containers: %33 docs carry a REAL zstd frame
+    * (zstd-jni, the codec Spark itself ships for shuffles — and the format
+    * web-scale text corpora arrive in) whose member spawns as a child;
+    * %66 docs add a bzip2 stream wrapping a zip, exercising
+    * codec -> archive recursion. Every node id oracle-recomputed.
+    */
+  def zstdExplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    import graft.sources.Archive
+    docs(spark, dir).select("doc_id").as[Long]
+      .filter(id => id % 33 == 0)
+      .flatMap { id =>
+        val base = Array(SpanIn("zstd",
+          new String(Archive.zstdBytes(s"zst $id".getBytes(UTF_8)), ISO_8859_1), "", 0))
+        val extra =
+          if (id % 66 == 0) Array(SpanIn("bzip2",
+            new String(Archive.bzip2Bytes(
+              Archive.zipBytes(Seq(("z.txt", s"inner $id".getBytes(UTF_8))))), ISO_8859_1), "", 1))
+          else Array.empty[SpanIn]
+        Extract.explode(DocIn(id, base ++ extra)).map(o =>
+          (id, o.doc_id, o.parent_id, o.level, o.spans.map(_.text).mkString(""), o.no_content_reason))
+      }
+      .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
+  }
+
   /** §2.8 on REAL header data: parsed RFC-822 headers (unfolded, repeated
     * keys) through the full Meta.normalizeMap pipeline — collision concat
     * on the duplicated Received header, key normalization, block list.
@@ -1439,6 +1465,7 @@ object Queries {
     "q_split_assign" -> (splitAssign _),
     "q_word_freq" -> (wordFreqScore _),
     "q_dedup_cluster" -> (dedupCluster _),
+    "q_zstd_explode" -> (zstdExplode _),
     "q_eml_headers" -> (emlHeaders _),
     "q_artifact_lookup" -> (artifactLookup _),
     "q_embed_named" -> (embedNamed _),

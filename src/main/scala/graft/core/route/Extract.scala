@@ -98,7 +98,7 @@ object Extract {
       // zip: an OOXML PACKAGE (docx/xlsx/pptx) yields its body text;
       // a plain archive has none
       case "zip"       => (graft.core.office.Ooxml.packageText(t, cfg.maxSpanChars), "")
-      case "gzip" | "tar" => ("", "") // container: no own text, entries explode to children
+      case "gzip" | "tar" | "zstd" | "bzip2" => ("", "") // container: no own text, entries explode to children
       // cfb: an Outlook MESSAGE yields its body text; a generic compound
       // file is a pure container (streams explode to children)
       case "cfb"       => (graft.core.office.Msg.cfbText(t, cfg.maxSpanChars), "")
@@ -112,7 +112,8 @@ object Extract {
     * [[spawnContainers]] (and whose raw payload therefore rides through the
     * span-parallel path for reassembly).
     */
-  val ContainerKinds: Set[String] = Set("media", "zip", "gzip", "tar", "eml", "cfb")
+  val ContainerKinds: Set[String] =
+    Set("media", "zip", "gzip", "tar", "eml", "cfb", "zstd", "bzip2")
 
   /** Null spans (a row written with spans=NULL) are treated as an empty
     * span array — reason=empty-file, never a failure — in BOTH the batch and
@@ -378,6 +379,10 @@ object Extract {
           // a nested gzip member (e.g. a .tgz mail attachment) is a
           // single-entry container; a tar payload then recurses below
           Some(Vector(graft.sources.Archive.gunzip(data, cfg.maxSpanChars)))
+        else if (graft.sources.Archive.isZstd(data))
+          Some(Vector(graft.sources.Archive.unzstd(data, cfg.maxSpanChars)))
+        else if (graft.sources.Archive.isBzip2(data))
+          Some(Vector(graft.sources.Archive.unbzip2(data, cfg.maxSpanChars)))
         else None
       containerEntries match {
         case Some(entries) if graft.core.office.Ooxml.isPackage(entries.map(_._1)) =>
@@ -447,6 +452,14 @@ object Extract {
         case "gzip" =>
           val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
           val (n, b) = graft.sources.Archive.gunzip(bytes, cfg.maxSpanChars)
+          spawnEntry(n, b, rootId, ord, 1); ord += 1
+        case "zstd" =>
+          val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          val (n, b) = graft.sources.Archive.unzstd(bytes, cfg.maxSpanChars)
+          spawnEntry(n, b, rootId, ord, 1); ord += 1
+        case "bzip2" =>
+          val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          val (n, b) = graft.sources.Archive.unbzip2(bytes, cfg.maxSpanChars)
           spawnEntry(n, b, rootId, ord, 1); ord += 1
         case "cfb" =>
           // the compound file IS the parent document: a message's

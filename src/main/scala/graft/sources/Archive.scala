@@ -225,6 +225,58 @@ object Archive {
     }
   }
 
+  /** Zstandard magic (RFC 8878): 28 B5 2F FD. zstd ships with Spark
+    * (zstd-jni on the unmanaged classpath — it compresses Spark's own
+    * shuffles), and web-scale text corpora ship as .zst.
+    */
+  def isZstd(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && bytes(0) == 0x28.toByte && bytes(1) == 0xb5.toByte &&
+      bytes(2) == 0x2f.toByte && bytes(3) == 0xfd.toByte
+
+  /** bzip2 magic: "BZh" + block-size digit (commons-compress, also on the
+    * Spark classpath — the classic dump-archive format).
+    */
+  def isBzip2(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && bytes(0) == 'B' && bytes(1) == 'Z' && bytes(2) == 'h' &&
+      bytes(3) >= '1' && bytes(3) <= '9'
+
+  /** Deterministic zstd frame (fixed level, no dictionary/checksum noise). */
+  def zstdBytes(data: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val zos = new com.github.luben.zstd.ZstdOutputStream(bos, 3)
+    zos.write(data); zos.close()
+    bos.toByteArray
+  }
+
+  /** zstd member: ("", payload) — frames carry no member name. */
+  def unzstd(bytes: Array[Byte], maxBytes: Int): (String, Option[Array[Byte]]) =
+    try {
+      val zis = new com.github.luben.zstd.ZstdInputStream(new ByteArrayInputStream(bytes))
+      try ("", readCapped(zis, maxBytes))
+      finally zis.close()
+    } catch {
+      case e: java.io.IOException => throw new ParseFailure(s"corrupt zstd: ${e.getMessage}")
+    }
+
+  /** Deterministic bzip2 stream (fixed block size). */
+  def bzip2Bytes(data: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val zos = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(bos, 9)
+    zos.write(data); zos.close()
+    bos.toByteArray
+  }
+
+  /** bzip2 member: ("", payload) — streams carry no member name. */
+  def unbzip2(bytes: Array[Byte], maxBytes: Int): (String, Option[Array[Byte]]) =
+    try {
+      val zis = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream(
+        new ByteArrayInputStream(bytes))
+      try ("", readCapped(zis, maxBytes))
+      finally zis.close()
+    } catch {
+      case e: java.io.IOException => throw new ParseFailure(s"corrupt bzip2: ${e.getMessage}")
+    }
+
   /** GZIP member: (FNAME or "", payload). Malformed -> ParseFailure. */
   def gunzip(bytes: Array[Byte], maxBytes: Int): (String, Option[Array[Byte]]) = {
     val name = gzipName(bytes)

@@ -154,4 +154,26 @@ class ArchiveSpec extends AnyFunSuite {
       .collect().flatMap(_._1).map(norm).toSet
     assert(par == batch)
   }
+
+  test("zstd and bzip2 members round-trip and explode as children") {
+    val payload = "zstandard payload text".getBytes(UTF_8)
+    val zst = Archive.zstdBytes(payload)
+    assert(Archive.isZstd(zst))
+    assert(Archive.unzstd(zst, 1 << 20)._2.get.sameElements(payload))
+    assert(graft.sources.Ingest.sniffKind(zst) == "zstd")
+    val bz = Archive.bzip2Bytes(payload)
+    assert(Archive.isBzip2(bz))
+    assert(Archive.unbzip2(bz, 1 << 20)._2.get.sameElements(payload))
+    assert(graft.sources.Ingest.sniffKind(bz) == "bzip2")
+    // corrupt frames classify, never a task failure
+    intercept[ParseFailure](Archive.unzstd(zst.take(6) ++ Array[Byte](1, 2, 3), 1 << 20))
+    // a zstd-wrapped zip recurses: codec -> archive -> entry
+    val nested = Archive.zstdBytes(Archive.zipBytes(Seq(("in.txt", "deep text".getBytes(UTF_8)))))
+    val nodes = Extract.explode(
+      DocIn(42L, Array(SpanIn("zstd", new String(nested, ISO_8859_1), "", 0))))
+    assert(nodes.exists(n => n.level == 2 && n.spans.map(_.text).mkString == "deep text"))
+    // determinism: codec output is a pure function of the payload
+    assert(Archive.zstdBytes(payload).sameElements(zst))
+    assert(Archive.bzip2Bytes(payload).sameElements(bz))
+  }
 }
