@@ -1391,10 +1391,13 @@ object Queries {
     * join at web scale).
     */
   def wordFreqScore(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val words = docs(spark, dir).select("doc_id", "text").as[(Long, String)]
-      .flatMap { case (id, t) => t.split(" ", -1).filter(_.nonEmpty).map((id, _)) }
-      .toDF("doc_id", "w")
+    // codegen'd explode(split()), NOT a typed flatMap: the word explode
+    // feeds BOTH join sides (no exchange reuse), so it executes twice —
+    // columnar builtin work makes the recompute cheap where a
+    // deserializing closure would double the dominant stage
+    val words = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
     val counts = words.groupBy("w").agg(count(lit(1)).as("cnt"))
     words.join(counts, "w")
       .groupBy("doc_id")

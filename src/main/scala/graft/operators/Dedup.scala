@@ -270,6 +270,13 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // a silent truncation would report one logical component as several
+    // and dedup would KEEP near-duplicates — fail loud instead (a >20-hop
+    // near-dup chain means the pair generator or maxIters needs attention)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds — " +
+          "raise maxIters (or adopt large-star/small-star) for this graph")
     labels.select(col("id").as("doc_id"), col("label").as("component"))
   }
 }

@@ -233,12 +233,17 @@ object Archive {
     bytes.length >= 4 && bytes(0) == 0x28.toByte && bytes(1) == 0xb5.toByte &&
       bytes(2) == 0x2f.toByte && bytes(3) == 0xfd.toByte
 
-  /** bzip2 magic: "BZh" + block-size digit (commons-compress, also on the
-    * Spark classpath — the classic dump-archive format).
+  /** bzip2 magic (commons-compress, also on the Spark classpath — the
+    * classic dump-archive format): "BZh" + block-size digit ALONE is four
+    * printable ASCII bytes that ordinary text (e.g. base64) can start
+    * with, so the compressed-block signature that always follows —
+    * 0x314159265359, BCD pi — is required too.
     */
   def isBzip2(bytes: Array[Byte]): Boolean =
-    bytes.length >= 4 && bytes(0) == 'B' && bytes(1) == 'Z' && bytes(2) == 'h' &&
-      bytes(3) >= '1' && bytes(3) <= '9'
+    bytes.length >= 10 && bytes(0) == 'B' && bytes(1) == 'Z' && bytes(2) == 'h' &&
+      bytes(3) >= '1' && bytes(3) <= '9' &&
+      bytes(4) == 0x31 && bytes(5) == 0x41.toByte && bytes(6) == 0x59.toByte &&
+      bytes(7) == 0x26.toByte && bytes(8) == 0x53.toByte && bytes(9) == 0x59.toByte
 
   /** Deterministic zstd frame (fixed level, no dictionary/checksum noise). */
   def zstdBytes(data: Array[Byte]): Array[Byte] = {

@@ -71,14 +71,25 @@ object Ingest {
     * unknown/unsupported name falls back to the default decode rather
     * than failing the document.
     */
-  private val CharsetRe = "charset=[\"']?([A-Za-z0-9_:.\\-]+)".r
+  private val MetaTagRe = "(?i)<meta[^>]*>".r
+  private val CharsetRe = "(?i)charset=[\"']?([A-Za-z0-9_:.\\-]+)".r
   def htmlCharset(bytes: Array[Byte]): Option[java.nio.charset.Charset] = {
     if (hasUtf16Bom(bytes)) return None // BOM outranks the meta declaration
-    val head = new String(bytes, 0, math.min(bytes.length, 1024), StandardCharsets.ISO_8859_1)
-    CharsetRe.findFirstMatchIn(head).flatMap { m =>
-      try Some(java.nio.charset.Charset.forName(m.group(1)))
+    val window = math.min(bytes.length, 1024)
+    val head = new String(bytes, 0, window, StandardCharsets.ISO_8859_1)
+    // only a charset token INSIDE a <meta> tag counts (Tika's
+    // HtmlEncodingDetector scope) — a 'charset=' in a URL or script text
+    // must not hijack the decode; and a token abutting the window edge
+    // may be TRUNCATED mid-name (charset=iso-8859-15 cut to ...-1), so
+    // it is rejected rather than honored wrong
+    MetaTagRe.findAllMatchIn(head).flatMap { tag =>
+      CharsetRe.findFirstMatchIn(tag.matched).filter { m =>
+        tag.start + m.end(1) < window || bytes.length <= window
+      }.map(_.group(1))
+    }.flatMap { name =>
+      try Some(java.nio.charset.Charset.forName(name))
       catch { case _: IllegalArgumentException => None }
-    }
+    }.nextOption()
   }
 
   /** Kind-appropriate payload decode, shared by the top-level walk

@@ -45,6 +45,23 @@ class IngestSpec extends AnyFunSuite {
     assert(Ingest.decodePayload("html", equiv).contains("olé"))
     val junkCharset = "<html><head><meta charset=\"no-such-cs\"></head><body>x</body></html>".getBytes
     assert(Ingest.decodePayload("html", junkCharset).contains("x")) // utf-8 fallback
+    // a charset token OUTSIDE a meta tag (URL, script text) must not
+    // hijack the decode — Tika's detector only honors meta-scoped tokens
+    val urlToken = ("<html><head><title>t</title></head><body>" +
+      "<a href=\"/search?charset=utf-16le\">démo</a></body></html>")
+      .getBytes(StandardCharsets.UTF_8)
+    assert(Ingest.htmlCharset(urlToken).isEmpty)
+    assert(Ingest.decodePayload("html", urlToken).contains("démo"))
+  }
+
+  test("text starting with BZh digits is not misclassified as bzip2") {
+    // base64-ish text can begin with the 4 printable bzip2 prefix bytes;
+    // only the full block signature (BCD pi) marks a real stream
+    val fakey = "BZh9AbCdEfGh plain text that merely starts like bzip2".getBytes
+    assert(!graft.sources.Archive.isBzip2(fakey))
+    assert(Ingest.sniffKind(fakey) == "text")
+    assert(graft.sources.Archive.isBzip2(
+      graft.sources.Archive.bzip2Bytes("real stream".getBytes)))
   }
 
   test("PdfMini classifies /Encrypt trailers, not content-stream mentions") {
