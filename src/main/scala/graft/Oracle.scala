@@ -124,6 +124,34 @@ object Oracle {
       |  sha256('64:'||sha256('inner '||doc_id)||'64:'||nz||'1:0'||'0:'||'5:z.txt'),
       |  nz, 2, 'inner '||doc_id, '' FROM n""".stripMargin
 
+  /** Mirror of Queries.warcExplode: the html response child's id hashes
+    * the FULL page bytes (the htmlWrap template recomputed in SQL), its
+    * text the boilerplate-stripped title+content; the %70 resource record
+    * is a sibling text child.
+    */
+  private val warcExplode: String = {
+    val a = """trim('warc body '||array_to_string(string_split(text,' ')[1:5],' '))"""
+    val page =
+      """'<html><head><title>doc '||doc_id||'</title><style>.x{color:red}</style></head><body>'||
+        |'<div id="nav"><ul><li><a href="/home">home</a></li><li><a href="/about">about</a></li><li><a href="/contact">contact</a></li></ul></div>'||
+        |'<div id="main"><h1>title '||doc_id||'</h1><p>'||a||'</p></div>'||
+        |'<div id="footer"><p><a href="/privacy">privacy</a> <a href="/terms">terms of use</a></p></div>'||
+        |'<script>var x=1;</script></body></html>'""".stripMargin
+    s"""WITH z AS (SELECT doc_id, $a AS a, sha256(doc_id::VARCHAR) AS rid
+       |           FROM documents WHERE doc_id%35=0),
+       |p AS (SELECT doc_id, a, rid, $page AS page FROM z)
+       |SELECT doc_id, rid AS node_id, '' AS parent_id, 0 AS level, '' AS txt,
+       |       'empty-file' AS reason FROM p
+       |UNION ALL SELECT doc_id,
+       |  sha256('64:'||sha256(page)||'64:'||rid||'1:0'||'0:'
+       |    ||octet_length(encode('http://ex.com/'||doc_id))||':http://ex.com/'||doc_id),
+       |  rid, 1, 'title '||doc_id||chr(10)||a, '' FROM p
+       |UNION ALL SELECT doc_id,
+       |  sha256('64:'||sha256('payload '||doc_id)||'64:'||rid||'1:1'||'0:'
+       |    ||octet_length(encode('http://ex.com/'||doc_id||'/t'))||':http://ex.com/'||doc_id||'/t'),
+       |  rid, 1, 'payload '||doc_id, '' FROM p WHERE doc_id%70=0""".stripMargin
+  }
+
   /** Mirror of Queries.msgExplode: the .msg root carries the document text
     * as its body; the %18 file attachment and %27 nested message are
     * level-1 children whose ids recompute over the message's LOGICAL
@@ -1142,6 +1170,7 @@ object Oracle {
     "q_word_freq" -> wordFreq,
     "q_dedup_cluster" -> dedupCluster,
     "q_zstd_explode" -> zstdExplode,
+    "q_warc_explode" -> warcExplode,
     "q_eml_headers" -> emlHeaders,
     "q_artifact_lookup" -> artifactLookup,
     "q_embed_named" -> embedNamed,

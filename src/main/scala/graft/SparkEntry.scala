@@ -509,6 +509,38 @@ object Queries {
       .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
   }
 
+  /** §2.1+§2.4 WARC web-archive ingestion (ISO 28500 — the format
+    * web-scale corpora like Common Crawl actually ship): %35 docs become a
+    * real WARC (warcinfo + an HTTP response record carrying the standard
+    * boilerplate page; %70 adds a plain-text resource record). The engine
+    * must walk records by Content-Length, strip the HTTP message headers,
+    * sniff each body, and run the html child through the boilerplate
+    * stripper — the oracle recomputes every node id including the sha256
+    * of the full page bytes.
+    */
+  def warcExplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    import graft.sources.Warc
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .filter(_._1 % 35 == 0)
+      .flatMap { case (id, t) =>
+        val a = (Seq("warc", "body") ++
+          t.split(" ", -1).take(5).filter(_.nonEmpty)).mkString(" ")
+        val page = graft.core.Corpus.htmlWrap(id, a)
+        val entries = Seq(
+          ("response", s"http://ex.com/$id", "text/html", page.getBytes(UTF_8))) ++
+          (if (id % 70 == 0)
+            Seq(("resource", s"http://ex.com/$id/t", "text/plain", s"payload $id".getBytes(UTF_8)))
+          else Nil)
+        val warc = Warc.build(entries)
+        val d = DocIn(id, Array(SpanIn("warc", new String(warc, ISO_8859_1), "", 0)))
+        Extract.explode(d).map(o =>
+          (id, o.doc_id, o.parent_id, o.level, o.spans.map(_.text).mkString(""), o.no_content_reason))
+      }
+      .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
+  }
+
   /** §2.8 on REAL header data: parsed RFC-822 headers (unfolded, repeated
     * keys) through the full Meta.normalizeMap pipeline — collision concat
     * on the duplicated Received header, key normalization, block list.
@@ -1469,6 +1501,7 @@ object Queries {
     "q_word_freq" -> (wordFreqScore _),
     "q_dedup_cluster" -> (dedupCluster _),
     "q_zstd_explode" -> (zstdExplode _),
+    "q_warc_explode" -> (warcExplode _),
     "q_eml_headers" -> (emlHeaders _),
     "q_artifact_lookup" -> (artifactLookup _),
     "q_embed_named" -> (embedNamed _),

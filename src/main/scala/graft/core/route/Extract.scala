@@ -98,7 +98,7 @@ object Extract {
       // zip: an OOXML PACKAGE (docx/xlsx/pptx) yields its body text;
       // a plain archive has none
       case "zip"       => (graft.core.office.Ooxml.packageText(t, cfg.maxSpanChars), "")
-      case "gzip" | "tar" | "zstd" | "bzip2" => ("", "") // container: no own text, entries explode to children
+      case "gzip" | "tar" | "zstd" | "bzip2" | "warc" => ("", "") // container: no own text, entries explode to children
       // cfb: an Outlook MESSAGE yields its body text; a generic compound
       // file is a pure container (streams explode to children)
       case "cfb"       => (graft.core.office.Msg.cfbText(t, cfg.maxSpanChars), "")
@@ -113,7 +113,7 @@ object Extract {
     * span-parallel path for reassembly).
     */
   val ContainerKinds: Set[String] =
-    Set("media", "zip", "gzip", "tar", "eml", "cfb", "zstd", "bzip2")
+    Set("media", "zip", "gzip", "tar", "eml", "cfb", "zstd", "bzip2", "warc")
 
   /** Null spans (a row written with spans=NULL) are treated as an empty
     * span array — reason=empty-file, never a failure — in BOTH the batch and
@@ -383,6 +383,12 @@ object Extract {
           Some(Vector(graft.sources.Archive.unzstd(data, cfg.maxSpanChars)))
         else if (graft.sources.Archive.isBzip2(data))
           Some(Vector(graft.sources.Archive.unbzip2(data, cfg.maxSpanChars)))
+        else if (graft.sources.Warc.isWarc(data))
+          // nested web archive (the .warc.gz shape): records are its
+          // entries, target URIs their resource names
+          Some(graft.sources.Warc.records(
+            new String(data, java.nio.charset.StandardCharsets.ISO_8859_1),
+            cfg.maxSpanChars).map(r => (r.targetUri, r.body)))
         else None
       containerEntries match {
         case Some(entries) if graft.core.office.Ooxml.isPackage(entries.map(_._1)) =>
@@ -461,6 +467,14 @@ object Extract {
           val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
           val (n, b) = graft.sources.Archive.unbzip2(bytes, cfg.maxSpanChars)
           spawnEntry(n, b, rootId, ord, 1); ord += 1
+        case "warc" =>
+          // each content-bearing web-archive record (response/resource)
+          // becomes a child: target URI as resource name, body sniffed
+          // like any ingested file (html flows through the charset decode
+          // and boilerplate stripper)
+          graft.sources.Warc.records(content, cfg.maxSpanChars).foreach { r =>
+            spawnEntry(r.targetUri, r.body, rootId, ord, 1); ord += 1
+          }
         case "cfb" =>
           // the compound file IS the parent document: a message's
           // attachments (file or nested message) become its children; a

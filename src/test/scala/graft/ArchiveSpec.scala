@@ -176,4 +176,37 @@ class ArchiveSpec extends AnyFunSuite {
     assert(Archive.zstdBytes(payload).sameElements(zst))
     assert(Archive.bzip2Bytes(payload).sameElements(bz))
   }
+
+  test("WARC records parse by Content-Length with HTTP header stripping") {
+    import graft.sources.Warc
+    val warc = Warc.build(Seq(
+      ("response", "http://a.example/x", "text/html",
+        "<html><body>hello</body></html>".getBytes(UTF_8)),
+      ("resource", "http://a.example/y", "text/plain", "raw text".getBytes(UTF_8)),
+      ("request", "http://a.example/x", "application/http", "GET /x".getBytes(UTF_8))))
+    assert(graft.sources.Ingest.sniffKind(warc) == "warc")
+    val recs = Warc.records(new String(warc, ISO_8859_1), 1 << 20)
+    // warcinfo and request records carry no document content
+    assert(recs.length == 2)
+    assert(new String(recs(0).body.get, UTF_8) == "<html><body>hello</body></html>")
+    assert(recs(0).targetUri == "http://a.example/x")
+    assert(new String(recs(1).body.get, UTF_8) == "raw text")
+    intercept[ParseFailure](Warc.records("WARC/1.0\r\nno-length: x\r\n\r\n", 1 << 20))
+    intercept[ParseFailure](
+      Warc.records("WARC/1.0\r\nContent-Length: 99999\r\n\r\nshort", 1 << 20))
+  }
+
+  test("a gzipped WARC (the .warc.gz shape) explodes records as children") {
+    import graft.sources.Warc
+    val warc = Warc.build(Seq(
+      ("response", "http://b.example/p", "text/html",
+        "<html><body><p>crawled page text</p></body></html>".getBytes(UTF_8))))
+    val gz = Archive.gzipBytes(warc, "crawl.warc")
+    val nodes = Extract.explode(
+      DocIn(77L, Array(SpanIn("gzip", new String(gz, ISO_8859_1), "", 0))))
+    // gzip member -> warc container node -> html record child
+    assert(nodes.map(_.level).sorted == Seq(0, 1, 2))
+    assert(nodes.exists(n => n.level == 2 &&
+      n.spans.map(_.text).mkString.contains("crawled page text")))
+  }
 }
