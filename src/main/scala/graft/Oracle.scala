@@ -152,6 +152,28 @@ object Oracle {
        |  rid, 1, 'payload '||doc_id, '' FROM p WHERE doc_id%70=0""".stripMargin
   }
 
+  /** Mirror of Queries.jsonlExplode: ids hash the raw lines; the decoy
+    * nested text key never surfaces, escapes decode, the text-less line
+    * is an empty child. (Backslashes are literal in SQL strings, so the
+    * escaped-quote line reproduces exactly.)
+    */
+  private val jsonlExplode: String =
+    """WITH z AS (SELECT doc_id, sha256(doc_id::VARCHAR) AS rid
+      |           FROM documents WHERE doc_id%39=0)
+      |SELECT doc_id, rid AS node_id, '' AS parent_id, 0 AS level, '' AS txt,
+      |       'empty-file' AS reason FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('{"text": "line one '||doc_id||'", "meta": {"text": "decoy"}}')
+      |    ||'64:'||rid||'1:0'||'0:'||'0:'),
+      |  rid, 1, 'line one '||doc_id, '' FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('{"text": "escaped \"quote\" '||doc_id||'"}')
+      |    ||'64:'||rid||'1:1'||'0:'||'0:'),
+      |  rid, 1, 'escaped "quote" '||doc_id, '' FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('{"id": 7}')||'64:'||rid||'1:2'||'0:'||'0:'),
+      |  rid, 1, '', 'empty-file' FROM z""".stripMargin
+
   /** Mirror of Queries.msgExplode: the .msg root carries the document text
     * as its body; the %18 file attachment and %27 nested message are
     * level-1 children whose ids recompute over the message's LOGICAL
@@ -1171,6 +1193,7 @@ object Oracle {
     "q_dedup_cluster" -> dedupCluster,
     "q_zstd_explode" -> zstdExplode,
     "q_warc_explode" -> warcExplode,
+    "q_jsonl_explode" -> jsonlExplode,
     "q_eml_headers" -> emlHeaders,
     "q_artifact_lookup" -> artifactLookup,
     "q_embed_named" -> embedNamed,

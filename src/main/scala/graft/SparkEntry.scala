@@ -541,6 +541,28 @@ object Queries {
       .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
   }
 
+  /** JSONL corpus-dump ingestion (the `{"text": ...}` interchange format
+    * C4/Pile-style dumps ship): %39 docs carry three lines — a record
+    * with a nested DECOY text key that depth tracking must skip, a record
+    * whose value needs real escape decoding, and a text-less record that
+    * must yield an empty child, not a failure. Ids hash the raw lines.
+    */
+  def jsonlExplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select("doc_id").as[Long]
+      .filter(id => id % 39 == 0)
+      .flatMap { id =>
+        val lines = Seq(
+          s"""{"text": "line one $id", "meta": {"text": "decoy"}}""",
+          "{\"text\": \"escaped \\\"quote\\\" " + id + "\"}",
+          """{"id": 7}""")
+        val d = DocIn(id, Array(SpanIn("jsonl", lines.mkString("\n"), "", 0)))
+        Extract.explode(d).map(o =>
+          (id, o.doc_id, o.parent_id, o.level, o.spans.map(_.text).mkString(""), o.no_content_reason))
+      }
+      .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
+  }
+
   /** §2.8 on REAL header data: parsed RFC-822 headers (unfolded, repeated
     * keys) through the full Meta.normalizeMap pipeline — collision concat
     * on the duplicated Received header, key normalization, block list.
@@ -1502,6 +1524,7 @@ object Queries {
     "q_dedup_cluster" -> (dedupCluster _),
     "q_zstd_explode" -> (zstdExplode _),
     "q_warc_explode" -> (warcExplode _),
+    "q_jsonl_explode" -> (jsonlExplode _),
     "q_eml_headers" -> (emlHeaders _),
     "q_artifact_lookup" -> (artifactLookup _),
     "q_embed_named" -> (embedNamed _),

@@ -98,7 +98,7 @@ object Extract {
       // zip: an OOXML PACKAGE (docx/xlsx/pptx) yields its body text;
       // a plain archive has none
       case "zip"       => (graft.core.office.Ooxml.packageText(t, cfg.maxSpanChars), "")
-      case "gzip" | "tar" | "zstd" | "bzip2" | "warc" => ("", "") // container: no own text, entries explode to children
+      case "gzip" | "tar" | "zstd" | "bzip2" | "warc" | "jsonl" => ("", "") // container: no own text, entries explode to children
       // cfb: an Outlook MESSAGE yields its body text; a generic compound
       // file is a pure container (streams explode to children)
       case "cfb"       => (graft.core.office.Msg.cfbText(t, cfg.maxSpanChars), "")
@@ -113,7 +113,7 @@ object Extract {
     * span-parallel path for reassembly).
     */
   val ContainerKinds: Set[String] =
-    Set("media", "zip", "gzip", "tar", "eml", "cfb", "zstd", "bzip2", "warc")
+    Set("media", "zip", "gzip", "tar", "eml", "cfb", "zstd", "bzip2", "warc", "jsonl")
 
   /** Null spans (a row written with spans=NULL) are treated as an empty
     * span array — reason=empty-file, never a failure — in BOTH the batch and
@@ -474,6 +474,25 @@ object Extract {
           // and boilerplate stripper)
           graft.sources.Warc.records(content, cfg.maxSpanChars).foreach { r =>
             spawnEntry(r.targetUri, r.body, rootId, ord, 1); ord += 1
+          }
+        case "jsonl" =>
+          // one JSON object per line = one logical document per line: the
+          // child carries the line's top-level "text" field; a malformed
+          // or text-less line yields an empty child (per-line resilience),
+          // never a parent failure. Identity hashes the RAW line.
+          content.split('\n').iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
+            checkDeadline(deadlineNanos)
+            if (guardsRefuse(1, line.length)) skipped += 1
+            else {
+              spawned += 1
+              val txt = graft.core.text.Jsonl.textField(line).getOrElse("")
+              val cid = Ids.embedId(line, rootId, ord)
+              val spans =
+                if (txt.isEmpty) Array.empty[SpanOut] else Array(SpanOut("text", txt, "", 0))
+              out += DocOut(cid, rootId, rootId, 1, spans,
+                if (txt.isEmpty) Reason.Empty else "")
+            }
+            ord += 1
           }
         case "cfb" =>
           // the compound file IS the parent document: a message's

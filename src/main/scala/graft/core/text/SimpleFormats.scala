@@ -139,3 +139,96 @@ object Csv {
     out.toString
   }
 }
+
+/** JSONL (one JSON object per line) — the interchange format training-text
+  * corpora ship in (`{"text": ...}` records a la C4/Pile/RedPajama dumps).
+  * Each line is a separate logical document: the explosion spawns one
+  * child per line carrying its `text` field.
+  *
+  * [[Jsonl.textField]] is a depth-aware scanner, not a full JSON parser:
+  * it decodes the STRING VALUE of a top-level `"text"` key with real
+  * escape handling (\" \\ \/ \b \f \n \r \t \uXXXX), ignoring same-named
+  * keys nested deeper. Malformed lines yield None — per-line resilience,
+  * like the reference's per-entry failure capture, never a throw.
+  */
+object Jsonl {
+
+  /** A payload looks like JSONL when its first line is a one-line JSON
+    * object (trimmed: starts '{', ends '}').
+    */
+  def looksJsonl(bytes: Array[Byte]): Boolean = {
+    val limit = math.min(bytes.length, 8192)
+    var end = 0
+    while (end < limit && bytes(end) != '\n') end += 1
+    val line = new String(bytes, 0, end, java.nio.charset.StandardCharsets.UTF_8).trim
+    line.length >= 2 && line.charAt(0) == '{' && line.charAt(line.length - 1) == '}'
+  }
+
+  /** Decode the JSON string starting at the opening quote `i`; returns
+    * (value, index after closing quote), or None when malformed.
+    */
+  private def parseString(s: String, i: Int): Option[(String, Int)] = {
+    if (i >= s.length || s.charAt(i) != '"') return None
+    val sb = new StringBuilder
+    var p = i + 1
+    while (p < s.length) {
+      s.charAt(p) match {
+        case '"' => return Some((sb.toString, p + 1))
+        case '\\' =>
+          if (p + 1 >= s.length) return None
+          s.charAt(p + 1) match {
+            case '"' => sb.append('"'); p += 2
+            case '\\' => sb.append('\\'); p += 2
+            case '/' => sb.append('/'); p += 2
+            case 'b' => sb.append('\b'); p += 2
+            case 'f' => sb.append('\f'); p += 2
+            case 'n' => sb.append('\n'); p += 2
+            case 'r' => sb.append('\r'); p += 2
+            case 't' => sb.append('\t'); p += 2
+            case 'u' =>
+              if (p + 6 > s.length) return None
+              try { sb.append(Integer.parseInt(s.substring(p + 2, p + 6), 16).toChar); p += 6 }
+              catch { case _: NumberFormatException => return None }
+            case _ => return None
+          }
+        case c => sb.append(c); p += 1
+      }
+    }
+    None // unterminated
+  }
+
+  /** The string value of the top-level `field` key, or None when the line
+    * is malformed, the key is absent at depth 1, or its value is not a
+    * string. Nested objects' same-named keys are skipped by depth
+    * tracking; strings are skipped atomically so braces INSIDE values
+    * can't corrupt the depth.
+    */
+  def textField(line: String, field: String = "text"): Option[String] = {
+    var i = 0
+    var depth = 0
+    while (i < line.length) {
+      line.charAt(i) match {
+        case '{' | '[' => depth += 1; i += 1
+        case '}' | ']' => depth -= 1; i += 1
+        case '"' =>
+          parseString(line, i) match {
+            case None => return None
+            case Some((s, next)) =>
+              var j = next
+              while (j < line.length && line.charAt(j).isWhitespace) j += 1
+              if (j < line.length && line.charAt(j) == ':') {
+                // this string was a KEY
+                var k = j + 1
+                while (k < line.length && line.charAt(k).isWhitespace) k += 1
+                if (depth == 1 && s == field) {
+                  return parseString(line, k).map(_._1) // None unless a string value
+                }
+                i = j + 1 // the VALUE is consumed by the main loop
+              } else i = next
+          }
+        case _ => i += 1
+      }
+    }
+    None
+  }
+}

@@ -37,6 +37,7 @@ object Ingest {
     else if (graft.core.office.Cfb.isCfb(bytes)) "cfb" // OLE2 compound file (.msg/.doc era)
     else if (Archive.isTar(bytes)) "tar"
     else if (hasUtf16Bom(bytes)) "text" // UTF-16 BOM: decoded per-charset below
+    else if (graft.core.text.Jsonl.looksJsonl(bytes)) "jsonl" // one JSON object per line (corpus dumps)
     else {
       // UNSIGNED byte compare: JVM bytes are signed, so `b >= 0x20` would
       // class every UTF-8 multi-byte sequence (>= 0x80) as non-printable
@@ -102,7 +103,7 @@ object Ingest {
     */
   def decodePayload(kind: String, bytes: Array[Byte]): String = kind match {
     case "html" => htmlCharset(bytes).map(new String(bytes, _)).getOrElse(decodeText(bytes))
-    case "text" => decodeText(bytes)
+    case "text" | "jsonl" => decodeText(bytes)
     case _ => new String(bytes, StandardCharsets.ISO_8859_1) // lossless bytes
   }
 

@@ -81,4 +81,36 @@ class SimpleFormatsSpec extends AnyFunSuite {
     assert(out(2).spans.head.kind == "pdf_bytes")
     assert(out(2).spans.head.text == "pdf inside")
   }
+
+  test("Jsonl.textField: depth tracking, escapes, malformed resilience") {
+    import graft.core.text.Jsonl
+    assert(Jsonl.textField("""{"text": "hello world"}""").contains("hello world"))
+    // nested decoy must not win; top-level key later in the line must
+    assert(Jsonl.textField("""{"meta": {"text": "decoy"}, "text": "real"}""").contains("real"))
+    // full escape set incl. \uXXXX (the escape spelled via concat — Scala
+    // would otherwise process a literal \u in SOURCE at compile time)
+    val uline = "{\"text\": \"a\\\"b\\\\c\\n" + "\\" + "u0041d\"}"
+    assert(Jsonl.textField(uline).contains("a\"b\\c\nAd"))
+    // braces INSIDE string values must not corrupt depth
+    assert(Jsonl.textField("""{"pre": "}{", "text": "after brace"}""").contains("after brace"))
+    // non-string value, absent key, malformed line
+    assert(Jsonl.textField("""{"text": 42}""").isEmpty)
+    assert(Jsonl.textField("""{"other": "x"}""").isEmpty)
+    assert(Jsonl.textField("""{"text": "unterminated""").isEmpty)
+    assert(Jsonl.textField("""{"text": "bad \q escape"}""").isEmpty)
+  }
+
+  test("jsonl span explodes one child per line via the sniffed route") {
+    import graft.core.route.Extract
+    import graft.core.{DocIn, SpanIn}
+    val payload = "{\"text\": \"first doc\"}\n{\"text\": \"second doc\"}\n{\"notext\": 1}"
+    assert(graft.sources.Ingest.sniffKind(
+      payload.getBytes(java.nio.charset.StandardCharsets.UTF_8)) == "jsonl")
+    val nodes = Extract.explode(DocIn(88L, Array(SpanIn("jsonl", payload, "", 0))))
+    assert(nodes.count(_.level == 1) == 3)
+    val texts = nodes.filter(_.level == 1).map(_.spans.map(_.text).mkString)
+    assert(texts.toSet == Set("first doc", "second doc", ""))
+    assert(nodes.exists(n => n.level == 1 && n.spans.isEmpty &&
+      n.no_content_reason == graft.core.Reason.Empty))
+  }
 }
