@@ -303,6 +303,31 @@ object Extract {
         (n, b.map(x => new String(x, java.nio.charset.StandardCharsets.ISO_8859_1)).getOrElse(""))
       })
 
+    // one JSONL line -> one child carrying its top-level "text" field; a
+    // malformed or text-less line yields an empty child (per-line
+    // resilience), never a parent failure. Identity hashes the RAW line.
+    // Shared by the top-level jsonl span and nested jsonl entries
+    // (.jsonl.gz / jsonl-in-zip) so the two can never diverge.
+    def spawnJsonlLines(content: String, parentId: String, startOrd: Int,
+                        level: Int): Int = {
+      var o = startOrd
+      content.split('\n').iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
+        checkDeadline(deadlineNanos)
+        if (guardsRefuse(level, line.length)) skipped += 1
+        else {
+          spawned += 1
+          val txt = graft.core.text.Jsonl.textField(line).getOrElse("")
+          val cid = Ids.embedId(line, parentId, o)
+          val spans =
+            if (txt.isEmpty) Array.empty[SpanOut] else Array(SpanOut("text", txt, "", 0))
+          out += DocOut(cid, parentId, rootId, level, spans,
+            if (txt.isEmpty) Reason.Empty else "")
+        }
+        o += 1
+      }
+      o
+    }
+
     // one parsed Outlook message -> one DOCUMENT child (body text), its
     // attachments recursing: file attachments re-enter the sniffed entry
     // path; an attached message (msg-in-msg, the reference's
@@ -418,16 +443,25 @@ object Extract {
           // same clean text it would standalone instead of leaking markup
           val latin1 = new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
           val kind = graft.sources.Ingest.sniffKind(data)
-          val payload = graft.sources.Ingest.decodePayload(kind, data)
-          // markers=false: failure-injection markers are a top-level-span
-          // contract; untrusted entry BYTES must never fail/hang the parent
-          val (txt, why) = extractSpan(kind, payload, cfg, markers = false)
-          val cid = Ids.embedId(latin1, parentId, ord, resourceName = name)
-          val spans =
-            if (txt.isEmpty) Array.empty[SpanOut]
-            else Array(SpanOut(kind, txt, "", 0))
-          out += DocOut(cid, parentId, rootId, level, spans,
-            if (txt.nonEmpty) "" else if (why.nonEmpty) why else Reason.Empty)
+          if (kind == "jsonl") {
+            // nested corpus dump (.jsonl.gz, jsonl-in-zip): a container
+            // child whose per-line documents hang below it — WITHOUT this
+            // branch the lines would silently collapse into one empty child
+            val cid = Ids.embedId(latin1, parentId, ord, resourceName = name)
+            out += DocOut(cid, parentId, rootId, level, Array.empty[SpanOut], Reason.Empty)
+            spawnJsonlLines(graft.sources.Ingest.decodePayload(kind, data), cid, 0, level + 1)
+          } else {
+            val payload = graft.sources.Ingest.decodePayload(kind, data)
+            // markers=false: failure-injection markers are a top-level-span
+            // contract; untrusted entry BYTES must never fail/hang the parent
+            val (txt, why) = extractSpan(kind, payload, cfg, markers = false)
+            val cid = Ids.embedId(latin1, parentId, ord, resourceName = name)
+            val spans =
+              if (txt.isEmpty) Array.empty[SpanOut]
+              else Array(SpanOut(kind, txt, "", 0))
+            out += DocOut(cid, parentId, rootId, level, spans,
+              if (txt.nonEmpty) "" else if (why.nonEmpty) why else Reason.Empty)
+          }
       }
     }
 
@@ -476,24 +510,9 @@ object Extract {
             spawnEntry(r.targetUri, r.body, rootId, ord, 1); ord += 1
           }
         case "jsonl" =>
-          // one JSON object per line = one logical document per line: the
-          // child carries the line's top-level "text" field; a malformed
-          // or text-less line yields an empty child (per-line resilience),
-          // never a parent failure. Identity hashes the RAW line.
-          content.split('\n').iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
-            checkDeadline(deadlineNanos)
-            if (guardsRefuse(1, line.length)) skipped += 1
-            else {
-              spawned += 1
-              val txt = graft.core.text.Jsonl.textField(line).getOrElse("")
-              val cid = Ids.embedId(line, rootId, ord)
-              val spans =
-                if (txt.isEmpty) Array.empty[SpanOut] else Array(SpanOut("text", txt, "", 0))
-              out += DocOut(cid, rootId, rootId, 1, spans,
-                if (txt.isEmpty) Reason.Empty else "")
-            }
-            ord += 1
-          }
+          // one JSON object per line = one logical document per line
+          // (shared with the NESTED route via spawnJsonlLines)
+          ord = spawnJsonlLines(content, rootId, ord, 1)
         case "cfb" =>
           // the compound file IS the parent document: a message's
           // attachments (file or nested message) become its children; a

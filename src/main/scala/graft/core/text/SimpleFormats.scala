@@ -161,7 +161,15 @@ object Jsonl {
     var end = 0
     while (end < limit && bytes(end) != '\n') end += 1
     val line = new String(bytes, 0, end, java.nio.charset.StandardCharsets.UTF_8).trim
-    line.length >= 2 && line.charAt(0) == '{' && line.charAt(line.length - 1) == '}'
+    if (end < limit || end == bytes.length)
+      // the first line fit in the probe: demand a complete object
+      line.length >= 2 && line.charAt(0) == '{' && line.charAt(line.length - 1) == '}'
+    else
+      // first record longer than the probe (routine for document-level
+      // dumps): accept on the `{"` object-start shape — plain text
+      // essentially never begins that way
+      line.length >= 2 && line.charAt(0) == '{' &&
+        line.drop(1).dropWhile(_.isWhitespace).headOption.contains('"')
   }
 
   /** Decode the JSON string starting at the opening quote `i`; returns
@@ -187,8 +195,12 @@ object Jsonl {
             case 't' => sb.append('\t'); p += 2
             case 'u' =>
               if (p + 6 > s.length) return None
-              try { sb.append(Integer.parseInt(s.substring(p + 2, p + 6), 16).toChar); p += 6 }
-              catch { case _: NumberFormatException => return None }
+              val hex = s.substring(p + 2, p + 6)
+              // strict ASCII hex only — parseInt would also accept a
+              // leading sign or Unicode digits and fabricate characters
+              if (!hex.forall(c => (c >= '0' && c <= '9') ||
+                (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F'))) return None
+              sb.append(Integer.parseInt(hex, 16).toChar); p += 6
             case _ => return None
           }
         case c => sb.append(c); p += 1

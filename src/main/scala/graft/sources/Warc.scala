@@ -22,9 +22,15 @@ import graft.core.ParseFailure
   */
 object Warc {
 
+  /** The FULL version-line shape "WARC/1.x\r\n" — the 5 printable bytes
+    * "WARC/" alone would misclassify ordinary text that merely mentions
+    * the format (the same false-positive class the bzip2 sniff guards
+    * against with its block signature).
+    */
   def isWarc(bytes: Array[Byte]): Boolean =
-    bytes.length >= 5 && bytes(0) == 'W' && bytes(1) == 'A' && bytes(2) == 'R' &&
-      bytes(3) == 'C' && bytes(4) == '/'
+    bytes.length >= 10 && bytes(0) == 'W' && bytes(1) == 'A' && bytes(2) == 'R' &&
+      bytes(3) == 'C' && bytes(4) == '/' && bytes(5) == '1' && bytes(6) == '.' &&
+      bytes(7) >= '0' && bytes(7) <= '9' && bytes(8) == '\r' && bytes(9) == '\n'
 
   /** One parsed record: `body` for response records is the HTTP payload
     * AFTER its message headers; for resource records the raw payload.
@@ -38,11 +44,15 @@ object Warc {
     val out = Vector.newBuilder[Record]
     var pos = 0
     var n = 0
-    while (pos < latin1.length && n < maxRecords) {
+    while (pos < latin1.length) {
       // skip inter-record blank lines
       while (pos < latin1.length &&
         (latin1.charAt(pos) == '\r' || latin1.charAt(pos) == '\n')) pos += 1
       if (pos >= latin1.length) return out.result()
+      // LOUD cap: a silently dropped tail would diverge from the oracle
+      // with no skip count ("refusals are counted, never silent")
+      if (n >= maxRecords)
+        throw new ParseFailure(s"warc: more than $maxRecords content records")
       if (!latin1.startsWith("WARC/", pos))
         throw new ParseFailure(s"warc: record at $pos missing version line")
       val headerEnd = latin1.indexOf("\r\n\r\n", pos)

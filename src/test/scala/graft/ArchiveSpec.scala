@@ -194,6 +194,13 @@ class ArchiveSpec extends AnyFunSuite {
     intercept[ParseFailure](Warc.records("WARC/1.0\r\nno-length: x\r\n\r\n", 1 << 20))
     intercept[ParseFailure](
       Warc.records("WARC/1.0\r\nContent-Length: 99999\r\n\r\nshort", 1 << 20))
+    // the record cap is LOUD, never a silent tail drop
+    intercept[ParseFailure](
+      Warc.records(new String(warc, ISO_8859_1), 1 << 20, maxRecords = 1))
+    // prose that merely STARTS with 'WARC/' is not an archive
+    val prose = "WARC/1.0 is the version string used by web archives".getBytes(UTF_8)
+    assert(!Warc.isWarc(prose))
+    assert(graft.sources.Ingest.sniffKind(prose) == "text")
   }
 
   test("a gzipped WARC (the .warc.gz shape) explodes records as children") {

@@ -100,6 +100,30 @@ class SimpleFormatsSpec extends AnyFunSuite {
     assert(Jsonl.textField("""{"text": "bad \q escape"}""").isEmpty)
   }
 
+  test("jsonl nested in a gzip explodes per line under a container child") {
+    import graft.core.route.Extract
+    import graft.core.{DocIn, SpanIn}
+    import graft.sources.Archive
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    val payload = "{\"text\": \"zipped one\"}\n{\"text\": \"zipped two\"}"
+    val gz = Archive.gzipBytes(payload.getBytes(UTF_8), "dump.jsonl")
+    val nodes = Extract.explode(
+      DocIn(99L, Array(SpanIn("gzip", new String(gz, ISO_8859_1), "", 0))))
+    // gzip member -> jsonl container node -> two line children
+    val texts = nodes.filter(_.level == 2).map(_.spans.map(_.text).mkString)
+    assert(texts.toSet == Set("zipped one", "zipped two"))
+  }
+
+  test("jsonl sniff handles first records longer than the probe window") {
+    import graft.core.text.Jsonl
+    val big = "{\"text\": \"" + "x" * 10000 + "\"}\n{\"text\": \"b\"}"
+    assert(Jsonl.looksJsonl(big.getBytes))
+    // plain text that merely opens with a brace is NOT jsonl
+    assert(!Jsonl.looksJsonl(("{ a brace then prose " + "y" * 10000).getBytes))
+    // strict \uXXXX: parseInt would accept a sign and fabricate a char
+    assert(Jsonl.textField("{\"text\": \"bad \\" + "u+041 escape\"}").isEmpty)
+  }
+
   test("jsonl span explodes one child per line via the sniffed route") {
     import graft.core.route.Extract
     import graft.core.{DocIn, SpanIn}
