@@ -81,6 +81,9 @@ object Warc {
           val split = payload.indexOf("\r\n\r\n")
           Some(if (split < 0) payload else payload.substring(split + 4))
         case "resource" => Some(payload)
+        // WET files (Common Crawl's pre-extracted text sidecars) mark
+        // their plain-text records as conversions of the original response
+        case "conversion" => Some(payload)
         case _ => None // warcinfo/request/metadata carry no document content
       }
       body.foreach { b =>

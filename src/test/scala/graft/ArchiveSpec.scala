@@ -201,6 +201,11 @@ class ArchiveSpec extends AnyFunSuite {
     val prose = "WARC/1.0 is the version string used by web archives".getBytes(UTF_8)
     assert(!Warc.isWarc(prose))
     assert(graft.sources.Ingest.sniffKind(prose) == "text")
+    // WET shape: conversion records carry the pre-extracted text
+    val wet = Warc.build(Seq(
+      ("conversion", "http://a.example/x", "text/plain", "wet extract".getBytes(UTF_8))))
+    val wrecs = Warc.records(new String(wet, ISO_8859_1), 1 << 20)
+    assert(wrecs.length == 1 && new String(wrecs(0).body.get, UTF_8) == "wet extract")
   }
 
   test("a gzipped WARC (the .warc.gz shape) explodes records as children") {
