@@ -260,13 +260,14 @@ object Dedup {
       val candidate = edges.join(labels, edges("s") === labels("id"))
         .select(col("d").as("cid"), col("label").as("nlabel"))
         .groupBy("cid").agg(min("nlabel").as("nlabel"))
-      val next = labels.join(candidate, labels("id") === candidate("cid"), "left")
-        .select(col("id"),
+      // carry the OLD label through the propagation join so convergence
+      // is a filter over the same materialization — not a second join
+      val joined = labels.join(candidate, labels("id") === candidate("cid"), "left")
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .localCheckpoint() // truncate iterative lineage
-      val changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = next
+      val changed = joined.filter(col("label") =!= col("old")).count()
+      labels = joined.select("id", "label")
       converged = changed == 0
       iter += 1
     }
