@@ -1061,6 +1061,28 @@ object Oracle {
        |FROM documents""".stripMargin
   }
 
+  /** Mirror of Queries.urlFilterQ: the deterministic crawl URLs with the
+    * rule cascade (scheme, domain suffix, keyword) and first-matching
+    * reason.
+    */
+  private val urlFilter: String =
+    """WITH u AS (SELECT doc_id,
+      |  (CASE WHEN doc_id%7=0 THEN 'ftp' ELSE 'http' END)||'://'||
+      |  (CASE doc_id%3 WHEN 0 THEN 'good.example' WHEN 1 THEN 'spam.example'
+      |        ELSE 'sub.bad.example' END)||
+      |  '/p'||doc_id||(CASE WHEN doc_id%5=0 THEN '?track=1' ELSE '' END) AS url
+      | FROM documents),
+      |h AS (SELECT doc_id, url,
+      |       regexp_extract(lower(url), '^https?://([^/?#]+)', 1) AS host FROM u),
+      |r AS (SELECT doc_id, url, host,
+      |  CASE WHEN host='' THEN 'bad-scheme'
+      |       WHEN host='spam.example' OR host LIKE '%.spam.example'
+      |         OR host='bad.example' OR host LIKE '%.bad.example' THEN 'blocked-domain'
+      |       WHEN lower(url) LIKE '%track%' THEN 'blocked-keyword'
+      |       ELSE '' END AS reason FROM h)
+      |SELECT doc_id, url, host, reason,
+      |  (CASE WHEN reason='' THEN 1 ELSE 0 END)::BIGINT AS kept FROM r""".stripMargin
+
   /** Mirror of Queries.wordFreqScore: corpus unigram counts joined back,
     * mean frequency x100 in integer arithmetic.
     */
@@ -1194,6 +1216,7 @@ object Oracle {
     "q_zstd_explode" -> zstdExplode,
     "q_warc_explode" -> warcExplode,
     "q_jsonl_explode" -> jsonlExplode,
+    "q_url_filter" -> urlFilter,
     "q_eml_headers" -> emlHeaders,
     "q_artifact_lookup" -> artifactLookup,
     "q_embed_named" -> embedNamed,

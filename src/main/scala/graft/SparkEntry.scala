@@ -1421,6 +1421,30 @@ object Queries {
       call_function("graft_code32", col("text")).as("code"))
   }
 
+  /** RefinedWeb-style URL filtering over deterministic crawl URLs: %3
+    * picks the host class (clean / blocked / blocked-by-suffix), %5 adds
+    * a tracking keyword, %7 a non-http scheme — every rule and the
+    * first-matching-reason precedence oracle-checked.
+    */
+  def urlFilterQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val urls = docs(spark, dir).select("doc_id").as[Long]
+      .map { id =>
+        val hostPart = (id % 3) match {
+          case 0 => "good.example"
+          case 1 => "spam.example"
+          case _ => "sub.bad.example"
+        }
+        val scheme = if (id % 7 == 0) "ftp" else "http"
+        val q = if (id % 5 == 0) "?track=1" else ""
+        (id, s"$scheme://$hostPart/p$id$q")
+      }
+      .toDF("doc_id", "url")
+    graft.operators.Scrub.urlFilter(urls,
+      blockedDomains = Seq("spam.example", "bad.example"),
+      blockedKeywords = Seq("track"))
+  }
+
   /** Deterministic content-hash dataset split — how a training pipeline
     * assigns train/val/test held-out sets so membership is stable across
     * re-runs and shards: bucket = code32(text) % 100 via the native
@@ -1525,6 +1549,7 @@ object Queries {
     "q_zstd_explode" -> (zstdExplode _),
     "q_warc_explode" -> (warcExplode _),
     "q_jsonl_explode" -> (jsonlExplode _),
+    "q_url_filter" -> (urlFilterQ _),
     "q_eml_headers" -> (emlHeaders _),
     "q_artifact_lookup" -> (artifactLookup _),
     "q_embed_named" -> (embedNamed _),

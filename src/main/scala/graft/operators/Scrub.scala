@@ -47,4 +47,33 @@ object Scrub {
       }
       .toDF("doc_id", "n_lines", "n_distinct", "dup_pct")
   }
+
+  /** RefinedWeb-style URL filtering over crawled records (the step that
+    * runs right after WARC ingestion at web scale): extract the host with
+    * a codegen'd regexp, drop non-http(s) schemes, blocked domains
+    * (suffix match — `bad.example` also blocks `sub.bad.example`), and
+    * URLs containing blocked keywords. Map-only, no shuffle; the rule
+    * lists are BOUNDED arguments folded into the plan as literal
+    * predicates (a production-sized million-domain blocklist would
+    * instead broadcast-join on the reversed host — the bounded-argument
+    * contract here mirrors Knn's explicit probe sets). Emits kept + the
+    * first matching drop reason, never a silent drop.
+    */
+  def urlFilter(urls: DataFrame, blockedDomains: Seq[String],
+                blockedKeywords: Seq[String], urlCol: String = "url"): DataFrame = {
+    val u = lower(col(urlCol))
+    val host = regexp_extract(u, "^https?://([^/?#]+)", 1)
+    val domainHit = blockedDomains.map(_.toLowerCase)
+      .foldLeft(lit(false))((acc, d) =>
+        acc || host === d || host.endsWith("." + d))
+    val keywordHit = blockedKeywords.map(_.toLowerCase)
+      .foldLeft(lit(false))((acc, k) => acc || u.contains(k))
+    val reason = when(host === "", "bad-scheme")
+      .when(domainHit, "blocked-domain")
+      .when(keywordHit, "blocked-keyword")
+      .otherwise("")
+    urls.withColumn("host", host)
+      .withColumn("reason", reason)
+      .withColumn("kept", (reason === "").cast("long"))
+  }
 }
