@@ -442,7 +442,9 @@ object Extract {
           // bytes), so an rtf/pdf/html nested in an archive extracts the
           // same clean text it would standalone instead of leaking markup
           val latin1 = new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
-          val kind = graft.sources.Ingest.sniffKind(data)
+          // entry NAME rides into the sniff as the same tiebreaker the
+          // real file walk uses (a data.csv zip entry routes as csv)
+          val kind = graft.sources.Ingest.sniffKind(data, name)
           if (kind == "jsonl") {
             // nested corpus dump (.jsonl.gz, jsonl-in-zip): a container
             // child whose per-line documents hang below it — WITHOUT this
@@ -450,6 +452,19 @@ object Extract {
             val cid = Ids.embedId(latin1, parentId, ord, resourceName = name)
             out += DocOut(cid, parentId, rootId, level, Array.empty[SpanOut], Reason.Empty)
             spawnJsonlLines(graft.sources.Ingest.decodePayload(kind, data), cid, 0, level + 1)
+          } else if (kind == "eml") {
+            // nested mail (eml-in-zip/tgz): a document child carrying the
+            // body, its attachments recursing below — mail-in-archive is
+            // reference bread-and-butter (RFC822Parser inside EmbedSpawner)
+            val m = graft.core.mail.Eml.parse(latin1)
+            val cid = Ids.embedId(latin1, parentId, ord, resourceName = name)
+            val spans =
+              if (m.body.isEmpty) Array.empty[SpanOut] else Array(SpanOut("text", m.body, "", 0))
+            out += DocOut(cid, parentId, rootId, level, spans,
+              if (m.body.isEmpty) Reason.Empty else "")
+            m.attachments.zipWithIndex.foreach { case ((n, b), i) =>
+              spawnEntry(n, Some(b), cid, i, level + 1)
+            }
           } else {
             val payload = graft.sources.Ingest.decodePayload(kind, data)
             // markers=false: failure-injection markers are a top-level-span

@@ -21,7 +21,22 @@ object Ingest {
     * children by Extract.spawnContainers), 1f 8b -> gzip,
     * mostly-printable -> text, else bin.
     */
-  def sniffKind(bytes: Array[Byte]): String = {
+  /** Leading STRONG mail-header line — the content-based RFC-822
+    * detection Tika applies to extensionless mail, restricted to headers
+    * prose essentially never opens with ("To: whoever" starts plenty of
+    * plain notes; "Received:"/"Return-Path:" do not).
+    */
+  private val MailHeadRe =
+    "(?i)^(received|return-path|delivered-to|message-id|mime-version):".r
+
+  def sniffKind(bytes: Array[Byte]): String = sniffKind(bytes, "")
+
+  /** As [[sniffKind]], with the file/entry NAME as a tiebreaker for
+    * text-like formats magic bytes cannot distinguish (.csv tables, .eml
+    * mail) — the reference's Tika detection combines magic and filename
+    * the same way (`Extractor.java:937`).
+    */
+  def sniffKind(bytes: Array[Byte], name: String): String = {
     def startsWith(sig: Array[Byte]): Boolean =
       bytes.length >= sig.length && sig.indices.forall(i => bytes(i) == sig(i))
     val lowerHead = new String(bytes.take(64), StandardCharsets.ISO_8859_1)
@@ -47,7 +62,13 @@ object Ingest {
         val u = b & 0xff
         u >= 0x20 || u == '\n' || u == '\r' || u == '\t'
       }
-      if (probe.nonEmpty && probe.count(printable) * 10 >= probe.length * 9) "text"
+      if (probe.nonEmpty && probe.count(printable) * 10 >= probe.length * 9) {
+        val lname = name.toLowerCase(java.util.Locale.ROOT)
+        val firstLine = lowerHead.takeWhile(c => c != '\r' && c != '\n')
+        if (lname.endsWith(".csv")) "csv"
+        else if (lname.endsWith(".eml") || MailHeadRe.findPrefixOf(firstLine).isDefined) "eml"
+        else "text"
+      }
       else "bin"
     }
   }
@@ -103,7 +124,9 @@ object Ingest {
     */
   def decodePayload(kind: String, bytes: Array[Byte]): String = kind match {
     case "html" => htmlCharset(bytes).map(new String(bytes, _)).getOrElse(decodeText(bytes))
-    case "text" | "jsonl" => decodeText(bytes)
+    case "text" | "jsonl" | "csv" => decodeText(bytes)
+    // NOT eml: MIME is byte-transparent latin1 on purpose — base64
+    // attachment decoding needs the raw octets
     case _ => new String(bytes, StandardCharsets.ISO_8859_1) // lossless bytes
   }
 
@@ -138,7 +161,7 @@ object Ingest {
     * two can never diverge on sniffing or charset rules.
     */
   def toDocIn(path: String, bytes: Array[Byte]): DocIn = {
-    val kind = sniffKind(bytes)
+    val kind = sniffKind(bytes, path.substring(path.lastIndexOf('/') + 1))
     DocIn(pathId(path), Array(SpanIn(kind, decodePayload(kind, bytes), "", 0)))
   }
 

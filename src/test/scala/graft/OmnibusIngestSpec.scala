@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.office.{Cfb, Msg, Ppt, WordDoc, Xls}
+import graft.core.route.Extract
+import graft.sources.{Archive, Ingest, Warc}
+
+/** The whole sniff surface in one real directory: every supported format
+  * written to disk, walked by the actual binaryFile ingestion, and
+  * extracted end-to-end — the closest thing to dropping the reference's
+  * test-documents folder on the engine. Each format asserts its canonical
+  * text (or child explosion) so a sniff-precedence regression in any one
+  * route fails loudly here.
+  */
+class OmnibusIngestSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("a mixed-format directory ingests and extracts end-to-end") {
+    val dir = Files.createTempDirectory("graft-omnibus")
+    def put(name: String, bytes: Array[Byte]): Unit =
+      Files.write(Paths.get(dir.toString, name), bytes)
+
+    put("page.html",
+      "<html><head><meta charset=\"windows-1252\"></head><body><p>page café body</p></body></html>"
+        .getBytes(java.nio.charset.Charset.forName("windows-1252")))
+    put("note.txt", "plain text note here".getBytes(UTF_8))
+    put("doc.pdf",
+      ("%PDF-1.4\n1 0 obj << /Length 30 >>\nstream\nBT (pdf text line) Tj ET\nendstream\nendobj\ntrailer\n%%EOF")
+        .getBytes(ISO_8859_1))
+    put("sheet.rtf", """{\rtf1\ansi{\fonttbl{\f0 F;}}\f0 rtf body text}""".getBytes(ISO_8859_1))
+    put("table.csv", "a,b\nc,d".getBytes(UTF_8))
+    put("arch.zip", Archive.zipBytes(Seq(("in.txt", "zip member".getBytes(UTF_8)))))
+    put("roll.tgz", Archive.gzipBytes(
+      Archive.tarBytes(Seq(("t.txt", "tar member".getBytes(UTF_8)))), "roll.tar"))
+    put("frame.zst", Archive.zstdBytes("zstd member".getBytes(UTF_8)))
+    put("block.bz2", Archive.bzip2Bytes("bzip2 member".getBytes(UTF_8)))
+    put("mail.eml",
+      ("From: a@example.com\r\nTo: b@example.com\r\nSubject: s\r\n" +
+        "Content-Type: text/plain\r\n\r\neml body text").getBytes(UTF_8))
+    put("msg.msg", Msg.build(Msg.MsgDoc("subj", "from", "msg body text",
+      Vector(Msg.FileAtt("a.txt", "msg attachment".getBytes(UTF_8))))))
+    put("old.doc", WordDoc.build("legacy doc text"))
+    put("old.xls", Xls.build(Seq(Seq(("cell one", false), ("2", true)))))
+    put("old.ppt", Ppt.build(Seq("slide text")))
+    put("crawl.warc", Warc.build(Seq(
+      ("conversion", "http://x.example/a", "text/plain", "wet record text".getBytes(UTF_8)))))
+    put("dump.jsonl",
+      "{\"text\": \"jsonl one\"}\n{\"text\": \"jsonl two\"}".getBytes(UTF_8))
+    put("generic.cfb", Cfb.build(Seq(("s.txt", "cfb stream text".getBytes(UTF_8)))))
+    // extensionless mail detected by its strong Received: header
+    put("relayed_mail",
+      ("Received: from relay.example\r\nFrom: x@example.com\r\n" +
+        "Content-Type: text/plain\r\n\r\nextensionless mail body").getBytes(UTF_8))
+    put("Thumbs.db", Array[Byte](1, 2, 3)) // junk: must be excluded
+
+    val docs = Ingest.readDir(spark, dir.toString).collect()
+    assert(docs.length == 18) // every file except the junk one
+
+    val texts = docs.flatMap(d => Extract.explode(d))
+      .flatMap(o => o.spans.map(_.text)).filter(_.nonEmpty).toSet
+    val expected = Set(
+      "page café body", "plain text note here", "pdf text line",
+      "rtf body text", "a\tb\nc\td", "zip member", "tar member",
+      "zstd member", "bzip2 member", "eml body text", "msg body text",
+      "msg attachment", "legacy doc text", "cell one\t2", "slide text",
+      "wet record text", "jsonl one", "jsonl two", "cfb stream text",
+      "extensionless mail body")
+    val missing = expected -- texts
+    assert(missing.isEmpty, s"formats missing from extraction: $missing")
+  }
+}
