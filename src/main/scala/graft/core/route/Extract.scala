@@ -303,6 +303,16 @@ object Extract {
         (n, b.map(x => new String(x, java.nio.charset.StandardCharsets.ISO_8859_1)).getOrElse(""))
       })
 
+    // emit one DOCUMENT node: the body as its single text span,
+    // empty-file reason when bodyless — the shared emission shape for
+    // msg / legacy-Office / nested-mail / jsonl-line children
+    def emitDoc(cid: String, parentId: String, level: Int, body: String): Unit = {
+      val spans =
+        if (body.isEmpty) Array.empty[SpanOut] else Array(SpanOut("text", body, "", 0))
+      out += DocOut(cid, parentId, rootId, level, spans,
+        if (body.isEmpty) Reason.Empty else "")
+    }
+
     // one JSONL line -> one child carrying its top-level "text" field; a
     // malformed or text-less line yields an empty child (per-line
     // resilience), never a parent failure. Identity hashes the RAW line.
@@ -317,11 +327,7 @@ object Extract {
         else {
           spawned += 1
           val txt = graft.core.text.Jsonl.textField(line).getOrElse("")
-          val cid = Ids.embedId(line, parentId, o)
-          val spans =
-            if (txt.isEmpty) Array.empty[SpanOut] else Array(SpanOut("text", txt, "", 0))
-          out += DocOut(cid, parentId, rootId, level, spans,
-            if (txt.isEmpty) Reason.Empty else "")
+          emitDoc(Ids.embedId(line, parentId, o), parentId, level, txt)
         }
         o += 1
       }
@@ -341,10 +347,7 @@ object Extract {
       if (guardsRefuse(level, canon.length)) { skipped += 1; return }
       spawned += 1
       val cid = Ids.embedId(canon, parentId, ord, resourceName = resourceName)
-      val spans =
-        if (m.body.isEmpty) Array.empty[SpanOut] else Array(SpanOut("text", m.body, "", 0))
-      out += DocOut(cid, parentId, rootId, level, spans,
-        if (m.body.isEmpty) Reason.Empty else "")
+      emitDoc(cid, parentId, level, m.body)
       m.attachments.zipWithIndex.foreach {
         case (graft.core.office.Msg.FileAtt(n, b), i) => spawnEntry(n, Some(b), cid, i, level + 1)
         case (graft.core.office.Msg.MsgAtt(sub), i) => spawnMsg(sub, sub.subject, cid, i, level + 1)
@@ -379,10 +382,7 @@ object Extract {
             // walks for OLE attachments) do, each sniffed like an
             // archive entry
             val cid = Ids.embedId(canonicalOf(entries), parentId, ord, resourceName = name)
-            val spans =
-              if (body.isEmpty) Array.empty[SpanOut] else Array(SpanOut("text", body, "", 0))
-            out += DocOut(cid, parentId, rootId, level, spans,
-              if (body.isEmpty) Reason.Empty else "")
+            emitDoc(cid, parentId, level, body)
             entries.filter(_._1.startsWith("ObjectPool/")).zipWithIndex.foreach {
               case ((n, b), i) => spawnEntry(n, b, cid, i, level + 1)
             }
@@ -420,11 +420,7 @@ object Extract {
           // embedded Office document (docx/xlsx/pptx): body text on the
           // child, embedded media/object parts recurse
           val cid = Ids.embedId(canonicalOf(entries), parentId, ord, resourceName = name)
-          val body = graft.core.office.Ooxml.textFromEntries(entries)
-          val spans =
-            if (body.isEmpty) Array.empty[SpanOut] else Array(SpanOut("text", body, "", 0))
-          out += DocOut(cid, parentId, rootId, level, spans,
-            if (body.isEmpty) Reason.Empty else "")
+          emitDoc(cid, parentId, level, graft.core.office.Ooxml.textFromEntries(entries))
           entries.filter(e => graft.core.office.Ooxml.isEmbeddedPart(e._1))
             .zipWithIndex.foreach { case ((n, b), i) => spawnEntry(n, b, cid, i, level + 1) }
         case Some(entries) =>
@@ -458,10 +454,7 @@ object Extract {
             // reference bread-and-butter (RFC822Parser inside EmbedSpawner)
             val m = graft.core.mail.Eml.parse(latin1)
             val cid = Ids.embedId(latin1, parentId, ord, resourceName = name)
-            val spans =
-              if (m.body.isEmpty) Array.empty[SpanOut] else Array(SpanOut("text", m.body, "", 0))
-            out += DocOut(cid, parentId, rootId, level, spans,
-              if (m.body.isEmpty) Reason.Empty else "")
+            emitDoc(cid, parentId, level, m.body)
             m.attachments.zipWithIndex.foreach { case ((n, b), i) =>
               spawnEntry(n, Some(b), cid, i, level + 1)
             }
