@@ -1083,6 +1083,32 @@ object Oracle {
       |SELECT doc_id, url, host, reason,
       |  (CASE WHEN reason='' THEN 1 ELSE 0 END)::BIGINT AS kept FROM r""".stripMargin
 
+  /** Mirror of Queries.webFunnel: every stage count recomputed — url
+    * rules (%3 host class, %5 keyword, %7 scheme), first-owner content
+    * dedup, bigram decontamination vs the %97 benchmark.
+    */
+  private val webFunnel: String =
+    """WITH p AS (SELECT doc_id,
+      |  trim('warc body '||array_to_string(string_split(text,' ')[1:2],' ')) AS content
+      | FROM documents),
+      |k AS (SELECT doc_id, content FROM p
+      |      WHERE doc_id%7<>0 AND doc_id%3=0 AND doc_id%5<>0),
+      |u AS (SELECT doc_id, content FROM k
+      |      WHERE doc_id = (SELECT min(doc_id) FROM k k2 WHERE k2.content = k.content)),
+      |bg AS (SELECT doc_id, array_to_string(w[i:i+1],' ') AS bg
+      |       FROM (SELECT doc_id, string_split(content,' ') AS w,
+      |             len(string_split(content,' ')) AS m FROM p),
+      |       LATERAL unnest(generate_series(1, m-1)) AS t(i)),
+      |bench AS (SELECT DISTINCT bg FROM bg WHERE doc_id%97=0),
+      |flagged AS (SELECT DISTINCT b.doc_id FROM bg b
+      |            JOIN bench USING(bg) JOIN u USING(doc_id)),
+      |clean AS (SELECT doc_id FROM u WHERE doc_id%97<>0
+      |          AND doc_id NOT IN (SELECT doc_id FROM flagged))
+      |SELECT (SELECT count(*) FROM p)::BIGINT AS n_pages,
+      |       (SELECT count(*) FROM k)::BIGINT AS n_url_kept,
+      |       (SELECT count(*) FROM u)::BIGINT AS n_unique,
+      |       (SELECT count(*) FROM clean)::BIGINT AS n_clean""".stripMargin
+
   /** Mirror of Queries.wordFreqScore: corpus unigram counts joined back,
     * mean frequency x100 in integer arithmetic.
     */
@@ -1217,6 +1243,7 @@ object Oracle {
     "q_warc_explode" -> warcExplode,
     "q_jsonl_explode" -> jsonlExplode,
     "q_url_filter" -> urlFilter,
+    "q_web_funnel" -> webFunnel,
     "q_eml_headers" -> emlHeaders,
     "q_artifact_lookup" -> artifactLookup,
     "q_embed_named" -> embedNamed,

@@ -1445,6 +1445,61 @@ object Queries {
       blockedKeywords = Seq("track"))
   }
 
+  /** The WEB funnel — crawl-to-corpus as ONE Catalyst plan, composing the
+    * round's web-native operators end-to-end the way a 100 TB pipeline
+    * would: REAL WARC bytes built and exploded per document (mapPartitions,
+    * no shuffle), URL filtering (map-only rule cascade), exact content
+    * dedup (first-owner min per content — the only wide shuffle, keyed on
+    * content), and benchmark decontamination (bigram semi-join against the
+    * %97 held-out set, broadcast-small by definition). Emits the stage
+    * counts as one row; every count recomputed by the oracle from
+    * `documents` arithmetic.
+    */
+  def webFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    def urlOf(id: Long): String = {
+      val host = (id % 3) match {
+        case 0 => "good.example"; case 1 => "spam.example"; case _ => "sub.bad.example"
+      }
+      val scheme = if (id % 7 == 0) "ftp" else "http"
+      val q = if (id % 5 == 0) "?track=1" else ""
+      s"$scheme://$host/p$id$q"
+    }
+    val pages = docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .map { case (id, t) =>
+        val a = (Seq("warc", "body") ++
+          t.split(" ", -1).take(2).filter(_.nonEmpty)).mkString(" ")
+        val page = graft.core.Corpus.htmlWrap(id, a)
+        val warc = graft.sources.Warc.build(
+          Seq(("response", urlOf(id), "text/html", page.getBytes(UTF_8))))
+        val d = DocIn(id, Array(SpanIn("warc", new String(warc, ISO_8859_1), "", 0)))
+        val txt = Extract.explode(d).find(_.level == 1).get.spans.map(_.text).mkString
+        (id, urlOf(id), txt.substring(txt.indexOf('\n') + 1)) // content = page sans title line
+      }
+      .toDF("doc_id", "url", "content")
+    val kept = graft.operators.Scrub.urlFilter(pages,
+        blockedDomains = Seq("spam.example", "bad.example"),
+        blockedKeywords = Seq("track"))
+      .filter(col("kept") === 1)
+      .select("doc_id", "content")
+    val owners = kept.groupBy("content").agg(min("doc_id").as("owner"))
+    val uniq = kept.join(owners, "content").filter(col("doc_id") === col("owner"))
+    val bigrams = expr(
+      "transform(sequence(0, size(split(content, ' ')) - 2)," +
+        " i -> concat(split(content, ' ')[i], ' ', split(content, ' ')[i + 1]))")
+    val bench = pages.filter(col("doc_id") % 97 === 0)
+      .select(explode(bigrams).as("bg")).distinct()
+    val flagged = uniq.select(col("doc_id"), explode(bigrams).as("bg"))
+      .join(broadcast(bench), "bg").select("doc_id").distinct()
+    val clean = uniq.filter(col("doc_id") % 97 =!= 0)
+      .join(flagged, Seq("doc_id"), "left_anti")
+    pages.agg(count(lit(1)).as("n_pages"))
+      .crossJoin(kept.agg(count(lit(1)).as("n_url_kept")))
+      .crossJoin(uniq.agg(count(lit(1)).as("n_unique")))
+      .crossJoin(clean.agg(count(lit(1)).as("n_clean")))
+  }
+
   /** Deterministic content-hash dataset split — how a training pipeline
     * assigns train/val/test held-out sets so membership is stable across
     * re-runs and shards: bucket = code32(text) % 100 via the native
@@ -1550,6 +1605,7 @@ object Queries {
     "q_warc_explode" -> (warcExplode _),
     "q_jsonl_explode" -> (jsonlExplode _),
     "q_url_filter" -> (urlFilterQ _),
+    "q_web_funnel" -> (webFunnel _),
     "q_eml_headers" -> (emlHeaders _),
     "q_artifact_lookup" -> (artifactLookup _),
     "q_embed_named" -> (embedNamed _),
