@@ -1089,15 +1089,16 @@ object Oracle {
     */
   private val webFunnel: String =
     """WITH p AS (SELECT doc_id,
-      |  trim('warc body '||array_to_string(string_split(text,' ')[1:2],' ')) AS content
+      |  trim('warc body '||array_to_string(string_split(text,' ')[1:2],' ')) AS content,
+      |  array_to_string(string_split(text,' ')[1:2],' ') AS tail
       | FROM documents),
       |k AS (SELECT doc_id, content FROM p
       |      WHERE doc_id%7<>0 AND doc_id%3=0 AND doc_id%5<>0),
       |u AS (SELECT doc_id, content FROM k
       |      WHERE doc_id = (SELECT min(doc_id) FROM k k2 WHERE k2.content = k.content)),
-      |bg AS (SELECT doc_id, array_to_string(w[i:i+1],' ') AS bg
-      |       FROM (SELECT doc_id, string_split(content,' ') AS w,
-      |             len(string_split(content,' ')) AS m FROM p),
+      |bg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+1],' ') AS bg
+      |       FROM (SELECT doc_id, string_split(tail,' ') AS w,
+      |             len(string_split(tail,' ')) AS m FROM p),
       |       LATERAL unnest(generate_series(1, m-1)) AS t(i)),
       |bench AS (SELECT DISTINCT bg FROM bg WHERE doc_id%97=0),
       |flagged AS (SELECT DISTINCT b.doc_id FROM bg b

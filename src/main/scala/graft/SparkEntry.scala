@@ -1421,28 +1421,34 @@ object Queries {
       call_function("graft_code32", col("text")).as("code"))
   }
 
-  /** RefinedWeb-style URL filtering over deterministic crawl URLs: %3
-    * picks the host class (clean / blocked / blocked-by-suffix), %5 adds
-    * a tracking keyword, %7 a non-http scheme — every rule and the
-    * first-matching-reason precedence oracle-checked.
+  /** The deterministic crawl-URL construction and rule lists, shared by
+    * q_url_filter and q_web_funnel (and mirrored by both oracles) so the
+    * two can never desynchronize: %3 picks the host class (clean /
+    * blocked / blocked-by-suffix), %5 adds a tracking keyword, %7 a
+    * non-http scheme.
+    */
+  private def crawlUrlOf(id: Long): String = {
+    val hostPart = (id % 3) match {
+      case 0 => "good.example"
+      case 1 => "spam.example"
+      case _ => "sub.bad.example"
+    }
+    val scheme = if (id % 7 == 0) "ftp" else "http"
+    val q = if (id % 5 == 0) "?track=1" else ""
+    s"$scheme://$hostPart/p$id$q"
+  }
+  private val CrawlBlockedDomains = Seq("spam.example", "bad.example")
+  private val CrawlBlockedKeywords = Seq("track")
+
+  /** RefinedWeb-style URL filtering over the deterministic crawl URLs —
+    * every rule and the first-matching-reason precedence oracle-checked.
     */
   def urlFilterQ(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val urls = docs(spark, dir).select("doc_id").as[Long]
-      .map { id =>
-        val hostPart = (id % 3) match {
-          case 0 => "good.example"
-          case 1 => "spam.example"
-          case _ => "sub.bad.example"
-        }
-        val scheme = if (id % 7 == 0) "ftp" else "http"
-        val q = if (id % 5 == 0) "?track=1" else ""
-        (id, s"$scheme://$hostPart/p$id$q")
-      }
+      .map(id => (id, crawlUrlOf(id)))
       .toDF("doc_id", "url")
-    graft.operators.Scrub.urlFilter(urls,
-      blockedDomains = Seq("spam.example", "bad.example"),
-      blockedKeywords = Seq("track"))
+    graft.operators.Scrub.urlFilter(urls, CrawlBlockedDomains, CrawlBlockedKeywords)
   }
 
   /** The WEB funnel — crawl-to-corpus as ONE Catalyst plan, composing the
@@ -1458,43 +1464,43 @@ object Queries {
   def webFunnel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
-    def urlOf(id: Long): String = {
-      val host = (id % 3) match {
-        case 0 => "good.example"; case 1 => "spam.example"; case _ => "sub.bad.example"
-      }
-      val scheme = if (id % 7 == 0) "ftp" else "http"
-      val q = if (id % 5 == 0) "?track=1" else ""
-      s"$scheme://$host/p$id$q"
-    }
-    val pages = docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+    // (content relies on the documented corpus precondition — single-
+    // spaced [a-z]+ words, Corpus.scala — like every typeset fixture)
+    def pageify(src: org.apache.spark.sql.Dataset[(Long, String)]): DataFrame = src
       .map { case (id, t) =>
         val a = (Seq("warc", "body") ++
           t.split(" ", -1).take(2).filter(_.nonEmpty)).mkString(" ")
         val page = graft.core.Corpus.htmlWrap(id, a)
         val warc = graft.sources.Warc.build(
-          Seq(("response", urlOf(id), "text/html", page.getBytes(UTF_8))))
+          Seq(("response", crawlUrlOf(id), "text/html", page.getBytes(UTF_8))))
         val d = DocIn(id, Array(SpanIn("warc", new String(warc, ISO_8859_1), "", 0)))
         val txt = Extract.explode(d).find(_.level == 1).get.spans.map(_.text).mkString
-        (id, urlOf(id), txt.substring(txt.indexOf('\n') + 1)) // content = page sans title line
+        (id, crawlUrlOf(id), txt.substring(txt.indexOf('\n') + 1)) // content = page sans title
       }
       .toDF("doc_id", "url", "content")
+    val src = docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+    val pages = pageify(src)
+    // decontamination compares only the PER-DOC words (the fixed
+    // 'warc body' prefix stripped) — a universal bigram in the benchmark
+    // would flag every page and verify nothing
+    val tail = ltrim(expr("substring(content, 10)"))
     val kept = graft.operators.Scrub.urlFilter(pages,
-        blockedDomains = Seq("spam.example", "bad.example"),
-        blockedKeywords = Seq("track"))
+        CrawlBlockedDomains, CrawlBlockedKeywords)
       .filter(col("kept") === 1)
       .select("doc_id", "content")
     val owners = kept.groupBy("content").agg(min("doc_id").as("owner"))
     val uniq = kept.join(owners, "content").filter(col("doc_id") === col("owner"))
-    val bigrams = expr(
-      "transform(sequence(0, size(split(content, ' ')) - 2)," +
-        " i -> concat(split(content, ' ')[i], ' ', split(content, ' ')[i + 1]))")
-    val bench = pages.filter(col("doc_id") % 97 === 0)
-      .select(explode(bigrams).as("bg")).distinct()
-    val flagged = uniq.select(col("doc_id"), explode(bigrams).as("bg"))
-      .join(broadcast(bench), "bg").select("doc_id").distinct()
+    // benchmark pages built from a PRE-FILTERED source: the filter cannot
+    // push below the typed map, so filtering first avoids rebuilding the
+    // full corpus's WARC bytes to discard 96/97 of them
+    val benchDocs = pageify(src.filter(_._1 % 97 == 0)).select(col("doc_id"), tail.as("text"))
+    val flagged = Dedup.decontaminate(spark,
+        uniq.select(col("doc_id"), tail.as("text")), benchDocs, minShared = 1)
+      .select("doc_id")
     val clean = uniq.filter(col("doc_id") % 97 =!= 0)
       .join(flagged, Seq("doc_id"), "left_anti")
-    pages.agg(count(lit(1)).as("n_pages"))
+    // the page map is 1:1, so n_pages counts the source scan directly
+    docs(spark, dir).agg(count(lit(1)).as("n_pages"))
       .crossJoin(kept.agg(count(lit(1)).as("n_url_kept")))
       .crossJoin(uniq.agg(count(lit(1)).as("n_unique")))
       .crossJoin(clean.agg(count(lit(1)).as("n_clean")))

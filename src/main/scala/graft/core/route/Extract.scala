@@ -388,7 +388,7 @@ object Extract {
             }
           case None =>
             val cid = Ids.embedId(canonicalOf(entries), parentId, ord, resourceName = name)
-            out += DocOut(cid, parentId, rootId, level, Array.empty[SpanOut], Reason.Empty)
+            emitDoc(cid, parentId, level, "") // empty container node
             entries.zipWithIndex.foreach { case ((n, b), i) =>
               spawnEntry(n, b, cid, i, level + 1)
             }
@@ -426,7 +426,7 @@ object Extract {
         case Some(entries) =>
           val cid = Ids.embedId(canonicalOf(entries), parentId, ord, resourceName = name)
           // container node: no own text; its content lives in its children
-          out += DocOut(cid, parentId, rootId, level, Array.empty[SpanOut], Reason.Empty)
+          emitDoc(cid, parentId, level, "") // empty container node
           entries.zipWithIndex.foreach { case ((n, b), i) =>
             spawnEntry(n, b, cid, i, level + 1)
           }
@@ -446,7 +446,7 @@ object Extract {
             // child whose per-line documents hang below it — WITHOUT this
             // branch the lines would silently collapse into one empty child
             val cid = Ids.embedId(latin1, parentId, ord, resourceName = name)
-            out += DocOut(cid, parentId, rootId, level, Array.empty[SpanOut], Reason.Empty)
+            emitDoc(cid, parentId, level, "") // empty container node
             spawnJsonlLines(graft.sources.Ingest.decodePayload(kind, data), cid, 0, level + 1)
           } else if (kind == "eml") {
             // nested mail (eml-in-zip/tgz): a document child carrying the
