@@ -234,15 +234,17 @@ object Dedup {
     * connected COMPONENT of the near-dup graph, not one per pair (A~B,
     * B~C must collapse A,B,C together even when A~C was never proposed).
     *
-    * Iterative min-label propagation: every round each node adopts the
-    * smallest label among itself and its neighbors; converges in
-    * O(component diameter) rounds — near-dup components are clique-like,
-    * so 1-3 rounds in practice — with an early-exit convergence check
-    * and `maxIters` as the pathological-chain bound (the
-    * large-star/small-star refinement would make that O(log n)). Each
-    * round is shuffle joins keyed on node id: no windows, no driver-side
-    * graph, no O(corpus) broadcast; per-round `localCheckpoint` truncates
-    * the growing lineage exactly as iterative Spark algorithms must.
+    * Iterative min-label propagation WITH POINTER JUMPING: every round
+    * each node adopts the smallest label among itself and its neighbors,
+    * then compresses via label-of-label (Shiloach-Vishkin style) — the
+    * jump halves remaining chain depth, so convergence is O(log
+    * diameter) rounds instead of O(diameter), and a long drifting-
+    * template chain converges instead of hitting the iteration bound.
+    * Early-exit convergence check; `maxIters` remains the loud backstop.
+    * Each round is shuffle joins keyed on node id: no windows, no
+    * driver-side graph, no O(corpus) broadcast; per-round
+    * `localCheckpoint` truncates the growing lineage exactly as
+    * iterative Spark algorithms must.
     *
     * Input: pair columns (a, b). Output: (doc_id, component) for every
     * endpoint, component = smallest doc_id reachable.
@@ -262,9 +264,16 @@ object Dedup {
         .groupBy("cid").agg(min("nlabel").as("nlabel"))
       // carry the OLD label through the propagation join so convergence
       // is a filter over the same materialization — not a second join
-      val joined = labels.join(candidate, labels("id") === candidate("cid"), "left")
+      val prop = labels.join(candidate, labels("id") === candidate("cid"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // pointer jump: labels are always node ids, so label-of-label is an
+      // inner self-join that loses no rows and halves chain depth
+      val joined = prop.as("x")
+        .join(prop.select(col("id").as("jid"), col("label").as("jlabel")).as("y"),
+          col("x.label") === col("y.jid"))
+        .select(col("x.id").as("id"), col("x.old").as("old"),
+          least(col("x.label"), col("y.jlabel")).as("label"))
         .localCheckpoint() // truncate iterative lineage
       val changed = joined.filter(col("label") =!= col("old")).count()
       labels = joined.select("id", "label")

@@ -93,9 +93,10 @@ class SkewSpec extends AnyFunSuite {
     assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L)
     assert(cc(10L) == 10L && cc(11L) == 10L)
     assert(cc(20L) == 20L && cc(21L) == 20L)
-    // a longer chain exercises multi-round propagation to convergence
-    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("a", "b")
+    // a LONG chain (diameter 120 >> maxIters) must converge via pointer
+    // jumping — plain one-hop propagation would hit the iteration bound
+    val chain = (1L until 120L).map(i => (i, i + 1)).toDF("a", "b")
     val ccChain = Dedup.connectedComponents(chain).as[(Long, Long)].collect().toMap
-    assert(ccChain.values.toSet == Set(1L) && ccChain.size == 9)
+    assert(ccChain.values.toSet == Set(1L) && ccChain.size == 120)
   }
 }
