@@ -269,6 +269,24 @@ object Oracle {
       |  sum(CASE WHEN s.k<>f.fk THEN 1 ELSE 0 END)::BIGINT AS n_dup
       |FROM s JOIN f USING (span) GROUP BY s.doc_id""".stripMargin
 
+  /** Mirror of Queries.odtExplode: the odt package root carries the
+    * 5-words-per-line body; the %86 picture part is a level-1 child.
+    */
+  private val odtExplode: String =
+    """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
+      |  len(string_split(text,' ')) AS m FROM documents WHERE doc_id%43=0),
+      |l AS (SELECT doc_id, i, array_to_string(w[5*i+1:5*i+5],' ') AS line
+      |      FROM p, LATERAL unnest(generate_series(0, (m-1)//5)) AS t(i)),
+      |r AS (SELECT doc_id, sha256(doc_id::VARCHAR) AS rid,
+      |      string_agg(line, chr(10) ORDER BY i) AS txt
+      |      FROM l GROUP BY doc_id)
+      |SELECT doc_id, rid AS node_id, '' AS parent_id, 0 AS level, txt,
+      |       CASE WHEN txt='' THEN 'empty-file' ELSE '' END AS reason FROM r
+      |UNION ALL SELECT doc_id,
+      | sha256('64:'||sha256('pic '||doc_id)||'64:'||rid||'1:0'||'0:'
+      |   ||octet_length(encode('Pictures/img1.bin'))||':Pictures/img1.bin'),
+      | rid, 1, 'pic '||doc_id, '' FROM r WHERE doc_id%86=0""".stripMargin
+
   /** Mirror of Queries.xlsTable: the xlsxTable construction at %15 —
     * two-word tab rows + 'total<TAB><id>'.
     */
@@ -1232,6 +1250,7 @@ object Oracle {
     "q_docx_media" -> docxMedia,
     "q_doc_bytes" -> pdfBytes, // same 5-word-line text, shared mirror
     "q_xls_table" -> xlsTable,
+    "q_odt_explode" -> odtExplode,
     "q_ppt_text" -> pptText,
     "q_pdf_encrypted" -> pdfEncrypted,
     "q_msg_headers" -> msgHeaders,

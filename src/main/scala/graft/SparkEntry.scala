@@ -662,6 +662,28 @@ object Queries {
       .toDF("doc_id", "norm_key", "vals")
   }
 
+  /** §2.3+§2.4 REAL OpenDocument route (Tika's OpenDocumentParser
+    * family): each %43 doc becomes an actual odt package — mimetype +
+    * content.xml with text:p paragraphs — whose body round-trips through
+    * the package walk; %86 adds a Pictures/ part that spawns as a child.
+    */
+  def odtExplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .filter(_._1 % 43 == 0)
+      .flatMap { case (id, t) =>
+        val paras = t.split(" ", -1).grouped(5).map(_.mkString(" ")).toSeq
+        val pics =
+          if (id % 86 == 0) Seq(("img1.bin", s"pic $id".getBytes(UTF_8))) else Nil
+        val bytes = graft.core.office.Odf.buildMinimal(paras, pics)
+        val d = DocIn(id, Array(SpanIn("zip", new String(bytes, ISO_8859_1), "", 0)))
+        Extract.explode(d).map(o =>
+          (id, o.doc_id, o.parent_id, o.level, o.spans.map(_.text).mkString(""), o.no_content_reason))
+      }
+      .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
+  }
+
   /** §2.3 REAL legacy Excel binary route (POI ExcelExtractor fixtures):
     * the xlsx construction re-typeset as an actual BIFF8 workbook —
     * two-word rows as SST-indirected LABELSST cells (alternating
@@ -1599,6 +1621,7 @@ object Queries {
     "q_docx_media" -> (docxMedia _),
     "q_doc_bytes" -> (docBytes _),
     "q_xls_table" -> (xlsTable _),
+    "q_odt_explode" -> (odtExplode _),
     "q_ppt_text" -> (pptText _),
     "q_pdf_encrypted" -> (pdfEncrypted _),
     "q_msg_headers" -> (msgHeaders _),

@@ -266,7 +266,8 @@ object Ooxml {
   def isPackage(names: Seq[String]): Boolean =
     names.contains(Docx.DocumentEntry) ||
       names.exists(_.startsWith(SheetPrefix)) ||
-      names.exists(_.startsWith(SlidePrefix))
+      names.exists(_.startsWith(SlidePrefix)) ||
+      Odf.isOdf(names)
 
   /** Embedded parts that spawn as children (media AND OLE-embedded
     * objects, consistently across the three package types); package
@@ -276,11 +277,13 @@ object Ooxml {
   def isEmbeddedPart(name: String): Boolean =
     name.startsWith("word/media/") || name.startsWith("word/embeddings/") ||
       name.startsWith("xl/media/") || name.startsWith("xl/embeddings/") ||
-      name.startsWith("ppt/media/") || name.startsWith("ppt/embeddings/")
+      name.startsWith("ppt/media/") || name.startsWith("ppt/embeddings/") ||
+      name.startsWith("Pictures/") // ODF images
 
   private def wantedPart(n: String): Boolean =
     n == Docx.DocumentEntry || n == "xl/sharedStrings.xml" ||
-      n.startsWith(SheetPrefix) || n.startsWith(SlidePrefix)
+      n.startsWith(SheetPrefix) || n.startsWith(SlidePrefix) ||
+      n == "content.xml"
 
   /** Numeric suffix for sheetN/slideN ordering (archive order is not the
     * document order).
@@ -297,6 +300,8 @@ object Ooxml {
     // dropping it would diverge on documents with empty trailing parts
     if (entries.exists(_._1 == Docx.DocumentEntry))
       byName.collectFirst { case (Docx.DocumentEntry, b) => Docx.bodyText(str(b)) }.getOrElse("")
+    else if (Odf.isOdf(entries.map(_._1)))
+      byName.collectFirst { case ("content.xml", b) => Odf.bodyText(str(b)) }.getOrElse("")
     else if (entries.exists(_._1.startsWith(SheetPrefix))) {
       val shared = byName.collectFirst { case ("xl/sharedStrings.xml", b) =>
         Xlsx.sharedStrings(str(b)) }.getOrElse(Vector.empty)
@@ -318,5 +323,82 @@ object Ooxml {
   def packageText(zipLatin1: String, maxEntryBytes: Int): String = {
     val bytes = zipLatin1.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
     textFromEntries(graft.sources.Archive.unzipWanted(bytes, wantedPart, maxEntryBytes))
+  }
+}
+
+/** OpenDocument text (`.odt` — ODF 1.x, the LibreOffice/OpenOffice
+  * family the reference parses via Tika's OpenDocumentParser): a zip
+  * package whose `mimetype` entry names the ODF type and whose body
+  * lives in `content.xml` as `<text:p>` paragraphs (possibly holding
+  * nested `<text:span>` runs). Pictures ride under `Pictures/` and spawn
+  * as embedded children like OOXML media parts.
+  */
+object Odf {
+
+  def isOdf(names: Seq[String]): Boolean =
+    names.contains("mimetype") && names.contains("content.xml")
+
+  /** Paragraph text of an ODF content document: each `<text:p>` (and
+    * `<text:h>` heading) element's character content with nested tags
+    * stripped and entities unescaped, newline-joined in document order.
+    */
+  def bodyText(xml: String): String = {
+    val out = new StringBuilder
+    var first = true
+    var from = 0
+    while (from < xml.length) {
+      val pOpen = xml.indexOf("<text:p", from)
+      val hOpen = xml.indexOf("<text:h", from)
+      val open =
+        if (pOpen < 0) hOpen
+        else if (hOpen < 0) pOpen
+        else math.min(pOpen, hOpen)
+      if (open < 0) return out.toString
+      val closeTag = if (open == pOpen) "</text:p>" else "</text:h>"
+      val gt = xml.indexOf('>', open)
+      if (gt < 0) return out.toString
+      if (xml.charAt(gt - 1) == '/') { // self-closing empty paragraph
+        if (!first) out.append('\n')
+        first = false
+        from = gt + 1
+      } else {
+        val end = xml.indexOf(closeTag, gt)
+        if (end < 0) return out.toString
+        val inner = xml.substring(gt + 1, end)
+        // strip nested markup (spans, bookmarks), keep character data
+        val sb = new StringBuilder
+        var i = 0
+        while (i < inner.length) {
+          if (inner.charAt(i) == '<') {
+            val g = inner.indexOf('>', i)
+            i = if (g < 0) inner.length else g + 1
+          } else { sb.append(inner.charAt(i)); i += 1 }
+        }
+        if (!first) out.append('\n')
+        first = false
+        out.append(Docx.unescape(sb.toString))
+        from = end + closeTag.length
+      }
+    }
+    out.toString
+  }
+
+  /** Deterministic minimal odt package: mimetype + content.xml with one
+    * `<text:p>` per paragraph, plus Pictures/ parts. Round-trips through
+    * [[bodyText]].
+    */
+  def buildMinimal(paragraphs: Seq[String],
+                   pictures: Seq[(String, Array[Byte])] = Nil): Array[Byte] = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val content =
+      """<?xml version="1.0" encoding="UTF-8"?>""" +
+        """<office:document-content xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" """ +
+        """xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"><office:body><office:text>""" +
+        paragraphs.map(p => s"<text:p>${Docx.escape(p)}</text:p>").mkString +
+        """</office:text></office:body></office:document-content>"""
+    graft.sources.Archive.zipBytes(
+      Seq(("mimetype", "application/vnd.oasis.opendocument.text".getBytes(UTF_8)),
+        ("content.xml", content.getBytes(UTF_8))) ++
+        pictures.map { case (n, b) => (s"Pictures/$n", b) })
   }
 }

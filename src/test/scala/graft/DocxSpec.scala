@@ -110,4 +110,50 @@ class DocxSpec extends AnyFunSuite {
     assert(docxChild.spans.map(_.text).toSeq == Seq("inner doc text"))
     assert(out(2).spans.head.text == "hi")
   }
+
+  test("Odf build/bodyText round-trips paragraphs, spans, entities, headings") {
+    import graft.core.office.Odf
+    val odt = Odf.buildMinimal(Seq("first paragraph", "a < b & c"))
+    val entries = graft.sources.Archive.unzip(odt, 1 << 20)
+    assert(Odf.isOdf(entries.map(_._1)))
+    val xml = new String(entries.collectFirst {
+      case ("content.xml", Some(b)) => b
+    }.get, java.nio.charset.StandardCharsets.UTF_8)
+    assert(Odf.bodyText(xml) == "first paragraph\na < b & c")
+    // nested spans strip, headings count as paragraphs, empty p is a line
+    val hand = "<office:text><text:h>Title</text:h>" +
+      "<text:p>runs <text:span text:style-name=\"T1\">inside</text:span> here</text:p>" +
+      "<text:p/></office:text>"
+    assert(Odf.bodyText(hand) == "Title\nruns inside here\n")
+  }
+
+  test("an odt explodes as a package: body on the root, picture child") {
+    import graft.core.{DocIn, SpanIn}
+    import graft.core.office.Odf
+    import graft.core.route.Extract
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    val odt = Odf.buildMinimal(Seq("odt body line"), Seq(("pic.bin", "picture".getBytes(UTF_8))))
+    val out = Extract.explode(
+      DocIn(21L, Array(SpanIn("zip", new String(odt, ISO_8859_1), "", 0))))
+    assert(out.head.spans.map(_.text).mkString == "odt body line")
+    assert(out.exists(n => n.level == 1 && n.spans.map(_.text).mkString == "picture"))
+    // mimetype/content.xml are package internals: exactly one child
+    assert(out.count(_.level == 1) == 1)
+  }
+
+  test("an epub works via generic zip explosion of its xhtml entries") {
+    import graft.core.{DocIn, SpanIn}
+    import graft.core.route.Extract
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    // epub = zip of xhtml chapters (plus container plumbing); without a
+    // dedicated route the generic archive explosion already extracts the
+    // chapters as sniffed html children
+    val epub = graft.sources.Archive.zipBytes(Seq(
+      ("mimetype", "application/epub+zip".getBytes(UTF_8)),
+      ("OEBPS/ch1.xhtml", graft.core.Corpus.htmlWrap(1L, "chapter one text").getBytes(UTF_8))))
+    val out = Extract.explode(
+      DocIn(22L, Array(SpanIn("zip", new String(epub, ISO_8859_1), "", 0))))
+    assert(out.exists(n => n.level == 1 &&
+      n.spans.map(_.text).mkString.contains("chapter one text")))
+  }
 }
