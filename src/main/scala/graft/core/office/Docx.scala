@@ -266,8 +266,13 @@ object Ooxml {
   def isPackage(names: Seq[String]): Boolean =
     names.contains(Docx.DocumentEntry) ||
       names.exists(_.startsWith(SheetPrefix)) ||
-      names.exists(_.startsWith(SlidePrefix)) ||
-      Odf.isOdf(names)
+      names.exists(_.startsWith(SlidePrefix))
+
+  /** Package detection over full entries — OOXML by its well-known part
+    * names, ODF by a VERIFIED mimetype payload (see [[Odf.isOdf]]).
+    */
+  def isPackageEntries(entries: Seq[(String, Option[Array[Byte]])]): Boolean =
+    isPackage(entries.map(_._1)) || Odf.isOdf(entries)
 
   /** Embedded parts that spawn as children (media AND OLE-embedded
     * objects, consistently across the three package types); package
@@ -283,7 +288,7 @@ object Ooxml {
   private def wantedPart(n: String): Boolean =
     n == Docx.DocumentEntry || n == "xl/sharedStrings.xml" ||
       n.startsWith(SheetPrefix) || n.startsWith(SlidePrefix) ||
-      n == "content.xml"
+      n == "content.xml" || n == "mimetype" // mimetype VALUE gates the ODF route
 
   /** Numeric suffix for sheetN/slideN ordering (archive order is not the
     * document order).
@@ -300,7 +305,7 @@ object Ooxml {
     // dropping it would diverge on documents with empty trailing parts
     if (entries.exists(_._1 == Docx.DocumentEntry))
       byName.collectFirst { case (Docx.DocumentEntry, b) => Docx.bodyText(str(b)) }.getOrElse("")
-    else if (Odf.isOdf(entries.map(_._1)))
+    else if (Odf.isOdf(entries))
       byName.collectFirst { case ("content.xml", b) => Odf.bodyText(str(b)) }.getOrElse("")
     else if (entries.exists(_._1.startsWith(SheetPrefix))) {
       val shared = byName.collectFirst { case ("xl/sharedStrings.xml", b) =>
@@ -335,52 +340,63 @@ object Ooxml {
   */
 object Odf {
 
-  def isOdf(names: Seq[String]): Boolean =
-    names.contains("mimetype") && names.contains("content.xml")
+  /** The ODF mimetype prefix shared by text/spreadsheet/presentation. */
+  private val OdfMime = "application/vnd.oasis.opendocument"
+
+  /** ODF detection VERIFIES the mimetype payload — a generic zip that
+    * merely contains files named `mimetype` and `content.xml` must keep
+    * exploding generically, not have its entries silently suppressed.
+    */
+  def isOdf(entries: Seq[(String, Option[Array[Byte]])]): Boolean =
+    entries.exists(_._1 == "content.xml") &&
+      entries.exists { case (n, b) =>
+        n == "mimetype" && b.exists(bytes =>
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8).startsWith(OdfMime))
+      }
 
   /** Paragraph text of an ODF content document: each `<text:p>` (and
-    * `<text:h>` heading) element's character content with nested tags
+    * `<text:h>` heading) element's character content with nested markup
     * stripped and entities unescaped, newline-joined in document order.
+    * LINEAR depth-tracking scan: lookalike elements (`<text:page-count/>`)
+    * are excluded by requiring a name-terminating char, and a nested
+    * paragraph (footnote bodies hold `<text:p>` inside `<text:p>`)
+    * accumulates into its enclosing paragraph instead of truncating it.
     */
   def bodyText(xml: String): String = {
-    val out = new StringBuilder
-    var first = true
-    var from = 0
-    while (from < xml.length) {
-      val pOpen = xml.indexOf("<text:p", from)
-      val hOpen = xml.indexOf("<text:h", from)
-      val open =
-        if (pOpen < 0) hOpen
-        else if (hOpen < 0) pOpen
-        else math.min(pOpen, hOpen)
-      if (open < 0) return out.toString
-      val closeTag = if (open == pOpen) "</text:p>" else "</text:h>"
-      val gt = xml.indexOf('>', open)
-      if (gt < 0) return out.toString
-      if (xml.charAt(gt - 1) == '/') { // self-closing empty paragraph
-        if (!first) out.append('\n')
-        first = false
-        from = gt + 1
-      } else {
-        val end = xml.indexOf(closeTag, gt)
-        if (end < 0) return out.toString
-        val inner = xml.substring(gt + 1, end)
-        // strip nested markup (spans, bookmarks), keep character data
-        val sb = new StringBuilder
-        var i = 0
-        while (i < inner.length) {
-          if (inner.charAt(i) == '<') {
-            val g = inner.indexOf('>', i)
-            i = if (g < 0) inner.length else g + 1
-          } else { sb.append(inner.charAt(i)); i += 1 }
+    def openParaAt(i: Int): Boolean =
+      (xml.startsWith("<text:p", i) || xml.startsWith("<text:h", i)) && {
+        val t = i + 7
+        t >= xml.length || xml.charAt(t) == ' ' || xml.charAt(t) == '>' || xml.charAt(t) == '/'
+      }
+    def closeParaAt(i: Int): Boolean =
+      (xml.startsWith("</text:p", i) || xml.startsWith("</text:h", i)) && {
+        val t = i + 8
+        t >= xml.length || xml.charAt(t) == '>' || xml.charAt(t) == ' '
+      }
+    val paras = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var i = 0
+    while (i < xml.length) {
+      if (xml.charAt(i) == '<') {
+        val gt = xml.indexOf('>', i)
+        if (gt < 0) i = xml.length // truncated tag: stop cleanly
+        else {
+          if (openParaAt(i)) {
+            if (xml.charAt(gt - 1) == '/') { if (depth == 0) paras += "" } // empty para
+            else depth += 1
+          } else if (closeParaAt(i) && depth > 0) {
+            depth -= 1
+            if (depth == 0) { paras += Docx.unescape(cur.toString); cur.clear() }
+          }
+          i = gt + 1
         }
-        if (!first) out.append('\n')
-        first = false
-        out.append(Docx.unescape(sb.toString))
-        from = end + closeTag.length
+      } else {
+        if (depth > 0) cur.append(xml.charAt(i))
+        i += 1
       }
     }
-    out.toString
+    paras.result().mkString("\n")
   }
 
   /** Deterministic minimal odt package: mimetype + content.xml with one

@@ -416,7 +416,7 @@ object Extract {
             cfg.maxSpanChars).map(r => (r.targetUri, r.body)))
         else None
       containerEntries match {
-        case Some(entries) if graft.core.office.Ooxml.isPackage(entries.map(_._1)) =>
+        case Some(entries) if graft.core.office.Ooxml.isPackageEntries(entries) =>
           // embedded Office document (docx/xlsx/pptx): body text on the
           // child, embedded media/object parts recurse
           val cid = Ids.embedId(canonicalOf(entries), parentId, ord, resourceName = name)
@@ -486,7 +486,7 @@ object Extract {
           val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
           val entries = graft.sources.Archive.unzip(bytes, cfg.maxSpanChars)
           val spawnable =
-            if (graft.core.office.Ooxml.isPackage(entries.map(_._1)))
+            if (graft.core.office.Ooxml.isPackageEntries(entries))
               entries.filter(e => graft.core.office.Ooxml.isEmbeddedPart(e._1))
             else entries
           spawnable.foreach { case (n, b) =>

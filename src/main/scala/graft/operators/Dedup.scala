@@ -267,6 +267,7 @@ object Dedup {
       val prop = labels.join(candidate, labels("id") === candidate("cid"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint() // both self-join sides read this ONCE, not twice
       // pointer jump: labels are always node ids, so label-of-label is an
       // inner self-join that loses no rows and halves chain depth
       val joined = prop.as("x")

@@ -115,7 +115,7 @@ class DocxSpec extends AnyFunSuite {
     import graft.core.office.Odf
     val odt = Odf.buildMinimal(Seq("first paragraph", "a < b & c"))
     val entries = graft.sources.Archive.unzip(odt, 1 << 20)
-    assert(Odf.isOdf(entries.map(_._1)))
+    assert(Odf.isOdf(entries))
     val xml = new String(entries.collectFirst {
       case ("content.xml", Some(b)) => b
     }.get, java.nio.charset.StandardCharsets.UTF_8)
@@ -125,6 +125,31 @@ class DocxSpec extends AnyFunSuite {
       "<text:p>runs <text:span text:style-name=\"T1\">inside</text:span> here</text:p>" +
       "<text:p/></office:text>"
     assert(Odf.bodyText(hand) == "Title\nruns inside here\n")
+    // a footnote NESTS text:p inside text:p: the inner close must not
+    // truncate the outer paragraph's tail
+    val foot = "<text:p>body<text:note><text:note-body><text:p>note</text:p>" +
+      "</text:note-body></text:note> rest</text:p>"
+    assert(Odf.bodyText(foot) == "bodynote rest")
+    // lookalike element names must not open or close paragraphs
+    val look = "<text:page-count/><text:p>real para</text:p>"
+    assert(Odf.bodyText(look) == "real para")
+  }
+
+  test("a non-ODF zip with lookalike entry names still explodes generically") {
+    import graft.core.{DocIn, SpanIn}
+    import graft.core.route.Extract
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    // files NAMED mimetype/content.xml but a non-ODF mimetype value: the
+    // package route must not claim it and swallow the other entries
+    val fake = graft.sources.Archive.zipBytes(Seq(
+      ("mimetype", "text/plain".getBytes(UTF_8)),
+      ("content.xml", "<not-odf/>".getBytes(UTF_8)),
+      ("data.txt", "generic entry survives".getBytes(UTF_8))))
+    val out = Extract.explode(
+      DocIn(23L, Array(SpanIn("zip", new String(fake, ISO_8859_1), "", 0))))
+    assert(out.exists(n => n.level == 1 &&
+      n.spans.map(_.text).mkString == "generic entry survives"))
+    assert(out.count(_.level == 1) == 3) // every entry a child, none swallowed
   }
 
   test("an odt explodes as a package: body on the root, picture child") {
