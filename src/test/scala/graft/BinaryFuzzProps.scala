@@ -1,0 +1,82 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import graft.core.ParseFailure
+
+/** Fuzz net for every from-scratch binary parser added this round: on
+  * ARBITRARY bytes (pure junk, and junk stamped with each format's magic
+  * so the parse path actually engages) a parser may succeed or throw
+  * [[ParseFailure]] — never any other exception. This is the
+  * "classified, never a task failure" contract the job layer depends on:
+  * an AIOOBE or NPE escaping one of these parsers fails a whole Spark
+  * task instead of one document's lineage row.
+  */
+object BinaryFuzzProps extends Properties("BinaryFuzz") {
+
+  private val junk: Gen[Array[Byte]] =
+    Gen.chooseNum(0, 2048).flatMap(n =>
+      Gen.containerOfN[Array, Byte](n, Gen.chooseNum(-128, 127).map(_.toByte)))
+
+  private def stamped(magic: Array[Byte]): Gen[Array[Byte]] =
+    junk.map(b => magic ++ b)
+
+  /** Succeeds or throws ONLY ParseFailure. */
+  private def total[A](body: => A): Prop =
+    try { body; Prop.passed }
+    catch {
+      case _: ParseFailure => Prop.passed
+      case e: Throwable => Prop.falsified :| s"non-ParseFailure escaped: ${e.getClass.getName}: ${e.getMessage}"
+    }
+
+  private val CfbMagic = Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1).map(_.toByte)
+
+  property("cfb entries: junk classifies") = Prop.forAll(stamped(CfbMagic)) { b =>
+    total(graft.core.office.Cfb.entries(b, 1 << 20))
+  }
+
+  property("msg parse over junk cfb entries classifies") = Prop.forAll(stamped(CfbMagic)) { b =>
+    total {
+      val e = graft.core.office.Cfb.streamEntries(b, 1 << 20)
+      if (graft.core.office.Msg.isMsg(e)) graft.core.office.Msg.parse(e)
+    }
+  }
+
+  property("worddoc/xls/ppt over junk stream bytes classify") = Prop.forAll(junk) { b =>
+    val entries = Vector[(String, Option[Array[Byte]])](
+      ("WordDocument", Some(b)), ("1Table", Some(b)), ("0Table", Some(b)))
+    total(graft.core.office.WordDoc.text(entries)) &&
+      total(graft.core.office.Xls.text(Vector(("Workbook", Some(b))))) &&
+      total(graft.core.office.Ppt.text(Vector(("PowerPoint Document", Some(b)))))
+  }
+
+  property("warc records: junk classifies") = Prop.forAll(junk) { b =>
+    val latin1 = new String("WARC/1.0\r\n".getBytes ++ b,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    total(graft.sources.Warc.records(latin1, 1 << 20))
+  }
+
+  property("archive codecs: junk classifies") = Prop.forAll(junk) { b =>
+    total(graft.sources.Archive.unzstd(
+      Array(0x28, 0xb5, 0x2f, 0xfd).map(_.toByte) ++ b, 1 << 20)) &&
+      total(graft.sources.Archive.unbzip2(
+        "BZh9".getBytes ++ Array(0x31, 0x41, 0x59, 0x26, 0x53, 0x59).map(_.toByte) ++ b, 1 << 20)) &&
+      total(graft.sources.Archive.untar(b, 1 << 20)) &&
+      total(graft.sources.Archive.gunzip(Array(0x1f.toByte, 0x8b.toByte) ++ b, 1 << 20))
+  }
+
+  property("jsonl textField is total on arbitrary lines") =
+    Prop.forAll(Gen.asciiPrintableStr) { s =>
+      total(graft.core.text.Jsonl.textField(s))
+    }
+
+  property("sniffKind is total on arbitrary bytes and names") =
+    Prop.forAll(junk, Gen.alphaNumStr) { (b, n) =>
+      total(graft.sources.Ingest.sniffKind(b, n))
+    }
+
+  property("odf bodyText is total on arbitrary markup") =
+    Prop.forAll(Gen.asciiPrintableStr) { s =>
+      total(graft.core.office.Odf.bodyText("<text:p>" + s + "</text:p>")) &&
+        total(graft.core.office.Odf.bodyText(s))
+    }
+}
