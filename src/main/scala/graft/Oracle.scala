@@ -174,6 +174,30 @@ object Oracle {
       |  sha256('64:'||sha256('{"id": 7}')||'64:'||rid||'1:2'||'0:'||'0:'),
       |  rid, 1, '', 'empty-file' FROM z""".stripMargin
 
+  /** Mirror of Queries.sevenZExplode: same node shape as cfbExplode —
+    * empty root, two sniffed text entries in archive order, the %90
+    * nested-zip container child with its entry below.
+    */
+  private val sevenZExplode: String =
+    """WITH z AS (SELECT doc_id, sha256(doc_id::VARCHAR) AS rid
+      |           FROM documents WHERE doc_id%45=0),
+      |n AS (SELECT doc_id, rid,
+      |  sha256('64:'||sha256('5:c.txt'||octet_length(encode('gamma '||doc_id))||':gamma '||doc_id)
+      |    ||'64:'||rid||'1:2'||'0:'||'7:ccc.zip') AS nzid
+      | FROM z WHERE doc_id%90=0)
+      |SELECT doc_id, rid AS node_id, '' AS parent_id, 0 AS level, '' AS txt,
+      |       'empty-file' AS reason FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('alpha '||doc_id)||'64:'||rid||'1:0'||'0:'||'5:a.txt'),
+      |  rid, 1, 'alpha '||doc_id, '' FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('beta '||doc_id)||'64:'||rid||'1:1'||'0:'||'6:bb.txt'),
+      |  rid, 1, 'beta '||doc_id, '' FROM z
+      |UNION ALL SELECT doc_id, nzid, rid, 1, '', 'empty-file' FROM n
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('gamma '||doc_id)||'64:'||nzid||'1:0'||'0:'||'5:c.txt'),
+      |  nzid, 2, 'gamma '||doc_id, '' FROM n""".stripMargin
+
   /** Mirror of Queries.msgExplode: the .msg root carries the document text
     * as its body; the %18 file attachment and %27 nested message are
     * level-1 children whose ids recompute over the message's LOGICAL
@@ -1262,6 +1286,7 @@ object Oracle {
     "q_zstd_explode" -> zstdExplode,
     "q_warc_explode" -> warcExplode,
     "q_jsonl_explode" -> jsonlExplode,
+    "q_7z_explode" -> sevenZExplode,
     "q_url_filter" -> urlFilter,
     "q_web_funnel" -> webFunnel,
     "q_eml_headers" -> emlHeaders,

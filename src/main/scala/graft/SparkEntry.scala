@@ -563,6 +563,33 @@ object Queries {
       .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
   }
 
+  /** §2.4 REAL 7z archive route (commons-compress SevenZFile, COPY
+    * method): each %45 doc becomes an actual 7-Zip container whose
+    * entries spawn as sniffed children — %90 adds a nested zip that
+    * recurses through the archive machinery. Oracle recomputes every
+    * node id.
+    */
+  def sevenZExplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    import graft.sources.Archive
+    docs(spark, dir).select("doc_id").as[Long]
+      .filter(id => id % 45 == 0)
+      .flatMap { id =>
+        val entries = Seq(
+          ("a.txt", s"alpha $id".getBytes(UTF_8)),
+          ("bb.txt", s"beta $id".getBytes(UTF_8))) ++
+          (if (id % 90 == 0)
+            Seq(("ccc.zip", Archive.zipBytes(Seq(("c.txt", s"gamma $id".getBytes(UTF_8))))))
+          else Nil)
+        val sz = Archive.sevenZBytes(entries)
+        val d = DocIn(id, Array(SpanIn("7z", new String(sz, ISO_8859_1), "", 0)))
+        Extract.explode(d).map(o =>
+          (id, o.doc_id, o.parent_id, o.level, o.spans.map(_.text).mkString(""), o.no_content_reason))
+      }
+      .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
+  }
+
   /** §2.8 on REAL header data: parsed RFC-822 headers (unfolded, repeated
     * keys) through the full Meta.normalizeMap pipeline — collision concat
     * on the duplicated Received header, key normalization, block list.
@@ -1633,6 +1660,7 @@ object Queries {
     "q_zstd_explode" -> (zstdExplode _),
     "q_warc_explode" -> (warcExplode _),
     "q_jsonl_explode" -> (jsonlExplode _),
+    "q_7z_explode" -> (sevenZExplode _),
     "q_url_filter" -> (urlFilterQ _),
     "q_web_funnel" -> (webFunnel _),
     "q_eml_headers" -> (emlHeaders _),

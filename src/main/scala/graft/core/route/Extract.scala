@@ -98,7 +98,7 @@ object Extract {
       // zip: an OOXML PACKAGE (docx/xlsx/pptx) yields its body text;
       // a plain archive has none
       case "zip"       => (graft.core.office.Ooxml.packageText(t, cfg.maxSpanChars), "")
-      case "gzip" | "tar" | "zstd" | "bzip2" | "warc" | "jsonl" => ("", "") // container: no own text, entries explode to children
+      case "gzip" | "tar" | "zstd" | "bzip2" | "warc" | "jsonl" | "7z" => ("", "") // container: no own text, entries explode to children
       // cfb: an Outlook MESSAGE yields its body text; a generic compound
       // file is a pure container (streams explode to children)
       case "cfb"       => (graft.core.office.Msg.cfbText(t, cfg.maxSpanChars), "")
@@ -113,7 +113,7 @@ object Extract {
     * span-parallel path for reassembly).
     */
   val ContainerKinds: Set[String] =
-    Set("media", "zip", "gzip", "tar", "eml", "cfb", "zstd", "bzip2", "warc", "jsonl")
+    Set("media", "zip", "gzip", "tar", "eml", "cfb", "zstd", "bzip2", "warc", "jsonl", "7z")
 
   /** Null spans (a row written with spans=NULL) are treated as an empty
     * span array — reason=empty-file, never a failure — in BOTH the batch and
@@ -400,6 +400,8 @@ object Extract {
           Some(graft.sources.Archive.unzip(data, cfg.maxSpanChars))
         else if (graft.sources.Archive.isTar(data))
           Some(graft.sources.Archive.untar(data, cfg.maxSpanChars))
+        else if (graft.sources.Archive.is7z(data))
+          Some(graft.sources.Archive.un7z(data, cfg.maxSpanChars))
         else if (graft.sources.Archive.isGzip(data))
           // a nested gzip member (e.g. a .tgz mail attachment) is a
           // single-entry container; a tar payload then recurses below
@@ -495,6 +497,11 @@ object Extract {
         case "tar" =>
           val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
           graft.sources.Archive.untar(bytes, cfg.maxSpanChars).foreach { case (n, b) =>
+            spawnEntry(n, b, rootId, ord, 1); ord += 1
+          }
+        case "7z" =>
+          val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          graft.sources.Archive.un7z(bytes, cfg.maxSpanChars).foreach { case (n, b) =>
             spawnEntry(n, b, rootId, ord, 1); ord += 1
           }
         case "gzip" =>

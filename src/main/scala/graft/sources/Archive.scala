@@ -282,6 +282,76 @@ object Archive {
       case e: java.io.IOException => throw new ParseFailure(s"corrupt bzip2: ${e.getMessage}")
     }
 
+  /** 7-Zip signature: '7z' BC AF 27 1C (commons-compress SevenZFile on
+    * the Spark classpath; COPY-method archives need no LZMA codec jar).
+    */
+  def is7z(bytes: Array[Byte]): Boolean =
+    bytes.length >= 6 && bytes(0) == '7' && bytes(1) == 'z' &&
+      bytes(2) == 0xbc.toByte && bytes(3) == 0xaf.toByte &&
+      bytes(4) == 0x27.toByte && bytes(5) == 0x1c.toByte
+
+  /** Deterministic 7z (COPY content method, entries constructed without
+    * file-system metadata so no timestamps enter the bytes).
+    */
+  def sevenZBytes(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    import org.apache.commons.compress.archivers.sevenz.{SevenZArchiveEntry, SevenZMethod, SevenZOutputFile}
+    import org.apache.commons.compress.utils.SeekableInMemoryByteChannel
+    val ch = new SeekableInMemoryByteChannel()
+    val w = new SevenZOutputFile(ch)
+    try {
+      w.setContentCompression(SevenZMethod.COPY)
+      entries.foreach { case (name, data) =>
+        val e = new SevenZArchiveEntry()
+        e.setName(name)
+        e.setDirectory(false)
+        w.putArchiveEntry(e)
+        w.write(data)
+        w.closeArchiveEntry()
+      }
+    } finally w.close()
+    java.util.Arrays.copyOf(ch.array(), ch.size().toInt)
+  }
+
+  /** Decode 7z entries in archive order — same guard contract as
+    * [[unzip]]: declared-size refusals as (name, None), entry-count cap,
+    * malformed/unsupported-codec input -> ParseFailure.
+    */
+  def un7z(bytes: Array[Byte], maxEntryBytes: Int,
+           maxEntries: Int = 10000): Vector[UnzippedEntry] = {
+    import org.apache.commons.compress.archivers.sevenz.SevenZFile
+    import org.apache.commons.compress.utils.SeekableInMemoryByteChannel
+    val out = Vector.newBuilder[UnzippedEntry]
+    try {
+      val r = new SevenZFile(new SeekableInMemoryByteChannel(bytes))
+      try {
+        var n = 0
+        var e = r.getNextEntry
+        while (e != null) {
+          if (!e.isDirectory) {
+            n += 1
+            if (n > maxEntries || e.getSize > maxEntryBytes) out += ((e.getName, None))
+            else {
+              val buf = new Array[Byte](e.getSize.toInt)
+              var off = 0
+              var eof = false
+              while (off < buf.length && !eof) {
+                val k = r.read(buf, off, buf.length - off)
+                if (k < 0) eof = true else off += k
+              }
+              if (off < buf.length) throw new ParseFailure("7z: entry shorter than declared")
+              out += ((e.getName, Some(buf)))
+            }
+          }
+          e = r.getNextEntry
+        }
+        out.result()
+      } finally r.close()
+    } catch {
+      case e: java.io.IOException => throw new ParseFailure(s"corrupt 7z: ${e.getMessage}")
+      case e: IllegalArgumentException => throw new ParseFailure(s"unsupported 7z: ${e.getMessage}")
+    }
+  }
+
   /** GZIP member: (FNAME or "", payload). Malformed -> ParseFailure. */
   def gunzip(bytes: Array[Byte], maxBytes: Int): (String, Option[Array[Byte]]) = {
     val name = gzipName(bytes)

@@ -48,6 +48,7 @@ object Ingest {
     else if (startsWith(Array[Byte](0x1f, 0x8b.toByte))) "gzip"
     else if (Warc.isWarc(bytes)) "warc"      // ISO 28500 web archive (Common Crawl)
     else if (Archive.isZstd(bytes)) "zstd"   // RFC 8878 frame (.zst corpora)
+    else if (Archive.is7z(bytes)) "7z"       // 7-Zip archive
     else if (Archive.isBzip2(bytes)) "bzip2" // classic dump archives
     else if (graft.core.office.Cfb.isCfb(bytes)) "cfb" // OLE2 compound file (.msg/.doc era)
     else if (Archive.isTar(bytes)) "tar"

@@ -177,6 +177,22 @@ class ArchiveSpec extends AnyFunSuite {
     assert(Archive.bzip2Bytes(payload).sameElements(bz))
   }
 
+  test("7z COPY archives round-trip, stay deterministic, and classify junk") {
+    val entries = Seq(("a.txt", "seven zip one".getBytes(UTF_8)),
+      ("dir/b.txt", "seven zip two".getBytes(UTF_8)))
+    val sz = Archive.sevenZBytes(entries)
+    assert(Archive.is7z(sz))
+    val got = Archive.un7z(sz, 1 << 20)
+    assert(got.map(_._1) == Vector("a.txt", "dir/b.txt"))
+    assert(got.flatMap(_._2).map(b => new String(b, UTF_8)) ==
+      Vector("seven zip one", "seven zip two"))
+    // byte-determinism (no timestamps in the produced archive)
+    assert(Archive.sevenZBytes(entries).sameElements(sz))
+    // declared-size guard + malformed classification
+    assert(Archive.un7z(sz, maxEntryBytes = 4).forall(_._2.isEmpty))
+    intercept[ParseFailure](Archive.un7z(sz.take(20), 1 << 20))
+  }
+
   test("WARC records parse by Content-Length with HTTP header stripping") {
     import graft.sources.Warc
     val warc = Warc.build(Seq(
