@@ -152,7 +152,10 @@ object Oracle {
        |  rid, 1, 'payload '||doc_id, '' FROM p WHERE doc_id%70=0""".stripMargin
   }
 
-  /** Mirror of Queries.jsonlExplode: ids hash the raw lines; the decoy
+  /** Mirror of Queries.jsonlExplode: ids hash the TRIMMED lines (the
+    * engine's CRLF/indent-insensitive identity; fixture lines carry no
+    * surrounding whitespace, so the literals below ARE the trimmed forms);
+    * the decoy
     * nested text key never surfaces, escapes decode, the text-less line
     * is an empty child. (Backslashes are literal in SQL strings, so the
     * escaped-quote line reproduces exactly.)

@@ -39,21 +39,42 @@ object Eml {
       val cte = firstHeader(headers, "Content-Transfer-Encoding").getOrElse("")
       Message(headers, new String(decodeBody(body, cte), UTF_8), Vector.empty)
     } else {
-      var mainBody: Option[String] = None
-      val atts = Vector.newBuilder[(String, Array[Byte])]
-      splitParts(body, boundary).foreach { part =>
-        val (ph, pb) = splitHeadersBody(part)
-        val phs = unfoldHeaders(ph)
-        val disp = firstHeader(phs, "Content-Disposition").getOrElse("")
-        val cte = firstHeader(phs, "Content-Transfer-Encoding").getOrElse("")
-        val decoded = decodeBody(pb, cte)
-        if (disp.toLowerCase(java.util.Locale.ROOT).contains("attachment"))
-          atts += ((param(disp, "filename"), decoded))
-        else if (mainBody.isEmpty)
-          mainBody = Some(new String(decoded, UTF_8))
-      }
-      Message(headers, mainBody.getOrElse(""), atts.result())
+      val (mainBody, atts) = walkMultipart(body, boundary, MaxNesting)
+      Message(headers, mainBody.getOrElse(""), atts)
     }
+  }
+
+  /** multipart/mixed(multipart/alternative(...)) — the most common real
+    * mail shape — nests a boundary inside a part; the inner structure must
+    * be walked (depth-capped), not taken verbatim as the body, or raw MIME
+    * boundaries and sub-part headers leak into the extracted text.
+    */
+  private val MaxNesting = 8
+
+  private def walkMultipart(body: String, boundary: String, depth: Int)
+      : (Option[String], Vector[(String, Array[Byte])]) = {
+    var mainBody: Option[String] = None
+    val atts = Vector.newBuilder[(String, Array[Byte])]
+    splitParts(body, boundary).foreach { part =>
+      val (ph, pb) = splitHeadersBody(part)
+      val phs = unfoldHeaders(ph)
+      val disp = firstHeader(phs, "Content-Disposition").getOrElse("")
+      val pct = firstHeader(phs, "Content-Type").getOrElse("")
+      val inner = param(pct, "boundary")
+      if (disp.toLowerCase(java.util.Locale.ROOT).contains("attachment")) {
+        val cte = firstHeader(phs, "Content-Transfer-Encoding").getOrElse("")
+        atts += ((param(disp, "filename"), decodeBody(pb, cte)))
+      } else if (inner.nonEmpty && depth > 0) {
+        val (innerBody, innerAtts) = walkMultipart(pb, inner, depth - 1)
+        if (mainBody.isEmpty) mainBody = innerBody
+        atts ++= innerAtts
+      } else {
+        val cte = firstHeader(phs, "Content-Transfer-Encoding").getOrElse("")
+        if (mainBody.isEmpty)
+          mainBody = Some(new String(decodeBody(pb, cte), UTF_8))
+      }
+    }
+    (mainBody, atts.result())
   }
 
   /** Split at the first blank line — any '\n' directly followed by '\n'

@@ -191,10 +191,14 @@ object Cfb {
         if (s < 0 || s >= miniFat.length) throw new ParseFailure(s"mini FAT sector $s out of table")
         if (n > miniFat.length) throw new ParseFailure("mini FAT chain cycle")
         val off = s * MiniSectorSize
-        if (off + MiniSectorSize > miniStream.length && off >= miniStream.length)
-          throw new ParseFailure("mini sector past mini stream end")
         val take = math.min(MiniSectorSize, size.toInt - done)
-        System.arraycopy(miniStream, off, out, done, math.min(take, miniStream.length - off))
+        // the declared bytes must actually exist — a mini sector that
+        // starts inside the mini stream but extends past its end is
+        // malformed input (zero-filling here would feed silently-truncated
+        // bytes into content-derived ids)
+        if (off < 0 || off + take > miniStream.length)
+          throw new ParseFailure("mini sector past mini stream end")
+        System.arraycopy(miniStream, off, out, done, take)
         done += take
         s = miniFat(s); n += 1
       }

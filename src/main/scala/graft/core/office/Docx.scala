@@ -185,13 +185,13 @@ object Xlsx {
                 val ve = body.indexOf("</v>")
                 if (vs >= 0 && ve > vs) body.substring(vs + 3, ve) else ""
               }
-              val cell =
-                if (attrs.contains("t=\"s\"")) {
+              val cell = attrVal(attrs, "t") match {
+                case "s" =>
                   val idx = v.toIntOption.getOrElse(-1)
                   if (idx >= 0 && idx < shared.length) shared(idx) else ""
-                } else if (attrs.contains("t=\"inlineStr\""))
-                  Docx.runsText(body, "t", "is")
-                else Docx.unescape(v)
+                case "inlineStr" => Docx.runsText(body, "t", "is")
+                case _ => Docx.unescape(v)
+              }
               if (!firstCell) rows.append('\t')
               firstCell = false
               rows.append(cell)
@@ -203,6 +203,32 @@ object Xlsx {
       }
     }
     rows.toString
+  }
+
+  /** Value of an XML attribute in a raw tag-attribute substring, tolerant
+    * of quote style (single or double) and whitespace around '=' — both
+    * spec-valid, so `t = 's'` must not fall through to the numeric branch.
+    * Empty string when absent.
+    */
+  private[office] def attrVal(attrs: String, name: String): String = {
+    var i = attrs.indexOf(name)
+    while (i >= 0) {
+      val boundary = i > 0 && Character.isWhitespace(attrs.charAt(i - 1))
+      var j = i + name.length
+      if (boundary) {
+        while (j < attrs.length && Character.isWhitespace(attrs.charAt(j))) j += 1
+        if (j < attrs.length && attrs.charAt(j) == '=') {
+          j += 1
+          while (j < attrs.length && Character.isWhitespace(attrs.charAt(j))) j += 1
+          if (j < attrs.length && (attrs.charAt(j) == '"' || attrs.charAt(j) == '\'')) {
+            val e = attrs.indexOf(attrs.charAt(j), j + 1)
+            if (e > j) return attrs.substring(j + 1, e)
+          }
+        }
+      }
+      i = attrs.indexOf(name, i + 1)
+    }
+    ""
   }
 
   /** Deterministic minimal xlsx: every string cell shared, the per-row

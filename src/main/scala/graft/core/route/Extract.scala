@@ -315,7 +315,9 @@ object Extract {
 
     // one JSONL line -> one child carrying its top-level "text" field; a
     // malformed or text-less line yields an empty child (per-line
-    // resilience), never a parent failure. Identity hashes the RAW line.
+    // resilience), never a parent failure. Identity hashes the TRIMMED
+    // line — deliberately CRLF- and indent-insensitive, so the same
+    // logical record gets the same id from an LF and a CRLF dump.
     // Shared by the top-level jsonl span and nested jsonl entries
     // (.jsonl.gz / jsonl-in-zip) so the two can never diverge.
     def spawnJsonlLines(content: String, parentId: String, startOrd: Int,

@@ -44,6 +44,7 @@ object Rtf {
     var depth = 0
     var skipDepth = 0 // depth of the destination group being skipped (0 = none)
     var table = cpTable(1252) // \'hh decode table; switched by \ansicpg<n>
+    var ucSkip = 1 // \ucN fallback-character count consumed after each \uN
     def emitting: Boolean = skipDepth == 0
     while (i < n) {
       rtf.charAt(i) match {
@@ -86,6 +87,24 @@ object Rtf {
               case "tab" => sb.append('\t')
               case "ansicpg" if numStr.nonEmpty && numStr.length <= 6 && numStr.head != '-' =>
                 table = cpTable(numStr.toInt) // document codepage declaration
+              case "uc" if numStr.nonEmpty =>
+                ucSkip = math.max(0, numStr.toIntOption.getOrElse(1))
+              case "u" if numStr.nonEmpty =>
+                // \uN: the signed 16-bit code point Word emits for every
+                // non-ANSI character; the next \uc fallback characters
+                // (plain or \'hh) are the legacy substitute and must be
+                // skipped, not emitted
+                numStr.toIntOption.foreach { num =>
+                  sb.append((((num % 65536) + 65536) % 65536).toChar)
+                  var skip = ucSkip
+                  while (skip > 0 && k < n) {
+                    val fc = rtf.charAt(k)
+                    if (fc == '\\' && k + 1 < n && rtf.charAt(k + 1) == '\'')
+                      { k = math.min(n, k + 4); skip -= 1 }
+                    else if (fc == '{' || fc == '}' || fc == '\\') skip = 0
+                    else { k += 1; skip -= 1 }
+                  }
+                }
               case _ => () // formatting control words contribute no text
             }
             i = k

@@ -66,6 +66,19 @@ class CfbSpec extends AnyFunSuite {
     intercept[ParseFailure](Cfb.entries(corrupt, 1 << 20))
   }
 
+  test("truncated mini stream throws ParseFailure, never zero-fills") {
+    // shrink the Root Entry's declared size so the mini stream ends
+    // mid-sector: reading small.txt's mini chain must throw, not emit
+    // partially-zeroed bytes into content-derived ids
+    val bytes = Cfb.build(Seq(("small.txt", b("tiny payload"))))
+    val idx = bytes.indexOfSlice("Root Entry".getBytes(StandardCharsets.UTF_16LE))
+    assert(idx >= 0)
+    val patched = bytes.clone()
+    patched(idx + 120) = 8 // LE size field: 8 bytes < the 12-byte payload
+    patched(idx + 121) = 0; patched(idx + 122) = 0; patched(idx + 123) = 0
+    intercept[ParseFailure](Cfb.streamEntries(patched, 1 << 20))
+  }
+
   test("sniffKind detects compound files") {
     assert(Ingest.sniffKind(Cfb.build(Seq(("s", b("x"))))) == "cfb")
   }

@@ -76,6 +76,14 @@ class DocxSpec extends AnyFunSuite {
     assert(Xlsx.sheetText(
       """<sheetData><row><c><v>1</v></c></row></sheetData><rowBreaks count="1"/>""",
       Vector.empty) == "1")
+    // spec-valid quote/whitespace variants of the t attribute must not
+    // fall through to the numeric branch (single quotes, spaced '=')
+    assert(Xlsx.sheetText(
+      """<row><c t = 's'><v>0</v></c><c t='inlineStr'><is><t>iv</t></is></c></row>""",
+      Vector("shared")) == "shared\tiv")
+    // an attribute merely CONTAINING 't' (e.g. format="s") is not t
+    assert(Xlsx.sheetText(
+      """<row><c fmt="s"><v>3</v></c></row>""", Vector("no")) == "3")
   }
 
   test("pptx: slides extract in numeric order, one line per a:p paragraph") {

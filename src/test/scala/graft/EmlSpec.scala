@@ -36,6 +36,58 @@ class EmlSpec extends AnyFunSuite {
     assert(m.attachments.isEmpty)
   }
 
+  test("nested multipart/alternative inside multipart/mixed: inner text is the body") {
+    val b64 = java.util.Base64.getEncoder.encodeToString("pdf bytes".getBytes(UTF_8))
+    val raw =
+      s"""Content-Type: multipart/mixed; boundary="OUTER"
+         |
+         |--OUTER
+         |Content-Type: multipart/alternative; boundary="INNER"
+         |
+         |--INNER
+         |Content-Type: text/plain
+         |
+         |the real body
+         |--INNER
+         |Content-Type: text/html
+         |
+         |<p>the real body</p>
+         |--INNER--
+         |--OUTER
+         |Content-Disposition: attachment; filename="doc.pdf"
+         |Content-Transfer-Encoding: base64
+         |
+         |$b64
+         |--OUTER--
+         |""".stripMargin
+    val m = Eml.parse(raw)
+    assert(m.body == "the real body")
+    assert(!m.body.contains("INNER") && !m.body.contains("Content-Type"))
+    assert(m.attachments.map(_._1) == Vector("doc.pdf"))
+    assert(m.attachments.head._2.sameElements("pdf bytes".getBytes(UTF_8)))
+    // attachments nested INSIDE an inner multipart bubble up too
+    val nestedAtt =
+      """Content-Type: multipart/mixed; boundary="A"
+        |
+        |--A
+        |Content-Type: multipart/mixed; boundary="B"
+        |
+        |--B
+        |Content-Type: text/plain
+        |
+        |inner text
+        |--B
+        |Content-Disposition: attachment; filename="deep.txt"
+        |
+        |deep payload
+        |--B--
+        |--A--
+        |""".stripMargin
+    val m2 = Eml.parse(nestedAtt)
+    assert(m2.body == "inner text")
+    assert(m2.attachments.map(_._1) == Vector("deep.txt"))
+  }
+
   test("multipart: first text part is the body; attachments decode base64/QP") {
     val b64 = java.util.Base64.getEncoder.encodeToString("binary blob".getBytes(UTF_8))
     val raw =

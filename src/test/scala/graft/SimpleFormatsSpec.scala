@@ -32,6 +32,24 @@ class SimpleFormatsSpec extends AnyFunSuite {
     assert(Rtf.text("""{\rtf1 \'93q\'94 \'96 x}""") == "“q” – x")
   }
 
+  test("rtf: \\uN unicode escapes emit the code point and skip \\uc fallbacks") {
+    // NOTE: scalac processes \uXXXX even inside triple quotes, so the RTF
+    // \u control word is spelled "\\" + "u..." throughout this test.
+    val U = "\\" + "u"
+    // Word emits \uN + a '?' fallback for every non-ANSI char (default \uc1)
+    assert(Rtf.text(s"{\\rtf1 caf${U}233? and ${U}1055?${U}1088?}") == "café and Пр")
+    // negative N is the signed-16-bit form of a >32767 code point
+    // (U+D83D U+DE00 surrogate pair = 😀)
+    assert(Rtf.text(s"{\\rtf1 ${U}-10179?${U}-8704? x}") == "😀 x")
+    // \uc0: no fallback chars to skip
+    assert(Rtf.text(s"{\\rtf1 \\uc0 ${U}233 y}") == "éy")
+    // \uc2 skips two fallback chars, including \'hh escapes
+    assert(Rtf.text(s"{\\rtf1 \\uc2 ${U}233ab.z}") == "é.z")
+    assert(Rtf.text(s"{\\rtf1 ${U}233\\'e9tail}") == "étail")
+    // fallback skipping never crosses a group boundary
+    assert(Rtf.text(s"{\\rtf1 \\uc2 {${U}233}after}") == "éafter")
+  }
+
   test("csv: quoted fields, embedded commas/quotes/newlines, CRLF") {
     assert(Csv.text("a,b\nc,d") == "a\tb\nc\td")
     assert(Csv.text("a,\"b,c\",d\r\ne,\"f\"\"g\"\"\"") == "a\tb,c\td\ne\tf\"g\"")
