@@ -1121,7 +1121,8 @@ object Queries {
     * explode into 15-word spans at sentence (5-word) stride, the first
     * owner per span is a map-side-combinable min over (doc_id, span idx),
     * and every later occurrence counts as a duplicate. The only shuffles
-    * key on the span text; no window (a hot span would sort its whole
+    * key on sha2(span) — narrow fixed-width keys; no window (a hot span
+    * would sort its whole
     * membership on one reducer), no broadcast hint (AQE picks the join;
     * the min-owner side is O(distinct spans) and must be allowed to
     * shuffle at scale). The span explode feeds both sides and is
@@ -1131,15 +1132,19 @@ object Queries {
     */
   def c4SpanDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // both shuffles key on sha2(span) — a fixed 64-char key instead of the
+    // ~100-byte span text, so the exchanges carry narrow keys at 100 TB
+    // (the span string itself never needs to survive the explode)
     val spans = docs(spark, dir).select("doc_id", "text").as[(Long, String)]
       .flatMap { case (id, t) =>
         val w = t.split(" ", -1)
         (0 to w.length - 15 by 5).map(i => (id, i / 5, w.slice(i, i + 15).mkString(" ")))
       }
       .toDF("doc_id", "sid", "span")
-      .withColumn("k", col("doc_id") * lit(1000000L) + col("sid"))
-    val first = spans.groupBy("span").agg(min(col("k")).as("fk"))
-    spans.join(first, "span")
+      .select(col("doc_id"), sha2(col("span"), 256).as("sh"),
+        (col("doc_id") * lit(1000000L) + col("sid")).as("k"))
+    val first = spans.groupBy("sh").agg(min(col("k")).as("fk"))
+    spans.join(first, "sh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("k") =!= col("fk"), 1L).otherwise(0L)).as("n_dup"))
@@ -1504,11 +1509,13 @@ object Queries {
     * round's web-native operators end-to-end the way a 100 TB pipeline
     * would: REAL WARC bytes built and exploded per document (mapPartitions,
     * no shuffle), URL filtering (map-only rule cascade), exact content
-    * dedup (first-owner min per content — the only wide shuffle, keyed on
-    * content), and benchmark decontamination (bigram semi-join against the
-    * %97 held-out set, broadcast-small by definition). Emits the stage
-    * counts as one row; every count recomputed by the oracle from
-    * `documents` arithmetic.
+    * dedup (ONE first-owner+group-size aggregation — the only wide
+    * shuffle, keyed on sha2(content)), and benchmark decontamination
+    * (bigram semi-join against the %97 held-out set, broadcast-small by
+    * definition). Emits the stage counts as one row via conditional
+    * aggregates over the single deduped set — the expensive page map is
+    * never re-executed per count; every count recomputed by the oracle
+    * from `documents` arithmetic.
     */
   def webFunnel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1536,23 +1543,34 @@ object Queries {
     val kept = graft.operators.Scrub.urlFilter(pages,
         CrawlBlockedDomains, CrawlBlockedKeywords)
       .filter(col("kept") === 1)
-      .select("doc_id", "content")
-    val owners = kept.groupBy("content").agg(min("doc_id").as("owner"))
-    val uniq = kept.join(owners, "content").filter(col("doc_id") === col("owner"))
+      .select(col("doc_id"), col("content"))
+    // exact dedup as ONE aggregation — per distinct content the first
+    // owner AND the group size, so n_url_kept/n_unique need no join-back
+    // and the expensive pageify map executes once for the whole funnel
+    // (not once per count branch). The shuffle keys on sha2(content):
+    // fixed 64-char keys instead of full page text at 100 TB.
+    val grouped = kept
+      .select(col("doc_id"), sha2(col("content"), 256).as("ch"), tail.as("text"))
+      .groupBy("ch")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_in_group"),
+        max("text").as("text")) // group members are byte-identical pages
     // benchmark pages built from a PRE-FILTERED source: the filter cannot
     // push below the typed map, so filtering first avoids rebuilding the
     // full corpus's WARC bytes to discard 96/97 of them
     val benchDocs = pageify(src.filter(_._1 % 97 == 0)).select(col("doc_id"), tail.as("text"))
     val flagged = Dedup.decontaminate(spark,
-        uniq.select(col("doc_id"), tail.as("text")), benchDocs, minShared = 1)
-      .select("doc_id")
-    val clean = uniq.filter(col("doc_id") % 97 =!= 0)
-      .join(flagged, Seq("doc_id"), "left_anti")
+        grouped.select("doc_id", "text"), benchDocs, minShared = 1)
+      .select(col("doc_id"), lit(1L).as("contaminated"))
+    // every remaining count is a conditional aggregate over the SAME
+    // grouped rows + the contamination flag — one pass, no recompute
+    val counts = grouped.join(flagged, Seq("doc_id"), "left")
+      .agg(
+        sum("n_in_group").as("n_url_kept"),
+        count(lit(1)).as("n_unique"),
+        sum(when(col("doc_id") % 97 =!= 0 && col("contaminated").isNull, 1L)
+          .otherwise(0L)).as("n_clean"))
     // the page map is 1:1, so n_pages counts the source scan directly
-    docs(spark, dir).agg(count(lit(1)).as("n_pages"))
-      .crossJoin(kept.agg(count(lit(1)).as("n_url_kept")))
-      .crossJoin(uniq.agg(count(lit(1)).as("n_unique")))
-      .crossJoin(clean.agg(count(lit(1)).as("n_clean")))
+    docs(spark, dir).agg(count(lit(1)).as("n_pages")).crossJoin(counts)
   }
 
   /** Deterministic content-hash dataset split — how a training pipeline

@@ -242,9 +242,10 @@ object Dedup {
     * template chain converges instead of hitting the iteration bound.
     * Early-exit convergence check; `maxIters` remains the loud backstop.
     * Each round is shuffle joins keyed on node id: no windows, no
-    * driver-side graph, no O(corpus) broadcast; per-round
-    * `localCheckpoint` truncates the growing lineage exactly as
-    * iterative Spark algorithms must.
+    * driver-side graph, no O(corpus) broadcast; ONE `localCheckpoint`
+    * per round truncates the growing lineage exactly as iterative Spark
+    * algorithms must (the jump reads the previous round's checkpoint, so
+    * the propagation result is never materialized separately).
     *
     * Input: pair columns (a, b). Output: (doc_id, component) for every
     * endpoint, component = smallest doc_id reachable.
@@ -266,15 +267,21 @@ object Dedup {
       // is a filter over the same materialization — not a second join
       val prop = labels.join(candidate, labels("id") === candidate("cid"), "left")
         .select(col("id"), col("label").as("old"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint() // both self-join sides read this ONCE, not twice
-      // pointer jump: labels are always node ids, so label-of-label is an
-      // inner self-join that loses no rows and halves chain depth
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("mid"))
+      // pointer jump THROUGH THE PREVIOUS round's materialized labels:
+      // labels are always node ids, so label-of-label is an inner join
+      // that loses no rows; jumping via `labels` (already checkpointed
+      // last round) instead of a prop self-join means prop is consumed
+      // exactly once and the round needs ONE localCheckpoint, not two.
+      // The jump is one step staler than a prop-self-join, but chains
+      // still halve per round and the fixpoint (and its early-exit
+      // safety argument) is identical: stable labels are per-component
+      // constant, and the constant can only be the component min.
       val joined = prop.as("x")
-        .join(prop.select(col("id").as("jid"), col("label").as("jlabel")).as("y"),
-          col("x.label") === col("y.jid"))
+        .join(labels.select(col("id").as("jid"), col("label").as("jlabel")).as("y"),
+          col("x.mid") === col("y.jid"))
         .select(col("x.id").as("id"), col("x.old").as("old"),
-          least(col("x.label"), col("y.jlabel")).as("label"))
+          least(col("x.mid"), col("y.jlabel")).as("label"))
         .localCheckpoint() // truncate iterative lineage
       val changed = joined.filter(col("label") =!= col("old")).count()
       labels = joined.select("id", "label")
