@@ -1,0 +1,911 @@
+package graft.core.office
+
+import java.nio.charset.StandardCharsets
+import scala.collection.mutable.ArrayBuffer
+import graft.core.ParseFailure
+
+/** Outlook PST/OST mailbox parsing, from scratch on the published MS-PST
+  * specification — the reference's signature parser
+  * (`parser/ResilientOutlookPSTParser.java:71-846`: per-message AND
+  * per-folder isolation, descriptor-based recovery of unlinked messages
+  * into `/[recovered]`, reconciliation counters; fixture
+  * `documents/pst/testPST.pst`). A PST is NOT a compound file: it has its
+  * own three-layer architecture, all implemented here:
+  *
+  *   - NDB (node database): 564-byte header with CRC-validated partial and
+  *     full ranges (MS-PST §2.2.2.6; CRC §5.3 = reflected CRC-32 poly
+  *     0xEDB88320, init 0, no final xor — verified bit-exact against a
+  *     real Outlook-written file), node and block B-trees of 512-byte
+  *     pages with typed trailers (§2.2.2.7), 64-aligned data blocks with
+  *     size/signature/CRC trailers (§2.2.2.8), XBLOCK/XXBLOCK data trees,
+  *     and SLBLOCK/SIBLOCK subnode trees.
+  *   - LTP (lists, tables, properties): heap-on-node (§2.3.1), BTree-on-
+  *     heap (§2.3.2), property contexts (§2.3.3) with inline/heap/subnode
+  *     value routing, and table contexts (§2.3.4) read via their RowIndex
+  *     BTH (row membership is exactly its key set).
+  *   - Messaging: folder objects (display name + declared content count),
+  *     normal messages, attachment subnodes — file attachments re-enter
+  *     the generic sniff machinery; attached messages (msg-in-pst) recurse
+  *     depth-capped — and the resilience semantics: each message parses in
+  *     isolation (a corrupt message yields a failure entry, never a file
+  *     failure), and messages present in the node B-tree but absent from
+  *     every folder contents table are RECOVERED into `[recovered]`
+  *     (`ResilientOutlookPSTParser.java:225-320` recovery semantics).
+  *
+  * Scope (documented honestly): Unicode PSTs (wVer 23). ANSI (wVer 14/15)
+  * and WIP/4K-page OST formats throw ParseFailure with a precise reason.
+  * `bCryptMethod` NDB_CRYPT_NONE parses fully; PERMUTE/CYCLIC files throw
+  * at the LTP layer (the §5.1 permutation constants are not reproduced
+  * here) but still yield the full NDB [[inventory]] — header, B-trees,
+  * blocks, folder/message node structure — which is unencrypted by design.
+  *
+  * The [[build]] writer emits spec-shaped Unicode crypt-none PSTs
+  * (deterministic: a pure function of its input) used by fixtures and the
+  * oracle; reader and writer are independent implementations of the spec
+  * (the reader validates every CRC, signature, and declared size the
+  * writer emits).
+  */
+object Pst {
+
+  // ---------------------------------------------------------------- common
+
+  private val HeaderSize = 564
+  private val PageSize = 512
+  private val MaxBlockData = 8176 // 8192 - 16-byte trailer
+  val RootFolderNid = 0x122L
+
+  // nidType = low 5 bits of a NID (MS-PST §2.2.2.1)
+  private val TypeFolder = 0x02
+  private val TypeMessage = 0x04
+  private val TypeAttachment = 0x05
+  private val TypeContents = 0x0E
+  private val TypeAttachTable = 0x11
+
+  // MAPI property ids / types used by the messaging layer
+  private val PidMessageClass = 0x001A
+  private val PidSubject = 0x0037
+  private val PidSenderName = 0x0C1A
+  private val PidBody = 0x1000
+  private val PidDisplayName = 0x3001
+  private val PidContentCount = 0x3602
+  private val PidAttachData = 0x3701
+  private val PidAttachMethod = 0x3705
+  private val PidAttachLongName = 0x3707
+  private val PtShort = 0x0002
+  private val PtLong = 0x0003
+  private val PtBool = 0x000B
+  private val PtObject = 0x000D
+  private val PtString8 = 0x001E
+  private val PtUnicode = 0x001F
+  private val PtBinary = 0x0102
+
+  def isPst(bytes: Array[Byte]): Boolean =
+    bytes.length >= HeaderSize && bytes(0) == '!' && bytes(1) == 'B' &&
+      bytes(2) == 'D' && bytes(3) == 'N'
+
+  private def u16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def u32(b: Array[Byte], off: Int): Long =
+    (u16(b, off).toLong) | (u16(b, off + 2).toLong << 16)
+  private def u64(b: Array[Byte], off: Int): Long =
+    u32(b, off) | (u32(b, off + 4) << 32)
+  private def putU16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+  }
+  private def putU32(b: Array[Byte], off: Int, v: Long): Unit = {
+    putU16(b, off, (v & 0xffff).toInt); putU16(b, off + 2, ((v >> 16) & 0xffff).toInt)
+  }
+  private def putU64(b: Array[Byte], off: Int, v: Long): Unit = {
+    putU32(b, off, v & 0xffffffffL); putU32(b, off + 4, (v >>> 32) & 0xffffffffL)
+  }
+
+  /** MS-PST §5.3 CRC: reflected CRC-32 (poly 0xEDB88320), initial value 0,
+    * NO final inversion — NOT the zlib convention. Verified against the
+    * header dwCRCPartial/dwCRCFull and page/block trailers of a real
+    * Outlook-written PST.
+    */
+  private val CrcTable: Array[Int] = Array.tabulate(256) { i =>
+    var c = i
+    var k = 0
+    while (k < 8) { c = (c >>> 1) ^ (if ((c & 1) != 0) 0xEDB88320 else 0); k += 1 }
+    c
+  }
+  private[office] def crc(b: Array[Byte], off: Int, len: Int): Long = {
+    var c = 0
+    var i = off
+    val end = off + len
+    while (i < end) { c = (c >>> 8) ^ CrcTable((c ^ b(i)) & 0xff); i += 1 }
+    c.toLong & 0xffffffffL
+  }
+
+  /** Block/page signature (MS-PST §5.5): fold ib^bid to 16 bits. */
+  private def sig(ib: Long, bid: Long): Int = {
+    val x = (ib ^ bid) & 0xffffffffL
+    (((x >>> 16) ^ x) & 0xffff).toInt
+  }
+
+  // ---------------------------------------------------------------- reader
+
+  private final case class NbtE(nid: Long, bidData: Long, bidSub: Long, nidParent: Long)
+
+  /** NDB view of one file: validated header + fully-walked B-trees. */
+  private final class Ndb(
+      val bytes: Array[Byte],
+      val blocks: Map[Long, (Long, Int)], // bid -> (ib, cb)
+      val nodes: Map[Long, NbtE],
+      val crypt: Int,
+      val maxEntryBytes: Int) {
+
+    /** Raw payload of one block, trailer-validated (cb, bid, wSig, CRC). */
+    def payload(bid: Long): Array[Byte] = {
+      val (ib, cb) = blocks.getOrElse(bid, throw new ParseFailure(s"block $bid not in BBT"))
+      val total = ((cb + 16 + 63) / 64) * 64
+      if (ib < 0 || ib + total > bytes.length)
+        throw new ParseFailure(s"block $bid extends past file end")
+      val t = (ib + total - 16).toInt
+      if (u16(bytes, t) != cb) throw new ParseFailure(s"block $bid trailer size mismatch")
+      if (u16(bytes, t + 2) != sig(ib, bid)) throw new ParseFailure(s"block $bid bad signature")
+      if (u32(bytes, t + 4) != crc(bytes, ib.toInt, cb))
+        throw new ParseFailure(s"block $bid payload CRC mismatch")
+      if (u64(bytes, t + 8) != bid) throw new ParseFailure(s"block $bid trailer bid mismatch")
+      java.util.Arrays.copyOfRange(bytes, ib.toInt, ib.toInt + cb)
+    }
+
+    /** End-user data payload: crypt applies ONLY to leaf data blocks. */
+    private def dataPayload(bid: Long): Array[Byte] = {
+      if (crypt != 0)
+        throw new ParseFailure(
+          s"NDB_CRYPT method $crypt (permute/cyclic) not supported — crypt-none PSTs only")
+      payload(bid)
+    }
+
+    /** The ordered leaf data blocks of a data tree (plain block, XBLOCK of
+      * leaves, or XXBLOCK of XBLOCKs), with the declared-total check and
+      * the size budget applied BEFORE materializing.
+      */
+    def dataBlocks(bid: Long): Vector[Array[Byte]] = {
+      if (bid == 0) return Vector.empty
+      var declared = 0L
+      def walk(b: Long, depth: Int): Vector[Array[Byte]] = {
+        if (depth > 3) throw new ParseFailure("data tree deeper than XXBLOCK allows")
+        if ((b & 2) == 0) {
+          val cb = blocks.getOrElse(b, throw new ParseFailure(s"block $b not in BBT"))._2
+          declared += cb
+          if (declared > maxEntryBytes)
+            throw new ParseFailure(s"declared data size exceeds cap $maxEntryBytes")
+          Vector(dataPayload(b))
+        } else {
+          val p = payload(b) // internal blocks are never encrypted (§2.2.2.8.3)
+          if (p.length < 8 || (p(0) & 0xff) != 0x01)
+            throw new ParseFailure(s"block $b is not an XBLOCK")
+          val cLevel = p(1) & 0xff
+          val cEnt = u16(p, 2)
+          val lcbTotal = u32(p, 4)
+          if (8 + 8 * cEnt > p.length) throw new ParseFailure("XBLOCK entry table truncated")
+          val kids = Vector.tabulate(cEnt)(i => u64(p, 8 + 8 * i))
+          val out = kids.flatMap(walk(_, depth + 1))
+          if (depth == 0 && out.iterator.map(_.length.toLong).sum != lcbTotal)
+            throw new ParseFailure("XBLOCK lcbTotal disagrees with leaf sizes")
+          out
+        }
+      }
+      walk(bid, 0)
+    }
+
+    def data(bid: Long): Array[Byte] = {
+      val bs = dataBlocks(bid)
+      if (bs.length == 1) bs.head
+      else {
+        val out = new Array[Byte](bs.iterator.map(_.length).sum)
+        var o = 0
+        bs.foreach { b => System.arraycopy(b, 0, out, o, b.length); o += b.length }
+        out
+      }
+    }
+
+    /** Subnode tree (SLBLOCK/SIBLOCK): nid -> (bidData, bidSub). Entry nids
+      * are masked to 32 bits — real Outlook writes uninitialized junk in
+      * the high dword of SLENTRY nids (observed in the wild).
+      */
+    def subnodes(bidSub: Long): Map[Long, (Long, Long)] = {
+      if (bidSub == 0) return Map.empty
+      def walk(b: Long, depth: Int): Vector[(Long, (Long, Long))] = {
+        if (depth > 2) throw new ParseFailure("subnode tree deeper than SIBLOCK allows")
+        val p = payload(b)
+        if (p.length < 8 || (p(0) & 0xff) != 0x02)
+          throw new ParseFailure(s"block $b is not a subnode block")
+        val cLevel = p(1) & 0xff
+        val cEnt = u16(p, 2)
+        if (cLevel == 0) {
+          if (8 + 24 * cEnt > p.length) throw new ParseFailure("SLBLOCK entries truncated")
+          Vector.tabulate(cEnt) { i =>
+            val o = 8 + 24 * i
+            (u64(p, o) & 0xffffffffL, (u64(p, o + 8), u64(p, o + 16)))
+          }
+        } else {
+          if (8 + 16 * cEnt > p.length) throw new ParseFailure("SIBLOCK entries truncated")
+          Vector.tabulate(cEnt)(i => u64(p, 8 + 16 * i + 8)).flatMap(walk(_, depth + 1))
+        }
+      }
+      walk(bidSub, 0).toMap
+    }
+  }
+
+  private def readHeader(bytes: Array[Byte]): (Int, Long, Long) = {
+    if (!isPst(bytes)) throw new ParseFailure("not a PST: bad !BDN signature")
+    if (u16(bytes, 8) != 0x4d53) throw new ParseFailure("bad wMagicClient (not SM)")
+    // version before checksums: an ANSI file deserves the ANSI reason, not
+    // a CRC complaint about a Unicode layout it never claimed to have
+    val wVer = u16(bytes, 10)
+    if (wVer == 14 || wVer == 15)
+      throw new ParseFailure(s"ANSI PST (wVer $wVer) unsupported — Unicode (wVer 23) only")
+    if (wVer != 23)
+      throw new ParseFailure(s"unsupported PST wVer $wVer (WIP/4K OST?) — Unicode (23) only")
+    if (u32(bytes, 4) != crc(bytes, 8, 471))
+      throw new ParseFailure("header partial CRC mismatch")
+    if (u32(bytes, 524) != crc(bytes, 8, 516))
+      throw new ParseFailure("header full CRC mismatch")
+    val ibFileEof = u64(bytes, 184)
+    if (ibFileEof != bytes.length)
+      throw new ParseFailure(s"ibFileEof $ibFileEof disagrees with file length ${bytes.length}")
+    (bytes(513) & 0xff, u64(bytes, 224), u64(bytes, 240)) // (crypt, ibNBT, ibBBT)
+  }
+
+  /** Walk one B-tree (NBT ptype 0x81 / BBT ptype 0x80) to its leaf entry
+    * byte records, validating every page trailer. Iterative page budget
+    * bounds crafted cycles.
+    */
+  private def walkBt(bytes: Array[Byte], rootIb: Long, ptype: Int): Vector[Array[Byte]] = {
+    val out = Vector.newBuilder[Array[Byte]]
+    val maxPages = bytes.length / PageSize + 1
+    var visited = 0
+    def page(ib: Long, depth: Int): Unit = {
+      visited += 1
+      if (visited > maxPages) throw new ParseFailure("B-tree page cycle")
+      if (depth > 8) throw new ParseFailure("B-tree deeper than the format allows")
+      if (ib < 0 || ib + PageSize > bytes.length)
+        throw new ParseFailure("B-tree page past file end")
+      val o = ib.toInt
+      val cEnt = bytes(o + 488) & 0xff
+      val cbEnt = bytes(o + 490) & 0xff
+      val cLevel = bytes(o + 491) & 0xff
+      if ((bytes(o + 496) & 0xff) != ptype || (bytes(o + 497) & 0xff) != ptype)
+        throw new ParseFailure(s"B-tree page trailer type != 0x${ptype.toHexString}")
+      val bid = u64(bytes, o + 504)
+      if (u16(bytes, o + 498) != sig(ib, bid)) throw new ParseFailure("B-tree page bad signature")
+      if (u32(bytes, o + 500) != crc(bytes, o, 496)) throw new ParseFailure("B-tree page CRC mismatch")
+      if (cbEnt <= 0 || cEnt * cbEnt > 488) throw new ParseFailure("B-tree page entry overflow")
+      var i = 0
+      while (i < cEnt) {
+        val e = java.util.Arrays.copyOfRange(bytes, o + i * cbEnt, o + (i + 1) * cbEnt)
+        if (cLevel > 0) page(u64(e, 16), depth + 1) else out += e
+        i += 1
+      }
+    }
+    page(rootIb, 0)
+    out.result()
+  }
+
+  private def readNdb(bytes: Array[Byte], maxEntryBytes: Int): Ndb = {
+    val (crypt, ibNbt, ibBbt) = readHeader(bytes)
+    val blocks = walkBt(bytes, ibBbt, 0x80).iterator.map { e =>
+      (u64(e, 0), (u64(e, 8), u16(e, 16)))
+    }.toMap
+    val nodes = walkBt(bytes, ibNbt, 0x81).iterator.map { e =>
+      val nid = u64(e, 0) & 0xffffffffL
+      nid -> NbtE(nid, u64(e, 8), u64(e, 16), u32(e, 24))
+    }.toMap
+    new Ndb(bytes, blocks, nodes, crypt, maxEntryBytes)
+  }
+
+  // LTP: heap-on-node over the ordered data blocks of a node
+  private final class Heap(blocks: Vector[Array[Byte]]) {
+    if (blocks.isEmpty) throw new ParseFailure("node has no data for a heap")
+    private val b0 = blocks.head
+    if (b0.length < 12 || (b0(2) & 0xff) != 0xEC)
+      throw new ParseFailure("heap-on-node missing 0xEC signature")
+    val clientSig: Int = b0(3) & 0xff
+    val userRoot: Int = u32(b0, 4).toInt
+
+    /** One heap allocation by HID (type 0 / index / block-index). */
+    def item(hid: Int): Array[Byte] = {
+      if ((hid & 0x1f) != 0) throw new ParseFailure(f"hid 0x$hid%x is not a heap id")
+      val idx = (hid >>> 5) & 0x7ff
+      val blk = hid >>> 16
+      if (blk >= blocks.length) throw new ParseFailure("hid block index out of range")
+      val b = blocks(blk)
+      val pm = u16(b, 0) // HNHDR/HNPAGEHDR/HNBITMAPHDR all lead with ibHnpm
+      if (pm + 4 > b.length) throw new ParseFailure("heap page map out of range")
+      val cAlloc = u16(b, pm)
+      if (idx < 1 || idx > cAlloc) throw new ParseFailure(s"hid index $idx out of $cAlloc allocs")
+      if (pm + 4 + 2 * (cAlloc + 1) > b.length) throw new ParseFailure("heap alloc table truncated")
+      val o0 = u16(b, pm + 4 + 2 * (idx - 1))
+      val o1 = u16(b, pm + 4 + 2 * idx)
+      if (o0 > o1 || o1 > pm) throw new ParseFailure("heap allocation outside heap")
+      java.util.Arrays.copyOfRange(b, o0, o1)
+    }
+  }
+
+  /** BTree-on-heap leaf records: Vector of (key bytes ++ data bytes). */
+  private def bthRecords(heap: Heap, headerHid: Int): (Int, Int, Vector[Array[Byte]]) = {
+    val hdr = heap.item(headerHid)
+    if (hdr.length < 8 || (hdr(0) & 0xff) != 0xB5)
+      throw new ParseFailure("BTH header missing 0xB5 signature")
+    val cbKey = hdr(1) & 0xff
+    val cbEnt = hdr(2) & 0xff
+    val levels = hdr(3) & 0xff
+    val root = u32(hdr, 4).toInt
+    if (levels > 8) throw new ParseFailure("BTH deeper than the format allows")
+    val out = Vector.newBuilder[Array[Byte]]
+    def walk(hid: Int, level: Int): Unit = {
+      if (hid == 0) return
+      val rec = heap.item(hid)
+      if (level == 0) {
+        val sz = cbKey + cbEnt
+        if (sz == 0 || rec.length % sz != 0) throw new ParseFailure("BTH record array misaligned")
+        var i = 0
+        while (i < rec.length) { out += java.util.Arrays.copyOfRange(rec, i, i + sz); i += sz }
+      } else {
+        val sz = cbKey + 4
+        if (rec.length % sz != 0) throw new ParseFailure("BTH index array misaligned")
+        var i = 0
+        while (i < rec.length) { walk(u32(rec, i + cbKey).toInt, level - 1); i += sz }
+      }
+    }
+    walk(root, levels)
+    (cbKey, cbEnt, out.result())
+  }
+
+  /** Property context over a heap, with subnode resolution for large
+    * values (HNID low-5-bits nonzero = a NID in the owning node's subnode
+    * tree).
+    */
+  private final class Pc(heap: Heap, resolve: Long => Option[Array[Byte]]) {
+    if (heap.clientSig != 0xBC) throw new ParseFailure("property context missing 0xBC client sig")
+    private val recs: Map[Int, (Int, Long)] = {
+      val (cbKey, cbEnt, rs) = bthRecords(heap, heap.userRoot)
+      if (cbKey != 2 || cbEnt != 6) throw new ParseFailure("PC BTH record shape != (2,6)")
+      rs.iterator.map(r => (u16(r, 0), (u16(r, 2), u32(r, 4)))).toMap
+    }
+
+    def has(pid: Int): Boolean = recs.contains(pid)
+
+    def bytesOf(pid: Int): Option[Array[Byte]] = recs.get(pid).map { case (t, v) =>
+      t match {
+        case PtShort | PtLong | PtBool =>
+          val b = new Array[Byte](4); putU32(b, 0, v); b
+        case _ =>
+          if (v == 0) Array.empty[Byte]
+          else if ((v & 0x1f) == 0) heap.item(v.toInt)
+          else resolve(v & 0xffffffffL).getOrElse(
+            throw new ParseFailure(f"property 0x$pid%04x value subnode 0x$v%x missing"))
+      }
+    }
+
+    def typeOf(pid: Int): Option[Int] = recs.get(pid).map(_._1)
+    def hnidOf(pid: Int): Option[Long] = recs.get(pid).map(_._2)
+
+    def str(pid: Int): String = recs.get(pid) match {
+      case Some((PtUnicode, _)) =>
+        new String(bytesOf(pid).getOrElse(Array.empty), StandardCharsets.UTF_16LE)
+      case Some((PtString8, _)) => new String(bytesOf(pid).getOrElse(Array.empty), Biff.Cp1252)
+      case _ => ""
+    }
+
+    def int(pid: Int): Option[Int] = recs.get(pid) match {
+      case Some((PtShort | PtLong | PtBool, v)) => Some(v.toInt)
+      case _ => None
+    }
+  }
+
+  /** Table-context row membership: the RowIndex BTH keys (dwRowID = NID of
+    * each row). Exactly what folder-contents reconciliation needs — the
+    * row matrix itself is not consulted.
+    */
+  private def tcRowIds(heap: Heap): Vector[Long] = {
+    if (heap.clientSig != 0x7C) throw new ParseFailure("table context missing 0x7C client sig")
+    val info = heap.item(heap.userRoot)
+    if (info.length < 22 || (info(0) & 0xff) != 0x7C)
+      throw new ParseFailure("TCINFO missing 0x7C signature")
+    val hidRowIndex = u32(info, 10).toInt
+    val (cbKey, _, rs) = bthRecords(heap, hidRowIndex)
+    if (cbKey != 4) throw new ParseFailure("TC RowIndex key width != 4")
+    rs.map(u32(_, 0)).sorted
+  }
+
+  // ------------------------------------------------------------- messaging
+
+  final case class Folder(nid: Long, parentNid: Long, name: String,
+                          declaredCount: Int, path: String)
+  final case class Message(nid: Long, folderNid: Long, folderPath: String,
+                           subject: String, from: String, body: String,
+                           attachments: Vector[Msg.Attachment], recovered: Boolean)
+  final case class MessageFailure(nid: Long, folderPath: String, error: String)
+  final case class PstFile(folders: Vector[Folder], messages: Vector[Message],
+                           failures: Vector[MessageFailure])
+
+  /** Structure counts readable WITHOUT crypt support (B-tree pages and
+    * node linkage are never encrypted): the real-file validation surface.
+    */
+  final case class Inventory(crypt: Int, nNodes: Int, nBlocks: Int, nFolders: Int,
+                             nMessages: Int, nSubnodeMessages: Int, dataBytes: Long)
+
+  def inventory(bytes: Array[Byte]): Inventory = {
+    val ndb = readNdb(bytes, Int.MaxValue)
+    val folders = ndb.nodes.keysIterator.count(n => (n & 0x1f) == TypeFolder)
+    val msgs = ndb.nodes.keysIterator.count(n => (n & 0x1f) == TypeMessage)
+    // attached messages live in subnode trees, one level down
+    val subMsgs = ndb.nodes.valuesIterator.filter(_.bidSub != 0).map { e =>
+      def countIn(sub: Map[Long, (Long, Long)], depth: Int): Int =
+        if (depth > 4) 0
+        else sub.iterator.map { case (nid, (_, bs)) =>
+          val own = if ((nid & 0x1f) == TypeMessage) 1 else 0
+          own + (if (bs != 0) countIn(ndb.subnodes(bs), depth + 1) else 0)
+        }.sum
+      countIn(ndb.subnodes(e.bidSub), 0)
+    }.sum
+    Inventory(ndb.crypt, ndb.nodes.size, ndb.blocks.size, folders, msgs, subMsgs,
+      ndb.blocks.valuesIterator.map(_._2.toLong).sum)
+  }
+
+  /** Full parse. Structural (NDB) breakage throws ParseFailure; a broken
+    * MESSAGE is isolated into `failures` (the reference's per-entry
+    * resilience); messages not listed in any folder contents table land in
+    * `[recovered]`.
+    */
+  def parse(bytes: Array[Byte], maxEntryBytes: Int): PstFile = {
+    val ndb = readNdb(bytes, maxEntryBytes)
+    // refuse crypt up front: without it every message would "fail" into
+    // the isolation path, which would misreport an encoding limitation as
+    // per-message corruption (inventory still serves encrypted files)
+    if (ndb.crypt != 0)
+      throw new ParseFailure(
+        s"NDB_CRYPT method ${ndb.crypt} (permute/cyclic) not supported — crypt-none PSTs only")
+
+    def heapOf(nid: Long): (Heap, Long => Option[Array[Byte]]) = {
+      val e = ndb.nodes.getOrElse(nid, throw new ParseFailure(f"node 0x$nid%x missing"))
+      val sub = ndb.subnodes(e.bidSub)
+      (new Heap(ndb.dataBlocks(e.bidData)),
+        (vnid: Long) => sub.get(vnid).map { case (bd, _) => ndb.data(bd) })
+    }
+
+    // folders: tree by nidParent, path parent-first; per-folder isolation
+    // (an unreadable folder PC degrades to a placeholder name)
+    val folderNids = ndb.nodes.keysIterator.filter(n => (n & 0x1f) == TypeFolder).toVector.sorted
+    val rawFolders = folderNids.map { nid =>
+      val parent = ndb.nodes(nid).nidParent
+      val (name, declared) =
+        try {
+          val (h, res) = heapOf(nid)
+          val pc = new Pc(h, res)
+          (pc.str(PidDisplayName), pc.int(PidContentCount).getOrElse(0))
+        } catch { case _: ParseFailure => (f"folder_0x$nid%x", 0) }
+      (nid, parent, name, declared)
+    }
+    val byNid = rawFolders.map(f => f._1 -> f).toMap
+    def pathOf(nid: Long, depth: Int): String = byNid.get(nid) match {
+      case _ if depth > 64 => throw new ParseFailure("folder tree deeper than 64")
+      case Some((n, parent, name, _)) if n != RootFolderNid && parent != n =>
+        val pp = pathOf(parent, depth + 1)
+        if (pp.isEmpty) name else s"$pp/$name"
+      case _ => ""
+    }
+    val folders = rawFolders.map { case (nid, parent, name, declared) =>
+      Folder(nid, parent, name, declared, pathOf(nid, 0))
+    }
+
+    // contents-table membership: linked = listed in the parent's contents
+    // table; per-table isolation (a broken table just links nothing)
+    val linked: Set[Long] = folderNids.flatMap { fnid =>
+      val cnid = (fnid & ~0x1fL) | TypeContents
+      if (!ndb.nodes.contains(cnid)) Vector.empty
+      else try {
+        val (h, _) = heapOf(cnid)
+        tcRowIds(h)
+      } catch { case _: ParseFailure => Vector.empty }
+    }.toSet
+
+    def readMessage(h: Heap, resolve: Long => Option[Array[Byte]],
+                    sub: Map[Long, (Long, Long)], depth: Int): (String, String, String, Vector[Msg.Attachment]) = {
+      if (depth > Msg.MaxNesting)
+        throw new ParseFailure(s"pst message nesting deeper than ${Msg.MaxNesting}")
+      val pc = new Pc(h, resolve)
+      val subject0 = pc.str(PidSubject)
+      // PST subject convention: a 0x01 control char + prefix-length char
+      // lead the stored subject (MS-PST subject prefix encoding)
+      val subject =
+        if (subject0.length >= 2 && subject0.charAt(0).toInt == 1) subject0.substring(2)
+        else subject0
+      val body = pc.str(PidBody)
+      val from = pc.str(PidSenderName)
+      val attNids = sub.keysIterator.filter(n => (n & 0x1f) == TypeAttachment).toVector.sorted
+      val atts = attNids.map { anid =>
+        val (bidData, bidSub) = sub(anid)
+        val attSub = ndb.subnodes(bidSub)
+        val attResolve = (vnid: Long) => attSub.get(vnid).map { case (bd, _) => ndb.data(bd) }
+        val apc = new Pc(new Heap(ndb.dataBlocks(bidData)), attResolve)
+        val name = {
+          val n = apc.str(PidAttachLongName)
+          if (n.nonEmpty) n else apc.str(0x3704)
+        }
+        val method = apc.int(PidAttachMethod).getOrElse(1)
+        if (method == 5 || apc.typeOf(PidAttachData).contains(PtObject)) {
+          // embedded message: the 0x3701 HNID names a message node inside
+          // THIS attachment's subnode tree
+          val mnid = apc.hnidOf(PidAttachData).getOrElse(
+            throw new ParseFailure("embedded-message attachment without 0x3701")) & 0xffffffffL
+          val (mBid, mSub) = attSub.getOrElse(mnid,
+            throw new ParseFailure(f"embedded message node 0x$mnid%x missing from subnode tree"))
+          val mSubMap = ndb.subnodes(mSub)
+          val mResolve = (vnid: Long) => mSubMap.get(vnid).map { case (bd, _) => ndb.data(bd) }
+          val (s, f, b, a) = readMessage(new Heap(ndb.dataBlocks(mBid)), mResolve, mSubMap, depth + 1)
+          Msg.MsgAtt(Msg.MsgDoc(s, f, b, a))
+        } else
+          Msg.FileAtt(name, apc.bytesOf(PidAttachData).getOrElse(Array.empty))
+      }
+      (subject, from, body, atts)
+    }
+
+    val msgNids = ndb.nodes.keysIterator.filter(n => (n & 0x1f) == TypeMessage).toVector.sorted
+    val messages = Vector.newBuilder[Message]
+    val failures = Vector.newBuilder[MessageFailure]
+    msgNids.foreach { nid =>
+      val isLinked = linked.contains(nid)
+      val parent = ndb.nodes(nid).nidParent
+      val path =
+        if (!isLinked) "[recovered]"
+        else byNid.get(parent).map(_ => pathOf(parent, 0)).getOrElse("[recovered]")
+      try {
+        val e = ndb.nodes(nid)
+        val sub = ndb.subnodes(e.bidSub)
+        val resolve = (vnid: Long) => sub.get(vnid).map { case (bd, _) => ndb.data(bd) }
+        val (s, f, b, a) = readMessage(new Heap(ndb.dataBlocks(e.bidData)), resolve, sub, 0)
+        messages += Message(nid, parent, path, s, f, b, a, recovered = !isLinked)
+      } catch {
+        case pf: ParseFailure => failures += MessageFailure(nid, path, pf.getMessage)
+      }
+    }
+    PstFile(folders, messages.result(), failures.result())
+  }
+
+  // ---------------------------------------------------------------- writer
+
+  /** Writer input: one message, optionally unlinked (present in the node
+    * B-tree but left out of its folder's contents table — the recovery
+    * fixture) or corrupt (valid NDB block, garbage LTP payload — the
+    * per-message isolation fixture).
+    */
+  final case class BuildMsg(subject: String, body: String, from: String = "",
+                            atts: Seq[(String, Array[Byte])] = Nil,
+                            attachedMsgs: Seq[BuildMsg] = Nil,
+                            linked: Boolean = true, corrupt: Boolean = false)
+  /** `path` uses '/' separators; intermediate folders are created. */
+  final case class BuildFolder(path: String, messages: Seq[BuildMsg] = Nil)
+
+  private sealed trait Pv
+  private final case class PvInline(ptype: Int, v: Long) extends Pv
+  private final case class PvBytes(ptype: Int, bytes: Array[Byte]) extends Pv
+
+  /** Deterministic minimal Unicode (wVer 23) crypt-none PST. */
+  def build(folders: Seq[BuildFolder]): Array[Byte] = {
+    val blocks = ArrayBuffer.empty[(Long, Array[Byte])]
+    var nextBid = 4L
+    def allocBid(internal: Boolean): Long = {
+      val b = nextBid | (if (internal) 2L else 0L); nextBid += 4; b
+    }
+    def writeLeaf(data: Array[Byte]): Long = {
+      require(data.length <= MaxBlockData, s"leaf block ${data.length} > $MaxBlockData")
+      val b = allocBid(internal = false); blocks += ((b, data)); b
+    }
+    def writeData(data: Array[Byte]): Long =
+      if (data.length <= MaxBlockData) writeLeaf(data)
+      else {
+        val chunks = data.grouped(MaxBlockData).toVector
+        require(chunks.length <= 1021, "data tree larger than one XBLOCK (unsupported by writer)")
+        val kids = chunks.map(writeLeaf)
+        val xb = new Array[Byte](8 + 8 * kids.length)
+        xb(0) = 0x01; xb(1) = 0x01
+        putU16(xb, 2, kids.length); putU32(xb, 4, data.length.toLong)
+        kids.zipWithIndex.foreach { case (k, i) => putU64(xb, 8 + 8 * i, k) }
+        val b = allocBid(internal = true); blocks += ((b, xb)); b
+      }
+    def writeSub(entries: Seq[(Long, Long, Long)]): Long =
+      if (entries.isEmpty) 0L
+      else {
+        require(entries.length <= 340, "subnode tree larger than one SLBLOCK")
+        val sl = new Array[Byte](8 + 24 * entries.length)
+        sl(0) = 0x02; sl(1) = 0x00
+        putU16(sl, 2, entries.length)
+        entries.sortBy(_._1).zipWithIndex.foreach { case ((nid, bd, bs), i) =>
+          putU64(sl, 8 + 24 * i, nid); putU64(sl, 16 + 24 * i, bd); putU64(sl, 24 + 24 * i, bs)
+        }
+        val b = allocBid(internal = true); blocks += ((b, sl)); b
+      }
+
+    // heap assembly: allocations -> one leaf block with HNHDR + page map
+    def writeHeap(clientSig: Int, allocs: Seq[Array[Byte]]): Long = {
+      val content = 12 + allocs.iterator.map(_.length).sum
+      val pmSize = 4 + 2 * (allocs.length + 1)
+      require(content + pmSize <= MaxBlockData, "heap larger than one block (push values to subnodes)")
+      val b = new Array[Byte](content + pmSize)
+      putU16(b, 0, content) // ibHnpm
+      b(2) = 0xEC.toByte; b(3) = clientSig.toByte
+      putU32(b, 4, 0x20L) // hidUserRoot = first allocation
+      var o = 12
+      val offs = ArrayBuffer[Int](12)
+      allocs.foreach { a => System.arraycopy(a, 0, b, o, a.length); o += a.length; offs += o }
+      putU16(b, content, allocs.length); putU16(b, content + 2, 0)
+      offs.zipWithIndex.foreach { case (off, i) => putU16(b, content + 4 + 2 * i, off) }
+      writeLeaf(b)
+    }
+
+    def bthHeader(cbKey: Int, cbEnt: Int, rootHid: Int): Array[Byte] = {
+      val h = new Array[Byte](8)
+      h(0) = 0xB5.toByte; h(1) = cbKey.toByte; h(2) = cbEnt.toByte; h(3) = 0
+      putU32(h, 4, rootHid.toLong); h
+    }
+
+    /** PC node data: BTH-header alloc (hid 0x20 = user root), record-array
+      * alloc (hid 0x40), then heap value allocs; values > 3 KiB go to the
+      * caller's subnode buffer as LTP-typed nids.
+      */
+    def buildPcBlock(props: Seq[(Int, Pv)],
+                     subEntries: ArrayBuffer[(Long, Long, Long)],
+                     nextLtp: () => Long): Long = {
+      val values = ArrayBuffer.empty[Array[Byte]]
+      val resolved = props.sortBy(_._1).map {
+        case (pid, PvInline(t, v)) => (pid, t, v)
+        case (pid, PvBytes(t, bytes)) =>
+          // small values stay in the heap; the threshold keeps a PC with
+          // several values inside one 8176-byte block, larger values ride
+          // subnodes exactly as real Outlook stores long bodies
+          if (bytes.length <= 1024) {
+            values += bytes
+            (pid, t, ((values.length + 2).toLong << 5)) // hid: allocs 1,2 are BTH+records
+          } else {
+            val nid = nextLtp()
+            subEntries += ((nid, writeData(bytes), 0L))
+            (pid, t, nid)
+          }
+      }
+      val recs = new Array[Byte](8 * resolved.length)
+      resolved.zipWithIndex.foreach { case ((pid, t, v), i) =>
+        putU16(recs, 8 * i, pid); putU16(recs, 8 * i + 2, t); putU32(recs, 8 * i + 4, v)
+      }
+      val rootHid = if (resolved.isEmpty) 0 else 0x40
+      writeHeap(0xBC, bthHeader(2, 6, rootHid) +: recs +: values.toSeq)
+    }
+
+    /** TC node data: TCINFO (hid 0x20) with the single required LtpRowId
+      * column, RowIndex BTH (header hid 0x40, records hid 0x60), row
+      * matrix (hid 0x80).
+      */
+    def buildTcBlock(rowIds: Seq[Long]): Long = {
+      val sorted = rowIds.sorted
+      require(sorted.length <= 340, "contents table larger than one record array")
+      val info = new Array[Byte](22 + 8)
+      info(0) = 0x7C.toByte; info(1) = 1 // one column
+      putU16(info, 2, 4); putU16(info, 4, 4); putU16(info, 6, 4); putU16(info, 8, 5) // rgib
+      putU32(info, 10, 0x40L) // hidRowIndex
+      putU32(info, 14, if (sorted.isEmpty) 0L else 0x80L) // hnidRows
+      putU32(info, 18, 0L) // hidIndex (deprecated)
+      putU32(info, 22, 0x67F20003L) // TCOLDESC tag: PidTagLtpRowId, PT_LONG
+      putU16(info, 26, 0); info(28) = 4; info(29) = 0 // ibData, cbData, iBit
+      val recs = new Array[Byte](8 * sorted.length)
+      sorted.zipWithIndex.foreach { case (rid, i) =>
+        putU32(recs, 8 * i, rid); putU32(recs, 8 * i + 4, i.toLong)
+      }
+      val rows = new Array[Byte](5 * sorted.length)
+      sorted.zipWithIndex.foreach { case (rid, i) =>
+        putU32(rows, 5 * i, rid); rows(5 * i + 4) = 0x80.toByte // CEB: column 0 present
+      }
+      val rootHid = if (sorted.isEmpty) 0 else 0x60
+      writeHeap(0x7C, Seq(info, bthHeader(4, 4, rootHid), recs, rows))
+    }
+
+    def uni(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_16LE)
+
+    val nodes = ArrayBuffer.empty[(Long, Long, Long, Long)] // nid, bidData, bidSub, nidParent
+    var ltpCounter = 0x300L
+    val nextLtp: () => Long = () => { ltpCounter += 1; (ltpCounter << 5) | 0x1fL }
+
+    // message (recursive for attached messages): returns (bidData, bidSub)
+    var attCounter = 0x400L
+    def buildMessage(m: BuildMsg): (Long, Long) = {
+      if (m.corrupt) {
+        // structurally valid NDB block whose payload is NOT a heap: the
+        // per-message isolation fixture (LTP parse fails, NDB never does)
+        return (writeLeaf(Array.fill[Byte](32)(0x5A)), 0L)
+      }
+      val subEntries = ArrayBuffer.empty[(Long, Long, Long)]
+      val attNids = ArrayBuffer.empty[Long]
+      m.atts.foreach { case (name, bytes) =>
+        attCounter += 1
+        val anid = (attCounter << 5) | TypeAttachment
+        val attSub = ArrayBuffer.empty[(Long, Long, Long)]
+        val pcBid = buildPcBlock(Seq(
+          PidAttachMethod -> PvInline(PtLong, 1),
+          PidAttachLongName -> PvBytes(PtUnicode, uni(name)),
+          PidAttachData -> PvBytes(PtBinary, bytes)), attSub, nextLtp)
+        subEntries += ((anid, pcBid, writeSub(attSub.toSeq)))
+        attNids += anid
+      }
+      m.attachedMsgs.foreach { sub =>
+        attCounter += 1
+        val anid = (attCounter << 5) | TypeAttachment
+        attCounter += 1
+        val mnid = (attCounter << 5) | TypeMessage
+        val (mBid, mSub) = buildMessage(sub)
+        val attSub = ArrayBuffer[(Long, Long, Long)]((mnid, mBid, mSub))
+        val pcBid = buildPcBlock(Seq(
+          PidAttachMethod -> PvInline(PtLong, 5),
+          PidAttachLongName -> PvBytes(PtUnicode, uni(sub.subject)),
+          PidAttachData -> PvInline(PtObject, mnid)), attSub, nextLtp)
+        subEntries += ((anid, pcBid, writeSub(attSub.toSeq)))
+        attNids += anid
+      }
+      if (attNids.nonEmpty) // attachment table node, spec §2.4.6.2 shape
+        subEntries += (((0x671L), buildTcBlock(attNids.toSeq), 0L))
+      val msgSub = ArrayBuffer.empty[(Long, Long, Long)]
+      val pcBid = buildPcBlock(Seq(
+        PidMessageClass -> PvBytes(PtUnicode, uni("IPM.Note")),
+        PidSubject -> PvBytes(PtUnicode, uni(m.subject)),
+        PidSenderName -> PvBytes(PtUnicode, uni(m.from)),
+        PidBody -> PvBytes(PtUnicode, uni(m.body))), msgSub, nextLtp)
+      (pcBid, writeSub((subEntries ++ msgSub).toSeq))
+    }
+
+    // folder tree: create intermediates, parent-first, deterministic order
+    val folderNidOf = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    var folderCounter = 0x8000L
+    def folderNid(path: String): Long = folderNidOf.get(path) match {
+      case Some(n) => n
+      case None =>
+        // parents first, so LinkedHashMap iteration is parent-before-child
+        if (path.contains('/')) folderNid(path.substring(0, path.lastIndexOf('/'))): Unit
+        folderCounter += 1
+        val n = (folderCounter << 5) | TypeFolder
+        folderNidOf(path) = n
+        n
+    }
+    folders.foreach(f => folderNid(f.path))
+    val msgsByFolder = folders.groupBy(_.path).view.mapValues(_.flatMap(_.messages)).toMap
+
+    // root folder (0x122): empty name, parent = itself
+    val dummySub = ArrayBuffer.empty[(Long, Long, Long)]
+    val rootPc = buildPcBlock(Seq(
+      PidDisplayName -> PvBytes(PtUnicode, uni("")),
+      PidContentCount -> PvInline(PtLong, 0)), dummySub, nextLtp)
+    nodes += ((RootFolderNid, rootPc, 0L, RootFolderNid))
+    nodes += (((RootFolderNid & ~0x1fL) | TypeContents, buildTcBlock(Nil), 0L, RootFolderNid))
+
+    // message store node (0x21): present for spec shape
+    val storePc = buildPcBlock(
+      Seq(PidDisplayName -> PvBytes(PtUnicode, uni("Personal Folders"))), dummySub, nextLtp)
+    nodes += ((0x21L, storePc, 0L, 0L))
+
+    var msgCounter = 0x9000L
+    folderNidOf.foreach { case (path, fnid) =>
+      val parentNid =
+        if (path.contains('/')) folderNidOf(path.substring(0, path.lastIndexOf('/')))
+        else RootFolderNid
+      val msgs = msgsByFolder.getOrElse(path, Nil)
+      val linkedIds = ArrayBuffer.empty[Long]
+      msgs.foreach { m =>
+        msgCounter += 1
+        val mnid = (msgCounter << 5) | TypeMessage
+        val (bd, bs) = buildMessage(m)
+        nodes += ((mnid, bd, bs, fnid))
+        if (m.linked) linkedIds += mnid
+      }
+      val name = path.substring(path.lastIndexOf('/') + 1)
+      val fpc = buildPcBlock(Seq(
+        PidDisplayName -> PvBytes(PtUnicode, uni(name)),
+        // declared count counts EVERY message, so unlinked ones reconcile
+        // as declared-but-missing -> recovered
+        PidContentCount -> PvInline(PtLong, msgs.length.toLong)), dummySub, nextLtp)
+      nodes += ((fnid, fpc, 0L, parentNid))
+      nodes += (((fnid & ~0x1fL) | TypeContents, buildTcBlock(linkedIds.toSeq), 0L, fnid))
+    }
+
+    // ---- layout: blocks (64-aligned), then B-tree pages (512-aligned)
+    var cursor = 1024L
+    val blockIb = blocks.map { case (bid, data) =>
+      val ib = cursor
+      cursor += ((data.length + 16 + 63) / 64) * 64
+      (bid, ib, data)
+    }
+    var pageCursor = ((cursor + PageSize - 1) / PageSize) * PageSize
+    var nextPageBid = nextBid
+    val pages = ArrayBuffer.empty[(Long, Array[Byte])] // ib -> page bytes
+
+    def buildPage(entries: Seq[Array[Byte]], cbEnt: Int, cLevel: Int, ptype: Int): (Long, Long) = {
+      val pg = new Array[Byte](PageSize)
+      entries.zipWithIndex.foreach { case (e, i) =>
+        System.arraycopy(e, 0, pg, i * cbEnt, e.length)
+      }
+      pg(488) = entries.length.toByte
+      pg(489) = (488 / cbEnt).toByte
+      pg(490) = cbEnt.toByte
+      pg(491) = cLevel.toByte
+      val bid = nextPageBid; nextPageBid += 4
+      val ib = pageCursor; pageCursor += PageSize
+      pg(496) = ptype.toByte; pg(497) = ptype.toByte
+      putU16(pg, 498, sig(ib, bid))
+      putU32(pg, 500, crc(pg, 0, 496))
+      putU64(pg, 504, bid)
+      pages += ((ib, pg))
+      (ib, bid)
+    }
+
+    /** Leaf-to-root page builder; returns the root BREF. */
+    def buildBt(leaves: Seq[(Long, Array[Byte])], cbEntLeaf: Int, ptype: Int): (Long, Long) = {
+      val maxLeaf = 488 / cbEntLeaf
+      var level = 0
+      var current: Seq[(Long, Long, Long)] = // (key, ib, bid)
+        leaves.sortBy(_._1).grouped(maxLeaf).map { grp =>
+          val (ib, bid) = buildPage(grp.map(_._2), cbEntLeaf, 0, ptype)
+          (grp.head._1, ib, bid)
+        }.toSeq
+      while (current.length > 1) {
+        level += 1
+        current = current.grouped(488 / 24).map { grp =>
+          val entries = grp.map { case (key, ib, bid) =>
+            val e = new Array[Byte](24)
+            putU64(e, 0, key); putU64(e, 8, bid); putU64(e, 16, ib); e
+          }
+          val (ib, bid) = buildPage(entries, 24, level, ptype)
+          (grp.head._1, ib, bid)
+        }.toSeq
+      }
+      (current.head._2, current.head._3)
+    }
+
+    val bbtLeaves = blockIb.map { case (bid, ib, data) =>
+      val e = new Array[Byte](24)
+      putU64(e, 0, bid); putU64(e, 8, ib); putU16(e, 16, data.length); putU16(e, 18, 2)
+      (bid, e)
+    }.toSeq
+    val nbtLeaves = nodes.sortBy(_._1).map { case (nid, bd, bs, parent) =>
+      val e = new Array[Byte](32)
+      putU64(e, 0, nid); putU64(e, 8, bd); putU64(e, 16, bs); putU32(e, 24, parent)
+      (nid, e)
+    }.toSeq
+    val (ibBbtRoot, bidBbtRoot) = buildBt(bbtLeaves, 24, 0x80)
+    val (ibNbtRoot, bidNbtRoot) = buildBt(nbtLeaves, 32, 0x81)
+
+    // ---- assemble
+    val fileLen = pageCursor
+    val out = new Array[Byte](fileLen.toInt)
+    blockIb.foreach { case (bid, ib, data) =>
+      val total = ((data.length + 16 + 63) / 64) * 64
+      System.arraycopy(data, 0, out, ib.toInt, data.length)
+      val t = ib.toInt + total - 16
+      putU16(out, t, data.length)
+      putU16(out, t + 2, sig(ib, bid))
+      putU32(out, t + 4, crc(data, 0, data.length))
+      putU64(out, t + 8, bid)
+    }
+    pages.foreach { case (ib, pg) => System.arraycopy(pg, 0, out, ib.toInt, PageSize) }
+
+    // header (MS-PST §2.2.2.6, Unicode layout)
+    out(0) = '!'; out(1) = 'B'; out(2) = 'D'; out(3) = 'N'
+    putU16(out, 8, 0x4d53) // "SM"
+    putU16(out, 10, 23); putU16(out, 12, 19) // wVer, wVerClient
+    out(14) = 1; out(15) = 1 // bPlatformCreate/Access
+    putU64(out, 32, nextPageBid) // bidNextP
+    putU32(out, 40, 1L) // dwUnique
+    (0 until 32).foreach(i => putU32(out, 44 + 4 * i, 0x400L)) // rgnid
+    putU64(out, 184, fileLen) // ibFileEof
+    putU64(out, 216, bidNbtRoot); putU64(out, 224, ibNbtRoot) // NBT BREF
+    putU64(out, 232, bidBbtRoot); putU64(out, 240, ibBbtRoot) // BBT BREF
+    out(248) = 0 // fAMapValid: maps not written (legal; readers rebuild)
+    java.util.Arrays.fill(out, 256, 512, 0xff.toByte) // rgbFM/rgbFP (deprecated fill)
+    out(512) = 0x80.toByte // bSentinel
+    out(513) = 0 // bCryptMethod = NDB_CRYPT_NONE
+    putU64(out, 516, nextBid) // bidNextB
+    putU32(out, 4, crc(out, 8, 471)) // dwCRCPartial
+    putU32(out, 524, crc(out, 8, 516)) // dwCRCFull
+    out
+  }
+}

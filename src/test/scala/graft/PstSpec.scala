@@ -1,0 +1,137 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.ParseFailure
+import graft.core.office.{Msg, Pst}
+
+/** MS-PST reader/writer: round-trips over every layer (NDB B-trees and
+  * data/subnode trees, heap-on-node, BTH, PC, TC row index), the
+  * resilience semantics the reference's ResilientOutlookPSTParser is known
+  * for (per-message isolation, `[recovered]` for unlinked descriptors,
+  * declared-count reconciliation), and an NDB structural validation
+  * against a REAL Outlook-written fixture when present.
+  */
+class PstSpec extends AnyFunSuite {
+
+  private def b(s: String): Array[Byte] = s.getBytes(UTF_8)
+  private val Cap = 16 << 20
+
+  test("build/parse round-trips folders, messages, attachments") {
+    val pst = Pst.build(Seq(
+      Pst.BuildFolder("inbox", Seq(
+        Pst.BuildMsg("hello", "body one", from = "alice"),
+        Pst.BuildMsg("with att", "body two",
+          atts = Seq(("a.txt", b("attachment payload")))))),
+      Pst.BuildFolder("inbox/sub", Seq(
+        Pst.BuildMsg("deep", "body three"))),
+      Pst.BuildFolder("empty")))
+    assert(Pst.isPst(pst))
+    val f = Pst.parse(pst, Cap)
+    assert(f.failures.isEmpty)
+    val paths = f.folders.map(_.path).toSet
+    assert(Set("", "inbox", "inbox/sub", "empty").subsetOf(paths))
+    val byPath = f.messages.groupBy(_.folderPath)
+    assert(byPath("inbox").map(_.subject).sorted == Vector("hello", "with att"))
+    assert(byPath("inbox/sub").head.body == "body three")
+    assert(byPath("inbox").find(_.subject == "hello").get.from == "alice")
+    val att = byPath("inbox").find(_.subject == "with att").get.attachments
+    assert(att.size == 1)
+    val Msg.FileAtt(name, bytes) = att.head: @unchecked
+    assert(name == "a.txt" && bytes.sameElements(b("attachment payload")))
+    assert(f.messages.forall(!_.recovered))
+    // declared counts reconcile: every folder declares its message count
+    assert(f.folders.find(_.path == "inbox").get.declaredCount == 2)
+    assert(f.folders.find(_.path == "empty").get.declaredCount == 0)
+  }
+
+  test("attached message (msg-in-pst) recurses; deep chains stay bounded") {
+    val nested = Pst.BuildMsg("inner", "inner body",
+      atts = Seq(("n.txt", b("nested att"))))
+    val pst = Pst.build(Seq(Pst.BuildFolder("f", Seq(
+      Pst.BuildMsg("outer", "outer body", attachedMsgs = Seq(nested))))))
+    val m = Pst.parse(pst, Cap).messages.head
+    assert(m.subject == "outer")
+    val Msg.MsgAtt(sub) = m.attachments.head: @unchecked
+    assert(sub.subject == "inner" && sub.body == "inner body")
+    val Msg.FileAtt(n2, b2) = sub.attachments.head: @unchecked
+    assert(n2 == "n.txt" && b2.sameElements(b("nested att")))
+  }
+
+  test("unlinked messages are recovered; corrupt messages isolate as failures") {
+    val pst = Pst.build(Seq(Pst.BuildFolder("box", Seq(
+      Pst.BuildMsg("ok", "fine"),
+      Pst.BuildMsg("lost", "orphan body", linked = false),
+      Pst.BuildMsg("broken", "never seen", corrupt = true)))))
+    val f = Pst.parse(pst, Cap)
+    val ok = f.messages.find(_.subject == "ok").get
+    assert(!ok.recovered && ok.folderPath == "box")
+    val lost = f.messages.find(_.subject == "lost").get
+    assert(lost.recovered && lost.folderPath == "[recovered]")
+    // the corrupt message fails ALONE; reconciliation sees declared 3,
+    // extracted 2 (one of them recovered), failed 1
+    assert(f.failures.size == 1)
+    assert(f.folders.find(_.path == "box").get.declaredCount == 3)
+    assert(f.messages.size == 2)
+  }
+
+  test("large bodies ride subnodes and XBLOCK chains byte-identically") {
+    val big = ("lorem " * 4000).trim // ~24 KB >> one 8176-byte block
+    val bigAtt = Array.tabulate[Byte](20000)(i => (i % 251).toByte)
+    val pst = Pst.build(Seq(Pst.BuildFolder("f", Seq(
+      Pst.BuildMsg("big", big, atts = Seq(("blob.bin", bigAtt)))))))
+    val m = Pst.parse(pst, Cap).messages.head
+    assert(m.body == big)
+    val Msg.FileAtt(_, got) = m.attachments.head: @unchecked
+    assert(got.sameElements(bigAtt))
+  }
+
+  test("determinism: same input gives byte-identical files") {
+    val in = Seq(Pst.BuildFolder("a/b", Seq(Pst.BuildMsg("s", "b"))))
+    assert(Pst.build(in).sameElements(Pst.build(in)))
+  }
+
+  test("malformed input throws ParseFailure, never anything else") {
+    intercept[ParseFailure](Pst.parse("!BDN".getBytes ++ new Array[Byte](600), Cap))
+    val good = Pst.build(Seq(Pst.BuildFolder("f", Seq(Pst.BuildMsg("s", "b")))))
+    // flip a byte inside the last B-tree page (every written page belongs
+    // to the NBT/BBT, so the walk must hit its CRC mismatch)
+    val c1 = good.clone()
+    val o = c1.length - 512 + 100
+    c1(o) = (c1(o) ^ 0x41).toByte
+    intercept[ParseFailure](Pst.parse(c1, Cap))
+    // ANSI version refused with a precise reason
+    val c2 = good.clone(); c2(10) = 14; c2(11) = 0
+    val e = intercept[ParseFailure](Pst.parse(c2, Cap))
+    assert(e.getMessage.contains("ANSI"))
+    // truncation
+    intercept[ParseFailure](Pst.parse(good.take(good.length / 2), Cap))
+  }
+
+  test("size cap refuses oversized declared data before materializing") {
+    val pst = Pst.build(Seq(Pst.BuildFolder("f", Seq(
+      Pst.BuildMsg("s", "x" * 50000)))))
+    val f = Pst.parse(pst, 4096) // cap below the body size
+    // the oversized message isolates as a failure, not a file failure
+    assert(f.failures.size == 1 && f.failures.head.error.contains("cap"))
+  }
+
+  test("REAL Outlook fixture: full NDB layer validates structurally") {
+    // The reference's own binary fixture, read in place (never copied):
+    // permute-encrypted, so the LTP layer refuses with a precise reason
+    // while the NDB layer (headers, CRCs, B-trees, blocks, subnode trees)
+    // must walk completely.
+    val path = java.nio.file.Paths.get(
+      "/root/reference/extract-lib/src/test/resources/documents/pst/testPST.pst")
+    assume(java.nio.file.Files.exists(path), "reference fixture not present")
+    val bytes = java.nio.file.Files.readAllBytes(path)
+    assert(Pst.isPst(bytes))
+    val inv = Pst.inventory(bytes)
+    assert(inv.crypt == 1) // NDB_CRYPT_PERMUTE
+    assert(inv.nNodes == 61 && inv.nBlocks == 118)
+    assert(inv.nFolders == 5 && inv.nMessages == 7)
+    assert(inv.nSubnodeMessages == 1) // the attached msg-in-pst
+    val e = intercept[ParseFailure](Pst.parse(bytes, Cap))
+    assert(e.getMessage.contains("permute") || e.getMessage.contains("NDB_CRYPT"))
+  }
+}
