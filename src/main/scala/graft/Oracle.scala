@@ -224,6 +224,78 @@ object Oracle {
       |    ||octet_length(encode('re '||doc_id))||':re '||doc_id),
       |  rid, 1, 'nested body '||doc_id, '' FROM z WHERE doc_id%27=0""".stripMargin
 
+  /** Mirror of Queries.pstExplode: the PST root container, the folder
+    * container nodes (box ord 0, %99 crash ord 1, [recovered] after), the
+    * box message at ord 1 (after the deep subfolder at ord 0), the %66
+    * attachment-bearing message and its child, the deep-folder message,
+    * the recovered unlinked message, and the %99 corrupt message's
+    * content-less parse-failure child. Message ids recompute over the SAME
+    * logical canonical fields as msgExplode — id parity between a message
+    * inside a .pst and the same message as a .msg is by construction.
+    */
+  private val pstExplode: String =
+    """WITH z AS (SELECT doc_id, text, sha256(doc_id::VARCHAR) AS rid
+      |           FROM documents WHERE doc_id%33=0),
+      |g AS (SELECT doc_id, text, rid,
+      |  sha256('64:'||sha256('box')||'64:'||rid||'1:0'||'0:'||'3:box') AS boxid,
+      |  sha256('64:'||sha256('crash')||'64:'||rid||'1:1'||'0:'||'5:crash') AS crashid,
+      |  sha256('64:'||sha256('[recovered]')||'64:'||rid||'1:'
+      |    ||CASE WHEN doc_id%99=0 THEN 2 ELSE 1 END||'0:'||'11:[recovered]') AS recid
+      | FROM z),
+      |h AS (SELECT *,
+      |  sha256('64:'||sha256('deep')||'64:'||boxid||'1:0'||'0:'||'4:deep') AS deepid
+      | FROM g),
+      |r AS (SELECT *,
+      |  sha256('64:'||sha256('7:subject'||octet_length(encode('rich '||doc_id))||':rich '||doc_id
+      |      ||'4:from'||'0:'||'4:body'||octet_length(encode('rich body '||doc_id))||':rich body '||doc_id
+      |      ||octet_length(encode('a'||doc_id||'.txt'))||':a'||doc_id||'.txt'
+      |      ||octet_length(encode('att '||doc_id))||':att '||doc_id)
+      |    ||'64:'||boxid||'1:2'||'0:'
+      |    ||octet_length(encode('rich '||doc_id))||':rich '||doc_id) AS richid
+      | FROM h WHERE doc_id%66=0)
+      |SELECT doc_id, rid AS node_id, '' AS parent_id, 0 AS level, '' AS txt,
+      |       'empty-file' AS reason FROM h
+      |UNION ALL SELECT doc_id, boxid, rid, 1, '', 'empty-file' FROM h
+      |UNION ALL SELECT doc_id, crashid, rid, 1, '', 'empty-file' FROM h WHERE doc_id%99=0
+      |UNION ALL SELECT doc_id, recid, rid, 1, '', 'empty-file' FROM h
+      |UNION ALL SELECT doc_id, deepid, boxid, 2, '', 'empty-file' FROM h
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('7:subject'||octet_length(encode('m '||doc_id))||':m '||doc_id
+      |      ||'4:from'||'0:'||'4:body'||octet_length(encode(text))||':'||text)
+      |    ||'64:'||boxid||'1:1'||'0:'||octet_length(encode('m '||doc_id))||':m '||doc_id),
+      |  boxid, 2, text, CASE WHEN text='' THEN 'empty-file' ELSE '' END FROM h
+      |UNION ALL SELECT doc_id, richid, boxid, 2, 'rich body '||doc_id, '' FROM r
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('att '||doc_id)||'64:'||richid||'1:0'||'0:'
+      |    ||octet_length(encode('a'||doc_id||'.txt'))||':a'||doc_id||'.txt'),
+      |  richid, 3, 'att '||doc_id, '' FROM r
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('7:subject'||octet_length(encode('deep '||doc_id))||':deep '||doc_id
+      |      ||'4:from'||'0:'||'4:body'||octet_length(encode('deep body '||doc_id))||':deep body '||doc_id)
+      |    ||'64:'||deepid||'1:0'||'0:'||octet_length(encode('deep '||doc_id))||':deep '||doc_id),
+      |  deepid, 3, 'deep body '||doc_id, '' FROM h
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('7:subject'||octet_length(encode('lost '||doc_id))||':lost '||doc_id
+      |      ||'4:from'||'0:'||'4:body'||octet_length(encode('orphan '||doc_id))||':orphan '||doc_id)
+      |    ||'64:'||recid||'1:0'||'0:'||octet_length(encode('lost '||doc_id))||':lost '||doc_id),
+      |  recid, 2, 'orphan '||doc_id, '' FROM h
+      |UNION ALL SELECT doc_id,
+      |  sha256('0:'||'64:'||crashid||'1:0'||'0:'||'0:'),
+      |  crashid, 2, '', 'parse-failure' FROM h WHERE doc_id%99=0""".stripMargin
+
+  /** Mirror of Queries.pstReconcile: declared-vs-extracted arithmetic
+    * recomputed from the fixture's %66/%99 structure.
+    */
+  private val pstReconcile: String =
+    """SELECT doc_id,
+      | (2 + CASE WHEN doc_id%99=0 THEN 1 ELSE 0 END)::BIGINT AS n_folders,
+      | (3 + CASE WHEN doc_id%66=0 THEN 1 ELSE 0 END
+      |     + CASE WHEN doc_id%99=0 THEN 1 ELSE 0 END)::BIGINT AS n_declared,
+      | (2 + CASE WHEN doc_id%66=0 THEN 1 ELSE 0 END)::BIGINT AS n_extracted,
+      | 1::BIGINT AS n_recovered,
+      | (CASE WHEN doc_id%99=0 THEN 1 ELSE 0 END)::BIGINT AS n_failed
+      |FROM documents WHERE doc_id%33=0""".stripMargin
+
   /** Mirror of Queries.cfbExplode: generic compound-file container — the
     * empty root, two sniffed text streams in CFB name order, and the %26
     * nested-zip stream recomputed like zipExplode's container child.
@@ -1273,6 +1345,8 @@ object Oracle {
     "q_tgz_explode" -> tgzExplode,
     "q_eml_explode" -> emlExplode,
     "q_msg_explode" -> msgExplode,
+    "q_pst_explode" -> pstExplode,
+    "q_pst_reconcile" -> pstReconcile,
     "q_cfb_explode" -> cfbExplode,
     "q_docx_media" -> docxMedia,
     "q_doc_bytes" -> pdfBytes, // same 5-word-line text, shared mirror

@@ -422,6 +422,71 @@ object Queries {
       .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
   }
 
+  /** The deterministic PST fixture both pst queries share (and both
+    * oracles mirror): a "box" folder with a normal message (body = the
+    * document text), an UNLINKED message (recovered), a %66 message with
+    * a file attachment, a nested "box/deep" folder, and a %99 "crash"
+    * folder holding a CORRUPT message (per-message isolation).
+    */
+  private def pstFixture(id: Long, t: String): Array[Byte] = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import graft.core.office.Pst
+    val boxMsgs = Seq(
+      Pst.BuildMsg(s"m $id", t),
+      Pst.BuildMsg(s"lost $id", s"orphan $id", linked = false)) ++
+      (if (id % 66 == 0)
+        Seq(Pst.BuildMsg(s"rich $id", s"rich body $id",
+          atts = Seq((s"a$id.txt", s"att $id".getBytes(UTF_8)))))
+      else Nil)
+    val folders = Seq(
+      Pst.BuildFolder("box", boxMsgs),
+      Pst.BuildFolder("box/deep", Seq(Pst.BuildMsg(s"deep $id", s"deep body $id")))) ++
+      (if (id % 99 == 0)
+        Seq(Pst.BuildFolder("crash", Seq(Pst.BuildMsg("broken", "x", corrupt = true))))
+      else Nil)
+    Pst.build(folders)
+  }
+
+  /** §2.6 ResilientOutlookPSTParser route: each %33 doc becomes a REAL
+    * Unicode PST (from-scratch MS-PST writer) that explodes into its
+    * folder tree — container folder nodes, messages with .msg-parity ids,
+    * attachment children, the unlinked message recovered under
+    * `[recovered]`, and the corrupt message isolated as a parse-failure
+    * child.
+    */
+  def pstExplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .filter(_._1 % 33 == 0)
+      .flatMap { case (id, t) =>
+        val d = DocIn(id, Array(SpanIn("pst", new String(pstFixture(id, t), ISO_8859_1), "", 0)))
+        Extract.explode(d).map(o =>
+          (id, o.doc_id, o.parent_id, o.level, o.spans.map(_.text).mkString(""), o.no_content_reason))
+      }
+      .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
+  }
+
+  /** PST reconciliation counters (the reference's recovery bookkeeping):
+    * declared message counts from the folder PCs vs extracted, recovered,
+    * and per-message-failed counts.
+    */
+  def pstReconcile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.core.office.Pst
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .filter(_._1 % 33 == 0)
+      .map { case (id, t) =>
+        val f = Pst.parse(pstFixture(id, t), 16 << 20)
+        (id, f.folders.count(_.path.nonEmpty).toLong,
+          f.folders.map(_.declaredCount.toLong).sum,
+          f.messages.count(!_.recovered).toLong,
+          f.messages.count(_.recovered).toLong,
+          f.failures.size.toLong)
+      }
+      .toDF("doc_id", "n_folders", "n_declared", "n_extracted", "n_recovered", "n_failed")
+  }
+
   /** §2.4 generic OLE2 compound-file route (the reference's POIFS
     * container behavior): each %13 doc becomes a real CFB container whose
     * streams spawn as sniffed children — including a nested zip stream
@@ -1662,6 +1727,8 @@ object Queries {
     "q_tgz_explode" -> (tgzExplode _),
     "q_eml_explode" -> (emlExplode _),
     "q_msg_explode" -> (msgExplode _),
+    "q_pst_explode" -> (pstExplode _),
+    "q_pst_reconcile" -> (pstReconcile _),
     "q_cfb_explode" -> (cfbExplode _),
     "q_docx_media" -> (docxMedia _),
     "q_doc_bytes" -> (docBytes _),

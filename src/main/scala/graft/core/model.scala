@@ -83,6 +83,11 @@ object Reason {
   val Unsupported = "unsupported-media-type"
   val Empty = "empty-file"
   val Encrypted = "encrypted"
+  /** Per-entry parse isolation (a corrupt PST message, an unreadable
+    * nested container): the child exists with no content, the parent
+    * survives — the reference's resilient-parser semantics.
+    */
+  val ParseFailed = "parse-failure"
 }
 
 /** Typed extraction failures — the producing side of the status taxonomy

@@ -98,7 +98,7 @@ object Extract {
       // zip: an OOXML PACKAGE (docx/xlsx/pptx) yields its body text;
       // a plain archive has none
       case "zip"       => (graft.core.office.Ooxml.packageText(t, cfg.maxSpanChars), "")
-      case "gzip" | "tar" | "zstd" | "bzip2" | "warc" | "jsonl" | "7z" => ("", "") // container: no own text, entries explode to children
+      case "gzip" | "tar" | "zstd" | "bzip2" | "warc" | "jsonl" | "7z" | "pst" => ("", "") // container: no own text, entries explode to children
       // cfb: an Outlook MESSAGE yields its body text; a generic compound
       // file is a pure container (streams explode to children)
       case "cfb"       => (graft.core.office.Msg.cfbText(t, cfg.maxSpanChars), "")
@@ -113,7 +113,7 @@ object Extract {
     * span-parallel path for reassembly).
     */
   val ContainerKinds: Set[String] =
-    Set("media", "zip", "gzip", "tar", "eml", "cfb", "zstd", "bzip2", "warc", "jsonl", "7z")
+    Set("media", "zip", "gzip", "tar", "eml", "cfb", "zstd", "bzip2", "warc", "jsonl", "7z", "pst")
 
   /** Null spans (a row written with spans=NULL) are treated as an empty
     * span array — reason=empty-file, never a failure — in BOTH the batch and
@@ -356,6 +356,69 @@ object Extract {
       }
     }
 
+    // one parsed PST mailbox -> its folder tree as container nodes
+    // (subfolders first, then messages/failures in node-B-tree order),
+    // messages through the SHARED spawnMsg machinery so a message carries
+    // the same logical-canonical id in a .pst as in a .msg; per-message
+    // failures isolate as parse-failure children; messages unlinked from
+    // every contents table land under a [recovered] node — the
+    // reference's ResilientOutlookPSTParser semantics
+    // (`ResilientOutlookPSTParser.java:71-320`).
+    def spawnPstNodes(pst: graft.core.office.Pst.PstFile, parentId: String,
+                      level: Int): Unit = {
+      checkDeadline(deadlineNanos)
+      val subsOf = pst.folders.filter(_.path.nonEmpty).groupBy { f =>
+        f.path.lastIndexOf('/') match {
+          case -1 => ""
+          case i  => f.path.substring(0, i)
+        }
+      }
+      val msgsOf = pst.messages.filter(!_.recovered).groupBy(_.folderPath)
+      val failsOf = pst.failures.filter(_.folderPath != "[recovered]").groupBy(_.folderPath)
+      def emitMsgOrFail(item: Either[graft.core.office.Pst.Message, graft.core.office.Pst.MessageFailure],
+                        pid: String, ord: Int, lvl: Int): Unit = item match {
+        case Left(m) =>
+          spawnMsg(graft.core.office.Msg.MsgDoc(m.subject, m.from, m.body, m.attachments),
+            m.subject, pid, ord, lvl)
+        case Right(_) =>
+          spawned += 1
+          out += DocOut(Ids.embedId("", pid, ord), pid, rootId, lvl, Array.empty,
+            Reason.ParseFailed)
+      }
+      def items(path: String) =
+        (msgsOf.getOrElse(path, Vector.empty).map(m => (m.nid, Left(m))) ++
+          failsOf.getOrElse(path, Vector.empty).map(f => (f.nid, Right(f))))
+          .sortBy(_._1).map(_._2)
+      def walkFolder(path: String, pid: String, lvl: Int): Int = {
+        var ord = 0
+        subsOf.getOrElse(path, Vector.empty).foreach { f =>
+          checkDeadline(deadlineNanos)
+          if (guardsRefuse(lvl, f.name.length)) skipped += 1
+          else {
+            spawned += 1
+            val cid = Ids.embedId(f.name, pid, ord, resourceName = f.name)
+            emitDoc(cid, pid, lvl, "")
+            walkFolder(f.path, cid, lvl + 1): Unit
+          }
+          ord += 1
+        }
+        items(path).foreach { it => emitMsgOrFail(it, pid, ord, lvl); ord += 1 }
+        ord
+      }
+      val rootOrd = walkFolder("", parentId, level)
+      val recovered =
+        pst.messages.filter(_.recovered).map(m => (m.nid, Left(m))) ++
+          pst.failures.filter(_.folderPath == "[recovered]").map(f => (f.nid, Right(f)))
+      if (recovered.nonEmpty) {
+        spawned += 1
+        val recId = Ids.embedId("[recovered]", parentId, rootOrd, resourceName = "[recovered]")
+        emitDoc(recId, parentId, level, "")
+        recovered.sortBy(_._1).map(_._2).zipWithIndex.foreach { case (it, i) =>
+          emitMsgOrFail(it, recId, i, level + 1)
+        }
+      }
+    }
+
     // one REAL archive entry -> one child document: plain archives
     // (zip/tar/gzip) become container nodes whose entries recurse; an OOXML
     // package (docx) becomes a DOCUMENT child (body text + its embedded
@@ -368,6 +431,23 @@ object Extract {
       if (bytes.isEmpty || guardsRefuse(level, declaredLen)) { skipped += 1; return }
       spawned += 1
       val data = bytes.get
+      if (graft.core.office.Pst.isPst(data)) {
+        // nested Outlook mailbox (pst-in-zip): a container child whose
+        // folder/message tree hangs below it; untrusted entry bytes must
+        // never fail the parent, so a structurally-broken or encrypted
+        // nested pst isolates as a parse-failure child
+        val latin1 = new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
+        val cid = Ids.embedId(latin1, parentId, ord, resourceName = name)
+        try {
+          val pst = graft.core.office.Pst.parse(data, cfg.maxSpanChars)
+          emitDoc(cid, parentId, level, "")
+          spawnPstNodes(pst, cid, level + 1)
+        } catch {
+          case _: graft.core.ParseFailure =>
+            out += DocOut(cid, parentId, rootId, level, Array.empty, Reason.ParseFailed)
+        }
+        return
+      }
       if (graft.core.office.Cfb.isCfb(data)) {
         // OLE2 compound file: a MESSAGE becomes a document child (undo the
         // spawned count — spawnMsg re-applies its own guards); a generic
@@ -559,6 +639,14 @@ object Extract {
           graft.core.mail.Eml.parse(content).attachments.foreach { case (n, b) =>
             spawnEntry(n, Some(b), rootId, ord, 1); ord += 1
           }
+        case "pst" =>
+          // the mailbox IS the parent document: folders, messages,
+          // attachments, recovered and failed entries hang below it.
+          // Top-level structural breakage (bad CRCs, truncation,
+          // encryption) classifies through the job layer like any other
+          // top-level parser failure
+          val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          spawnPstNodes(graft.core.office.Pst.parse(bytes, cfg.maxSpanChars), rootId, 1)
         case _ => () // non-container kinds never reach here
       }
     }

@@ -74,6 +74,12 @@ object BinaryFuzzProps extends Properties("BinaryFuzz") {
       total(graft.sources.Ingest.sniffKind(b, n))
     }
 
+  property("pst parse/inventory: junk classifies") =
+    Prop.forAll(stamped("!BDN".getBytes)) { b =>
+      total(graft.core.office.Pst.parse(b, 1 << 20)) &&
+        total(graft.core.office.Pst.inventory(b))
+    }
+
   property("odf bodyText is total on arbitrary markup") =
     Prop.forAll(Gen.asciiPrintableStr) { s =>
       total(graft.core.office.Odf.bodyText("<text:p>" + s + "</text:p>")) &&

@@ -49,6 +49,9 @@ class OmnibusIngestSpec extends AnyFunSuite {
     put("dump.jsonl",
       "{\"text\": \"jsonl one\"}\n{\"text\": \"jsonl two\"}".getBytes(UTF_8))
     put("generic.cfb", Cfb.build(Seq(("s.txt", "cfb stream text".getBytes(UTF_8)))))
+    put("mail.pst", graft.core.office.Pst.build(Seq(
+      graft.core.office.Pst.BuildFolder("inbox", Seq(
+        graft.core.office.Pst.BuildMsg("s", "pst message body"))))))
     // extensionless mail detected by its strong Received: header
     put("relayed_mail",
       ("Received: from relay.example\r\nFrom: x@example.com\r\n" +
@@ -56,7 +59,7 @@ class OmnibusIngestSpec extends AnyFunSuite {
     put("Thumbs.db", Array[Byte](1, 2, 3)) // junk: must be excluded
 
     val docs = Ingest.readDir(spark, dir.toString).collect()
-    assert(docs.length == 18) // every file except the junk one
+    assert(docs.length == 19) // every file except the junk one
 
     val texts = docs.flatMap(d => Extract.explode(d))
       .flatMap(o => o.spans.map(_.text)).filter(_.nonEmpty).toSet
@@ -66,7 +69,7 @@ class OmnibusIngestSpec extends AnyFunSuite {
       "zstd member", "bzip2 member", "eml body text", "msg body text",
       "msg attachment", "legacy doc text", "cell one\t2", "slide text",
       "wet record text", "jsonl one", "jsonl two", "cfb stream text",
-      "extensionless mail body")
+      "extensionless mail body", "pst message body")
     val missing = expected -- texts
     assert(missing.isEmpty, s"formats missing from extraction: $missing")
   }

@@ -116,6 +116,55 @@ class PstSpec extends AnyFunSuite {
     assert(f.failures.size == 1 && f.failures.head.error.contains("cap"))
   }
 
+  test("a pst span explodes: folder tree, messages, recovery, failures") {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    import graft.core.{DocIn, SpanIn}
+    import graft.core.route.Extract
+    val pst = Pst.build(Seq(
+      Pst.BuildFolder("box", Seq(
+        Pst.BuildMsg("m one", "body one"),
+        Pst.BuildMsg("lost", "orphan", linked = false))),
+      Pst.BuildFolder("box/deep", Seq(
+        Pst.BuildMsg("deep msg", "deep body",
+          atts = Seq(("d.txt", b("deep att")))))),
+      Pst.BuildFolder("crash", Seq(Pst.BuildMsg("broken", "x", corrupt = true)))))
+    assert(graft.sources.Ingest.sniffKind(pst) == "pst")
+    val d = DocIn(7L, Array(SpanIn("pst", new String(pst, ISO_8859_1), "", 0)))
+    val nodes = Extract.explode(d)
+    val byLevel = nodes.groupBy(_.level)
+    // root + level-1 folders (box, crash, [recovered])
+    assert(byLevel(0).size == 1)
+    val root = byLevel(0).head
+    assert(root.no_content_reason == "empty-file") // pure container
+    val l1 = byLevel(1).map(_.doc_id).toSet
+    assert(l1.size == 3)
+    // level 2: deep folder + m one + broken(failure) + lost(recovered)
+    val l2 = byLevel(2)
+    assert(l2.size == 4)
+    assert(l2.count(_.no_content_reason == "parse-failure") == 1)
+    assert(l2.exists(_.spans.exists(_.text == "body one")))
+    assert(l2.exists(_.spans.exists(_.text == "orphan")))
+    // level 3: deep msg; level 4: its attachment
+    assert(byLevel(3).exists(_.spans.exists(_.text == "deep body")))
+    assert(byLevel(4).exists(_.spans.exists(_.text == "deep att")))
+  }
+
+  test("a pst nested in a zip explodes as a container child; junk pst isolates") {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    import graft.core.{DocIn, SpanIn}
+    import graft.core.route.Extract
+    val pst = Pst.build(Seq(Pst.BuildFolder("f", Seq(Pst.BuildMsg("s", "inner body")))))
+    val zip = graft.sources.Archive.zipBytes(Seq(("mail.pst", pst)))
+    val d = DocIn(9L, Array(SpanIn("zip", new String(zip, ISO_8859_1), "", 0)))
+    val nodes = Extract.explode(d)
+    assert(nodes.exists(n => n.level == 3 && n.spans.exists(_.text == "inner body")))
+    // a truncated pst entry becomes a parse-failure child, parent survives
+    val zip2 = graft.sources.Archive.zipBytes(Seq(("bad.pst", pst.take(800))))
+    val d2 = DocIn(10L, Array(SpanIn("zip", new String(zip2, ISO_8859_1), "", 0)))
+    val nodes2 = Extract.explode(d2)
+    assert(nodes2.exists(n => n.level == 1 && n.no_content_reason == "parse-failure"))
+  }
+
   test("REAL Outlook fixture: full NDB layer validates structurally") {
     // The reference's own binary fixture, read in place (never copied):
     // permute-encrypted, so the LTP layer refuses with a precise reason
