@@ -477,7 +477,10 @@ object Queries {
     docs(spark, dir).select("doc_id", "text").as[(Long, String)]
       .filter(_._1 % 33 == 0)
       .map { case (id, t) =>
-        val f = Pst.parse(pstFixture(id, t), 16 << 20)
+        // the SAME budget the explode route derives from its config, so
+        // the two pst queries can never diverge on refusal behavior
+        val f = Pst.parse(pstFixture(id, t),
+          Pst.byteBudget(Extract.DefaultConfig.maxSpanChars))
         (id, f.folders.count(_.path.nonEmpty).toLong,
           f.folders.map(_.declaredCount.toLong).sum,
           f.messages.count(!_.recovered).toLong,

@@ -97,6 +97,12 @@ object Reason {
   * Spark's retry/blacklist machinery (the FATAL escalation path).
   */
 final class ParseFailure(msg: String) extends RuntimeException(msg)
+/** Content that is ENCRYPTED rather than malformed (password-protected
+  * PST, crypt methods this engine does not implement): classified
+  * FAILURE_NOT_DECRYPTED, the reference's EncryptedDocumentException
+  * route — distinct from NOT_PARSED corruption.
+  */
+final class DecryptFailure(msg: String) extends RuntimeException(msg)
 final class PayloadMissing(msg: String) extends RuntimeException(msg)
 final class PayloadUnreadable(msg: String) extends java.io.IOException(msg)
 

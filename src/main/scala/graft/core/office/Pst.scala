@@ -83,12 +83,13 @@ object Pst {
     bytes.length >= HeaderSize && bytes(0) == '!' && bytes(1) == 'B' &&
       bytes(2) == 'D' && bytes(3) == 'N'
 
-  private def u16(b: Array[Byte], off: Int): Int =
-    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
-  private def u32(b: Array[Byte], off: Int): Long =
-    (u16(b, off).toLong) | (u16(b, off + 2).toLong << 16)
+  // bounds-checked little-endian readers shared with the other OLE-family
+  // parsers (out-of-range reads throw ParseFailure, never AIOOBE — the
+  // classified-never-a-task-failure contract)
+  private def u16(b: Array[Byte], off: Int): Int = Biff.u16(b, off)
+  private def u32(b: Array[Byte], off: Int): Long = Biff.u32(b, off)
   private def u64(b: Array[Byte], off: Int): Long =
-    u32(b, off) | (u32(b, off + 4) << 32)
+    Biff.u32(b, off) | (Biff.u32(b, off + 4) << 32)
   private def putU16(b: Array[Byte], off: Int, v: Int): Unit = {
     b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
   }
@@ -118,6 +119,17 @@ object Pst {
     c.toLong & 0xffffffffL
   }
 
+  private def cryptRefusal(crypt: Int) = new graft.core.DecryptFailure(
+    s"NDB_CRYPT method $crypt (permute/cyclic) not supported — crypt-none PSTs only")
+
+  /** The byte budget a character budget implies for PST values: property
+    * strings are UTF-16LE on disk (2 bytes/char), so the same message must
+    * pass or refuse identically whether it arrives as .msg (char guards)
+    * or .pst (byte guards).
+    */
+  def byteBudget(maxSpanChars: Int): Int =
+    if (maxSpanChars > Int.MaxValue / 2) Int.MaxValue else maxSpanChars * 2
+
   /** Block/page signature (MS-PST §5.5): fold ib^bid to 16 bits. */
   private def sig(ib: Long, bid: Long): Int = {
     val x = (ib ^ bid) & 0xffffffffL
@@ -139,8 +151,12 @@ object Pst {
     /** Raw payload of one block, trailer-validated (cb, bid, wSig, CRC). */
     def payload(bid: Long): Array[Byte] = {
       val (ib, cb) = blocks.getOrElse(bid, throw new ParseFailure(s"block $bid not in BBT"))
+      if (cb < 0 || cb > MaxBlockData)
+        throw new ParseFailure(s"block $bid declares impossible size $cb")
       val total = ((cb + 16 + 63) / 64) * 64
-      if (ib < 0 || ib + total > bytes.length)
+      // subtraction form: `ib + total` overflows Long for a crafted ib
+      // near Long.MaxValue (the CRC is public, so a forged header passes)
+      if (ib < 0 || ib > bytes.length - total)
         throw new ParseFailure(s"block $bid extends past file end")
       val t = (ib + total - 16).toInt
       if (u16(bytes, t) != cb) throw new ParseFailure(s"block $bid trailer size mismatch")
@@ -153,9 +169,7 @@ object Pst {
 
     /** End-user data payload: crypt applies ONLY to leaf data blocks. */
     private def dataPayload(bid: Long): Array[Byte] = {
-      if (crypt != 0)
-        throw new ParseFailure(
-          s"NDB_CRYPT method $crypt (permute/cyclic) not supported — crypt-none PSTs only")
+      if (crypt != 0) throw cryptRefusal(crypt)
       payload(bid)
     }
 
@@ -263,7 +277,7 @@ object Pst {
       visited += 1
       if (visited > maxPages) throw new ParseFailure("B-tree page cycle")
       if (depth > 8) throw new ParseFailure("B-tree deeper than the format allows")
-      if (ib < 0 || ib + PageSize > bytes.length)
+      if (ib < 0 || ib > bytes.length - PageSize) // subtraction: no Long overflow
         throw new ParseFailure("B-tree page past file end")
       val o = ib.toInt
       val cEnt = bytes(o + 488) & 0xff
@@ -420,7 +434,8 @@ object Pst {
   final case class Message(nid: Long, folderNid: Long, folderPath: String,
                            subject: String, from: String, body: String,
                            attachments: Vector[Msg.Attachment], recovered: Boolean)
-  final case class MessageFailure(nid: Long, folderPath: String, error: String)
+  final case class MessageFailure(nid: Long, folderNid: Long, folderPath: String,
+                                  recovered: Boolean, error: String)
   final case class PstFile(folders: Vector[Folder], messages: Vector[Message],
                            failures: Vector[MessageFailure])
 
@@ -455,12 +470,12 @@ object Pst {
     */
   def parse(bytes: Array[Byte], maxEntryBytes: Int): PstFile = {
     val ndb = readNdb(bytes, maxEntryBytes)
-    // refuse crypt up front: without it every message would "fail" into
-    // the isolation path, which would misreport an encoding limitation as
-    // per-message corruption (inventory still serves encrypted files)
-    if (ndb.crypt != 0)
-      throw new ParseFailure(
-        s"NDB_CRYPT method ${ndb.crypt} (permute/cyclic) not supported — crypt-none PSTs only")
+    // refuse crypt up front AS A DECRYPT failure (FAILURE_NOT_DECRYPTED
+    // taxonomy, like encrypted PDFs): without it every message would
+    // "fail" into the isolation path, misreporting an encryption
+    // limitation as per-message corruption (inventory still serves
+    // encrypted files)
+    if (ndb.crypt != 0) throw cryptRefusal(ndb.crypt)
 
     def heapOf(nid: Long): (Heap, Long => Option[Array[Byte]]) = {
       val e = ndb.nodes.getOrElse(nid, throw new ParseFailure(f"node 0x$nid%x missing"))
@@ -552,17 +567,19 @@ object Pst {
     msgNids.foreach { nid =>
       val isLinked = linked.contains(nid)
       val parent = ndb.nodes(nid).nidParent
-      val path =
-        if (!isLinked) "[recovered]"
-        else byNid.get(parent).map(_ => pathOf(parent, 0)).getOrElse("[recovered]")
+      // recovered = unlinked from every contents table OR parented to a
+      // nonexistent folder — both are "present in the node B-tree but
+      // unreachable through the folder tree", the descriptor-recovery case
+      val rec = !isLinked || !byNid.contains(parent)
+      val path = if (rec) "[recovered]" else pathOf(parent, 0)
       try {
         val e = ndb.nodes(nid)
         val sub = ndb.subnodes(e.bidSub)
         val resolve = (vnid: Long) => sub.get(vnid).map { case (bd, _) => ndb.data(bd) }
         val (s, f, b, a) = readMessage(new Heap(ndb.dataBlocks(e.bidData)), resolve, sub, 0)
-        messages += Message(nid, parent, path, s, f, b, a, recovered = !isLinked)
+        messages += Message(nid, parent, path, s, f, b, a, recovered = rec)
       } catch {
-        case pf: ParseFailure => failures += MessageFailure(nid, path, pf.getMessage)
+        case pf: ParseFailure => failures += MessageFailure(nid, parent, path, rec, pf.getMessage)
       }
     }
     PstFile(folders, messages.result(), failures.result())

@@ -367,54 +367,68 @@ object Extract {
     def spawnPstNodes(pst: graft.core.office.Pst.PstFile, parentId: String,
                       level: Int): Unit = {
       checkDeadline(deadlineNanos)
-      val subsOf = pst.folders.filter(_.path.nonEmpty).groupBy { f =>
-        f.path.lastIndexOf('/') match {
-          case -1 => ""
-          case i  => f.path.substring(0, i)
-        }
+      val Root = graft.core.office.Pst.RootFolderNid
+      // tree keyed by NID, never by display-name paths: folder names may
+      // contain '/', siblings may share a name, and a real folder may be
+      // literally named "[recovered]" — none of those may misroute a
+      // subtree. Orphan folders (parent nid not a folder) re-parent to
+      // the root level rather than silently dropping their messages.
+      val knownFolders = pst.folders.iterator.map(_.nid).toSet
+      val subsOf = pst.folders.filter(_.nid != Root).groupBy { f =>
+        // self-parented non-root folders are orphans too (longer parent
+        // cycles already fail parse's depth-capped path computation)
+        if (f.parentNid != f.nid && knownFolders.contains(f.parentNid)) f.parentNid else Root
       }
-      val msgsOf = pst.messages.filter(!_.recovered).groupBy(_.folderPath)
-      val failsOf = pst.failures.filter(_.folderPath != "[recovered]").groupBy(_.folderPath)
+      val msgsOf = pst.messages.filter(!_.recovered).groupBy(_.folderNid)
+      val failsOf = pst.failures.filter(!_.recovered).groupBy(_.folderNid)
       def emitMsgOrFail(item: Either[graft.core.office.Pst.Message, graft.core.office.Pst.MessageFailure],
                         pid: String, ord: Int, lvl: Int): Unit = item match {
         case Left(m) =>
           spawnMsg(graft.core.office.Msg.MsgDoc(m.subject, m.from, m.body, m.attachments),
             m.subject, pid, ord, lvl)
         case Right(_) =>
-          spawned += 1
-          out += DocOut(Ids.embedId("", pid, ord), pid, rootId, lvl, Array.empty,
-            Reason.ParseFailed)
+          // content-less failure child: same breadth/depth guards as every
+          // other spawn path (a bomb of cheap corrupt messages must cap)
+          if (guardsRefuse(lvl, 0)) skipped += 1
+          else {
+            spawned += 1
+            out += DocOut(Ids.embedId("", pid, ord), pid, rootId, lvl, Array.empty,
+              Reason.ParseFailed)
+          }
       }
-      def items(path: String) =
-        (msgsOf.getOrElse(path, Vector.empty).map(m => (m.nid, Left(m))) ++
-          failsOf.getOrElse(path, Vector.empty).map(f => (f.nid, Right(f))))
+      def items(fnid: Long) =
+        (msgsOf.getOrElse(fnid, Vector.empty).map(m => (m.nid, Left(m))) ++
+          failsOf.getOrElse(fnid, Vector.empty).map(f => (f.nid, Right(f))))
           .sortBy(_._1).map(_._2)
-      def walkFolder(path: String, pid: String, lvl: Int): Int = {
+      def walkFolder(fnid: Long, pid: String, lvl: Int): Int = {
         var ord = 0
-        subsOf.getOrElse(path, Vector.empty).foreach { f =>
+        subsOf.getOrElse(fnid, Vector.empty).foreach { f =>
           checkDeadline(deadlineNanos)
           if (guardsRefuse(lvl, f.name.length)) skipped += 1
           else {
             spawned += 1
             val cid = Ids.embedId(f.name, pid, ord, resourceName = f.name)
             emitDoc(cid, pid, lvl, "")
-            walkFolder(f.path, cid, lvl + 1): Unit
+            walkFolder(f.nid, cid, lvl + 1): Unit
           }
           ord += 1
         }
-        items(path).foreach { it => emitMsgOrFail(it, pid, ord, lvl); ord += 1 }
+        items(fnid).foreach { it => emitMsgOrFail(it, pid, ord, lvl); ord += 1 }
         ord
       }
-      val rootOrd = walkFolder("", parentId, level)
+      val rootOrd = walkFolder(Root, parentId, level)
       val recovered =
         pst.messages.filter(_.recovered).map(m => (m.nid, Left(m))) ++
-          pst.failures.filter(_.folderPath == "[recovered]").map(f => (f.nid, Right(f)))
+          pst.failures.filter(_.recovered).map(f => (f.nid, Right(f)))
       if (recovered.nonEmpty) {
-        spawned += 1
-        val recId = Ids.embedId("[recovered]", parentId, rootOrd, resourceName = "[recovered]")
-        emitDoc(recId, parentId, level, "")
-        recovered.sortBy(_._1).map(_._2).zipWithIndex.foreach { case (it, i) =>
-          emitMsgOrFail(it, recId, i, level + 1)
+        if (guardsRefuse(level, "[recovered]".length)) skipped += recovered.size + 1
+        else {
+          spawned += 1
+          val recId = Ids.embedId("[recovered]", parentId, rootOrd, resourceName = "[recovered]")
+          emitDoc(recId, parentId, level, "")
+          recovered.sortBy(_._1).map(_._2).zipWithIndex.foreach { case (it, i) =>
+            emitMsgOrFail(it, recId, i, level + 1)
+          }
         }
       }
     }
@@ -434,21 +448,40 @@ object Extract {
       if (graft.core.office.Pst.isPst(data)) {
         // nested Outlook mailbox (pst-in-zip): a container child whose
         // folder/message tree hangs below it; untrusted entry bytes must
-        // never fail the parent, so a structurally-broken or encrypted
-        // nested pst isolates as a parse-failure child
+        // never fail the parent. Parse happens BEFORE any emission so a
+        // failure can never leave a duplicate/partial node behind; an
+        // encrypted pst classifies encrypted, a broken one parse-failure
         val latin1 = new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
         val cid = Ids.embedId(latin1, parentId, ord, resourceName = name)
-        try {
-          val pst = graft.core.office.Pst.parse(data, cfg.maxSpanChars)
-          emitDoc(cid, parentId, level, "")
-          spawnPstNodes(pst, cid, level + 1)
-        } catch {
-          case _: graft.core.ParseFailure =>
-            out += DocOut(cid, parentId, rootId, level, Array.empty, Reason.ParseFailed)
+        val parsed =
+          try Right(graft.core.office.Pst.parse(data,
+            graft.core.office.Pst.byteBudget(cfg.maxSpanChars)))
+          catch {
+            case _: graft.core.DecryptFailure => Left(Reason.Encrypted)
+            case _: graft.core.ParseFailure => Left(Reason.ParseFailed)
+          }
+        parsed match {
+          case Right(pst) =>
+            emitDoc(cid, parentId, level, "")
+            spawnPstNodes(pst, cid, level + 1)
+          case Left(reason) =>
+            out += DocOut(cid, parentId, rootId, level, Array.empty, reason)
         }
         return
       }
+      // per-entry isolation for every parse below (reference EmbedSpawner
+      // catches per embed): a ParseFailure/DecryptFailure from THIS
+      // entry's parse becomes a content-less failure child — never a
+      // parent failure, and never a duplicate node (each branch parses
+      // before its first emission, and recursion into children isolates
+      // at the child's own frame). Deadline/VM errors still propagate.
+      def entryFailure(reason: String): Unit =
+        out += DocOut(
+          Ids.embedId(new String(data, java.nio.charset.StandardCharsets.ISO_8859_1),
+            parentId, ord, resourceName = name),
+          parentId, rootId, level, Array.empty, reason)
       if (graft.core.office.Cfb.isCfb(data)) {
+        try {
         // OLE2 compound file: a MESSAGE becomes a document child (undo the
         // spawned count — spawnMsg re-applies its own guards); a generic
         // compound file is a container node whose streams recurse
@@ -475,8 +508,13 @@ object Extract {
               spawnEntry(n, b, cid, i, level + 1)
             }
         }
+        } catch {
+          case _: graft.core.DecryptFailure => entryFailure(Reason.Encrypted)
+          case _: graft.core.ParseFailure => entryFailure(Reason.ParseFailed)
+        }
         return
       }
+      try {
       val containerEntries: Option[Vector[graft.sources.Archive.UnzippedEntry]] =
         if (graft.sources.Archive.isZip(data))
           Some(graft.sources.Archive.unzip(data, cfg.maxSpanChars))
@@ -554,6 +592,10 @@ object Extract {
             out += DocOut(cid, parentId, rootId, level, spans,
               if (txt.nonEmpty) "" else if (why.nonEmpty) why else Reason.Empty)
           }
+      }
+      } catch {
+        case _: graft.core.DecryptFailure => entryFailure(Reason.Encrypted)
+        case _: graft.core.ParseFailure => entryFailure(Reason.ParseFailed)
       }
     }
 
@@ -646,7 +688,8 @@ object Extract {
           // encryption) classifies through the job layer like any other
           // top-level parser failure
           val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-          spawnPstNodes(graft.core.office.Pst.parse(bytes, cfg.maxSpanChars), rootId, 1)
+          spawnPstNodes(graft.core.office.Pst.parse(bytes,
+            graft.core.office.Pst.byteBudget(cfg.maxSpanChars)), rootId, 1)
         case _ => () // non-container kinds never reach here
       }
     }

@@ -64,6 +64,7 @@ object ExtractJob {
     case _: java.io.FileNotFoundException   => Status.NotFound
     case _: graft.core.PayloadUnreadable    => Status.Unreadable
     case _: java.io.IOException             => Status.Unreadable
+    case _: graft.core.DecryptFailure       => Status.NotDecrypted
     case _: graft.core.ParseFailure         => Status.NotParsed
     case _: RuntimeException                => Status.NotParsed // parser crash surface
     case _                                  => Status.Unknown

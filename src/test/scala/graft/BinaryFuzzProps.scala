@@ -25,6 +25,7 @@ object BinaryFuzzProps extends Properties("BinaryFuzz") {
     try { body; Prop.passed }
     catch {
       case _: ParseFailure => Prop.passed
+      case _: graft.core.DecryptFailure => Prop.passed // classified (NOT_DECRYPTED)
       case e: Throwable => Prop.falsified :| s"non-ParseFailure escaped: ${e.getClass.getName}: ${e.getMessage}"
     }
 

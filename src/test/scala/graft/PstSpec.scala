@@ -165,6 +165,73 @@ class PstSpec extends AnyFunSuite {
     assert(nodes2.exists(n => n.level == 1 && n.no_content_reason == "parse-failure"))
   }
 
+  test("a corrupt cfb attachment inside a pst isolates — no duplicate nodes") {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    import graft.core.{DocIn, SpanIn}
+    import graft.core.route.Extract
+    // CFB magic + junk: Cfb.streamEntries throws ParseFailure when the
+    // attachment spawns; the failure must become a child row, the pst
+    // tree must stay intact, and no doc_id may appear twice
+    val badCfb = Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1).map(_.toByte) ++
+      Array.fill[Byte](64)(0x33)
+    val pst = Pst.build(Seq(Pst.BuildFolder("f", Seq(
+      Pst.BuildMsg("carrier", "carrier body", atts = Seq(("evil.doc", badCfb)))))))
+    val d = DocIn(11L, Array(SpanIn("pst", new String(pst, ISO_8859_1), "", 0)))
+    val nodes = Extract.explode(d)
+    assert(nodes.map(_.doc_id).distinct.size == nodes.size) // no duplicates
+    assert(nodes.exists(_.spans.exists(_.text == "carrier body")))
+    assert(nodes.exists(_.no_content_reason == "parse-failure")) // the bad attachment
+  }
+
+  test("encrypted pst classifies NOT_DECRYPTED top-level, encrypted nested") {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    import graft.core.{DocIn, SpanIn}
+    import graft.core.route.Extract
+    val good = Pst.build(Seq(Pst.BuildFolder("f", Seq(Pst.BuildMsg("s", "b")))))
+    // flip bCryptMethod to permute and restore both header CRCs
+    val enc = good.clone(); enc(513) = 1
+    patchHeaderCrcs(enc)
+    val e = intercept[graft.core.DecryptFailure](Pst.parse(enc, Cap))
+    assert(e.getMessage.contains("NDB_CRYPT"))
+    assert(graft.pipeline.ExtractJob.classify(e) == graft.core.Status.NotDecrypted)
+    // nested: the child carries the encrypted reason, parent survives
+    val zip = graft.sources.Archive.zipBytes(Seq(("locked.pst", enc)))
+    val d = DocIn(12L, Array(SpanIn("zip", new String(zip, ISO_8859_1), "", 0)))
+    val nodes = Extract.explode(d)
+    assert(nodes.exists(n => n.level == 1 && n.no_content_reason == "encrypted"))
+  }
+
+  test("a bomb of cheap corrupt messages caps at the breadth guard") {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    import graft.core.{DocIn, SpanIn}
+    import graft.core.route.Extract
+    val pst = Pst.build(Seq(Pst.BuildFolder("f",
+      (1 to 40).map(i => Pst.BuildMsg(s"m$i", "x", corrupt = true)))))
+    val d = DocIn(13L, Array(SpanIn("pst", new String(pst, ISO_8859_1), "", 0)))
+    val cfg = Extract.DefaultConfig.copy(maxSpans = 10)
+    val (nodes, skipped) = Extract.explodeCounted(d, cfg)
+    assert(nodes.size <= 12) // root + folder + <= maxSpans children
+    assert(skipped >= 30) // the refused failure children are COUNTED
+  }
+
+  private def patchHeaderCrcs(b: Array[Byte]): Unit = {
+    def crc(off: Int, len: Int): Long = {
+      val tbl = Array.tabulate(256) { i =>
+        var c = i; var k = 0
+        while (k < 8) { c = (c >>> 1) ^ (if ((c & 1) != 0) 0xEDB88320 else 0); k += 1 }
+        c
+      }
+      var c = 0; var i = off
+      while (i < off + len) { c = (c >>> 8) ^ tbl((c ^ b(i)) & 0xff); i += 1 }
+      c.toLong & 0xffffffffL
+    }
+    def put(off: Int, v: Long): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+      b(off + 2) = ((v >> 16) & 0xff).toByte; b(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    put(4, crc(8, 471)); put(524, crc(8, 516))
+  }
+
   test("REAL Outlook fixture: full NDB layer validates structurally") {
     // The reference's own binary fixture, read in place (never copied):
     // permute-encrypted, so the LTP layer refuses with a precise reason
@@ -180,7 +247,7 @@ class PstSpec extends AnyFunSuite {
     assert(inv.nNodes == 61 && inv.nBlocks == 118)
     assert(inv.nFolders == 5 && inv.nMessages == 7)
     assert(inv.nSubnodeMessages == 1) // the attached msg-in-pst
-    val e = intercept[ParseFailure](Pst.parse(bytes, Cap))
-    assert(e.getMessage.contains("permute") || e.getMessage.contains("NDB_CRYPT"))
+    val e = intercept[graft.core.DecryptFailure](Pst.parse(bytes, Cap))
+    assert(e.getMessage.contains("NDB_CRYPT"))
   }
 }
