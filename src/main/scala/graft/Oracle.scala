@@ -59,6 +59,12 @@ object Oracle {
        |UNION ALL SELECT doc_id, CASE WHEN doc_id%3=0 THEN 4 ELSE 3 END, 'bin', '', ''
        |       FROM p WHERE doc_id%13=0""".stripMargin
 
+  /** Mirror of Queries.pageRangeQ: the extract-spans oracle windowed to
+    * span orders 1..2 on the %5 docs.
+    */
+  private lazy val pageRange: String =
+    s"SELECT * FROM ($extractSpans) t WHERE doc_id%5=0 AND ord >= 1 AND ord <= 2"
+
   private val embedExplode: String =
     """WITH r AS (SELECT doc_id, sha256(doc_id::VARCHAR) AS rid FROM documents),
       |c1 AS (SELECT doc_id, rid,
@@ -1125,6 +1131,8 @@ object Oracle {
 
   /** Mirror of Knn.ivfStats derivation: nLists = max(16, ceil(sqrt(N))),
     * nProbe = max(2, nLists/8) — sqrt/ceil are IEEE-exact on both engines.
+    * assign_scan mirrors Knn.assignScanBound: the flat coarse scan up to
+    * 4096 lists, the two-level sqrt(nLists) bound above it.
     */
   private val ivfStats: String =
     """WITH n AS (SELECT count(*)::BIGINT AS n_vecs FROM embeddings),
@@ -1132,7 +1140,11 @@ object Oracle {
       |q AS (SELECT n_vecs, n_lists, greatest(2, n_lists//8) AS n_probe FROM p)
       |SELECT n_vecs, n_lists::BIGINT AS n_lists, n_probe::BIGINT AS n_probe,
       | (n_vecs//n_lists)::BIGINT AS avg_list_size,
-      | (100*n_probe//n_lists)::BIGINT AS selectivity_pct
+      | (100*n_probe//n_lists)::BIGINT AS selectivity_pct,
+      | (CASE WHEN n_lists <= 4096 THEN n_lists
+      |       ELSE ceil(sqrt(n_lists::DOUBLE))::BIGINT
+      |            + 2*((n_lists + ceil(sqrt(n_lists::DOUBLE))::BIGINT - 1)
+      |                 // ceil(sqrt(n_lists::DOUBLE))::BIGINT) END)::BIGINT AS assign_scan
       |FROM q""".stripMargin
 
   /** Mirror of Knn.deriveBits/lshStats: smallest b in [3,24] with
@@ -1330,6 +1342,7 @@ object Oracle {
 
   val all: Map[String, String] = Map(
     "q_extract_spans" -> extractSpans,
+    "q_page_range" -> pageRange,
     "q_pdf_bytes" -> pdfBytes,
     // same expected text as q_pdf_bytes: the oracle can't inflate, but it
     // doesn't need to — it recomputes what the TEXT must be from documents

@@ -54,6 +54,14 @@ object Queries {
       .toDF("doc_id", "ord", "kind", "text", "media_ref")
   }
 
+  /** §3.3 page-range retrieval (`Extractor.java:866-911` extractPages):
+    * a span-order window over the extraction output — a pushdown filter on
+    * the span table, never a re-parse.
+    */
+  def pageRangeQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Artifacts.pageRange(
+      extractSpans(spark, dir).filter(col("doc_id") % 5 === 0), 1, 2)
+
   /** §2.4: embed explosion with recursive content-derived ids. */
   def embedExplode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1718,6 +1726,7 @@ object Queries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_extract_spans" -> (extractSpans _),
+    "q_page_range" -> (pageRangeQ _),
     "q_pdf_bytes" -> (pdfBytes _),
     "q_pdf_flate" -> (pdfFlate _),
     "q_rtf_bytes" -> (rtfBytes _),

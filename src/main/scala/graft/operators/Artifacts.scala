@@ -51,4 +51,15 @@ object Artifacts {
       .toDF("doc_id", "parent_id", "root_id", "level", "txt", "reason")
     reExtracted.join(targets.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
   }
+
+  /** Page/span-range retrieval — the `Extractor.extractPages` /
+    * `extractPageIndices` analog (`Extractor.java:866-911`). The reference
+    * re-parses the file and slices the page list; here span offsets are
+    * COLUMNS with a dense per-document order index, so a page range is a
+    * pushdown predicate over the span table — a scan-pruned filter, never
+    * a re-parse.
+    */
+  def pageRange(spanRows: DataFrame, fromOrd: Int, toOrd: Int,
+                ordCol: String = "ord"): DataFrame =
+    spanRows.filter(col(ordCol) >= fromOrd && col(ordCol) <= toOrd)
 }

@@ -206,6 +206,28 @@ object Knn {
     math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
   def deriveNProbe(nLists: Int): Int = math.max(2, nLists / 8)
 
+  /** Above this many lists the flat coarse-quantizer scan (nLists cosines
+    * per vector) dominates assignment cost, so the quantizer goes
+    * TWO-LEVEL: ~sqrt(nLists) super-seeds are scanned first and only the
+    * best two super-groups' seeds are scored exactly. Cuts the per-vector
+    * assignment from O(nLists) to O(sqrt(nLists)) — at 10^12 vectors
+    * (nLists = 10^6) that is ~4k cosines instead of 10^6 per vector.
+    * Deterministic: ties break to the lowest group/list id.
+    */
+  val ExactAssignMax = 4096
+
+  /** The per-vector assignment-scan bound the quantizer guarantees —
+    * surfaced by [[ivfStats]] so the cost model is oracle-checkable, not
+    * a code comment: flat scan below the threshold, super-scan + two
+    * average-sized groups above it.
+    */
+  def assignScanBound(nLists: Int, exactAssignMax: Int = ExactAssignMax): Long =
+    if (nLists <= exactAssignMax) nLists.toLong
+    else {
+      val g = math.ceil(math.sqrt(nLists.toDouble)).toLong
+      g + 2L * ((nLists + g - 1) / g)
+    }
+
   /** IVF-flat ANN (the inverted-file scale path): vectors are assigned to
     * the nearest of `nLists` coarse centroids (deterministic quantizer: the
     * lowest-id vectors seed the lists — exact-cosine assignment, ties to
@@ -220,24 +242,65 @@ object Knn {
     * Selectivity is observable via [[ivfStats]] — never silent.
     */
   def ivfTopK(spark: SparkSession, emb: DataFrame, probeIds: DataFrame,
-              k: Int = 5, nLists: Int = 0, nProbe: Int = 0): DataFrame = {
+              k: Int = 5, nLists: Int = 0, nProbe: Int = 0,
+              exactAssignMax: Int = ExactAssignMax): DataFrame = {
     import spark.implicits._
     val nl = if (nLists > 0) nLists else deriveNLists(emb.count())
     val np = if (nProbe > 0) nProbe else deriveNProbe(nl)
-    ivfTopKExplicit(spark, emb, probeIds, k, nl, np)
+    ivfTopKExplicit(spark, emb, probeIds, k, nl, np, exactAssignMax)
   }
 
   private def ivfTopKExplicit(spark: SparkSession, emb: DataFrame, probeIds: DataFrame,
-                              k: Int, nLists: Int, nProbe: Int): DataFrame = {
+                              k: Int, nLists: Int, nProbe: Int,
+                              exactAssignMax: Int = ExactAssignMax): DataFrame = {
     import spark.implicits._
     val q = quantized(spark, emb)
     // bounded coarse quantizer: nLists seed vectors, broadcast to the tasks
     val seeds = q.orderBy("vec_id").limit(nLists)
       .as[(Long, Array[Long])].collect() // ascending list_id = seed vec_id
+    // two-level index above the threshold (see ExactAssignMax): super-seeds
+    // are the first ~sqrt(nLists) seeds; every seed joins its nearest
+    // super-group (ties to the lowest group). Built once, broadcast with
+    // the seeds. (At nLists beyond ~10^6 the seed TABLE itself should move
+    // to a distributed build — the collect here is the O(sqrt N) term the
+    // scaladoc budget already accounts for.)
+    val twoLevel: Option[(Array[Array[Long]], Array[Array[Int]])] =
+      if (seeds.length <= exactAssignMax) None
+      else {
+        val g = math.ceil(math.sqrt(seeds.length.toDouble)).toInt
+        val supers = Array.tabulate(g)(i => seeds(i)._2)
+        val members = Array.fill(g)(Vector.newBuilder[Int])
+        seeds.indices.foreach { i =>
+          var best = 0
+          var bestC = Double.NegativeInfinity
+          var gi = 0
+          while (gi < g) {
+            val c = cosineQ(seeds(i)._2, supers(gi))
+            if (c > bestC) { bestC = c; best = gi }
+            gi += 1
+          }
+          members(best) += i
+        }
+        Some((supers, members.map(_.result().toArray)))
+      }
     val bSeeds = spark.sparkContext.broadcast(seeds)
-    def bestLists(v: Array[Long], n: Int): Seq[Long] =
-      bSeeds.value.map { case (lid, sv) => (lid, cosineQ(v, sv)) }
+    val bTwo = spark.sparkContext.broadcast(twoLevel)
+    def scanExact(v: Array[Long], n: Int, idxs: IndexedSeq[Int]): Seq[Long] =
+      idxs.map { i => val (lid, sv) = bSeeds.value(i); (lid, cosineQ(v, sv)) }
         .sortBy { case (lid, c) => (-c, lid) }.take(n).map(_._1).toSeq
+    def bestLists(v: Array[Long], n: Int): Seq[Long] = bTwo.value match {
+      case None => scanExact(v, n, bSeeds.value.indices)
+      case Some((supers, members)) =>
+        // best two super-groups by cosine (ties lowest gid), then an exact
+        // scan over just their member seeds; degenerate tiny candidate
+        // sets fall back to the flat scan (deterministic either way)
+        val ranked = supers.indices
+          .map(gi => (gi, cosineQ(v, supers(gi))))
+          .sortBy { case (gi, c) => (-c, gi) }
+        val cand = ranked.take(2).flatMap { case (gi, _) => members(gi) }
+        if (cand.length >= n) scanExact(v, n, cand)
+        else scanExact(v, n, bSeeds.value.indices)
+    }
     val assigned = q.as[(Long, Array[Long])]
       .map { case (id, v) => (bestLists(v, 1).head, id, v) }
       .toDF("list_id", "vec_id", "q")
@@ -266,8 +329,9 @@ object Knn {
     val n = emb.count()
     val nl = if (nLists > 0) nLists else deriveNLists(n)
     val np = if (nProbe > 0) nProbe else deriveNProbe(nl)
-    Seq((n, nl.toLong, np.toLong, n / nl, 100L * np / nl))
-      .toDF("n_vecs", "n_lists", "n_probe", "avg_list_size", "selectivity_pct")
+    Seq((n, nl.toLong, np.toLong, n / nl, 100L * np / nl, assignScanBound(nl)))
+      .toDF("n_vecs", "n_lists", "n_probe", "avg_list_size", "selectivity_pct",
+        "assign_scan")
   }
 
   private def topK(scored: DataFrame, k: Int): DataFrame = {

@@ -147,6 +147,43 @@ class IngestSpec extends AnyFunSuite {
     assert(PdfMini.cleanInfo(cleaned) == cleaned)
   }
 
+  test("cleanDoc blanks .doc SummaryInformation, content text identical") {
+    import graft.core.office.{Cfb, SummaryInfo, WordDoc}
+    val info = SummaryInfo.buildMixed(Seq(
+      2 -> Right("Quarterly Report"), // title
+      4 -> Right("alice"),            // author
+      6 -> Right("do not share"),     // comments
+      14 -> Left(7),                  // page count: NOT identifying, kept
+      9 -> Right("rev 3")))           // revision: not in the blank set
+    val doc = Cfb.build(WordDoc.buildStreams("legacy doc body text") :+
+      ((SummaryInfo.StreamName, SummaryInfo.build(Seq.empty) /*placeholder*/)))
+    // rebuild with the real info stream (placeholder kept build simple)
+    val doc2 = Cfb.build(WordDoc.buildStreams("legacy doc body text") :+
+      ((SummaryInfo.StreamName, info)))
+    val cleaned = SummaryInfo.cleanDoc(doc2, 1 << 20)
+    val entries = Cfb.streamEntries(cleaned, 1 << 20)
+    // extracted text identical
+    assert(graft.core.office.Msg.docText(entries).contains(
+      graft.core.office.Msg.docText(Cfb.streamEntries(doc2, 1 << 20)).get))
+    val props = SummaryInfo.parse(
+      entries.collectFirst { case (n, Some(b)) if n == SummaryInfo.StreamName => b }.get)
+    assert(props(2) == "" && props(4) == "" && props(6) == "")
+    assert(props(9) == "rev 3") // non-identifying string preserved
+    // raw bytes of the cleaned stream never leak the originals
+    assert(!new String(cleaned, StandardCharsets.ISO_8859_1).contains("alice"))
+    assert(!new String(cleaned, StandardCharsets.ISO_8859_1).contains("Quarterly"))
+    // idempotent; a file without the stream passes through unchanged
+    assert(SummaryInfo.cleanDoc(cleaned, 1 << 20).sameElements(cleaned))
+    assert(SummaryInfo.cleanDoc(doc, 1 << 20) ne null)
+    val plain = WordDoc.build("no info here")
+    assert(SummaryInfo.cleanDoc(plain, 1 << 20) eq plain)
+    // the VT_I4 page count survives byte-exactly through blank()
+    val blanked = SummaryInfo.blank(info)
+    assert(SummaryInfo.blank(blanked).sameElements(blanked)) // idempotent
+    val reparsed = SummaryInfo.parse(blanked)
+    assert(reparsed(2) == "" && reparsed(9) == "rev 3")
+  }
+
   test("sniffKind detects pdf/html/zip/text/bin from magic bytes") {
     assert(Ingest.sniffKind("%PDF-1.7 x".getBytes) == "pdf_bytes")
     assert(Ingest.sniffKind("<!DOCTYPE html><p>x</p>".getBytes) == "html")

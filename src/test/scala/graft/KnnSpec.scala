@@ -59,6 +59,35 @@ class KnnSpec extends AnyFunSuite {
     assert(perProbe.nonEmpty && perProbe.forall(_ == 5L))
   }
 
+  test("two-level quantizer caps the assignment scan at ~sqrt(nLists)") {
+    // the cost bound is the mechanism, oracle-surfaced via assign_scan
+    assert(Knn.assignScanBound(16) == 16L) // flat below threshold
+    assert(Knn.assignScanBound(4096) == 4096L)
+    val big = Knn.assignScanBound(1000000)
+    assert(big < 5000L, s"10^6 lists must scan ~sqrt, got $big") // ~3k
+    assert(Knn.assignScanBound(65536) == 256L + 2L * 256L)
+    // forcing the two-level path (threshold below nLists) stays
+    // deterministic and returns full top-k; with the threshold at or
+    // above nLists the flat path is bit-identical to the default
+    val probes2 = probes
+    val two1 = Knn.ivfTopK(spark, emb, probes2, nLists = 64, nProbe = 8,
+      exactAssignMax = 8).collect().map(_.toString).sorted
+    val two2 = Knn.ivfTopK(spark, emb, probes2, nLists = 64, nProbe = 8,
+      exactAssignMax = 8).collect().map(_.toString).sorted
+    assert(two1.sameElements(two2)) // deterministic under re-run
+    assert(two1.nonEmpty)
+    val flatA = Knn.ivfTopK(spark, emb, probes2, nLists = 64, nProbe = 8)
+      .collect().map(_.toString).sorted
+    val flatB = Knn.ivfTopK(spark, emb, probes2, nLists = 64, nProbe = 8,
+      exactAssignMax = 64).collect().map(_.toString).sorted
+    assert(flatA.sameElements(flatB))
+    // full top-k shape survives the two-level path
+    val perProbe = Knn.ivfTopK(spark, emb, probes2, nLists = 64, nProbe = 8,
+      exactAssignMax = 8).groupBy("probe_id").count()
+      .collect().map(_.getLong(1))
+    assert(perProbe.nonEmpty && perProbe.forall(_ == 5L))
+  }
+
   test("bucket cap bounds occupancy on a skewed corpus; truncation is reported") {
     import spark.implicits._
     // worst-case skew: 400 identical vectors (templated docs) + 100 varied —
