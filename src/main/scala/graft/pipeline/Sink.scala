@@ -103,6 +103,62 @@ object Sink {
     }.toDF("doc_id", "status")
   }
 
+  /** Sanitized-HTML rendering of one extracted document — the reference's
+    * HTML output format (`HTML5Serializer.java`, Spewer outputFormat=HTML):
+    * a full HTML5 document whose body carries one `<section>` per span in
+    * emission order, every character of untrusted text ESCAPED (the
+    * sanitize-by-construction policy: no tag from the source survives),
+    * span text newlines as paragraphs, and media references as download
+    * links (the EmbedLinker shape). Pure and golden-testable.
+    */
+  def renderHtml(d: graft.core.DocOut): String = {
+    def esc(s: String): String = {
+      val sb = new StringBuilder(s.length + 16)
+      s.foreach {
+        case '&' => sb.append("&amp;")
+        case '<' => sb.append("&lt;")
+        case '>' => sb.append("&gt;")
+        case '"' => sb.append("&quot;")
+        case c => sb.append(c)
+      }
+      sb.toString
+    }
+    val body = d.spans.iterator.map { sp =>
+      val paras = sp.text.split("\n", -1).iterator
+        .map(l => s"<p>${esc(l)}</p>").mkString
+      val media =
+        if (sp.media_ref.isEmpty) ""
+        else s"""<a href="${esc(sp.media_ref)}" download>${esc(sp.media_ref)}</a>"""
+      s"""<section class="span" data-kind="${esc(sp.kind)}">$paras$media</section>"""
+    }.mkString
+    val reason =
+      if (d.no_content_reason.isEmpty) ""
+      else s"""<p class="no-content">${esc(d.no_content_reason)}</p>"""
+    s"""<!DOCTYPE html><html><head><meta charset="UTF-8"/>""" +
+      s"""<title>${esc(d.doc_id)}</title></head><body>$body$reason</body></html>"""
+  }
+
+  /** [[spewFiles]] with HTML output format: one sanitized `<doc_id>.html`
+    * per document, same per-document NOT_SAVED isolation.
+    */
+  def spewHtmlFiles(docs: org.apache.spark.sql.Dataset[graft.core.DocOut],
+                    dir: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Files.createDirectories(Paths.get(dir))
+    docs.mapPartitions { it =>
+      it.map { d =>
+        val target = Paths.get(dir, d.doc_id + ".html")
+        try {
+          Files.write(target, renderHtml(d).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          (d.doc_id, graft.core.Status.Success)
+        } catch {
+          case _: java.io.IOException => (d.doc_id, graft.core.Status.NotSaved)
+        }
+      }
+    }.toDF("doc_id", "status")
+  }
+
   /** Write df to a temp dir then swap it into place: the sink is never
     * half-written (readers see the previous dataset, a brief missing-dir
     * window during the swap, or the new dataset — never a mix), and a

@@ -62,6 +62,30 @@ class SinkSpec extends AnyFunSuite {
     assert(new String(Files.readAllBytes(Paths.get(dir, "aaa.txt"))) == "hello")
   }
 
+  test("spewHtmlFiles: sanitized HTML5 output, markup never survives") {
+    import java.nio.file.{Files, Paths}
+    import graft.core.{DocOut, SpanOut, Status}
+    val dir = Files.createTempDirectory("graft-spew-html").toString
+    val evil = DocOut("ccc", "", "ccc", 0, Array(
+      SpanOut("html", "line one\n<script>alert(1)</script> & \"q\"", "", 0),
+      SpanOut("media", "scan text", "art/ab/cdef", 1)), "")
+    val empty = DocOut("ddd", "", "ddd", 0, Array.empty, "empty-file")
+    // golden render (the HTML5Serializer-semantics contract)
+    assert(Sink.renderHtml(evil) ==
+      """<!DOCTYPE html><html><head><meta charset="UTF-8"/><title>ccc</title></head>""" +
+        """<body><section class="span" data-kind="html"><p>line one</p>""" +
+        """<p>&lt;script&gt;alert(1)&lt;/script&gt; &amp; &quot;q&quot;</p></section>""" +
+        """<section class="span" data-kind="media"><p>scan text</p>""" +
+        """<a href="art/ab/cdef" download>art/ab/cdef</a></section></body></html>""")
+    assert(Sink.renderHtml(empty).contains("""<p class="no-content">empty-file</p>"""))
+    val st = Sink.spewHtmlFiles(spark.createDataset(Seq(evil, empty))(
+      org.apache.spark.sql.Encoders.product[DocOut]), dir).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(st("ccc") == Status.Success && st("ddd") == Status.Success)
+    val written = new String(Files.readAllBytes(Paths.get(dir, "ccc.html")))
+    assert(!written.contains("<script>")) // sanitization survives the write
+  }
+
   test("compact merges a many-small-files dir losslessly") {
     import spark.implicits._
     val path = tmp()
