@@ -148,8 +148,13 @@ object Pst {
       val crypt: Int,
       val maxEntryBytes: Int) {
 
-    /** Raw payload of one block, trailer-validated (cb, bid, wSig, CRC). */
-    def payload(bid: Long): Array[Byte] = {
+    /** Raw payload of one block, trailer-validated (cb, bid, wSig, CRC).
+      * The bid's low bit is RESERVED and readers MUST ignore it (MS-PST
+      * §2.2.2.2) — real Outlook files set it on data-tree references, so
+      * every lookup masks it before consulting the BBT.
+      */
+    def payload(bid0: Long): Array[Byte] = {
+      val bid = bid0 & ~1L
       val (ib, cb) = blocks.getOrElse(bid, throw new ParseFailure(s"block $bid not in BBT"))
       if (cb < 0 || cb > MaxBlockData)
         throw new ParseFailure(s"block $bid declares impossible size $cb")
@@ -163,7 +168,8 @@ object Pst {
       if (u16(bytes, t + 2) != sig(ib, bid)) throw new ParseFailure(s"block $bid bad signature")
       if (u32(bytes, t + 4) != crc(bytes, ib.toInt, cb))
         throw new ParseFailure(s"block $bid payload CRC mismatch")
-      if (u64(bytes, t + 8) != bid) throw new ParseFailure(s"block $bid trailer bid mismatch")
+      if ((u64(bytes, t + 8) & ~1L) != bid)
+        throw new ParseFailure(s"block $bid trailer bid mismatch")
       java.util.Arrays.copyOfRange(bytes, ib.toInt, ib.toInt + cb)
     }
 
@@ -183,7 +189,8 @@ object Pst {
       def walk(b: Long, depth: Int): Vector[Array[Byte]] = {
         if (depth > 3) throw new ParseFailure("data tree deeper than XXBLOCK allows")
         if ((b & 2) == 0) {
-          val cb = blocks.getOrElse(b, throw new ParseFailure(s"block $b not in BBT"))._2
+          val cb = blocks.getOrElse(b & ~1L,
+            throw new ParseFailure(s"block $b not in BBT"))._2
           declared += cb
           if (declared > maxEntryBytes)
             throw new ParseFailure(s"declared data size exceeds cap $maxEntryBytes")

@@ -214,6 +214,53 @@ class PstSpec extends AnyFunSuite {
     assert(skipped >= 30) // the refused failure children are COUNTED
   }
 
+  test("reserved bid bit is ignored on lookups (real Outlook sets it)") {
+    // find the NBT leaf page, set the r-bit on a message's bidData, and
+    // re-CRC the page: MS-PST says readers MUST ignore that bit, and the
+    // reference fixture really does carry it on data-tree references
+    val pst = Pst.build(Seq(Pst.BuildFolder("f", Seq(Pst.BuildMsg("s", "still reads")))))
+    val c = pst.clone()
+    var patched = false
+    var off = c.length - 512
+    while (off >= 0 && !patched) {
+      if ((c(off + 496) & 0xff) == 0x81 && (c(off + 491) & 0xff) == 0) { // NBT leaf
+        val cEnt = c(off + 488) & 0xff
+        val cbEnt = c(off + 490) & 0xff
+        var i = 0
+        while (i < cEnt && !patched) {
+          val e = off + i * cbEnt
+          val nid = java.nio.ByteBuffer.wrap(c, e, 8)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+          if ((nid & 0x1f) == 0x04) { // a message node: set bidData r-bit
+            c(e + 8) = (c(e + 8) | 1).toByte
+            patchPageCrc(c, off)
+            patched = true
+          }
+          i += 1
+        }
+      }
+      off -= 512
+    }
+    assert(patched, "no NBT leaf message entry found to patch")
+    val f = Pst.parse(c, Cap)
+    assert(f.failures.isEmpty && f.messages.head.body == "still reads")
+  }
+
+  private def patchPageCrc(b: Array[Byte], pageOff: Int): Unit = {
+    val tbl = Array.tabulate(256) { i =>
+      var x = i; var k = 0
+      while (k < 8) { x = (x >>> 1) ^ (if ((x & 1) != 0) 0xEDB88320 else 0); k += 1 }
+      x
+    }
+    var cr = 0; var i = pageOff
+    while (i < pageOff + 496) { cr = (cr >>> 8) ^ tbl((cr ^ b(i)) & 0xff); i += 1 }
+    val v = cr.toLong & 0xffffffffL
+    b(pageOff + 500) = (v & 0xff).toByte
+    b(pageOff + 501) = ((v >> 8) & 0xff).toByte
+    b(pageOff + 502) = ((v >> 16) & 0xff).toByte
+    b(pageOff + 503) = ((v >> 24) & 0xff).toByte
+  }
+
   private def patchHeaderCrcs(b: Array[Byte]): Unit = {
     def crc(off: Int, len: Int): Long = {
       val tbl = Array.tabulate(256) { i =>
