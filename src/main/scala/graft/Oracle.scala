@@ -1105,6 +1105,25 @@ object Oracle {
     * assignment (ties to lowest list id), probes search their 8 nearest
     * lists, exact top-5 within candidates.
     */
+  /** Mirror of Knn.semanticDedup: IVF-quantizer assignment (16 lowest-id
+    * seeds, ties to the lowest list), then duplicate = any lower-id
+    * cluster-mate at cosine >= 0.3.
+    */
+  private val dedupSemantic: String =
+    s"""$quantEmb,
+       |sd AS (SELECT vec_id AS list_id, qv AS sv FROM q ORDER BY vec_id LIMIT 16),
+       |asg AS (SELECT vec_id, list_id, qv FROM (
+       |  SELECT q.vec_id, sd.list_id, q.qv,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${cosExpr("qv", "sv")} DESC, sd.list_id) AS rk
+       |  FROM q CROSS JOIN sd) WHERE rk=1),
+       |dup AS (SELECT DISTINCT a.vec_id
+       |        FROM asg a JOIN asg b ON a.list_id=b.list_id AND b.vec_id<a.vec_id
+       |        WHERE ${cosExpr("a.qv", "b.qv")} >= 0.3)
+       |SELECT a.vec_id, a.list_id::BIGINT AS cluster,
+       |  (CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS kept
+       |FROM asg a LEFT JOIN dup d USING(vec_id)""".stripMargin
+
   private val knnIvf: String =
     s"""$quantEmb,
        |sd AS (SELECT vec_id AS list_id, qv AS sv FROM q ORDER BY vec_id LIMIT 16),
@@ -1427,6 +1446,7 @@ object Oracle {
     "q_knn_brute" -> knnBrute,
     "q_knn_lsh" -> knnLsh,
     "q_knn_ivf" -> knnIvf,
+    "q_dedup_semantic" -> dedupSemantic,
     "q_ivf_stats" -> ivfStats,
     "q_lsh_stats" -> lshStats,
     "q_events_window" -> eventsWindow,

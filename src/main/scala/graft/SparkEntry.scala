@@ -1478,6 +1478,14 @@ object Queries {
     Knn.ivfTopK(spark, emb(spark, dir), probes100(spark, dir), nLists = 16, nProbe = 8)
       .withColumnRenamed("rank", "rnk")
 
+  /** SemDeDup semantic deduplication: IVF-quantizer clusters (fixture-
+    * pinned 16) + within-cluster min-id-wins near-dup marking at
+    * cos >= 0.3; every vector emits (cluster, kept) so removals are
+    * observable, never silent.
+    */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    Knn.semanticDedup(spark, emb(spark, dir), nClusters = 16, tau = 0.3)
+
   /** The derived IVF parameterization + selectivity, oracle-checked: the
     * engine and the SQL oracle independently compute nLists=ceil(sqrt(N)).
     */
@@ -1808,6 +1816,7 @@ object Queries {
     "q_knn_brute" -> (knnBrute _),
     "q_knn_lsh" -> (knnLsh _),
     "q_knn_ivf" -> (knnIvf _),
+    "q_dedup_semantic" -> (dedupSemantic _),
     "q_ivf_stats" -> (ivfStatsQ _),
     "q_lsh_stats" -> (lshStatsQ _),
     "q_events_window" -> (eventsWindow _),

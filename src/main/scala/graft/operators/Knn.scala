@@ -342,6 +342,56 @@ object Knn {
       .select("probe_id", "rank", "neighbor_id")
   }
 
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023): cluster
+    * the corpus with the deterministic IVF coarse quantizer, then mark a
+    * vector as a duplicate when any LOWER-ID cluster-mate sits within
+    * cosine >= tau — one pass, min-id-wins, no iteration.
+    *
+    * Scale story: the expensive pairwise comparison is confined to single
+    * clusters (the SemDeDup recipe) — with nClusters ~ sqrt(N), per-cluster
+    * membership is ~sqrt(N) and the self-join shuffles on the cluster id
+    * (a narrow int), so total work is O(N^1.5 / k) spread across clusters,
+    * never a corpus-level cross join. Ties in assignment break to the
+    * lowest cluster id, so plans, retries, and the SQL oracle agree.
+    *
+    * Output: (vec_id, cluster, kept) for every vector — kept=0 rows are
+    * exactly the semantic duplicates, observable rather than dropped.
+    */
+  def semanticDedup(spark: SparkSession, emb: DataFrame, nClusters: Int = 0,
+                    tau: Double = 0.3): DataFrame = {
+    import spark.implicits._
+    val q = quantized(spark, emb)
+    val k = if (nClusters > 0) nClusters else deriveNLists(emb.count())
+    val seeds = q.orderBy("vec_id").limit(k).as[(Long, Array[Long])].collect()
+    val bSeeds = spark.sparkContext.broadcast(seeds)
+    val assigned = q.as[(Long, Array[Long])]
+      .map { case (id, v) =>
+        var best = Long.MaxValue
+        var bestC = Double.NegativeInfinity
+        bSeeds.value.foreach { case (lid, sv) =>
+          val c = cosineQ(v, sv)
+          if (c > bestC) { bestC = c; best = lid } // seeds ascend: ties keep lowest
+        }
+        (id, best, v)
+      }
+      .toDF("vec_id", "cluster", "qv")
+    val dups = assigned.as("x")
+      .join(assigned.select(col("vec_id").as("b_id"), col("cluster"),
+        col("qv").as("bq")).as("y"), "cluster")
+      .filter(col("b_id") < col("vec_id"))
+      .select("vec_id", "qv", "b_id", "bq")
+      .as[(Long, Array[Long], Long, Array[Long])]
+      .flatMap { case (id, v, _, bv) =>
+        if (cosineQ(v, bv) >= tau) Some(id) else None
+      }
+      .toDF("vec_id").distinct()
+      .withColumn("dup", lit(1L))
+    assigned.select("vec_id", "cluster")
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        when(col("dup").isNull, 1L).otherwise(0L).as("kept"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: explicit bounded probe set vs
     * all, cosine >= minCos, a != b. Output integral ids only.
     */

@@ -88,6 +88,24 @@ class KnnSpec extends AnyFunSuite {
     assert(perProbe.nonEmpty && perProbe.forall(_ == 5L))
   }
 
+  test("semantic dedup marks lower-id cluster-mates within tau, min-id kept") {
+    val out = Knn.semanticDedup(spark, emb, nClusters = 16, tau = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == emb.count())
+    // cluster ids are the 16 lowest vec_ids (the deterministic seeds)
+    val seedIds = out.map(_._1).sorted.take(16).toSet
+    assert(out.map(_._2).toSet.subsetOf(seedIds))
+    assert(out.exists(_._3 == 0L) && out.exists(_._3 == 1L)) // both outcomes occur
+    // the lowest vec_id of every cluster is always kept (nothing earlier)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.minBy(_._1)._3 == 1L)
+    }
+    // deterministic under re-run
+    val again = Knn.semanticDedup(spark, emb, nClusters = 16, tau = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
   test("bucket cap bounds occupancy on a skewed corpus; truncation is reported") {
     import spark.implicits._
     // worst-case skew: 400 identical vectors (templated docs) + 100 varied —
