@@ -436,7 +436,7 @@ object Queries {
     * a file attachment, a nested "box/deep" folder, and a %99 "crash"
     * folder holding a CORRUPT message (per-message isolation).
     */
-  private def pstFixture(id: Long, t: String): Array[Byte] = {
+  private def pstFixture(id: Long, t: String, crypt: Int = 0): Array[Byte] = {
     import java.nio.charset.StandardCharsets.UTF_8
     import graft.core.office.Pst
     val boxMsgs = Seq(
@@ -452,7 +452,7 @@ object Queries {
       (if (id % 99 == 0)
         Seq(Pst.BuildFolder("crash", Seq(Pst.BuildMsg("broken", "x", corrupt = true))))
       else Nil)
-    Pst.build(folders)
+    Pst.build(folders, crypt)
   }
 
   /** §2.6 ResilientOutlookPSTParser route: each %33 doc becomes a REAL
@@ -469,6 +469,24 @@ object Queries {
       .filter(_._1 % 33 == 0)
       .flatMap { case (id, t) =>
         val d = DocIn(id, Array(SpanIn("pst", new String(pstFixture(id, t), ISO_8859_1), "", 0)))
+        Extract.explode(d).map(o =>
+          (id, o.doc_id, o.parent_id, o.level, o.spans.map(_.text).mkString(""), o.no_content_reason))
+      }
+      .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
+  }
+
+  /** The SAME fixture NDB_CRYPT_PERMUTE-encrypted (MS-PST §5.1, the stock
+    * Outlook default the reference fixture itself uses): node ids derive
+    * from logical content, so the explode output must be byte-identical to
+    * q_pst_explode's — the oracle IS cipher transparency.
+    */
+  def pstPermute(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .filter(_._1 % 33 == 0)
+      .flatMap { case (id, t) =>
+        val d = DocIn(id, Array(SpanIn("pst", new String(pstFixture(id, t, crypt = 1), ISO_8859_1), "", 0)))
         Extract.explode(d).map(o =>
           (id, o.doc_id, o.parent_id, o.level, o.spans.map(_.text).mkString(""), o.no_content_reason))
       }
@@ -1748,6 +1766,7 @@ object Queries {
     "q_eml_explode" -> (emlExplode _),
     "q_msg_explode" -> (msgExplode _),
     "q_pst_explode" -> (pstExplode _),
+    "q_pst_permute" -> (pstPermute _),
     "q_pst_reconcile" -> (pstReconcile _),
     "q_cfb_explode" -> (cfbExplode _),
     "q_docx_media" -> (docxMedia _),

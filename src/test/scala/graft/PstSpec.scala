@@ -183,13 +183,13 @@ class PstSpec extends AnyFunSuite {
     assert(nodes.exists(_.no_content_reason == "parse-failure")) // the bad attachment
   }
 
-  test("encrypted pst classifies NOT_DECRYPTED top-level, encrypted nested") {
+  test("cyclic-encrypted pst classifies NOT_DECRYPTED top-level, encrypted nested") {
     import java.nio.charset.StandardCharsets.ISO_8859_1
     import graft.core.{DocIn, SpanIn}
     import graft.core.route.Extract
     val good = Pst.build(Seq(Pst.BuildFolder("f", Seq(Pst.BuildMsg("s", "b")))))
-    // flip bCryptMethod to permute and restore both header CRCs
-    val enc = good.clone(); enc(513) = 1
+    // flip bCryptMethod to CYCLIC (permute now decodes) and restore CRCs
+    val enc = good.clone(); enc(513) = 2
     patchHeaderCrcs(enc)
     val e = intercept[graft.core.DecryptFailure](Pst.parse(enc, Cap))
     assert(e.getMessage.contains("NDB_CRYPT"))
@@ -279,11 +279,12 @@ class PstSpec extends AnyFunSuite {
     put(4, crc(8, 471)); put(524, crc(8, 516))
   }
 
-  test("REAL Outlook fixture: full NDB layer validates structurally") {
+  test("REAL Outlook fixture parses completely through permute decode") {
     // The reference's own binary fixture, read in place (never copied):
-    // permute-encrypted, so the LTP layer refuses with a precise reason
-    // while the NDB layer (headers, CRCs, B-trees, blocks, subnode trees)
-    // must walk completely.
+    // a French-locale Outlook-written permute-encrypted Unicode PST. Full
+    // fidelity required: every CRC validates, the \u00a75.1 substitution
+    // decodes every leaf data block, all 7 messages (including the
+    // msg-in-pst attachment chain) parse with zero failures.
     val path = java.nio.file.Paths.get(
       "/root/reference/extract-lib/src/test/resources/documents/pst/testPST.pst")
     assume(java.nio.file.Files.exists(path), "reference fixture not present")
@@ -294,7 +295,49 @@ class PstSpec extends AnyFunSuite {
     assert(inv.nNodes == 61 && inv.nBlocks == 118)
     assert(inv.nFolders == 5 && inv.nMessages == 7)
     assert(inv.nSubnodeMessages == 1) // the attached msg-in-pst
-    val e = intercept[graft.core.DecryptFailure](Pst.parse(bytes, Cap))
-    assert(e.getMessage.contains("NDB_CRYPT"))
+    val f = Pst.parse(bytes, Cap)
+    assert(f.failures.isEmpty)
+    assert(f.messages.size == 7 && f.messages.forall(!_.recovered))
+    // locale-specific folder names decode exactly (UTF-16 accents intact;
+    // escapes because this platform compiles sources as ASCII)
+    assert(f.folders.exists(_.name == "D\u00e9but du fichier de donn\u00e9es Outlook"))
+    assert(f.folders.exists(_.name == "\u00c9l\u00e9ments supprim\u00e9s"))
+    val bySubject = f.messages.map(m => m.subject -> m).toMap
+    assert(bySubject.contains("Re: Feature Generators"))
+    assert(bySubject("Re: Feature Generators").from == "J\u00f6rn Kottmann")
+    assert(bySubject("Re: Feature Generators").body.startsWith("Hello,"))
+    val fw = bySubject("FW: First email")
+    assert(fw.from == "Luis Filipe da Cruz Nassif")
+    assert(fw.attachments.size == 1)
+    fw.attachments.head match {
+      case Msg.MsgAtt(inner) =>
+        assert(inner.subject == "First email")
+        assert(inner.attachments.size == 1) // the nested chain bottoms out
+      case other => fail(s"expected an attached message, got $other")
+    }
+  }
+
+  test("permute writer/reader round-trip is cipher-transparent") {
+    val folders = Seq(
+      Pst.BuildFolder("box", Seq(
+        Pst.BuildMsg("s1", "body one", from = "a@x", atts = Seq(("f.bin", Array[Byte](1, 2, 3)))),
+        Pst.BuildMsg("lost", "orphan", linked = false))),
+      Pst.BuildFolder("box/deep", Seq(
+        Pst.BuildMsg("outer", "o", attachedMsgs = Seq(Pst.BuildMsg("inner", "i"))))))
+    val plain = Pst.build(folders)
+    val enc = Pst.build(folders, crypt = 1)
+    assert(!java.util.Arrays.equals(plain, enc)) // the cipher really applied
+    assert((enc(513) & 0xff) == 1)
+    val a = Pst.parse(plain, Cap)
+    val b2 = Pst.parse(enc, Cap)
+    assert(a.failures.isEmpty && b2.failures.isEmpty)
+    assert(a.folders == b2.folders)
+    assert(a.messages.map(m => (m.folderPath, m.subject, m.from, m.body, m.recovered)) ==
+      b2.messages.map(m => (m.folderPath, m.subject, m.from, m.body, m.recovered)))
+    def norm(as: Vector[Msg.Attachment]): Vector[Any] = as.map {
+      case Msg.FileAtt(n, bs) => (n, bs.toSeq)
+      case Msg.MsgAtt(d) => (d.subject, d.from, d.body, norm(d.attachments))
+    }
+    assert(a.messages.map(m => norm(m.attachments)) == b2.messages.map(m => norm(m.attachments)))
   }
 }
