@@ -1378,8 +1378,10 @@ object Oracle {
     "q_eml_explode" -> emlExplode,
     "q_msg_explode" -> msgExplode,
     "q_pst_explode" -> pstExplode,
-    // same SQL on purpose: permute encryption must be invisible to output
+    // same SQL on purpose: permute encryption and the ANSI 32-bit format
+    // must both be invisible to logical output
     "q_pst_permute" -> pstExplode,
+    "q_pst_ansi" -> pstExplode,
     "q_pst_reconcile" -> pstReconcile,
     "q_cfb_explode" -> cfbExplode,
     "q_docx_media" -> docxMedia,

@@ -436,7 +436,7 @@ object Queries {
     * a file attachment, a nested "box/deep" folder, and a %99 "crash"
     * folder holding a CORRUPT message (per-message isolation).
     */
-  private def pstFixture(id: Long, t: String, crypt: Int = 0): Array[Byte] = {
+  private def pstFixture(id: Long, t: String, crypt: Int = 0, ansi: Boolean = false): Array[Byte] = {
     import java.nio.charset.StandardCharsets.UTF_8
     import graft.core.office.Pst
     val boxMsgs = Seq(
@@ -452,7 +452,7 @@ object Queries {
       (if (id % 99 == 0)
         Seq(Pst.BuildFolder("crash", Seq(Pst.BuildMsg("broken", "x", corrupt = true))))
       else Nil)
-    Pst.build(folders, crypt)
+    Pst.build(folders, crypt, ansi)
   }
 
   /** §2.6 ResilientOutlookPSTParser route: each %33 doc becomes a REAL
@@ -487,6 +487,24 @@ object Queries {
       .filter(_._1 % 33 == 0)
       .flatMap { case (id, t) =>
         val d = DocIn(id, Array(SpanIn("pst", new String(pstFixture(id, t, crypt = 1), ISO_8859_1), "", 0)))
+        Extract.explode(d).map(o =>
+          (id, o.doc_id, o.parent_id, o.level, o.spans.map(_.text).mkString(""), o.no_content_reason))
+      }
+      .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
+  }
+
+  /** The SAME fixture as an ANSI (wVer 15) permute-encrypted PST — the
+    * pre-2003 Outlook format with 32-bit NDB layouts. Same oracle SQL
+    * again: format AND cipher must both be invisible to logical output.
+    */
+  def pstAnsi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .filter(_._1 % 33 == 0)
+      .flatMap { case (id, t) =>
+        val d = DocIn(id, Array(SpanIn("pst",
+          new String(pstFixture(id, t, crypt = 1, ansi = true), ISO_8859_1), "", 0)))
         Extract.explode(d).map(o =>
           (id, o.doc_id, o.parent_id, o.level, o.spans.map(_.text).mkString(""), o.no_content_reason))
       }
@@ -1767,6 +1785,7 @@ object Queries {
     "q_msg_explode" -> (msgExplode _),
     "q_pst_explode" -> (pstExplode _),
     "q_pst_permute" -> (pstPermute _),
+    "q_pst_ansi" -> (pstAnsi _),
     "q_pst_reconcile" -> (pstReconcile _),
     "q_cfb_explode" -> (cfbExplode _),
     "q_docx_media" -> (docxMedia _),

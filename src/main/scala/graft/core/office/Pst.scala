@@ -32,13 +32,20 @@ import graft.core.ParseFailure
   *     every folder contents table are RECOVERED into `[recovered]`
   *     (`ResilientOutlookPSTParser.java:225-320` recovery semantics).
   *
-  * Scope (documented honestly): Unicode PSTs (wVer 23). ANSI (wVer 14/15)
-  * and WIP/4K-page OST formats throw ParseFailure with a precise reason.
-  * `bCryptMethod` NDB_CRYPT_NONE and NDB_CRYPT_PERMUTE (§5.1, the default
-  * "compressible encryption" every stock Outlook profile writes) parse
-  * fully; CYCLIC files throw at the LTP layer but still yield the full NDB
-  * [[inventory]] — header, B-trees, blocks, folder/message node
-  * structure — which is unencrypted by design.
+  * Scope (documented honestly): Unicode (wVer 23) AND ANSI (wVer 14/15)
+  * PSTs — the NDB layer is parameterized over the spec's parallel 32-bit
+  * layouts (BREFs, page/block trailers, B-tree entries, SL/SI/XBLOCK
+  * shapes); the LTP and messaging layers are format-identical. The
+  * Unicode path is validated against a real Outlook-written fixture; the
+  * ANSI path is spec-derived and reader/writer round-trip-verified (no
+  * real ANSI file ships in this sandbox — noted so a future real-file
+  * check knows it is still owed). WIP/4K-page OST (wVer 36+) throws
+  * ParseFailure with a precise reason. `bCryptMethod` NDB_CRYPT_NONE and
+  * NDB_CRYPT_PERMUTE (§5.1, the default "compressible encryption" every
+  * stock Outlook profile writes) parse fully; CYCLIC files throw at the
+  * LTP layer but still yield the full NDB [[inventory]] — header,
+  * B-trees, blocks, folder/message node structure — which is unencrypted
+  * by design.
   *
   * The [[build]] writer emits spec-shaped Unicode crypt-none or permute
   * PSTs (deterministic: a pure function of its input) used by fixtures and the
@@ -50,10 +57,31 @@ object Pst {
 
   // ---------------------------------------------------------------- common
 
-  private val HeaderSize = 564
+  private val HeaderSize = 512 // ANSI header length; Unicode extends to 564
   private val PageSize = 512
-  private val MaxBlockData = 8176 // 8192 - 16-byte trailer
   val RootFolderNid = 0x122L
+
+  /** On-disk layout parameters that differ between Unicode (wVer 23) and
+    * ANSI (wVer 14/15) files: MS-PST §2 defines parallel layouts for every
+    * NDB structure, with ANSI BIDs/IBs 32-bit. The LTP and messaging
+    * layers are byte-identical across the two.
+    */
+  private final class Fmt(val ansi: Boolean) {
+    val blockTrailerLen: Int = if (ansi) 12 else 16
+    val maxBlockData: Int = 8192 - blockTrailerLen
+    val pageMetaOff: Int = if (ansi) 496 else 488 // cEnt/cEntMax/cbEnt/cLevel
+    val pageTrailerOff: Int = if (ansi) 500 else 496
+    val pageCrcLen: Int = if (ansi) 500 else 496 // dwCRC covers every byte before the trailer
+    val btIndexEntLen: Int = if (ansi) 12 else 24 // btkey + BREF
+    val bbtEntLen: Int = if (ansi) 12 else 24
+    val nbtEntLen: Int = if (ansi) 16 else 32
+    val slEntryOff: Int = if (ansi) 4 else 8 // SLBLOCK/SIBLOCK header (ANSI has no padding dword)
+    val slEntLen: Int = if (ansi) 12 else 24
+    val siEntLen: Int = if (ansi) 8 else 16
+    val xKidLen: Int = if (ansi) 4 else 8
+  }
+  private val UniFmt = new Fmt(false)
+  private val AnsiFmt = new Fmt(true)
 
   // nidType = low 5 bits of a NID (MS-PST §2.2.2.1)
   private val TypeFolder = 0x02
@@ -202,6 +230,7 @@ object Pst {
       val blocks: Map[Long, (Long, Int)], // bid -> (ib, cb)
       val nodes: Map[Long, NbtE],
       val crypt: Int,
+      val fmt: Fmt,
       val maxEntryBytes: Int) {
 
     /** Raw payload of one block, trailer-validated (cb, bid, wSig, CRC).
@@ -212,19 +241,23 @@ object Pst {
     def payload(bid0: Long): Array[Byte] = {
       val bid = bid0 & ~1L
       val (ib, cb) = blocks.getOrElse(bid, throw new ParseFailure(s"block $bid not in BBT"))
-      if (cb < 0 || cb > MaxBlockData)
+      if (cb < 0 || cb > fmt.maxBlockData)
         throw new ParseFailure(s"block $bid declares impossible size $cb")
-      val total = ((cb + 16 + 63) / 64) * 64
+      val total = ((cb + fmt.blockTrailerLen + 63) / 64) * 64
       // subtraction form: `ib + total` overflows Long for a crafted ib
       // near Long.MaxValue (the CRC is public, so a forged header passes)
       if (ib < 0 || ib > bytes.length - total)
         throw new ParseFailure(s"block $bid extends past file end")
-      val t = (ib + total - 16).toInt
+      val t = (ib + total - fmt.blockTrailerLen).toInt
       if (u16(bytes, t) != cb) throw new ParseFailure(s"block $bid trailer size mismatch")
       if (u16(bytes, t + 2) != sig(ib, bid)) throw new ParseFailure(s"block $bid bad signature")
-      if (u32(bytes, t + 4) != crc(bytes, ib.toInt, cb))
+      // ANSI trailer orders bid(4) before dwCRC(4); Unicode dwCRC(4) then bid(8)
+      val (tBid, tCrc) =
+        if (fmt.ansi) (u32(bytes, t + 4), u32(bytes, t + 8))
+        else (u64(bytes, t + 8), u32(bytes, t + 4))
+      if (tCrc != crc(bytes, ib.toInt, cb))
         throw new ParseFailure(s"block $bid payload CRC mismatch")
-      if ((u64(bytes, t + 8) & ~1L) != bid)
+      if ((tBid & ~1L) != bid)
         throw new ParseFailure(s"block $bid trailer bid mismatch")
       java.util.Arrays.copyOfRange(bytes, ib.toInt, ib.toInt + cb)
     }
@@ -262,8 +295,11 @@ object Pst {
           val cLevel = p(1) & 0xff
           val cEnt = u16(p, 2)
           val lcbTotal = u32(p, 4)
-          if (8 + 8 * cEnt > p.length) throw new ParseFailure("XBLOCK entry table truncated")
-          val kids = Vector.tabulate(cEnt)(i => u64(p, 8 + 8 * i))
+          if (8 + fmt.xKidLen * cEnt > p.length)
+            throw new ParseFailure("XBLOCK entry table truncated")
+          val kids = Vector.tabulate(cEnt) { i =>
+            if (fmt.ansi) u32(p, 8 + 4 * i) else u64(p, 8 + 8 * i)
+          }
           val out = kids.flatMap(walk(_, depth + 1))
           if (depth == 0 && out.iterator.map(_.length.toLong).sum != lcbTotal)
             throw new ParseFailure("XBLOCK lcbTotal disagrees with leaf sizes")
@@ -298,45 +334,61 @@ object Pst {
         val cLevel = p(1) & 0xff
         val cEnt = u16(p, 2)
         if (cLevel == 0) {
-          if (8 + 24 * cEnt > p.length) throw new ParseFailure("SLBLOCK entries truncated")
+          if (fmt.slEntryOff + fmt.slEntLen * cEnt > p.length)
+            throw new ParseFailure("SLBLOCK entries truncated")
           Vector.tabulate(cEnt) { i =>
-            val o = 8 + 24 * i
-            (u64(p, o) & 0xffffffffL, (u64(p, o + 8), u64(p, o + 16)))
+            val o = fmt.slEntryOff + fmt.slEntLen * i
+            if (fmt.ansi) (u32(p, o), (u32(p, o + 4), u32(p, o + 8)))
+            else (u64(p, o) & 0xffffffffL, (u64(p, o + 8), u64(p, o + 16)))
           }
         } else {
-          if (8 + 16 * cEnt > p.length) throw new ParseFailure("SIBLOCK entries truncated")
-          Vector.tabulate(cEnt)(i => u64(p, 8 + 16 * i + 8)).flatMap(walk(_, depth + 1))
+          if (fmt.slEntryOff + fmt.siEntLen * cEnt > p.length)
+            throw new ParseFailure("SIBLOCK entries truncated")
+          Vector.tabulate(cEnt) { i =>
+            val o = fmt.slEntryOff + fmt.siEntLen * i
+            if (fmt.ansi) u32(p, o + 4) else u64(p, o + 8)
+          }.flatMap(walk(_, depth + 1))
         }
       }
       walk(bidSub, 0).toMap
     }
   }
 
-  private def readHeader(bytes: Array[Byte]): (Int, Long, Long) = {
+  private def readHeader(bytes: Array[Byte]): (Int, Long, Long, Fmt) = {
     if (!isPst(bytes)) throw new ParseFailure("not a PST: bad !BDN signature")
     if (u16(bytes, 8) != 0x4d53) throw new ParseFailure("bad wMagicClient (not SM)")
-    // version before checksums: an ANSI file deserves the ANSI reason, not
-    // a CRC complaint about a Unicode layout it never claimed to have
+    // version before checksums: a WIP/4K OST deserves the version reason,
+    // not a CRC complaint about a layout it never claimed to have
     val wVer = u16(bytes, 10)
-    if (wVer == 14 || wVer == 15)
-      throw new ParseFailure(s"ANSI PST (wVer $wVer) unsupported — Unicode (wVer 23) only")
-    if (wVer != 23)
-      throw new ParseFailure(s"unsupported PST wVer $wVer (WIP/4K OST?) — Unicode (23) only")
+    val ansi = wVer == 14 || wVer == 15
+    if (!ansi && wVer != 23)
+      throw new ParseFailure(s"unsupported PST wVer $wVer (WIP/4K OST?) — Unicode (23) or ANSI (14/15) only")
+    // dwCRCPartial covers the 471 bytes from wMagicClient in both layouts;
+    // only Unicode carries the additional dwCRCFull
     if (u32(bytes, 4) != crc(bytes, 8, 471))
       throw new ParseFailure("header partial CRC mismatch")
-    if (u32(bytes, 524) != crc(bytes, 8, 516))
-      throw new ParseFailure("header full CRC mismatch")
-    val ibFileEof = u64(bytes, 184)
-    if (ibFileEof != bytes.length)
-      throw new ParseFailure(s"ibFileEof $ibFileEof disagrees with file length ${bytes.length}")
-    (bytes(513) & 0xff, u64(bytes, 224), u64(bytes, 240)) // (crypt, ibNBT, ibBBT)
+    if (ansi) {
+      val ibFileEof = u32(bytes, 168) // ANSI ROOT at 164, ibFileEof +4
+      if (ibFileEof != bytes.length)
+        throw new ParseFailure(s"ibFileEof $ibFileEof disagrees with file length ${bytes.length}")
+      // ANSI BREFs are {bid(4), ib(4)}: NBT at 184, BBT at 192
+      (bytes(461) & 0xff, u32(bytes, 188), u32(bytes, 196), AnsiFmt)
+    } else {
+      if (bytes.length < 564) throw new ParseFailure("Unicode header truncated")
+      if (u32(bytes, 524) != crc(bytes, 8, 516))
+        throw new ParseFailure("header full CRC mismatch")
+      val ibFileEof = u64(bytes, 184)
+      if (ibFileEof != bytes.length)
+        throw new ParseFailure(s"ibFileEof $ibFileEof disagrees with file length ${bytes.length}")
+      (bytes(513) & 0xff, u64(bytes, 224), u64(bytes, 240), UniFmt)
+    }
   }
 
   /** Walk one B-tree (NBT ptype 0x81 / BBT ptype 0x80) to its leaf entry
     * byte records, validating every page trailer. Iterative page budget
     * bounds crafted cycles.
     */
-  private def walkBt(bytes: Array[Byte], rootIb: Long, ptype: Int): Vector[Array[Byte]] = {
+  private def walkBt(bytes: Array[Byte], rootIb: Long, ptype: Int, fmt: Fmt): Vector[Array[Byte]] = {
     val out = Vector.newBuilder[Array[Byte]]
     val maxPages = bytes.length / PageSize + 1
     var visited = 0
@@ -347,19 +399,28 @@ object Pst {
       if (ib < 0 || ib > bytes.length - PageSize) // subtraction: no Long overflow
         throw new ParseFailure("B-tree page past file end")
       val o = ib.toInt
-      val cEnt = bytes(o + 488) & 0xff
-      val cbEnt = bytes(o + 490) & 0xff
-      val cLevel = bytes(o + 491) & 0xff
-      if ((bytes(o + 496) & 0xff) != ptype || (bytes(o + 497) & 0xff) != ptype)
+      val m = o + fmt.pageMetaOff
+      val cEnt = bytes(m) & 0xff
+      val cbEnt = bytes(m + 2) & 0xff
+      val cLevel = bytes(m + 3) & 0xff
+      val t = o + fmt.pageTrailerOff
+      if ((bytes(t) & 0xff) != ptype || (bytes(t + 1) & 0xff) != ptype)
         throw new ParseFailure(s"B-tree page trailer type != 0x${ptype.toHexString}")
-      val bid = u64(bytes, o + 504)
-      if (u16(bytes, o + 498) != sig(ib, bid)) throw new ParseFailure("B-tree page bad signature")
-      if (u32(bytes, o + 500) != crc(bytes, o, 496)) throw new ParseFailure("B-tree page CRC mismatch")
-      if (cbEnt <= 0 || cEnt * cbEnt > 488) throw new ParseFailure("B-tree page entry overflow")
+      // ANSI trailer: wSig(2) bid(4) dwCRC(4); Unicode: wSig(2) dwCRC(4) bid(8)
+      val (bid, crcStored) =
+        if (fmt.ansi) (u32(bytes, t + 4), u32(bytes, t + 8))
+        else (u64(bytes, t + 8), u32(bytes, t + 4))
+      if (u16(bytes, t + 2) != sig(ib, bid)) throw new ParseFailure("B-tree page bad signature")
+      if (crcStored != crc(bytes, o, fmt.pageCrcLen))
+        throw new ParseFailure("B-tree page CRC mismatch")
+      if (cbEnt <= 0 || cEnt * cbEnt > fmt.pageMetaOff)
+        throw new ParseFailure("B-tree page entry overflow")
       var i = 0
       while (i < cEnt) {
         val e = java.util.Arrays.copyOfRange(bytes, o + i * cbEnt, o + (i + 1) * cbEnt)
-        if (cLevel > 0) page(u64(e, 16), depth + 1) else out += e
+        // BTENTRY: btkey then BREF{bid, ib} — ib is the last field
+        if (cLevel > 0) page(if (fmt.ansi) u32(e, 8) else u64(e, 16), depth + 1)
+        else out += e
         i += 1
       }
     }
@@ -368,15 +429,21 @@ object Pst {
   }
 
   private def readNdb(bytes: Array[Byte], maxEntryBytes: Int): Ndb = {
-    val (crypt, ibNbt, ibBbt) = readHeader(bytes)
-    val blocks = walkBt(bytes, ibBbt, 0x80).iterator.map { e =>
-      (u64(e, 0), (u64(e, 8), u16(e, 16)))
+    val (crypt, ibNbt, ibBbt, fmt) = readHeader(bytes)
+    val blocks = walkBt(bytes, ibBbt, 0x80, fmt).iterator.map { e =>
+      if (fmt.ansi) (u32(e, 0), (u32(e, 4), u16(e, 8)))
+      else (u64(e, 0), (u64(e, 8), u16(e, 16)))
     }.toMap
-    val nodes = walkBt(bytes, ibNbt, 0x81).iterator.map { e =>
-      val nid = u64(e, 0) & 0xffffffffL
-      nid -> NbtE(nid, u64(e, 8), u64(e, 16), u32(e, 24))
+    val nodes = walkBt(bytes, ibNbt, 0x81, fmt).iterator.map { e =>
+      if (fmt.ansi) {
+        val nid = u32(e, 0)
+        nid -> NbtE(nid, u32(e, 4), u32(e, 8), u32(e, 12))
+      } else {
+        val nid = u64(e, 0) & 0xffffffffL
+        nid -> NbtE(nid, u64(e, 8), u64(e, 16), u32(e, 24))
+      }
     }.toMap
-    new Ndb(bytes, blocks, nodes, crypt, maxEntryBytes)
+    new Ndb(bytes, blocks, nodes, crypt, fmt, maxEntryBytes)
   }
 
   // LTP: heap-on-node over the ordered data blocks of a node
@@ -673,42 +740,49 @@ object Pst {
   private final case class PvInline(ptype: Int, v: Long) extends Pv
   private final case class PvBytes(ptype: Int, bytes: Array[Byte]) extends Pv
 
-  /** Deterministic minimal Unicode (wVer 23) PST. `crypt` 0 (none) or 1
-    * (§5.1 permute: leaf data blocks substituted on disk, trailer CRCs
-    * over the encoded bytes — the stock-Outlook shape).
+  /** Deterministic minimal PST: Unicode (wVer 23, default) or ANSI
+    * (wVer 15, `ansi = true` — 32-bit BIDs/IBs, 12-byte trailers, the
+    * MS-PST parallel layouts). `crypt` 0 (none) or 1 (§5.1 permute: leaf
+    * data blocks substituted on disk, trailer CRCs over the encoded
+    * bytes — the stock-Outlook shape). Both axes compose.
     */
-  def build(folders: Seq[BuildFolder], crypt: Int = 0): Array[Byte] = {
+  def build(folders: Seq[BuildFolder], crypt: Int = 0, ansi: Boolean = false): Array[Byte] = {
     require(crypt == 0 || crypt == 1, s"writer supports crypt none/permute, not $crypt")
+    val fmt = if (ansi) AnsiFmt else UniFmt
     val blocks = ArrayBuffer.empty[(Long, Array[Byte])]
     var nextBid = 4L
     def allocBid(internal: Boolean): Long = {
       val b = nextBid | (if (internal) 2L else 0L); nextBid += 4; b
     }
     def writeLeaf(data: Array[Byte]): Long = {
-      require(data.length <= MaxBlockData, s"leaf block ${data.length} > $MaxBlockData")
+      require(data.length <= fmt.maxBlockData, s"leaf block ${data.length} > ${fmt.maxBlockData}")
       val b = allocBid(internal = false); blocks += ((b, data)); b
     }
     def writeData(data: Array[Byte]): Long =
-      if (data.length <= MaxBlockData) writeLeaf(data)
+      if (data.length <= fmt.maxBlockData) writeLeaf(data)
       else {
-        val chunks = data.grouped(MaxBlockData).toVector
+        val chunks = data.grouped(fmt.maxBlockData).toVector
         require(chunks.length <= 1021, "data tree larger than one XBLOCK (unsupported by writer)")
         val kids = chunks.map(writeLeaf)
-        val xb = new Array[Byte](8 + 8 * kids.length)
+        val xb = new Array[Byte](8 + fmt.xKidLen * kids.length)
         xb(0) = 0x01; xb(1) = 0x01
         putU16(xb, 2, kids.length); putU32(xb, 4, data.length.toLong)
-        kids.zipWithIndex.foreach { case (k, i) => putU64(xb, 8 + 8 * i, k) }
+        kids.zipWithIndex.foreach { case (k, i) =>
+          if (ansi) putU32(xb, 8 + 4 * i, k) else putU64(xb, 8 + 8 * i, k)
+        }
         val b = allocBid(internal = true); blocks += ((b, xb)); b
       }
     def writeSub(entries: Seq[(Long, Long, Long)]): Long =
       if (entries.isEmpty) 0L
       else {
         require(entries.length <= 340, "subnode tree larger than one SLBLOCK")
-        val sl = new Array[Byte](8 + 24 * entries.length)
+        val sl = new Array[Byte](fmt.slEntryOff + fmt.slEntLen * entries.length)
         sl(0) = 0x02; sl(1) = 0x00
         putU16(sl, 2, entries.length)
         entries.sortBy(_._1).zipWithIndex.foreach { case ((nid, bd, bs), i) =>
-          putU64(sl, 8 + 24 * i, nid); putU64(sl, 16 + 24 * i, bd); putU64(sl, 24 + 24 * i, bs)
+          val o = fmt.slEntryOff + fmt.slEntLen * i
+          if (ansi) { putU32(sl, o, nid); putU32(sl, o + 4, bd); putU32(sl, o + 8, bs) }
+          else { putU64(sl, o, nid); putU64(sl, o + 8, bd); putU64(sl, o + 16, bs) }
         }
         val b = allocBid(internal = true); blocks += ((b, sl)); b
       }
@@ -717,7 +791,7 @@ object Pst {
     def writeHeap(clientSig: Int, allocs: Seq[Array[Byte]]): Long = {
       val content = 12 + allocs.iterator.map(_.length).sum
       val pmSize = 4 + 2 * (allocs.length + 1)
-      require(content + pmSize <= MaxBlockData, "heap larger than one block (push values to subnodes)")
+      require(content + pmSize <= fmt.maxBlockData, "heap larger than one block (push values to subnodes)")
       val b = new Array[Byte](content + pmSize)
       putU16(b, 0, content) // ibHnpm
       b(2) = 0xEC.toByte; b(3) = clientSig.toByte
@@ -906,7 +980,7 @@ object Pst {
     var cursor = 1024L
     val blockIb = blocks.map { case (bid, data) =>
       val ib = cursor
-      cursor += ((data.length + 16 + 63) / 64) * 64
+      cursor += ((data.length + fmt.blockTrailerLen + 63) / 64) * 64
       (bid, ib, data)
     }
     var pageCursor = ((cursor + PageSize - 1) / PageSize) * PageSize
@@ -918,23 +992,30 @@ object Pst {
       entries.zipWithIndex.foreach { case (e, i) =>
         System.arraycopy(e, 0, pg, i * cbEnt, e.length)
       }
-      pg(488) = entries.length.toByte
-      pg(489) = (488 / cbEnt).toByte
-      pg(490) = cbEnt.toByte
-      pg(491) = cLevel.toByte
+      val m = fmt.pageMetaOff
+      pg(m) = entries.length.toByte
+      pg(m + 1) = (m / cbEnt).toByte
+      pg(m + 2) = cbEnt.toByte
+      pg(m + 3) = cLevel.toByte
       val bid = nextPageBid; nextPageBid += 4
       val ib = pageCursor; pageCursor += PageSize
-      pg(496) = ptype.toByte; pg(497) = ptype.toByte
-      putU16(pg, 498, sig(ib, bid))
-      putU32(pg, 500, crc(pg, 0, 496))
-      putU64(pg, 504, bid)
+      val t = fmt.pageTrailerOff
+      pg(t) = ptype.toByte; pg(t + 1) = ptype.toByte
+      putU16(pg, t + 2, sig(ib, bid))
+      if (ansi) {
+        putU32(pg, t + 4, bid)
+        putU32(pg, t + 8, crc(pg, 0, fmt.pageCrcLen))
+      } else {
+        putU32(pg, t + 4, crc(pg, 0, fmt.pageCrcLen))
+        putU64(pg, t + 8, bid)
+      }
       pages += ((ib, pg))
       (ib, bid)
     }
 
     /** Leaf-to-root page builder; returns the root BREF. */
     def buildBt(leaves: Seq[(Long, Array[Byte])], cbEntLeaf: Int, ptype: Int): (Long, Long) = {
-      val maxLeaf = 488 / cbEntLeaf
+      val maxLeaf = fmt.pageMetaOff / cbEntLeaf
       var level = 0
       var current: Seq[(Long, Long, Long)] = // (key, ib, bid)
         leaves.sortBy(_._1).grouped(maxLeaf).map { grp =>
@@ -943,12 +1024,14 @@ object Pst {
         }.toSeq
       while (current.length > 1) {
         level += 1
-        current = current.grouped(488 / 24).map { grp =>
+        current = current.grouped(fmt.pageMetaOff / fmt.btIndexEntLen).map { grp =>
           val entries = grp.map { case (key, ib, bid) =>
-            val e = new Array[Byte](24)
-            putU64(e, 0, key); putU64(e, 8, bid); putU64(e, 16, ib); e
+            val e = new Array[Byte](fmt.btIndexEntLen)
+            if (ansi) { putU32(e, 0, key); putU32(e, 4, bid); putU32(e, 8, ib) }
+            else { putU64(e, 0, key); putU64(e, 8, bid); putU64(e, 16, ib) }
+            e
           }
-          val (ib, bid) = buildPage(entries, 24, level, ptype)
+          val (ib, bid) = buildPage(entries, fmt.btIndexEntLen, level, ptype)
           (grp.head._1, ib, bid)
         }.toSeq
       }
@@ -956,54 +1039,76 @@ object Pst {
     }
 
     val bbtLeaves = blockIb.map { case (bid, ib, data) =>
-      val e = new Array[Byte](24)
-      putU64(e, 0, bid); putU64(e, 8, ib); putU16(e, 16, data.length); putU16(e, 18, 2)
+      val e = new Array[Byte](fmt.bbtEntLen)
+      if (ansi) { putU32(e, 0, bid); putU32(e, 4, ib); putU16(e, 8, data.length); putU16(e, 10, 2) }
+      else { putU64(e, 0, bid); putU64(e, 8, ib); putU16(e, 16, data.length); putU16(e, 18, 2) }
       (bid, e)
     }.toSeq
     val nbtLeaves = nodes.sortBy(_._1).map { case (nid, bd, bs, parent) =>
-      val e = new Array[Byte](32)
-      putU64(e, 0, nid); putU64(e, 8, bd); putU64(e, 16, bs); putU32(e, 24, parent)
+      val e = new Array[Byte](fmt.nbtEntLen)
+      if (ansi) { putU32(e, 0, nid); putU32(e, 4, bd); putU32(e, 8, bs); putU32(e, 12, parent) }
+      else { putU64(e, 0, nid); putU64(e, 8, bd); putU64(e, 16, bs); putU32(e, 24, parent) }
       (nid, e)
     }.toSeq
-    val (ibBbtRoot, bidBbtRoot) = buildBt(bbtLeaves, 24, 0x80)
-    val (ibNbtRoot, bidNbtRoot) = buildBt(nbtLeaves, 32, 0x81)
+    val (ibBbtRoot, bidBbtRoot) = buildBt(bbtLeaves, fmt.bbtEntLen, 0x80)
+    val (ibNbtRoot, bidNbtRoot) = buildBt(nbtLeaves, fmt.nbtEntLen, 0x81)
 
     // ---- assemble
     val fileLen = pageCursor
     val out = new Array[Byte](fileLen.toInt)
     blockIb.foreach { case (bid, ib, data) =>
-      val total = ((data.length + 16 + 63) / 64) * 64
+      val total = ((data.length + fmt.blockTrailerLen + 63) / 64) * 64
       // crypt touches ONLY leaf data blocks (internal bid bit 2 clear);
       // the trailer CRC covers the encoded on-disk bytes
       val onDisk =
         if (crypt == 1 && (bid & 2) == 0) permuteEncode(data.clone()) else data
       System.arraycopy(onDisk, 0, out, ib.toInt, onDisk.length)
-      val t = ib.toInt + total - 16
+      val t = ib.toInt + total - fmt.blockTrailerLen
       putU16(out, t, onDisk.length)
       putU16(out, t + 2, sig(ib, bid))
-      putU32(out, t + 4, crc(onDisk, 0, onDisk.length))
-      putU64(out, t + 8, bid)
+      if (ansi) {
+        putU32(out, t + 4, bid)
+        putU32(out, t + 8, crc(onDisk, 0, onDisk.length))
+      } else {
+        putU32(out, t + 4, crc(onDisk, 0, onDisk.length))
+        putU64(out, t + 8, bid)
+      }
     }
     pages.foreach { case (ib, pg) => System.arraycopy(pg, 0, out, ib.toInt, PageSize) }
 
-    // header (MS-PST §2.2.2.6, Unicode layout)
+    // header (MS-PST §2.2.2.6: parallel Unicode/ANSI layouts)
     out(0) = '!'; out(1) = 'B'; out(2) = 'D'; out(3) = 'N'
     putU16(out, 8, 0x4d53) // "SM"
-    putU16(out, 10, 23); putU16(out, 12, 19) // wVer, wVerClient
+    putU16(out, 10, if (ansi) 15 else 23); putU16(out, 12, 19) // wVer, wVerClient
     out(14) = 1; out(15) = 1 // bPlatformCreate/Access
-    putU64(out, 32, nextPageBid) // bidNextP
-    putU32(out, 40, 1L) // dwUnique
-    (0 until 32).foreach(i => putU32(out, 44 + 4 * i, 0x400L)) // rgnid
-    putU64(out, 184, fileLen) // ibFileEof
-    putU64(out, 216, bidNbtRoot); putU64(out, 224, ibNbtRoot) // NBT BREF
-    putU64(out, 232, bidBbtRoot); putU64(out, 240, ibBbtRoot) // BBT BREF
-    out(248) = 0 // fAMapValid: maps not written (legal; readers rebuild)
-    java.util.Arrays.fill(out, 256, 512, 0xff.toByte) // rgbFM/rgbFP (deprecated fill)
-    out(512) = 0x80.toByte // bSentinel
-    out(513) = crypt.toByte // bCryptMethod
-    putU64(out, 516, nextBid) // bidNextB
-    putU32(out, 4, crc(out, 8, 471)) // dwCRCPartial
-    putU32(out, 524, crc(out, 8, 516)) // dwCRCFull
+    if (ansi) {
+      putU32(out, 24, nextBid) // bidNextB
+      putU32(out, 28, nextPageBid) // bidNextP
+      putU32(out, 32, 1L) // dwUnique
+      (0 until 32).foreach(i => putU32(out, 36 + 4 * i, 0x400L)) // rgnid
+      putU32(out, 168, fileLen) // ROOT at 164: ibFileEof
+      putU32(out, 184, bidNbtRoot); putU32(out, 188, ibNbtRoot) // NBT BREF
+      putU32(out, 192, bidBbtRoot); putU32(out, 196, ibBbtRoot) // BBT BREF
+      out(200) = 0 // fAMapValid
+      java.util.Arrays.fill(out, 204, 460, 0xff.toByte) // rgbFM/rgbFP
+      out(460) = 0x80.toByte // bSentinel
+      out(461) = crypt.toByte // bCryptMethod
+      putU32(out, 4, crc(out, 8, 471)) // dwCRCPartial (no dwCRCFull in ANSI)
+    } else {
+      putU64(out, 32, nextPageBid) // bidNextP
+      putU32(out, 40, 1L) // dwUnique
+      (0 until 32).foreach(i => putU32(out, 44 + 4 * i, 0x400L)) // rgnid
+      putU64(out, 184, fileLen) // ibFileEof
+      putU64(out, 216, bidNbtRoot); putU64(out, 224, ibNbtRoot) // NBT BREF
+      putU64(out, 232, bidBbtRoot); putU64(out, 240, ibBbtRoot) // BBT BREF
+      out(248) = 0 // fAMapValid: maps not written (legal; readers rebuild)
+      java.util.Arrays.fill(out, 256, 512, 0xff.toByte) // rgbFM/rgbFP (deprecated fill)
+      out(512) = 0x80.toByte // bSentinel
+      out(513) = crypt.toByte // bCryptMethod
+      putU64(out, 516, nextBid) // bidNextB
+      putU32(out, 4, crc(out, 8, 471)) // dwCRCPartial
+      putU32(out, 524, crc(out, 8, 516)) // dwCRCFull
+    }
     out
   }
 }

@@ -100,10 +100,11 @@ class PstSpec extends AnyFunSuite {
     val o = c1.length - 512 + 100
     c1(o) = (c1(o) ^ 0x41).toByte
     intercept[ParseFailure](Pst.parse(c1, Cap))
-    // ANSI version refused with a precise reason
-    val c2 = good.clone(); c2(10) = 14; c2(11) = 0
+    // WIP/4K-OST version refused with a precise reason (version outranks
+    // the CRC complaint: the file never claimed a parsable layout)
+    val c2 = good.clone(); c2(10) = 36; c2(11) = 0
     val e = intercept[ParseFailure](Pst.parse(c2, Cap))
-    assert(e.getMessage.contains("ANSI"))
+    assert(e.getMessage.contains("wVer 36"))
     // truncation
     intercept[ParseFailure](Pst.parse(good.take(good.length / 2), Cap))
   }
@@ -339,5 +340,51 @@ class PstSpec extends AnyFunSuite {
       case Msg.MsgAtt(d) => (d.subject, d.from, d.body, norm(d.attachments))
     }
     assert(a.messages.map(m => norm(m.attachments)) == b2.messages.map(m => norm(m.attachments)))
+  }
+
+  test("ANSI (wVer 15) round-trips every layer, incl XBLOCK and recovery") {
+    // long body forces the data tree through ANSI's 4-byte-kid XBLOCK;
+    // unlinked + corrupt exercise recovery and isolation on the ANSI path
+    val big = "ansi body " * 2000 // ~20 KB > one 8180-byte ANSI block
+    val folders = Seq(
+      Pst.BuildFolder("inbox", Seq(
+        Pst.BuildMsg("big", big, from = "who", atts = Seq(("x.bin", Array.tabulate[Byte](300)(_.toByte)))),
+        Pst.BuildMsg("lost", "orphan", linked = false),
+        Pst.BuildMsg("bad", "x", corrupt = true))),
+      Pst.BuildFolder("inbox/sub", Seq(
+        Pst.BuildMsg("outer", "o", attachedMsgs = Seq(Pst.BuildMsg("inner", "i"))))))
+    val ansi = Pst.build(folders, ansi = true)
+    assert((java.nio.ByteBuffer.wrap(ansi, 10, 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getShort & 0xffff) == 15) // wVer
+    val inv = Pst.inventory(ansi)
+    assert(inv.nFolders == 3 && inv.nMessages == 4 && inv.nSubnodeMessages == 1)
+    val f = Pst.parse(ansi, Cap)
+    assert(f.failures.size == 1) // the corrupt message isolates, never aborts
+    val byPath = f.messages.groupBy(_.folderPath)
+    assert(byPath("inbox").find(_.subject == "big").get.body == big)
+    assert(f.messages.find(_.subject == "lost").get.recovered)
+    assert(f.messages.find(_.subject == "lost").get.folderPath == "[recovered]")
+    val att = byPath("inbox").find(_.subject == "big").get.attachments
+    assert(att.collect { case Msg.FileAtt(n, bs) => (n, bs.length) } == Vector(("x.bin", 300)))
+    byPath("inbox/sub").head.attachments.head match {
+      case Msg.MsgAtt(inner) => assert(inner.subject == "inner" && inner.body == "i")
+      case other => fail(s"expected attached message, got $other")
+    }
+  }
+
+  test("ANSI and permute compose; parse output matches the Unicode file's") {
+    val folders = Seq(Pst.BuildFolder("box", Seq(
+      Pst.BuildMsg("s", "same body", from = "f", atts = Seq(("a.txt", b("att")))))))
+    val results = for {
+      ansi <- Seq(false, true)
+      crypt <- Seq(0, 1)
+    } yield {
+      val f = Pst.parse(Pst.build(folders, crypt, ansi), Cap)
+      assert(f.failures.isEmpty)
+      f.messages.map(m => (m.folderPath, m.subject, m.from, m.body,
+        m.attachments.collect { case Msg.FileAtt(n, bs) => (n, bs.toSeq) }))
+    }
+    // all four format x crypt corners yield identical logical content
+    assert(results.distinct.size == 1)
   }
 }
