@@ -462,49 +462,36 @@ object Queries {
     * `[recovered]`, and the corrupt message isolated as a parse-failure
     * child.
     */
-  def pstExplode(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    import java.nio.charset.StandardCharsets.ISO_8859_1
-    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
-      .filter(_._1 % 33 == 0)
-      .flatMap { case (id, t) =>
-        val d = DocIn(id, Array(SpanIn("pst", new String(pstFixture(id, t), ISO_8859_1), "", 0)))
-        Extract.explode(d).map(o =>
-          (id, o.doc_id, o.parent_id, o.level, o.spans.map(_.text).mkString(""), o.no_content_reason))
-      }
-      .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
-  }
+  def pstExplode(spark: SparkSession, dir: String): DataFrame =
+    pstVariant(spark, dir, crypt = 0, ansi = false)
 
   /** The SAME fixture NDB_CRYPT_PERMUTE-encrypted (MS-PST §5.1, the stock
     * Outlook default the reference fixture itself uses): node ids derive
     * from logical content, so the explode output must be byte-identical to
     * q_pst_explode's — the oracle IS cipher transparency.
     */
-  def pstPermute(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    import java.nio.charset.StandardCharsets.ISO_8859_1
-    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
-      .filter(_._1 % 33 == 0)
-      .flatMap { case (id, t) =>
-        val d = DocIn(id, Array(SpanIn("pst", new String(pstFixture(id, t, crypt = 1), ISO_8859_1), "", 0)))
-        Extract.explode(d).map(o =>
-          (id, o.doc_id, o.parent_id, o.level, o.spans.map(_.text).mkString(""), o.no_content_reason))
-      }
-      .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
-  }
+  def pstPermute(spark: SparkSession, dir: String): DataFrame =
+    pstVariant(spark, dir, crypt = 1, ansi = false)
 
   /** The SAME fixture as an ANSI (wVer 15) permute-encrypted PST — the
     * pre-2003 Outlook format with 32-bit NDB layouts. Same oracle SQL
     * again: format AND cipher must both be invisible to logical output.
     */
-  def pstAnsi(spark: SparkSession, dir: String): DataFrame = {
+  def pstAnsi(spark: SparkSession, dir: String): DataFrame =
+    pstVariant(spark, dir, crypt = 1, ansi = true)
+
+  /** One body for all three pst queries: their shared-oracle contract is
+    * exactly "same pipeline, different fixture flags", so the pipeline
+    * exists once.
+    */
+  private def pstVariant(spark: SparkSession, dir: String, crypt: Int, ansi: Boolean): DataFrame = {
     import spark.implicits._
     import java.nio.charset.StandardCharsets.ISO_8859_1
     docs(spark, dir).select("doc_id", "text").as[(Long, String)]
       .filter(_._1 % 33 == 0)
       .flatMap { case (id, t) =>
         val d = DocIn(id, Array(SpanIn("pst",
-          new String(pstFixture(id, t, crypt = 1, ansi = true), ISO_8859_1), "", 0)))
+          new String(pstFixture(id, t, crypt, ansi), ISO_8859_1), "", 0)))
         Extract.explode(d).map(o =>
           (id, o.doc_id, o.parent_id, o.level, o.spans.map(_.text).mkString(""), o.no_content_reason))
       }

@@ -531,7 +531,6 @@ object Pst {
     }
 
     def typeOf(pid: Int): Option[Int] = recs.get(pid).map(_._1)
-    def hnidOf(pid: Int): Option[Long] = recs.get(pid).map(_._2)
 
     def str(pid: Int): String = recs.get(pid) match {
       case Some((PtUnicode, _)) =>

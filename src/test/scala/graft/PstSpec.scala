@@ -319,9 +319,12 @@ class PstSpec extends AnyFunSuite {
   }
 
   test("permute writer/reader round-trip is cipher-transparent") {
+    // the ~20 KB body rides an XBLOCK + subnode value: proves the writer
+    // encodes ONLY leaf data blocks and the reader decodes exactly those,
+    // without depending on the assume-gated real-fixture test
     val folders = Seq(
       Pst.BuildFolder("box", Seq(
-        Pst.BuildMsg("s1", "body one", from = "a@x", atts = Seq(("f.bin", Array[Byte](1, 2, 3)))),
+        Pst.BuildMsg("s1", "big " * 5000, from = "a@x", atts = Seq(("f.bin", Array[Byte](1, 2, 3)))),
         Pst.BuildMsg("lost", "orphan", linked = false))),
       Pst.BuildFolder("box/deep", Seq(
         Pst.BuildMsg("outer", "o", attachedMsgs = Seq(Pst.BuildMsg("inner", "i"))))))
