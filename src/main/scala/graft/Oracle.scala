@@ -1101,10 +1101,6 @@ object Oracle {
        |      row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rk FROM sc)
        |SELECT probe_id, rk::BIGINT AS rnk, neighbor_id FROM r WHERE rk<=5""".stripMargin
 
-  /** IVF-flat mirror of Knn.ivfTopK: 16 lowest-id seed lists, exact-cosine
-    * assignment (ties to lowest list id), probes search their 8 nearest
-    * lists, exact top-5 within candidates.
-    */
   /** Mirror of Knn.semanticDedup: IVF-quantizer assignment (16 lowest-id
     * seeds, ties to the lowest list), then duplicate = any lower-id
     * cluster-mate at cosine >= 0.3.
@@ -1124,6 +1120,10 @@ object Oracle {
        |  (CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS kept
        |FROM asg a LEFT JOIN dup d USING(vec_id)""".stripMargin
 
+  /** IVF-flat mirror of Knn.ivfTopK: 16 lowest-id seed lists, exact-cosine
+    * assignment (ties to lowest list id), probes search their 8 nearest
+    * lists, exact top-5 within candidates.
+    */
   private val knnIvf: String =
     s"""$quantEmb,
        |sd AS (SELECT vec_id AS list_id, qv AS sv FROM q ORDER BY vec_id LIMIT 16),

@@ -430,9 +430,12 @@ object Pst {
 
   private def readNdb(bytes: Array[Byte], maxEntryBytes: Int): Ndb = {
     val (crypt, ibNbt, ibBbt, fmt) = readHeader(bytes)
+    // the reserved low bid bit MUST be ignored on BOTH sides: lookups mask
+    // it (payload), and so must the map keys — a spec-valid file may carry
+    // it in the BBT entries themselves
     val blocks = walkBt(bytes, ibBbt, 0x80, fmt).iterator.map { e =>
-      if (fmt.ansi) (u32(e, 0), (u32(e, 4), u16(e, 8)))
-      else (u64(e, 0), (u64(e, 8), u16(e, 16)))
+      if (fmt.ansi) (u32(e, 0) & ~1L, (u32(e, 4), u16(e, 8)))
+      else (u64(e, 0) & ~1L, (u64(e, 8), u16(e, 16)))
     }.toMap
     val nodes = walkBt(bytes, ibNbt, 0x81, fmt).iterator.map { e =>
       if (fmt.ansi) {

@@ -104,20 +104,29 @@ object SummaryInfo {
     if (cProps < 0 || cProps > 4096) throw new ParseFailure("implausible property count")
     (0 until cProps).flatMap { i =>
       val pid = u32(b, so + 8 + 8 * i)
-      val po = so + u32(b, so + 12 + 8 * i)
+      val po = propOffset(b, so, i)
       val vt = u32(b, po)
       if (vt == VtLpstr) {
         val cch = u32(b, po + 4)
-        if (cch < 0 || po + 8 + cch > b.length) throw new ParseFailure("LPSTR past stream end")
+        // subtraction form: po + 8 + cch overflows Int for a crafted cch
+        if (cch < 0 || cch > b.length - po - 8) throw new ParseFailure("LPSTR past stream end")
         val raw = java.util.Arrays.copyOfRange(b, po + 8, po + 8 + math.max(0, cch - 1))
         Some(pid -> new String(raw, Biff.Cp1252))
       } else if (vt == VtLpwstr) {
         val cch = u32(b, po + 4)
-        if (cch < 0 || po + 8 + 2 * cch > b.length) throw new ParseFailure("LPWSTR past stream end")
+        if (cch < 0 || cch > (b.length - po - 8) / 2) throw new ParseFailure("LPWSTR past stream end")
         val raw = java.util.Arrays.copyOfRange(b, po + 8, po + 8 + 2 * math.max(0, cch - 1))
         Some(pid -> new String(raw, StandardCharsets.UTF_16LE))
       } else None
     }.toMap
+  }
+
+  /** Property i's value offset, validated in range (overflow-safe). */
+  private def propOffset(b: Array[Byte], so: Int, i: Int): Int = {
+    val rel = u32(b, so + 12 + 8 * i)
+    if (rel < 0 || rel > b.length - so - 8)
+      throw new ParseFailure("property value offset out of range")
+    so + rel
   }
 
   /** The stream with the identifying STRING properties blanked (empty
@@ -127,11 +136,18 @@ object SummaryInfo {
     */
   def blank(b: Array[Byte], ids: Set[Int] = IdentifyingProps): Array[Byte] = {
     val so = sectionStart(b)
+    // the rewrite sizes the output to the FIRST section's end, so a
+    // multi-section stream would be silently truncated while its header
+    // still advertised the dropped sections — refuse instead (real
+    // SummaryInformation streams are single-section; DocumentSummary's
+    // two-section shape is a different stream this cleaner never touches)
+    if (u32(b, 24) != 1)
+      throw new ParseFailure("multi-section property set: blank() supports exactly one section")
     val cProps = u32(b, so + 4)
     if (cProps < 0 || cProps > 4096) throw new ParseFailure("implausible property count")
     val entries = (0 until cProps).map { i =>
       val pid = u32(b, so + 8 + 8 * i)
-      val po = so + u32(b, so + 12 + 8 * i)
+      val po = propOffset(b, so, i)
       val vt = u32(b, po)
       val valueBytes: Array[Byte] =
         if (ids.contains(pid) && vt == VtLpstr)
@@ -141,7 +157,7 @@ object SummaryInfo {
         else {
           // raw-preserve: value runs to the next property offset (or the
           // section end) in stream order
-          val ends = (0 until cProps).map(j => so + u32(b, so + 12 + 8 * j))
+          val ends = (0 until cProps).map(j => propOffset(b, so, j))
             .filter(_ > po) :+ (so + u32(b, so))
           val end = math.min(ends.min, b.length)
           if (end < po) throw new ParseFailure("property offsets out of order")
@@ -179,7 +195,10 @@ object SummaryInfo {
     Cfb.build(entries.map {
       case (StreamName, Some(bytes)) => (StreamName, blank(bytes))
       case (n, bytes) =>
-        (n, bytes.getOrElse(throw new ParseFailure(s"stream $n over size cap")))
+        // every stream must materialize to re-serialize the container; an
+        // over-cap sibling makes the whole clean a refusal, stated as such
+        (n, bytes.getOrElse(throw new ParseFailure(
+          s"cannot clean: stream $n exceeds the size cap, container not re-serializable")))
     })
   }
 }

@@ -216,10 +216,12 @@ object Knn {
     */
   val ExactAssignMax = 4096
 
-  /** The per-vector assignment-scan bound the quantizer guarantees —
-    * surfaced by [[ivfStats]] so the cost model is oracle-checkable, not
-    * a code comment: flat scan below the threshold, super-scan + two
-    * average-sized groups above it.
+  /** The per-vector assignment-scan cost model surfaced by [[ivfStats]]
+    * so it is oracle-checkable, not a code comment: flat scan below the
+    * threshold, super-scan + two average-sized groups above it. This is
+    * the BALANCED-case figure; under seed skew the scan takes additional
+    * ranked groups only until the candidate pool covers the request
+    * (never a flat O(nLists) rescan — see bestLists).
     */
   def assignScanBound(nLists: Int, exactAssignMax: Int = ExactAssignMax): Long =
     if (nLists <= exactAssignMax) nLists.toLong
@@ -292,14 +294,23 @@ object Knn {
       case None => scanExact(v, n, bSeeds.value.indices)
       case Some((supers, members)) =>
         // best two super-groups by cosine (ties lowest gid), then an exact
-        // scan over just their member seeds; degenerate tiny candidate
-        // sets fall back to the flat scan (deterministic either way)
+        // scan over just their member seeds; when those groups hold fewer
+        // than n seeds, TOP UP from the next ranked groups until the pool
+        // covers the request — scanned work stays O(n + taken groups'
+        // members), never the flat O(nLists) rescan a fallback would cost
         val ranked = supers.indices
           .map(gi => (gi, cosineQ(v, supers(gi))))
           .sortBy { case (gi, c) => (-c, gi) }
-        val cand = ranked.take(2).flatMap { case (gi, _) => members(gi) }
-        if (cand.length >= n) scanExact(v, n, cand)
-        else scanExact(v, n, bSeeds.value.indices)
+        val cand = Vector.newBuilder[Int]
+        var count = 0
+        var taken = 0
+        while (taken < ranked.length && (taken < 2 || count < n)) {
+          val ms = members(ranked(taken)._1)
+          cand ++= ms
+          count += ms.length
+          taken += 1
+        }
+        scanExact(v, n, cand.result())
     }
     val assigned = q.as[(Long, Array[Long])]
       .map { case (id, v) => (bestLists(v, 1).head, id, v) }

@@ -85,20 +85,35 @@ object Sink {
     * that Spark retries, not a per-doc status).
     */
   def spewFiles(docs: org.apache.spark.sql.Dataset[graft.core.DocOut],
-                dir: String): DataFrame = {
+                dir: String): DataFrame =
+    spew(docs, dir, ".txt", d => d.spans.iterator.map(_.text).mkString("\n"))
+
+  /** Shared per-doc artifact writer. The filename derives from doc_id with
+    * path-hazard characters rejected up front: an id that is not a plain
+    * filename (separators, NUL, '..') is NOT_SAVED, never a path escape
+    * outside `dir` and never a task failure (InvalidPathException is not
+    * an IOException, so a catch-IOE-only loop would die on it).
+    */
+  private def spew(docs: org.apache.spark.sql.Dataset[graft.core.DocOut],
+                   dir: String, ext: String,
+                   render: graft.core.DocOut => String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     Files.createDirectories(Paths.get(dir))
     docs.mapPartitions { it =>
       it.map { d =>
-        val target = Paths.get(dir, d.doc_id + ".txt")
-        val body = d.spans.iterator.map(_.text).mkString("\n")
-        try {
-          Files.write(target, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          (d.doc_id, graft.core.Status.Success)
-        } catch {
-          case _: java.io.IOException => (d.doc_id, graft.core.Status.NotSaved)
-        }
+        val unsafe = d.doc_id.isEmpty || d.doc_id == "." || d.doc_id == ".." ||
+          d.doc_id.exists(c => c == '/' || c == '\\' || c == '\u0000')
+        if (unsafe) (d.doc_id, graft.core.Status.NotSaved)
+        else
+          try {
+            Files.write(Paths.get(dir, d.doc_id + ext),
+              render(d).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            (d.doc_id, graft.core.Status.Success)
+          } catch {
+            case _: java.io.IOException | _: java.nio.file.InvalidPathException =>
+              (d.doc_id, graft.core.Status.NotSaved)
+          }
       }
     }.toDF("doc_id", "status")
   }
@@ -142,22 +157,8 @@ object Sink {
     * per document, same per-document NOT_SAVED isolation.
     */
   def spewHtmlFiles(docs: org.apache.spark.sql.Dataset[graft.core.DocOut],
-                    dir: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    Files.createDirectories(Paths.get(dir))
-    docs.mapPartitions { it =>
-      it.map { d =>
-        val target = Paths.get(dir, d.doc_id + ".html")
-        try {
-          Files.write(target, renderHtml(d).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          (d.doc_id, graft.core.Status.Success)
-        } catch {
-          case _: java.io.IOException => (d.doc_id, graft.core.Status.NotSaved)
-        }
-      }
-    }.toDF("doc_id", "status")
-  }
+                    dir: String): DataFrame =
+    spew(docs, dir, ".html", renderHtml)
 
   /** Write df to a temp dir then swap it into place: the sink is never
     * half-written (readers see the previous dataset, a brief missing-dir

@@ -247,37 +247,29 @@ class PstSpec extends AnyFunSuite {
     assert(f.failures.isEmpty && f.messages.head.body == "still reads")
   }
 
-  private def patchPageCrc(b: Array[Byte], pageOff: Int): Unit = {
-    val tbl = Array.tabulate(256) { i =>
-      var x = i; var k = 0
-      while (k < 8) { x = (x >>> 1) ^ (if ((x & 1) != 0) 0xEDB88320 else 0); k += 1 }
-      x
-    }
-    var cr = 0; var i = pageOff
-    while (i < pageOff + 496) { cr = (cr >>> 8) ^ tbl((cr ^ b(i)) & 0xff); i += 1 }
-    val v = cr.toLong & 0xffffffffL
-    b(pageOff + 500) = (v & 0xff).toByte
-    b(pageOff + 501) = ((v >> 8) & 0xff).toByte
-    b(pageOff + 502) = ((v >> 16) & 0xff).toByte
-    b(pageOff + 503) = ((v >> 24) & 0xff).toByte
+  // one independent CRC (MS-PST §5.3 convention) shared by both fixture
+  // patchers — intentionally NOT Pst's internal crc, so a production CRC
+  // bug cannot hide behind a test patched with the same code
+  private val CrcTbl = Array.tabulate(256) { i =>
+    var x = i; var k = 0
+    while (k < 8) { x = (x >>> 1) ^ (if ((x & 1) != 0) 0xEDB88320 else 0); k += 1 }
+    x
+  }
+  private def crc32(b: Array[Byte], off: Int, len: Int): Long = {
+    var c = 0; var i = off
+    while (i < off + len) { c = (c >>> 8) ^ CrcTbl((c ^ b(i)) & 0xff); i += 1 }
+    c.toLong & 0xffffffffL
+  }
+  private def putCrc(b: Array[Byte], off: Int, v: Long): Unit = {
+    b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+    b(off + 2) = ((v >> 16) & 0xff).toByte; b(off + 3) = ((v >> 24) & 0xff).toByte
   }
 
+  private def patchPageCrc(b: Array[Byte], pageOff: Int): Unit =
+    putCrc(b, pageOff + 500, crc32(b, pageOff, 496))
+
   private def patchHeaderCrcs(b: Array[Byte]): Unit = {
-    def crc(off: Int, len: Int): Long = {
-      val tbl = Array.tabulate(256) { i =>
-        var c = i; var k = 0
-        while (k < 8) { c = (c >>> 1) ^ (if ((c & 1) != 0) 0xEDB88320 else 0); k += 1 }
-        c
-      }
-      var c = 0; var i = off
-      while (i < off + len) { c = (c >>> 8) ^ tbl((c ^ b(i)) & 0xff); i += 1 }
-      c.toLong & 0xffffffffL
-    }
-    def put(off: Int, v: Long): Unit = {
-      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
-      b(off + 2) = ((v >> 16) & 0xff).toByte; b(off + 3) = ((v >> 24) & 0xff).toByte
-    }
-    put(4, crc(8, 471)); put(524, crc(8, 516))
+    putCrc(b, 4, crc32(b, 8, 471)); putCrc(b, 524, crc32(b, 8, 516))
   }
 
   test("REAL Outlook fixture parses completely through permute decode") {
