@@ -289,6 +289,20 @@ object Oracle {
       |  sha256('0:'||'64:'||crashid||'1:0'||'0:'||'0:'),
       |  crashid, 2, '', 'parse-failure' FROM h WHERE doc_id%99=0""".stripMargin
 
+  /** Mirror of Queries.tnefExplode: the TNEF root carries the document
+    * text as its body; the single file attachment recomputes like an eml
+    * attachment child (content hash + root + ordinal + resource name).
+    */
+  private val tnefExplode: String =
+    """WITH z AS (SELECT doc_id, text, sha256(doc_id::VARCHAR) AS rid
+      |           FROM documents WHERE doc_id%29=0)
+      |SELECT doc_id, rid AS node_id, '' AS parent_id, 0 AS level, text AS txt,
+      |       CASE WHEN text='' THEN 'empty-file' ELSE '' END AS reason FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('watt '||doc_id)||'64:'||rid||'1:0'||'0:'
+      |    ||octet_length(encode('w'||doc_id||'.txt'))||':w'||doc_id||'.txt'),
+      |  rid, 1, 'watt '||doc_id, '' FROM z""".stripMargin
+
   /** Mirror of Queries.pstReconcile: declared-vs-extracted arithmetic
     * recomputed from the fixture's %66/%99 structure.
     */
@@ -1382,6 +1396,7 @@ object Oracle {
     // must both be invisible to logical output
     "q_pst_permute" -> pstExplode,
     "q_pst_ansi" -> pstExplode,
+    "q_tnef_explode" -> tnefExplode,
     "q_pst_reconcile" -> pstReconcile,
     "q_cfb_explode" -> cfbExplode,
     "q_docx_media" -> docxMedia,

@@ -498,6 +498,28 @@ object Queries {
       .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
   }
 
+  /** TNEF winmail.dat route (MS-OXTNEF; the reference reads these via
+    * Tika's TNEFParser): each %29 doc becomes a real TNEF stream whose
+    * body carries the document text and whose file attachment explodes as
+    * a sniffed child — checksummed attributes, MAPI sender decode, and
+    * the same child-id arithmetic as eml attachments.
+    */
+  def tnefExplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    import graft.core.mail.Tnef
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .filter(_._1 % 29 == 0)
+      .flatMap { case (id, t) =>
+        val bytes = Tnef.build(s"tn $id", s"sender $id", t,
+          Seq((s"w$id.txt", s"watt $id".getBytes(UTF_8))))
+        val d = DocIn(id, Array(SpanIn("tnef", new String(bytes, ISO_8859_1), "", 0)))
+        Extract.explode(d).map(o =>
+          (id, o.doc_id, o.parent_id, o.level, o.spans.map(_.text).mkString(""), o.no_content_reason))
+      }
+      .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
+  }
+
   /** PST reconciliation counters (the reference's recovery bookkeeping):
     * declared message counts from the folder PCs vs extracted, recovered,
     * and per-message-failed counts.
@@ -1773,6 +1795,7 @@ object Queries {
     "q_pst_explode" -> (pstExplode _),
     "q_pst_permute" -> (pstPermute _),
     "q_pst_ansi" -> (pstAnsi _),
+    "q_tnef_explode" -> (tnefExplode _),
     "q_pst_reconcile" -> (pstReconcile _),
     "q_cfb_explode" -> (cfbExplode _),
     "q_docx_media" -> (docxMedia _),

@@ -27,20 +27,20 @@ import graft.core.ParseFailure
   */
 object Biff {
 
-  private[office] val Cp1252: Charset = Charset.forName("windows-1252")
-  private[office] val Utf16Le: Charset = Charset.forName("UTF-16LE")
+  private[core] val Cp1252: Charset = Charset.forName("windows-1252")
+  private[core] val Utf16Le: Charset = Charset.forName("UTF-16LE")
 
   // shared little-endian bounds-checked reads for the whole legacy-Office
   // package (WordDoc and Msg reuse these — one place for any bounds fix)
-  private[office] def u8(b: Array[Byte], off: Int): Int = {
+  private[core] def u8(b: Array[Byte], off: Int): Int = {
     if (off < 0 || off >= b.length) throw new ParseFailure(s"ole2: byte read past end at $off")
     b(off) & 0xff
   }
-  private[office] def u16(b: Array[Byte], off: Int): Int = {
+  private[core] def u16(b: Array[Byte], off: Int): Int = {
     if (off < 0 || off + 2 > b.length) throw new ParseFailure(s"ole2: u16 read past end at $off")
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
   }
-  private[office] def u32(b: Array[Byte], off: Int): Long = {
+  private[core] def u32(b: Array[Byte], off: Int): Long = {
     if (off < 0 || off + 4 > b.length) throw new ParseFailure(s"ole2: u32 read past end at $off")
     (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
       ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)

@@ -103,6 +103,7 @@ object Extract {
       // file is a pure container (streams explode to children)
       case "cfb"       => (graft.core.office.Msg.cfbText(t, cfg.maxSpanChars), "")
       case "eml"       => (graft.core.mail.Eml.parse(t).body, "") // RFC-822: body text; attachments explode
+      case "tnef"      => (graft.core.mail.Tnef.parseLatin1(t).body, "") // winmail.dat: body text; attachments explode
       case "rtf"       => (graft.core.text.Rtf.text(t), "")  // real RTF bytes (reference rtf fixture)
       case "csv"       => (graft.core.text.Csv.text(t), "")  // delimited table text (reference csv fixture)
       case _           => ("", Reason.Unsupported)
@@ -113,7 +114,7 @@ object Extract {
     * span-parallel path for reassembly).
     */
   val ContainerKinds: Set[String] =
-    Set("media", "zip", "gzip", "tar", "eml", "cfb", "zstd", "bzip2", "warc", "jsonl", "7z", "pst")
+    Set("media", "zip", "gzip", "tar", "eml", "cfb", "zstd", "bzip2", "warc", "jsonl", "7z", "pst", "tnef")
 
   /** Null spans (a row written with spans=NULL) are treated as an empty
     * span array — reason=empty-file, never a failure — in BOTH the batch and
@@ -580,6 +581,19 @@ object Extract {
             m.attachments.zipWithIndex.foreach { case ((n, b), i) =>
               spawnEntry(n, Some(b), cid, i, level + 1)
             }
+          } else if (kind == "tnef") {
+            // nested winmail.dat (the REAL shape: a TNEF attachment inside
+            // an eml): a document child carrying the body, attachments
+            // recursing — id hashes the raw bytes like nested eml
+            val m = graft.core.mail.Tnef.parseLatin1(latin1)
+            val cid = Ids.embedId(latin1, parentId, ord, resourceName = name)
+            emitDoc(cid, parentId, level, m.body)
+            m.attachments.zipWithIndex.foreach {
+              case (graft.core.office.Msg.FileAtt(n, b), i) =>
+                spawnEntry(n, Some(b), cid, i, level + 1)
+              case (graft.core.office.Msg.MsgAtt(sub), i) =>
+                spawnMsg(sub, sub.subject, cid, i, level + 1)
+            }
           } else {
             val payload = graft.sources.Ingest.decodePayload(kind, data)
             // markers=false: failure-injection markers are a top-level-span
@@ -680,6 +694,15 @@ object Extract {
           // re-enters the archive recursion via spawnEntry's sniff
           graft.core.mail.Eml.parse(content).attachments.foreach { case (n, b) =>
             spawnEntry(n, Some(b), rootId, ord, 1); ord += 1
+          }
+        case "tnef" =>
+          // winmail.dat IS the message: body text on the root (routeKind),
+          // attachments as sniffed children — same shape as eml
+          graft.core.mail.Tnef.parseLatin1(content).attachments.foreach {
+            case graft.core.office.Msg.FileAtt(n, b) =>
+              spawnEntry(n, Some(b), rootId, ord, 1); ord += 1
+            case graft.core.office.Msg.MsgAtt(sub) =>
+              spawnMsg(sub, sub.subject, rootId, ord, 1); ord += 1
           }
         case "pst" =>
           // the mailbox IS the parent document: folders, messages,

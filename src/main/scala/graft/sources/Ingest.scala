@@ -51,6 +51,7 @@ object Ingest {
     else if (Archive.is7z(bytes)) "7z"       // 7-Zip archive
     else if (Archive.isBzip2(bytes)) "bzip2" // classic dump archives
     else if (graft.core.office.Pst.isPst(bytes)) "pst" // Outlook mailbox (!BDN, MS-PST)
+    else if (graft.core.mail.Tnef.isTnef(bytes)) "tnef" // winmail.dat (MS-OXTNEF)
     else if (graft.core.office.Cfb.isCfb(bytes)) "cfb" // OLE2 compound file (.msg/.doc era)
     else if (Archive.isTar(bytes)) "tar"
     else if (hasUtf16Bom(bytes)) "text" // UTF-16 BOM: decoded per-charset below

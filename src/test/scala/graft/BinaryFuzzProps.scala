@@ -81,6 +81,11 @@ object BinaryFuzzProps extends Properties("BinaryFuzz") {
         total(graft.core.office.Pst.inventory(b))
     }
 
+  property("tnef parse: junk classifies") =
+    Prop.forAll(stamped(Array[Byte](0x78, 0x9f.toByte, 0x3e, 0x22))) { b =>
+      total(graft.core.mail.Tnef.parse(b))
+    }
+
   property("odf bodyText is total on arbitrary markup") =
     Prop.forAll(Gen.asciiPrintableStr) { s =>
       total(graft.core.office.Odf.bodyText("<text:p>" + s + "</text:p>")) &&
