@@ -303,6 +303,16 @@ object Oracle {
       |    ||octet_length(encode('w'||doc_id||'.txt'))||':w'||doc_id||'.txt'),
       |  rid, 1, 'watt '||doc_id, '' FROM z""".stripMargin
 
+  /** Mirror of Queries.contactText: the unfolded, unescaped, filtered
+    * property values in card/component order.
+    */
+  private val contactText: String =
+    """SELECT doc_id,
+      |  'Person '||doc_id||chr(10)||'Org, Inc '||doc_id||chr(10)
+      |    ||'p'||doc_id||'@example.org'||chr(10)||'note one'||chr(10)||'note two' AS vcf_txt,
+      |  'Standup '||doc_id||chr(10)||'Room '||doc_id||chr(10)||'daily sync' AS ics_txt
+      |FROM documents WHERE doc_id%31=0""".stripMargin
+
   /** Mirror of Queries.pstReconcile: declared-vs-extracted arithmetic
     * recomputed from the fixture's %66/%99 structure.
     */
@@ -1397,6 +1407,7 @@ object Oracle {
     "q_pst_permute" -> pstExplode,
     "q_pst_ansi" -> pstExplode,
     "q_tnef_explode" -> tnefExplode,
+    "q_contact_text" -> contactText,
     "q_pst_reconcile" -> pstReconcile,
     "q_cfb_explode" -> cfbExplode,
     "q_docx_media" -> docxMedia,

@@ -520,6 +520,31 @@ object Queries {
       .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
   }
 
+  /** vCard + iCalendar text route (RFC 6350 / RFC 5545; Tika parses both
+    * in the reference): each %31 doc yields a folded, escape-carrying
+    * card and a calendar event, extracted through the span route — line
+    * unfolding, property filtering, and text unescaping all oracle-checked.
+    */
+  def contactText(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select("doc_id").as[Long]
+      .filter(_ % 31 == 0)
+      .map { id =>
+        val vcf = "BEGIN:VCARD\r\nVERSION:4.0\r\nFN:Person " + id +
+          "\r\nORG:Org\\, Inc " + id +
+          "\r\nEMAIL:p" + id + "\r\n @example.org" + // folded line
+          "\r\nNOTE:note one\\nnote two\r\nX-IGNORED:zzz\r\nEND:VCARD\r\n"
+        val ics = "BEGIN:VCALENDAR\r\nBEGIN:VEVENT\r\nSUMMARY:Standup " + id +
+          "\r\nLOCATION:Room " + id +
+          "\r\nDESCRIPTION:daily sync\r\nDTSTART:20240101T000000Z\r\n" +
+          "END:VEVENT\r\nEND:VCALENDAR\r\n"
+        val (vt, _) = Extract.extractSpan("vcard", vcf)
+        val (it, _) = Extract.extractSpan("ics", ics)
+        (id, vt, it)
+      }
+      .toDF("doc_id", "vcf_txt", "ics_txt")
+  }
+
   /** PST reconciliation counters (the reference's recovery bookkeeping):
     * declared message counts from the folder PCs vs extracted, recovered,
     * and per-message-failed counts.
@@ -1796,6 +1821,7 @@ object Queries {
     "q_pst_permute" -> (pstPermute _),
     "q_pst_ansi" -> (pstAnsi _),
     "q_tnef_explode" -> (tnefExplode _),
+    "q_contact_text" -> (contactText _),
     "q_pst_reconcile" -> (pstReconcile _),
     "q_cfb_explode" -> (cfbExplode _),
     "q_docx_media" -> (docxMedia _),

@@ -106,6 +106,8 @@ object Extract {
       case "tnef"      => (graft.core.mail.Tnef.parseLatin1(t).body, "") // winmail.dat: body text; attachments explode
       case "rtf"       => (graft.core.text.Rtf.text(t), "")  // real RTF bytes (reference rtf fixture)
       case "csv"       => (graft.core.text.Csv.text(t), "")  // delimited table text (reference csv fixture)
+      case "vcard"     => (graft.core.text.Contact.vcardText(t), "") // RFC 6350 contact card
+      case "ics"       => (graft.core.text.Contact.icsText(t), "")   // RFC 5545 calendar
       case _           => ("", Reason.Unsupported)
     }
 

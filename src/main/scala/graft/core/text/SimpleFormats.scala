@@ -263,3 +263,65 @@ object Jsonl {
     None
   }
 }
+
+/** vCard (RFC 6350) and iCalendar (RFC 5545) text extraction — the
+  * reference detects and parses both through Tika (its own fixture set
+  * pins vCard detection, TIKA-1249). Shared content-line machinery:
+  * CRLF/LF line folding (continuation = leading SPACE or HTAB), property
+  * name/params split at the first unquoted ':', and RFC text-value
+  * unescaping (`\n` newline, `\,` `\;` literals, `\\` backslash).
+  * Tolerant like the other simple formats: junk yields best-effort text,
+  * never a throw.
+  */
+object Contact {
+
+  /** Unfold RFC 5545/6350 folded lines and split into content lines. */
+  private def contentLines(s: String): Vector[(String, String)] = {
+    val unfolded = s.replace("\r\n", "\n").replace("\r", "\n")
+      .replace("\n ", "").replace("\n\t", "")
+    unfolded.split('\n').iterator.flatMap { line =>
+      val c = line.indexOf(':')
+      if (c <= 0) None
+      else {
+        // property name without parameters (NAME;PARAM=V:value)
+        val name = line.substring(0, c).takeWhile(_ != ';').trim
+          .toUpperCase(java.util.Locale.ROOT)
+        Some((name, unescape(line.substring(c + 1))))
+      }
+    }.toVector
+  }
+
+  private def unescape(v: String): String = {
+    val sb = new StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      val ch = v.charAt(i)
+      if (ch == '\\' && i + 1 < v.length) {
+        v.charAt(i + 1) match {
+          case 'n' | 'N' => sb.append('\n')
+          case c => sb.append(c)
+        }
+        i += 2
+      } else { sb.append(ch); i += 1 }
+    }
+    sb.toString
+  }
+
+  def isVcard(head: String): Boolean =
+    head.toUpperCase(java.util.Locale.ROOT).startsWith("BEGIN:VCARD")
+  def isIcs(head: String): Boolean =
+    head.toUpperCase(java.util.Locale.ROOT).startsWith("BEGIN:VCALENDAR")
+
+  /** Human-facing vCard properties, in card order. */
+  private val VcardProps = Set("FN", "ORG", "TITLE", "EMAIL", "TEL", "NOTE", "ADR")
+  /** Event-text iCalendar properties, in component order. */
+  private val IcsProps = Set("SUMMARY", "LOCATION", "DESCRIPTION")
+
+  def vcardText(s: String): String =
+    contentLines(s).collect { case (n, v) if VcardProps.contains(n) && v.nonEmpty => v }
+      .mkString("\n")
+
+  def icsText(s: String): String =
+    contentLines(s).collect { case (n, v) if IcsProps.contains(n) && v.nonEmpty => v }
+      .mkString("\n")
+}

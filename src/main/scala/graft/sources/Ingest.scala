@@ -70,6 +70,8 @@ object Ingest {
         val firstLine = lowerHead.takeWhile(c => c != '\r' && c != '\n')
         if (lname.endsWith(".csv")) "csv"
         else if (lname.endsWith(".eml") || MailHeadRe.findPrefixOf(firstLine).isDefined) "eml"
+        else if (graft.core.text.Contact.isVcard(lowerHead)) "vcard"
+        else if (graft.core.text.Contact.isIcs(lowerHead)) "ics"
         else "text"
       }
       else "bin"

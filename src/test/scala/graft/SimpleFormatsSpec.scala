@@ -155,4 +155,33 @@ class SimpleFormatsSpec extends AnyFunSuite {
     assert(nodes.exists(n => n.level == 1 && n.spans.isEmpty &&
       n.no_content_reason == graft.core.Reason.Empty))
   }
+
+  test("vcard: unfolds, unescapes, filters to human-facing properties") {
+    import graft.core.text.Contact
+    val vcf = "BEGIN:VCARD\r\nVERSION:4.0\r\nFN:Ada\r\n Lovelace\r\n" +
+      "ORG:Analytical\\, Ltd\r\nEMAIL:ada@example.org\r\n" +
+      "NOTE:line one\\nline two\r\nX-SOMETHING:skip\r\nEND:VCARD\r\n"
+    assert(Contact.isVcard(vcf.toLowerCase))
+    assert(Contact.vcardText(vcf) ==
+      "AdaLovelace\nAnalytical, Ltd\nada@example.org\nline one\nline two")
+    // sniffed as its own kind from bytes
+    assert(graft.sources.Ingest.sniffKind(vcf.getBytes("UTF-8"), "x.vcf") == "vcard")
+  }
+
+  test("ics: event summary/location/description extract in order") {
+    import graft.core.text.Contact
+    val ics = "BEGIN:VCALENDAR\r\nBEGIN:VEVENT\r\nSUMMARY:Meet\r\n" +
+      "LOCATION:Room 1\r\nDESCRIPTION:notes here\r\nDTSTART:20240101T000000Z\r\n" +
+      "END:VEVENT\r\nEND:VCALENDAR\r\n"
+    assert(Contact.isIcs(ics.toLowerCase))
+    assert(Contact.icsText(ics) == "Meet\nRoom 1\nnotes here")
+    assert(graft.sources.Ingest.sniffKind(ics.getBytes("UTF-8"), "c.ics") == "ics")
+  }
+
+  test("contact extractors are junk-tolerant, never throw") {
+    import graft.core.text.Contact
+    assert(Contact.vcardText("no colons here at all") == "")
+    assert(Contact.icsText(":::") == "")
+    assert(Contact.vcardText("FN:odd\nEMAIL:x@y") == "odd\nx@y")
+  }
 }
