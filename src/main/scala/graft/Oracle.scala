@@ -1224,6 +1224,32 @@ object Oracle {
   private val exprCode32: String =
     s"""SELECT doc_id, ${hex2int("substr(md5(text),1,8)")} AS code FROM documents"""
 
+  /** Mirror of Queries.importanceSample: hash draw under capped-length
+    * weight.
+    */
+  private val importanceSample: String = {
+    val draw = s"(${hex2int("substr(md5(text),1,8)")} % 256)"
+    s"""SELECT doc_id,
+       | LEAST(255, len(string_split(text,' ')))::BIGINT AS weight,
+       | $draw::BIGINT AS draw,
+       | (CASE WHEN $draw < LEAST(255, len(string_split(text,' '))) THEN 1 ELSE 0 END)::BIGINT AS kept
+       |FROM documents""".stripMargin
+  }
+
+  /** Mirror of Queries.packSequences: per-bucket running token sum into
+    * capacity-256 bins.
+    */
+  private val packSequences: String = {
+    val bucket = s"(${hex2int("substr(md5(text),1,8)")} % 100)"
+    s"""WITH t AS (SELECT doc_id, $bucket::BIGINT AS bucket,
+       |  len(string_split(text,' '))::BIGINT AS n_tok FROM documents),
+       |c AS (SELECT doc_id, bucket, n_tok,
+       |  sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+       |SELECT doc_id, bucket, n_tok, cum::BIGINT AS cum,
+       |  ((cum - n_tok) // 256)::BIGINT AS bin FROM c""".stripMargin
+  }
+
   /** Mirror of Queries.splitAssign: content-hash bucket + split label. */
   private val splitAssign: String = {
     val bucket = s"(${hex2int("substr(md5(text),1,8)")} % 100)"
@@ -1408,6 +1434,8 @@ object Oracle {
     "q_pst_ansi" -> pstExplode,
     "q_tnef_explode" -> tnefExplode,
     "q_contact_text" -> contactText,
+    "q_importance_sample" -> importanceSample,
+    "q_pack_sequences" -> packSequences,
     "q_pst_reconcile" -> pstReconcile,
     "q_cfb_explode" -> cfbExplode,
     "q_docx_media" -> docxMedia,

@@ -1742,6 +1742,40 @@ object Queries {
           .otherwise("test"))
   }
 
+  /** Deterministic quality-weighted resampling (the DCLM/Dolma-style
+    * corpus reweighting step): keep a document iff its content-hash draw
+    * falls under its integer weight (here capped word count / 256) —
+    * seedless, rerun-stable, shard-independent, and purely map-side
+    * codegen (no typed lambda, no shuffle at any scale).
+    */
+  def importanceSample(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    docs(spark, dir).select(col("doc_id"),
+      least(lit(255), size(split(col("text"), " "))).cast("long").as("weight"),
+      (call_function("graft_code32", col("text")) % 256).as("draw"))
+      .withColumn("kept", (col("draw") < col("weight")).cast("long"))
+  }
+
+  /** Sequence packing (pretraining batch prep): within each content-hash
+    * bucket, documents pack greedily in doc_id order into fixed-capacity
+    * token bins — bin = floor(preceding-tokens / capacity). The window
+    * sorts PER BUCKET, never globally: at 100 TB the bucket count scales
+    * with the corpus so each partition's sort stays bounded, and the
+    * assignment is reproducible across runs and shards.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val toks = docs(spark, dir).select(col("doc_id"),
+      (call_function("graft_code32", col("text")) % 100).as("bucket"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", ((col("cum") - col("n_tok")) / lit(256L)).cast("long"))
+      .select("doc_id", "bucket", "n_tok", "cum", "bin")
+  }
+
   /** Corpus word-frequency scoring (the CCNet-style LM-quality signal,
     * integer-exact stand-in: a document of globally rare words scores
     * low): words explode, the corpus unigram counts aggregate map-side
@@ -1822,6 +1856,8 @@ object Queries {
     "q_pst_ansi" -> (pstAnsi _),
     "q_tnef_explode" -> (tnefExplode _),
     "q_contact_text" -> (contactText _),
+    "q_importance_sample" -> (importanceSample _),
+    "q_pack_sequences" -> (packSequences _),
     "q_pst_reconcile" -> (pstReconcile _),
     "q_cfb_explode" -> (cfbExplode _),
     "q_docx_media" -> (docxMedia _),
