@@ -1250,6 +1250,29 @@ object Oracle {
        |  ((cum - n_tok) // 256)::BIGINT AS bin FROM c""".stripMargin
   }
 
+  /** Mirror of Queries.codecExplode: xz and lz4 text members, plus the
+    * %86 snappy-wrapped zip recomputed like the other codec-nested zips.
+    */
+  private val codecExplode: String =
+    """WITH z AS (SELECT doc_id, sha256(doc_id::VARCHAR) AS rid
+      |           FROM documents WHERE doc_id%43=0),
+      |n AS (SELECT doc_id, rid,
+      |  sha256('64:'||sha256('5:s.txt'||octet_length(encode('sinner '||doc_id))||':sinner '||doc_id)
+      |    ||'64:'||rid||'1:2'||'0:'||'0:') AS ns
+      | FROM z WHERE doc_id%86=0)
+      |SELECT doc_id, rid AS node_id, '' AS parent_id, 0 AS level, '' AS txt,
+      |       'empty-file' AS reason FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('xzp '||doc_id)||'64:'||rid||'1:0'||'0:'||'0:'),
+      |  rid, 1, 'xzp '||doc_id, '' FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('lzf '||doc_id)||'64:'||rid||'1:1'||'0:'||'0:'),
+      |  rid, 1, 'lzf '||doc_id, '' FROM z
+      |UNION ALL SELECT doc_id, ns, rid, 1, '', 'empty-file' FROM n
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('sinner '||doc_id)||'64:'||ns||'1:0'||'0:'||'5:s.txt'),
+      |  ns, 2, 'sinner '||doc_id, '' FROM n""".stripMargin
+
   /** Mirror of Queries.splitAssign: content-hash bucket + split label. */
   private val splitAssign: String = {
     val bucket = s"(${hex2int("substr(md5(text),1,8)")} % 100)"
@@ -1436,6 +1459,7 @@ object Oracle {
     "q_contact_text" -> contactText,
     "q_importance_sample" -> importanceSample,
     "q_pack_sequences" -> packSequences,
+    "q_codec_explode" -> codecExplode,
     "q_pst_reconcile" -> pstReconcile,
     "q_cfb_explode" -> cfbExplode,
     "q_docx_media" -> docxMedia,

@@ -655,6 +655,32 @@ object Queries {
       .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
   }
 
+  /** xz / lz4 / snappy codec containers (the remaining dump-era frame
+    * codecs whose libraries ship on the Spark classpath): every %43 doc
+    * carries an xz member and an lz4 member; %86 docs add a snappy frame
+    * wrapping a zip that recurses through the archive machinery.
+    */
+  def codecExplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    import graft.sources.Archive
+    docs(spark, dir).select("doc_id").as[Long]
+      .filter(id => id % 43 == 0)
+      .flatMap { id =>
+        val base = Array(
+          SpanIn("xz", new String(Archive.xzBytes(s"xzp $id".getBytes(UTF_8)), ISO_8859_1), "", 0),
+          SpanIn("lz4", new String(Archive.lz4Bytes(s"lzf $id".getBytes(UTF_8)), ISO_8859_1), "", 1))
+        val extra =
+          if (id % 86 == 0) Array(SpanIn("snappy",
+            new String(Archive.snappyBytes(
+              Archive.zipBytes(Seq(("s.txt", s"sinner $id".getBytes(UTF_8))))), ISO_8859_1), "", 2))
+          else Array.empty[SpanIn]
+        Extract.explode(DocIn(id, base ++ extra)).map(o =>
+          (id, o.doc_id, o.parent_id, o.level, o.spans.map(_.text).mkString(""), o.no_content_reason))
+      }
+      .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
+  }
+
   /** §2.1+§2.4 WARC web-archive ingestion (ISO 28500 — the format
     * web-scale corpora like Common Crawl actually ship): %35 docs become a
     * real WARC (warcinfo + an HTTP response record carrying the standard
@@ -1858,6 +1884,7 @@ object Queries {
     "q_contact_text" -> (contactText _),
     "q_importance_sample" -> (importanceSample _),
     "q_pack_sequences" -> (packSequences _),
+    "q_codec_explode" -> (codecExplode _),
     "q_pst_reconcile" -> (pstReconcile _),
     "q_cfb_explode" -> (cfbExplode _),
     "q_docx_media" -> (docxMedia _),

@@ -98,7 +98,7 @@ object Extract {
       // zip: an OOXML PACKAGE (docx/xlsx/pptx) yields its body text;
       // a plain archive has none
       case "zip"       => (graft.core.office.Ooxml.packageText(t, cfg.maxSpanChars), "")
-      case "gzip" | "tar" | "zstd" | "bzip2" | "warc" | "jsonl" | "7z" | "pst" => ("", "") // container: no own text, entries explode to children
+      case "gzip" | "tar" | "zstd" | "bzip2" | "xz" | "lz4" | "snappy" | "warc" | "jsonl" | "7z" | "pst" => ("", "") // container: no own text, entries explode to children
       // cfb: an Outlook MESSAGE yields its body text; a generic compound
       // file is a pure container (streams explode to children)
       case "cfb"       => (graft.core.office.Msg.cfbText(t, cfg.maxSpanChars), "")
@@ -116,7 +116,7 @@ object Extract {
     * span-parallel path for reassembly).
     */
   val ContainerKinds: Set[String] =
-    Set("media", "zip", "gzip", "tar", "eml", "cfb", "zstd", "bzip2", "warc", "jsonl", "7z", "pst", "tnef")
+    Set("media", "zip", "gzip", "tar", "eml", "cfb", "zstd", "bzip2", "xz", "lz4", "snappy", "warc", "jsonl", "7z", "pst", "tnef")
 
   /** Null spans (a row written with spans=NULL) are treated as an empty
     * span array — reason=empty-file, never a failure — in BOTH the batch and
@@ -533,6 +533,12 @@ object Extract {
           Some(Vector(graft.sources.Archive.unzstd(data, cfg.maxSpanChars)))
         else if (graft.sources.Archive.isBzip2(data))
           Some(Vector(graft.sources.Archive.unbzip2(data, cfg.maxSpanChars)))
+        else if (graft.sources.Archive.isXz(data))
+          Some(Vector(graft.sources.Archive.unxz(data, cfg.maxSpanChars)))
+        else if (graft.sources.Archive.isLz4(data))
+          Some(Vector(graft.sources.Archive.unlz4(data, cfg.maxSpanChars)))
+        else if (graft.sources.Archive.isSnappy(data))
+          Some(Vector(graft.sources.Archive.unsnappy(data, cfg.maxSpanChars)))
         else if (graft.sources.Warc.isWarc(data))
           // nested web archive (the .warc.gz shape): records are its
           // entries, target URIs their resource names
@@ -655,6 +661,18 @@ object Extract {
         case "bzip2" =>
           val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
           val (n, b) = graft.sources.Archive.unbzip2(bytes, cfg.maxSpanChars)
+          spawnEntry(n, b, rootId, ord, 1); ord += 1
+        case "xz" =>
+          val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          val (n, b) = graft.sources.Archive.unxz(bytes, cfg.maxSpanChars)
+          spawnEntry(n, b, rootId, ord, 1); ord += 1
+        case "lz4" =>
+          val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          val (n, b) = graft.sources.Archive.unlz4(bytes, cfg.maxSpanChars)
+          spawnEntry(n, b, rootId, ord, 1); ord += 1
+        case "snappy" =>
+          val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          val (n, b) = graft.sources.Archive.unsnappy(bytes, cfg.maxSpanChars)
           spawnEntry(n, b, rootId, ord, 1); ord += 1
         case "warc" =>
           // each content-bearing web-archive record (response/resource)

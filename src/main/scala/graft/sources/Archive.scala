@@ -105,7 +105,14 @@ object Archive {
       }
       out.result()
     } catch {
-      case e: java.util.zip.ZipException => throw new ParseFailure(s"corrupt zip: ${e.getMessage}")
+      case e: java.util.zip.ZipException =>
+        // the JDK refuses GPBF-bit-0 entries with this message; that is
+        // password protection, not corruption — classify as encrypted
+        // (FAILURE_NOT_DECRYPTED), like the reference's
+        // EncryptedDocumentException archive route
+        if (String.valueOf(e.getMessage).contains("encrypted"))
+          throw new graft.core.DecryptFailure(s"password-protected zip entry: ${e.getMessage}")
+        throw new ParseFailure(s"corrupt zip: ${e.getMessage}")
       case e: java.io.EOFException => throw new ParseFailure(s"truncated zip: ${e.getMessage}")
       case e: java.io.IOException => throw new ParseFailure(s"unreadable zip: ${e.getMessage}")
     } finally zis.close()
@@ -144,7 +151,14 @@ object Archive {
       }
       out.result()
     } catch {
-      case e: java.util.zip.ZipException => throw new ParseFailure(s"corrupt zip: ${e.getMessage}")
+      case e: java.util.zip.ZipException =>
+        // the JDK refuses GPBF-bit-0 entries with this message; that is
+        // password protection, not corruption — classify as encrypted
+        // (FAILURE_NOT_DECRYPTED), like the reference's
+        // EncryptedDocumentException archive route
+        if (String.valueOf(e.getMessage).contains("encrypted"))
+          throw new graft.core.DecryptFailure(s"password-protected zip entry: ${e.getMessage}")
+        throw new ParseFailure(s"corrupt zip: ${e.getMessage}")
       case e: java.io.EOFException => throw new ParseFailure(s"truncated zip: ${e.getMessage}")
       case e: java.io.IOException => throw new ParseFailure(s"unreadable zip: ${e.getMessage}")
     } finally zis.close()
@@ -280,6 +294,92 @@ object Archive {
       finally zis.close()
     } catch {
       case e: java.io.IOException => throw new ParseFailure(s"corrupt bzip2: ${e.getMessage}")
+    }
+
+  /** XZ stream magic FD '7zXZ' 00 (org.tukaani.xz on the Spark
+    * classpath — .xz is the kernel.org/tarball-era dump codec).
+    */
+  def isXz(bytes: Array[Byte]): Boolean =
+    bytes.length >= 6 && bytes(0) == 0xfd.toByte && bytes(1) == '7' &&
+      bytes(2) == 'z' && bytes(3) == 'X' && bytes(4) == 'Z' && bytes(5) == 0
+
+  /** Deterministic xz stream (fixed LZMA2 preset, no extra filters). */
+  def xzBytes(data: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val xos = new org.tukaani.xz.XZOutputStream(bos, new org.tukaani.xz.LZMA2Options(6))
+    xos.write(data); xos.close()
+    bos.toByteArray
+  }
+
+  /** xz member: decoder memory HARD-CAPPED (64 MiB) so a crafted
+    * dictionary size classifies instead of exhausting the executor —
+    * the same zip-bomb posture as the flate cap.
+    */
+  def unxz(bytes: Array[Byte], maxBytes: Int): (String, Option[Array[Byte]]) =
+    try {
+      val xis = new org.tukaani.xz.XZInputStream(new ByteArrayInputStream(bytes), 64 * 1024)
+      try ("", readCapped(xis, maxBytes))
+      finally xis.close()
+    } catch {
+      case e: RuntimeException =>
+        throw new ParseFailure(s"corrupt xz: ${e.getMessage}")
+      case e: org.tukaani.xz.MemoryLimitException =>
+        throw new ParseFailure(s"xz dictionary over the 64 MiB decode cap: ${e.getMessage}")
+      case e: java.io.IOException => throw new ParseFailure(s"corrupt xz: ${e.getMessage}")
+    }
+
+  /** LZ4 frame magic 04 22 4D 18 (lz4-java on the Spark classpath). */
+  def isLz4(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && bytes(0) == 0x04.toByte && bytes(1) == 0x22.toByte &&
+      bytes(2) == 0x4d.toByte && bytes(3) == 0x18.toByte
+
+  /** Deterministic lz4 frame (fixed block size, content-checksum off is
+    * the library default shape).
+    */
+  def lz4Bytes(data: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val los = new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+    los.write(data); los.close()
+    bos.toByteArray
+  }
+
+  def unlz4(bytes: Array[Byte], maxBytes: Int): (String, Option[Array[Byte]]) =
+    try {
+      val lis = new net.jpountz.lz4.LZ4FrameInputStream(new ByteArrayInputStream(bytes))
+      try ("", readCapped(lis, maxBytes))
+      finally lis.close()
+    } catch {
+      // lz4-java surfaces some malformed frame descriptors as bare
+      // RuntimeException (e.g. dependent-block streams), not IOException
+      case e @ (_: java.io.IOException | _: RuntimeException) =>
+        throw new ParseFailure(s"corrupt lz4: ${e.getMessage}")
+    }
+
+  /** Snappy FRAMED stream identifier ff 06 00 00 "sNaPpY" (snappy-java
+    * on the Spark classpath; the Hadoop-era .snappy/.sz framing).
+    */
+  def isSnappy(bytes: Array[Byte]): Boolean =
+    bytes.length >= 10 && bytes(0) == 0xff.toByte && bytes(1) == 0x06.toByte &&
+      bytes(2) == 0 && bytes(3) == 0 && bytes(4) == 's' && bytes(5) == 'N' &&
+      bytes(6) == 'a' && bytes(7) == 'P' && bytes(8) == 'p' && bytes(9) == 'Y'
+
+  def snappyBytes(data: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val sos = new org.xerial.snappy.SnappyFramedOutputStream(bos)
+    sos.write(data); sos.close()
+    bos.toByteArray
+  }
+
+  def unsnappy(bytes: Array[Byte], maxBytes: Int): (String, Option[Array[Byte]]) =
+    try {
+      val sis = new org.xerial.snappy.SnappyFramedInputStream(new ByteArrayInputStream(bytes))
+      try ("", readCapped(sis, maxBytes))
+      finally sis.close()
+    } catch {
+      case e @ (_: java.io.IOException | _: RuntimeException) =>
+        throw new ParseFailure(s"corrupt snappy: ${e.getMessage}")
+      case e: org.xerial.snappy.SnappyError => // an Error subclass, deliberately caught:
+        throw new ParseFailure(s"corrupt snappy: ${e.getMessage}") // junk framing, not a VM fault
     }
 
   /** 7-Zip signature: '7z' BC AF 27 1C (commons-compress SevenZFile on

@@ -48,6 +48,9 @@ object Ingest {
     else if (startsWith(Array[Byte](0x1f, 0x8b.toByte))) "gzip"
     else if (Warc.isWarc(bytes)) "warc"      // ISO 28500 web archive (Common Crawl)
     else if (Archive.isZstd(bytes)) "zstd"   // RFC 8878 frame (.zst corpora)
+    else if (Archive.isXz(bytes)) "xz"       // xz stream (.xz tarball era)
+    else if (Archive.isLz4(bytes)) "lz4"     // LZ4 frame
+    else if (Archive.isSnappy(bytes)) "snappy" // snappy framed (.sz Hadoop era)
     else if (Archive.is7z(bytes)) "7z"       // 7-Zip archive
     else if (Archive.isBzip2(bytes)) "bzip2" // classic dump archives
     else if (graft.core.office.Pst.isPst(bytes)) "pst" // Outlook mailbox (!BDN, MS-PST)

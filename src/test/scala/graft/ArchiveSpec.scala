@@ -237,4 +237,60 @@ class ArchiveSpec extends AnyFunSuite {
     assert(nodes.exists(n => n.level == 2 &&
       n.spans.map(_.text).mkString.contains("crawled page text")))
   }
+
+  test("xz, lz4, and snappy frames round-trip and cap refusals count") {
+    import graft.sources.Archive
+    val payload = "codec payload".getBytes("UTF-8")
+    for ((enc, dec, is_) <- Seq[
+        (Array[Byte] => Array[Byte], (Array[Byte], Int) => (String, Option[Array[Byte]]), Array[Byte] => Boolean)](
+        (Archive.xzBytes _, Archive.unxz _, Archive.isXz _),
+        (Archive.lz4Bytes _, Archive.unlz4 _, Archive.isLz4 _),
+        (Archive.snappyBytes _, Archive.unsnappy _, Archive.isSnappy _))) {
+      val framed = enc(payload)
+      assert(is_(framed))
+      val (name, data) = dec(framed, 1 << 20)
+      assert(name == "" && data.exists(_.sameElements(payload)))
+      // over-cap payload refuses as a COUNTED refusal (None), not a throw
+      val (_, refused) = dec(enc(Array.fill[Byte](5000)('x')), 100)
+      assert(refused.isEmpty)
+      // junk after the magic classifies
+      intercept[graft.core.ParseFailure](dec(framed.take(8) ++ Array.fill[Byte](40)(7), 1 << 20))
+    }
+  }
+
+  test("codec kinds sniff and explode through the container machinery") {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    import graft.core.{DocIn, SpanIn}
+    import graft.core.route.Extract
+    import graft.sources.{Archive, Ingest}
+    assert(Ingest.sniffKind(Archive.xzBytes("a".getBytes)) == "xz")
+    assert(Ingest.sniffKind(Archive.lz4Bytes("a".getBytes)) == "lz4")
+    assert(Ingest.sniffKind(Archive.snappyBytes("a".getBytes)) == "snappy")
+    // nested: an xz member inside a zip recurses
+    val zip = Archive.zipBytes(Seq(("d.xz", Archive.xzBytes("deep xz text".getBytes("UTF-8")))))
+    val nodes = Extract.explode(DocIn(31L, Array(SpanIn("zip", new String(zip, ISO_8859_1), "", 0))))
+    assert(nodes.exists(n => n.level == 2 && n.spans.exists(_.text == "deep xz text")))
+  }
+
+  test("password-protected zip entries classify as encrypted, not corrupt") {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    import graft.core.{DocIn, SpanIn}
+    import graft.core.route.Extract
+    import graft.sources.Archive
+    val zip = Archive.zipBytes(Seq(("locked.txt", "secret".getBytes("UTF-8"))))
+    // set GPBF bit 0 (encryption) in the first local file header
+    assert(zip(0) == 'P' && zip(1) == 'K')
+    val c = zip.clone(); c(6) = (c(6) | 1).toByte
+    val e = intercept[graft.core.DecryptFailure](Archive.unzip(c, 1 << 20))
+    assert(e.getMessage.contains("password-protected"))
+    // top-level: the job layer classifies the whole doc NOT_DECRYPTED
+    // (same contract as an encrypted pst/pdf)
+    val top = intercept[graft.core.DecryptFailure](
+      Extract.explode(DocIn(32L, Array(SpanIn("zip", new String(c, ISO_8859_1), "", 0)))))
+    assert(graft.pipeline.ExtractJob.classify(top) == graft.core.Status.NotDecrypted)
+    // nested: the child carries the encrypted reason, the parent survives
+    val outer = Archive.zipBytes(Seq(("locked.zip", c)))
+    val nodes = Extract.explode(DocIn(33L, Array(SpanIn("zip", new String(outer, ISO_8859_1), "", 0))))
+    assert(nodes.exists(n => n.level == 1 && n.no_content_reason == "encrypted"))
+  }
 }

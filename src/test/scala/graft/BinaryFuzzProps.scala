@@ -86,6 +86,15 @@ object BinaryFuzzProps extends Properties("BinaryFuzz") {
       total(graft.core.mail.Tnef.parse(b))
     }
 
+  property("xz/lz4/snappy codecs: junk classifies") = Prop.forAll(junk) { b =>
+    total(graft.sources.Archive.unxz(
+      Array[Byte](0xfd.toByte, '7', 'z', 'X', 'Z', 0) ++ b, 1 << 20)) &&
+      total(graft.sources.Archive.unlz4(
+        Array[Byte](0x04, 0x22, 0x4d, 0x18) ++ b, 1 << 20)) &&
+      total(graft.sources.Archive.unsnappy(
+        Array[Byte](0xff.toByte, 0x06, 0, 0, 's', 'N', 'a', 'P', 'p', 'Y') ++ b, 1 << 20))
+  }
+
   property("odf bodyText is total on arbitrary markup") =
     Prop.forAll(Gen.asciiPrintableStr) { s =>
       total(graft.core.office.Odf.bodyText("<text:p>" + s + "</text:p>")) &&
