@@ -1240,9 +1240,10 @@ object Oracle {
     * capacity-256 bins.
     */
   private val packSequences: String = {
-    val bucket = s"(${hex2int("substr(md5(text),1,8)")} % 100)"
-    s"""WITH t AS (SELECT doc_id, $bucket::BIGINT AS bucket,
-       |  len(string_split(text,' '))::BIGINT AS n_tok FROM documents),
+    val bucket = s"(${hex2int("substr(md5(text),1,8)")} % nb)"
+    s"""WITH cnt AS (SELECT GREATEST(100, (count(*) + 999) // 1000) AS nb FROM documents),
+       |t AS (SELECT doc_id, $bucket::BIGINT AS bucket,
+       |  len(string_split(text,' '))::BIGINT AS n_tok FROM documents, cnt),
        |c AS (SELECT doc_id, bucket, n_tok,
        |  sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)

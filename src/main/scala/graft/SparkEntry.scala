@@ -1792,8 +1792,14 @@ object Queries {
   def packSequences(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.ensureRegistered(spark)
+    // bucket count DERIVES from corpus size (~1000 docs/bucket, floor
+    // 100) so the per-bucket window sort stays bounded at any scale —
+    // one count() action, the same cost model as the IVF nLists
+    // derivation (oracle-mirrored)
+    val n = docs(spark, dir).count()
+    val nBuckets = math.max(100L, (n + 999L) / 1000L)
     val toks = docs(spark, dir).select(col("doc_id"),
-      (call_function("graft_code32", col("text")) % 100).as("bucket"),
+      (call_function("graft_code32", col("text")) % nBuckets).as("bucket"),
       size(split(col("text"), " ")).cast("long").as("n_tok"))
     val w = Window.partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -56,6 +56,7 @@ object Tnef {
   private val PtBinary = 0x0102
 
   private val PidSenderName = 0x0C1A
+  private val PidBody = 0x1000
 
   def isTnef(bytes: Array[Byte]): Boolean =
     bytes.length >= 6 && Biff.u32(bytes, 0) == Signature
@@ -73,15 +74,18 @@ object Tnef {
     s
   }
 
-  /** Sender name out of the attMsgProps MAPI property stream (subset —
-    * see the object scaladoc).
+  /** Sender name and (optional) Unicode body out of the attMsgProps MAPI
+    * property stream (subset — see the object scaladoc). A PT_UNICODE
+    * PidTagBody is preferred over the cp1252 attBody so non-Latin text
+    * survives byte-exactly.
     */
-  private def mapiSender(b: Array[Byte]): String = {
+  private def mapiProps(b: Array[Byte]): (String, Option[String]) = {
     if (b.length < 4) throw new ParseFailure("TNEF MAPI stream truncated")
     val cProps = Biff.u32(b, 0)
     if (cProps < 0 || cProps > 4096) throw new ParseFailure("TNEF implausible MAPI count")
     var off = 4
     var sender = ""
+    var uniBody: Option[String] = None
     var i = 0L
     while (i < cProps) {
       val tag = Biff.u32(b, off)
@@ -103,19 +107,19 @@ object Tnef {
           val raw = java.util.Arrays.copyOfRange(b, off, off + cb.toInt)
           off += cb.toInt
           off += (4 - (cb.toInt % 4)) % 4 // values pad to dword
-          if (pid == PidSenderName && ptype == PtUnicode)
-            sender = new String(raw, 0,
-              if (raw.length >= 2 && raw(raw.length - 1) == 0 && raw(raw.length - 2) == 0)
-                raw.length - 2 else raw.length,
-              StandardCharsets.UTF_16LE)
-          else if (pid == PidSenderName && ptype == PtString8)
-            sender = cstr(raw)
+          def uni16: String = new String(raw, 0,
+            if (raw.length >= 2 && raw(raw.length - 1) == 0 && raw(raw.length - 2) == 0)
+              raw.length - 2 else raw.length,
+            StandardCharsets.UTF_16LE)
+          if (pid == PidSenderName && ptype == PtUnicode) sender = uni16
+          else if (pid == PidSenderName && ptype == PtString8) sender = cstr(raw)
+          else if (pid == PidBody && ptype == PtUnicode) uniBody = Some(uni16)
         case t =>
           throw new ParseFailure(f"TNEF MAPI property type 0x$t%04x unsupported")
       }
       i += 1
     }
-    sender
+    (sender, uniBody)
   }
 
   /** Parse a TNEF stream to the same logical message shape `.msg` uses. */
@@ -145,8 +149,11 @@ object Tnef {
       off += 2
       attr match {
         case AttSubject => subject = cstr(data)
-        case AttBody => body = cstr(data)
-        case AttMsgProps => from = mapiSender(data)
+        case AttBody => if (body.isEmpty) body = cstr(data)
+        case AttMsgProps =>
+          val (f, uniBody) = mapiProps(data)
+          if (f.nonEmpty) from = f
+          uniBody.foreach(body = _) // Unicode body outranks cp1252 attBody
         case AttAttachRendData => atts += Att("", Array.empty)
         case AttAttachTitle =>
           if (atts.isEmpty) throw new ParseFailure("TNEF attachment title before RendData")
@@ -200,15 +207,23 @@ object Tnef {
       attribute(LvlMessage, AttOemCodepage, cp.toArray)
     }
     attribute(LvlMessage, AttMessageClass, cbytes("IPM.Microsoft Mail.Note"))
-    if (from.nonEmpty) {
+    locally {
+      // sender AND a PT_UNICODE body ride the MAPI stream so the parse is
+      // Unicode-transparent (attBody below is the lossy cp1252 fallback
+      // real readers also accept)
+      val props = ArrayBuffer.empty[(Long, String)]
+      if (from.nonEmpty) props += (((PidSenderName.toLong << 16) | PtUnicode, from))
+      props += (((PidBody.toLong << 16) | PtUnicode, body))
       val mp = ArrayBuffer.empty[Byte]
-      putU32(mp, 1L) // one property
-      putU32(mp, (PidSenderName.toLong << 16) | PtUnicode)
-      putU32(mp, 1L) // cValues
-      val raw = (from + "\u0000").getBytes(StandardCharsets.UTF_16LE) // counted NUL-terminated
-      putU32(mp, raw.length.toLong)
-      mp ++= raw
-      (0 until (4 - raw.length % 4) % 4).foreach(_ => mp += 0.toByte)
+      putU32(mp, props.length.toLong)
+      props.foreach { case (tag, v) =>
+        putU32(mp, tag)
+        putU32(mp, 1L) // cValues
+        val raw = (v + "\u0000").getBytes(StandardCharsets.UTF_16LE) // counted NUL-terminated
+        putU32(mp, raw.length.toLong)
+        mp ++= raw
+        (0 until (4 - raw.length % 4) % 4).foreach(_ => mp += 0.toByte)
+      }
       attribute(LvlMessage, AttMsgProps, mp.toArray)
     }
     attribute(LvlMessage, AttSubject, cbytes(subject))

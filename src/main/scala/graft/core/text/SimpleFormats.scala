@@ -280,15 +280,33 @@ object Contact {
     val unfolded = s.replace("\r\n", "\n").replace("\r", "\n")
       .replace("\n ", "").replace("\n\t", "")
     unfolded.split('\n').iterator.flatMap { line =>
-      val c = line.indexOf(':')
+      val c = unquotedColon(line)
       if (c <= 0) None
       else {
-        // property name without parameters (NAME;PARAM=V:value)
-        val name = line.substring(0, c).takeWhile(_ != ';').trim
+        // property name without parameters (NAME;PARAM=V:value), group
+        // prefix stripped (item1.EMAIL — the iOS/Google export shape)
+        val base = line.substring(0, c).takeWhile(_ != ';').trim
+        val name = base.substring(base.indexOf('.') + 1)
           .toUpperCase(java.util.Locale.ROOT)
         Some((name, unescape(line.substring(c + 1))))
       }
     }.toVector
+  }
+
+  /** Index of the first ':' outside DQUOTE-quoted parameter values
+    * (RFC 6350 §3.3 — a LABEL="...:..." param must not truncate the
+    * value), or -1.
+    */
+  private def unquotedColon(line: String): Int = {
+    var i = 0
+    var quoted = false
+    while (i < line.length) {
+      val ch = line.charAt(i)
+      if (ch == '"') quoted = !quoted
+      else if (ch == ':' && !quoted) return i
+      i += 1
+    }
+    -1
   }
 
   private def unescape(v: String): String = {
@@ -307,10 +325,20 @@ object Contact {
     sb.toString
   }
 
+  /** Leading BOM skipped in both shapes the detector meets: the decoded
+    * U+FEFF and the latin1-viewed UTF-8 bytes EF BB BF (Outlook/Windows
+    * exports commonly prefix one).
+    */
+  private def skipBom(head: String): String =
+    if (head.startsWith("\ufeff")) head.substring(1)
+    else if (head.length >= 3 && head.charAt(0) == '\u00ef' &&
+      head.charAt(1) == '\u00bb' && head.charAt(2) == '\u00bf') head.substring(3)
+    else head
+
   def isVcard(head: String): Boolean =
-    head.toUpperCase(java.util.Locale.ROOT).startsWith("BEGIN:VCARD")
+    skipBom(head).toUpperCase(java.util.Locale.ROOT).startsWith("BEGIN:VCARD")
   def isIcs(head: String): Boolean =
-    head.toUpperCase(java.util.Locale.ROOT).startsWith("BEGIN:VCALENDAR")
+    skipBom(head).toUpperCase(java.util.Locale.ROOT).startsWith("BEGIN:VCALENDAR")
 
   /** Human-facing vCard properties, in card order. */
   private val VcardProps = Set("FN", "ORG", "TITLE", "EMAIL", "TEL", "NOTE", "ADR")

@@ -82,6 +82,16 @@ object Archive {
     * failure). `maxEntries` bounds the walk (entries beyond it are refused
     * as (name, None) and the walk stops reading payloads).
     */
+  /** Shared ZipException triage: the JDK refuses GPBF-bit-0 entries with
+    * an "encrypted" message — password protection, not corruption
+    * (FAILURE_NOT_DECRYPTED, like the reference's
+    * EncryptedDocumentException archive route).
+    */
+  private def classifyZip(e: java.util.zip.ZipException): Nothing =
+    if (String.valueOf(e.getMessage).contains("encrypted"))
+      throw new graft.core.DecryptFailure(s"password-protected zip entry: ${e.getMessage}")
+    else throw new ParseFailure(s"corrupt zip: ${e.getMessage}")
+
   def unzip(bytes: Array[Byte], maxEntryBytes: Int,
             maxEntries: Int = 10000): Vector[UnzippedEntry] = {
     val out = Vector.newBuilder[UnzippedEntry]
@@ -106,13 +116,16 @@ object Archive {
       out.result()
     } catch {
       case e: java.util.zip.ZipException =>
-        // the JDK refuses GPBF-bit-0 entries with this message; that is
-        // password protection, not corruption — classify as encrypted
-        // (FAILURE_NOT_DECRYPTED), like the reference's
-        // EncryptedDocumentException archive route
-        if (String.valueOf(e.getMessage).contains("encrypted"))
-          throw new graft.core.DecryptFailure(s"password-protected zip entry: ${e.getMessage}")
-        throw new ParseFailure(s"corrupt zip: ${e.getMessage}")
+        // per-entry isolation (the reference extracts readable siblings
+        // of an encrypted entry): entries already streamed survive, the
+        // encrypted remainder becomes ONE counted refusal — the stream
+        // cannot advance past an entry the JDK refuses to inflate. A
+        // FULLY encrypted archive (nothing readable) still classifies
+        // NOT_DECRYPTED for the whole document.
+        val soFar = out.result()
+        if (String.valueOf(e.getMessage).contains("encrypted") && soFar.exists(_._2.nonEmpty))
+          soFar :+ (("<encrypted-remainder>", None: Option[Array[Byte]]))
+        else classifyZip(e)
       case e: java.io.EOFException => throw new ParseFailure(s"truncated zip: ${e.getMessage}")
       case e: java.io.IOException => throw new ParseFailure(s"unreadable zip: ${e.getMessage}")
     } finally zis.close()
@@ -152,13 +165,16 @@ object Archive {
       out.result()
     } catch {
       case e: java.util.zip.ZipException =>
-        // the JDK refuses GPBF-bit-0 entries with this message; that is
-        // password protection, not corruption — classify as encrypted
-        // (FAILURE_NOT_DECRYPTED), like the reference's
-        // EncryptedDocumentException archive route
-        if (String.valueOf(e.getMessage).contains("encrypted"))
-          throw new graft.core.DecryptFailure(s"password-protected zip entry: ${e.getMessage}")
-        throw new ParseFailure(s"corrupt zip: ${e.getMessage}")
+        // per-entry isolation (the reference extracts readable siblings
+        // of an encrypted entry): entries already streamed survive, the
+        // encrypted remainder becomes ONE counted refusal — the stream
+        // cannot advance past an entry the JDK refuses to inflate. A
+        // FULLY encrypted archive (nothing readable) still classifies
+        // NOT_DECRYPTED for the whole document.
+        val soFar = out.result()
+        if (String.valueOf(e.getMessage).contains("encrypted") && soFar.exists(_._2.nonEmpty))
+          soFar :+ (("<encrypted-remainder>", None: Option[Array[Byte]]))
+        else classifyZip(e)
       case e: java.io.EOFException => throw new ParseFailure(s"truncated zip: ${e.getMessage}")
       case e: java.io.IOException => throw new ParseFailure(s"unreadable zip: ${e.getMessage}")
     } finally zis.close()

@@ -132,7 +132,7 @@ object Ingest {
     */
   def decodePayload(kind: String, bytes: Array[Byte]): String = kind match {
     case "html" => htmlCharset(bytes).map(new String(bytes, _)).getOrElse(decodeText(bytes))
-    case "text" | "jsonl" | "csv" => decodeText(bytes)
+    case "text" | "jsonl" | "csv" | "vcard" | "ics" => decodeText(bytes)
     // NOT eml: MIME is byte-transparent latin1 on purpose — base64
     // attachment decoding needs the raw octets
     case _ => new String(bytes, StandardCharsets.ISO_8859_1) // lossless bytes

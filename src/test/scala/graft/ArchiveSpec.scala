@@ -272,6 +272,29 @@ class ArchiveSpec extends AnyFunSuite {
     assert(nodes.exists(n => n.level == 2 && n.spans.exists(_.text == "deep xz text")))
   }
 
+  test("encrypted SIBLING entries isolate: plaintext survives, tail counts") {
+    import graft.sources.Archive
+    val zip = Archive.zipBytes(Seq(
+      ("open.txt", "readable".getBytes("UTF-8")),
+      ("locked.txt", "secret".getBytes("UTF-8"))))
+    // flip GPBF bit 0 on the SECOND local file header only
+    val c = zip.clone()
+    var idx = -1; var found = 0
+    var i = 0
+    while (i < c.length - 4 && idx < 0) {
+      if (c(i) == 'P' && c(i + 1) == 'K' && c(i + 2) == 3 && c(i + 3) == 4) {
+        found += 1
+        if (found == 2) idx = i
+      }
+      i += 1
+    }
+    assert(idx > 0)
+    c(idx + 6) = (c(idx + 6) | 1).toByte
+    val entries = Archive.unzip(c, 1 << 20)
+    assert(entries.exists { case (n, b) => n == "open.txt" && b.exists(_.sameElements("readable".getBytes("UTF-8"))) })
+    assert(entries.exists { case (n, b) => n == "<encrypted-remainder>" && b.isEmpty })
+  }
+
   test("password-protected zip entries classify as encrypted, not corrupt") {
     import java.nio.charset.StandardCharsets.ISO_8859_1
     import graft.core.{DocIn, SpanIn}

@@ -178,6 +178,24 @@ class SimpleFormatsSpec extends AnyFunSuite {
     assert(graft.sources.Ingest.sniffKind(ics.getBytes("UTF-8"), "c.ics") == "ics")
   }
 
+  test("vcard: group prefixes, quoted-param colons, and BOM heads handle") {
+    import graft.core.text.Contact
+    // iOS/Google export shape: grouped properties still extract
+    val grouped = "BEGIN:VCARD\r\nitem1.EMAIL;type=INTERNET:a@b.com\r\nitem1.X-ABLabel:work\r\nEND:VCARD\r\n"
+    assert(Contact.vcardText(grouped) == "a@b.com")
+    // a quoted LABEL param containing ':' must not truncate the value
+    val quoted = "BEGIN:VCARD\r\nADR;LABEL=\"12 Main St: Apt 4\":the address\r\nEND:VCARD\r\n"
+    assert(Contact.vcardText(quoted) == "the address")
+    // UTF-8 BOM prefixed exports still sniff as their kind
+    val bom = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+      "BEGIN:VCARD\r\nFN:B\r\nEND:VCARD\r\n".getBytes("UTF-8")
+    assert(graft.sources.Ingest.sniffKind(bom, "b.vcf") == "vcard")
+    assert(Contact.isIcs("\ufeffBEGIN:VCALENDAR"))
+    // nested non-ASCII vcard text decodes as UTF-8 through the entry path
+    assert(graft.sources.Ingest.decodePayload("vcard",
+      "BEGIN:VCARD\r\nFN:Jos\u00e9\r\nEND:VCARD\r\n".getBytes("UTF-8")).contains("Jos\u00e9"))
+  }
+
   test("contact extractors are junk-tolerant, never throw") {
     import graft.core.text.Contact
     assert(Contact.vcardText("no colons here at all") == "")

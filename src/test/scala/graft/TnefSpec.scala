@@ -77,6 +77,12 @@ class TnefSpec extends AnyFunSuite {
     assert(e.getMessage.contains("named"))
   }
 
+  test("non-cp1252 body survives via the PT_UNICODE MAPI property") {
+    val body = "\u4f60\u597d \u0436 caf\u00e9" // CJK + cyrillic + accent
+    val m = Tnef.parse(Tnef.build("s", "f", body, Nil))
+    assert(m.body == body) // byte-exact despite the lossy cp1252 attBody
+  }
+
   test("determinism: same input gives byte-identical files") {
     val a = Tnef.build("s", "f", "b", Seq(("x", Array[Byte](9))))
     assert(a.sameElements(Tnef.build("s", "f", "b", Seq(("x", Array[Byte](9))))))
