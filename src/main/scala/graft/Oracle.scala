@@ -303,6 +303,34 @@ object Oracle {
       |    ||octet_length(encode('w'||doc_id||'.txt'))||':w'||doc_id||'.txt'),
       |  rid, 1, 'watt '||doc_id, '' FROM z""".stripMargin
 
+  /** Mirror of Queries.mboxExplode: postmark-split chunks rebuilt
+    * byte-exactly (chr(10) joins; DuckDB base64 = the no-wrap encoder),
+    * message ids over the raw chunks, the attachment like an eml child.
+    */
+  private val mboxExplode: String =
+    """WITH z AS (SELECT doc_id, sha256(doc_id::VARCHAR) AS rid,
+      |  'Subject: s1'||chr(10)||chr(10)||'mb one '||doc_id AS ch1,
+      |  'Subject: s2'||chr(10)||'MIME-Version: 1.0'||chr(10)
+      |    ||'Content-Type: multipart/mixed; boundary=BB'||chr(10)||chr(10)
+      |    ||'--BB'||chr(10)||'Content-Type: text/plain'||chr(10)||chr(10)
+      |    ||'mb two '||doc_id||chr(10)||'--BB'||chr(10)
+      |    ||'Content-Type: application/octet-stream'||chr(10)
+      |    ||'Content-Transfer-Encoding: base64'||chr(10)
+      |    ||'Content-Disposition: attachment; filename="m.txt"'||chr(10)||chr(10)
+      |    ||base64(encode('matt '||doc_id))||chr(10)||'--BB--' AS ch2
+      | FROM documents WHERE doc_id%41=0),
+      |c AS (SELECT doc_id, rid,
+      |  sha256('64:'||sha256(ch1)||'64:'||rid||'1:0'||'0:'||'0:') AS c1,
+      |  sha256('64:'||sha256(ch2)||'64:'||rid||'1:1'||'0:'||'0:') AS c2
+      | FROM z)
+      |SELECT doc_id, rid AS node_id, '' AS parent_id, 0 AS level, '' AS txt,
+      |       'empty-file' AS reason FROM c
+      |UNION ALL SELECT doc_id, c1, rid, 1, 'mb one '||doc_id, '' FROM c
+      |UNION ALL SELECT doc_id, c2, rid, 1, 'mb two '||doc_id, '' FROM c
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('matt '||doc_id)||'64:'||c2||'1:0'||'0:'||'5:m.txt'),
+      |  c2, 2, 'matt '||doc_id, '' FROM c""".stripMargin
+
   /** Mirror of Queries.contactText: the unfolded, unescaped, filtered
     * property values in card/component order.
     */
@@ -1457,6 +1485,7 @@ object Oracle {
     "q_pst_permute" -> pstExplode,
     "q_pst_ansi" -> pstExplode,
     "q_tnef_explode" -> tnefExplode,
+    "q_mbox_explode" -> mboxExplode,
     "q_contact_text" -> contactText,
     "q_importance_sample" -> importanceSample,
     "q_pack_sequences" -> packSequences,

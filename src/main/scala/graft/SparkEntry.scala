@@ -498,6 +498,31 @@ object Queries {
       .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
   }
 
+  /** mbox mailbox route (RFC 4155 — the mailing-list-archive format):
+    * each %41 doc becomes a two-message mailbox; the postmark split, the
+    * per-message RFC-822 parse, and the base64 attachment explosion are
+    * all oracle-recomputed (ids hash the raw message chunks).
+    */
+  def mboxExplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select("doc_id").as[Long]
+      .filter(_ % 41 == 0)
+      .flatMap { id =>
+        val b64 = java.util.Base64.getEncoder.encodeToString(
+          s"matt $id".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val mbox =
+          s"From a@x Mon Jan  1 00:00:00 2024\nSubject: s1\n\nmb one $id\n" +
+            s"From b@y Tue Jan  2 00:00:00 2024\nSubject: s2\nMIME-Version: 1.0\n" +
+            s"Content-Type: multipart/mixed; boundary=BB\n\n--BB\nContent-Type: text/plain\n\nmb two $id\n" +
+            "--BB\nContent-Type: application/octet-stream\nContent-Transfer-Encoding: base64\n" +
+            "Content-Disposition: attachment; filename=\"m.txt\"\n\n" + b64 + "\n--BB--\n"
+        val d = DocIn(id, Array(SpanIn("mbox", mbox, "", 0)))
+        Extract.explode(d).map(o =>
+          (id, o.doc_id, o.parent_id, o.level, o.spans.map(_.text).mkString(""), o.no_content_reason))
+      }
+      .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
+  }
+
   /** TNEF winmail.dat route (MS-OXTNEF; the reference reads these via
     * Tika's TNEFParser): each %29 doc becomes a real TNEF stream whose
     * body carries the document text and whose file attachment explodes as
@@ -1887,6 +1912,7 @@ object Queries {
     "q_pst_permute" -> (pstPermute _),
     "q_pst_ansi" -> (pstAnsi _),
     "q_tnef_explode" -> (tnefExplode _),
+    "q_mbox_explode" -> (mboxExplode _),
     "q_contact_text" -> (contactText _),
     "q_importance_sample" -> (importanceSample _),
     "q_pack_sequences" -> (packSequences _),

@@ -208,3 +208,55 @@ object Eml {
     out.toByteArray
   }
 }
+
+/** mbox (RFC 4155) — the classic Unix mailbox format mailing-list
+  * archives ship as: messages concatenated, each introduced by a
+  * postmark line `From <sender> <asctime-date>`. Subset (documented
+  * honestly): message SPLITTING plus per-message RFC-822 parse through
+  * [[Eml]]; the mboxrd `>From ` body-quoting convention is unescaped one
+  * level on body-leading lines. Detection requires the asctime weekday
+  * after the sender token, so prose that merely starts with "From " never
+  * sniffs as a mailbox.
+  */
+object Mbox {
+
+  private val Postmark =
+    "^From \\S+ (Mon|Tue|Wed|Thu|Fri|Sat|Sun) ".r
+
+  def isMbox(head: String): Boolean =
+    Postmark.findPrefixOf(head).isDefined
+
+  /** The raw per-message chunks (postmark line dropped, `>From `
+    * unescaped one level), in mailbox order.
+    */
+  def split(latin1: String): Vector[String] = {
+    if (!isMbox(latin1)) throw new graft.core.ParseFailure("not an mbox: no postmark line")
+    // the file-final newline produces one trailing empty split element;
+    // dropping it keeps the last message byte-identical to its siblings
+    val lines0 = latin1.split("\n", -1)
+    val lines = if (lines0.nonEmpty && lines0.last.isEmpty) lines0.init else lines0
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var started = false
+    def flush(): Unit = {
+      if (started && cur.nonEmpty) {
+        // drop the blank separator line an mbox writer appends
+        out += cur.toString.stripSuffix("\n").stripSuffix("\r")
+      }
+      cur.setLength(0)
+    }
+    lines.foreach { line0 =>
+      val line = line0.stripSuffix("\r")
+      if (Postmark.findPrefixOf(line).isDefined) { flush(); started = true }
+      else if (started) {
+        // mboxrd: a body line that originally began "From " was written
+        // ">From " — remove exactly one '>' of the escape run
+        val unescaped =
+          if (line.matches("^>+From .*")) line.substring(1) else line
+        cur.append(unescaped).append('\n')
+      }
+    }
+    flush()
+    out.result()
+  }
+}

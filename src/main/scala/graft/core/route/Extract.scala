@@ -98,7 +98,7 @@ object Extract {
       // zip: an OOXML PACKAGE (docx/xlsx/pptx) yields its body text;
       // a plain archive has none
       case "zip"       => (graft.core.office.Ooxml.packageText(t, cfg.maxSpanChars), "")
-      case "gzip" | "tar" | "zstd" | "bzip2" | "xz" | "lz4" | "snappy" | "warc" | "jsonl" | "7z" | "pst" => ("", "") // container: no own text, entries explode to children
+      case "gzip" | "tar" | "zstd" | "bzip2" | "xz" | "lz4" | "snappy" | "warc" | "jsonl" | "7z" | "pst" | "mbox" => ("", "") // container: no own text, entries explode to children
       // cfb: an Outlook MESSAGE yields its body text; a generic compound
       // file is a pure container (streams explode to children)
       case "cfb"       => (graft.core.office.Msg.cfbText(t, cfg.maxSpanChars), "")
@@ -116,7 +116,7 @@ object Extract {
     * span-parallel path for reassembly).
     */
   val ContainerKinds: Set[String] =
-    Set("media", "zip", "gzip", "tar", "eml", "cfb", "zstd", "bzip2", "xz", "lz4", "snappy", "warc", "jsonl", "7z", "pst", "tnef")
+    Set("media", "zip", "gzip", "tar", "eml", "cfb", "zstd", "bzip2", "xz", "lz4", "snappy", "warc", "jsonl", "7z", "pst", "tnef", "mbox")
 
   /** Null spans (a row written with spans=NULL) are treated as an empty
     * span array — reason=empty-file, never a failure — in BOTH the batch and
@@ -337,6 +337,21 @@ object Extract {
         o += 1
       }
       o
+    }
+
+    // one raw mbox message chunk -> an eml-shaped document child (body +
+    // recursing attachments); shared by the top-level mbox span and
+    // nested mbox entries so the two routes cannot diverge
+    def spawnMboxMessage(raw: String, parentId: String, ord: Int, level: Int): Unit = {
+      checkDeadline(deadlineNanos)
+      if (guardsRefuse(level, raw.length)) { skipped += 1; return }
+      spawned += 1
+      val m = graft.core.mail.Eml.parse(raw)
+      val cid = Ids.embedId(raw, parentId, ord)
+      emitDoc(cid, parentId, level, m.body)
+      m.attachments.zipWithIndex.foreach { case ((n, b), i) =>
+        spawnEntry(n, Some(b), cid, i, level + 1)
+      }
     }
 
     // one parsed Outlook message -> one DOCUMENT child (body text), its
@@ -589,6 +604,15 @@ object Extract {
             m.attachments.zipWithIndex.foreach { case ((n, b), i) =>
               spawnEntry(n, Some(b), cid, i, level + 1)
             }
+          } else if (kind == "mbox") {
+            // nested mailbox (mbox.gz, mbox-in-zip): a container child
+            // whose messages hang below it
+            val cid = Ids.embedId(latin1, parentId, ord, resourceName = name)
+            emitDoc(cid, parentId, level, "") // pure container node
+            graft.core.mail.Mbox.split(
+              graft.sources.Ingest.decodePayload(kind, data)).zipWithIndex.foreach {
+              case (raw, i) => spawnMboxMessage(raw, cid, i, level + 1)
+            }
           } else if (kind == "tnef") {
             // nested winmail.dat (the REAL shape: a TNEF attachment inside
             // an eml): a document child carrying the body, attachments
@@ -714,6 +738,13 @@ object Extract {
           // re-enters the archive recursion via spawnEntry's sniff
           graft.core.mail.Eml.parse(content).attachments.foreach { case (n, b) =>
             spawnEntry(n, Some(b), rootId, ord, 1); ord += 1
+          }
+        case "mbox" =>
+          // each mailbox message is a document child carrying its parsed
+          // RFC-822 body, attachments recursing — same shape as nested
+          // eml; ids hash the raw message chunk
+          graft.core.mail.Mbox.split(content).foreach { raw =>
+            spawnMboxMessage(raw, rootId, ord, 1); ord += 1
           }
         case "tnef" =>
           // winmail.dat IS the message: body text on the root (routeKind),

@@ -237,4 +237,40 @@ class EmlSpec extends AnyFunSuite {
     assert(open.body == "unclosed part")
     assert(Eml.decodeQp("=ZZ literal=").nonEmpty) // malformed escapes stay literal
   }
+
+  test("mbox: postmark split, mboxrd unescape, prose never sniffs as mbox") {
+    import graft.core.mail.Mbox
+    val mbox = "From a@x Mon Jan  1 00:00:00 2024\nSubject: one\n\nbody one\n" +
+      "From b@y Tue Jan  2 00:00:00 2024\nSubject: two\n\n>From here on\nbody two\n"
+    assert(Mbox.isMbox(mbox))
+    val chunks = Mbox.split(mbox)
+    assert(chunks.size == 2)
+    assert(chunks(0) == "Subject: one\n\nbody one")
+    // mboxrd: one level of >From unescaping in the body
+    assert(chunks(1) == "Subject: two\n\nFrom here on\nbody two")
+    // prose starting with "From " is NOT a mailbox (no asctime weekday)
+    assert(!Mbox.isMbox("From the beginning, this was prose.\nMore text."))
+    assert(graft.sources.Ingest.sniffKind(
+      "From the beginning, this was prose.".getBytes("UTF-8"), "a.txt") == "text")
+    assert(graft.sources.Ingest.sniffKind(mbox.getBytes("UTF-8"), "list.mbox") == "mbox")
+  }
+
+  test("an mbox span explodes into message children; nested mbox.gz recurses") {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    import graft.core.{DocIn, SpanIn}
+    import graft.core.route.Extract
+    val mbox = "From a@x Mon Jan  1 00:00:00 2024\nSubject: one\n\nmsg one body\n" +
+      "From b@y Tue Jan  2 00:00:00 2024\nSubject: two\n\nmsg two body\n"
+    val d = DocIn(51L, Array(SpanIn("mbox", mbox, "", 0)))
+    val nodes = Extract.explode(d)
+    assert(nodes.count(_.level == 1) == 2)
+    assert(nodes.exists(n => n.level == 1 && n.spans.exists(_.text == "msg one body")))
+    assert(nodes.exists(n => n.level == 1 && n.spans.exists(_.text == "msg two body")))
+    // nested: gzipped mailbox inside a zip -> container chain, messages below
+    val gz = graft.sources.Archive.gzipBytes(mbox.getBytes("UTF-8"), "list.mbox")
+    val zip = graft.sources.Archive.zipBytes(Seq(("list.mbox.gz", gz)))
+    val d2 = DocIn(52L, Array(SpanIn("zip", new String(zip, ISO_8859_1), "", 0)))
+    val nodes2 = Extract.explode(d2)
+    assert(nodes2.exists(n => n.level == 3 && n.spans.exists(_.text == "msg two body")))
+  }
 }
