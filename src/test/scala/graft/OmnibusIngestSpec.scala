@@ -56,10 +56,27 @@ class OmnibusIngestSpec extends AnyFunSuite {
     put("relayed_mail",
       ("Received: from relay.example\r\nFrom: x@example.com\r\n" +
         "Content-Type: text/plain\r\n\r\nextensionless mail body").getBytes(UTF_8))
+    put("win.tnef", graft.core.mail.Tnef.build("ts", "tf", "tnef body text",
+      Seq(("t.txt", "tnef attachment".getBytes(UTF_8)))))
+    put("card.vcf",
+      "BEGIN:VCARD\r\nFN:Card Name\r\nEMAIL:card@example.org\r\nEND:VCARD\r\n".getBytes(UTF_8))
+    put("cal.ics",
+      ("BEGIN:VCALENDAR\r\nBEGIN:VEVENT\r\nSUMMARY:cal event\r\n" +
+        "END:VEVENT\r\nEND:VCALENDAR\r\n").getBytes(UTF_8))
+    put("list.mbox",
+      ("From a@x Mon Jan  1 00:00:00 2024\nSubject: m1\n\nmbox msg one\n" +
+        "From b@y Tue Jan  2 00:00:00 2024\nSubject: m2\n\nmbox msg two\n").getBytes(UTF_8))
+    put("frame.xz", Archive.xzBytes("xz member".getBytes(UTF_8)))
+    put("frame.lz4", Archive.lz4Bytes("lz4 member".getBytes(UTF_8)))
+    put("frame.sz", Archive.snappyBytes("snappy member".getBytes(UTF_8)))
+    put("old.pst", graft.core.office.Pst.build(Seq(
+      graft.core.office.Pst.BuildFolder("box", Seq(
+        graft.core.office.Pst.BuildMsg("a", "ansi permute pst body")))),
+      crypt = 1, ansi = true))
     put("Thumbs.db", Array[Byte](1, 2, 3)) // junk: must be excluded
 
     val docs = Ingest.readDir(spark, dir.toString).collect()
-    assert(docs.length == 19) // every file except the junk one
+    assert(docs.length == 27) // every file except the junk one
 
     val texts = docs.flatMap(d => Extract.explode(d))
       .flatMap(o => o.spans.map(_.text)).filter(_.nonEmpty).toSet
@@ -69,7 +86,10 @@ class OmnibusIngestSpec extends AnyFunSuite {
       "zstd member", "bzip2 member", "eml body text", "msg body text",
       "msg attachment", "legacy doc text", "cell one\t2", "slide text",
       "wet record text", "jsonl one", "jsonl two", "cfb stream text",
-      "extensionless mail body", "pst message body")
+      "extensionless mail body", "pst message body",
+      "tnef body text", "tnef attachment", "Card Name" + "\n" + "card@example.org",
+      "cal event", "mbox msg one", "mbox msg two",
+      "xz member", "lz4 member", "snappy member", "ansi permute pst body")
     val missing = expected -- texts
     assert(missing.isEmpty, s"formats missing from extraction: $missing")
   }
