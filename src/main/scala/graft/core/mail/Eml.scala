@@ -64,6 +64,17 @@ object Eml {
       if (disp.toLowerCase(java.util.Locale.ROOT).contains("attachment")) {
         val cte = firstHeader(phs, "Content-Transfer-Encoding").getOrElse("")
         atts += ((param(disp, "filename"), decodeBody(pb, cte)))
+      } else if (pct.toLowerCase(java.util.Locale.ROOT).startsWith("message/rfc822")) {
+        // a FORWARDED message (typically inline / no disposition): surface
+        // it as an .eml attachment — the spawn path sniffs the RFC-822
+        // bytes and recurses, so its body and attachments become children
+        // instead of leaking raw headers into this message's text
+        val cte = firstHeader(phs, "Content-Transfer-Encoding").getOrElse("")
+        val name = {
+          val n = param(pct, "name")
+          if (n.nonEmpty) n else "forwarded.eml"
+        }
+        atts += ((name, decodeBody(pb, cte)))
       } else if (inner.nonEmpty && depth > 0) {
         val (innerBody, innerAtts) = walkMultipart(pb, inner, depth - 1)
         if (mainBody.isEmpty) mainBody = innerBody

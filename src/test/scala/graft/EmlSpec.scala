@@ -273,4 +273,29 @@ class EmlSpec extends AnyFunSuite {
     val nodes2 = Extract.explode(d2)
     assert(nodes2.exists(n => n.level == 3 && n.spans.exists(_.text == "msg two body")))
   }
+
+  test("a forwarded message/rfc822 part recurses as a nested mail child") {
+    import graft.core.{DocIn, SpanIn}
+    import graft.core.route.Extract
+    val fwd = "From: orig@example.org\r\nSubject: original\r\n" +
+      "Content-Type: multipart/mixed; boundary=II\r\n\r\n" +
+      "--II\r\nContent-Type: text/plain\r\n\r\noriginal inner body\r\n" +
+      "--II\r\nContent-Type: text/plain\r\n" +
+      "Content-Disposition: attachment; filename=o.txt\r\n\r\n" +
+      "orig attachment\r\n--II--\r\n"
+    val eml = "From: fw@example.org\r\nSubject: Fwd\r\n" +
+      "Content-Type: multipart/mixed; boundary=XX\r\n\r\n" +
+      "--XX\r\nContent-Type: text/plain\r\n\r\nsee forwarded\r\n" +
+      "--XX\r\nContent-Type: message/rfc822\r\n\r\n" + fwd +
+      "\r\n--XX--\r\n"
+    val m = graft.core.mail.Eml.parse(eml)
+    assert(m.body.contains("see forwarded"))
+    assert(!m.body.contains("original inner")) // no header/body leak
+    assert(m.attachments.map(_._1) == Vector("forwarded.eml"))
+    // through the route: the forwarded message is a level-1 child whose
+    // own attachment hangs at level 2
+    val nodes = Extract.explode(DocIn(61L, Array(SpanIn("eml", eml, "", 0))))
+    assert(nodes.exists(n => n.level == 1 && n.spans.exists(_.text == "original inner body")))
+    assert(nodes.exists(n => n.level == 2 && n.spans.exists(_.text == "orig attachment")))
+  }
 }
