@@ -126,7 +126,51 @@ object Eml {
       }
     }
     if (cur != null) out += ((cur._1, cur._2.toString))
-    out.result()
+    out.result().map { case (k, v) => (k, decodeWords(v)) }
+  }
+
+  /** RFC 2047 encoded-words (`=?charset?B|Q?data?=`): every real mail
+    * carries them in Subject/From for non-ASCII text; Tika's RFC822Parser
+    * decodes them and so must this route. B = base64; Q =
+    * quoted-printable with '_' as SPACE. Whitespace BETWEEN two adjacent
+    * encoded words is transparent (§6.2). An undecodable token (unknown
+    * charset, bad base64) stays verbatim — tolerance over data loss.
+    */
+  private val EncodedWordRe =
+    "=\\?([^?]+)\\?([bBqQ])\\?([^?]*)\\?=".r
+
+  def decodeWords(v: String): String = {
+    if (!v.contains("=?")) return v
+    val afterAdjacency = EncodedWordRe.replaceAllIn(
+      // drop whitespace separating two encoded words before decoding
+      v.replaceAll("\\?=\\s+=\\?", "?==?"), m => {
+        val cs =
+          try Some(java.nio.charset.Charset.forName(m.group(1).trim))
+          catch { case _: Exception => None }
+        val decoded: Option[String] = cs.flatMap { charset =>
+          try {
+            val raw = m.group(2).toLowerCase match {
+              case "b" => java.util.Base64.getMimeDecoder.decode(m.group(3))
+              case _ => // Q: '_' is SPACE, =HH are bytes
+                val src = m.group(3)
+                val bos = new java.io.ByteArrayOutputStream()
+                var i = 0
+                while (i < src.length) {
+                  val ch = src.charAt(i)
+                  if (ch == '_') { bos.write(' '); i += 1 }
+                  else if (ch == '=' && i + 3 <= src.length) {
+                    bos.write(Integer.parseInt(src.substring(i + 1, i + 3), 16)); i += 3
+                  }
+                  else { bos.write(ch.toInt); i += 1 }
+                }
+                bos.toByteArray
+            }
+            Some(new String(raw, charset))
+          } catch { case _: Exception => None }
+        }
+        java.util.regex.Matcher.quoteReplacement(decoded.getOrElse(m.matched))
+      })
+    afterAdjacency
   }
 
   private def firstHeader(hs: Vector[(String, String)], name: String): Option[String] =

@@ -298,4 +298,24 @@ class EmlSpec extends AnyFunSuite {
     assert(nodes.exists(n => n.level == 1 && n.spans.exists(_.text == "original inner body")))
     assert(nodes.exists(n => n.level == 2 && n.spans.exists(_.text == "orig attachment")))
   }
+
+  test("RFC 2047 encoded-words decode in headers (B, Q, adjacency, tolerance)") {
+    import graft.core.mail.Eml
+    // B-encoded UTF-8
+    assert(Eml.decodeWords("=?UTF-8?B?SsO2cm4=?=") == "J\u00f6rn")
+    // Q-encoded: underscore = space, =HH bytes
+    assert(Eml.decodeWords("=?ISO-8859-1?Q?caf=E9_au_lait?=") == "caf\u00e9 au lait")
+    // whitespace between adjacent encoded words is transparent
+    assert(Eml.decodeWords("=?UTF-8?B?YWI=?= =?UTF-8?B?Y2Q=?=") == "abcd")
+    // ordinary text around words survives; unknown charset stays verbatim
+    assert(Eml.decodeWords("Re: =?UTF-8?Q?caf=C3=A9?= indeed") == "Re: caf\u00e9 indeed")
+    assert(Eml.decodeWords("=?X-NOPE?B?QQ==?=") == "=?X-NOPE?B?QQ==?=")
+    // end-to-end: the parsed header multimap carries decoded values
+    val m = Eml.parse("From: =?UTF-8?B?SsO2cm4=?= <j@example.org>" + CRLF +
+      "Subject: =?UTF-8?Q?caf=C3=A9?=" + CRLF + CRLF + "body")
+    assert(m.headers.exists { case (k, v) => k == "From" && v == "J\u00f6rn <j@example.org>" })
+    assert(m.headers.exists { case (k, v) => k == "Subject" && v == "caf\u00e9" })
+  }
+
+  private val CRLF = "\r\n"
 }
