@@ -63,7 +63,7 @@ object Eml {
       val inner = param(pct, "boundary")
       if (disp.toLowerCase(java.util.Locale.ROOT).contains("attachment")) {
         val cte = firstHeader(phs, "Content-Transfer-Encoding").getOrElse("")
-        atts += ((param(disp, "filename"), decodeBody(pb, cte)))
+        atts += ((filenameOf(disp, pct), decodeBody(pb, cte)))
       } else if (pct.toLowerCase(java.util.Locale.ROOT).startsWith("message/rfc822")) {
         // a FORWARDED message (typically inline / no disposition): surface
         // it as an .eml attachment — the spawn path sniffs the RFC-822
@@ -197,6 +197,50 @@ object Eml {
       while (e < header.length && !";, \t".contains(header.charAt(e))) e += 1
       header.substring(j, e)
     }
+  }
+
+  /** Attachment filename with the real-mail encodings applied: an
+    * RFC 2231 extended parameter (`filename*=charset''percent-bytes`)
+    * outranks the plain one; plain values decode RFC 2047 encoded-words
+    * (illegal there per the RFC, emitted by real producers anyway, and
+    * decoded by Tika); Content-Type `name` is the legacy fallback.
+    */
+  private def filenameOf(disp: String, pct: String): String = {
+    val ext = paramExtended(disp, "filename")
+    if (ext.nonEmpty) ext
+    else {
+      val plain = param(disp, "filename")
+      if (plain.nonEmpty) decodeWords(plain)
+      else {
+        val extName = paramExtended(pct, "name")
+        if (extName.nonEmpty) extName else decodeWords(param(pct, "name"))
+      }
+    }
+  }
+
+  /** RFC 2231 `name*=` single-segment extended parameter, percent-decoded
+    * in its declared charset; undecodable values return verbatim
+    * (tolerance over loss). Multi-segment continuations (`name*0*=`) are
+    * out of subset and yield "".
+    */
+  private def paramExtended(header: String, name: String): String = {
+    val raw = param(header, name + "*")
+    if (raw.isEmpty) return ""
+    val parts = raw.split("'", 3)
+    if (parts.length < 3) return raw
+    try {
+      val cs = java.nio.charset.Charset.forName(parts(0))
+      val bos = new java.io.ByteArrayOutputStream()
+      val src = parts(2)
+      var i = 0
+      while (i < src.length) {
+        val ch = src.charAt(i)
+        if (ch == '%' && i + 3 <= src.length) {
+          bos.write(Integer.parseInt(src.substring(i + 1, i + 3), 16)); i += 3
+        } else { bos.write(ch.toInt); i += 1 }
+      }
+      new String(bos.toByteArray, cs)
+    } catch { case _: Exception => raw }
   }
 
   /** Part bodies between --boundary delimiter lines, ending at

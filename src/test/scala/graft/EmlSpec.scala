@@ -318,4 +318,19 @@ class EmlSpec extends AnyFunSuite {
   }
 
   private val CRLF = "\r\n"
+
+  test("RFC 2231 extended filenames and encoded-word filenames decode") {
+    import graft.core.mail.Eml
+    val eml = ("Content-Type: multipart/mixed; boundary=XX" + CRLF + CRLF +
+      "--XX" + CRLF + "Content-Type: text/plain" + CRLF + CRLF + "body" + CRLF +
+      "--XX" + CRLF + "Content-Type: application/octet-stream" + CRLF +
+      "Content-Disposition: attachment; filename*=UTF-8''caf%C3%A9.txt" + CRLF + CRLF +
+      "one" + CRLF +
+      "--XX" + CRLF + "Content-Type: application/octet-stream" + CRLF +
+      "Content-Disposition: attachment; filename=\"=?UTF-8?Q?r=C3=A9sum=C3=A9.pdf?=\"" + CRLF + CRLF +
+      "two" + CRLF + "--XX--" + CRLF)
+    val m = Eml.parse(eml)
+    assert(m.attachments.map(_._1) ==
+      Vector("caf\u00e9.txt", "r\u00e9sum\u00e9.pdf"))
+  }
 }
