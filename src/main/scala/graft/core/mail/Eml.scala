@@ -26,9 +26,14 @@ object Eml {
       attachments: Vector[(String, Array[Byte])] // (filename, raw bytes)
   )
 
-  /** Headers as the (key -> values) multimap Meta.normalizeMap consumes. */
+  /** Headers as the (key -> values) multimap Meta.normalizeMap consumes.
+    * RFC 2047 encoded-words decode HERE — the human-facing metadata
+    * surface — never on the raw values param() parses: RFC 2046 bchars
+    * legally include '=' and '?', so rewriting a raw Content-Type could
+    * corrupt its boundary parameter and silently drop every part.
+    */
   def headerMultimap(m: Message): Seq[(String, Seq[String])] =
-    m.headers.map { case (k, v) => (k, Seq(v)) }
+    m.headers.map { case (k, v) => (k, Seq(decodeWords(v))) }
 
   def parse(raw: String): Message = {
     val (headerBlock, body) = splitHeadersBody(raw)
@@ -63,7 +68,14 @@ object Eml {
       val inner = param(pct, "boundary")
       if (disp.toLowerCase(java.util.Locale.ROOT).contains("attachment")) {
         val cte = firstHeader(phs, "Content-Transfer-Encoding").getOrElse("")
-        atts += ((filenameOf(disp, pct), decodeBody(pb, cte)))
+        val fn = filenameOf(disp, pct)
+        // an unnamed forwarded message under an attachment disposition
+        // must still sniff as mail downstream (the .eml name is the hint)
+        val name =
+          if (fn.isEmpty && pct.toLowerCase(java.util.Locale.ROOT).startsWith("message/rfc822"))
+            "forwarded.eml"
+          else fn
+        atts += ((name, decodeBody(pb, cte)))
       } else if (pct.toLowerCase(java.util.Locale.ROOT).startsWith("message/rfc822")) {
         // a FORWARDED message (typically inline / no disposition): surface
         // it as an .eml attachment — the spawn path sniffs the RFC-822
@@ -126,7 +138,7 @@ object Eml {
       }
     }
     if (cur != null) out += ((cur._1, cur._2.toString))
-    out.result().map { case (k, v) => (k, decodeWords(v)) }
+    out.result()
   }
 
   /** RFC 2047 encoded-words (`=?charset?B|Q?data?=`): every real mail
@@ -141,13 +153,35 @@ object Eml {
 
   def decodeWords(v: String): String = {
     if (!v.contains("=?")) return v
-    val afterAdjacency = EncodedWordRe.replaceAllIn(
-      // drop whitespace separating two encoded words before decoding
-      v.replaceAll("\\?=\\s+=\\?", "?==?"), m => {
+    // walk matches positionally: whitespace BETWEEN two encoded words is
+    // transparent (RFC 2047 §6.2) ONLY when both sides actually decode —
+    // a blind pre-collapse would eat spaces in plain text that merely
+    // contains '?=' and '=?' sequences
+    val ms = EncodedWordRe.findAllMatchIn(v).toVector
+    if (ms.isEmpty) return v
+    val decoded = ms.map(decodeOne)
+    val sb = new StringBuilder
+    var pos = 0
+    ms.indices.foreach { i =>
+      val m = ms(i)
+      val between = v.substring(pos, m.start)
+      val dropSeparator = i > 0 && between.nonEmpty && between.forall(_.isWhitespace) &&
+        decoded(i - 1).isDefined && decoded(i).isDefined && ms(i - 1).end == pos
+      if (!dropSeparator) sb.append(between)
+      sb.append(decoded(i).getOrElse(m.matched))
+      pos = m.end
+    }
+    sb.append(v.substring(pos))
+    sb.toString
+  }
+
+  /** One encoded word -> its text, or None when undecodable. */
+  private def decodeOne(m: scala.util.matching.Regex.Match): Option[String] = {
+    locally {
         val cs =
           try Some(java.nio.charset.Charset.forName(m.group(1).trim))
           catch { case _: Exception => None }
-        val decoded: Option[String] = cs.flatMap { charset =>
+        cs.flatMap { charset =>
           try {
             val raw = m.group(2).toLowerCase match {
               case "b" => java.util.Base64.getMimeDecoder.decode(m.group(3))
@@ -168,9 +202,7 @@ object Eml {
             Some(new String(raw, charset))
           } catch { case _: Exception => None }
         }
-        java.util.regex.Matcher.quoteReplacement(decoded.getOrElse(m.matched))
-      })
-    afterAdjacency
+    }
   }
 
   private def firstHeader(hs: Vector[(String, String)], name: String): Option[String] =
@@ -321,6 +353,7 @@ object Mbox {
 
   private val Postmark =
     "^From \\S+ (Mon|Tue|Wed|Thu|Fri|Sat|Sun) ".r
+  private val MboxrdQuoted = "^>+From ".r
 
   def isMbox(head: String): Boolean =
     Postmark.findPrefixOf(head).isDefined
@@ -338,10 +371,10 @@ object Mbox {
     val cur = new StringBuilder
     var started = false
     def flush(): Unit = {
-      if (started && cur.nonEmpty) {
-        // drop the blank separator line an mbox writer appends
-        out += cur.toString.stripSuffix("\n").stripSuffix("\r")
-      }
+      // a content-less message (two consecutive postmarks) still emits an
+      // EMPTY chunk: dropping it would silently lose the message AND
+      // shift every later sibling's ordinal (hence its embed id)
+      if (started) out += cur.toString.stripSuffix("\n").stripSuffix("\r")
       cur.setLength(0)
     }
     lines.foreach { line0 =>
@@ -351,7 +384,9 @@ object Mbox {
         // mboxrd: a body line that originally began "From " was written
         // ">From " — remove exactly one '>' of the escape run
         val unescaped =
-          if (line.matches("^>+From .*")) line.substring(1) else line
+          if (line.length > 0 && line.charAt(0) == '>' &&
+            MboxrdQuoted.findPrefixOf(line).isDefined) line.substring(1)
+          else line
         cur.append(unescaped).append('\n')
       }
     }

@@ -609,8 +609,9 @@ object Extract {
             // whose messages hang below it
             val cid = Ids.embedId(latin1, parentId, ord, resourceName = name)
             emitDoc(cid, parentId, level, "") // pure container node
-            graft.core.mail.Mbox.split(
-              graft.sources.Ingest.decodePayload(kind, data)).zipWithIndex.foreach {
+            // latin1 IS the byte-transparent payload decodePayload would
+            // produce for mbox — reuse it instead of re-decoding
+            graft.core.mail.Mbox.split(latin1).zipWithIndex.foreach {
               case (raw, i) => spawnMboxMessage(raw, cid, i, level + 1)
             }
           } else if (kind == "tnef") {

@@ -72,9 +72,13 @@ object Ingest {
         val lname = name.toLowerCase(java.util.Locale.ROOT)
         val firstLine = lowerHead.takeWhile(c => c != '\r' && c != '\n')
         if (lname.endsWith(".csv")) "csv"
+        // an explicit .eml name outranks the postmark: Thunderbird saves
+        // single messages with a leading "From - <asctime>" line, which
+        // would otherwise reclassify the file as a one-message mailbox
+        else if (lname.endsWith(".eml")) "eml"
         else if (graft.core.mail.Mbox.isMbox(new String(bytes.take(128),
-          StandardCharsets.ISO_8859_1))) "mbox" // postmark BEFORE eml: both start header-like
-        else if (lname.endsWith(".eml") || MailHeadRe.findPrefixOf(firstLine).isDefined) "eml"
+          StandardCharsets.ISO_8859_1))) "mbox" // postmark before header sniff
+        else if (MailHeadRe.findPrefixOf(firstLine).isDefined) "eml"
         else if (graft.core.text.Contact.isVcard(lowerHead)) "vcard"
         else if (graft.core.text.Contact.isIcs(lowerHead)) "ics"
         else "text"

@@ -310,11 +310,24 @@ class EmlSpec extends AnyFunSuite {
     // ordinary text around words survives; unknown charset stays verbatim
     assert(Eml.decodeWords("Re: =?UTF-8?Q?caf=C3=A9?= indeed") == "Re: caf\u00e9 indeed")
     assert(Eml.decodeWords("=?X-NOPE?B?QQ==?=") == "=?X-NOPE?B?QQ==?=")
-    // end-to-end: the parsed header multimap carries decoded values
+    // headers stay RAW on Message (param() needs the unrewritten value);
+    // the metadata surface (headerMultimap) carries the decoded form
     val m = Eml.parse("From: =?UTF-8?B?SsO2cm4=?= <j@example.org>" + CRLF +
       "Subject: =?UTF-8?Q?caf=C3=A9?=" + CRLF + CRLF + "body")
-    assert(m.headers.exists { case (k, v) => k == "From" && v == "J\u00f6rn <j@example.org>" })
-    assert(m.headers.exists { case (k, v) => k == "Subject" && v == "caf\u00e9" })
+    assert(m.headers.exists { case (k, v) => k == "Subject" && v == "=?UTF-8?Q?caf=C3=A9?=" })
+    val mm = Eml.headerMultimap(m).toMap
+    assert(mm("From") == Seq("J\u00f6rn <j@example.org>"))
+    assert(mm("Subject") == Seq("caf\u00e9"))
+    // adjacency collapse never eats whitespace in PLAIN text that merely
+    // contains the delimiters, nor next to an undecodable word
+    assert(Eml.decodeWords("x?= =?y maybe") == "x?= =?y maybe")
+    assert(Eml.decodeWords("=?UTF-8?B?YQ==?= =?X-NOPE?B?QQ==?=") ==
+      "a =?X-NOPE?B?QQ==?=")
+    // a boundary that LOOKS like an encoded word still splits parts
+    val tricky = Eml.parse("Content-Type: multipart/mixed; boundary==?utf-8?q?bb?=" + CRLF + CRLF +
+      "--=?utf-8?q?bb?=" + CRLF + "Content-Type: text/plain" + CRLF + CRLF + "real body" + CRLF +
+      "--=?utf-8?q?bb?=--" + CRLF)
+    assert(tricky.body == "real body")
   }
 
   private val CRLF = "\r\n"
@@ -332,5 +345,33 @@ class EmlSpec extends AnyFunSuite {
     val m = Eml.parse(eml)
     assert(m.attachments.map(_._1) ==
       Vector("caf\u00e9.txt", "r\u00e9sum\u00e9.pdf"))
+  }
+
+  test("attachment-disposition forwarded message recurses; empty mbox msg survives") {
+    import graft.core.{DocIn, SpanIn}
+    import graft.core.route.Extract
+    import graft.core.mail.{Eml, Mbox}
+    // message/rfc822 under Content-Disposition: attachment, NO filename
+    val eml = Seq(
+      "Content-Type: multipart/mixed; boundary=XX", "",
+      "--XX", "Content-Type: text/plain", "", "carrier body",
+      "--XX", "Content-Type: message/rfc822", "Content-Disposition: attachment", "",
+      "From: o@x", "Subject: inner", "", "forwarded body here",
+      "--XX--", "").mkString(CRLF)
+    val m = Eml.parse(eml)
+    assert(m.attachments.map(_._1) == Vector("forwarded.eml"))
+    val nodes = Extract.explode(DocIn(71L, Array(SpanIn("eml", eml, "", 0))))
+    assert(nodes.exists(n => n.level == 1 && n.spans.exists(_.text == "forwarded body here")))
+    // two consecutive postmarks: the empty message yields an EMPTY chunk
+    val mbox = Seq(
+      "From a@x Mon Jan  1 00:00:00 2024",
+      "From b@y Tue Jan  2 00:00:00 2024", "Subject: x", "", "the body", "").mkString("\n")
+    val chunks = Mbox.split(mbox)
+    assert(chunks.size == 2 && chunks(0) == "" && chunks(1).endsWith("the body"))
+    // Thunderbird-style .eml (leading postmark) stays on the eml route
+    val tb = Seq("From - Mon Jan  1 00:00:00 2024", "From: a@b",
+      "Content-Type: text/plain", "", "tb body").mkString("\n")
+    assert(graft.sources.Ingest.sniffKind(tb.getBytes("UTF-8"), "saved.eml") == "eml")
+    assert(graft.sources.Ingest.sniffKind(tb.getBytes("UTF-8"), "inbox") == "mbox")
   }
 }
