@@ -177,8 +177,11 @@ object Knn {
     val memberships = tableMemberships(spark, q, b, tables)
     val capped = cappedMemberships(memberships, bucketCap)
     // the probe side reads its own buckets UNCAPPED (a probe must always
-    // find its buckets, even if the cap evicted it from the corpus side)
-    val probeBuckets = memberships.join(probeIds, "vec_id")
+    // find its buckets, even if the cap evicted it from the corpus side).
+    // Hash the PROBE-FILTERED vectors directly: joining probeIds against
+    // the full corpus-side explode would re-execute the O(N*tables)
+    // membership map a second time just to keep |probes|*tables rows
+    val probeBuckets = tableMemberships(spark, q.join(probeIds, "vec_id"), b, tables)
       .select(col("vec_id").as("probe_id"), col("t"), col("bucket"))
     val candIds = probeBuckets.join(capped, Seq("t", "bucket"))
       .filter(col("probe_id") =!= col("vec_id"))
