@@ -331,6 +331,25 @@ object Oracle {
       |  sha256('64:'||sha256('matt '||doc_id)||'64:'||c2||'1:0'||'0:'||'5:m.txt'),
       |  c2, 2, 'matt '||doc_id, '' FROM c""".stripMargin
 
+  /** Mirror of Queries.parquetExplode: per-row children with the jsonl
+    * identity convention (content hash of the row text; a NULL row is a
+    * content-less empty child).
+    */
+  private val parquetExplode: String =
+    """WITH z AS (SELECT doc_id, sha256(doc_id::VARCHAR) AS rid
+      |           FROM documents WHERE doc_id%47=0)
+      |SELECT doc_id, rid AS node_id, '' AS parent_id, 0 AS level, '' AS txt,
+      |       'empty-file' AS reason FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('pr one '||doc_id)||'64:'||rid||'1:0'||'0:'||'0:'),
+      |  rid, 1, 'pr one '||doc_id, '' FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('0:'||'64:'||rid||'1:1'||'0:'||'0:'),
+      |  rid, 1, '', 'empty-file' FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('pr two '||doc_id)||'64:'||rid||'1:2'||'0:'||'0:'),
+      |  rid, 1, 'pr two '||doc_id, '' FROM z""".stripMargin
+
   /** Mirror of Queries.contactText: the unfolded, unescaped, filtered
     * property values in card/component order.
     */
@@ -1486,6 +1505,7 @@ object Oracle {
     "q_pst_ansi" -> pstExplode,
     "q_tnef_explode" -> tnefExplode,
     "q_mbox_explode" -> mboxExplode,
+    "q_parquet_explode" -> parquetExplode,
     "q_contact_text" -> contactText,
     "q_importance_sample" -> importanceSample,
     "q_pack_sequences" -> packSequences,

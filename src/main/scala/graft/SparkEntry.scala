@@ -523,6 +523,25 @@ object Queries {
       .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
   }
 
+  /** Parquet corpus-dump route: each %47 doc becomes a real parquet
+    * file (parquet-java writer, deterministic) whose rows explode as
+    * children — the columnar twin of the JSONL dump route, including the
+    * NULL-row-is-an-empty-child convention.
+    */
+  def parquetExplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    docs(spark, dir).select("doc_id").as[Long]
+      .filter(_ % 47 == 0)
+      .flatMap { id =>
+        val pq = graft.sources.ParquetDump.build(Seq(s"pr one $id", null, s"pr two $id"))
+        val d = DocIn(id, Array(SpanIn("parquet", new String(pq, ISO_8859_1), "", 0)))
+        Extract.explode(d).map(o =>
+          (id, o.doc_id, o.parent_id, o.level, o.spans.map(_.text).mkString(""), o.no_content_reason))
+      }
+      .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
+  }
+
   /** TNEF winmail.dat route (MS-OXTNEF; the reference reads these via
     * Tika's TNEFParser): each %29 doc becomes a real TNEF stream whose
     * body carries the document text and whose file attachment explodes as
@@ -1913,6 +1932,7 @@ object Queries {
     "q_pst_ansi" -> (pstAnsi _),
     "q_tnef_explode" -> (tnefExplode _),
     "q_mbox_explode" -> (mboxExplode _),
+    "q_parquet_explode" -> (parquetExplode _),
     "q_contact_text" -> (contactText _),
     "q_importance_sample" -> (importanceSample _),
     "q_pack_sequences" -> (packSequences _),

@@ -98,7 +98,7 @@ object Extract {
       // zip: an OOXML PACKAGE (docx/xlsx/pptx) yields its body text;
       // a plain archive has none
       case "zip"       => (graft.core.office.Ooxml.packageText(t, cfg.maxSpanChars), "")
-      case "gzip" | "tar" | "zstd" | "bzip2" | "xz" | "lz4" | "snappy" | "warc" | "jsonl" | "7z" | "pst" | "mbox" => ("", "") // container: no own text, entries explode to children
+      case "gzip" | "tar" | "zstd" | "bzip2" | "xz" | "lz4" | "snappy" | "warc" | "jsonl" | "7z" | "pst" | "mbox" | "parquet" => ("", "") // container: no own text, entries explode to children
       // cfb: an Outlook MESSAGE yields its body text; a generic compound
       // file is a pure container (streams explode to children)
       case "cfb"       => (graft.core.office.Msg.cfbText(t, cfg.maxSpanChars), "")
@@ -116,7 +116,7 @@ object Extract {
     * span-parallel path for reassembly).
     */
   val ContainerKinds: Set[String] =
-    Set("media", "zip", "gzip", "tar", "eml", "cfb", "zstd", "bzip2", "xz", "lz4", "snappy", "warc", "jsonl", "7z", "pst", "tnef", "mbox")
+    Set("media", "zip", "gzip", "tar", "eml", "cfb", "zstd", "bzip2", "xz", "lz4", "snappy", "warc", "jsonl", "7z", "pst", "tnef", "mbox", "parquet")
 
   /** Null spans (a row written with spans=NULL) are treated as an empty
     * span array — reason=empty-file, never a failure — in BOTH the batch and
@@ -336,6 +336,22 @@ object Extract {
         }
         o += 1
       }
+      o
+    }
+
+    // one parquet corpus dump -> one child per ROW (the jsonl contract
+    // for columnar dumps): identity hashes the row's text value; NULL
+    // rows are empty children; rows past the breadth cap refuse COUNTED
+    def spawnParquetRows(data: Array[Byte], parentId: String, startOrd: Int,
+                         level: Int): Int = {
+      var o = startOrd
+      graft.sources.ParquetDump.textRows(data, cfg.maxSpans + 64, cfg.maxSpanChars)
+        .foreach { txt =>
+          checkDeadline(deadlineNanos)
+          if (guardsRefuse(level, txt.length)) skipped += 1
+          else { spawned += 1; emitDoc(Ids.embedId(txt, parentId, o), parentId, level, txt) }
+          o += 1
+        }
       o
     }
 
@@ -604,6 +620,12 @@ object Extract {
             m.attachments.zipWithIndex.foreach { case ((n, b), i) =>
               spawnEntry(n, Some(b), cid, i, level + 1)
             }
+          } else if (kind == "parquet") {
+            // nested columnar dump (parquet-in-zip/tar): a container child
+            // whose per-row documents hang below it
+            val cid = Ids.embedId(latin1, parentId, ord, resourceName = name)
+            emitDoc(cid, parentId, level, "") // pure container node
+            spawnParquetRows(data, cid, 0, level + 1): Unit
           } else if (kind == "mbox") {
             // nested mailbox (mbox.gz, mbox-in-zip): a container child
             // whose messages hang below it
@@ -740,6 +762,9 @@ object Extract {
           graft.core.mail.Eml.parse(content).attachments.foreach { case (n, b) =>
             spawnEntry(n, Some(b), rootId, ord, 1); ord += 1
           }
+        case "parquet" =>
+          val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          ord = spawnParquetRows(bytes, rootId, ord, 1)
         case "mbox" =>
           // each mailbox message is a document child carrying its parsed
           // RFC-822 body, attachments recursing — same shape as nested

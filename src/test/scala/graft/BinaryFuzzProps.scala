@@ -95,6 +95,12 @@ object BinaryFuzzProps extends Properties("BinaryFuzz") {
         Array[Byte](0xff.toByte, 0x06, 0, 0, 's', 'N', 'a', 'P', 'p', 'Y') ++ b, 1 << 20))
   }
 
+  property("parquet textRows: junk classifies") =
+    Prop.forAll(junk) { b =>
+      total(graft.sources.ParquetDump.textRows(
+        "PAR1".getBytes ++ b ++ "PAR1".getBytes, 100, 1 << 20))
+    }
+
   property("odf bodyText is total on arbitrary markup") =
     Prop.forAll(Gen.asciiPrintableStr) { s =>
       total(graft.core.office.Odf.bodyText("<text:p>" + s + "</text:p>")) &&

@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{DocIn, ParseFailure, SpanIn}
+import graft.core.route.Extract
+import graft.sources.{Archive, Ingest, ParquetDump}
+
+/** Parquet corpus dumps as an ingestion format: the columnar twin of the
+  * JSONL route — per-row children, NULL rows empty, breadth caps counted,
+  * column preference by the common dump schema names.
+  */
+class ParquetDumpSpec extends AnyFunSuite {
+
+  test("build/textRows round-trips, NULL rows yield empty strings") {
+    val pq = ParquetDump.build(Seq("a", null, "c"))
+    assert(ParquetDump.isParquet(pq))
+    assert(Ingest.sniffKind(pq) == "parquet")
+    assert(ParquetDump.textRows(pq, 100, 1 << 20) == Vector("a", "", "c"))
+  }
+
+  test("column preference: text/content/body outrank position") {
+    // a dump whose only string column is named 'body' still extracts;
+    // an unrecognized name falls back to the first string column
+    val pq = ParquetDump.build(Seq("via body"), column = "body")
+    assert(ParquetDump.textRows(pq, 10, 1 << 20) == Vector("via body"))
+    val pq2 = ParquetDump.build(Seq("via custom"), column = "payload")
+    assert(ParquetDump.textRows(pq2, 10, 1 << 20) == Vector("via custom")) // first-string fallback
+  }
+
+  test("junk classifies; truncated footer classifies") {
+    intercept[ParseFailure](ParquetDump.textRows("PAR1junkjunkjunkPAR1".getBytes(UTF_8), 10, 100))
+    val good = ParquetDump.build(Seq("x"))
+    intercept[ParseFailure](ParquetDump.textRows(good.take(good.length / 2) ++ "PAR1".getBytes(UTF_8), 10, 100))
+  }
+
+  test("a parquet span explodes rows as children; parquet-in-zip nests") {
+    val pq = ParquetDump.build(Seq("row alpha", null, "row beta"))
+    val d = DocIn(81L, Array(SpanIn("parquet", new String(pq, ISO_8859_1), "", 0)))
+    val nodes = Extract.explode(d)
+    assert(nodes.count(_.level == 1) == 3)
+    assert(nodes.exists(n => n.level == 1 && n.spans.exists(_.text == "row alpha")))
+    assert(nodes.exists(n => n.level == 1 && n.spans.isEmpty &&
+      n.no_content_reason == graft.core.Reason.Empty))
+    val zip = Archive.zipBytes(Seq(("dump.parquet", pq)))
+    val d2 = DocIn(82L, Array(SpanIn("zip", new String(zip, ISO_8859_1), "", 0)))
+    val nodes2 = Extract.explode(d2)
+    assert(nodes2.exists(n => n.level == 2 && n.spans.exists(_.text == "row beta")))
+  }
+
+  test("a row bomb caps at the breadth guard with counted refusals") {
+    val pq = ParquetDump.build((1 to 50).map(i => s"r$i"))
+    val cfg = Extract.DefaultConfig.copy(maxSpans = 10)
+    val d = DocIn(83L, Array(SpanIn("parquet", new String(pq, ISO_8859_1), "", 0)))
+    val (nodes, skipped) = Extract.explodeCounted(d, cfg)
+    assert(nodes.size <= 12)
+    assert(skipped >= 30) // refused rows are COUNTED, not silent
+  }
+}
