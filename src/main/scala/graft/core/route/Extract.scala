@@ -341,17 +341,24 @@ object Extract {
 
     // one parquet corpus dump -> one child per ROW (the jsonl contract
     // for columnar dumps): identity hashes the row's text value; NULL
-    // rows are empty children; rows past the breadth cap refuse COUNTED
-    def spawnParquetRows(data: Array[Byte], parentId: String, startOrd: Int,
-                         level: Int): Int = {
+    // rows are empty children; EVERY row past the breadth cap refuses
+    // COUNTED — the ones read then guarded, and the declared remainder
+    // the reader never materialized (footer row count is metadata)
+    def readParquetRows(data: Array[Byte]): (Vector[String], Long) = {
+      val rowCap = // overflow-safe headroom over the breadth guard
+        if (cfg.maxSpans > Int.MaxValue - 64) Int.MaxValue else cfg.maxSpans + 64
+      graft.sources.ParquetDump.textRows(data, rowCap, cfg.maxSpanChars)
+    }
+    def emitParquetRows(rows: Vector[String], declaredTotal: Long,
+                        parentId: String, startOrd: Int, level: Int): Int = {
       var o = startOrd
-      graft.sources.ParquetDump.textRows(data, cfg.maxSpans + 64, cfg.maxSpanChars)
-        .foreach { txt =>
-          checkDeadline(deadlineNanos)
-          if (guardsRefuse(level, txt.length)) skipped += 1
-          else { spawned += 1; emitDoc(Ids.embedId(txt, parentId, o), parentId, level, txt) }
-          o += 1
-        }
+      rows.foreach { txt =>
+        checkDeadline(deadlineNanos)
+        if (guardsRefuse(level, txt.length)) skipped += 1
+        else { spawned += 1; emitDoc(Ids.embedId(txt, parentId, o), parentId, level, txt) }
+        o += 1
+      }
+      if (declaredTotal > rows.length) skipped += (declaredTotal - rows.length).toInt
       o
     }
 
@@ -622,10 +629,13 @@ object Extract {
             }
           } else if (kind == "parquet") {
             // nested columnar dump (parquet-in-zip/tar): a container child
-            // whose per-row documents hang below it
+            // whose per-row documents hang below it. Parse BEFORE the
+            // first emission — a corrupt nested dump must yield exactly
+            // one failure node, never a duplicate-id container + failure
+            val (rows, total) = readParquetRows(data)
             val cid = Ids.embedId(latin1, parentId, ord, resourceName = name)
             emitDoc(cid, parentId, level, "") // pure container node
-            spawnParquetRows(data, cid, 0, level + 1): Unit
+            emitParquetRows(rows, total, cid, 0, level + 1): Unit
           } else if (kind == "mbox") {
             // nested mailbox (mbox.gz, mbox-in-zip): a container child
             // whose messages hang below it
@@ -764,7 +774,8 @@ object Extract {
           }
         case "parquet" =>
           val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-          ord = spawnParquetRows(bytes, rootId, ord, 1)
+          val (rows, total) = readParquetRows(bytes)
+          ord = emitParquetRows(rows, total, rootId, ord, 1)
         case "mbox" =>
           // each mailbox message is a document child carrying its parsed
           // RFC-822 body, attachments recursing — same shape as nested

@@ -57,36 +57,68 @@ object ParquetDump {
     }
   }
 
-  /** The per-row text values, in file order, capped. */
-  def textRows(bytes: Array[Byte], maxRows: Int, maxRowBytes: Int): Vector[String] =
+  /** Declared-decompressed-size ceiling: the footer's per-row-group
+    * total_byte_size is UNCOMPRESSED metadata, checked BEFORE any page
+    * inflates — the same refuse-before-materialize posture as the
+    * archive declared-size guards (a small compressed file claiming
+    * gigabytes classifies instead of exhausting the executor).
+    */
+  private val MaxDeclaredBytes: Long = 256L << 20
+
+  /** The per-row text values (file order, capped at `maxRows`) plus the
+    * file's DECLARED total row count, so the caller can count refused
+    * rows instead of silently truncating.
+    */
+  def textRows(bytes: Array[Byte], maxRows: Int, maxRowBytes: Int): (Vector[String], Long) =
     try {
       val reader = ParquetFileReader.open(new BytesInputFile(bytes))
       try {
         val footer = reader.getFooter
+        var declared = 0L
+        footer.getBlocks.forEach(b => declared += b.getTotalByteSize)
+        if (declared > MaxDeclaredBytes)
+          throw new ParseFailure(
+            s"parquet dump declares $declared decompressed bytes, over the ${MaxDeclaredBytes} cap")
         val schema = footer.getFileMetaData.getSchema
         val fields = schema.getFields
-        var textIdx = -1
-        def isStringField(i: Int): Boolean = {
+        // STRING-annotated binary first (a bare binary named `content`
+        // may be image bytes); fall back to any binary only when the
+        // file carries NO annotated string column at all (pre-logical-
+        // type writers)
+        def isBinary(i: Int): Boolean = {
           val f = fields.get(i)
           f.isPrimitive &&
             f.asPrimitiveType().getPrimitiveTypeName == PrimitiveType.PrimitiveTypeName.BINARY
         }
+        def isAnnotatedString(i: Int): Boolean = isBinary(i) && {
+          val ann = fields.get(i).getLogicalTypeAnnotation
+          ann != null && ann == org.apache.parquet.schema.LogicalTypeAnnotation.stringType()
+        }
+        val anyAnnotated = (0 until fields.size).exists(isAnnotatedString)
+        def eligible(i: Int): Boolean = if (anyAnnotated) isAnnotatedString(i) else isBinary(i)
+        var textIdx = -1
         TextNames.foreach { n =>
           if (textIdx < 0)
             (0 until fields.size).foreach { i =>
-              if (textIdx < 0 && fields.get(i).getName.equalsIgnoreCase(n) && isStringField(i))
+              if (textIdx < 0 && fields.get(i).getName.equalsIgnoreCase(n) && eligible(i))
                 textIdx = i
             }
         }
         if (textIdx < 0)
-          (0 until fields.size).foreach { i => if (textIdx < 0 && isStringField(i)) textIdx = i }
+          (0 until fields.size).foreach { i => if (textIdx < 0 && eligible(i)) textIdx = i }
         if (textIdx < 0) throw new ParseFailure("parquet dump has no string column")
         val fieldName = fields.get(textIdx).getName
+        // project to JUST the text column: other column chunks (embedding
+        // lists, metadata structs) are never decoded
+        val projection = new org.apache.parquet.schema.MessageType(
+          schema.getName, fields.get(textIdx))
+        reader.setRequestedSchema(projection)
+        val total = reader.getRecordCount
         val out = ArrayBuffer.empty[String]
         var pages = reader.readNextRowGroup()
-        val io = new ColumnIOFactory().getColumnIO(schema)
+        val io = new ColumnIOFactory().getColumnIO(projection)
         while (pages != null && out.length < maxRows) {
-          val recReader = io.getRecordReader(pages, new GroupRecordConverter(schema))
+          val recReader = io.getRecordReader(pages, new GroupRecordConverter(projection))
           var i = 0L
           val n = pages.getRowCount
           while (i < n && out.length < maxRows) {
@@ -99,7 +131,7 @@ object ParquetDump {
           }
           pages = reader.readNextRowGroup()
         }
-        out.toVector
+        (out.toVector, total)
       } finally reader.close()
     } catch {
       case pf: ParseFailure => throw pf

@@ -16,16 +16,16 @@ class ParquetDumpSpec extends AnyFunSuite {
     val pq = ParquetDump.build(Seq("a", null, "c"))
     assert(ParquetDump.isParquet(pq))
     assert(Ingest.sniffKind(pq) == "parquet")
-    assert(ParquetDump.textRows(pq, 100, 1 << 20) == Vector("a", "", "c"))
+    assert(ParquetDump.textRows(pq, 100, 1 << 20) == ((Vector("a", "", "c"), 3L)))
   }
 
   test("column preference: text/content/body outrank position") {
     // a dump whose only string column is named 'body' still extracts;
     // an unrecognized name falls back to the first string column
     val pq = ParquetDump.build(Seq("via body"), column = "body")
-    assert(ParquetDump.textRows(pq, 10, 1 << 20) == Vector("via body"))
+    assert(ParquetDump.textRows(pq, 10, 1 << 20)._1 == Vector("via body"))
     val pq2 = ParquetDump.build(Seq("via custom"), column = "payload")
-    assert(ParquetDump.textRows(pq2, 10, 1 << 20) == Vector("via custom")) // first-string fallback
+    assert(ParquetDump.textRows(pq2, 10, 1 << 20)._1 == Vector("via custom")) // first-string fallback
   }
 
   test("junk classifies; truncated footer classifies") {
@@ -55,5 +55,20 @@ class ParquetDumpSpec extends AnyFunSuite {
     val (nodes, skipped) = Extract.explodeCounted(d, cfg)
     assert(nodes.size <= 12)
     assert(skipped >= 30) // refused rows are COUNTED, not silent
+  }
+
+  test("corrupt NESTED parquet yields exactly one failure node, no dup ids") {
+    val bad = "PAR1".getBytes(UTF_8) ++ Array.fill[Byte](32)(9) ++ "PAR1".getBytes(UTF_8)
+    val zip = Archive.zipBytes(Seq(("x.parquet", bad)))
+    val d = DocIn(84L, Array(SpanIn("zip", new String(zip, ISO_8859_1), "", 0)))
+    val nodes = Extract.explode(d)
+    assert(nodes.map(_.doc_id).distinct.size == nodes.size) // no duplicates
+    assert(nodes.count(_.no_content_reason == graft.core.Reason.ParseFailed) == 1)
+  }
+
+  test("rows past the read cap count as skipped via the declared total") {
+    val pq = ParquetDump.build((1 to 40).map(i => s"r$i"))
+    val (rows, total) = ParquetDump.textRows(pq, 10, 1 << 20)
+    assert(rows.size == 10 && total == 40L)
   }
 }
