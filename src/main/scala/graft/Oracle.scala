@@ -350,6 +350,24 @@ object Oracle {
       |  sha256('64:'||sha256('pr two '||doc_id)||'64:'||rid||'1:2'||'0:'||'0:'),
       |  rid, 1, 'pr two '||doc_id, '' FROM z""".stripMargin
 
+  /** Mirror of Queries.avroExplode: identical shape to parquetExplode
+    * (the dump-row identity convention is format-independent).
+    */
+  private val avroExplode: String =
+    """WITH z AS (SELECT doc_id, sha256(doc_id::VARCHAR) AS rid
+      |           FROM documents WHERE doc_id%53=0)
+      |SELECT doc_id, rid AS node_id, '' AS parent_id, 0 AS level, '' AS txt,
+      |       'empty-file' AS reason FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('av one '||doc_id)||'64:'||rid||'1:0'||'0:'||'0:'),
+      |  rid, 1, 'av one '||doc_id, '' FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('0:'||'64:'||rid||'1:1'||'0:'||'0:'),
+      |  rid, 1, '', 'empty-file' FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('av two '||doc_id)||'64:'||rid||'1:2'||'0:'||'0:'),
+      |  rid, 1, 'av two '||doc_id, '' FROM z""".stripMargin
+
   /** Mirror of Queries.contactText: the unfolded, unescaped, filtered
     * property values in card/component order.
     */
@@ -1506,6 +1524,7 @@ object Oracle {
     "q_tnef_explode" -> tnefExplode,
     "q_mbox_explode" -> mboxExplode,
     "q_parquet_explode" -> parquetExplode,
+    "q_avro_explode" -> avroExplode,
     "q_contact_text" -> contactText,
     "q_importance_sample" -> importanceSample,
     "q_pack_sequences" -> packSequences,

@@ -542,6 +542,24 @@ object Queries {
       .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
   }
 
+  /** Avro corpus-dump route (the third dump shape next to JSONL and
+    * parquet): each %53 doc becomes a real Avro object container file
+    * whose rows explode as children, NULL rows as empty children.
+    */
+  def avroExplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    docs(spark, dir).select("doc_id").as[Long]
+      .filter(_ % 53 == 0)
+      .flatMap { id =>
+        val av = graft.sources.AvroDump.build(Seq(s"av one $id", null, s"av two $id"))
+        val d = DocIn(id, Array(SpanIn("avro", new String(av, ISO_8859_1), "", 0)))
+        Extract.explode(d).map(o =>
+          (id, o.doc_id, o.parent_id, o.level, o.spans.map(_.text).mkString(""), o.no_content_reason))
+      }
+      .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
+  }
+
   /** TNEF winmail.dat route (MS-OXTNEF; the reference reads these via
     * Tika's TNEFParser): each %29 doc becomes a real TNEF stream whose
     * body carries the document text and whose file attachment explodes as
@@ -1933,6 +1951,7 @@ object Queries {
     "q_tnef_explode" -> (tnefExplode _),
     "q_mbox_explode" -> (mboxExplode _),
     "q_parquet_explode" -> (parquetExplode _),
+    "q_avro_explode" -> (avroExplode _),
     "q_contact_text" -> (contactText _),
     "q_importance_sample" -> (importanceSample _),
     "q_pack_sequences" -> (packSequences _),

@@ -98,7 +98,7 @@ object Extract {
       // zip: an OOXML PACKAGE (docx/xlsx/pptx) yields its body text;
       // a plain archive has none
       case "zip"       => (graft.core.office.Ooxml.packageText(t, cfg.maxSpanChars), "")
-      case "gzip" | "tar" | "zstd" | "bzip2" | "xz" | "lz4" | "snappy" | "warc" | "jsonl" | "7z" | "pst" | "mbox" | "parquet" => ("", "") // container: no own text, entries explode to children
+      case "gzip" | "tar" | "zstd" | "bzip2" | "xz" | "lz4" | "snappy" | "warc" | "jsonl" | "7z" | "pst" | "mbox" | "parquet" | "avro" => ("", "") // container: no own text, entries explode to children
       // cfb: an Outlook MESSAGE yields its body text; a generic compound
       // file is a pure container (streams explode to children)
       case "cfb"       => (graft.core.office.Msg.cfbText(t, cfg.maxSpanChars), "")
@@ -116,7 +116,7 @@ object Extract {
     * span-parallel path for reassembly).
     */
   val ContainerKinds: Set[String] =
-    Set("media", "zip", "gzip", "tar", "eml", "cfb", "zstd", "bzip2", "xz", "lz4", "snappy", "warc", "jsonl", "7z", "pst", "tnef", "mbox", "parquet")
+    Set("media", "zip", "gzip", "tar", "eml", "cfb", "zstd", "bzip2", "xz", "lz4", "snappy", "warc", "jsonl", "7z", "pst", "tnef", "mbox", "parquet", "avro")
 
   /** Null spans (a row written with spans=NULL) are treated as an empty
     * span array — reason=empty-file, never a failure — in BOTH the batch and
@@ -344,13 +344,14 @@ object Extract {
     // rows are empty children; EVERY row past the breadth cap refuses
     // COUNTED — the ones read then guarded, and the declared remainder
     // the reader never materialized (footer row count is metadata)
-    def readParquetRows(data: Array[Byte]): (Vector[String], Long) = {
-      val rowCap = // overflow-safe headroom over the breadth guard
-        if (cfg.maxSpans > Int.MaxValue - 64) Int.MaxValue else cfg.maxSpans + 64
-      graft.sources.ParquetDump.textRows(data, rowCap, cfg.maxSpanChars)
-    }
-    def emitParquetRows(rows: Vector[String], declaredTotal: Long,
-                        parentId: String, startOrd: Int, level: Int): Int = {
+    def dumpRowCap: Int = // overflow-safe headroom over the breadth guard
+      if (cfg.maxSpans > Int.MaxValue - 64) Int.MaxValue else cfg.maxSpans + 64
+    def readParquetRows(data: Array[Byte]): (Vector[String], Long) =
+      graft.sources.ParquetDump.textRows(data, dumpRowCap, cfg.maxSpanChars)
+    def readAvroRows(data: Array[Byte]): (Vector[String], Long) =
+      graft.sources.AvroDump.textRows(data, dumpRowCap, cfg.maxSpanChars)
+    def emitDumpRows(rows: Vector[String], declaredTotal: Long,
+                     parentId: String, startOrd: Int, level: Int): Int = {
       var o = startOrd
       rows.foreach { txt =>
         checkDeadline(deadlineNanos)
@@ -635,7 +636,14 @@ object Extract {
             val (rows, total) = readParquetRows(data)
             val cid = Ids.embedId(latin1, parentId, ord, resourceName = name)
             emitDoc(cid, parentId, level, "") // pure container node
-            emitParquetRows(rows, total, cid, 0, level + 1): Unit
+            emitDumpRows(rows, total, cid, 0, level + 1): Unit
+          } else if (kind == "avro") {
+            // nested avro dump: same shape as nested parquet — parse
+            // before the first emission
+            val (rows, total) = readAvroRows(data)
+            val cid = Ids.embedId(latin1, parentId, ord, resourceName = name)
+            emitDoc(cid, parentId, level, "") // pure container node
+            emitDumpRows(rows, total, cid, 0, level + 1): Unit
           } else if (kind == "mbox") {
             // nested mailbox (mbox.gz, mbox-in-zip): a container child
             // whose messages hang below it
@@ -775,7 +783,11 @@ object Extract {
         case "parquet" =>
           val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
           val (rows, total) = readParquetRows(bytes)
-          ord = emitParquetRows(rows, total, rootId, ord, 1)
+          ord = emitDumpRows(rows, total, rootId, ord, 1)
+        case "avro" =>
+          val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          val (rows, total) = readAvroRows(bytes)
+          ord = emitDumpRows(rows, total, rootId, ord, 1)
         case "mbox" =>
           // each mailbox message is a document child carrying its parsed
           // RFC-822 body, attachments recursing — same shape as nested

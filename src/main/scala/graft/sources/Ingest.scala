@@ -54,6 +54,7 @@ object Ingest {
     else if (Archive.is7z(bytes)) "7z"       // 7-Zip archive
     else if (Archive.isBzip2(bytes)) "bzip2" // classic dump archives
     else if (ParquetDump.isParquet(bytes)) "parquet" // columnar corpus dump (PAR1..PAR1)
+    else if (AvroDump.isAvro(bytes)) "avro" // Avro object container dump (Obj\x01)
     else if (graft.core.office.Pst.isPst(bytes)) "pst" // Outlook mailbox (!BDN, MS-PST)
     else if (graft.core.mail.Tnef.isTnef(bytes)) "tnef" // winmail.dat (MS-OXTNEF)
     else if (graft.core.office.Cfb.isCfb(bytes)) "cfb" // OLE2 compound file (.msg/.doc era)

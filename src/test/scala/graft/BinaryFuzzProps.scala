@@ -101,6 +101,12 @@ object BinaryFuzzProps extends Properties("BinaryFuzz") {
         "PAR1".getBytes ++ b ++ "PAR1".getBytes, 100, 1 << 20))
     }
 
+  property("avro textRows: junk classifies") =
+    Prop.forAll(junk) { b =>
+      total(graft.sources.AvroDump.textRows(
+        Array[Byte]('O', 'b', 'j', 1) ++ b, 100, 1 << 20))
+    }
+
   property("odf bodyText is total on arbitrary markup") =
     Prop.forAll(Gen.asciiPrintableStr) { s =>
       total(graft.core.office.Odf.bodyText("<text:p>" + s + "</text:p>")) &&

@@ -71,4 +71,22 @@ class ParquetDumpSpec extends AnyFunSuite {
     val (rows, total) = ParquetDump.textRows(pq, 10, 1 << 20)
     assert(rows.size == 10 && total == 40L)
   }
+
+  test("avro dumps: round-trip, determinism, explosion, junk classify") {
+    import graft.sources.AvroDump
+    val av = AvroDump.build(Seq("alpha", null, "beta"))
+    assert(AvroDump.isAvro(av))
+    assert(Ingest.sniffKind(av) == "avro")
+    assert(java.util.Arrays.equals(av, AvroDump.build(Seq("alpha", null, "beta"))))
+    assert(AvroDump.textRows(av, 100, 1 << 20) == ((Vector("alpha", "", "beta"), 3L)))
+    val (capped, total) = AvroDump.textRows(AvroDump.build((1 to 30).map(i => s"a$i")), 5, 1 << 20)
+    assert(capped.size == 5 && total == 30L)
+    intercept[ParseFailure](AvroDump.textRows("Obj\u0001junkjunk".getBytes(ISO_8859_1), 10, 100))
+    val d = DocIn(85L, Array(SpanIn("avro", new String(av, ISO_8859_1), "", 0)))
+    val nodes = Extract.explode(d)
+    assert(nodes.count(_.level == 1) == 3)
+    assert(nodes.exists(n => n.level == 1 && n.spans.exists(_.text == "beta")))
+    assert(nodes.exists(n => n.level == 1 && n.spans.isEmpty &&
+      n.no_content_reason == graft.core.Reason.Empty))
+  }
 }
