@@ -74,10 +74,11 @@ class OmnibusIngestSpec extends AnyFunSuite {
         graft.core.office.Pst.BuildMsg("a", "ansi permute pst body")))),
       crypt = 1, ansi = true))
     put("dump.parquet", graft.sources.ParquetDump.build(Seq("parquet row text")))
+    put("dump.avro", graft.sources.AvroDump.build(Seq("avro row text")))
     put("Thumbs.db", Array[Byte](1, 2, 3)) // junk: must be excluded
 
     val docs = Ingest.readDir(spark, dir.toString).collect()
-    assert(docs.length == 28) // every file except the junk one
+    assert(docs.length == 29) // every file except the junk one
 
     val texts = docs.flatMap(d => Extract.explode(d))
       .flatMap(o => o.spans.map(_.text)).filter(_.nonEmpty).toSet
@@ -91,7 +92,7 @@ class OmnibusIngestSpec extends AnyFunSuite {
       "tnef body text", "tnef attachment", "Card Name" + "\n" + "card@example.org",
       "cal event", "mbox msg one", "mbox msg two",
       "xz member", "lz4 member", "snappy member", "ansi permute pst body",
-      "parquet row text")
+      "parquet row text", "avro row text")
     val missing = expected -- texts
     assert(missing.isEmpty, s"formats missing from extraction: $missing")
   }
