@@ -319,10 +319,14 @@ object Archive {
     bytes.length >= 6 && bytes(0) == 0xfd.toByte && bytes(1) == '7' &&
       bytes(2) == 'z' && bytes(3) == 'X' && bytes(4) == 'Z' && bytes(5) == 0
 
-  /** Deterministic xz stream (fixed LZMA2 preset, no extra filters). */
+  /** Deterministic xz stream (fixed LZMA2 preset, no extra filters).
+    * Preset 0: fixture payloads are tiny, and the default preset's 8 MiB
+    * dictionary allocation per call dominated the codec query's wall time
+    * (ids hash DECOMPRESSED content, so the preset is identity-neutral).
+    */
   def xzBytes(data: Array[Byte]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
-    val xos = new org.tukaani.xz.XZOutputStream(bos, new org.tukaani.xz.LZMA2Options(6))
+    val xos = new org.tukaani.xz.XZOutputStream(bos, new org.tukaani.xz.LZMA2Options(0))
     xos.write(data); xos.close()
     bos.toByteArray
   }
