@@ -359,7 +359,8 @@ object Extract {
         else { spawned += 1; emitDoc(Ids.embedId(txt, parentId, o), parentId, level, txt) }
         o += 1
       }
-      if (declaredTotal > rows.length) skipped += (declaredTotal - rows.length).toInt
+      if (declaredTotal > rows.length) // clamp: a forged huge row count must not wrap the counter
+        skipped += math.min(declaredTotal - rows.length, (Int.MaxValue - skipped).toLong).toInt
       o
     }
 
