@@ -89,4 +89,29 @@ class ParquetDumpSpec extends AnyFunSuite {
     assert(nodes.exists(n => n.level == 1 && n.spans.isEmpty &&
       n.no_content_reason == graft.core.Reason.Empty))
   }
+
+  test("avro preflight refuses forged sizes and compressed codecs") {
+    import graft.sources.AvroDump
+    val good = AvroDump.build(Seq("x"))
+    // forge the FIRST block's declared byte size to a huge value: find the
+    // end of the header sync and splice a crafted block header
+    // (simpler: flip codec metadata) — craft a header declaring deflate
+    val deflate = {
+      // minimal container: magic, 1-entry map {avro.codec: deflate}, 0,
+      // sync, no blocks
+      def v(n: Long): Array[Byte] = { // zigzag varint
+        var u = (n << 1) ^ (n >> 63); val b = scala.collection.mutable.ArrayBuffer.empty[Byte]
+        while ((u & ~0x7fL) != 0) { b += ((u & 0x7f) | 0x80).toByte; u >>>= 7 }
+        b += u.toByte; b.toArray
+      }
+      def bs(s: String): Array[Byte] = v(s.length.toLong) ++ s.getBytes("UTF-8")
+      "Obj".getBytes("UTF-8") ++ Array[Byte](1) ++
+        v(1L) ++ bs("avro.codec") ++ bs("deflate") ++ v(0L) ++ new Array[Byte](16)
+    }
+    val e = intercept[graft.core.ParseFailure](AvroDump.textRows(deflate, 10, 100))
+    assert(e.getMessage.contains("codec"))
+    // a block declaring more bytes than the input carries refuses
+    val forged = good ++ Array[Byte](2, 0x7f.toByte) // rows=1, size=huge-ish varint tail
+    intercept[graft.core.ParseFailure](AvroDump.textRows(forged, 10, 100))
+  }
 }
