@@ -166,7 +166,7 @@ object Eml {
       val m = ms(i)
       val between = v.substring(pos, m.start)
       val dropSeparator = i > 0 && between.nonEmpty && between.forall(_.isWhitespace) &&
-        decoded(i - 1).isDefined && decoded(i).isDefined && ms(i - 1).end == pos
+        decoded(i - 1).isDefined && decoded(i).isDefined
       if (!dropSeparator) sb.append(between)
       sb.append(decoded(i).getOrElse(m.matched))
       pos = m.end
@@ -177,7 +177,6 @@ object Eml {
 
   /** One encoded word -> its text, or None when undecodable. */
   private def decodeOne(m: scala.util.matching.Regex.Match): Option[String] = {
-    locally {
         val cs =
           try Some(java.nio.charset.Charset.forName(m.group(1).trim))
           catch { case _: Exception => None }
@@ -202,7 +201,6 @@ object Eml {
             Some(new String(raw, charset))
           } catch { case _: Exception => None }
         }
-    }
   }
 
   private def firstHeader(hs: Vector[(String, String)], name: String): Option[String] =

@@ -77,11 +77,6 @@ object Archive {
     */
   type UnzippedEntry = (String, Option[Array[Byte]])
 
-  /** Decode ZIP entries in archive order. Malformed containers throw
-    * [[ParseFailure]] (classified NOT_PARSED by the job layer, never a task
-    * failure). `maxEntries` bounds the walk (entries beyond it are refused
-    * as (name, None) and the walk stops reading payloads).
-    */
   /** Shared ZipException triage: the JDK refuses GPBF-bit-0 entries with
     * an "encrypted" message — password protection, not corruption
     * (FAILURE_NOT_DECRYPTED, like the reference's
@@ -92,6 +87,11 @@ object Archive {
       throw new graft.core.DecryptFailure(s"password-protected zip entry: ${e.getMessage}")
     else throw new ParseFailure(s"corrupt zip: ${e.getMessage}")
 
+  /** Decode ZIP entries in archive order. Malformed containers throw
+    * [[ParseFailure]] (classified NOT_PARSED by the job layer, never a task
+    * failure). `maxEntries` bounds the walk (entries beyond it are refused
+    * as (name, None) and the walk stops reading payloads).
+    */
   def unzip(bytes: Array[Byte], maxEntryBytes: Int,
             maxEntries: Int = 10000): Vector[UnzippedEntry] = {
     val out = Vector.newBuilder[UnzippedEntry]
@@ -164,17 +164,11 @@ object Archive {
       }
       out.result()
     } catch {
-      case e: java.util.zip.ZipException =>
-        // per-entry isolation (the reference extracts readable siblings
-        // of an encrypted entry): entries already streamed survive, the
-        // encrypted remainder becomes ONE counted refusal — the stream
-        // cannot advance past an entry the JDK refuses to inflate. A
-        // FULLY encrypted archive (nothing readable) still classifies
-        // NOT_DECRYPTED for the whole document.
-        val soFar = out.result()
-        if (String.valueOf(e.getMessage).contains("encrypted") && soFar.exists(_._2.nonEmpty))
-          soFar :+ (("<encrypted-remainder>", None: Option[Array[Byte]]))
-        else classifyZip(e)
+      // NO partial recovery here, unlike unzip: this is the PACKAGE probe
+      // (OOXML and friends), where the parts form ONE document — an
+      // encrypted word/document.xml must classify the whole document as
+      // NOT_DECRYPTED, never silently read as an empty package
+      case e: java.util.zip.ZipException => classifyZip(e)
       case e: java.io.EOFException => throw new ParseFailure(s"truncated zip: ${e.getMessage}")
       case e: java.io.IOException => throw new ParseFailure(s"unreadable zip: ${e.getMessage}")
     } finally zis.close()

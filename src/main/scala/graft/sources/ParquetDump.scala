@@ -75,10 +75,22 @@ object ParquetDump {
       try {
         val footer = reader.getFooter
         var declared = 0L
-        footer.getBlocks.forEach(b => declared += b.getTotalByteSize)
+        footer.getBlocks.forEach { b =>
+          declared += b.getTotalByteSize
+          // UNCOMPRESSED pages only (the avro route's rationale): footer
+          // sizes are attacker-controlled metadata, and compressed PAGE
+          // headers can declare decompressed sizes the footer never
+          // admits to — with no codec, every allocation is bounded by
+          // bytes already in memory
+          b.getColumns.forEach { c =>
+            if (c.getCodec != org.apache.parquet.hadoop.metadata.CompressionCodecName.UNCOMPRESSED)
+              throw new ParseFailure(
+                s"parquet dump codec ${c.getCodec} unsupported — uncompressed dumps only (compressed page sizes are unguardable declared metadata)")
+          }
+        }
         if (declared > MaxDeclaredBytes)
           throw new ParseFailure(
-            s"parquet dump declares $declared decompressed bytes, over the ${MaxDeclaredBytes} cap")
+            s"parquet dump declares $declared bytes, over the ${MaxDeclaredBytes} cap")
         val schema = footer.getFileMetaData.getSchema
         val fields = schema.getFields
         // STRING-annotated binary first (a bare binary named `content`
@@ -107,7 +119,6 @@ object ParquetDump {
         if (textIdx < 0)
           (0 until fields.size).foreach { i => if (textIdx < 0 && eligible(i)) textIdx = i }
         if (textIdx < 0) throw new ParseFailure("parquet dump has no string column")
-        val fieldName = fields.get(textIdx).getName
         // project to JUST the text column: other column chunks (embedding
         // lists, metadata structs) are never decoded
         val projection = new org.apache.parquet.schema.MessageType(
@@ -123,9 +134,11 @@ object ParquetDump {
           val n = pages.getRowCount
           while (i < n && out.length < maxRows) {
             val g: Group = recReader.read()
+            // the projection holds exactly one field: index 0, resolved
+            // statically — no per-row name lookup
             val txt =
-              if (g == null || g.getFieldRepetitionCount(fieldName) == 0) ""
-              else g.getString(fieldName, 0)
+              if (g == null || g.getFieldRepetitionCount(0) == 0) ""
+              else g.getString(0, 0)
             out += (if (txt.length > maxRowBytes) txt.substring(0, maxRowBytes) else txt)
             i += 1
           }
@@ -163,7 +176,9 @@ object ParquetDump {
     * (fixed schema, one row group, no compression: row ORDER is the only
     * thing child identity depends on).
     */
-  def build(texts: Seq[String], column: String = "text"): Array[Byte] = {
+  def build(texts: Seq[String], column: String = "text",
+            codec: org.apache.parquet.hadoop.metadata.CompressionCodecName =
+              org.apache.parquet.hadoop.metadata.CompressionCodecName.UNCOMPRESSED): Array[Byte] = {
     val schema = MessageTypeParser.parseMessageType(
       s"message dump { optional binary $column (STRING); }")
     val bos = new java.io.ByteArrayOutputStream()
@@ -171,7 +186,7 @@ object ParquetDump {
     val writer = ExampleParquetWriter.builder(new BytesOutputFile(bos))
       .withType(schema)
       .withConf(conf)
-      .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.UNCOMPRESSED)
+      .withCompressionCodec(codec)
       .build()
     try {
       val factory = new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)

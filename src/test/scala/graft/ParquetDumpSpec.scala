@@ -114,4 +114,21 @@ class ParquetDumpSpec extends AnyFunSuite {
     val forged = good ++ Array[Byte](2, 0x7f.toByte) // rows=1, size=huge-ish varint tail
     intercept[graft.core.ParseFailure](AvroDump.textRows(forged, 10, 100))
   }
+
+  test("compressed parquet dumps refuse (unguardable declared page sizes)") {
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    val snappy = ParquetDump.build(Seq("x"), codec = CompressionCodecName.SNAPPY)
+    val e = intercept[ParseFailure](ParquetDump.textRows(snappy, 10, 100))
+    assert(e.getMessage.contains("codec"))
+  }
+
+  test("an encrypted OOXML package part classifies the whole doc, never empty") {
+    import graft.core.route.Extract
+    // zip routed as a PACKAGE (the zip span route): flag its only entry
+    val zip = Archive.zipBytes(Seq(("word/document.xml", "<w:t>secret</w:t>".getBytes(UTF_8))))
+    val c = zip.clone(); c(6) = (c(6) | 1).toByte // GPBF bit 0 on entry 1
+    val e = intercept[graft.core.DecryptFailure](
+      Extract.explode(DocIn(86L, Array(SpanIn("zip", new String(c, ISO_8859_1), "", 0)))))
+    assert(graft.pipeline.ExtractJob.classify(e) == graft.core.Status.NotDecrypted)
+  }
 }
