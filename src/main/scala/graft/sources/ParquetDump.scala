@@ -176,13 +176,17 @@ object ParquetDump {
     * (fixed schema, one row group, no compression: row ORDER is the only
     * thing child identity depends on).
     */
+  private val BuildConf = new org.apache.hadoop.conf.Configuration(false)
+  private val SchemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.parquet.schema.MessageType]()
+
   def build(texts: Seq[String], column: String = "text",
             codec: org.apache.parquet.hadoop.metadata.CompressionCodecName =
               org.apache.parquet.hadoop.metadata.CompressionCodecName.UNCOMPRESSED): Array[Byte] = {
-    val schema = MessageTypeParser.parseMessageType(
-      s"message dump { optional binary $column (STRING); }")
+    val schema = SchemaMemo.computeIfAbsent(column, c =>
+      MessageTypeParser.parseMessageType(s"message dump { optional binary $c (STRING); }"))
     val bos = new java.io.ByteArrayOutputStream()
-    val conf = new org.apache.hadoop.conf.Configuration(false)
+    val conf = BuildConf
     val writer = ExampleParquetWriter.builder(new BytesOutputFile(bos))
       .withType(schema)
       .withConf(conf)
