@@ -466,6 +466,27 @@ object Oracle {
   /** Mirror of Queries.odtExplode: the odt package root carries the
     * 5-words-per-line body; the %86 picture part is a level-1 child.
     */
+  /** Mirror of Queries.epubExplode: the spine-ordered book text (title,
+    * then ch2 BEFORE ch1 — the spine reverses the archive order) and the
+    * single manifest-image child, recomputed arithmetically.
+    */
+  private val epubExplode: String =
+    """SELECT doc_id,
+      | 'Book '||doc_id||chr(10)||'part two '||doc_id||chr(10)||'part one '||doc_id AS txt,
+      | 1::BIGINT AS n_children,
+      | 'empty-file' AS child_reason
+      |FROM documents WHERE doc_id%41=0""".stripMargin
+
+  /** Mirror of Queries.xmlText: the markup-stripped, entity-decoded,
+    * document-ordered text runs recomputed as one string expression.
+    */
+  private val xmlText: String =
+    """SELECT doc_id,
+      | 'Doc & Title '||doc_id||chr(10)||'line one '||doc_id||chr(10)
+      |   ||'bold run'||chr(10)||'tail'||chr(10)||'raw <cdata> text '||doc_id AS txt,
+      | 'xml' AS kind
+      |FROM documents WHERE doc_id%53=0""".stripMargin
+
   private val odtExplode: String =
     """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
       |  len(string_split(text,' ')) AS m FROM documents WHERE doc_id%43=0),
@@ -1468,6 +1489,47 @@ object Oracle {
       | ((100 + doc_id%50)*1000000//(8000 + (doc_id%4)*4000))::BIGINT AS dur_us
       |FROM documents""".stripMargin
 
+  /** Mirror of Queries.imageProbe: every probed field recomputed from the
+    * doc_id arithmetic the fixture writers used — the engine only matches
+    * if its PNG/JPEG-EXIF/GIF byte walks recovered them from real
+    * containers. png depth/colortype and gif frame count are constants of
+    * the ImageIO encode (8-bit truecolor, single frame).
+    */
+  private val imageProbe: String =
+    """SELECT doc_id,
+      | (3 + doc_id%9)::BIGINT AS png_w,
+      | (2 + doc_id%7)::BIGINT AS png_h,
+      | 8::BIGINT AS png_depth,
+      | 'img '||doc_id AS png_title,
+      | (8 + doc_id%6)::BIGINT AS jpg_w,
+      | (8 + doc_id%4)::BIGINT AS jpg_h,
+      | (1 + doc_id%8)::BIGINT AS jpg_orient,
+      | 'Cam'||(doc_id%5) AS jpg_make,
+      | 'M'||(doc_id%3) AS jpg_model,
+      | (4 + doc_id%5)::BIGINT AS gif_w,
+      | (3 + doc_id%3)::BIGINT AS gif_h,
+      | 1::BIGINT AS gif_frames,
+      | 'image' AS kinds
+      |FROM documents WHERE doc_id%23=0""".stripMargin
+
+  /** Mirror of Queries.avProbe: MP4 box fields, MP3 frame arithmetic
+    * (MPEG-1 L3 at 32 kHz: 1152 samples/frame → 36 ms), and WAVE duration,
+    * all floor-division integer math on both sides.
+    */
+  private val avProbe: String =
+    """SELECT doc_id,
+      | 'isom' AS mp4_brand,
+      | (600 + (doc_id%5)*100)::BIGINT AS mp4_timescale,
+      | ((1000 + (doc_id%11)*300)*1000 // (600 + (doc_id%5)*100))::BIGINT AS mp4_dur_ms,
+      | (1 + doc_id%3)::BIGINT AS mp4_tracks,
+      | (5 + doc_id%7)::BIGINT AS mp3_frames,
+      | ((5 + doc_id%7)*36)::BIGINT AS mp3_dur_ms,
+      | 32000::BIGINT AS mp3_rate,
+      | (8000 + (doc_id%4)*4000)::BIGINT AS wav_rate,
+      | ((200 + doc_id%50)*1000000 // (8000 + (doc_id%4)*4000))::BIGINT AS wav_dur_us,
+      | 'av' AS kinds
+      |FROM documents WHERE doc_id%37=0""".stripMargin
+
   private val mediaFrames: String =
     s"""WITH f AS (SELECT doc_id, text,
        |  unnest(generate_series(0, octet_length(encode(text))//64, 4)) AS fi FROM documents)
@@ -1535,6 +1597,8 @@ object Oracle {
     "q_doc_bytes" -> pdfBytes, // same 5-word-line text, shared mirror
     "q_xls_table" -> xlsTable,
     "q_odt_explode" -> odtExplode,
+    "q_epub_explode" -> epubExplode,
+    "q_xml_text" -> xmlText,
     "q_ppt_text" -> pptText,
     "q_pdf_encrypted" -> pdfEncrypted,
     "q_msg_headers" -> msgHeaders,
@@ -1604,6 +1668,8 @@ object Oracle {
     "q_sessionize" -> sessionize,
     "q_expr_code32" -> exprCode32,
     "q_media_meta" -> mediaMeta,
+    "q_image_probe" -> imageProbe,
+    "q_av_probe" -> avProbe,
     "q_media_decode" -> mediaDecode,
     "q_media_audio" -> mediaAudio,
     "q_media_video" -> mediaVideo,

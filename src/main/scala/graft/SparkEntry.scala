@@ -945,6 +945,61 @@ object Queries {
       .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
   }
 
+  /** §2.3/§2.4 EPUB e-book route (Tika EpubParser analog): each %41 doc
+    * becomes a real OCF/OPF package whose SPINE deliberately reverses the
+    * archive/manifest order (ch2 reads before ch1) and whose manifest
+    * carries a real PNG cover — the engine must verify the mimetype,
+    * follow container.xml to the OPF, order chapters by the spine, strip
+    * the XHTML, and spawn exactly the manifest's image items as children.
+    * The oracle recomputes the spine-ordered text arithmetically.
+    */
+  def epubExplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    import graft.core.office.Epub
+    docs(spark, dir).select("doc_id").as[Long]
+      .filter(_ % 41 == 0)
+      .map { id =>
+        val epub = Epub.build(s"Book $id", Seq(
+          ("ch2.xhtml", s"<html><body><p>part two $id</p></body></html>"),
+          ("ch1.xhtml", s"<html><body><p>part one $id</p></body></html>")),
+          images = Seq(("img/cover.png",
+            Media.encodePng(2 + (id % 3).toInt, 2 + (id % 2).toInt, (id % 255).toInt))))
+        val d = DocIn(id, Array(SpanIn("zip", new String(epub, ISO_8859_1), "", 0)))
+        val out = Extract.explode(d)
+        val root = out.find(_.level == 0).get
+        val kids = out.filter(_.level == 1)
+        (id, root.spans.map(_.text).mkString(""), kids.size.toLong,
+          kids.map(_.no_content_reason).distinct.mkString(","))
+      }
+      .toDF("doc_id", "txt", "n_children", "child_reason")
+  }
+
+  /** §2.3 standalone-XML text route (Tika `XMLParser`): each %53 doc
+    * becomes a declaration-led XML document with attributes, a comment,
+    * nested elements, entities (named + numeric), and a CDATA section —
+    * the engine must strip markup, decode entities in character data but
+    * NOT in CDATA, and keep document order. It must also still sniff as
+    * kind=xml with the name tiebreaker. Oracle: pure string arithmetic.
+    */
+  def xmlText(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.UTF_8
+    docs(spark, dir).select("doc_id").as[Long]
+      .filter(_ % 53 == 0)
+      .map { id =>
+        val xml = s"""<?xml version="1.0" encoding="UTF-8"?>""" +
+          s"""<!-- build $id --><root note="attr dropped">""" +
+          s"<title>Doc &amp; Title $id</title>" +
+          s"<body>line one $id<b>bold run</b>tail</body>" +
+          s"<![CDATA[raw <cdata> text $id]]><empty/></root>"
+        val kind = graft.sources.Ingest.sniffKind(xml.getBytes(UTF_8), "feed.xml")
+        val (txt, _) = Extract.extractSpan("xml", xml)
+        (id, txt, kind)
+      }
+      .toDF("doc_id", "txt", "kind")
+  }
+
   /** §2.3 REAL legacy Excel binary route (POI ExcelExtractor fixtures):
     * the xlsx construction re-typeset as an actual BIFF8 workbook —
     * two-word rows as SST-indirected LABELSST cells (alternating
@@ -1708,6 +1763,76 @@ object Queries {
   def mediaFrames(spark: SparkSession, dir: String): DataFrame =
     Media.sampleFrames(spark, docs(spark, dir))
 
+  /** §2.5/§2.8 image metadata probing — the reference's Tika image
+    * metadata surface (`JpegParser` + EXIF walk, `ImageParser` for
+    * PNG/GIF, behind `Extractor.java`'s AutoDetectParser): each %23 doc
+    * synthesizes THREE real images whose parameters derive from doc_id —
+    * a PNG with an injected tEXt chunk, a JPEG with an injected EXIF APP1
+    * (orientation/make/model), and a GIF — and the engine must byte-walk
+    * the containers ([[graft.core.media.Probe]]) to recover dimensions,
+    * EXIF fields, and the tEXt value. All three must also sniff as
+    * kind=image (the AutoDetect dispatch). Oracle: pure arithmetic.
+    */
+  def imageProbe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.core.media.Probe
+    docs(spark, dir).select("doc_id").as[Long]
+      .filter(_ % 23 == 0)
+      .map { id =>
+        val png = Probe.pngWithText(
+          Media.encodePng(3 + (id % 9).toInt, 2 + (id % 7).toInt, 0x204060),
+          Seq(("Title", s"img $id")))
+        val jpg = Probe.jpegWithExif(
+          Media.encodeSolid(8 + (id % 6).toInt, 8 + (id % 4).toInt, 0x664422, "jpg"),
+          orientation = 1 + (id % 8).toInt,
+          make = "Cam" + (id % 5), model = "M" + (id % 3))
+        val gif = Media.encodeSolid(4 + (id % 5).toInt, 3 + (id % 3).toInt, 0x0000ff, "gif")
+        val pi = Probe.probePng(png)
+        val ji = Probe.probeJpeg(jpg)
+        val gi = Probe.probeGif(gif)
+        val kinds = Seq(png, jpg, gif)
+          .map(graft.sources.Ingest.sniffKind(_)).distinct.mkString(",")
+        (id, pi.width.toLong, pi.height.toLong, pi.bitDepth.toLong, pi.texts.head._2,
+          ji.width.toLong, ji.height.toLong, ji.orientation.toLong, ji.make, ji.model,
+          gi.width.toLong, gi.height.toLong, gi.frames.toLong, kinds)
+      }
+      .toDF("doc_id", "png_w", "png_h", "png_depth", "png_title",
+        "jpg_w", "jpg_h", "jpg_orient", "jpg_make", "jpg_model",
+        "gif_w", "gif_h", "gif_frames", "kinds")
+  }
+
+  /** §2.5/§2.8 audio/video metadata probing (Tika's `Mp4Parser` /
+    * `Mp3Parser` / RIFF surface): each %37 doc synthesizes a real MP4 box
+    * tree (ftyp + moov/mvhd/trak), an MPEG-1 Layer III frame stream, and
+    * a RIFF/WAVE file, all parameterized by doc_id; the probe must walk
+    * the containers to recover brand, timescale→ms duration, track count,
+    * frame count, and sample rate. Oracle: pure integer arithmetic
+    * (durations use floor division on both sides).
+    */
+  def avProbe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.core.media.Probe
+    docs(spark, dir).select("doc_id").as[Long]
+      .filter(_ % 37 == 0)
+      .map { id =>
+        val ts = 600 + (id % 5).toInt * 100
+        val du = 1000 + (id % 11).toInt * 300
+        val mp4 = Probe.buildMp4("isom", ts, du, 1 + (id % 3).toInt)
+        val mp3 = Probe.buildMp3(5 + (id % 7).toInt, id3 = id % 74 == 0)
+        val wav = Media.encodeWav(8000 + (id % 4).toInt * 4000, 200 + (id % 50).toInt, 0)
+        val m4 = Probe.probeMp4(mp4)
+        val m3 = Probe.probeMp3(mp3)
+        val wv = Probe.probeWav(wav)
+        val kinds = Seq(mp4, mp3, wav)
+          .map(graft.sources.Ingest.sniffKind(_)).distinct.mkString(",")
+        (id, m4.brand, m4.timescale, m4.durationMs, m4.nTracks.toLong,
+          m3.nFrames.toLong, m3.durationMs, m3.sampleRate.toLong,
+          wv.sampleRate.toLong, wv.durationUs, kinds)
+      }
+      .toDF("doc_id", "mp4_brand", "mp4_timescale", "mp4_dur_ms", "mp4_tracks",
+        "mp3_frames", "mp3_dur_ms", "mp3_rate", "wav_rate", "wav_dur_us", "kinds")
+  }
+
   /** The native codegen'd Catalyst expression (graft.functions.Code32)
     * running inside whole-stage codegen.
     */
@@ -1962,6 +2087,8 @@ object Queries {
     "q_doc_bytes" -> (docBytes _),
     "q_xls_table" -> (xlsTable _),
     "q_odt_explode" -> (odtExplode _),
+    "q_epub_explode" -> (epubExplode _),
+    "q_xml_text" -> (xmlText _),
     "q_ppt_text" -> (pptText _),
     "q_pdf_encrypted" -> (pdfEncrypted _),
     "q_msg_headers" -> (msgHeaders _),
@@ -2035,6 +2162,8 @@ object Queries {
     "q_media_audio" -> (mediaAudio _),
     "q_media_video" -> (mediaVideo _),
     "q_media_frames" -> (mediaFrames _),
+    "q_image_probe" -> (imageProbe _),
+    "q_av_probe" -> (avProbe _),
     "q_tpch_q1" -> (tpchQ1 _),
     "q_join_topn" -> (joinTopn _),
     "q_window_topn" -> (windowTopn _)

@@ -295,10 +295,11 @@ object Ooxml {
       names.exists(_.startsWith(SlidePrefix))
 
   /** Package detection over full entries — OOXML by its well-known part
-    * names, ODF by a VERIFIED mimetype payload (see [[Odf.isOdf]]).
+    * names, ODF and EPUB by a VERIFIED mimetype payload (see
+    * [[Odf.isOdf]] / [[Epub.isEpub]]).
     */
   def isPackageEntries(entries: Seq[(String, Option[Array[Byte]])]): Boolean =
-    isPackage(entries.map(_._1)) || Odf.isOdf(entries)
+    isPackage(entries.map(_._1)) || Odf.isOdf(entries) || Epub.isEpub(entries)
 
   /** Embedded parts that spawn as children (media AND OLE-embedded
     * objects, consistently across the three package types); package
@@ -314,7 +315,9 @@ object Ooxml {
   private def wantedPart(n: String): Boolean =
     n == Docx.DocumentEntry || n == "xl/sharedStrings.xml" ||
       n.startsWith(SheetPrefix) || n.startsWith(SlidePrefix) ||
-      n == "content.xml" || n == "mimetype" // mimetype VALUE gates the ODF route
+      n == "content.xml" || n == "mimetype" || // mimetype VALUE gates the ODF/EPUB routes
+      n == "META-INF/container.xml" || n.endsWith(".opf") || // EPUB package docs
+      n.endsWith(".xhtml") || n.endsWith(".html") || n.endsWith(".htm") // EPUB chapters
 
   /** Numeric suffix for sheetN/slideN ordering (archive order is not the
     * document order).
@@ -331,6 +334,8 @@ object Ooxml {
     // dropping it would diverge on documents with empty trailing parts
     if (entries.exists(_._1 == Docx.DocumentEntry))
       byName.collectFirst { case (Docx.DocumentEntry, b) => Docx.bodyText(str(b)) }.getOrElse("")
+    else if (Epub.isEpub(entries)) // checked before ODF: mimetypes disjoint
+      Epub.bookText(entries)
     else if (Odf.isOdf(entries))
       byName.collectFirst { case ("content.xml", b) => Odf.bodyText(str(b)) }.getOrElse("")
     else if (entries.exists(_._1.startsWith(SheetPrefix))) {

@@ -95,6 +95,11 @@ object Extract {
         else (graft.core.pdf.PdfMini.textFromLatin1(t), "")
       case "text"      => (t, "")
       case "media"     => (t, "") // OCR/media passthrough (north rule): text + media_ref unchanged
+      // raster images / AV containers: like Tika's ImageParser+Mp4Parser,
+      // the parse SUCCEEDS with header metadata (graft.core.media.Probe)
+      // and an empty body — text would need OCR/transcription, so the
+      // document classifies empty-file, NOT unsupported
+      case "image" | "av" => ("", "")
       // zip: an OOXML PACKAGE (docx/xlsx/pptx) yields its body text;
       // a plain archive has none
       case "zip"       => (graft.core.office.Ooxml.packageText(t, cfg.maxSpanChars), "")
@@ -108,6 +113,7 @@ object Extract {
       case "csv"       => (graft.core.text.Csv.text(t), "")  // delimited table text (reference csv fixture)
       case "vcard"     => (graft.core.text.Contact.vcardText(t), "") // RFC 6350 contact card
       case "ics"       => (graft.core.text.Contact.icsText(t), "")   // RFC 5545 calendar
+      case "xml"       => (graft.core.text.Xml.text(t), "") // standalone XML: markup stripped (Tika XMLParser)
       case _           => ("", Reason.Unsupported)
     }
 
@@ -588,12 +594,18 @@ object Extract {
         else None
       containerEntries match {
         case Some(entries) if graft.core.office.Ooxml.isPackageEntries(entries) =>
-          // embedded Office document (docx/xlsx/pptx): body text on the
-          // child, embedded media/object parts recurse
+          // embedded Office document (docx/xlsx/pptx/odt/epub): body text
+          // on the child, embedded media/object parts recurse — EPUB's
+          // embedded parts come from its OPF manifest (image-typed items),
+          // not from fixed path prefixes
           val cid = Ids.embedId(canonicalOf(entries), parentId, ord, resourceName = name)
           emitDoc(cid, parentId, level, graft.core.office.Ooxml.textFromEntries(entries))
-          entries.filter(e => graft.core.office.Ooxml.isEmbeddedPart(e._1))
-            .zipWithIndex.foreach { case ((n, b), i) => spawnEntry(n, b, cid, i, level + 1) }
+          val embedded =
+            if (graft.core.office.Epub.isEpub(entries)) {
+              val imgs = graft.core.office.Epub.imageSet(entries)
+              entries.filter(e => imgs(e._1))
+            } else entries.filter(e => graft.core.office.Ooxml.isEmbeddedPart(e._1))
+          embedded.zipWithIndex.foreach { case ((n, b), i) => spawnEntry(n, b, cid, i, level + 1) }
         case Some(entries) =>
           val cid = Ids.embedId(canonicalOf(entries), parentId, ord, resourceName = name)
           // container node: no own text; its content lives in its children
@@ -700,7 +712,12 @@ object Extract {
           val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
           val entries = graft.sources.Archive.unzip(bytes, cfg.maxSpanChars)
           val spawnable =
-            if (graft.core.office.Ooxml.isPackageEntries(entries))
+            if (graft.core.office.Epub.isEpub(entries)) {
+              // EPUB package: embedded parts are its OPF manifest's
+              // image-typed items, not fixed path prefixes
+              val imgs = graft.core.office.Epub.imageSet(entries)
+              entries.filter(e => imgs(e._1))
+            } else if (graft.core.office.Ooxml.isPackageEntries(entries))
               entries.filter(e => graft.core.office.Ooxml.isEmbeddedPart(e._1))
             else entries
           spawnable.foreach { case (n, b) =>

@@ -353,3 +353,97 @@ object Contact {
     contentLines(s).collect { case (n, v) if IcsProps.contains(n) && v.nonEmpty => v }
       .mkString("\n")
 }
+
+/** Generic XML text extraction — the reference's Tika `XMLParser`
+  * (`TextAndAttributeContentHandler` character scraping) for standalone
+  * `.xml` documents that are neither HTML nor a known package part: tag
+  * markup and attributes are dropped, comments / processing instructions /
+  * DOCTYPE skipped, entities decoded, CDATA emitted verbatim. Each maximal
+  * inter-tag character run contributes its whitespace-normalized text (if
+  * non-empty) as one line, newline-joined in document order. Tolerant —
+  * truncated tags/comments/CDATA stop the scan cleanly, junk never throws.
+  */
+object Xml {
+
+  /** Standalone-XML sniff over the printable head: an XML declaration
+    * that is not an XHTML page (those keep routing as html).
+    */
+  def isXml(lowerHead: String): Boolean = {
+    var i = 0
+    while (i < lowerHead.length && Character.isWhitespace(lowerHead.charAt(i))) i += 1
+    lowerHead.startsWith("<?xml", i) && !lowerHead.contains("<html")
+  }
+
+  /** XML 1.0 predefined entities plus numeric character references;
+    * an unrecognized or unterminated entity passes through verbatim.
+    */
+  private def unescape(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      var replaced = false
+      if (c == '&') {
+        val sc = s.indexOf(';', i + 1)
+        if (sc > i && sc - i <= 10) {
+          val ent = s.substring(i + 1, sc)
+          val rep: String = ent match {
+            case "amp" => "&"
+            case "lt" => "<"
+            case "gt" => ">"
+            case "quot" => "\""
+            case "apos" => "'"
+            case e if e.length > 2 && (e.startsWith("#x") || e.startsWith("#X")) =>
+              try Character.toChars(Integer.parseInt(e.substring(2), 16)).mkString
+              catch { case _: IllegalArgumentException => null }
+            case e if e.length > 1 && e.startsWith("#") =>
+              try Character.toChars(Integer.parseInt(e.substring(1))).mkString
+              catch { case _: IllegalArgumentException => null }
+            case _ => null
+          }
+          if (rep != null) { sb.append(rep); i = sc + 1; replaced = true }
+        }
+      }
+      if (!replaced) { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  def text(xml: String): String = {
+    val parts = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    def flush(): Unit = {
+      if (cur.nonEmpty) {
+        val norm = graft.core.html.HtmlExtractor.normalizeWs(unescape(cur.toString))
+        if (norm.nonEmpty) parts += norm
+        cur.clear()
+      }
+    }
+    var i = 0
+    val n = xml.length
+    while (i < n) {
+      val c = xml.charAt(i)
+      if (c == '<') {
+        flush()
+        if (xml.startsWith("<!--", i)) {
+          val e = xml.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (xml.startsWith("<![CDATA[", i)) {
+          // CDATA is character data: verbatim (no entity decode), but
+          // still whitespace-normalized like any other text run
+          val e = xml.indexOf("]]>", i + 9)
+          val body = if (e < 0) xml.substring(i + 9) else xml.substring(i + 9, e)
+          val norm = graft.core.html.HtmlExtractor.normalizeWs(body)
+          if (norm.nonEmpty) parts += norm
+          i = if (e < 0) n else e + 3
+        } else {
+          val e = xml.indexOf('>', i)
+          i = if (e < 0) n else e + 1
+        }
+      } else { cur.append(c); i += 1 }
+    }
+    flush()
+    parts.result().mkString("\n")
+  }
+}

@@ -58,6 +58,10 @@ object Ingest {
     else if (graft.core.office.Pst.isPst(bytes)) "pst" // Outlook mailbox (!BDN, MS-PST)
     else if (graft.core.mail.Tnef.isTnef(bytes)) "tnef" // winmail.dat (MS-OXTNEF)
     else if (graft.core.office.Cfb.isCfb(bytes)) "cfb" // OLE2 compound file (.msg/.doc era)
+    else if (graft.core.media.Probe.isPng(bytes) || graft.core.media.Probe.isJpeg(bytes) ||
+      graft.core.media.Probe.isGif(bytes)) "image" // raster image: header metadata, no text without OCR
+    else if (graft.core.media.Probe.isMp4(bytes) || graft.core.media.Probe.isMp3(bytes) ||
+      graft.core.media.Probe.isRiffAv(bytes)) "av" // audio/video container: duration/rate metadata
     else if (Archive.isTar(bytes)) "tar"
     else if (hasUtf16Bom(bytes)) "text" // UTF-16 BOM: decoded per-charset below
     else if (graft.core.text.Jsonl.looksJsonl(bytes)) "jsonl" // one JSON object per line (corpus dumps)
@@ -83,7 +87,18 @@ object Ingest {
         else if (MailHeadRe.findPrefixOf(firstLine).isDefined) "eml"
         else if (graft.core.text.Contact.isVcard(lowerHead)) "vcard"
         else if (graft.core.text.Contact.isIcs(lowerHead)) "ics"
-        else "text"
+        else {
+          // declaration-led documents: the sniff reads the full 512-byte
+          // probe — an XHTML <html> root sits past the 64-byte head when
+          // the declaration + DOCTYPE are long, and must keep routing as
+          // html; any other <?xml document is standalone XML
+          val probeLower = new String(probe, StandardCharsets.ISO_8859_1)
+            .toLowerCase(java.util.Locale.ROOT)
+          if (graft.core.text.Xml.isXml(probeLower)) "xml"
+          else if (probeLower.dropWhile(Character.isWhitespace).startsWith("<?xml") &&
+            probeLower.contains("<html")) "html"
+          else "text"
+        }
       }
       else "bin"
     }
@@ -140,7 +155,7 @@ object Ingest {
     */
   def decodePayload(kind: String, bytes: Array[Byte]): String = kind match {
     case "html" => htmlCharset(bytes).map(new String(bytes, _)).getOrElse(decodeText(bytes))
-    case "text" | "jsonl" | "csv" | "vcard" | "ics" => decodeText(bytes)
+    case "text" | "jsonl" | "csv" | "vcard" | "ics" | "xml" => decodeText(bytes)
     // NOT eml: MIME is byte-transparent latin1 on purpose — base64
     // attachment decoding needs the raw octets
     case _ => new String(bytes, StandardCharsets.ISO_8859_1) // lossless bytes

@@ -112,4 +112,18 @@ object BinaryFuzzProps extends Properties("BinaryFuzz") {
       total(graft.core.office.Odf.bodyText("<text:p>" + s + "</text:p>")) &&
         total(graft.core.office.Odf.bodyText(s))
     }
+
+  private val PngMagic =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  property("media probes: magic-stamped junk classifies") = Prop.forAll(junk) { b =>
+    import graft.core.media.Probe
+    total(Probe.probePng(PngMagic ++ b)) &&
+      total(Probe.probeJpeg(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++ b)) &&
+      total(Probe.probeGif("GIF89a".getBytes ++ b)) &&
+      total(Probe.probeMp4(Array[Byte](0, 0, 0, 16) ++ "ftyp".getBytes ++ b)) &&
+      total(Probe.probeMp3(Array[Byte](0xff.toByte, 0xfb.toByte) ++ b)) &&
+      total(Probe.probeMp3("ID3".getBytes ++ b)) &&
+      total(Probe.probeWav("RIFF    WAVE".getBytes ++ b))
+  }
 }

@@ -174,19 +174,25 @@ class DocxSpec extends AnyFunSuite {
     assert(out.count(_.level == 1) == 1)
   }
 
-  test("an epub works via generic zip explosion of its xhtml entries") {
-    import graft.core.{DocIn, SpanIn}
+  test("an epub routes as a PACKAGE: spine text on the node, not a generic zip") {
+    import graft.core.{DocIn, ParseFailure, SpanIn}
     import graft.core.route.Extract
     import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
-    // epub = zip of xhtml chapters (plus container plumbing); without a
-    // dedicated route the generic archive explosion already extracts the
-    // chapters as sniffed html children
-    val epub = graft.sources.Archive.zipBytes(Seq(
-      ("mimetype", "application/epub+zip".getBytes(UTF_8)),
-      ("OEBPS/ch1.xhtml", graft.core.Corpus.htmlWrap(1L, "chapter one text").getBytes(UTF_8))))
+    // round 3 let epubs ride the generic zip explosion; the dedicated OCF/
+    // OPF route (EpubSpec) supersedes that — the book text lands on the
+    // package node itself, in spine order
+    val epub = graft.core.office.Epub.build("B",
+      Seq(("ch1.xhtml", "<html><body><p>chapter one text</p></body></html>")))
     val out = Extract.explode(
       DocIn(22L, Array(SpanIn("zip", new String(epub, ISO_8859_1), "", 0))))
-    assert(out.exists(n => n.level == 1 &&
-      n.spans.map(_.text).mkString.contains("chapter one text")))
+    assert(out.find(_.level == 0).get.spans.map(_.text).mkString ==
+      "B\nchapter one text")
+    // a VERIFIED epub mimetype without the OCF container is malformed —
+    // the package probe classifies, it must not fall back to generic
+    val broken = graft.sources.Archive.zipBytes(Seq(
+      ("mimetype", "application/epub+zip".getBytes(UTF_8)),
+      ("OEBPS/ch1.xhtml", "<html><body><p>x</p></body></html>".getBytes(UTF_8))))
+    intercept[ParseFailure](Extract.explode(
+      DocIn(23L, Array(SpanIn("zip", new String(broken, ISO_8859_1), "", 0)))))
   }
 }

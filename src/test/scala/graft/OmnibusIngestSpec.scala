@@ -75,10 +75,29 @@ class OmnibusIngestSpec extends AnyFunSuite {
       crypt = 1, ansi = true))
     put("dump.parquet", graft.sources.ParquetDump.build(Seq("parquet row text")))
     put("dump.avro", graft.sources.AvroDump.build(Seq("avro row text")))
+    put("feed.xml",
+      "<?xml version=\"1.0\"?><feed><entry>xml feed text</entry></feed>".getBytes(UTF_8))
+    put("book.epub", graft.core.office.Epub.build("Omni Book",
+      Seq(("c.xhtml", "<html><body><p>epub chapter text</p></body></html>"))))
+    put("photo.jpg", graft.core.media.Probe.jpegWithExif(
+      graft.multimodal.Media.encodeSolid(8, 6, 0x123456, "jpg"), 1, "Cam", "M"))
+    put("shot.png", graft.core.media.Probe.pngWithText(
+      graft.multimodal.Media.encodePng(5, 4, 0xabcdef), Seq(("Title", "shot"))))
+    put("anim.gif", graft.multimodal.Media.encodeSolid(7, 3, 0x00ff00, "gif"))
+    put("clip.mp4", graft.core.media.Probe.buildMp4("isom", 600, 1200, 1))
+    put("song.mp3", graft.core.media.Probe.buildMp3(3))
+    put("tone.wav", graft.multimodal.Media.encodeWav(8000, 16, 5))
     put("Thumbs.db", Array[Byte](1, 2, 3)) // junk: must be excluded
 
     val docs = Ingest.readDir(spark, dir.toString).collect()
-    assert(docs.length == 29) // every file except the junk one
+    assert(docs.length == 37) // every file except the junk one
+
+    // media classify by magic and parse to empty-file (metadata, no OCR)
+    val kinds = docs.flatMap(_.spans.map(_.kind))
+    assert(kinds.count(_ == "image") == 3 && kinds.count(_ == "av") == 3)
+    val mediaDocs = docs.filter(_.spans.exists(s => s.kind == "image" || s.kind == "av"))
+    assert(mediaDocs.flatMap(d => Extract.explode(d))
+      .forall(o => o.no_content_reason == graft.core.Reason.Empty))
 
     val texts = docs.flatMap(d => Extract.explode(d))
       .flatMap(o => o.spans.map(_.text)).filter(_.nonEmpty).toSet
@@ -92,7 +111,8 @@ class OmnibusIngestSpec extends AnyFunSuite {
       "tnef body text", "tnef attachment", "Card Name" + "\n" + "card@example.org",
       "cal event", "mbox msg one", "mbox msg two",
       "xz member", "lz4 member", "snappy member", "ansi permute pst body",
-      "parquet row text", "avro row text")
+      "parquet row text", "avro row text", "Omni Book\nepub chapter text",
+      "xml feed text")
     val missing = expected -- texts
     assert(missing.isEmpty, s"formats missing from extraction: $missing")
   }

@@ -202,4 +202,35 @@ class SimpleFormatsSpec extends AnyFunSuite {
     assert(Contact.icsText(":::") == "")
     assert(Contact.vcardText("FN:odd\nEMAIL:x@y") == "odd\nx@y")
   }
+
+  test("xml: markup stripped, entities decoded, CDATA verbatim, comments skipped") {
+    import graft.core.text.Xml
+    val doc = "<?xml version=\"1.0\"?><!-- skip --><root a=\"dropped\">" +
+      "<t>A &amp; B &#65; &#x42;</t><b>mid</b>tail" +
+      "<![CDATA[raw <kept> &amp; undecoded]]><e/></root>"
+    assert(Xml.text(doc) == "A & B A B\nmid\ntail\nraw <kept> &amp; undecoded")
+    // unknown/unterminated entities pass through verbatim
+    assert(Xml.text("<r>x &unknown; y &brok</r>") == "x &unknown; y &brok")
+    // truncated structures stop cleanly
+    assert(Xml.text("<r>ok<!-- never closed") == "ok")
+    assert(Xml.text("<r><![CDATA[tail chars") == "tail chars")
+    assert(Xml.text("<r>ok<unclosed") == "ok")
+  }
+
+  test("xml sniff: declaration-led xml routes, XHTML stays html") {
+    import graft.sources.Ingest.sniffKind
+    val xml = "<?xml version=\"1.0\"?><feed><entry>e</entry></feed>".getBytes("UTF-8")
+    assert(sniffKind(xml, "feed.xml") == "xml")
+    val xhtml = ("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+      "<!DOCTYPE html PUBLIC \"-//W3C//DTD XHTML 1.0 Strict//EN\" " +
+      "\"http://www.w3.org/TR/xhtml1/DTD/xhtml1-strict.dtd\">\n" +
+      "<html xmlns=\"http://www.w3.org/1999/xhtml\"><body><p>x</p></body></html>").getBytes("UTF-8")
+    assert(sniffKind(xhtml, "page.xhtml") == "html")
+    // the xml route through the span dispatch
+    val (txt, why) = graft.core.route.Extract.extractSpan("xml", "<r><a>one</a><b>two</b></r>")
+    assert(txt == "one\ntwo" && why == "")
+    // nested non-ASCII xml decodes as UTF-8 through the entry path
+    assert(graft.sources.Ingest.decodePayload("xml",
+      "<?xml version=\"1.0\"?><r>café</r>".getBytes("UTF-8")).contains("café"))
+  }
 }
