@@ -477,6 +477,27 @@ object Oracle {
       | 'empty-file' AS child_reason
       |FROM documents WHERE doc_id%41=0""".stripMargin
 
+  /** Mirror of Queries.sqliteExplode: the three tables' tabular text
+    * (header + tab-joined rows), child counts, and the blob child's
+    * unsupported-media classification, recomputed arithmetically from the
+    * same doc_id-derived parameters.
+    */
+  private val sqliteExplode: String =
+    """WITH d AS (SELECT doc_id, 2+(doc_id%5) AS n, 3+(doc_id%7) AS bl
+      |           FROM documents WHERE doc_id%59=0),
+      |r AS (SELECT d.doc_id,
+      |        string_agg(i||chr(9)||(d.doc_id*10+i)||chr(9)||'item '||i||' of '||d.doc_id,
+      |                   chr(10) ORDER BY i) AS body
+      |      FROM d, LATERAL unnest(generate_series(1, d.n)) AS t(i)
+      |      GROUP BY d.doc_id)
+      |SELECT d.doc_id,
+      |  'id'||chr(9)||'qty'||chr(9)||'name'||chr(10)||r.body AS inv_txt,
+      |  'tag'||chr(10)||'tag-'||d.doc_id AS tags_txt,
+      |  'payload'||chr(10)||'[blob '||d.bl||'B]' AS bin_txt,
+      |  3::BIGINT AS n_tables, 1::BIGINT AS n_blobs,
+      |  'unsupported-media-type' AS blob_reason
+      |FROM d JOIN r USING (doc_id)""".stripMargin
+
   /** Mirror of Queries.xmlText: the markup-stripped, entity-decoded,
     * document-ordered text runs recomputed as one string expression.
     */
@@ -1598,6 +1619,7 @@ object Oracle {
     "q_xls_table" -> xlsTable,
     "q_odt_explode" -> odtExplode,
     "q_epub_explode" -> epubExplode,
+    "q_sqlite_explode" -> sqliteExplode,
     "q_xml_text" -> xmlText,
     "q_ppt_text" -> pptText,
     "q_pdf_encrypted" -> pdfEncrypted,

@@ -975,6 +975,41 @@ object Queries {
       .toDF("doc_id", "txt", "n_children", "child_reason")
   }
 
+  /** §2.1/§2.4 SQLite database route (Tika `SQLite3Parser` analog): each
+    * %59 doc becomes a real database file — three tables (multi-row ints
+    * and text, a one-row tag table, a blob-bearing table) written by the
+    * from-scratch page/b-tree writer — and the engine must walk the schema
+    * b-tree, decode each table's records, render the tabular text, and
+    * spawn the blob cell as a sniffed embedded child. Oracle: pure string
+    * arithmetic over the same parameters.
+    */
+  def sqliteExplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    import graft.core.db.Sqlite
+    import graft.core.db.Sqlite.{BlobCell, IntCell, TextCell}
+    docs(spark, dir).select("doc_id").as[Long]
+      .filter(_ % 59 == 0)
+      .map { id =>
+        val n = 2 + (id % 5).toInt
+        val blobLen = 3 + (id % 7).toInt
+        val db = Sqlite.build(Seq(
+          ("inv", Seq("id", "qty", "name"),
+            (1 to n).map(i => Seq(IntCell(i.toLong), IntCell(id * 10 + i),
+              TextCell(s"item $i of $id")))),
+          ("tags", Seq("tag"), Seq(Seq(TextCell(s"tag-$id")))),
+          ("bin", Seq("payload"), Seq(Seq(BlobCell(Array.fill(blobLen)(0x07.toByte)))))))
+        val d = DocIn(id, Array(SpanIn("sqlite", new String(db, ISO_8859_1), "", 0)))
+        val out = Extract.explode(d)
+        val kids = out.filter(_.level == 1)
+        val blobs = out.filter(_.level == 2)
+        (id, kids(0).spans.map(_.text).mkString, kids(1).spans.map(_.text).mkString,
+          kids(2).spans.map(_.text).mkString, kids.size.toLong, blobs.size.toLong,
+          blobs.map(_.no_content_reason).distinct.mkString(","))
+      }
+      .toDF("doc_id", "inv_txt", "tags_txt", "bin_txt", "n_tables", "n_blobs", "blob_reason")
+  }
+
   /** §2.3 standalone-XML text route (Tika `XMLParser`): each %53 doc
     * becomes a declaration-led XML document with attributes, a comment,
     * nested elements, entities (named + numeric), and a CDATA section —
@@ -2088,6 +2123,7 @@ object Queries {
     "q_xls_table" -> (xlsTable _),
     "q_odt_explode" -> (odtExplode _),
     "q_epub_explode" -> (epubExplode _),
+    "q_sqlite_explode" -> (sqliteExplode _),
     "q_xml_text" -> (xmlText _),
     "q_ppt_text" -> (pptText _),
     "q_pdf_encrypted" -> (pdfEncrypted _),

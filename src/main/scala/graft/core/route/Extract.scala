@@ -103,7 +103,7 @@ object Extract {
       // zip: an OOXML PACKAGE (docx/xlsx/pptx) yields its body text;
       // a plain archive has none
       case "zip"       => (graft.core.office.Ooxml.packageText(t, cfg.maxSpanChars), "")
-      case "gzip" | "tar" | "zstd" | "bzip2" | "xz" | "lz4" | "snappy" | "warc" | "jsonl" | "7z" | "pst" | "mbox" | "parquet" | "avro" => ("", "") // container: no own text, entries explode to children
+      case "gzip" | "tar" | "zstd" | "bzip2" | "xz" | "lz4" | "snappy" | "warc" | "jsonl" | "7z" | "pst" | "mbox" | "parquet" | "avro" | "sqlite" => ("", "") // container: no own text, entries explode to children
       // cfb: an Outlook MESSAGE yields its body text; a generic compound
       // file is a pure container (streams explode to children)
       case "cfb"       => (graft.core.office.Msg.cfbText(t, cfg.maxSpanChars), "")
@@ -122,7 +122,7 @@ object Extract {
     * span-parallel path for reassembly).
     */
   val ContainerKinds: Set[String] =
-    Set("media", "zip", "gzip", "tar", "eml", "cfb", "zstd", "bzip2", "xz", "lz4", "snappy", "warc", "jsonl", "7z", "pst", "tnef", "mbox", "parquet", "avro")
+    Set("media", "zip", "gzip", "tar", "eml", "cfb", "zstd", "bzip2", "xz", "lz4", "snappy", "warc", "jsonl", "7z", "pst", "tnef", "mbox", "parquet", "avro", "sqlite")
 
   /** Null spans (a row written with spans=NULL) are treated as an empty
     * span array — reason=empty-file, never a failure — in BOTH the batch and
@@ -367,6 +367,37 @@ object Extract {
       }
       if (declaredTotal > rows.length) // clamp: a forged huge row count must not wrap the counter
         skipped += math.min(declaredTotal - rows.length, (Int.MaxValue - skipped).toLong).toInt
+      o
+    }
+
+    // every user table of a SQLite database -> one tabular document child
+    // (header + tab-joined rows, the csv/xls text shape); BLOB cells spawn
+    // as sniffed embedded children below their table — Tika's
+    // SQLite3Parser shape (tables as embedded documents, blobs nested).
+    // Shared by the top-level sqlite span and nested sqlite entries.
+    def spawnSqliteTables(tabs: Vector[graft.core.db.Sqlite.Table],
+                          parentId: String, startOrd: Int, level: Int): Int = {
+      var o = startOrd
+      tabs.foreach { tab =>
+        checkDeadline(deadlineNanos)
+        val txt = graft.core.db.Sqlite.tableText(tab)
+        if (guardsRefuse(level, txt.length)) skipped += 1
+        else {
+          spawned += 1
+          val cid = Ids.embedId(txt, parentId, o, resourceName = tab.name)
+          emitDoc(cid, parentId, level, txt)
+          var bi = 0
+          tab.rows.foreach { r =>
+            r.cells.zipWithIndex.foreach {
+              case (graft.core.db.Sqlite.BlobCell(b), ci) =>
+                spawnEntry(s"${tab.name}_r${r.rowid}_c$ci", Some(b), cid, bi, level + 1)
+                bi += 1
+              case _ => ()
+            }
+          }
+        }
+        o += 1
+      }
       o
     }
 
@@ -657,6 +688,15 @@ object Extract {
             val cid = Ids.embedId(latin1, parentId, ord, resourceName = name)
             emitDoc(cid, parentId, level, "") // pure container node
             emitDumpRows(rows, total, cid, 0, level + 1): Unit
+          } else if (kind == "sqlite") {
+            // nested database (db-in-zip, the phone-backup shape): a
+            // container child whose per-table documents hang below it —
+            // parse before the first emission so a corrupt nested db
+            // yields exactly one failure node
+            val tabs = graft.core.db.Sqlite.tables(data, maxCells = dumpRowCap)
+            val cid = Ids.embedId(latin1, parentId, ord, resourceName = name)
+            emitDoc(cid, parentId, level, "") // pure container node
+            spawnSqliteTables(tabs, cid, 0, level + 1): Unit
           } else if (kind == "mbox") {
             // nested mailbox (mbox.gz, mbox-in-zip): a container child
             // whose messages hang below it
@@ -806,6 +846,12 @@ object Extract {
           val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
           val (rows, total) = readAvroRows(bytes)
           ord = emitDumpRows(rows, total, rootId, ord, 1)
+        case "sqlite" =>
+          // the database IS the parent document: one tabular child per
+          // user table, blob cells sniffed and recursing below
+          val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          ord = spawnSqliteTables(graft.core.db.Sqlite.tables(bytes,
+            maxCells = dumpRowCap), rootId, ord, 1)
         case "mbox" =>
           // each mailbox message is a document child carrying its parsed
           // RFC-822 body, attachments recursing — same shape as nested

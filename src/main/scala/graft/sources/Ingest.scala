@@ -58,6 +58,7 @@ object Ingest {
     else if (graft.core.office.Pst.isPst(bytes)) "pst" // Outlook mailbox (!BDN, MS-PST)
     else if (graft.core.mail.Tnef.isTnef(bytes)) "tnef" // winmail.dat (MS-OXTNEF)
     else if (graft.core.office.Cfb.isCfb(bytes)) "cfb" // OLE2 compound file (.msg/.doc era)
+    else if (graft.core.db.Sqlite.isSqlite(bytes)) "sqlite" // SQLite database (Tika SQLite3Parser surface)
     else if (graft.core.media.Probe.isPng(bytes) || graft.core.media.Probe.isJpeg(bytes) ||
       graft.core.media.Probe.isGif(bytes)) "image" // raster image: header metadata, no text without OCR
     else if (graft.core.media.Probe.isMp4(bytes) || graft.core.media.Probe.isMp3(bytes) ||

@@ -116,6 +116,12 @@ object BinaryFuzzProps extends Properties("BinaryFuzz") {
   private val PngMagic =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
+  property("sqlite tables: magic-stamped junk classifies") =
+    Prop.forAll(junk) { b =>
+      total(graft.core.db.Sqlite.tables(
+        ("SQLite format 3".getBytes :+ 0.toByte) ++ b))
+    }
+
   property("media probes: magic-stamped junk classifies") = Prop.forAll(junk) { b =>
     import graft.core.media.Probe
     total(Probe.probePng(PngMagic ++ b)) &&

@@ -74,6 +74,8 @@ class OmnibusIngestSpec extends AnyFunSuite {
         graft.core.office.Pst.BuildMsg("a", "ansi permute pst body")))),
       crypt = 1, ansi = true))
     put("dump.parquet", graft.sources.ParquetDump.build(Seq("parquet row text")))
+    put("app.db", graft.core.db.Sqlite.build(Seq(("notes", Seq("body"),
+      Seq(Seq(graft.core.db.Sqlite.TextCell("sqlite row text")))))))
     put("dump.avro", graft.sources.AvroDump.build(Seq("avro row text")))
     put("feed.xml",
       "<?xml version=\"1.0\"?><feed><entry>xml feed text</entry></feed>".getBytes(UTF_8))
@@ -90,7 +92,7 @@ class OmnibusIngestSpec extends AnyFunSuite {
     put("Thumbs.db", Array[Byte](1, 2, 3)) // junk: must be excluded
 
     val docs = Ingest.readDir(spark, dir.toString).collect()
-    assert(docs.length == 37) // every file except the junk one
+    assert(docs.length == 38) // every file except the junk one
 
     // media classify by magic and parse to empty-file (metadata, no OCR)
     val kinds = docs.flatMap(_.spans.map(_.kind))
@@ -112,7 +114,7 @@ class OmnibusIngestSpec extends AnyFunSuite {
       "cal event", "mbox msg one", "mbox msg two",
       "xz member", "lz4 member", "snappy member", "ansi permute pst body",
       "parquet row text", "avro row text", "Omni Book\nepub chapter text",
-      "xml feed text")
+      "xml feed text", "body\nsqlite row text")
     val missing = expected -- texts
     assert(missing.isEmpty, s"formats missing from extraction: $missing")
   }
