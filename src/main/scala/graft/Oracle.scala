@@ -1533,6 +1533,36 @@ object Oracle {
       | 'image' AS kinds
       |FROM documents WHERE doc_id%23=0""".stripMargin
 
+  /** Mirror of Queries.imageProbe2: TIFF/BMP/WebP/ICO fields recomputed
+    * from the fixture-writer arithmetic — tif bits-per-sample and bmp
+    * bits-per-pixel are constants of the builders (8-bit gray strip /
+    * 24-bit DIB), ico is always a single PNG-payload entry.
+    */
+  private val imageProbe2: String =
+    """SELECT doc_id,
+      | (5 + doc_id%9)::BIGINT AS tif_w,
+      | (4 + doc_id%6)::BIGINT AS tif_h,
+      | 8::BIGINT AS tif_bps,
+      | (1 + doc_id%8)::BIGINT AS tif_orient,
+      | 'Mk'||(doc_id%4) AS tif_make,
+      | 'Md'||(doc_id%5) AS tif_model,
+      | (6 + doc_id%10)::BIGINT AS bmp_w,
+      | (3 + doc_id%7)::BIGINT AS bmp_h,
+      | 24::BIGINT AS bmp_bpp,
+      | (CASE WHEN doc_id%2=0 THEN 1 ELSE 0 END)::BIGINT AS bmp_topdown,
+      | 'VP8L' AS webp_fmt,
+      | (1 + doc_id%300)::BIGINT AS webp_w,
+      | (1 + doc_id%200)::BIGINT AS webp_h,
+      | 'VP8X' AS webpx_fmt,
+      | (2 + doc_id%400)::BIGINT AS webpx_w,
+      | (2 + doc_id%250)::BIGINT AS webpx_h,
+      | 1::BIGINT AS ico_n,
+      | (16 + (doc_id%3)*16)::BIGINT AS ico_w,
+      | (16 + (doc_id%3)*16)::BIGINT AS ico_h,
+      | 1::BIGINT AS ico_png,
+      | 'image' AS kinds
+      |FROM documents WHERE doc_id%61=0""".stripMargin
+
   /** Mirror of Queries.avProbe: MP4 box fields, MP3 frame arithmetic
     * (MPEG-1 L3 at 32 kHz: 1152 samples/frame → 36 ms), and WAVE duration,
     * all floor-division integer math on both sides.
@@ -1691,6 +1721,7 @@ object Oracle {
     "q_expr_code32" -> exprCode32,
     "q_media_meta" -> mediaMeta,
     "q_image_probe" -> imageProbe,
+    "q_image_probe2" -> imageProbe2,
     "q_av_probe" -> avProbe,
     "q_media_decode" -> mediaDecode,
     "q_media_audio" -> mediaAudio,

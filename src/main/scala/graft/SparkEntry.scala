@@ -1868,6 +1868,52 @@ object Queries {
         "mp3_frames", "mp3_dur_ms", "mp3_rate", "wav_rate", "wav_dur_us", "kinds")
   }
 
+  /** §2.5/§2.8 extended raster coverage — the remaining image formats of
+    * the reference's Tika surface (`TiffParser`, `BmpParser` via ImageIO,
+    * `WebPParser`, ICO under image/vnd.microsoft.icon): each %61 doc
+    * synthesizes a standalone baseline TIFF (IFD0 with camera strings),
+    * a 24-bit BMP (top-down on even ids), BOTH WebP dimension packings
+    * (VP8L bitstream and VP8X canvas), and a PNG-payload ICO, then
+    * byte-walks all five containers ([[graft.core.media.Probe]]). All
+    * must also sniff as kind=image. Oracle: pure arithmetic.
+    */
+  def imageProbe2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.core.media.Probe
+    docs(spark, dir).select("doc_id").as[Long]
+      .filter(_ % 61 == 0)
+      .map { id =>
+        val tif = Probe.buildTiff(5 + (id % 9).toInt, 4 + (id % 6).toInt,
+          1 + (id % 8).toInt, "Mk" + (id % 4), "Md" + (id % 5))
+        val bmp = Probe.buildBmp(6 + (id % 10).toInt, 3 + (id % 7).toInt,
+          topDown = id % 2 == 0)
+        val wpl = Probe.buildWebpLossless(1 + (id % 300).toInt, 1 + (id % 200).toInt)
+        val wpx = Probe.buildWebpExtended(2 + (id % 400).toInt, 2 + (id % 250).toInt)
+        val icoDim = 16 + (id % 3).toInt * 16
+        val ico = Probe.buildIco(
+          Media.encodePng(icoDim, icoDim, 0x3060a0), icoDim, icoDim)
+        val ti = Probe.probeTiff(tif)
+        val bi = Probe.probeBmp(bmp)
+        val wl = Probe.probeWebp(wpl)
+        val wx = Probe.probeWebp(wpx)
+        val ii = Probe.probeIco(ico)
+        val kinds = Seq(tif, bmp, wpl, wpx, ico)
+          .map(graft.sources.Ingest.sniffKind(_)).distinct.mkString(",")
+        (id, ti.width.toLong, ti.height.toLong, ti.bitsPerSample.toLong,
+          ti.orientation.toLong, ti.make, ti.model,
+          bi.width.toLong, bi.height.toLong, bi.bitsPerPixel.toLong,
+          if (bi.topDown) 1L else 0L,
+          wl.format, wl.width.toLong, wl.height.toLong,
+          wx.format, wx.width.toLong, wx.height.toLong,
+          ii.nImages.toLong, ii.width.toLong, ii.height.toLong,
+          if (ii.pngPayload) 1L else 0L, kinds)
+      }
+      .toDF("doc_id", "tif_w", "tif_h", "tif_bps", "tif_orient", "tif_make",
+        "tif_model", "bmp_w", "bmp_h", "bmp_bpp", "bmp_topdown",
+        "webp_fmt", "webp_w", "webp_h", "webpx_fmt", "webpx_w", "webpx_h",
+        "ico_n", "ico_w", "ico_h", "ico_png", "kinds")
+  }
+
   /** The native codegen'd Catalyst expression (graft.functions.Code32)
     * running inside whole-stage codegen.
     */
@@ -2199,6 +2245,7 @@ object Queries {
     "q_media_video" -> (mediaVideo _),
     "q_media_frames" -> (mediaFrames _),
     "q_image_probe" -> (imageProbe _),
+    "q_image_probe2" -> (imageProbe2 _),
     "q_av_probe" -> (avProbe _),
     "q_tpch_q1" -> (tpchQ1 _),
     "q_join_topn" -> (joinTopn _),

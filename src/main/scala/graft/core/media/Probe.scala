@@ -527,4 +527,290 @@ object Probe {
     need(byteRate > 0, "fmt byte rate is zero")
     WavInfo(af, ch, rate, bits, dataBytes, dataBytes.toLong * 1000000L / byteRate)
   }
+
+  // --------------------------------------------------------------- TIFF ----
+
+  def isTiff(b: Array[Byte]): Boolean =
+    b.length >= 8 &&
+      ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+        (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))
+
+  final case class TiffInfo(width: Int, height: Int, bitsPerSample: Int,
+                            orientation: Int, make: String, model: String)
+
+  /** Standalone TIFF (Tika `TiffParser` surface): IFD0 walk over the whole
+    * file — dimensions (SHORT or LONG), bits per sample, orientation, and
+    * the camera strings. The same TIFF 6.0 structure `parseExifTiff` reads
+    * inside a JPEG APP1, here with the file itself as the segment.
+    */
+  def probeTiff(b: Array[Byte]): TiffInfo = {
+    need(isTiff(b), "not a TIFF")
+    val le = b(0) == 'I'
+    def r16(p: Int): Int = { need(p >= 0 && p + 2 <= b.length, "TIFF read past file"); if (le) le16(b, p) else be16(b, p) }
+    def r32(p: Int): Int = { need(p >= 0 && p + 4 <= b.length, "TIFF read past file"); if (le) le32(b, p) else be32(b, p) }
+    val ifd = r32(4)
+    need(ifd >= 8 && ifd + 2 <= b.length, "TIFF IFD0 offset out of file")
+    val n = r16(ifd)
+    need(n > 0 && n <= 512, "TIFF IFD entry count out of range")
+    var w = 0; var h = 0; var bps = 0; var orient = 0; var make = ""; var model = ""
+    def shortOrLong(e: Int, typ: Int): Int =
+      if (typ == 3) r16(e + 8) else r32(e + 8) // SHORT inline vs LONG inline
+    def asciiValue(e: Int, cnt: Int): String = {
+      val raw =
+        if (cnt <= 4) { need(e + 8 + cnt <= b.length, "TIFF inline value past file"); ascii(b, e + 8, cnt) }
+        else {
+          val vo = r32(e + 8)
+          need(vo >= 0 && vo + cnt <= b.length, "TIFF value offset out of file")
+          ascii(b, vo, cnt)
+        }
+      raw.takeWhile(_ != '\u0000')
+    }
+    var i = 0
+    while (i < n) {
+      val e = ifd + 2 + 12 * i
+      need(e + 12 <= b.length, "TIFF IFD entry past file")
+      val tag = r16(e); val typ = r16(e + 2); val cnt = r32(e + 4)
+      need(cnt >= 0 && cnt <= b.length, "TIFF entry count out of bounds")
+      tag match {
+        case 0x0100 if typ == 3 || typ == 4 => w = shortOrLong(e, typ)
+        case 0x0101 if typ == 3 || typ == 4 => h = shortOrLong(e, typ)
+        case 0x0102 if typ == 3 && cnt == 1 => bps = r16(e + 8)
+        case 0x0112 if typ == 3 => orient = r16(e + 8)
+        case 0x010f if typ == 2 => make = asciiValue(e, cnt)
+        case 0x0110 if typ == 2 => model = asciiValue(e, cnt)
+        case _ => ()
+      }
+      i += 1
+    }
+    need(w > 0 && h > 0, "TIFF without dimensions")
+    TiffInfo(w, h, bps, orient, make, model)
+  }
+
+  /** Fixture writer: a real, ImageIO-decodable single-strip grayscale
+    * baseline TIFF (sorted IFD, uncompressed pixel strip) carrying
+    * orientation + camera strings.
+    */
+  def buildTiff(width: Int, height: Int, orientation: Int,
+                make: String, model: String): Array[Byte] = {
+    val mk = (make + "\u0000").getBytes(ISO_8859_1)
+    val md = (model + "\u0000").getBytes(ISO_8859_1)
+    val nEntries = 12
+    val ifdStart = 8
+    val afterIfd = ifdStart + 2 + nEntries * 12 + 4
+    val mkOff = afterIfd
+    val mdOff = mkOff + (if (mk.length > 4) mk.length else 0)
+    val pixOff = mdOff + (if (md.length > 4) md.length else 0)
+    val buf = java.nio.ByteBuffer.allocate(pixOff + width * height)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdStart)
+    buf.putShort(nEntries.toShort)
+    def entry(tag: Int, typ: Int, cnt: Int, value: Int): Unit = {
+      buf.putShort(tag.toShort).putShort(typ.toShort).putInt(cnt)
+      if (typ == 3) buf.putShort(value.toShort).putShort(0) else buf.putInt(value)
+    }
+    def asciiEntry(tag: Int, v: Array[Byte], off: Int): Unit = {
+      buf.putShort(tag.toShort).putShort(2).putInt(v.length)
+      if (v.length <= 4) { buf.put(v); var p = v.length; while (p < 4) { buf.put(0.toByte); p += 1 } }
+      else buf.putInt(off)
+    }
+    // entries in ascending tag order (TIFF 6.0 requirement)
+    entry(0x0100, 4, 1, width)           // ImageWidth
+    entry(0x0101, 4, 1, height)          // ImageLength
+    entry(0x0102, 3, 1, 8)               // BitsPerSample
+    entry(0x0103, 3, 1, 1)               // Compression: none
+    entry(0x0106, 3, 1, 1)               // Photometric: BlackIsZero
+    asciiEntry(0x010f, mk, mkOff)        // Make
+    asciiEntry(0x0110, md, mdOff)        // Model
+    entry(0x0111, 4, 1, pixOff)          // StripOffsets
+    entry(0x0112, 3, 1, orientation)     // Orientation
+    entry(0x0115, 3, 1, 1)               // SamplesPerPixel
+    entry(0x0116, 4, 1, height)          // RowsPerStrip
+    entry(0x0117, 4, 1, width * height)  // StripByteCounts
+    buf.putInt(0) // no next IFD
+    if (mk.length > 4) buf.put(mk)
+    if (md.length > 4) buf.put(md)
+    var i = 0
+    while (i < width * height) { buf.put((i % 251).toByte); i += 1 }
+    buf.array()
+  }
+
+  // ---------------------------------------------------------------- BMP ----
+
+  def isBmp(b: Array[Byte]): Boolean =
+    b.length >= 26 && b(0) == 'B' && b(1) == 'M' && {
+      val dib = le32(b, 14)
+      // plausible DIB header sizes (CORE/INFO/V2..V5): the two magic
+      // letters alone are too weak a signature for text corpora
+      dib == 12 || dib == 40 || dib == 52 || dib == 56 || dib == 108 || dib == 124
+    }
+
+  final case class BmpInfo(width: Int, height: Int, bitsPerPixel: Int,
+                           topDown: Boolean)
+
+  /** Windows bitmap: BITMAPCOREHEADER (12) reads 16-bit dims, every later
+    * DIB revision 32-bit signed (negative height = top-down row order).
+    */
+  def probeBmp(b: Array[Byte]): BmpInfo = {
+    need(isBmp(b), "not a BMP")
+    val dib = le32(b, 14)
+    if (dib == 12) {
+      need(b.length >= 26, "BMP core header truncated")
+      BmpInfo(le16(b, 18), le16(b, 20), le16(b, 24), topDown = false)
+    } else {
+      need(b.length >= 34, "BMP info header truncated")
+      val w = le32(b, 18); val h = le32(b, 22)
+      need(w > 0 && h != 0, "BMP dimensions")
+      BmpInfo(w, math.abs(h), le16(b, 28), topDown = h < 0)
+    }
+  }
+
+  /** Fixture writer: a real, ImageIO-decodable 24-bit BITMAPINFOHEADER
+    * bitmap (4-byte-aligned rows); negative biHeight encodes top-down
+    * row order, the form `probeBmp` must flag.
+    */
+  def buildBmp(width: Int, height: Int, topDown: Boolean): Array[Byte] = {
+    require(width >= 1 && height >= 1 && width <= 4096 && height <= 4096)
+    val rowBytes = (width * 3 + 3) & ~3
+    val dataSize = rowBytes * height
+    val buf = java.nio.ByteBuffer.allocate(14 + 40 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(14 + 40 + dataSize)
+      .putShort(0).putShort(0).putInt(14 + 40)
+    buf.putInt(40).putInt(width).putInt(if (topDown) -height else height)
+      .putShort(1).putShort(24).putInt(0).putInt(dataSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        buf.put(((x + y) % 251).toByte).put((x % 251).toByte).put((y % 251).toByte)
+        x += 1
+      }
+      var pad = width * 3
+      while (pad < rowBytes) { buf.put(0.toByte); pad += 1 }
+      y += 1
+    }
+    buf.array()
+  }
+
+  // --------------------------------------------------------------- WebP ----
+
+  def isWebp(b: Array[Byte]): Boolean =
+    b.length >= 16 && ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WEBP"
+
+  final case class WebpInfo(format: String, width: Int, height: Int)
+
+  /** WebP container: the first VP8 (lossy), VP8L (lossless), or VP8X
+    * (extended canvas) chunk carries the dimensions, each in its own
+    * packing per the public container/bitstream specs.
+    */
+  def probeWebp(b: Array[Byte]): WebpInfo = {
+    need(isWebp(b), "not a WebP")
+    var pos = 12
+    var guard = 0
+    while (pos + 8 <= b.length) {
+      guard += 1; need(guard <= 1024, "WebP chunk cap")
+      val id = ascii(b, pos, 4)
+      val size = le32(b, pos + 4)
+      need(size >= 0 && pos + 8 + size <= b.length, "WebP chunk past file")
+      val p = pos + 8
+      id match {
+        case "VP8X" =>
+          need(size >= 10, "VP8X chunk too small")
+          // 32-bit flags+reserved, then 24-bit canvas width-1 / height-1
+          val w = 1 + (u8(b, p + 4) | (u8(b, p + 5) << 8) | (u8(b, p + 6) << 16))
+          val h = 1 + (u8(b, p + 7) | (u8(b, p + 8) << 8) | (u8(b, p + 9) << 16))
+          return WebpInfo("VP8X", w, h)
+        case "VP8L" =>
+          need(size >= 5 && u8(b, p) == 0x2f, "VP8L signature")
+          val bits = le32(b, p + 1)
+          return WebpInfo("VP8L", 1 + (bits & 0x3fff), 1 + ((bits >>> 14) & 0x3fff))
+        case "VP8 " =>
+          need(size >= 10, "VP8 frame header too small")
+          need(u8(b, p + 3) == 0x9d && u8(b, p + 4) == 0x01 && u8(b, p + 5) == 0x2a,
+            "VP8 start code")
+          return WebpInfo("VP8", le16(b, p + 6) & 0x3fff, le16(b, p + 8) & 0x3fff)
+        case _ => ()
+      }
+      pos += 8 + size + (size & 1)
+    }
+    throw new graft.core.ParseFailure("WebP without an image chunk")
+  }
+
+  /** Fixture writers: a VP8L-bearing container (the lossless dimension
+    * packing) and a VP8X extended container.
+    */
+  def buildWebpLossless(width: Int, height: Int): Array[Byte] = {
+    require(width >= 1 && width <= 16384 && height >= 1 && height <= 16384)
+    val bits = (width - 1) | ((height - 1) << 14)
+    val body = java.nio.ByteBuffer.allocate(5).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(0x2f.toByte).putInt(bits).array()
+    riffWebp(Seq(("VP8L", body)))
+  }
+  def buildWebpExtended(width: Int, height: Int): Array[Byte] = {
+    require(width >= 1 && height >= 1)
+    val body = new Array[Byte](10)
+    body(4) = ((width - 1) & 0xff).toByte
+    body(5) = (((width - 1) >> 8) & 0xff).toByte
+    body(6) = (((width - 1) >> 16) & 0xff).toByte
+    body(7) = ((height - 1) & 0xff).toByte
+    body(8) = (((height - 1) >> 8) & 0xff).toByte
+    body(9) = (((height - 1) >> 16) & 0xff).toByte
+    riffWebp(Seq(("VP8X", body)))
+  }
+  private def riffWebp(chunks: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val payload = chunks.flatMap { case (id, body) =>
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      id.getBytes(ISO_8859_1) ++
+        java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          .putInt(body.length).array() ++ body ++ pad
+    }.toArray
+    "RIFF".getBytes(ISO_8859_1) ++
+      java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(4 + payload.length).array() ++
+      "WEBP".getBytes(ISO_8859_1) ++ payload
+  }
+
+  // ---------------------------------------------------------------- ICO ----
+
+  def isIco(b: Array[Byte]): Boolean =
+    b.length >= 22 && b(0) == 0 && b(1) == 0 && b(2) == 1 && b(3) == 0 && {
+      val count = le16(b, 4)
+      // weak magic: require a sane entry count and the first entry's
+      // payload to land inside the file
+      count >= 1 && count <= 1024 &&
+        b.length >= 6 + 16L * count &&
+        le32(b, 6 + 12).toLong + le32(b, 6 + 8).toLong <= b.length.toLong
+    }
+
+  final case class IcoInfo(nImages: Int, width: Int, height: Int, pngPayload: Boolean)
+
+  /** Windows icon directory: image count and the FIRST entry's dimensions
+    * (the 0-means-256 byte encoding); payload sniffed for the modern
+    * embedded-PNG form.
+    */
+  def probeIco(b: Array[Byte]): IcoInfo = {
+    need(isIco(b), "not an ICO")
+    val count = le16(b, 4)
+    val w0 = u8(b, 6); val h0 = u8(b, 7)
+    val off = le32(b, 6 + 12)
+    val size = le32(b, 6 + 8)
+    need(off >= 6 + 16 * count && size >= 0 && off.toLong + size <= b.length, "ICO entry out of file")
+    val png = size >= 8 && isPng(java.util.Arrays.copyOfRange(b, off, off + 8))
+    IcoInfo(count, if (w0 == 0) 256 else w0, if (h0 == 0) 256 else h0, png)
+  }
+
+  /** Fixture writer: a single-entry icon embedding a real PNG payload. */
+  def buildIco(png: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(6 + 16 + png.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putShort(0).putShort(1).putShort(1)
+    buf.put((if (width >= 256) 0 else width).toByte)
+    buf.put((if (height >= 256) 0 else height).toByte)
+    buf.put(0.toByte).put(0.toByte) // palette, reserved
+    buf.putShort(1).putShort(32)    // planes, bpp
+    buf.putInt(png.length).putInt(6 + 16)
+    buf.put(png)
+    buf.array()
+  }
 }

@@ -60,7 +60,9 @@ object Ingest {
     else if (graft.core.office.Cfb.isCfb(bytes)) "cfb" // OLE2 compound file (.msg/.doc era)
     else if (graft.core.db.Sqlite.isSqlite(bytes)) "sqlite" // SQLite database (Tika SQLite3Parser surface)
     else if (graft.core.media.Probe.isPng(bytes) || graft.core.media.Probe.isJpeg(bytes) ||
-      graft.core.media.Probe.isGif(bytes)) "image" // raster image: header metadata, no text without OCR
+      graft.core.media.Probe.isGif(bytes) || graft.core.media.Probe.isTiff(bytes) ||
+      graft.core.media.Probe.isWebp(bytes) || graft.core.media.Probe.isBmp(bytes) ||
+      graft.core.media.Probe.isIco(bytes)) "image" // raster image: header metadata, no text without OCR
     else if (graft.core.media.Probe.isMp4(bytes) || graft.core.media.Probe.isMp3(bytes) ||
       graft.core.media.Probe.isRiffAv(bytes)) "av" // audio/video container: duration/rate metadata
     else if (Archive.isTar(bytes)) "tar"

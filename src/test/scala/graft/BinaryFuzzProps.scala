@@ -132,4 +132,13 @@ object BinaryFuzzProps extends Properties("BinaryFuzz") {
       total(Probe.probeMp3("ID3".getBytes ++ b)) &&
       total(Probe.probeWav("RIFF    WAVE".getBytes ++ b))
   }
+
+  property("raster probes: magic-stamped junk classifies") = Prop.forAll(junk) { b =>
+    import graft.core.media.Probe
+    total(Probe.probeTiff(Array[Byte]('I', 'I', 42, 0) ++ b)) &&
+      total(Probe.probeTiff(Array[Byte]('M', 'M', 0, 42) ++ b)) &&
+      total(Probe.probeBmp(Array[Byte]('B', 'M') ++ b)) &&
+      total(Probe.probeWebp("RIFF    WEBP".getBytes ++ b)) &&
+      total(Probe.probeIco(Array[Byte](0, 0, 1, 0, 1, 0) ++ b))
+  }
 }

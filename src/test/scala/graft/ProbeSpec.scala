@@ -181,6 +181,92 @@ class ProbeSpec extends AnyFunSuite {
     intercept[ParseFailure](Probe.probeWav("RIFFxxxxNOPE".getBytes))
   }
 
+  // ---------------------------------------------------------------- TIFF ----
+
+  test("TIFF probe walks IFD0 of a real strip TIFF that ImageIO decodes") {
+    val tif = Probe.buildTiff(19, 11, orientation = 6, make = "Mk2", model = "ModelLongerThan4")
+    val info = Probe.probeTiff(tif)
+    assert(info.width == 19 && info.height == 11 && info.bitsPerSample == 8)
+    assert(info.orientation == 6 && info.make == "Mk2" && info.model == "ModelLongerThan4")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(tif))
+    assert(img != null && img.getWidth == 19 && img.getHeight == 11)
+  }
+
+  test("TIFF with a lying IFD offset or entry count classifies") {
+    val tif = Probe.buildTiff(4, 4, 1, "a", "b")
+    val evil = tif.clone()
+    evil(4) = 0x7f.toByte; evil(5) = 0x7f.toByte // IFD0 offset past the file
+    intercept[ParseFailure](Probe.probeTiff(evil))
+    val evil2 = tif.clone()
+    evil2(8) = 0xff.toByte; evil2(9) = 0x7f.toByte // 32k entries → past file
+    intercept[ParseFailure](Probe.probeTiff(evil2))
+    intercept[ParseFailure](Probe.probeTiff(tif.take(10)))
+  }
+
+  // ----------------------------------------------------------------- BMP ----
+
+  test("BMP probe reads INFO-header dims/bpp and ImageIO agrees") {
+    val bmp = Probe.buildBmp(17, 9, topDown = false)
+    val info = Probe.probeBmp(bmp)
+    assert(info.width == 17 && info.height == 9 && info.bitsPerPixel == 24)
+    assert(!info.topDown)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+    assert(img != null && img.getWidth == 17 && img.getHeight == 9)
+  }
+
+  test("negative biHeight flags top-down row order") {
+    val info = Probe.probeBmp(Probe.buildBmp(5, 3, topDown = true))
+    assert(info.width == 5 && info.height == 3 && info.topDown)
+  }
+
+  test("BMP with zero dims or a truncated header classifies") {
+    val bmp = Probe.buildBmp(4, 4, topDown = false)
+    val evil = bmp.clone()
+    evil(18) = 0; evil(19) = 0; evil(20) = 0; evil(21) = 0 // width 0
+    intercept[ParseFailure](Probe.probeBmp(evil))
+    intercept[ParseFailure](Probe.probeBmp(Array[Byte]('B', 'M', 1, 2)))
+  }
+
+  // ---------------------------------------------------------------- WebP ----
+
+  test("WebP VP8L bitstream packing round-trips 14-bit dims") {
+    val info = Probe.probeWebp(Probe.buildWebpLossless(300, 177))
+    assert(info.format == "VP8L" && info.width == 300 && info.height == 177)
+    val max = Probe.probeWebp(Probe.buildWebpLossless(16384, 16384))
+    assert(max.width == 16384 && max.height == 16384)
+  }
+
+  test("WebP VP8X canvas packing round-trips 24-bit dims") {
+    val info = Probe.probeWebp(Probe.buildWebpExtended(70000, 333))
+    assert(info.format == "VP8X" && info.width == 70000 && info.height == 333)
+  }
+
+  test("WebP with a lying chunk size or no image chunk classifies") {
+    val wp = Probe.buildWebpLossless(8, 8)
+    val evil = wp.clone()
+    evil(16) = 0x7f.toByte; evil(17) = 0x7f.toByte // VP8L size past file
+    intercept[ParseFailure](Probe.probeWebp(evil))
+    intercept[ParseFailure](Probe.probeWebp("RIFF   WEBP".getBytes("ISO-8859-1")))
+  }
+
+  // ----------------------------------------------------------------- ICO ----
+
+  test("ICO directory reads entry count, 0-means-256 dims, and PNG payload") {
+    val ico = Probe.buildIco(Media.encodePng(256, 256, 0x010203), 256, 256)
+    val info = Probe.probeIco(ico)
+    assert(info.nImages == 1 && info.width == 256 && info.height == 256 && info.pngPayload)
+    val small = Probe.probeIco(Probe.buildIco(Media.encodePng(16, 16, 0), 16, 16))
+    assert(small.width == 16 && small.height == 16 && small.pngPayload)
+  }
+
+  test("ICO with an out-of-file payload never passes the signature") {
+    val ico = Probe.buildIco(Media.encodePng(16, 16, 0), 16, 16)
+    val evil = ico.clone()
+    evil(6 + 12) = 0x7f.toByte; evil(6 + 13) = 0x7f.toByte // offset past file
+    assert(!Probe.isIco(evil))
+    intercept[ParseFailure](Probe.probeIco(evil))
+  }
+
   // -------------------------------------------------------- sniff routing ----
 
   test("image and AV magics sniff to their kinds; bin junk does not") {
@@ -188,6 +274,11 @@ class ProbeSpec extends AnyFunSuite {
     assert(sniffKind(Media.encodePng(3, 3, 0)) == "image")
     assert(sniffKind(Media.encodeSolid(3, 3, 0, "jpg")) == "image")
     assert(sniffKind(Media.encodeSolid(3, 3, 0, "gif")) == "image")
+    assert(sniffKind(Probe.buildTiff(3, 3, 1, "m", "n")) == "image")
+    assert(sniffKind(Probe.buildBmp(3, 3, topDown = false)) == "image")
+    assert(sniffKind(Probe.buildWebpLossless(3, 3)) == "image")
+    assert(sniffKind(Probe.buildWebpExtended(3, 3)) == "image")
+    assert(sniffKind(Probe.buildIco(Media.encodePng(16, 16, 0), 16, 16)) == "image")
     assert(sniffKind(Probe.buildMp4("isom", 600, 600, 1)) == "av")
     assert(sniffKind(Probe.buildMp3(2)) == "av")
     assert(sniffKind(Probe.buildMp3(2, id3 = true)) == "av")
