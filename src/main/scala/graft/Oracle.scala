@@ -207,6 +207,60 @@ object Oracle {
       |  sha256('64:'||sha256('gamma '||doc_id)||'64:'||nzid||'1:0'||'0:'||'5:c.txt'),
       |  nzid, 2, 'gamma '||doc_id, '' FROM n""".stripMargin
 
+  /** Mirror of Queries.arExplode: member files in archive order; the %126
+    * nested gzip member is a container child (canonical over its single
+    * decompressed (FNAME, text) entry) with the document below it.
+    */
+  private val arExplode: String =
+    """WITH z AS (SELECT doc_id, sha256(doc_id::VARCHAR) AS rid
+      |           FROM documents WHERE doc_id%63=0),
+      |g AS (SELECT doc_id, rid,
+      |  sha256('64:'||sha256('9:inner.txt'||octet_length(encode('inner '||doc_id))||':inner '||doc_id)
+      |    ||'64:'||rid||'1:2'||'0:'||'8:inner.gz') AS gzid
+      | FROM z WHERE doc_id%126=0)
+      |SELECT doc_id, rid AS node_id, '' AS parent_id, 0 AS level, '' AS txt,
+      |       'empty-file' AS reason FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('2.0'||chr(10))||'64:'||rid||'1:0'||'0:'||'13:debian-binary'),
+      |  rid, 1, '2.0'||chr(10), '' FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('ar note '||doc_id)||'64:'||rid||'1:1'||'0:'||'10:readme.txt'),
+      |  rid, 1, 'ar note '||doc_id, '' FROM z
+      |UNION ALL SELECT doc_id, gzid, rid, 1, '', 'empty-file' FROM g
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('inner '||doc_id)||'64:'||gzid||'1:0'||'0:'||'9:inner.txt'),
+      |  gzid, 2, 'inner '||doc_id, '' FROM g""".stripMargin
+
+  /** Mirror of Queries.cpioExplode: regular-file records in stream order
+    * with their full path names.
+    */
+  private val cpioExplode: String =
+    """WITH z AS (SELECT doc_id, sha256(doc_id::VARCHAR) AS rid
+      |           FROM documents WHERE doc_id%77=0)
+      |SELECT doc_id, rid AS node_id, '' AS parent_id, 0 AS level, '' AS txt,
+      |       'empty-file' AS reason FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('motd '||doc_id)||'64:'||rid||'1:0'||'0:'||'8:etc/motd'),
+      |  rid, 1, 'motd '||doc_id, '' FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('doc '||doc_id)||'64:'||rid||'1:1'||'0:'||'13:usr/share/doc'),
+      |  rid, 1, 'doc '||doc_id, '' FROM z""".stripMargin
+
+  /** Mirror of Queries.rpmExplode: the flattened package — payload
+    * framing (gzip+cpio) never appears, the files are direct children.
+    */
+  private val rpmExplode: String =
+    """WITH z AS (SELECT doc_id, sha256(doc_id::VARCHAR) AS rid
+      |           FROM documents WHERE doc_id%85=0)
+      |SELECT doc_id, rid AS node_id, '' AS parent_id, 0 AS level, '' AS txt,
+      |       'empty-file' AS reason FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('tool '||doc_id)||'64:'||rid||'1:0'||'0:'||'8:bin/tool'),
+      |  rid, 1, 'tool '||doc_id, '' FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('conf '||doc_id)||'64:'||rid||'1:1'||'0:'||'8:etc/conf'),
+      |  rid, 1, 'conf '||doc_id, '' FROM z""".stripMargin
+
   /** Mirror of Queries.msgExplode: the .msg root carries the document text
     * as its body; the %18 file attachment and %27 nested message are
     * level-1 children whose ids recompute over the message's LOGICAL
@@ -1663,6 +1717,9 @@ object Oracle {
     "q_warc_explode" -> warcExplode,
     "q_jsonl_explode" -> jsonlExplode,
     "q_7z_explode" -> sevenZExplode,
+    "q_ar_explode" -> arExplode,
+    "q_cpio_explode" -> cpioExplode,
+    "q_rpm_explode" -> rpmExplode,
     "q_url_filter" -> urlFilter,
     "q_web_funnel" -> webFunnel,
     "q_eml_headers" -> emlHeaders,

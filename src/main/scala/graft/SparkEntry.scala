@@ -803,6 +803,76 @@ object Queries {
     * recurses through the archive machinery. Oracle recomputes every
     * node id.
     */
+  /** Unix ar / .deb outer-container explosion (Tika's commons-compress
+    * `ar` surface; dpkg's actual package framing): member files in
+    * archive order, with a %126 nested gzip member becoming a container
+    * child whose decompressed document hangs below it — the
+    * `control.tar.gz` shape at oracle-expressible depth (the full
+    * ar→gzip→tar→text chain is ArchiveSpec's golden).
+    */
+  def arExplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    import graft.sources.Archive
+    docs(spark, dir).select("doc_id").as[Long]
+      .filter(id => id % 63 == 0)
+      .flatMap { id =>
+        val entries = Seq(
+          ("debian-binary", "2.0\n".getBytes(UTF_8)),
+          ("readme.txt", s"ar note $id".getBytes(UTF_8))) ++
+          (if (id % 126 == 0)
+            Seq(("inner.gz", Archive.gzipBytes(s"inner $id".getBytes(UTF_8), "inner.txt")))
+          else Nil)
+        val ar = Archive.arBytes(entries)
+        val d = DocIn(id, Array(SpanIn("ar", new String(ar, ISO_8859_1), "", 0)))
+        Extract.explode(d).map(o =>
+          (id, o.doc_id, o.parent_id, o.level, o.spans.map(_.text).mkString(""), o.no_content_reason))
+      }
+      .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
+  }
+
+  /** newc cpio explosion (the initramfs / rpm-payload record stream):
+    * regular-file records in stream order, path names preserved.
+    */
+  def cpioExplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    import graft.sources.Archive
+    docs(spark, dir).select("doc_id").as[Long]
+      .filter(id => id % 77 == 0)
+      .flatMap { id =>
+        val cp = Archive.cpioBytes(Seq(
+          ("etc/motd", s"motd $id".getBytes(UTF_8)),
+          ("usr/share/doc", s"doc $id".getBytes(UTF_8))))
+        val d = DocIn(id, Array(SpanIn("cpio", new String(cp, ISO_8859_1), "", 0)))
+        Extract.explode(d).map(o =>
+          (id, o.doc_id, o.parent_id, o.level, o.spans.map(_.text).mkString(""), o.no_content_reason))
+      }
+      .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
+  }
+
+  /** RPM package explosion (Tika `RpmParser` semantics): lead + two
+    * header sections walked, the gzip-compressed cpio payload flattened
+    * so the package's FILES are its direct children — payload framing is
+    * transport, never a node.
+    */
+  def rpmExplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    import graft.sources.Archive
+    docs(spark, dir).select("doc_id").as[Long]
+      .filter(id => id % 85 == 0)
+      .flatMap { id =>
+        val rpm = Archive.rpmBytes(Archive.gzipBytes(Archive.cpioBytes(Seq(
+          ("bin/tool", s"tool $id".getBytes(UTF_8)),
+          ("etc/conf", s"conf $id".getBytes(UTF_8))))))
+        val d = DocIn(id, Array(SpanIn("rpm", new String(rpm, ISO_8859_1), "", 0)))
+        Extract.explode(d).map(o =>
+          (id, o.doc_id, o.parent_id, o.level, o.spans.map(_.text).mkString(""), o.no_content_reason))
+      }
+      .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
+  }
+
   def sevenZExplode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
@@ -2183,6 +2253,9 @@ object Queries {
     "q_warc_explode" -> (warcExplode _),
     "q_jsonl_explode" -> (jsonlExplode _),
     "q_7z_explode" -> (sevenZExplode _),
+    "q_ar_explode" -> (arExplode _),
+    "q_cpio_explode" -> (cpioExplode _),
+    "q_rpm_explode" -> (rpmExplode _),
     "q_url_filter" -> (urlFilterQ _),
     "q_web_funnel" -> (webFunnel _),
     "q_eml_headers" -> (emlHeaders _),

@@ -103,7 +103,7 @@ object Extract {
       // zip: an OOXML PACKAGE (docx/xlsx/pptx) yields its body text;
       // a plain archive has none
       case "zip"       => (graft.core.office.Ooxml.packageText(t, cfg.maxSpanChars), "")
-      case "gzip" | "tar" | "zstd" | "bzip2" | "xz" | "lz4" | "snappy" | "warc" | "jsonl" | "7z" | "pst" | "mbox" | "parquet" | "avro" | "sqlite" => ("", "") // container: no own text, entries explode to children
+      case "gzip" | "tar" | "zstd" | "bzip2" | "xz" | "lz4" | "snappy" | "warc" | "jsonl" | "7z" | "pst" | "mbox" | "parquet" | "avro" | "sqlite" | "ar" | "cpio" | "rpm" => ("", "") // container: no own text, entries explode to children
       // cfb: an Outlook MESSAGE yields its body text; a generic compound
       // file is a pure container (streams explode to children)
       case "cfb"       => (graft.core.office.Msg.cfbText(t, cfg.maxSpanChars), "")
@@ -122,7 +122,7 @@ object Extract {
     * span-parallel path for reassembly).
     */
   val ContainerKinds: Set[String] =
-    Set("media", "zip", "gzip", "tar", "eml", "cfb", "zstd", "bzip2", "xz", "lz4", "snappy", "warc", "jsonl", "7z", "pst", "tnef", "mbox", "parquet", "avro", "sqlite")
+    Set("media", "zip", "gzip", "tar", "eml", "cfb", "zstd", "bzip2", "xz", "lz4", "snappy", "warc", "jsonl", "7z", "pst", "tnef", "mbox", "parquet", "avro", "sqlite", "ar", "cpio", "rpm")
 
   /** Null spans (a row written with spans=NULL) are treated as an empty
     * span array — reason=empty-file, never a failure — in BOTH the batch and
@@ -602,6 +602,15 @@ object Extract {
           Some(graft.sources.Archive.untar(data, cfg.maxSpanChars))
         else if (graft.sources.Archive.is7z(data))
           Some(graft.sources.Archive.un7z(data, cfg.maxSpanChars))
+        else if (graft.sources.Archive.isAr(data))
+          // nested unix archive (.deb attachment): members recurse —
+          // control.tar.gz/data.tar.xz chain through the codec branches
+          Some(graft.sources.Archive.unar(data, cfg.maxSpanChars))
+        else if (graft.sources.Archive.isCpio(data))
+          Some(graft.sources.Archive.uncpio(data, cfg.maxSpanChars))
+        else if (graft.sources.Archive.isRpm(data))
+          // nested rpm: payload framing flattened, files are the entries
+          Some(graft.sources.Archive.rpmEntries(data, cfg.maxSpanChars))
         else if (graft.sources.Archive.isGzip(data))
           // a nested gzip member (e.g. a .tgz mail attachment) is a
           // single-entry container; a tar payload then recurses below
@@ -771,6 +780,24 @@ object Extract {
         case "7z" =>
           val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
           graft.sources.Archive.un7z(bytes, cfg.maxSpanChars).foreach { case (n, b) =>
+            spawnEntry(n, b, rootId, ord, 1); ord += 1
+          }
+        case "ar" =>
+          val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          graft.sources.Archive.unar(bytes, cfg.maxSpanChars).foreach { case (n, b) =>
+            spawnEntry(n, b, rootId, ord, 1); ord += 1
+          }
+        case "cpio" =>
+          val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          graft.sources.Archive.uncpio(bytes, cfg.maxSpanChars).foreach { case (n, b) =>
+            spawnEntry(n, b, rootId, ord, 1); ord += 1
+          }
+        case "rpm" =>
+          // the package's FILES are its children (rpm2cpio | cpio): the
+          // compressed payload is transport framing, never a node — the
+          // same flattening Tika's RpmParser applies
+          val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          graft.sources.Archive.rpmEntries(bytes, cfg.maxSpanChars).foreach { case (n, b) =>
             spawnEntry(n, b, rootId, ord, 1); ord += 1
           }
         case "gzip" =>

@@ -494,6 +494,261 @@ object Archive {
     else new String(bytes, start, i - start, StandardCharsets.ISO_8859_1)
   }
 
+  /** Unix `ar` global magic — the outer container of `.deb` packages and
+    * static libraries (Tika routes both through commons-compress
+    * `ArArchiveInputStream`; we read the format from the public layout:
+    * 8-byte magic, 60-byte headers, even data alignment).
+    */
+  def isAr(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 &&
+      new String(bytes, 0, 8, StandardCharsets.ISO_8859_1) == "!<arch>\n"
+
+  /** Deterministic common-format ar of (name, bytes) entries: GNU-style
+    * `name/` termination for short names (what dpkg-deb and GNU ar emit),
+    * pinned mtime/uid/gid, decimal sizes, `` `\n`` terminator, data padded
+    * to even length with '\n'.
+    */
+  def arBytes(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write("!<arch>\n".getBytes(StandardCharsets.ISO_8859_1))
+    entries.foreach { case (name, data) =>
+      require(name.length <= 15, s"ar fixture name too long: $name")
+      val h = new StringBuilder
+      def field(s: String, w: Int): Unit = {
+        require(s.length <= w, s"ar field overflow: $s"); h.append(s)
+        var i = s.length; while (i < w) { h.append(' '); i += 1 }
+      }
+      field(name + "/", 16)
+      field("0", 12); field("0", 6); field("0", 6) // mtime/uid/gid
+      field("100644", 8)
+      field(data.length.toString, 10)
+      h.append("`\n")
+      out.write(h.toString.getBytes(StandardCharsets.ISO_8859_1))
+      out.write(data)
+      if (data.length % 2 == 1) out.write('\n')
+    }
+    out.toByteArray
+  }
+
+  /** Decode ar members in archive order. Handles GNU `name/` termination,
+    * BSD space-padded names, the GNU `//` long-name table, and BSD
+    * `#1/len` extended names; the `/` and `__.SYMDEF` symbol tables are
+    * format plumbing and never spawn. Declared decimal size is the guard
+    * input; malformed headers -> ParseFailure.
+    */
+  def unar(bytes: Array[Byte], maxEntryBytes: Int,
+           maxEntries: Int = 10000): Vector[UnzippedEntry] = {
+    if (!isAr(bytes)) throw new ParseFailure("not an ar archive")
+    val out = Vector.newBuilder[UnzippedEntry]
+    var longNames = "" // GNU '//' table: names at byte offsets, '\n'-ended
+    var off = 8
+    var n = 0
+    while (off + 60 <= bytes.length) {
+      val rawName = new String(bytes, off, 16, StandardCharsets.ISO_8859_1)
+      val sizeStr = new String(bytes, off + 48, 10, StandardCharsets.ISO_8859_1).trim
+      if (bytes(off + 58) != '`' || bytes(off + 59) != '\n')
+        throw new ParseFailure(s"corrupt ar header terminator at $off")
+      val size = sizeStr.toLongOption.getOrElse(
+        throw new ParseFailure(s"corrupt ar size '$sizeStr' at $off"))
+      if (size < 0 || off + 60 + size > bytes.length)
+        throw new ParseFailure("truncated ar: declared size past end")
+      var dataOff = off + 60
+      var dataLen = size.toInt
+      val trimmed = rawName.trim
+      val name =
+        if (trimmed.startsWith("#1/")) { // BSD: real name prefixes the data
+          val nl = trimmed.drop(3).toIntOption.getOrElse(
+            throw new ParseFailure(s"corrupt BSD ar name length: $trimmed"))
+          if (nl < 0 || nl > dataLen) throw new ParseFailure("BSD ar name past member")
+          val nm = new String(bytes, dataOff, nl, StandardCharsets.ISO_8859_1)
+            .takeWhile(_ != ' ')
+          dataOff += nl; dataLen -= nl
+          nm
+        } else if (trimmed == "//") { // GNU long-name table: record, no entry
+          longNames = new String(bytes, dataOff, dataLen, StandardCharsets.ISO_8859_1)
+          ""
+        } else if (trimmed.length > 1 && trimmed.head == '/' &&
+          trimmed.tail.forall(_.isDigit)) { // GNU long-name reference
+          val p = trimmed.tail.toInt
+          if (p >= longNames.length) throw new ParseFailure("ar long-name offset past table")
+          longNames.substring(p).takeWhile(c => c != '\n' && c != '/')
+        } else if (trimmed.endsWith("/")) trimmed.dropRight(1) // GNU short
+        else trimmed // BSD/common short
+      val isTable = trimmed == "//" || trimmed == "/" || trimmed == "__.SYMDEF" ||
+        trimmed == "__.SYMDEF SORTED"
+      if (!isTable) {
+        n += 1
+        if (n > maxEntries || dataLen > maxEntryBytes) out += ((name, None))
+        else out += ((name,
+          Some(java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + dataLen))))
+      }
+      off += 60 + size.toInt + (size.toInt & 1)
+    }
+    out.result()
+  }
+
+  /** cpio "newc" ASCII magic (070701/070702 with CRC) — the payload
+    * format inside RPM packages and initramfs images (Tika:
+    * commons-compress `CpioArchiveInputStream`).
+    */
+  def isCpio(bytes: Array[Byte]): Boolean =
+    bytes.length >= 110 && {
+      val m = new String(bytes, 0, 6, StandardCharsets.ISO_8859_1)
+      m == "070701" || m == "070702"
+    }
+
+  /** Deterministic newc cpio of (name, bytes) entries: sequential inodes,
+    * regular-file mode 0100644, pinned mtime, 4-byte alignment for both
+    * names and data, closed by the `TRAILER!!!` record.
+    */
+  def cpioBytes(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def hex8(v: Long): String = f"$v%08x"
+    def record(name: String, data: Array[Byte], mode: Long, ino: Long): Unit = {
+      val nb = name.getBytes(StandardCharsets.ISO_8859_1)
+      out.write(("070701" + hex8(ino) + hex8(mode) + hex8(0) + hex8(0) +
+        hex8(1) + hex8(0) + hex8(data.length.toLong) + hex8(0) + hex8(0) +
+        hex8(0) + hex8(0) + hex8(nb.length + 1L) + hex8(0))
+        .getBytes(StandardCharsets.ISO_8859_1))
+      out.write(nb); out.write(0)
+      var p = 110 + nb.length + 1
+      while (p % 4 != 0) { out.write(0); p += 1 }
+      out.write(data)
+      p = data.length
+      while (p % 4 != 0) { out.write(0); p += 1 }
+    }
+    entries.zipWithIndex.foreach { case ((name, data), i) =>
+      record(name, data, 0x81a4L, i + 1L) // S_IFREG | 0644
+    }
+    record("TRAILER!!!", Array.emptyByteArray, 0L, 0L)
+    out.toByteArray
+  }
+
+  /** Decode newc cpio records in stream order (regular files only; mode
+    * high nibble 010 per the public layout). The declared hex filesize is
+    * the guard input; the TRAILER!!! record ends the walk; malformed
+    * headers -> ParseFailure.
+    */
+  def uncpio(bytes: Array[Byte], maxEntryBytes: Int,
+             maxEntries: Int = 10000): Vector[UnzippedEntry] = {
+    if (!isCpio(bytes)) throw new ParseFailure("not a newc cpio stream")
+    val out = Vector.newBuilder[UnzippedEntry]
+    var off = 0
+    var n = 0
+    def hexAt(p: Int): Long = {
+      val s = new String(bytes, p, 8, StandardCharsets.ISO_8859_1)
+      try java.lang.Long.parseLong(s, 16)
+      catch { case _: NumberFormatException => throw new ParseFailure(s"corrupt cpio hex field '$s'") }
+    }
+    var done = false
+    while (!done) {
+      if (off + 110 > bytes.length) throw new ParseFailure("truncated cpio: header past end")
+      val m = new String(bytes, off, 6, StandardCharsets.ISO_8859_1)
+      if (m != "070701" && m != "070702")
+        throw new ParseFailure(s"corrupt cpio record magic '$m' at $off")
+      val mode = hexAt(off + 14)
+      val fileSize = hexAt(off + 54)
+      val nameSize = hexAt(off + 94)
+      if (nameSize < 1 || nameSize > 4096) throw new ParseFailure("cpio name size out of range")
+      val nameEnd = off + 110 + nameSize.toInt - 1
+      if (nameEnd > bytes.length) throw new ParseFailure("truncated cpio: name past end")
+      val name = new String(bytes, off + 110, nameSize.toInt - 1, StandardCharsets.ISO_8859_1)
+      var dataOff = off + 110 + nameSize.toInt
+      while (dataOff % 4 != 0) dataOff += 1
+      if (name == "TRAILER!!!") done = true
+      else {
+        if (fileSize < 0 || dataOff + fileSize > bytes.length)
+          throw new ParseFailure("truncated cpio: declared size past end")
+        if ((mode & 0xf000L) == 0x8000L) { // regular file
+          n += 1
+          if (n > maxEntries || fileSize > maxEntryBytes) out += ((name, None))
+          else out += ((name,
+            Some(java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + fileSize.toInt))))
+        }
+        var next = dataOff + fileSize.toInt
+        while (next % 4 != 0) next += 1
+        off = next
+      }
+    }
+    out.result()
+  }
+
+  /** RPM lead magic ED AB EE DB (the public rpm package layout: 96-byte
+    * lead, signature header, main header, compressed cpio payload).
+    */
+  def isRpm(bytes: Array[Byte]): Boolean =
+    bytes.length >= 96 + 16 && bytes(0) == 0xed.toByte && bytes(1) == 0xab.toByte &&
+      bytes(2) == 0xee.toByte && bytes(3) == 0xdb.toByte
+
+  /** Deterministic minimal rpm fixture: v3 lead, an empty signature
+    * header (8-aligned), an empty main header, then the given compressed
+    * payload — structurally what `rpm2cpio` walks.
+    */
+  def rpmBytes(payload: Array[Byte], name: String = "pkg"): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val lead = new Array[Byte](96)
+    lead(0) = 0xed.toByte; lead(1) = 0xab.toByte; lead(2) = 0xee.toByte; lead(3) = 0xdb.toByte
+    lead(4) = 3; lead(5) = 0 // version 3.0
+    lead(6) = 0; lead(7) = 0 // type: binary
+    val nb = name.getBytes(StandardCharsets.ISO_8859_1)
+    System.arraycopy(nb, 0, lead, 10, math.min(nb.length, 65))
+    out.write(lead)
+    val emptyHeader = Array[Byte](0x8e.toByte, 0xad.toByte, 0xe8.toByte, 1,
+      0, 0, 0, 0, /* reserved */ 0, 0, 0, 0, /* nindex */ 0, 0, 0, 0 /* hsize */)
+    out.write(emptyHeader) // signature header (empty, already 8-aligned)
+    out.write(emptyHeader) // main header
+    out.write(payload)
+    out.toByteArray
+  }
+
+  /** The compressed payload behind the rpm lead + two header sections
+    * (signature header 8-byte aligned per the public layout); the caller
+    * sniffs and decompresses it (gzip/xz/zstd in the wild).
+    */
+  def rpmPayload(bytes: Array[Byte]): Array[Byte] = {
+    if (!isRpm(bytes)) throw new ParseFailure("not an rpm package")
+    def headerEnd(off: Int, align8: Boolean): Int = {
+      if (off + 16 > bytes.length) throw new ParseFailure("truncated rpm: header past end")
+      if (bytes(off) != 0x8e.toByte || bytes(off + 1) != 0xad.toByte ||
+        bytes(off + 2) != 0xe8.toByte)
+        throw new ParseFailure(s"corrupt rpm header magic at $off")
+      def be(p: Int): Long =
+        ((bytes(p) & 0xffL) << 24) | ((bytes(p + 1) & 0xffL) << 16) |
+          ((bytes(p + 2) & 0xffL) << 8) | (bytes(p + 3) & 0xffL)
+      val nIndex = be(off + 8); val hSize = be(off + 12)
+      if (nIndex > 65536 || hSize > 64L * 1024 * 1024)
+        throw new ParseFailure("rpm header sizes out of range")
+      val end = off + 16 + 16 * nIndex.toInt + hSize.toInt
+      if (end > bytes.length) throw new ParseFailure("truncated rpm: header body past end")
+      if (align8) end + ((8 - end % 8) % 8) else end
+    }
+    val afterSig = headerEnd(96, align8 = true)
+    val afterHdr = headerEnd(afterSig, align8 = false)
+    if (afterHdr >= bytes.length) throw new ParseFailure("rpm without a payload")
+    java.util.Arrays.copyOfRange(bytes, afterHdr, bytes.length)
+  }
+
+  /** The rpm's file entries: sniff the payload compression (gzip/xz/zstd
+    * in the wild, raw cpio accepted), decompress under the 64 MiB bomb
+    * cap (same posture as the flate cap), and walk the newc records.
+    * `rpm2cpio | cpio -t` as one in-memory step.
+    */
+  def rpmEntries(bytes: Array[Byte], maxEntryBytes: Int,
+                 maxEntries: Int = 10000): Vector[UnzippedEntry] = {
+    val payload = rpmPayload(bytes)
+    val cap = 64 * 1024 * 1024
+    val cpio =
+      if (isGzip(payload)) gunzip(payload, cap)._2
+      else if (isXz(payload)) unxz(payload, cap)._2
+      else if (isZstd(payload)) unzstd(payload, cap)._2
+      else if (isCpio(payload)) Some(payload)
+      else throw new ParseFailure("unsupported rpm payload compression")
+    cpio match {
+      case Some(c) => uncpio(c, maxEntryBytes, maxEntries)
+      case None => throw new ParseFailure("rpm payload over the 64 MiB decode cap")
+    }
+  }
+
   /** Read the whole stream up to `max` bytes; None when the payload runs
     * past the cap (the actual-read guard behind the declared-size check).
     */

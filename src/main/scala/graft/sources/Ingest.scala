@@ -53,6 +53,9 @@ object Ingest {
     else if (Archive.isSnappy(bytes)) "snappy" // snappy framed (.sz Hadoop era)
     else if (Archive.is7z(bytes)) "7z"       // 7-Zip archive
     else if (Archive.isBzip2(bytes)) "bzip2" // classic dump archives
+    else if (Archive.isAr(bytes)) "ar"       // unix ar / .deb outer container
+    else if (Archive.isCpio(bytes)) "cpio"   // newc cpio (initramfs / rpm payload)
+    else if (Archive.isRpm(bytes)) "rpm"     // rpm package (lead + headers + cpio)
     else if (ParquetDump.isParquet(bytes)) "parquet" // columnar corpus dump (PAR1..PAR1)
     else if (AvroDump.isAvro(bytes)) "avro" // Avro object container dump (Obj\x01)
     else if (graft.core.office.Pst.isPst(bytes)) "pst" // Outlook mailbox (!BDN, MS-PST)

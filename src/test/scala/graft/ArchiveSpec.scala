@@ -316,4 +316,115 @@ class ArchiveSpec extends AnyFunSuite {
     val nodes = Extract.explode(DocIn(33L, Array(SpanIn("zip", new String(outer, ISO_8859_1), "", 0))))
     assert(nodes.exists(n => n.level == 1 && n.no_content_reason == "encrypted"))
   }
+
+  test("ar members round-trip; GNU long names resolve; tables never spawn") {
+    val ar = Archive.arBytes(Seq(
+      ("hello.txt", "hi there".getBytes(UTF_8)),
+      ("odd.txt", "xyz".getBytes(UTF_8)))) // odd size exercises the '\n' pad
+    assert(Archive.isAr(ar))
+    assert(Archive.unar(ar, 1 << 20).map { case (n, b) => (n, b.map(new String(_, UTF_8))) } ==
+      Vector(("hello.txt", Some("hi there")), ("odd.txt", Some("xyz"))))
+    // GNU long-name table: '//' member holds names, '/<off>' references it
+    val longName = "a-very-long-member-name-past-sixteen.txt"
+    val table = (longName + "/\n").getBytes(ISO_8859_1)
+    def hdr(name: String, size: Int): Array[Byte] = {
+      val sb = new StringBuilder
+      def f(s: String, w: Int): Unit = { sb.append(s); (s.length until w).foreach(_ => sb.append(' ')) }
+      f(name, 16); f("0", 12); f("0", 6); f("0", 6); f("100644", 8); f(size.toString, 10)
+      sb.append("`\n"); sb.toString.getBytes(ISO_8859_1)
+    }
+    def pad(d: Array[Byte]): Array[Byte] = if (d.length % 2 == 1) d :+ '\n'.toByte else d
+    val gnu = "!<arch>\n".getBytes(ISO_8859_1) ++
+      hdr("//", table.length) ++ pad(table) ++
+      hdr("/0", 4) ++ "data".getBytes(ISO_8859_1)
+    val entries = Archive.unar(gnu, 1 << 20)
+    assert(entries.map { case (n, b) => (n, b.map(new String(_, UTF_8))) } ==
+      Vector((longName, Some("data"))))
+    // BSD #1/<len>: the real name prefixes the member data
+    val bsdName = "bsd-extended-name.txt"
+    val bsd = "!<arch>\n".getBytes(ISO_8859_1) ++
+      hdr(s"#1/${bsdName.length}", bsdName.length + 7) ++
+      pad((bsdName + "payload").getBytes(ISO_8859_1))
+    assert(Archive.unar(bsd, 1 << 20).map { case (n, b) => (n, b.map(new String(_, UTF_8))) } ==
+      Vector((bsdName, Some("payload"))))
+    // malformed: bad terminator, bad size
+    val broken = ar.clone(); broken(8 + 58) = 'X'.toByte
+    intercept[ParseFailure](Archive.unar(broken, 1 << 20))
+    val badSize = ar.clone(); badSize(8 + 48) = 'q'.toByte
+    intercept[ParseFailure](Archive.unar(badSize, 1 << 20))
+  }
+
+  test("cpio newc records round-trip; trailer stops; non-files skip") {
+    val cp = Archive.cpioBytes(Seq(
+      ("etc/a", "one".getBytes(UTF_8)),
+      ("usr/bb", "twotwo".getBytes(UTF_8))))
+    assert(Archive.isCpio(cp))
+    assert(Archive.uncpio(cp, 1 << 20).map { case (n, b) => (n, b.map(new String(_, UTF_8))) } ==
+      Vector(("etc/a", Some("one")), ("usr/bb", Some("twotwo"))))
+    // a directory-mode record (S_IFDIR) must not spawn
+    val withDir = {
+      val hex = (v: Long) => f"$v%08x"
+      val dirRec = ("070701" + hex(9) + hex(0x41edL) + hex(0) + hex(0) + hex(1) +
+        hex(0) + hex(0) + hex(0) + hex(0) + hex(0) + hex(0) + hex(4) + hex(0)) +
+        "dir" + " " + "  " // name pads 110+4 -> 116
+      dirRec.getBytes(ISO_8859_1) ++ cp
+    }
+    assert(Archive.uncpio(withDir, 1 << 20).length == 2)
+    // declared-size guard refuses WITH a counted None
+    assert(Archive.uncpio(cp, 4).map { case (n, b) => (n, b.isDefined) } ==
+      Vector(("etc/a", true), ("usr/bb", false)))
+    intercept[ParseFailure](Archive.uncpio(cp.take(60), 1 << 20))
+    val badHex = cp.clone(); badHex(14) = 'z'.toByte
+    intercept[ParseFailure](Archive.uncpio(badHex, 1 << 20))
+  }
+
+  test("rpm payload walks lead + aligned headers; gzip/xz/raw cpio all route") {
+    val cp = Archive.cpioBytes(Seq(("f.txt", "rpm file".getBytes(UTF_8))))
+    for (wrap <- Seq[Array[Byte] => Array[Byte]](
+      Archive.gzipBytes(_, ""), Archive.xzBytes(_), identity _)) {
+      val rpm = Archive.rpmBytes(wrap(cp))
+      assert(Archive.isRpm(rpm))
+      assert(Archive.rpmEntries(rpm, 1 << 20)
+        .map { case (n, b) => (n, b.map(new String(_, UTF_8))) } ==
+        Vector(("f.txt", Some("rpm file"))))
+    }
+    // truncated header section classifies
+    val rpm = Archive.rpmBytes(Archive.gzipBytes(cp, ""))
+    intercept[ParseFailure](Archive.rpmPayload(rpm.take(100)))
+    // junk payload compression classifies
+    intercept[ParseFailure](Archive.rpmEntries(Archive.rpmBytes("nope".getBytes(UTF_8)), 1 << 20))
+  }
+
+  test("a .deb explodes its full ar -> codec -> tar -> file chain") {
+    val controlTar = Archive.tarBytes(Seq(("control", "Package: demo".getBytes(UTF_8))))
+    val dataTar = Archive.tarBytes(Seq(("usr/doc.txt", "deb payload doc".getBytes(UTF_8))))
+    val deb = Archive.arBytes(Seq(
+      ("debian-binary", "2.0\n".getBytes(UTF_8)),
+      ("control.tar.gz", Archive.gzipBytes(controlTar, "control.tar")),
+      ("data.tar.xz", Archive.xzBytes(dataTar))))
+    val out = Extract.explode(DocIn(77L, Array(SpanIn("ar", new String(deb, ISO_8859_1), "", 0))))
+    val rid = Ids.rootId(77)
+    // version file is a direct text child
+    assert(out.exists(o => o.parent_id == rid && o.level == 1 &&
+      o.spans.map(_.text).mkString == "2.0\n"))
+    // control chain: gz node (level 1) -> tar node (2) -> control text (3)
+    assert(out.exists(o => o.level == 3 && o.spans.map(_.text).mkString == "Package: demo"))
+    // data chain through xz reaches the same depth
+    assert(out.exists(o => o.level == 3 && o.spans.map(_.text).mkString == "deb payload doc"))
+    // every node chains to the root and ids are unique
+    assert(out.map(_.doc_id).distinct.length == out.length)
+    assert(out.forall(o => o.root_id == rid || (o.doc_id == rid && o.level == 0)))
+  }
+
+  test("ar, cpio, and rpm kinds sniff and explode through the machinery") {
+    import graft.sources.Ingest.sniffKind
+    val ar = Archive.arBytes(Seq(("m.txt", "m".getBytes(UTF_8))))
+    val cp = Archive.cpioBytes(Seq(("c.txt", "c".getBytes(UTF_8))))
+    val rpm = Archive.rpmBytes(Archive.gzipBytes(cp, ""))
+    assert(sniffKind(ar) == "ar" && sniffKind(cp) == "cpio" && sniffKind(rpm) == "rpm")
+    // nested ar-in-zip recurses like any container entry
+    val zip = Archive.zipBytes(Seq(("lib.a", ar)))
+    val out = Extract.explode(DocIn(5L, Array(SpanIn("zip", new String(zip, ISO_8859_1), "", 0))))
+    assert(out.exists(o => o.level == 2 && o.spans.map(_.text).mkString == "m"))
+  }
 }

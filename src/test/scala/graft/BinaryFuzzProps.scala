@@ -133,6 +133,14 @@ object BinaryFuzzProps extends Properties("BinaryFuzz") {
       total(Probe.probeWav("RIFF    WAVE".getBytes ++ b))
   }
 
+  property("ar/cpio/rpm: magic-stamped junk classifies") = Prop.forAll(junk) { b =>
+    import graft.sources.Archive
+    total(Archive.unar("!<arch>\n".getBytes ++ b, 1 << 20)) &&
+      total(Archive.uncpio("070701".getBytes ++ b, 1 << 20)) &&
+      total(Archive.rpmEntries(
+        Array(0xed, 0xab, 0xee, 0xdb, 3, 0, 0, 0).map(_.toByte) ++ b, 1 << 20))
+  }
+
   property("raster probes: magic-stamped junk classifies") = Prop.forAll(junk) { b =>
     import graft.core.media.Probe
     total(Probe.probeTiff(Array[Byte]('I', 'I', 42, 0) ++ b)) &&

@@ -89,14 +89,29 @@ class OmnibusIngestSpec extends AnyFunSuite {
     put("clip.mp4", graft.core.media.Probe.buildMp4("isom", 600, 1200, 1))
     put("song.mp3", graft.core.media.Probe.buildMp3(3))
     put("tone.wav", graft.multimodal.Media.encodeWav(8000, 16, 5))
+    put("lib.a", Archive.arBytes(Seq(("member.txt", "ar member text".getBytes(UTF_8)))))
+    put("pack.deb", Archive.arBytes(Seq(
+      ("debian-binary", "2.0\n".getBytes(UTF_8)),
+      ("control.tar.gz", Archive.gzipBytes(
+        Archive.tarBytes(Seq(("control", "deb control text".getBytes(UTF_8)))), "control.tar")),
+      ("data.tar.xz", Archive.xzBytes(
+        Archive.tarBytes(Seq(("usr/doc.txt", "deb data text".getBytes(UTF_8)))))))))
+    put("boot.cpio", Archive.cpioBytes(Seq(("init.txt", "cpio member text".getBytes(UTF_8)))))
+    put("pkg.rpm", Archive.rpmBytes(Archive.gzipBytes(
+      Archive.cpioBytes(Seq(("bin/t.txt", "rpm file text".getBytes(UTF_8)))))))
+    put("scan.tiff", graft.core.media.Probe.buildTiff(9, 7, 1, "Mk", "Md"))
+    put("img.bmp", graft.core.media.Probe.buildBmp(6, 4, topDown = false))
+    put("pic.webp", graft.core.media.Probe.buildWebpLossless(12, 8))
+    put("fav.ico", graft.core.media.Probe.buildIco(
+      graft.multimodal.Media.encodePng(16, 16, 0), 16, 16))
     put("Thumbs.db", Array[Byte](1, 2, 3)) // junk: must be excluded
 
     val docs = Ingest.readDir(spark, dir.toString).collect()
-    assert(docs.length == 38) // every file except the junk one
+    assert(docs.length == 46) // every file except the junk one
 
     // media classify by magic and parse to empty-file (metadata, no OCR)
     val kinds = docs.flatMap(_.spans.map(_.kind))
-    assert(kinds.count(_ == "image") == 3 && kinds.count(_ == "av") == 3)
+    assert(kinds.count(_ == "image") == 7 && kinds.count(_ == "av") == 3)
     val mediaDocs = docs.filter(_.spans.exists(s => s.kind == "image" || s.kind == "av"))
     assert(mediaDocs.flatMap(d => Extract.explode(d))
       .forall(o => o.no_content_reason == graft.core.Reason.Empty))
@@ -114,7 +129,9 @@ class OmnibusIngestSpec extends AnyFunSuite {
       "cal event", "mbox msg one", "mbox msg two",
       "xz member", "lz4 member", "snappy member", "ansi permute pst body",
       "parquet row text", "avro row text", "Omni Book\nepub chapter text",
-      "xml feed text", "body\nsqlite row text")
+      "xml feed text", "body\nsqlite row text",
+      "ar member text", "2.0\n", "deb control text", "deb data text",
+      "cpio member text", "rpm file text")
     val missing = expected -- texts
     assert(missing.isEmpty, s"formats missing from extraction: $missing")
   }
