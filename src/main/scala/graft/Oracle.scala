@@ -552,6 +552,31 @@ object Oracle {
       |  'unsupported-media-type' AS blob_reason
       |FROM d JOIN r USING (doc_id)""".stripMargin
 
+  /** Mirror of Queries.plistExplode: the flat dotted-path rendering of the
+    * %67 plist (scalars, ISO date from the CF epoch, `<data N>` length
+    * placeholders — the nested file's byte length recomputed from the
+    * writer's deterministic layout: 51 + header+string bytes, where a
+    * string of 15+ chars pays the 6-byte extended-count header) and the
+    * two spawned data children, all as string arithmetic.
+    */
+  private val plistExplode: String =
+    """WITH d AS (SELECT doc_id, len(doc_id::VARCHAR) AS w
+      |           FROM documents WHERE doc_id%67=0)
+      |SELECT doc_id,
+      | 'app: graft '||doc_id||chr(10)||
+      | 'count: '||doc_id||chr(10)||
+      | 'flag: '||CASE WHEN doc_id%2=0 THEN 'true' ELSE 'false' END||chr(10)||
+      | 'when: '||strftime(make_timestamp((978307200+doc_id*60+30)*1000000),
+      |                    '%Y-%m-%dT%H:%M:%SZ')||chr(10)||
+      | 'items[0]: alpha'||chr(10)||
+      | 'items[1]: beta '||doc_id||chr(10)||
+      | 'memo: <data '||(15+w)||'>'||chr(10)||
+      | 'inner: <data '||(51+CASE WHEN 12+w<15 THEN 13+w ELSE 18+w END)||'>' AS txt,
+      | 'inline payload '||doc_id AS memo_txt,
+      | 'note: nested note '||doc_id AS inner_txt,
+      | 2::BIGINT AS n_children
+      |FROM d""".stripMargin
+
   /** Mirror of Queries.xmlText: the markup-stripped, entity-decoded,
     * document-ordered text runs recomputed as one string expression.
     */
@@ -1704,6 +1729,7 @@ object Oracle {
     "q_odt_explode" -> odtExplode,
     "q_epub_explode" -> epubExplode,
     "q_sqlite_explode" -> sqliteExplode,
+    "q_plist_explode" -> plistExplode,
     "q_xml_text" -> xmlText,
     "q_ppt_text" -> pptText,
     "q_pdf_encrypted" -> pdfEncrypted,

@@ -1080,6 +1080,44 @@ object Queries {
       .toDF("doc_id", "inv_txt", "tags_txt", "bin_txt", "n_tables", "n_blobs", "blob_reason")
   }
 
+  /** §2.1/§2.4 Apple binary plist route (Tika plist parser surface,
+    * `Extractor.java:937` sniff dispatch): each %67 doc becomes a real
+    * `bplist00` file — scalars of every marker family (ascii string, int,
+    * bool, CF-epoch date, array) plus TWO NSData payloads: an inline text
+    * blob and a whole NESTED plist, both of which must spawn as sniffed
+    * embedded children (the nested one re-entering the plist route one
+    * level down). Oracle: pure string arithmetic, including the nested
+    * file's byte length from the writer's deterministic layout.
+    */
+  def plistExplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    import graft.core.db.Plist
+    import graft.core.db.Plist._
+    docs(spark, dir).select("doc_id").as[Long]
+      .filter(_ % 67 == 0)
+      .map { id =>
+        val nested = Plist.build(PDict(Vector("note" -> PString(s"nested note $id"))))
+        val top = PDict(Vector(
+          "app" -> PString(s"graft $id"),
+          "count" -> PInt(id),
+          "flag" -> PBool(id % 2 == 0),
+          "when" -> PDate((id * 60 + 30).toDouble),
+          "items" -> PArray(Vector(PString("alpha"), PString(s"beta $id"))),
+          "memo" -> PData(s"inline payload $id".getBytes(UTF_8)),
+          "inner" -> PData(nested)))
+        val d = DocIn(id, Array(SpanIn("plist",
+          new String(Plist.build(top), ISO_8859_1), "state.plist", 0)))
+        val out = Extract.explode(d)
+        val root = out.find(_.level == 0).get
+        val kids = out.filter(_.level == 1)
+        (id, root.spans.map(_.text).mkString,
+          kids(0).spans.map(_.text).mkString, kids(1).spans.map(_.text).mkString,
+          kids.size.toLong)
+      }
+      .toDF("doc_id", "txt", "memo_txt", "inner_txt", "n_children")
+  }
+
   /** §2.3 standalone-XML text route (Tika `XMLParser`): each %53 doc
     * becomes a declaration-led XML document with attributes, a comment,
     * nested elements, entities (named + numeric), and a CDATA section —
@@ -2240,6 +2278,7 @@ object Queries {
     "q_odt_explode" -> (odtExplode _),
     "q_epub_explode" -> (epubExplode _),
     "q_sqlite_explode" -> (sqliteExplode _),
+    "q_plist_explode" -> (plistExplode _),
     "q_xml_text" -> (xmlText _),
     "q_ppt_text" -> (pptText _),
     "q_pdf_encrypted" -> (pdfEncrypted _),

@@ -114,6 +114,9 @@ object Extract {
       case "vcard"     => (graft.core.text.Contact.vcardText(t), "") // RFC 6350 contact card
       case "ics"       => (graft.core.text.Contact.icsText(t), "")   // RFC 5545 calendar
       case "xml"       => (graft.core.text.Xml.text(t), "") // standalone XML: markup stripped (Tika XMLParser)
+      case "plist"     => // Apple binary plist: flat path:value rendering; data blobs explode
+        (graft.core.db.Plist.text(graft.core.db.Plist.parse(
+          t.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))), "")
       case _           => ("", Reason.Unsupported)
     }
 
@@ -122,7 +125,7 @@ object Extract {
     * span-parallel path for reassembly).
     */
   val ContainerKinds: Set[String] =
-    Set("media", "zip", "gzip", "tar", "eml", "cfb", "zstd", "bzip2", "xz", "lz4", "snappy", "warc", "jsonl", "7z", "pst", "tnef", "mbox", "parquet", "avro", "sqlite", "ar", "cpio", "rpm")
+    Set("media", "zip", "gzip", "tar", "eml", "cfb", "zstd", "bzip2", "xz", "lz4", "snappy", "warc", "jsonl", "7z", "pst", "tnef", "mbox", "parquet", "avro", "sqlite", "ar", "cpio", "rpm", "plist")
 
   /** Null spans (a row written with spans=NULL) are treated as an empty
     * span array — reason=empty-file, never a failure — in BOTH the batch and
@@ -706,6 +709,16 @@ object Extract {
             val cid = Ids.embedId(latin1, parentId, ord, resourceName = name)
             emitDoc(cid, parentId, level, "") // pure container node
             spawnSqliteTables(tabs, cid, 0, level + 1): Unit
+          } else if (kind == "plist") {
+            // nested binary plist (plist-in-zip, the app-artifact shape):
+            // a document child carrying the rendered text, its NSData
+            // payloads recursing below — parse before the first emission
+            val parsed = graft.core.db.Plist.parse(data)
+            val cid = Ids.embedId(latin1, parentId, ord, resourceName = name)
+            emitDoc(cid, parentId, level, graft.core.db.Plist.text(parsed))
+            graft.core.db.Plist.dataBlobs(parsed).zipWithIndex.foreach {
+              case ((path, b), i) => spawnEntry(path, Some(b), cid, i, level + 1)
+            }
           } else if (kind == "mbox") {
             // nested mailbox (mbox.gz, mbox-in-zip): a container child
             // whose messages hang below it
@@ -879,6 +892,15 @@ object Extract {
           val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
           ord = spawnSqliteTables(graft.core.db.Sqlite.tables(bytes,
             maxCells = dumpRowCap), rootId, ord, 1)
+        case "plist" =>
+          // the rendered path:value text is the parent's span (extractSpan
+          // route); embedded NSData payloads spawn as sniffed children,
+          // their dotted paths the resource names
+          val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          graft.core.db.Plist.dataBlobs(graft.core.db.Plist.parse(bytes))
+            .foreach { case (path, b) =>
+              spawnEntry(path, Some(b), rootId, ord, 1); ord += 1
+            }
         case "mbox" =>
           // each mailbox message is a document child carrying its parsed
           // RFC-822 body, attachments recursing — same shape as nested

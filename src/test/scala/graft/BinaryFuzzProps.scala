@@ -122,6 +122,13 @@ object BinaryFuzzProps extends Properties("BinaryFuzz") {
         ("SQLite format 3".getBytes :+ 0.toByte) ++ b))
     }
 
+  property("bplist parse: magic-stamped junk classifies") =
+    Prop.forAll(junk) { b =>
+      val stamped = "bplist00".getBytes ++ b
+      total(if (graft.core.db.Plist.isBplist(stamped))
+        graft.core.db.Plist.parse(stamped))
+    }
+
   property("media probes: magic-stamped junk classifies") = Prop.forAll(junk) { b =>
     import graft.core.media.Probe
     total(Probe.probePng(PngMagic ++ b)) &&

@@ -76,6 +76,8 @@ class OmnibusIngestSpec extends AnyFunSuite {
     put("dump.parquet", graft.sources.ParquetDump.build(Seq("parquet row text")))
     put("app.db", graft.core.db.Sqlite.build(Seq(("notes", Seq("body"),
       Seq(Seq(graft.core.db.Sqlite.TextCell("sqlite row text")))))))
+    put("state.plist", graft.core.db.Plist.build(graft.core.db.Plist.PDict(Vector(
+      "status" -> graft.core.db.Plist.PString("plist status text")))))
     put("dump.avro", graft.sources.AvroDump.build(Seq("avro row text")))
     put("feed.xml",
       "<?xml version=\"1.0\"?><feed><entry>xml feed text</entry></feed>".getBytes(UTF_8))
@@ -107,7 +109,7 @@ class OmnibusIngestSpec extends AnyFunSuite {
     put("Thumbs.db", Array[Byte](1, 2, 3)) // junk: must be excluded
 
     val docs = Ingest.readDir(spark, dir.toString).collect()
-    assert(docs.length == 46) // every file except the junk one
+    assert(docs.length == 47) // every file except the junk one
 
     // media classify by magic and parse to empty-file (metadata, no OCR)
     val kinds = docs.flatMap(_.spans.map(_.kind))
@@ -129,7 +131,7 @@ class OmnibusIngestSpec extends AnyFunSuite {
       "cal event", "mbox msg one", "mbox msg two",
       "xz member", "lz4 member", "snappy member", "ansi permute pst body",
       "parquet row text", "avro row text", "Omni Book\nepub chapter text",
-      "xml feed text", "body\nsqlite row text",
+      "xml feed text", "body\nsqlite row text", "status: plist status text",
       "ar member text", "2.0\n", "deb control text", "deb data text",
       "cpio member text", "rpm file text")
     val missing = expected -- texts
