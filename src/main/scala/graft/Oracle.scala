@@ -745,6 +745,25 @@ object Oracle {
       |  sha256('64:'||sha256('second attachment '||doc_id)||'64:'||rid||'1:1'||'0:'||'9:notes.txt'),
       |  rid, 1, 'second attachment '||doc_id, '' FROM z""".stripMargin
 
+  /** Mirror of Queries.mhtmlExplode: the page save's extracted main text
+    * on the root, two resource children named by their URL's last path
+    * segment (query string stripped from pix…dat).
+    */
+  private val mhtmlExplode: String =
+    """WITH z AS (SELECT doc_id, sha256(doc_id::VARCHAR) AS rid
+      |           FROM documents WHERE doc_id%49=0)
+      |SELECT doc_id, rid AS node_id, '' AS parent_id, 0 AS level,
+      |       'title '||doc_id||chr(10)||'saved page '||doc_id AS txt,
+      |       '' AS reason FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('body font '||doc_id)||'64:'||rid||'1:0'||'0:'
+      |    ||octet_length(encode('style'||doc_id||'.css'))||':style'||doc_id||'.css'),
+      |  rid, 1, 'body font '||doc_id, '' FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('pixel data '||doc_id)||'64:'||rid||'1:1'||'0:'
+      |    ||octet_length(encode('pix'||doc_id||'.dat'))||':pix'||doc_id||'.dat'),
+      |  rid, 1, 'pixel data '||doc_id, '' FROM z""".stripMargin
+
   /** Mirror of Queries.emlHeaders: the normalized header multimap —
     * repeated Received headers concatenate; keys normalize and sort.
     */
@@ -1707,6 +1726,7 @@ object Oracle {
     "q_pptx_slides" -> pptxSlides,
     "q_tgz_explode" -> tgzExplode,
     "q_eml_explode" -> emlExplode,
+    "q_mhtml_explode" -> mhtmlExplode,
     "q_msg_explode" -> msgExplode,
     "q_pst_explode" -> pstExplode,
     // same SQL on purpose: permute encryption and the ANSI 32-bit format

@@ -401,6 +401,37 @@ object Queries {
       .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
   }
 
+  /** §2.4 MHTML page-save route (RFC 2557, Tika's mhtml detection →
+    * HtmlParser): each %49 doc becomes an actual `.mht` multipart/related
+    * archive — a quoted-printable HTML root part plus two base64 resource
+    * parts addressed by Content-Location. The root's markup runs the
+    * engine's own HTML boilerplate extractor; each saved resource spawns
+    * as a sniffed embedded child named by its URL's last path segment.
+    * The oracle recomputes every node id and text from documents
+    * arithmetic (the same length-prefixed embedId algebra as eml).
+    */
+  def mhtmlExplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    docs(spark, dir).select("doc_id").as[Long]
+      .filter(id => id % 49 == 0)
+      .flatMap { id =>
+        val mht = graft.core.mail.Mhtml.build(
+          s"https://example.org/pages/doc$id.html",
+          graft.core.Corpus.htmlWrap(id, s"saved page $id"),
+          Seq(
+            s"https://example.org/assets/style$id.css" ->
+              s"body font $id".getBytes(UTF_8),
+            // query string must strip from the resource name
+            s"https://example.org/img/pix$id.dat?v=2" ->
+              s"pixel data $id".getBytes(UTF_8)))
+        val d = DocIn(id, Array(SpanIn("mhtml", new String(mht, ISO_8859_1), "", 0)))
+        Extract.explode(d).map(o =>
+          (id, o.doc_id, o.parent_id, o.level, o.spans.map(_.text).mkString(""), o.no_content_reason))
+      }
+      .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
+  }
+
   /** §2.6 REAL Outlook-message route (the reference's
     * `3rd-level-bug-732.msg` / `outlook-message.msg` fixtures): each %9 doc
     * becomes an actual `.msg` COMPOUND FILE (CFB FAT/miniFAT/directory +
@@ -2258,6 +2289,7 @@ object Queries {
     "q_pptx_slides" -> (pptxSlides _),
     "q_tgz_explode" -> (tgzExplode _),
     "q_eml_explode" -> (emlExplode _),
+    "q_mhtml_explode" -> (mhtmlExplode _),
     "q_msg_explode" -> (msgExplode _),
     "q_pst_explode" -> (pstExplode _),
     "q_pst_permute" -> (pstPermute _),

@@ -107,7 +107,7 @@ object Eml {
     * no blank line is all headers and an empty body (RFC 5322 allows
     * body-less messages).
     */
-  private def splitHeadersBody(s: String): (String, String) = {
+  private[mail] def splitHeadersBody(s: String): (String, String) = {
     var i = 0
     while (i < s.length) {
       if (s.charAt(i) == '\n') {
@@ -203,7 +203,7 @@ object Eml {
         }
   }
 
-  private def firstHeader(hs: Vector[(String, String)], name: String): Option[String] =
+  private[mail] def firstHeader(hs: Vector[(String, String)], name: String): Option[String] =
     hs.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
 
   /** `name=value` / `name="value"` parameter from a structured header.
@@ -277,7 +277,7 @@ object Eml {
     * --boundary-- (preamble before the first delimiter and the epilogue
     * after the close are discarded, RFC 2046 5.1.1).
     */
-  private def splitParts(body: String, boundary: String): Vector[String] = {
+  private[mail] def splitParts(body: String, boundary: String): Vector[String] = {
     val delim = "--" + boundary
     val out = Vector.newBuilder[String]
     val lines = body.split("\r?\n", -1)

@@ -108,6 +108,9 @@ object Extract {
       // file is a pure container (streams explode to children)
       case "cfb"       => (graft.core.office.Msg.cfbText(t, cfg.maxSpanChars), "")
       case "eml"       => (graft.core.mail.Eml.parse(t).body, "") // RFC-822: body text; attachments explode
+      case "mhtml"     => // RFC 2557 page save: root part through the HTML
+        // extractor (Tika routes mhtml to HtmlParser); resources explode
+        (HtmlExtractor.mainText(graft.core.mail.Mhtml.parse(t).html), "")
       case "tnef"      => (graft.core.mail.Tnef.parseLatin1(t).body, "") // winmail.dat: body text; attachments explode
       case "rtf"       => (graft.core.text.Rtf.text(t), "")  // real RTF bytes (reference rtf fixture)
       case "csv"       => (graft.core.text.Csv.text(t), "")  // delimited table text (reference csv fixture)
@@ -125,7 +128,7 @@ object Extract {
     * span-parallel path for reassembly).
     */
   val ContainerKinds: Set[String] =
-    Set("media", "zip", "gzip", "tar", "eml", "cfb", "zstd", "bzip2", "xz", "lz4", "snappy", "warc", "jsonl", "7z", "pst", "tnef", "mbox", "parquet", "avro", "sqlite", "ar", "cpio", "rpm", "plist")
+    Set("media", "zip", "gzip", "tar", "eml", "mhtml", "cfb", "zstd", "bzip2", "xz", "lz4", "snappy", "warc", "jsonl", "7z", "pst", "tnef", "mbox", "parquet", "avro", "sqlite", "ar", "cpio", "rpm", "plist")
 
   /** Null spans (a row written with spans=NULL) are treated as an empty
     * span array — reason=empty-file, never a failure — in BOTH the batch and
@@ -729,6 +732,16 @@ object Extract {
             graft.core.mail.Mbox.split(latin1).zipWithIndex.foreach {
               case (raw, i) => spawnMboxMessage(raw, cid, i, level + 1)
             }
+          } else if (kind == "mhtml") {
+            // nested page save (mht-in-zip, mht mail attachment): a
+            // document child carrying the page's extracted main text,
+            // its saved resources recursing below
+            val m = graft.core.mail.Mhtml.parse(latin1)
+            val cid = Ids.embedId(latin1, parentId, ord, resourceName = name)
+            emitDoc(cid, parentId, level, HtmlExtractor.mainText(m.html))
+            m.parts.zipWithIndex.foreach { case ((n, b), i) =>
+              spawnEntry(n, Some(b), cid, i, level + 1)
+            }
           } else if (kind == "tnef") {
             // nested winmail.dat (the REAL shape: a TNEF attachment inside
             // an eml): a document child carrying the body, attachments
@@ -876,6 +889,13 @@ object Extract {
           // semantics): filename as resource name; a zipped attachment
           // re-enters the archive recursion via spawnEntry's sniff
           graft.core.mail.Eml.parse(content).attachments.foreach { case (n, b) =>
+            spawnEntry(n, Some(b), rootId, ord, 1); ord += 1
+          }
+        case "mhtml" =>
+          // page-save resources (images, stylesheets, scripts) are the
+          // archive's entries, named by their Content-Location URL's last
+          // segment; each is sniffed like any embedded file
+          graft.core.mail.Mhtml.parse(content).parts.foreach { case (n, b) =>
             spawnEntry(n, Some(b), rootId, ord, 1); ord += 1
           }
         case "parquet" =>

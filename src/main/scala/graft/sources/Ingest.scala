@@ -28,6 +28,9 @@ object Ingest {
     */
   private val MailHeadRe =
     "(?i)^(received|return-path|delivered-to|message-id|mime-version):".r
+  // any RFC-822 header-shaped line — only ever combined with a stronger
+  // structural check (multipart/related for mhtml), never mail-routing alone
+  private val HeaderLineRe = "(?i)^[a-z][a-z0-9-]*:".r
 
   def sniffKind(bytes: Array[Byte]): String = sniffKind(bytes, "")
 
@@ -85,12 +88,24 @@ object Ingest {
         val lname = name.toLowerCase(java.util.Locale.ROOT)
         val firstLine = lowerHead.takeWhile(c => c != '\r' && c != '\n')
         if (lname.endsWith(".csv")) "csv"
+        // browser page saves: .mht name, or a mail-shaped head whose
+        // Content-Type is multipart/related (RFC 2557) — checked BEFORE
+        // eml so the root part routes to the HTML extractor, not the
+        // mail body path
+        else if (lname.endsWith(".mht") || lname.endsWith(".mhtml")) "mhtml"
         // an explicit .eml name outranks the postmark: Thunderbird saves
         // single messages with a leading "From - <asctime>" line, which
         // would otherwise reclassify the file as a one-message mailbox
         else if (lname.endsWith(".eml")) "eml"
         else if (graft.core.mail.Mbox.isMbox(new String(bytes.take(128),
           StandardCharsets.ISO_8859_1))) "mbox" // postmark before header sniff
+        // extensionless browser save: ANY header-shaped first line (Chrome
+        // leads with the weak "From: <Saved by ...>") + multipart/related
+        // in the header block. Checked before eml so the root part routes
+        // to the HTML extractor, not the mail body path
+        else if (HeaderLineRe.findPrefixOf(firstLine).isDefined &&
+          graft.core.mail.Mhtml.isMhtml(new String(bytes.take(2048),
+            StandardCharsets.ISO_8859_1))) "mhtml"
         else if (MailHeadRe.findPrefixOf(firstLine).isDefined) "eml"
         else if (graft.core.text.Contact.isVcard(lowerHead)) "vcard"
         else if (graft.core.text.Contact.isIcs(lowerHead)) "ics"
