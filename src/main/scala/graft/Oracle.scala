@@ -1716,6 +1716,8 @@ object Oracle {
     // same expected text as q_pdf_bytes: the oracle can't inflate, but it
     // doesn't need to — it recomputes what the TEXT must be from documents
     "q_pdf_flate" -> pdfBytes,
+    // same SQL on purpose: every filter chain must invert to the raw text
+    "q_pdf_filters" -> pdfBytes,
     // rtf typesets the same 5-words-per-line layout: expected text identical
     "q_rtf_bytes" -> pdfBytes,
     "q_csv_table" -> csvTable,

@@ -199,6 +199,37 @@ object Queries {
       .toDF("doc_id", "txt")
   }
 
+  /** §2.3 the full PDF 7.4 text-stream filter set (PDFBox decodes all of
+    * these behind the reference's PDFParser): each doc's content stream is
+    * encoded with a filter chosen by doc_id — ASCIIHex, ASCII85, RunLength,
+    * LZW (TIFF early change), or the classic mail-safe `[/ASCII85Decode
+    * /FlateDecode]` ARRAY chain — and extraction must invert it to
+    * reproduce exactly the raw-PDF text (oracle shared with q_pdf_bytes).
+    */
+  def pdfFilters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    import graft.core.pdf.PdfMini
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .map { case (id, t) =>
+        val content = pdfContentStream(t).getBytes(ISO_8859_1)
+        val (fspec, enc) = (id % 5) match {
+          case 0 => ("/ASCIIHexDecode", PdfMini.asciiHexEncode(content))
+          case 1 => ("/ASCII85Decode", PdfMini.ascii85Encode(content))
+          case 2 => ("/RunLengthDecode", PdfMini.runLengthEncode(content))
+          case 3 => ("/LZWDecode", PdfMini.lzwEncode(content))
+          case _ => ("[ /ASCII85Decode /FlateDecode ]",
+            PdfMini.ascii85Encode(PdfMini.deflate(content)))
+        }
+        val payload = new String(enc, ISO_8859_1)
+        val pdf = s"%PDF-1.4\n1 0 obj << /Length ${payload.length} /Filter $fspec >>\n" +
+          s"stream\n$payload\nendstream\nendobj\ntrailer\n%%EOF"
+        val (txt, _) = Extract.extractSpan("pdf_bytes", pdf)
+        (id, txt)
+      }
+      .toDF("doc_id", "txt")
+  }
+
   /** §2.3 REAL encrypted-PDF classification (the reference's
     * `pdf/encrypted.pdf` fixture -> EncryptedDocumentException ->
     * NOT_DECRYPTED, `Extractor.java:785-826`): %38 docs carry an /Encrypt
@@ -2280,6 +2311,7 @@ object Queries {
     "q_page_range" -> (pageRangeQ _),
     "q_pdf_bytes" -> (pdfBytes _),
     "q_pdf_flate" -> (pdfFlate _),
+    "q_pdf_filters" -> (pdfFilters _),
     "q_rtf_bytes" -> (rtfBytes _),
     "q_csv_table" -> (csvTable _),
     "q_embed_explode" -> (embedExplode _),

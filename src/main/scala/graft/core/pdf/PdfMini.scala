@@ -6,11 +6,14 @@ import scala.collection.mutable.ArrayBuffer
   * parses the text-showing subset the reference exercises through PDFBox:
   * content streams, BT/ET text objects, Td/TD/Tm/T* positioning, Tj/TJ/'/"
   * show operators, literal strings with escapes). Content streams may be
-  * raw or `/Filter /FlateDecode` — Flate is DEFLATE, shipped in the JDK
-  * (`java.util.zip.Inflater`), and virtually every real-world PDF compresses
-  * its content streams, so the real-ingestion route (Ingest.readDir ->
-  * pdf_bytes) handles them. No object/xref resolution is attempted beyond
-  * locating stream payloads and their owning dictionary.
+  * raw or carry a `/Filter` chain — the full PDF 7.4 text-stream filter set
+  * is decoded from scratch: FlateDecode (DEFLATE via the JDK Inflater),
+  * ASCIIHexDecode, ASCII85Decode, RunLengthDecode, and LZWDecode (the TIFF
+  * variant with early change), singly or as an array applied in order
+  * (`[/ASCII85Decode /FlateDecode]`, the classic mail-safe double coding).
+  * Image filters (DCTDecode/JPXDecode/CCITTFaxDecode) mark the stream as
+  * non-text and it is skipped. No object/xref resolution is attempted
+  * beyond locating stream payloads and their owning dictionary.
   *
   * Reading order mirrors [[PdfLayout]]: lines sorted by descending y (PDF's
   * y axis points up), then x; text chunks on one line ordered by x.
@@ -50,6 +53,277 @@ object PdfMini {
       case _: java.util.zip.DataFormatException => None
     } finally inf.end()
   }
+
+  /** ASCIIHexDecode (PDF 7.4.2): hex pairs, whitespace ignored, `>` ends
+    * the stream, an odd trailing digit is padded with 0. None on any
+    * non-hex character.
+    */
+  def asciiHexDecode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 1)
+    var hi = -1
+    var i = 0
+    while (i < data.length) {
+      val c = (data(i) & 0xff).toChar
+      if (c == '>') {
+        if (hi >= 0) out.write(hi << 4) // odd final digit: low nibble 0
+        return Some(out.toByteArray)
+      } else if (!c.isWhitespace) {
+        val v = Character.digit(c, 16)
+        if (v < 0) return None
+        if (hi < 0) hi = v else { out.write((hi << 4) | v); hi = -1 }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4)
+    Some(out.toByteArray) // missing EOD tolerated (real-world truncation)
+  }
+
+  /** ASCII85Decode (PDF 7.4.3): 5 chars in `!`..`u` become 4 bytes base-85;
+    * `z` is shorthand for 4 zero bytes (only between groups); `~>` ends the
+    * stream; a trailing partial group of n chars yields n-1 bytes (padded
+    * with `u`). None on out-of-range characters or a 1-char final group.
+    */
+  def ascii85Decode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5 + 4)
+    val grp = new Array[Int](5)
+    var k = 0
+    var i = 0
+    def flush(n: Int): Boolean = { // n group chars -> n-1 bytes
+      if (n < 2) return false
+      var v = 0L
+      var j = 0
+      while (j < 5) { v = v * 85 + (if (j < n) grp(j) else 84); j += 1 } // pad 'u'
+      if (v > 0xffffffffL) return false
+      var b = 0
+      while (b < n - 1) { out.write(((v >>> (24 - 8 * b)) & 0xff).toInt); b += 1 }
+      true
+    }
+    while (i < data.length) {
+      val c = (data(i) & 0xff).toChar
+      if (c == '~') { // EOD
+        if (k == 1) return None
+        if (k > 0 && !flush(k)) return None
+        return Some(out.toByteArray)
+      } else if (c == 'z' && k == 0) out.write(Array[Byte](0, 0, 0, 0))
+      else if (c >= '!' && c <= 'u') {
+        grp(k) = c - '!'; k += 1
+        if (k == 5) { if (!flush(5)) return None; k = 0 }
+      } else if (!c.isWhitespace) return None
+      i += 1
+    }
+    if (k == 1) return None
+    if (k > 0 && !flush(k)) return None
+    Some(out.toByteArray) // missing ~> tolerated
+  }
+
+  /** RunLengthDecode (PDF 7.4.5): length byte 0..127 copies the next L+1
+    * bytes; 129..255 repeats the next byte 257-L times; 128 is EOD. None
+    * on truncation.
+    */
+  def runLengthDecode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 2)
+    var i = 0
+    while (i < data.length) {
+      val l = data(i) & 0xff
+      if (l == 128) return Some(out.toByteArray)
+      else if (l < 128) {
+        if (i + 1 + l + 1 > data.length) return None
+        out.write(data, i + 1, l + 1); i += l + 2
+      } else {
+        if (i + 1 >= data.length) return None
+        var r = 257 - l
+        while (r > 0) { out.write(data(i + 1)); r -= 1 }
+        i += 2
+      }
+      if (out.size() > MaxInflatedBytes) return None
+    }
+    Some(out.toByteArray) // missing EOD tolerated
+  }
+
+  /** LZWDecode (PDF 7.4.4, the TIFF variant): 9-bit codes growing to 12,
+    * 256 = clear table, 257 = EOD, early-change code-width bump (width
+    * increments when the NEXT entry would need it, i.e. at table size
+    * 2^w - 1). None on malformed code sequences or width overflow.
+    */
+  def lzwDecode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 3)
+    val dict = new ArrayBuffer[Array[Byte]](4096)
+    def reset(): Unit = {
+      dict.clear()
+      var i = 0
+      while (i < 256) { dict += Array(i.toByte); i += 1 }
+      dict += null; dict += null // 256 clear, 257 EOD
+    }
+    reset()
+    var width = 9
+    var prev: Array[Byte] = null
+    var acc = 0L; var bits = 0
+    var i = 0
+    while (i <= data.length) {
+      // top up the bit accumulator before pulling the next code
+      while (bits < width && i < data.length) {
+        acc = (acc << 8) | (data(i) & 0xff); bits += 8; i += 1
+      }
+      if (bits < width) return Some(out.toByteArray) // trailing pad bits
+      val code = ((acc >>> (bits - width)) & ((1 << width) - 1)).toInt
+      bits -= width
+      if (code == 257) return Some(out.toByteArray)
+      else if (code == 256) { reset(); width = 9; prev = null }
+      else {
+        val entry: Array[Byte] =
+          if (code < dict.length) dict(code)
+          else if (code == dict.length && prev != null) prev :+ prev(0)
+          else return None // code beyond table: malformed
+        out.write(entry, 0, entry.length)
+        if (out.size() > MaxInflatedBytes) return None
+        if (prev != null) {
+          if (dict.length >= 4096) return None // missing clear: malformed
+          dict += prev :+ entry(0)
+        }
+        prev = entry
+        // early change (PDF default EarlyChange=1): the ENCODER widened one
+        // code before strictly necessary, and the decoder's table lags the
+        // encoder's by one entry at read time — so bump at 2^w - 2, not -1
+        if (dict.length >= (1 << width) - 2 && width < 12) width += 1
+      }
+    }
+    Some(out.toByteArray)
+  }
+
+  /** Encode helpers for deterministic fixtures (each the exact inverse of
+    * its decoder, EOD markers included).
+    */
+  def asciiHexEncode(data: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder(data.length * 2 + 1)
+    data.foreach(b => sb.append(f"${b & 0xff}%02X"))
+    sb.append('>')
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  def ascii85Encode(data: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder(data.length * 5 / 4 + 8)
+    var i = 0
+    while (i < data.length) {
+      val n = math.min(4, data.length - i)
+      var v = 0L
+      var j = 0
+      while (j < 4) { v = (v << 8) | (if (j < n) data(i + j) & 0xff else 0); j += 1 }
+      if (v == 0 && n == 4) sb.append('z')
+      else {
+        val cs = new Array[Char](5)
+        var k = 4
+        while (k >= 0) { cs(k) = ('!' + (v % 85).toInt).toChar; v /= 85; k -= 1 }
+        var c = 0
+        while (c < n + 1) { sb.append(cs(c)); c += 1 }
+      }
+      i += 4
+    }
+    sb.append("~>")
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  def runLengthEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + data.length / 128 + 2)
+    var i = 0
+    while (i < data.length) {
+      // count a run of identical bytes
+      var r = 1
+      while (i + r < data.length && r < 128 && data(i + r) == data(i)) r += 1
+      if (r >= 2) { out.write(257 - r); out.write(data(i)); i += r }
+      else {
+        // literal run up to the next 2-byte repeat (or 128 bytes)
+        var l = 1
+        while (i + l < data.length && l < 128 &&
+          !(i + l + 1 < data.length && data(i + l) == data(i + l + 1))) l += 1
+        out.write(l - 1); out.write(data, i, l); i += l
+      }
+    }
+    out.write(128)
+    out.toByteArray
+  }
+
+  def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + 16)
+    var acc = 0L; var bits = 0
+    var width = 9
+    def put(code: Int): Unit = {
+      acc = (acc << width) | code; bits += width
+      while (bits >= 8) { out.write(((acc >>> (bits - 8)) & 0xff).toInt); bits -= 8 }
+    }
+    val dict = new java.util.HashMap[String, Integer]()
+    def reset(): Unit = {
+      dict.clear()
+      var i = 0
+      while (i < 256) { dict.put(i.toChar.toString, i); i += 1 }
+    }
+    reset()
+    var next = 258
+    put(256) // leading clear, as real encoders emit
+    var w = ""
+    var i = 0
+    while (i < data.length) {
+      val c = (data(i) & 0xff).toChar
+      val wc = w + c
+      if (dict.containsKey(wc)) w = wc
+      else {
+        put(dict.get(w))
+        dict.put(wc, next); next += 1
+        // early change mirrors the decoder: width bumps at 2^w - 1
+        if (next >= (1 << width) - 1 && width < 12) width += 1
+        if (next >= 4096) { put(256); reset(); next = 258; width = 9 }
+        w = c.toString
+      }
+      i += 1
+    }
+    if (w.nonEmpty) put(dict.get(w))
+    put(257) // EOD
+    if (bits > 0) out.write(((acc << (8 - bits)) & 0xff).toInt) // pad
+    out.toByteArray
+  }
+
+  /** The `/Filter` entry of a stream dictionary: a single name or an array
+    * of names in application order (PDF 7.3.8.2). Empty = unfiltered.
+    */
+  private[pdf] def filtersOf(dict: String): Vector[String] = {
+    val f = dict.indexOf("/Filter")
+    if (f < 0) return Vector.empty
+    var j = f + "/Filter".length
+    while (j < dict.length && dict.charAt(j).isWhitespace) j += 1
+    def name(at: Int): (String, Int) = {
+      var k = at + 1
+      while (k < dict.length && !dict.charAt(k).isWhitespace &&
+        "()<>[]{}/%".indexOf(dict.charAt(k)) < 0) k += 1
+      (dict.substring(at + 1, k), k)
+    }
+    if (j < dict.length && dict.charAt(j) == '[') {
+      val out = Vector.newBuilder[String]
+      var k = j + 1
+      while (k < dict.length && dict.charAt(k) != ']') {
+        if (dict.charAt(k) == '/') { val (n, e) = name(k); out += n; k = e }
+        else k += 1
+      }
+      out.result()
+    } else if (j < dict.length && dict.charAt(j) == '/') Vector(name(j)._1)
+    else Vector.empty
+  }
+
+  /** Run a filter chain over a stream payload; None when any stage fails
+    * or a filter is unsupported (image filters like DCTDecode — the stream
+    * is skipped, matching the degrade-never-throw contract).
+    */
+  def decodeFilters(filters: Seq[String], data: Array[Byte]): Option[Array[Byte]] =
+    filters.foldLeft(Option(data)) { (acc, f) =>
+      acc.flatMap { d =>
+        f match {
+          case "FlateDecode" | "Fl"      => inflate(d)
+          case "ASCIIHexDecode" | "AHx"  => asciiHexDecode(d)
+          case "ASCII85Decode" | "A85"   => ascii85Decode(d)
+          case "RunLengthDecode" | "RL"  => runLengthDecode(d)
+          case "LZWDecode" | "LZW"       => lzwDecode(d)
+          case _                         => None // DCTDecode/JPX/CCITT: image data
+        }
+      }
+    }
 
   def deflate(data: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater()
@@ -103,17 +377,16 @@ object PdfMini {
         if (e < 0) from = -1
         else {
           // the owning stream dict sits between the preceding 'obj' token
-          // and the stream keyword: '/Filter /FlateDecode' there means the
-          // payload is DEFLATE-compressed (PDF 7.4.4)
+          // and the stream keyword: its /Filter entry (name or array, in
+          // application order) selects the decode chain (PDF 7.4)
           val dictStart = math.max(0, pdf.lastIndexOf("obj", s))
-          val isFlate = pdf.substring(dictStart, s).contains("/FlateDecode")
+          val filters = filtersOf(pdf.substring(dictStart, s))
           val raw = pdf.substring(payloadStart, e)
-          if (isFlate)
-            inflate(raw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
-              .foreach { b =>
-                extractStream(new String(b, java.nio.charset.StandardCharsets.ISO_8859_1), chunks)
-              } // malformed Flate data: skip the stream, never throw
-          else extractStream(raw, chunks)
+          decodeFilters(filters,
+            raw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+            .foreach { b =>
+              extractStream(new String(b, java.nio.charset.StandardCharsets.ISO_8859_1), chunks)
+            } // malformed/unsupported filter data: skip the stream, never throw
           from = e + "endstream".length
         }
       }

@@ -65,6 +65,19 @@ object BinaryFuzzProps extends Properties("BinaryFuzz") {
       total(graft.sources.Archive.gunzip(Array(0x1f.toByte, 0x8b.toByte) ++ b, 1 << 20))
   }
 
+  property("pdf stream filters round-trip and never throw on junk") =
+    Prop.forAll(junk) { b =>
+      import graft.core.pdf.PdfMini._
+      // exact inverses on arbitrary payloads
+      asciiHexDecode(asciiHexEncode(b)).map(_.toSeq).contains(b.toSeq) &&
+      ascii85Decode(ascii85Encode(b)).map(_.toSeq).contains(b.toSeq) &&
+      runLengthDecode(runLengthEncode(b)).map(_.toSeq).contains(b.toSeq) &&
+      lzwDecode(lzwEncode(b)).map(_.toSeq).contains(b.toSeq) &&
+      // decoders are total on junk (Some or None, never an exception)
+      total(asciiHexDecode(b)) && total(ascii85Decode(b)) &&
+      total(runLengthDecode(b)) && total(lzwDecode(b))
+    }
+
   property("jsonl textField is total on arbitrary lines") =
     Prop.forAll(Gen.asciiPrintableStr) { s =>
       total(graft.core.text.Jsonl.textField(s))

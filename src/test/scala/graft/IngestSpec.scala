@@ -92,6 +92,46 @@ class IngestSpec extends AnyFunSuite {
     assert(PdfMini.textFromLatin1(pdf) == "first\nout of")
   }
 
+  test("PdfMini decodes every PDF 7.4 text filter and the array chain") {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    val content = "BT 1 0 0 1 72 700 Tm (filter line) Tj ET".getBytes(ISO_8859_1)
+    def pdfWith(fspec: String, enc: Array[Byte]): String =
+      s"1 0 obj << /Filter $fspec >>\nstream\n${new String(enc, ISO_8859_1)}\nendstream"
+    assert(PdfMini.textFromLatin1(
+      pdfWith("/ASCIIHexDecode", PdfMini.asciiHexEncode(content))) == "filter line")
+    assert(PdfMini.textFromLatin1(
+      pdfWith("/ASCII85Decode", PdfMini.ascii85Encode(content))) == "filter line")
+    assert(PdfMini.textFromLatin1(
+      pdfWith("/RunLengthDecode", PdfMini.runLengthEncode(content))) == "filter line")
+    assert(PdfMini.textFromLatin1(
+      pdfWith("/LZWDecode", PdfMini.lzwEncode(content))) == "filter line")
+    // array chain, applied in order: ASCII85 first, then Flate
+    assert(PdfMini.textFromLatin1(
+      pdfWith("[ /ASCII85Decode /FlateDecode ]",
+        PdfMini.ascii85Encode(PdfMini.deflate(content)))) == "filter line")
+    // abbreviated names (PDF 7.4 table 6 inline-image forms)
+    assert(PdfMini.textFromLatin1(
+      pdfWith("/AHx", PdfMini.asciiHexEncode(content))) == "filter line")
+    // an image filter marks the stream non-text: skipped, never garbage
+    assert(PdfMini.textFromLatin1(
+      pdfWith("/DCTDecode", Array[Byte](-1, -40, -1, 0x2e))) == "")
+    // malformed filter data degrades to a skipped stream
+    assert(PdfMini.textFromLatin1(
+      pdfWith("/ASCII85Decode", "vvvvv~>".getBytes(ISO_8859_1))) == "")
+  }
+
+  test("PdfMini LZW width growth and z-shorthand survive large payloads") {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    // enough distinct material to push the code width past 9 bits (>253
+    // table adds) — exactness proves the early-change alignment
+    val big = (0 until 600).map(i => s"w$i").mkString(" ").getBytes(ISO_8859_1)
+    assert(PdfMini.lzwDecode(PdfMini.lzwEncode(big)).map(_.toSeq).contains(big.toSeq))
+    val zeros = new Array[Byte](64) // all-zero groups exercise 'z'
+    assert(PdfMini.ascii85Decode(PdfMini.ascii85Encode(zeros)).map(_.toSeq).contains(zeros.toSeq))
+    val runs = Array.fill(300)(7.toByte) ++ "literal tail".getBytes(ISO_8859_1)
+    assert(PdfMini.runLengthDecode(PdfMini.runLengthEncode(runs)).map(_.toSeq).contains(runs.toSeq))
+  }
+
   test("PdfMini never throws on arbitrary junk") {
     PdfMini.textFromLatin1("stream BT ( unclosed \\ ET endstream ((( [ /// 1 2")
     PdfMini.textFromLatin1("")
