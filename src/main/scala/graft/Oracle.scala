@@ -627,6 +627,19 @@ object Oracle {
       | CASE WHEN doc_id%38=0 THEN 'encrypted' ELSE '' END AS reason
       |FROM l GROUP BY doc_id""".stripMargin
 
+  /** Mirror of Queries.pdfDecrypt: owner-restricted docs (%29) decrypt to
+    * the full text; real-user-password docs (%58) classify encrypted.
+    */
+  private val pdfDecrypt: String =
+    """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
+      |  len(string_split(text,' ')) AS m FROM documents WHERE doc_id%29=0),
+      |l AS (SELECT doc_id, i, array_to_string(w[5*i+1:5*i+5],' ') AS line
+      |      FROM p, LATERAL unnest(generate_series(0, (m-1)//5)) AS t(i))
+      |SELECT doc_id,
+      | CASE WHEN doc_id%58=0 THEN '' ELSE string_agg(line, chr(10) ORDER BY i) END AS txt,
+      | CASE WHEN doc_id%58=0 THEN 'encrypted' ELSE '' END AS reason
+      |FROM l GROUP BY doc_id""".stripMargin
+
   /** Mirror of Queries.docObjects: the .doc root carries the 5-word-line
     * body; the ObjectPool text object is a level-1 child.
     */
@@ -1718,6 +1731,7 @@ object Oracle {
     "q_pdf_flate" -> pdfBytes,
     // same SQL on purpose: every filter chain must invert to the raw text
     "q_pdf_filters" -> pdfBytes,
+    "q_pdf_decrypt" -> pdfDecrypt,
     // rtf typesets the same 5-words-per-line layout: expected text identical
     "q_rtf_bytes" -> pdfBytes,
     "q_csv_table" -> csvTable,

@@ -230,6 +230,34 @@ object Queries {
       .toDF("doc_id", "txt")
   }
 
+  /** §2.3 standard-security-handler DECRYPTION (what PDFBox does silently
+    * for the reference on owner-restricted files — the overwhelmingly
+    * common "encrypted" PDF in the wild): each %29 doc is RC4-encrypted
+    * from scratch per ISO 32000-1 §7.6.3 (R3/128-bit, %87 docs R2/40-bit)
+    * with an OWNER password only — extraction must validate the empty user
+    * password against /U, derive the file key, RC4-decrypt each stream
+    * with its per-object key, and reproduce exactly the plain-PDF text.
+    * %58 docs carry a REAL user password: those must still classify
+    * encrypted, never emit garbage.
+    */
+  def pdfDecrypt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.core.pdf.PdfCrypt
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .filter(_._1 % 29 == 0)
+      .map { case (id, t) =>
+        val content = pdfContentStream(t)
+        val body = s"%PDF-1.4\n1 0 obj << /Length ${content.length} >>\n" +
+          s"stream\n$content\nendstream\nendobj\n"
+        val r = if (id % 87 == 0) 2 else 3
+        val userPw = if (id % 58 == 0) s"user-$id" else ""
+        val pdf = PdfCrypt.encrypt(body, s"owner-$id", userPw, r, 128, s"id-$id")
+        val (txt, why) = Extract.extractSpan("pdf_bytes", pdf)
+        (id, txt, why)
+      }
+      .toDF("doc_id", "txt", "reason")
+  }
+
   /** §2.3 REAL encrypted-PDF classification (the reference's
     * `pdf/encrypted.pdf` fixture -> EncryptedDocumentException ->
     * NOT_DECRYPTED, `Extractor.java:785-826`): %38 docs carry an /Encrypt
@@ -2312,6 +2340,7 @@ object Queries {
     "q_pdf_bytes" -> (pdfBytes _),
     "q_pdf_flate" -> (pdfFlate _),
     "q_pdf_filters" -> (pdfFilters _),
+    "q_pdf_decrypt" -> (pdfDecrypt _),
     "q_rtf_bytes" -> (rtfBytes _),
     "q_csv_table" -> (csvTable _),
     "q_embed_explode" -> (embedExplode _),

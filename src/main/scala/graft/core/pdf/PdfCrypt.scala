@@ -1,0 +1,366 @@
+package graft.core.pdf
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+/** PDF standard security handler (ISO 32000-1 §7.6.3), from scratch: RC4
+  * (V1/V2, R2/R3) file decryption with the EMPTY USER PASSWORD. Most
+  * "encrypted" PDFs in the wild are owner-restricted only (print/copy
+  * permission bits) and every conforming reader opens them silently —
+  * PDFBox does exactly this behind the reference's PDFParser, so an
+  * owner-restricted file EXTRACTS there (`Extractor.java:785-826` raises
+  * EncryptedDocumentException only when a real user password is needed).
+  * This module reproduces that behavior: validate the empty user password
+  * against /U (Algorithms 4/5), derive the file key (Algorithm 2), and
+  * RC4-decrypt every stream with its per-object key (Algorithm 1).
+  * User-password-protected files (U check fails) and AES variants (V≥4)
+  * stay classified encrypted. MD5 and RC4 are the algorithms the SPEC
+  * mandates — legacy by design, decrypt-only here.
+  */
+object PdfCrypt {
+
+  /** The 32-byte padding constant of Algorithm 2 (ISO 32000-1 7.6.3.3). */
+  val Pad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  def md5(parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** Plain RC4 (symmetric: encrypt == decrypt). */
+  def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = Array.tabulate(256)(identity)
+    var j = 0
+    var i = 0
+    while (i < 256) {
+      j = (j + s(i) + (key(i % key.length) & 0xff)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+      i += 1
+    }
+    val out = new Array[Byte](data.length)
+    var x = 0; var y = 0
+    var k = 0
+    while (k < data.length) {
+      x = (x + 1) & 0xff
+      y = (y + s(x)) & 0xff
+      val t = s(x); s(x) = s(y); s(y) = t
+      out(k) = (data(k) ^ s((s(x) + s(y)) & 0xff)).toByte
+      k += 1
+    }
+    out
+  }
+
+  private def padded(pw: Array[Byte]): Array[Byte] =
+    if (pw.length >= 32) pw.take(32) else pw ++ Pad.take(32 - pw.length)
+
+  private def leInt(v: Int): Array[Byte] =
+    Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+
+  /** The /Encrypt dictionary's standard-handler fields + the file ID. */
+  final case class StdSec(v: Int, r: Int, o: Array[Byte], u: Array[Byte],
+      p: Int, keyBytes: Int, id0: Array[Byte], objNum: Int)
+
+  /** Algorithm 2 with the empty user password. */
+  def fileKeyEmptyUser(sec: StdSec): Array[Byte] = {
+    var key = md5(Pad, sec.o, leInt(sec.p), sec.id0).take(sec.keyBytes)
+    if (sec.r >= 3) {
+      var i = 0
+      while (i < 50) { key = md5(key).take(sec.keyBytes); i += 1 }
+    }
+    key
+  }
+
+  /** Algorithms 4 (R2) / 5 (R3): Some(fileKey) iff the EMPTY user password
+    * reproduces the stored /U.
+    */
+  def emptyUserKey(sec: StdSec): Option[Array[Byte]] = {
+    val key = fileKeyEmptyUser(sec)
+    val ok =
+      if (sec.r == 2) java.util.Arrays.equals(rc4(key, Pad), sec.u)
+      else {
+        var x = rc4(key, md5(Pad, sec.id0))
+        var i = 1
+        while (i <= 19) {
+          x = rc4(key.map(b => (b ^ i).toByte), x)
+          i += 1
+        }
+        // only the first 16 bytes of U are significant for R3 (7.6.3.4)
+        sec.u.length >= 16 && java.util.Arrays.equals(x, sec.u.take(16))
+      }
+    if (ok) Some(key) else None
+  }
+
+  /** Algorithm 1's per-object key: MD5(fileKey ‖ objNum_le3 ‖ gen_le2),
+    * truncated to min(fileKeyLen + 5, 16).
+    */
+  def objKey(fileKey: Array[Byte], num: Int, gen: Int): Array[Byte] =
+    md5(fileKey,
+      Array(num, num >> 8, num >> 16).map(_.toByte),
+      Array(gen, gen >> 8).map(_.toByte))
+      .take(math.min(fileKey.length + 5, 16))
+
+  // ---- document parsing --------------------------------------------------
+
+  /** A `<hex>` or `(literal)` PDF string starting at or after `from`. */
+  private def parseStringAt(s: String, from: Int): Option[Array[Byte]] = {
+    var i = from
+    while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    if (i >= s.length) None
+    else if (s.charAt(i) == '<') {
+      val e = s.indexOf('>', i)
+      if (e < 0) None
+      else {
+        val hex = s.substring(i + 1, e).filterNot(_.isWhitespace)
+        if (hex.exists(c => Character.digit(c, 16) < 0)) None
+        else {
+          val h = if (hex.length % 2 == 1) hex + "0" else hex
+          Some(h.grouped(2).map(p => Integer.parseInt(p, 16).toByte).toArray)
+        }
+      }
+    } else if (s.charAt(i) == '(') {
+      val out = new java.io.ByteArrayOutputStream()
+      var j = i + 1
+      var depth = 1
+      while (j < s.length && depth > 0) {
+        val c = s.charAt(j)
+        if (c == '\\' && j + 1 < s.length) {
+          val e = s.charAt(j + 1)
+          e match {
+            case 'n' => out.write('\n'); j += 2
+            case 'r' => out.write('\r'); j += 2
+            case 't' => out.write('\t'); j += 2
+            case 'b' => out.write('\b'); j += 2
+            case 'f' => out.write('\f'); j += 2
+            case d if d >= '0' && d <= '7' =>
+              var k = j + 1; var v = 0; var cnt = 0
+              while (k < s.length && cnt < 3 && s.charAt(k) >= '0' && s.charAt(k) <= '7') {
+                v = v * 8 + (s.charAt(k) - '0'); k += 1; cnt += 1
+              }
+              out.write(v); j = k
+            case _ => out.write(e); j += 2
+          }
+        } else {
+          if (c == '(') { depth += 1; out.write(c) }
+          else if (c == ')') { depth -= 1; if (depth > 0) out.write(c) }
+          else out.write(c)
+          j += 1
+        }
+      }
+      Some(out.toByteArray)
+    } else None
+  }
+
+  /** An integer value following `/Key` in `dict` (first occurrence). */
+  private def intAfter(dict: String, key: String): Option[Int] = {
+    val k = dict.indexOf(key)
+    if (k < 0) None
+    else {
+      var i = k + key.length
+      while (i < dict.length && dict.charAt(i).isWhitespace) i += 1
+      var j = i
+      if (j < dict.length && (dict.charAt(j) == '-' || dict.charAt(j) == '+')) j += 1
+      while (j < dict.length && dict.charAt(j).isDigit) j += 1
+      dict.substring(i, j).toIntOption
+    }
+  }
+
+  private def stringAfter(dict: String, key: String): Option[Array[Byte]] = {
+    val k = dict.indexOf(key)
+    if (k < 0) None else parseStringAt(dict, k + key.length)
+  }
+
+  /** Locate and parse the standard-handler /Encrypt dictionary (indirect
+    * `N G R` reference or inline `<< .. >>`) plus the first /ID string.
+    * None when absent or not the standard RC4 handler.
+    */
+  def parseEncrypt(pdf: String): Option[StdSec] = {
+    val eIdx = pdf.indexOf("/Encrypt")
+    if (eIdx < 0) return None
+    var i = eIdx + "/Encrypt".length
+    while (i < pdf.length && pdf.charAt(i).isWhitespace) i += 1
+    // indirect reference "N G R" → find "N G obj"; else inline dict
+    val refM = "^(\\d+)\\s+(\\d+)\\s+R".r.findFirstMatchIn(pdf.substring(i, math.min(pdf.length, i + 32)))
+    val (dict, objNum) = refM match {
+      case Some(m) =>
+        val num = m.group(1).toInt
+        val objAt = pdf.indexOf(s"${m.group(1)} ${m.group(2)} obj")
+        if (objAt < 0) return None
+        val end = pdf.indexOf("endobj", objAt)
+        (pdf.substring(objAt, if (end < 0) pdf.length else end), num)
+      case None =>
+        val end = pdf.indexOf(">>", i)
+        (pdf.substring(i, if (end < 0) pdf.length else end + 2), -1)
+    }
+    if (!dict.contains("/Standard")) return None
+    val v = intAfter(dict, "/V").getOrElse(0)
+    val r = intAfter(dict, "/R").getOrElse(0)
+    if (v < 1 || v > 2 || r < 2 || r > 3) return None // AES/newer: not RC4
+    val lenBits = intAfter(dict, "/Length").getOrElse(40)
+    if (lenBits < 40 || lenBits > 128 || lenBits % 8 != 0) return None
+    for {
+      o <- stringAfter(dict, "/O") if o.length == 32
+      u <- stringAfter(dict, "/U") if u.length == 32
+      p <- intAfter(dict, "/P")
+    } yield {
+      val idAt = pdf.indexOf("/ID")
+      val id0 =
+        if (idAt < 0) Array.emptyByteArray
+        else {
+          var j = idAt + 3
+          while (j < pdf.length && (pdf.charAt(j).isWhitespace || pdf.charAt(j) == '[')) j += 1
+          parseStringAt(pdf, j).getOrElse(Array.emptyByteArray)
+        }
+      StdSec(v, r, o, u, p, if (r == 2) 5 else lenBits / 8, id0, objNum)
+    }
+  }
+
+  /** Decrypt every stream payload in place with its per-object RC4 key and
+    * return the cleartext document (latin1), or None when the file needs a
+    * real user password / uses a non-RC4 handler. Stream extents honor the
+    * dict's /Length when sane (ciphertext is binary — scanning for
+    * `endstream` alone would mis-slice payloads with trailing EOL bytes).
+    */
+  def decryptEmptyUser(pdf: String): Option[String] = {
+    val sec = parseEncrypt(pdf) match { case Some(s) => s; case None => return None }
+    val key = emptyUserKey(sec) match { case Some(k) => k; case None => return None }
+    val sb = new StringBuilder(pdf.length)
+    var from = 0
+    val objHead = "(\\d+)\\s+(\\d+)\\s+obj".r
+    while (from < pdf.length) {
+      val s = pdf.indexOf("stream", from)
+      val isEnd = s >= 3 && pdf.regionMatches(s - 3, "endstream", 0, 9)
+      if (s < 0) { sb.append(pdf.substring(from)); from = pdf.length }
+      else if (isEnd) { sb.append(pdf.substring(from, s + 6)); from = s + 6 }
+      else {
+        var payloadStart = s + "stream".length
+        if (payloadStart < pdf.length && pdf.charAt(payloadStart) == '\r') payloadStart += 1
+        if (payloadStart < pdf.length && pdf.charAt(payloadStart) == '\n') payloadStart += 1
+        val e = pdf.indexOf("endstream", payloadStart)
+        if (e < 0) { sb.append(pdf.substring(from)); from = pdf.length }
+        else {
+          val dictStart = math.max(0, pdf.lastIndexOf("obj", s) - 16)
+          val dict = pdf.substring(dictStart, s)
+          // the owning object header sits just before the dict
+          val head = objHead.findAllMatchIn(pdf.substring(0, s)).foldLeft(
+            Option.empty[(Int, Int)])((_, m) => Some((m.group(1).toInt, m.group(2).toInt)))
+          val declared = intAfter(dict, "/Length").getOrElse(-1)
+          val pEnd =
+            if (declared >= 0 && payloadStart + declared <= e) payloadStart + declared
+            else { // trim one trailing EOL the writer put before 'endstream'
+              var t = e
+              if (t > payloadStart && pdf.charAt(t - 1) == '\n') t -= 1
+              if (t > payloadStart && pdf.charAt(t - 1) == '\r') t -= 1
+              t
+            }
+          sb.append(pdf.substring(from, payloadStart))
+          head match {
+            case Some((num, gen)) if num != sec.objNum =>
+              val cipher = pdf.substring(payloadStart, pEnd).getBytes(ISO_8859_1)
+              sb.append(new String(rc4(objKey(key, num, gen), cipher), ISO_8859_1))
+            case _ => sb.append(pdf.substring(payloadStart, pEnd))
+          }
+          sb.append(pdf.substring(pEnd, e + "endstream".length))
+          from = e + "endstream".length
+        }
+      }
+    }
+    Some(sb.toString)
+  }
+
+  // ---- fixture writer ----------------------------------------------------
+
+  /** Algorithm 3: the /O value for an owner password + empty user password. */
+  def ownerValue(ownerPw: String, r: Int, keyBytes: Int): Array[Byte] = {
+    var k = md5(padded(ownerPw.getBytes(ISO_8859_1)))
+    if (r >= 3) { var i = 0; while (i < 50) { k = md5(k); i += 1 } }
+    val rk = k.take(keyBytes)
+    var o = rc4(rk, Pad) // padded empty USER password
+    if (r >= 3) {
+      var i = 1
+      while (i <= 19) { o = rc4(rk.map(b => (b ^ i).toByte), o); i += 1 }
+    }
+    o
+  }
+
+  /** The /U value for the empty user password (Algorithms 4/5). */
+  def userValue(sec: StdSec): Array[Byte] =
+    if (sec.r == 2) rc4(fileKeyEmptyUser(sec), Pad)
+    else {
+      val key = fileKeyEmptyUser(sec)
+      var x = rc4(key, md5(Pad, sec.id0))
+      var i = 1
+      while (i <= 19) { x = rc4(key.map(b => (b ^ i).toByte), x); i += 1 }
+      x ++ new Array[Byte](16)
+    }
+
+  private def hexStr(b: Array[Byte]): String =
+    "<" + b.map(x => f"${x & 0xff}%02X").mkString + ">"
+
+  /** Deterministic encrypted-PDF writer: takes a single-content-stream
+    * document body (`objNum gen obj ... stream ... endstream`-shaped, as
+    * the query fixtures build), RC4-encrypts each stream, and appends the
+    * /Encrypt object and a trailer carrying /Encrypt + /ID. `userPw`
+    * non-empty makes a file a conforming reader must prompt for.
+    */
+  def encrypt(pdf: String, ownerPw: String, userPw: String, r: Int,
+      lenBits: Int, idSeed: String): String = {
+    val keyBytes = if (r == 2) 5 else lenBits / 8
+    val id0 = md5(idSeed.getBytes(ISO_8859_1))
+    val o = ownerValue(ownerPw, r, keyBytes)
+    val p = -44
+    // U from the real user password (empty → openable; else restricted)
+    val padUser = padded(userPw.getBytes(ISO_8859_1))
+    var fk = md5(padUser, o, leInt(p), id0).take(keyBytes)
+    if (r >= 3) { var i = 0; while (i < 50) { fk = md5(fk).take(keyBytes); i += 1 } }
+    val u =
+      if (r == 2) rc4(fk, Pad)
+      else {
+        var x = rc4(fk, md5(Pad, id0))
+        var i = 1
+        while (i <= 19) { x = rc4(fk.map(b => (b ^ i).toByte), x); i += 1 }
+        x ++ new Array[Byte](16)
+      }
+    val encNum = 9999
+    // encrypt every stream payload with its object key
+    val sb = new StringBuilder
+    var from = 0
+    val objHead = "(\\d+)\\s+(\\d+)\\s+obj".r
+    while (from < pdf.length) {
+      val s = pdf.indexOf("stream", from)
+      val isEnd = s >= 3 && pdf.regionMatches(s - 3, "endstream", 0, 9)
+      if (s < 0) { sb.append(pdf.substring(from)); from = pdf.length }
+      else if (isEnd) { sb.append(pdf.substring(from, s + 6)); from = s + 6 }
+      else {
+        var ps = s + "stream".length
+        if (ps < pdf.length && pdf.charAt(ps) == '\r') ps += 1
+        if (ps < pdf.length && pdf.charAt(ps) == '\n') ps += 1
+        val e = pdf.indexOf("endstream", ps)
+        if (e < 0) { sb.append(pdf.substring(from)); from = pdf.length }
+        else {
+          var pEnd = e
+          if (pEnd > ps && pdf.charAt(pEnd - 1) == '\n') pEnd -= 1
+          if (pEnd > ps && pdf.charAt(pEnd - 1) == '\r') pEnd -= 1
+          val head = objHead.findAllMatchIn(pdf.substring(0, s)).foldLeft(
+            Option.empty[(Int, Int)])((_, m) => Some((m.group(1).toInt, m.group(2).toInt)))
+          val (num, gen) = head.getOrElse((0, 0))
+          val cipher = rc4(objKey(fk, num, gen),
+            pdf.substring(ps, pEnd).getBytes(ISO_8859_1))
+          sb.append(pdf.substring(from, ps))
+          // declared /Length (if present) no longer matches the ciphertext
+          // framing the decrypter uses; ciphertext length == plaintext
+          sb.append(new String(cipher, ISO_8859_1))
+          sb.append(pdf.substring(pEnd, e + "endstream".length))
+          from = e + "endstream".length
+        }
+      }
+    }
+    sb.append(s"\n$encNum 0 obj << /Filter /Standard /V ${if (r == 2) 1 else 2} /R $r" +
+      (if (r >= 3) s" /Length $lenBits" else "") +
+      s" /O ${hexStr(o)} /U ${hexStr(u)} /P $p >> endobj\n")
+    sb.append(s"trailer << /Root 1 0 R /Encrypt $encNum 0 R /ID [ ${hexStr(id0)} ${hexStr(id0)} ] >>\n%%EOF")
+    sb.toString
+  }
+}

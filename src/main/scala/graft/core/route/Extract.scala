@@ -86,12 +86,18 @@ object Extract {
     kind match {
       case "html"      => (HtmlExtractor.mainText(t), "")
       case "pdf"       => (PdfLayout.text(t), "")
-      // REAL PDF bytes, raw or FlateDecode (Ingest); an /Encrypt trailer
-      // classifies as encrypted exactly like the reference's
-      // EncryptedDocumentException route — content streams are ciphertext,
-      // so extraction must yield the reason, not garbage text
+      // REAL PDF bytes, raw or filtered (Ingest). An /Encrypt trailer first
+      // tries the standard security handler with the EMPTY user password
+      // (owner-restricted files open silently, exactly as PDFBox does for
+      // the reference); only a real user password (or a non-RC4 handler)
+      // classifies encrypted — content streams are ciphertext then, so
+      // extraction must yield the reason, not garbage text
       case "pdf_bytes" =>
-        if (graft.core.pdf.PdfMini.isEncryptedLatin1(t)) ("", Reason.Encrypted)
+        if (graft.core.pdf.PdfMini.isEncryptedLatin1(t))
+          graft.core.pdf.PdfCrypt.decryptEmptyUser(t) match {
+            case Some(clear) => (graft.core.pdf.PdfMini.textFromLatin1(clear), "")
+            case None        => ("", Reason.Encrypted)
+          }
         else (graft.core.pdf.PdfMini.textFromLatin1(t), "")
       case "text"      => (t, "")
       case "media"     => (t, "") // OCR/media passthrough (north rule): text + media_ref unchanged

@@ -78,6 +78,15 @@ object BinaryFuzzProps extends Properties("BinaryFuzz") {
       total(runLengthDecode(b)) && total(lzwDecode(b))
     }
 
+  property("pdf decrypt path is total on arbitrary bytes") =
+    Prop.forAll(junk) { b =>
+      val latin1 = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+      total(graft.core.pdf.PdfCrypt.decryptEmptyUser(latin1)) &&
+        total(graft.core.pdf.PdfCrypt.decryptEmptyUser(
+          "/Encrypt 1 0 R 1 0 obj << /Standard /V 2 /R 3 /Length 128 " +
+            "/O <" + latin1.take(64) + "> /U (" + latin1 + ") /P -44 >> endobj " + latin1))
+    }
+
   property("jsonl textField is total on arbitrary lines") =
     Prop.forAll(Gen.asciiPrintableStr) { s =>
       total(graft.core.text.Jsonl.textField(s))

@@ -132,6 +132,31 @@ class IngestSpec extends AnyFunSuite {
     assert(PdfMini.runLengthDecode(PdfMini.runLengthEncode(runs)).map(_.toSeq).contains(runs.toSeq))
   }
 
+  test("PdfCrypt opens owner-restricted RC4 PDFs with the empty user password") {
+    import graft.core.pdf.PdfCrypt
+    import graft.core.route.Extract
+    val content = "BT 1 0 0 1 72 700 Tm (secret line) Tj ET"
+    val body = s"%PDF-1.4\n1 0 obj << /Length ${content.length} >>\n" +
+      s"stream\n$content\nendstream\nendobj\n"
+    // R3 / 128-bit and R2 / 40-bit, owner password only
+    for (r <- Seq(3, 2)) {
+      val enc = PdfCrypt.encrypt(body, "owner-pw", "", r, 128, "fid")
+      assert(PdfMini.isEncryptedLatin1(enc)) // ciphertext until decrypted
+      assert(enc.indexOf(content) < 0)       // stream really is encrypted
+      val (txt, why) = Extract.extractSpan("pdf_bytes", enc)
+      assert(txt == "secret line" && why == "", s"r=$r")
+    }
+    // a REAL user password must classify encrypted, never emit garbage
+    val locked = PdfCrypt.encrypt(body, "owner-pw", "user-pw", 3, 128, "fid")
+    val (txt2, why2) = Extract.extractSpan("pdf_bytes", locked)
+    assert(txt2 == "" && why2 == graft.core.Reason.Encrypted)
+    // V4+ (AES) handlers stay classified
+    val aes = body + "\ntrailer << /Encrypt << /Filter /Standard /V 4 /R 4 " +
+      "/O <00> /U <00> /P -44 >> >>\n%%EOF"
+    val (txt3, why3) = Extract.extractSpan("pdf_bytes", aes)
+    assert(txt3 == "" && why3 == graft.core.Reason.Encrypted)
+  }
+
   test("PdfMini never throws on arbitrary junk") {
     PdfMini.textFromLatin1("stream BT ( unclosed \\ ET endstream ((( [ /// 1 2")
     PdfMini.textFromLatin1("")
