@@ -587,6 +587,26 @@ object Oracle {
       | 'xml' AS kind
       |FROM documents WHERE doc_id%53=0""".stripMargin
 
+  /** Mirror of Queries.odsTable: 2-word tab-joined rows, newline-joined. */
+  private val odsTable: String =
+    """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
+      |  len(string_split(text,' ')) AS m FROM documents WHERE doc_id%46=0),
+      |r AS (SELECT doc_id, i, array_to_string(w[2*i+1:2*i+2], chr(9)) AS row
+      |      FROM p, LATERAL unnest(generate_series(0, (m-1)//2)) AS t(i))
+      |SELECT doc_id, string_agg(row, chr(10) ORDER BY i) AS txt
+      |FROM r GROUP BY doc_id""".stripMargin
+
+  /** Mirror of Queries.odpSlides: 3-word paragraph lines in document
+    * order (page framing flattens).
+    */
+  private val odpSlides: String =
+    """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
+      |  len(string_split(text,' ')) AS m FROM documents WHERE doc_id%62=0),
+      |l AS (SELECT doc_id, i, array_to_string(w[3*i+1:3*i+3],' ') AS line
+      |      FROM p, LATERAL unnest(generate_series(0, (m-1)//3)) AS t(i))
+      |SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS txt
+      |FROM l GROUP BY doc_id""".stripMargin
+
   private val odtExplode: String =
     """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
       |  len(string_split(text,' ')) AS m FROM documents WHERE doc_id%43=0),
@@ -1763,6 +1783,8 @@ object Oracle {
     "q_doc_bytes" -> pdfBytes, // same 5-word-line text, shared mirror
     "q_xls_table" -> xlsTable,
     "q_odt_explode" -> odtExplode,
+    "q_ods_table" -> odsTable,
+    "q_odp_slides" -> odpSlides,
     "q_epub_explode" -> epubExplode,
     "q_sqlite_explode" -> sqliteExplode,
     "q_plist_explode" -> plistExplode,

@@ -1105,6 +1105,47 @@ object Queries {
       .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
   }
 
+  /** §2.3 OpenDocument SPREADSHEET route (Tika OpenDocumentParser over
+    * .ods): each %46 doc becomes a mimetype-verified ods package whose
+    * string cells tile the document text two per row; extraction must
+    * walk table rows/cells (not the flat paragraph scan) to reproduce the
+    * tab-joined lines.
+    */
+  def odsTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .filter(_._1 % 46 == 0)
+      .map { case (id, t) =>
+        val rows = t.split(" ", -1).grouped(2).map(_.toSeq).toSeq
+        val bytes = graft.core.office.Odf.buildSpreadsheet(rows)
+        val (txt, _) = Extract.extractSpan("zip", new String(bytes, ISO_8859_1))
+        (id, txt)
+      }
+      .toDF("doc_id", "txt")
+  }
+
+  /** §2.3 OpenDocument PRESENTATION route (.odp): each %62 doc becomes a
+    * mimetype-verified odp package — slides of draw:frame/draw:text-box
+    * paragraphs, 3 words each, two per page — whose flattened document
+    * order must reproduce the 3-word lines (the same flattening Tika's
+    * OpenDocumentContentParser performs).
+    */
+  def odpSlides(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .filter(_._1 % 62 == 0)
+      .map { case (id, t) =>
+        val paras = t.split(" ", -1).grouped(3).map(_.mkString(" ")).toSeq
+        val slides = paras.grouped(2).map(_.toSeq).toSeq
+        val bytes = graft.core.office.Odf.buildPresentation(slides)
+        val (txt, _) = Extract.extractSpan("zip", new String(bytes, ISO_8859_1))
+        (id, txt)
+      }
+      .toDF("doc_id", "txt")
+  }
+
   /** §2.3/§2.4 EPUB e-book route (Tika EpubParser analog): each %41 doc
     * becomes a real OCF/OPF package whose SPINE deliberately reverses the
     * archive/manifest order (ch2 reads before ch1) and whose manifest
@@ -2369,6 +2410,8 @@ object Queries {
     "q_doc_bytes" -> (docBytes _),
     "q_xls_table" -> (xlsTable _),
     "q_odt_explode" -> (odtExplode _),
+    "q_ods_table" -> (odsTable _),
+    "q_odp_slides" -> (odpSlides _),
     "q_epub_explode" -> (epubExplode _),
     "q_sqlite_explode" -> (sqliteExplode _),
     "q_plist_explode" -> (plistExplode _),

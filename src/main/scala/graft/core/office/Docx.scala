@@ -337,7 +337,8 @@ object Ooxml {
     else if (Epub.isEpub(entries)) // checked before ODF: mimetypes disjoint
       Epub.bookText(entries)
     else if (Odf.isOdf(entries))
-      byName.collectFirst { case ("content.xml", b) => Odf.bodyText(str(b)) }.getOrElse("")
+      byName.collectFirst { case ("content.xml", b) =>
+        Odf.contentText(str(b), Odf.mimeOf(entries)) }.getOrElse("")
     else if (entries.exists(_._1.startsWith(SheetPrefix))) {
       val shared = byName.collectFirst { case ("xl/sharedStrings.xml", b) =>
         Xlsx.sharedStrings(str(b)) }.getOrElse(Vector.empty)
@@ -434,18 +435,133 @@ object Odf {
     * `<text:p>` per paragraph, plus Pictures/ parts. Round-trips through
     * [[bodyText]].
     */
+  /** The package's declared mimetype (empty when absent/refused). */
+  def mimeOf(entries: Seq[(String, Option[Array[Byte]])]): String =
+    entries.collectFirst { case ("mimetype", Some(b)) =>
+      new String(b, java.nio.charset.StandardCharsets.UTF_8).trim }.getOrElse("")
+
+  /** Dispatch on the ODF flavor: spreadsheets get tabular row text (the
+    * engine's xlsx convention); text documents AND presentations get the
+    * paragraph scan — `<text:p>` inside `draw:text-box` frames is exactly
+    * where ODP slide text lives, and document order == slide order, the
+    * same flattening Tika's OpenDocumentContentParser performs.
+    */
+  def contentText(xml: String, mime: String): String =
+    if (mime.startsWith(OdfMime + ".spreadsheet")) sheetText(xml)
+    else bodyText(xml)
+
+  private val RepeatAttr =
+    """table:number-columns-repeated\s*=\s*"(\d+)"""".r
+
+  /** Spreadsheet content: `<table:table-row>` rows as tab-joined lines of
+    * cell text (a cell's paragraphs space-joined), in document order
+    * across all tables. `table:number-columns-repeated` expands (empty
+    * repeats collapse to one; text repeats cap at 256 — the attribute is
+    * how real sheets encode 16k trailing blanks, a classic bomb vector);
+    * trailing empty cells trim per row; covered cells (merges) are empty.
+    * Row repeats are NOT expanded (a repeated row renders once).
+    */
+  def sheetText(xml: String): String = {
+    val lines = Vector.newBuilder[String]
+    var i = 0
+    var continue = true
+    while (continue) {
+      val rs = xml.indexOf("<table:table-row", i)
+      if (rs < 0) continue = false
+      else {
+        val openEnd = xml.indexOf('>', rs)
+        if (openEnd < 0) continue = false
+        else if (xml.charAt(openEnd - 1) == '/') { lines += ""; i = openEnd + 1 }
+        else {
+          val re = xml.indexOf("</table:table-row>", openEnd)
+          val rowXml = xml.substring(openEnd + 1, if (re < 0) xml.length else re)
+          lines += rowText(rowXml)
+          if (re < 0) continue = false else i = re + "</table:table-row>".length
+        }
+      }
+    }
+    lines.result().mkString("\n")
+  }
+
+  private def rowText(rowXml: String): String = {
+    val cells = Vector.newBuilder[String]
+    var i = 0
+    var continue = true
+    while (continue) {
+      val plain = rowXml.indexOf("<table:table-cell", i)
+      val cov = rowXml.indexOf("<table:covered-table-cell", i)
+      val cs = if (plain < 0) cov else if (cov < 0) plain else math.min(plain, cov)
+      if (cs < 0) continue = false
+      else {
+        val covered = cs == cov
+        val openEnd = rowXml.indexOf('>', cs)
+        if (openEnd < 0) continue = false
+        else {
+          val open = rowXml.substring(cs, openEnd + 1)
+          val rep = RepeatAttr.findFirstMatchIn(open)
+            .flatMap(m => m.group(1).toIntOption).getOrElse(1) max 1
+          val (txt, next) =
+            if (rowXml.charAt(openEnd - 1) == '/' || covered) ("", openEnd + 1)
+            else {
+              val ce = rowXml.indexOf("</table:table-cell>", openEnd)
+              val seg = rowXml.substring(openEnd + 1, if (ce < 0) rowXml.length else ce)
+              (bodyText(seg).replace('\n', ' '),
+                if (ce < 0) rowXml.length else ce + "</table:table-cell>".length)
+            }
+          var r = if (txt.isEmpty) 1 else math.min(rep, 256)
+          while (r > 0) { cells += txt; r -= 1 }
+          i = next
+        }
+      }
+    }
+    val cs = cells.result()
+    cs.take(cs.lastIndexWhere(_.nonEmpty) + 1).mkString("\t")
+  }
+
+  private def zipPackage(mime: String, contentXml: String,
+                         pictures: Seq[(String, Array[Byte])]): Array[Byte] = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    graft.sources.Archive.zipBytes(
+      Seq(("mimetype", mime.getBytes(UTF_8)),
+        ("content.xml", contentXml.getBytes(UTF_8))) ++
+        pictures.map { case (n, b) => (s"Pictures/$n", b) })
+  }
+
+  private val ContentPrefix =
+    """<?xml version="1.0" encoding="UTF-8"?>""" +
+      """<office:document-content xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" """ +
+      """xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" """ +
+      """xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" """ +
+      """xmlns:draw="urn:oasis:names:tc:opendocument:xmlns:drawing:1.0">"""
+
   def buildMinimal(paragraphs: Seq[String],
                    pictures: Seq[(String, Array[Byte])] = Nil): Array[Byte] = {
-    import java.nio.charset.StandardCharsets.UTF_8
-    val content =
-      """<?xml version="1.0" encoding="UTF-8"?>""" +
-        """<office:document-content xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" """ +
-        """xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"><office:body><office:text>""" +
-        paragraphs.map(p => s"<text:p>${Docx.escape(p)}</text:p>").mkString +
-        """</office:text></office:body></office:document-content>"""
-    graft.sources.Archive.zipBytes(
-      Seq(("mimetype", "application/vnd.oasis.opendocument.text".getBytes(UTF_8)),
-        ("content.xml", content.getBytes(UTF_8))) ++
-        pictures.map { case (n, b) => (s"Pictures/$n", b) })
+    val content = ContentPrefix + "<office:body><office:text>" +
+      paragraphs.map(p => s"<text:p>${Docx.escape(p)}</text:p>").mkString +
+      "</office:text></office:body></office:document-content>"
+    zipPackage(OdfMime + ".text", content, pictures)
+  }
+
+  /** Deterministic minimal ods package: one table, string-typed cells. */
+  def buildSpreadsheet(rows: Seq[Seq[String]]): Array[Byte] = {
+    val content = ContentPrefix +
+      """<office:body><office:spreadsheet><table:table table:name="S1">""" +
+      rows.map(r => "<table:table-row>" + r.map(c =>
+        s"""<table:table-cell office:value-type="string"><text:p>${Docx.escape(c)}</text:p></table:table-cell>""")
+        .mkString + "</table:table-row>").mkString +
+      "</table:table></office:spreadsheet></office:body></office:document-content>"
+    zipPackage(OdfMime + ".spreadsheet", content, Nil)
+  }
+
+  /** Deterministic minimal odp package: one text-box frame per slide. */
+  def buildPresentation(slides: Seq[Seq[String]]): Array[Byte] = {
+    val content = ContentPrefix + "<office:body><office:presentation>" +
+      slides.zipWithIndex.map { case (paras, i) =>
+        s"""<draw:page draw:name="page${i + 1}"><draw:frame><draw:text-box>""" +
+          paras.map(p => s"<text:p>${Docx.escape(p)}</text:p>").mkString +
+          "</draw:text-box></draw:frame></draw:page>"
+      }.mkString +
+      "</office:presentation></office:body></office:document-content>"
+    zipPackage(OdfMime + ".presentation", content, Nil)
   }
 }

@@ -143,6 +143,37 @@ class DocxSpec extends AnyFunSuite {
     assert(Odf.bodyText(look) == "real para")
   }
 
+  test("ods sheetText: rows/cells, repeats, covered merges, trailing trim") {
+    import graft.core.office.Odf
+    import graft.core.route.Extract
+    // builder round-trip through the zip route
+    val ods = Odf.buildSpreadsheet(Seq(Seq("a1", "b1"), Seq("a2", "b2")))
+    val latin1 = new String(ods, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(Extract.extractSpan("zip", latin1)._1 == "a1\tb1\na2\tb2")
+    // hand-built structural cases
+    val xml =
+      """<table:table><table:table-row>""" +
+        """<table:table-cell table:number-columns-repeated="3"><text:p>x</text:p></table:table-cell>""" +
+        """<table:table-cell/><table:covered-table-cell/>""" +
+        """<table:table-cell><text:p>end</text:p></table:table-cell>""" +
+        """<table:table-cell table:number-columns-repeated="16384"/>""" +
+        """</table:table-row><table:table-row/></table:table>"""
+    // text repeats expand, empty repeats collapse, trailing empties trim
+    assert(Odf.sheetText(xml) == "x\tx\tx\t\t\tend\n")
+    // a cell with two paragraphs space-joins inside its tab slot
+    val multi = """<table:table-row><table:table-cell><text:p>one</text:p>""" +
+      """<text:p>two</text:p></table:table-cell></table:table-row>"""
+    assert(Odf.sheetText(multi) == "one two")
+  }
+
+  test("odp presentation text flattens draw pages in document order") {
+    import graft.core.office.Odf
+    import graft.core.route.Extract
+    val odp = Odf.buildPresentation(Seq(Seq("slide one line"), Seq("slide two line")))
+    val latin1 = new String(odp, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(Extract.extractSpan("zip", latin1)._1 == "slide one line\nslide two line")
+  }
+
   test("a non-ODF zip with lookalike entry names still explodes generically") {
     import graft.core.{DocIn, SpanIn}
     import graft.core.route.Extract

@@ -106,13 +106,17 @@ class OmnibusIngestSpec extends AnyFunSuite {
     put("pic.webp", graft.core.media.Probe.buildWebpLossless(12, 8))
     put("fav.ico", graft.core.media.Probe.buildIco(
       graft.multimodal.Media.encodePng(16, 16, 0), 16, 16))
+    put("sheet.ods", graft.core.office.Odf.buildSpreadsheet(
+      Seq(Seq("ods alpha", "ods beta"))))
+    put("deck.odp", graft.core.office.Odf.buildPresentation(
+      Seq(Seq("odp slide text"))))
     put("saved.mht", graft.core.mail.Mhtml.build("https://x.example/p.html",
       "<html><body><p>mhtml page body</p></body></html>",
       Seq("https://x.example/r/res.txt" -> "mht resource text".getBytes(UTF_8))))
     put("Thumbs.db", Array[Byte](1, 2, 3)) // junk: must be excluded
 
     val docs = Ingest.readDir(spark, dir.toString).collect()
-    assert(docs.length == 48) // every file except the junk one
+    assert(docs.length == 50) // every file except the junk one
 
     // media classify by magic and parse to empty-file (metadata, no OCR)
     val kinds = docs.flatMap(_.spans.map(_.kind))
@@ -137,7 +141,8 @@ class OmnibusIngestSpec extends AnyFunSuite {
       "xml feed text", "body\nsqlite row text", "status: plist status text",
       "ar member text", "2.0\n", "deb control text", "deb data text",
       "cpio member text", "rpm file text",
-      "mhtml page body", "mht resource text")
+      "mhtml page body", "mht resource text",
+      "ods alpha\tods beta", "odp slide text")
     val missing = expected -- texts
     assert(missing.isEmpty, s"formats missing from extraction: $missing")
   }
