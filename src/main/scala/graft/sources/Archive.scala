@@ -342,6 +342,75 @@ object Archive {
       case e: java.io.IOException => throw new ParseFailure(s"corrupt xz: ${e.getMessage}")
     }
 
+  /** Unix compress(1) magic 1F 9D — the .Z tarball era's codec, still
+    * common in long-lived archives and old Usenet/FTP mirrors.
+    */
+  def isCompressZ(bytes: Array[Byte]): Boolean =
+    bytes.length >= 3 && bytes(0) == 0x1f.toByte && bytes(1) == 0x9d.toByte
+
+  /** Decode a .Z stream (LZW, LSB-first codes, the compress(1) 8-code
+    * group alignment quirk) via commons-compress on the Spark classpath.
+    */
+  def uncompressZ(bytes: Array[Byte], maxBytes: Int): (String, Option[Array[Byte]]) =
+    try {
+      val zis = new org.apache.commons.compress.compressors.z.ZCompressorInputStream(
+        new ByteArrayInputStream(bytes))
+      try ("", readCapped(zis, maxBytes))
+      finally zis.close()
+    } catch {
+      case e @ (_: java.io.IOException | _: RuntimeException) =>
+        throw new ParseFailure(s"corrupt .Z: ${e.getMessage}")
+    }
+
+  /** Deterministic from-scratch compress(1) encoder (block mode, 16-bit
+    * max codes, never emits CLEAR — fixture payloads are far below the
+    * 64k-entry table). The width-change group padding mirrors the
+    * decoder's reAlign: after emitting code n the free-entry counter is
+    * 257+(n-1); when it exceeds 2^w - 1, pad the CURRENT 8-code group
+    * with zero codes at the old width, then widen.
+    */
+  def compressZBytes(data: Array[Byte]): Array[Byte] = {
+    val maxBits = 16
+    val out = new ByteArrayOutputStream(data.length / 2 + 8)
+    out.write(0x1f); out.write(0x9d); out.write(0x80 | maxBits) // block mode
+    var nBits = 9
+    var acc = 0L; var accBits = 0
+    var totalCodes = 0L
+    def putCode(c: Int): Unit = {
+      acc |= (c.toLong & 0xffff) << accBits
+      accBits += nBits
+      totalCodes += 1
+      while (accBits >= 8) { out.write((acc & 0xff).toInt); acc >>>= 8; accBits -= 8 }
+    }
+    def alignGroup(): Unit = {
+      var pad = ((8 - totalCodes % 8) % 8).toInt
+      while (pad > 0) { putCode(0); pad -= 1 } // discarded by the decoder
+    }
+    val dict = new java.util.HashMap[Long, Integer]()
+    var nextCode = 257 // 256 is CLEAR in block mode
+    var w = -1
+    var i = 0
+    while (i < data.length) {
+      val k = data(i) & 0xff
+      if (w < 0) w = k
+      else {
+        val key = (w.toLong << 8) | k
+        val e = dict.get(key)
+        if (e != null) w = e.intValue()
+        else {
+          putCode(w)
+          if (nextCode > (1 << nBits) - 1 && nBits < maxBits) { alignGroup(); nBits += 1 }
+          if (nextCode < (1 << maxBits)) { dict.put(key, nextCode); nextCode += 1 }
+          w = k
+        }
+      }
+      i += 1
+    }
+    if (w >= 0) putCode(w)
+    while (accBits > 0) { out.write((acc & 0xff).toInt); acc >>>= 8; accBits -= 8 }
+    out.toByteArray
+  }
+
   /** LZ4 frame magic 04 22 4D 18 (lz4-java on the Spark classpath). */
   def isLz4(bytes: Array[Byte]): Boolean =
     bytes.length >= 4 && bytes(0) == 0x04.toByte && bytes(1) == 0x22.toByte &&

@@ -258,6 +258,28 @@ class ArchiveSpec extends AnyFunSuite {
     }
   }
 
+  test("compress .Z round-trips incl. 9->10+ bit width growth and group pads") {
+    import graft.sources.Archive
+    // small payload stays at 9-bit codes
+    val small = "unix compress payload".getBytes("UTF-8")
+    val framed = Archive.compressZBytes(small)
+    assert(Archive.isCompressZ(framed))
+    val (name, data) = Archive.uncompressZ(framed, 1 << 20)
+    assert(name == "" && data.exists(_.sameElements(small)))
+    // >255 dictionary adds forces the width change + 8-code group padding
+    val big = (0 until 900).map(i => s"tok$i").mkString(" ").getBytes("UTF-8")
+    val (_, bigOut) = Archive.uncompressZ(Archive.compressZBytes(big), 1 << 20)
+    assert(bigOut.exists(_.sameElements(big)))
+    // highly repetitive data exercises long dictionary chains
+    val rep = ("abcab" * 500).getBytes("UTF-8")
+    val (_, repOut) = Archive.uncompressZ(Archive.compressZBytes(rep), 1 << 20)
+    assert(repOut.exists(_.sameElements(rep)))
+    // over-cap refuses as a counted refusal; junk classifies
+    assert(Archive.uncompressZ(Archive.compressZBytes(Array.fill[Byte](5000)('x')), 100)._2.isEmpty)
+    intercept[graft.core.ParseFailure](
+      Archive.uncompressZ(Array[Byte](0x1f, 0x9d.toByte, 0x05), 1 << 20)) // maxBits 5: invalid
+  }
+
   test("codec kinds sniff and explode through the container machinery") {
     import java.nio.charset.StandardCharsets.ISO_8859_1
     import graft.core.{DocIn, SpanIn}
@@ -266,6 +288,11 @@ class ArchiveSpec extends AnyFunSuite {
     assert(Ingest.sniffKind(Archive.xzBytes("a".getBytes)) == "xz")
     assert(Ingest.sniffKind(Archive.lz4Bytes("a".getBytes)) == "lz4")
     assert(Ingest.sniffKind(Archive.snappyBytes("a".getBytes)) == "snappy")
+    assert(Ingest.sniffKind(Archive.compressZBytes("a".getBytes)) == "compress")
+    // nested: a .Z member inside a zip recurses (tar.Z era shape)
+    val zipZ = Archive.zipBytes(Seq(("old.txt.Z", Archive.compressZBytes("deep Z text".getBytes("UTF-8")))))
+    val nodesZ = Extract.explode(DocIn(32L, Array(SpanIn("zip", new String(zipZ, ISO_8859_1), "", 0))))
+    assert(nodesZ.exists(n => n.level == 2 && n.spans.exists(_.text == "deep Z text")))
     // nested: an xz member inside a zip recurses
     val zip = Archive.zipBytes(Seq(("d.xz", Archive.xzBytes("deep xz text".getBytes("UTF-8")))))
     val nodes = Extract.explode(DocIn(31L, Array(SpanIn("zip", new String(zip, ISO_8859_1), "", 0))))

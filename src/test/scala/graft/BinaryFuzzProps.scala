@@ -78,6 +78,15 @@ object BinaryFuzzProps extends Properties("BinaryFuzz") {
       total(runLengthDecode(b)) && total(lzwDecode(b))
     }
 
+  property("compress .Z round-trips and junk classifies") =
+    Prop.forAll(junk) { b =>
+      val rt = graft.sources.Archive.uncompressZ(
+        graft.sources.Archive.compressZBytes(b), 1 << 20)._2
+      rt.exists(_.sameElements(b)) &&
+        total(graft.sources.Archive.uncompressZ(
+          Array(0x1f, 0x9d).map(_.toByte) ++ b, 1 << 20))
+    }
+
   property("pdf decrypt path is total on arbitrary bytes") =
     Prop.forAll(junk) { b =>
       val latin1 = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
