@@ -258,6 +258,37 @@ class ArchiveSpec extends AnyFunSuite {
     }
   }
 
+  test("zip64 extra-field sizes read correctly (the >4GB archive layout)") {
+    // hand-crafted local header with 0xFFFFFFFF size sentinels and the
+    // ZIP64 extended-information extra field (APPNOTE 4.5.3: original
+    // size first, then compressed) — the layout every large production
+    // archive uses; the JDK stream must take sizes from the extra field
+    import java.nio.{ByteBuffer, ByteOrder}
+    val data = "zip64 payload text".getBytes("UTF-8")
+    val name = "big.txt".getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32(); crc.update(data)
+    val bb = ByteBuffer.allocate(128).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(0x04034b50)           // local file header
+    bb.putShort(45)                 // version needed: 4.5 (zip64)
+    bb.putShort(0); bb.putShort(0)  // flags, method=stored
+    bb.putShort(0); bb.putShort(0)  // time, date
+    bb.putInt(crc.getValue.toInt)
+    bb.putInt(-1); bb.putInt(-1)    // csize/usize sentinels
+    bb.putShort(name.length.toShort)
+    bb.putShort(20)                 // extra: 4-byte header + two longs
+    bb.put(name)
+    bb.putShort(0x0001); bb.putShort(16)
+    bb.putLong(data.length.toLong); bb.putLong(data.length.toLong)
+    bb.put(data)
+    bb.putInt(0x06054b50)           // EOCD so the stream ends cleanly
+    bb.putShort(0); bb.putShort(0); bb.putShort(1); bb.putShort(1)
+    bb.putInt(0); bb.putInt(0); bb.putShort(0)
+    val zip = java.util.Arrays.copyOf(bb.array(), bb.position())
+    val entries = graft.sources.Archive.unzip(zip, 1 << 20)
+    assert(entries.map(_._1) == Vector("big.txt"))
+    assert(entries.head._2.exists(_.sameElements(data)))
+  }
+
   test("compress .Z round-trips incl. 9->10+ bit width growth and group pads") {
     import graft.sources.Archive
     // small payload stays at 9-bit codes
