@@ -797,6 +797,22 @@ object Oracle {
       |    ||octet_length(encode('pix'||doc_id||'.dat'))||':pix'||doc_id||'.dat'),
       |  rid, 1, 'pixel data '||doc_id, '' FROM z""".stripMargin
 
+  /** Mirror of Queries.rarExplode: two stored members around a refused
+    * compressed one — ordinals 0 and 2 prove the skip is counted, not
+    * collapsed; the SQL is identical for the 4.x and 5.x builds.
+    */
+  private val rarExplode: String =
+    """WITH z AS (SELECT doc_id, sha256(doc_id::VARCHAR) AS rid
+      |           FROM documents WHERE doc_id%59=0)
+      |SELECT doc_id, rid AS node_id, '' AS parent_id, 0 AS level, '' AS txt,
+      |       'empty-file' AS reason FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('rrr '||doc_id)||'64:'||rid||'1:0'||'0:'||'5:r.txt'),
+      |  rid, 1, 'rrr '||doc_id, '' FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('sss '||doc_id)||'64:'||rid||'1:2'||'0:'||'5:s.txt'),
+      |  rid, 1, 'sss '||doc_id, '' FROM z""".stripMargin
+
   /** Mirror of Queries.emlHeaders: the normalized header multimap —
     * repeated Received headers concatenate; keys normalize and sort.
     */
@@ -1804,6 +1820,7 @@ object Oracle {
     "q_warc_explode" -> warcExplode,
     "q_jsonl_explode" -> jsonlExplode,
     "q_7z_explode" -> sevenZExplode,
+    "q_rar_explode" -> rarExplode,
     "q_ar_explode" -> arExplode,
     "q_cpio_explode" -> cpioExplode,
     "q_rpm_explode" -> rpmExplode,

@@ -834,6 +834,34 @@ object Queries {
       .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
   }
 
+  /** §2.4 RAR archive explosion (Tika RarParser surface): each %59 doc
+    * becomes a from-scratch STORE-method rar — RAR 5.x vint framing for
+    * %118 docs, the 4.x block chain otherwise; identical members so the
+    * oracle is format-independent, proving both parsers. A COMPRESSED
+    * middle member (the proprietary method) is refused as a counted skip
+    * without disturbing sibling ordinals — per-entry isolation.
+    */
+  def rarExplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    import graft.sources.Rar
+    docs(spark, dir).select("doc_id").as[Long]
+      .filter(_ % 59 == 0)
+      .flatMap { id =>
+        val files = Seq(
+          ("r.txt", s"rrr $id".getBytes(UTF_8)),
+          ("blob.bin", s"opaque $id".getBytes(UTF_8)), // written as compressed
+          ("s.txt", s"sss $id".getBytes(UTF_8)))
+        val rar =
+          if (id % 118 == 0) Rar.buildRar5(files, compressed = Set("blob.bin"))
+          else Rar.buildRar4(files, compressed = Set("blob.bin"))
+        val d = DocIn(id, Array(SpanIn("rar", new String(rar, ISO_8859_1), "", 0)))
+        Extract.explode(d).map(o =>
+          (id, o.doc_id, o.parent_id, o.level, o.spans.map(_.text).mkString(""), o.no_content_reason))
+      }
+      .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
+  }
+
   /** §2.1+§2.4 WARC web-archive ingestion (ISO 28500 — the format
     * web-scale corpora like Common Crawl actually ship): %35 docs become a
     * real WARC (warcinfo + an HTTP response record carrying the standard
@@ -2429,6 +2457,7 @@ object Queries {
     "q_warc_explode" -> (warcExplode _),
     "q_jsonl_explode" -> (jsonlExplode _),
     "q_7z_explode" -> (sevenZExplode _),
+    "q_rar_explode" -> (rarExplode _),
     "q_ar_explode" -> (arExplode _),
     "q_cpio_explode" -> (cpioExplode _),
     "q_rpm_explode" -> (rpmExplode _),

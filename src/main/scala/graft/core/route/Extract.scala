@@ -109,7 +109,7 @@ object Extract {
       // zip: an OOXML PACKAGE (docx/xlsx/pptx) yields its body text;
       // a plain archive has none
       case "zip"       => (graft.core.office.Ooxml.packageText(t, cfg.maxSpanChars), "")
-      case "gzip" | "tar" | "zstd" | "bzip2" | "xz" | "lz4" | "snappy" | "compress" | "warc" | "jsonl" | "7z" | "pst" | "mbox" | "parquet" | "avro" | "sqlite" | "ar" | "cpio" | "rpm" => ("", "") // container: no own text, entries explode to children
+      case "gzip" | "tar" | "zstd" | "bzip2" | "xz" | "lz4" | "snappy" | "compress" | "warc" | "jsonl" | "7z" | "rar" | "pst" | "mbox" | "parquet" | "avro" | "sqlite" | "ar" | "cpio" | "rpm" => ("", "") // container: no own text, entries explode to children
       // cfb: an Outlook MESSAGE yields its body text; a generic compound
       // file is a pure container (streams explode to children)
       case "cfb"       => (graft.core.office.Msg.cfbText(t, cfg.maxSpanChars), "")
@@ -134,7 +134,7 @@ object Extract {
     * span-parallel path for reassembly).
     */
   val ContainerKinds: Set[String] =
-    Set("media", "zip", "gzip", "tar", "eml", "mhtml", "cfb", "zstd", "bzip2", "xz", "lz4", "snappy", "compress", "warc", "jsonl", "7z", "pst", "tnef", "mbox", "parquet", "avro", "sqlite", "ar", "cpio", "rpm", "plist")
+    Set("media", "zip", "gzip", "tar", "eml", "mhtml", "cfb", "zstd", "bzip2", "xz", "lz4", "snappy", "compress", "warc", "jsonl", "7z", "rar", "pst", "tnef", "mbox", "parquet", "avro", "sqlite", "ar", "cpio", "rpm", "plist")
 
   /** Null spans (a row written with spans=NULL) are treated as an empty
     * span array — reason=empty-file, never a failure — in BOTH the batch and
@@ -614,6 +614,10 @@ object Extract {
           Some(graft.sources.Archive.untar(data, cfg.maxSpanChars))
         else if (graft.sources.Archive.is7z(data))
           Some(graft.sources.Archive.un7z(data, cfg.maxSpanChars))
+        else if (graft.sources.Rar.isRar(data))
+          // nested rar (the email-attachment shape): stored members
+          // recurse, compressed ones stay counted refusals
+          Some(graft.sources.Rar.entries(data, cfg.maxSpanChars))
         else if (graft.sources.Archive.isAr(data))
           // nested unix archive (.deb attachment): members recurse —
           // control.tar.gz/data.tar.xz chain through the codec branches
@@ -814,6 +818,12 @@ object Extract {
         case "7z" =>
           val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
           graft.sources.Archive.un7z(bytes, cfg.maxSpanChars).foreach { case (n, b) =>
+            spawnEntry(n, b, rootId, ord, 1); ord += 1
+          }
+        case "rar" =>
+          // stored members spawn; compressed members are counted refusals
+          val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          graft.sources.Rar.entries(bytes, cfg.maxSpanChars).foreach { case (n, b) =>
             spawnEntry(n, b, rootId, ord, 1); ord += 1
           }
         case "ar" =>

@@ -56,6 +56,7 @@ object Ingest {
     else if (Archive.isLz4(bytes)) "lz4"     // LZ4 frame
     else if (Archive.isSnappy(bytes)) "snappy" // snappy framed (.sz Hadoop era)
     else if (Archive.is7z(bytes)) "7z"       // 7-Zip archive
+    else if (Rar.isRar(bytes)) "rar"         // RAR 4.x / 5.x archive
     else if (Archive.isBzip2(bytes)) "bzip2" // classic dump archives
     else if (Archive.isAr(bytes)) "ar"       // unix ar / .deb outer container
     else if (Archive.isCpio(bytes)) "cpio"   // newc cpio (initramfs / rpm payload)

@@ -78,6 +78,14 @@ object BinaryFuzzProps extends Properties("BinaryFuzz") {
       total(runLengthDecode(b)) && total(lzwDecode(b))
     }
 
+  property("rar entries: magic-stamped junk classifies, both formats") =
+    Prop.forAll(junk) { b =>
+      total(graft.sources.Rar.entries(
+        Array(0x52, 0x61, 0x72, 0x21, 0x1a, 0x07, 0x00).map(_.toByte) ++ b, 1 << 20)) &&
+        total(graft.sources.Rar.entries(
+          Array(0x52, 0x61, 0x72, 0x21, 0x1a, 0x07, 0x01, 0x00).map(_.toByte) ++ b, 1 << 20))
+    }
+
   property("compress .Z round-trips and junk classifies") =
     Prop.forAll(junk) { b =>
       val rt = graft.sources.Archive.uncompressZ(

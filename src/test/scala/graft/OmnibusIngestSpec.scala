@@ -111,13 +111,15 @@ class OmnibusIngestSpec extends AnyFunSuite {
     put("deck.odp", graft.core.office.Odf.buildPresentation(
       Seq(Seq("odp slide text"))))
     put("notes.txt.Z", Archive.compressZBytes("compress member text".getBytes(UTF_8)))
+    put("pack.rar", graft.sources.Rar.buildRar4(Seq(("m.txt", "rar member text".getBytes(UTF_8)))))
+    put("pack5.rar", graft.sources.Rar.buildRar5(Seq(("n.txt", "rar5 member text".getBytes(UTF_8)))))
     put("saved.mht", graft.core.mail.Mhtml.build("https://x.example/p.html",
       "<html><body><p>mhtml page body</p></body></html>",
       Seq("https://x.example/r/res.txt" -> "mht resource text".getBytes(UTF_8))))
     put("Thumbs.db", Array[Byte](1, 2, 3)) // junk: must be excluded
 
     val docs = Ingest.readDir(spark, dir.toString).collect()
-    assert(docs.length == 51) // every file except the junk one
+    assert(docs.length == 53) // every file except the junk one
 
     // media classify by magic and parse to empty-file (metadata, no OCR)
     val kinds = docs.flatMap(_.spans.map(_.kind))
@@ -143,7 +145,8 @@ class OmnibusIngestSpec extends AnyFunSuite {
       "ar member text", "2.0\n", "deb control text", "deb data text",
       "cpio member text", "rpm file text",
       "mhtml page body", "mht resource text",
-      "ods alpha\tods beta", "odp slide text", "compress member text")
+      "ods alpha\tods beta", "odp slide text", "compress member text",
+      "rar member text", "rar5 member text")
     val missing = expected -- texts
     assert(missing.isEmpty, s"formats missing from extraction: $missing")
   }
