@@ -220,26 +220,69 @@ object Archive {
     val out = Vector.newBuilder[UnzippedEntry]
     var off = 0
     var n = 0
+    var pendingName: Option[String] = None // GNU 'L' / PAX path override
     def headerIsZero(o: Int): Boolean =
       (o until o + 512).forall(bytes(_) == 0)
     try {
       while (off + 512 <= bytes.length && !headerIsZero(off)) {
         var nameEnd = off
         while (nameEnd < off + 100 && bytes(nameEnd) != 0) nameEnd += 1
-        val name = new String(bytes, off, nameEnd - off, StandardCharsets.ISO_8859_1)
-        val sizeStr = new String(bytes, off + 124, 12, StandardCharsets.ISO_8859_1)
-          .takeWhile(c => c >= '0' && c <= '7')
-        if (sizeStr.isEmpty) throw new ParseFailure(s"corrupt tar header at $off")
-        val size = java.lang.Long.parseLong(sizeStr, 8)
+        val shortName = new String(bytes, off, nameEnd - off, StandardCharsets.ISO_8859_1)
+        // size: octal, or base-256 (high bit of byte 0) for >8GB entries
+        val size =
+          if ((bytes(off + 124) & 0x80) != 0) {
+            var v = 0L
+            var i = off + 125
+            while (i < off + 136) { v = (v << 8) | (bytes(i) & 0xff); i += 1 }
+            if (v < 0) throw new ParseFailure("tar base-256 size overflow")
+            v
+          } else {
+            val sizeStr = new String(bytes, off + 124, 12, StandardCharsets.ISO_8859_1)
+              .takeWhile(c => c >= '0' && c <= '7')
+            if (sizeStr.isEmpty) throw new ParseFailure(s"corrupt tar header at $off")
+            java.lang.Long.parseLong(sizeStr, 8)
+          }
         val typeflag = bytes(off + 156)
         if (off + 512 + size > bytes.length)
           throw new ParseFailure("truncated tar: declared size past end")
-        if (typeflag == '0'.toByte || typeflag == 0.toByte) {
+        def payload(): Array[Byte] =
+          java.util.Arrays.copyOfRange(bytes, off + 512, off + 512 + size.toInt)
+        if (typeflag == 'L'.toByte && size <= 4096) {
+          // GNU long name: the payload is the NEXT entry's NUL-terminated name
+          val raw = new String(payload(), StandardCharsets.ISO_8859_1)
+          pendingName = Some(raw.takeWhile(_ != '\u0000'))
+        } else if (typeflag == 'x'.toByte && size <= 65536) {
+          // PAX extended header: "len key=value\n" records; path overrides
+          val recs = new String(payload(), StandardCharsets.UTF_8)
+          var i = 0
+          while (i < recs.length) {
+            val sp = recs.indexOf(' ', i)
+            val len = if (sp < 0) -1 else recs.substring(i, sp).toIntOption.getOrElse(-1)
+            if (sp < 0 || len <= 0 || i + len > recs.length) i = recs.length // malformed: stop
+            else {
+              val rec = recs.substring(sp + 1, i + len).stripSuffix("\n")
+              val eq = rec.indexOf('=')
+              if (eq > 0 && rec.substring(0, eq) == "path")
+                pendingName = Some(rec.substring(eq + 1))
+              i += len
+            }
+          }
+        } else if (typeflag == '0'.toByte || typeflag == 0.toByte) {
+          // ustar split names: prefix field (345) + '/' + name
+          val name = pendingName.getOrElse {
+            if (bytes(off + 345) != 0 &&
+              new String(bytes, off + 257, 5, StandardCharsets.ISO_8859_1) == "ustar") {
+              var pEnd = off + 345
+              while (pEnd < off + 500 && bytes(pEnd) != 0) pEnd += 1
+              new String(bytes, off + 345, pEnd - (off + 345),
+                StandardCharsets.ISO_8859_1) + "/" + shortName
+            } else shortName
+          }
+          pendingName = None
           n += 1
           if (n > maxEntries || size > maxEntryBytes) out += ((name, None)) // declared-size guard
-          else out += ((name,
-            Some(java.util.Arrays.copyOfRange(bytes, off + 512, off + 512 + size.toInt))))
-        }
+          else out += ((name, Some(payload())))
+        } else pendingName = None // dirs/links consume any pending override
         off += 512 + ((size + 511) / 512).toInt * 512
       }
       out.result()

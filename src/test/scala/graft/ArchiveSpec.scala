@@ -258,6 +258,52 @@ class ArchiveSpec extends AnyFunSuite {
     }
   }
 
+  test("tar GNU long names, PAX path overrides, ustar prefix, base-256 size") {
+    import graft.sources.Archive
+    def hdr(name: String, size: Long, typeflag: Char, prefix: String = "",
+            base256: Boolean = false): Array[Byte] = {
+      val h = new Array[Byte](512)
+      val nb = name.getBytes("US-ASCII"); System.arraycopy(nb, 0, h, 0, nb.length)
+      if (base256) {
+        h(124) = 0x80.toByte
+        var v = size; var i = 135
+        while (i > 124) { h(i) = (v & 0xff).toByte; v >>= 8; i -= 1 }
+        h(124) = (h(124) | 0x80).toByte
+      } else {
+        val o = ("%011o".format(size) + " ").getBytes("US-ASCII")
+        System.arraycopy(o, 0, h, 124, o.length)
+      }
+      h(156) = typeflag.toByte
+      System.arraycopy("ustar 00".getBytes("US-ASCII"), 0, h, 257, 8)
+      if (prefix.nonEmpty) {
+        val pb = prefix.getBytes("US-ASCII"); System.arraycopy(pb, 0, h, 345, pb.length)
+      }
+      h
+    }
+    def padded(b: Array[Byte]): Array[Byte] =
+      b ++ new Array[Byte](((b.length + 511) / 512) * 512 - b.length)
+    val longName = "dir/" + ("x" * 120) + ".txt"
+    // PAX record length counts the WHOLE record incl. its own digits:
+    // "25 path=pax/override.txt\n" is exactly 25 bytes
+    val paxRec = "25 path=pax/override.txt\n".getBytes("UTF-8")
+    val tar =
+      hdr("././@LongLink", longName.length + 1, 'L') ++
+        padded(longName.getBytes("US-ASCII") :+ 0.toByte) ++
+        hdr("ignored.txt", 8, '0') ++ padded("longdata".getBytes) ++
+        hdr("pax-hdr", paxRec.length, 'x') ++ padded(paxRec) ++
+        hdr("short.txt", 7, '0') ++ padded("paxdata".getBytes) ++
+        hdr("leaf.txt", 10, '0', prefix = "deep/prefix") ++ padded("prefixdata".getBytes) ++
+        hdr("big.bin", 6, '0', base256 = true) ++ padded("256sz!".getBytes) ++
+        new Array[Byte](1024)
+    val es = Archive.untar(tar, 1 << 20)
+    assert(es.map(_._1) == Vector(longName, "pax/override.txt",
+      "deep/prefix/leaf.txt", "big.bin"))
+    assert(new String(es(0)._2.get) == "longdata")
+    assert(new String(es(1)._2.get) == "paxdata")
+    assert(new String(es(2)._2.get) == "prefixdata")
+    assert(new String(es(3)._2.get) == "256sz!")
+  }
+
   test("zip64 extra-field sizes read correctly (the >4GB archive layout)") {
     // hand-crafted local header with 0xFFFFFFFF size sentinels and the
     // ZIP64 extended-information extra field (APPNOTE 4.5.3: original
