@@ -1717,6 +1717,12 @@ object Oracle {
     * (MPEG-1 L3 at 32 kHz: 1152 samples/frame → 36 ms), and WAVE duration,
     * all floor-division integer math on both sides.
     */
+  /** Mirror of Queries.mp3Tags: pure string/int arithmetic. */
+  private val mp3Tags: String =
+    """SELECT doc_id, 'track '||doc_id AS title, 'artist '||(doc_id%7) AS artist,
+      | 'album '||(doc_id%5) AS album, (3 + doc_id%4)::BIGINT AS n_frames
+      |FROM documents WHERE doc_id%73=0""".stripMargin
+
   private val avProbe: String =
     """SELECT doc_id,
       | 'isom' AS mp4_brand,
@@ -1884,6 +1890,7 @@ object Oracle {
     "q_image_probe" -> imageProbe,
     "q_image_probe2" -> imageProbe2,
     "q_av_probe" -> avProbe,
+    "q_mp3_tags" -> mp3Tags,
     "q_media_decode" -> mediaDecode,
     "q_media_audio" -> mediaAudio,
     "q_media_video" -> mediaVideo,

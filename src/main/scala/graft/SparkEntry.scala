@@ -2136,6 +2136,26 @@ object Queries {
         "mp3_frames", "mp3_dur_ms", "mp3_rate", "wav_rate", "wav_dur_us", "kinds")
   }
 
+  /** §2.8 ID3v2 text-frame metadata (the Tika `Mp3Parser` title/artist/
+    * album surface): each %73 doc builds an MP3 whose ID3v2.4 tag carries
+    * UTF-8 TIT2/TPE1/TALB frames with syncsafe sizes; the probe must walk
+    * the frame chain (not just skip the tag) to recover them, while the
+    * audio frame count still parses past the tag.
+    */
+  def mp3Tags(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.core.media.Probe
+    docs(spark, dir).select("doc_id").as[Long]
+      .filter(_ % 73 == 0)
+      .map { id =>
+        val mp3 = Probe.buildMp3(3 + (id % 4).toInt,
+          title = s"track $id", artist = s"artist ${id % 7}", album = s"album ${id % 5}")
+        val m = Probe.probeMp3(mp3)
+        (id, m.title, m.artist, m.album, m.nFrames.toLong)
+      }
+      .toDF("doc_id", "title", "artist", "album", "n_frames")
+  }
+
   /** §2.5/§2.8 extended raster coverage — the remaining image formats of
     * the reference's Tika surface (`TiffParser`, `BmpParser` via ImageIO,
     * `WebPParser`, ICO under image/vnd.microsoft.icon): each %61 doc
@@ -2525,6 +2545,7 @@ object Queries {
     "q_image_probe" -> (imageProbe _),
     "q_image_probe2" -> (imageProbe2 _),
     "q_av_probe" -> (avProbe _),
+    "q_mp3_tags" -> (mp3Tags _),
     "q_tpch_q1" -> (tpchQ1 _),
     "q_join_topn" -> (joinTopn _),
     "q_window_topn" -> (windowTopn _)

@@ -422,7 +422,54 @@ object Probe {
         (u8(b, 2) >> 4) != 0 && (u8(b, 2) >> 4) != 15 && ((u8(b, 2) >> 2) & 3) != 3)
 
   final case class Mp3Info(nFrames: Int, sampleRate: Int, bitrateKbps: Int,
-                           channels: Int, durationMs: Long)
+                           channels: Int, durationMs: Long,
+                           title: String = "", artist: String = "", album: String = "")
+
+  /** ID3v2.3/2.4 text frames (the Tika `Mp3Parser` metadata surface):
+    * TIT2/TPE1/TALB with latin1, UTF-8, or BOM'd UTF-16 encodings.
+    * Returns (title, artist, album); malformed frames end the walk
+    * (metadata is best-effort — the FRAME stream decides validity).
+    */
+  private def id3TextFrames(b: Array[Byte], tagEnd: Int): (String, String, String) = {
+    val major = u8(b, 3)
+    var title = ""; var artist = ""; var album = ""
+    var pos = 10
+    if ((u8(b, 5) & 0x40) != 0 && pos + 4 <= tagEnd) { // extended header
+      val es =
+        if (major >= 4) (u8(b, pos) << 21) | (u8(b, pos + 1) << 14) | (u8(b, pos + 2) << 7) | u8(b, pos + 3)
+        else (u8(b, pos) << 24) | (u8(b, pos + 1) << 16) | (u8(b, pos + 2) << 8) | u8(b, pos + 3)
+      pos += (if (major >= 4) es else es + 4)
+    }
+    var done = false
+    while (!done && pos + 10 <= tagEnd) {
+      if (b(pos) == 0) done = true // padding
+      else {
+        val fid = ascii(b, pos, 4)
+        val size =
+          if (major >= 4) (u8(b, pos + 4) << 21) | (u8(b, pos + 5) << 14) | (u8(b, pos + 6) << 7) | u8(b, pos + 7)
+          else (u8(b, pos + 4) << 24) | (u8(b, pos + 5) << 16) | (u8(b, pos + 6) << 8) | u8(b, pos + 7)
+        if (size <= 0 || pos + 10 + size > tagEnd) done = true
+        else {
+          if ((fid == "TIT2" || fid == "TPE1" || fid == "TALB") && size >= 2) {
+            val raw = java.util.Arrays.copyOfRange(b, pos + 11, pos + 10 + size)
+            val text = (u8(b, pos + 10) match {
+              case 0 => new String(raw, ISO_8859_1)
+              case 1 => new String(raw, java.nio.charset.StandardCharsets.UTF_16) // BOM'd
+              case 2 => new String(raw, java.nio.charset.StandardCharsets.UTF_16BE)
+              case _ => new String(raw, java.nio.charset.StandardCharsets.UTF_8)
+            }).takeWhile(_ != ' ')
+            fid match {
+              case "TIT2" => title = text
+              case "TPE1" => artist = text
+              case _ => album = text
+            }
+          }
+          pos += 10 + size
+        }
+      }
+    }
+    (title, artist, album)
+  }
 
   /** ISO 11172-3 frame-header walk (MPEG-1 Layer III only — the corpus
     * shape): skips a leading ID3v2 tag (syncsafe size), counts frames by
@@ -431,11 +478,13 @@ object Probe {
     */
   def probeMp3(b: Array[Byte]): Mp3Info = {
     var pos = 0
+    var tags = ("", "", "")
     if (b.length >= 10 && ascii(b, 0, 3) == "ID3") {
       val size = (u8(b, 6) << 21) | (u8(b, 7) << 14) | (u8(b, 8) << 7) | u8(b, 9)
       need((u8(b, 6) | u8(b, 7) | u8(b, 8) | u8(b, 9)) < 0x80, "ID3v2 size not syncsafe")
       pos = 10 + size
       need(pos <= b.length, "ID3v2 size past end")
+      tags = id3TextFrames(b, pos)
     }
     var frames = 0; var sr = 0; var br = 0; var ch = 0
     var done = false
@@ -464,14 +513,16 @@ object Probe {
       }
     }
     need(frames > 0, "no MP3 frames")
-    Mp3Info(frames, sr, br, ch, frames.toLong * 1152L * 1000L / sr)
+    Mp3Info(frames, sr, br, ch, frames.toLong * 1152L * 1000L / sr,
+      tags._1, tags._2, tags._3)
   }
 
   /** Fixture writer: n MPEG-1 Layer III frames (silent payloads) at the
     * given bitrate/sample-rate indexes, optionally ID3v2-prefixed.
     */
   def buildMp3(nFrames: Int, bitrateKbps: Int = 128, sampleRate: Int = 32000,
-               mono: Boolean = true, id3: Boolean = false): Array[Byte] = {
+               mono: Boolean = true, id3: Boolean = false,
+               title: String = "", artist: String = "", album: String = ""): Array[Byte] = {
     val brIdx = Mp3Bitrates.indexOf(bitrateKbps)
     val srIdx = Mp3Rates.indexOf(sampleRate)
     need(brIdx >= 1 && srIdx >= 0, "buildMp3 unsupported bitrate/samplerate")
@@ -481,9 +532,25 @@ object Probe {
     frame(1) = 0xfb.toByte // MPEG-1, Layer III, no CRC
     frame(2) = ((brIdx << 4) | (srIdx << 2)).toByte
     frame(3) = (if (mono) 0xc0 else 0x00).toByte
-    val head = // 10-byte ID3v2 header: magic, version 4.0, flags 0, size 0
-      if (id3) "ID3".getBytes(ISO_8859_1) ++ Array[Byte](4, 0, 0, 0, 0, 0, 0)
-      else Array.empty[Byte]
+    val head = // ID3v2.4 header + UTF-8 text frames (syncsafe sizes)
+      if (id3 || title.nonEmpty || artist.nonEmpty || album.nonEmpty) {
+        def textFrame(fid: String, v: String): Array[Byte] =
+          if (v.isEmpty) Array.empty[Byte]
+          else {
+            val payload = 3.toByte +: v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val sz = payload.length
+            fid.getBytes(ISO_8859_1) ++ Array[Byte](
+              ((sz >> 21) & 0x7f).toByte, ((sz >> 14) & 0x7f).toByte,
+              ((sz >> 7) & 0x7f).toByte, (sz & 0x7f).toByte, 0, 0) ++ payload
+          }
+        val frames = textFrame("TIT2", title) ++ textFrame("TPE1", artist) ++
+          textFrame("TALB", album)
+        val ts = frames.length
+        need(ts < (1 << 21), "buildMp3 id3 tag too large")
+        "ID3".getBytes(ISO_8859_1) ++ Array[Byte](4, 0, 0,
+          ((ts >> 21) & 0x7f).toByte, ((ts >> 14) & 0x7f).toByte,
+          ((ts >> 7) & 0x7f).toByte, (ts & 0x7f).toByte) ++ frames
+      } else Array.empty[Byte]
     head ++ Array.fill(nFrames)(frame).flatten
   }
 

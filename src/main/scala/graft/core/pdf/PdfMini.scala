@@ -494,6 +494,22 @@ object PdfMini {
       (sb.toString, j)
     }
 
+    def parseHexString(start: Int): (String, Int) = {
+      // <hex pairs>, whitespace ignored, odd final digit padded with 0
+      val sb = new StringBuilder
+      var j = start + 1
+      var hi = -1
+      while (j < n && s.charAt(j) != '>') {
+        val d = Character.digit(s.charAt(j), 16)
+        if (d >= 0) {
+          if (hi < 0) hi = d else { sb.append(((hi << 4) | d).toChar); hi = -1 }
+        }
+        j += 1
+      }
+      if (hi >= 0) sb.append((hi << 4).toChar)
+      (sb.toString, if (j < n) j + 1 else j)
+    }
+
     while (i < n) {
       val c = s.charAt(i)
       if (c.isWhitespace) i += 1
@@ -507,12 +523,19 @@ object PdfMini {
         while (j < n && s.charAt(j) != ']') {
           if (s.charAt(j) == '(') {
             val (str, k) = parseString(j); sb.append(str); j = k
+          } else if (s.charAt(j) == '<' && (j + 1 >= n || s.charAt(j + 1) != '<')) {
+            val (str, k) = parseHexString(j); sb.append(str); j = k
           } else j += 1
         }
         pendingStr = sb.toString
         i = if (j < n) j + 1 else j
       } else if (c == '<' && i + 1 < n && s.charAt(i + 1) == '<') {
         i += 2 // dict open — skip
+      } else if (c == '<') {
+        // hex string operand `<4869> Tj` (PDF 7.3.4.3) — single-byte
+        // font assumption, same as literal strings
+        val (str, j) = parseHexString(i)
+        pendingStr = str; i = j
       } else if (c == '/' ) {
         // name token: skip to delimiter
         var j = i + 1

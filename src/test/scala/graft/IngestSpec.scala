@@ -157,6 +157,15 @@ class IngestSpec extends AnyFunSuite {
     assert(txt3 == "" && why3 == graft.core.Reason.Encrypted)
   }
 
+  test("PdfMini shows hex-string operands, alone and inside TJ arrays") {
+    val pdf = "stream\nBT 1 0 0 1 72 700 Tm <48656C6C6F> Tj " +
+      "1 0 0 1 72 686 Tm [<776F72> 5 <6C6421>] TJ ET\nendstream"
+    assert(PdfMini.textFromLatin1(pdf) == "Hello\nworld!")
+    // odd final digit pads low nibble with zero: <48656C6C6F2> = "Hello "
+    assert(PdfMini.textFromLatin1(
+      "stream\nBT <48656C6C6F2> Tj ET\nendstream") == "Hello ")
+  }
+
   test("PdfMini never throws on arbitrary junk") {
     PdfMini.textFromLatin1("stream BT ( unclosed \\ ET endstream ((( [ /// 1 2")
     PdfMini.textFromLatin1("")

@@ -157,6 +157,36 @@ class ProbeSpec extends AnyFunSuite {
     intercept[ParseFailure](Probe.probeMp3(evil))
   }
 
+  test("ID3v2 text frames decode: UTF-8, latin1, UTF-16 BOM, padding, v2.3") {
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    // builder path: v2.4 UTF-8 frames
+    val m = Probe.probeMp3(Probe.buildMp3(2,
+      title = "Café Song", artist = "Ärtist", album = "LP 1"))
+    assert(m.title == "Café Song" && m.artist == "Ärtist" && m.album == "LP 1")
+    assert(m.nFrames == 2)
+    // hand-built v2.3 tag: plain (non-syncsafe) frame sizes, latin1 and
+    // UTF-16-with-BOM encodings, NUL-terminated, trailing padding
+    def frame23(fid: String, payload: Array[Byte]): Array[Byte] =
+      fid.getBytes(ISO_8859_1) ++ Array[Byte](
+        ((payload.length >> 24) & 0xff).toByte, ((payload.length >> 16) & 0xff).toByte,
+        ((payload.length >> 8) & 0xff).toByte, (payload.length & 0xff).toByte, 0, 0) ++ payload
+    val t = frame23("TIT2", 0.toByte +: ("Latin títle".getBytes(ISO_8859_1) :+ 0.toByte))
+    val a = frame23("TPE1", 1.toByte +: (Array[Byte](0xfe.toByte, 0xff.toByte) ++
+      "Wide".getBytes(java.nio.charset.StandardCharsets.UTF_16BE)))
+    val body = t ++ a ++ new Array[Byte](16) // padding
+    val sz = body.length
+    val tag = "ID3".getBytes(ISO_8859_1) ++ Array[Byte](3, 0, 0,
+      ((sz >> 21) & 0x7f).toByte, ((sz >> 14) & 0x7f).toByte,
+      ((sz >> 7) & 0x7f).toByte, (sz & 0x7f).toByte) ++ body
+    val mp3 = tag ++ Probe.buildMp3(1)
+    val m2 = Probe.probeMp3(mp3)
+    assert(m2.title == "Latin títle" && m2.artist == "Wide" && m2.album == "")
+    assert(m2.nFrames == 1)
+    // a corrupt frame size ends the tag walk without failing the probe
+    val bad = tag.clone(); bad(14) = 0x7f.toByte // explode TIT2's size
+    assert(Probe.probeMp3(bad ++ Probe.buildMp3(1)).nFrames == 1)
+  }
+
   // ----------------------------------------------------------- RIFF/WAVE ----
 
   test("WAV byte probe agrees with the javax.sound decode") {
