@@ -607,6 +607,15 @@ object Oracle {
       |SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS txt
       |FROM l GROUP BY doc_id""".stripMargin
 
+  /** Mirror of Queries.xpsText: 4-word Glyphs lines in page order. */
+  private val xpsText: String =
+    """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
+      |  len(string_split(text,' ')) AS m FROM documents WHERE doc_id%79=0),
+      |l AS (SELECT doc_id, i, array_to_string(w[4*i+1:4*i+4],' ') AS line
+      |      FROM p, LATERAL unnest(generate_series(0, (m-1)//4)) AS t(i))
+      |SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS txt
+      |FROM l GROUP BY doc_id""".stripMargin
+
   private val odtExplode: String =
     """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
       |  len(string_split(text,' ')) AS m FROM documents WHERE doc_id%43=0),
@@ -777,6 +786,11 @@ object Oracle {
       |UNION ALL SELECT doc_id,
       |  sha256('64:'||sha256('second attachment '||doc_id)||'64:'||rid||'1:1'||'0:'||'9:notes.txt'),
       |  rid, 1, 'second attachment '||doc_id, '' FROM z""".stripMargin
+
+  /** Mirror of Queries.emlxExplode: identical tree to emlExplode (the
+    * framing must be invisible), different modulus.
+    */
+  private val emlxExplode: String = emlExplode.replace("doc_id%5=0", "doc_id%85=0")
 
   /** Mirror of Queries.mhtmlExplode: the page save's extracted main text
     * on the root, two resource children named by their URL's last path
@@ -1787,6 +1801,7 @@ object Oracle {
     "q_pptx_slides" -> pptxSlides,
     "q_tgz_explode" -> tgzExplode,
     "q_eml_explode" -> emlExplode,
+    "q_emlx_explode" -> emlxExplode,
     "q_mhtml_explode" -> mhtmlExplode,
     "q_msg_explode" -> msgExplode,
     "q_pst_explode" -> pstExplode,
@@ -1810,6 +1825,7 @@ object Oracle {
     "q_odt_explode" -> odtExplode,
     "q_ods_table" -> odsTable,
     "q_odp_slides" -> odpSlides,
+    "q_xps_text" -> xpsText,
     "q_epub_explode" -> epubExplode,
     "q_sqlite_explode" -> sqliteExplode,
     "q_plist_explode" -> plistExplode,

@@ -460,6 +460,27 @@ object Queries {
       .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
   }
 
+  /** §2.4 Apple Mail `.emlx` route: the same message fixture as
+    * q_eml_explode behind the length-count framing plus an XML-plist
+    * flags trailer — the body and attachments must come out identical to
+    * a bare .eml, with the trailer never leaking into the text.
+    */
+  def emlxExplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select("doc_id").as[Long]
+      .filter(id => id % 85 == 0)
+      .flatMap { id =>
+        val msg = emlRaw(id)
+        val emlx = s"${msg.getBytes(java.nio.charset.StandardCharsets.UTF_8).length}\n" +
+          msg +
+          "<?xml version=\"1.0\"?><plist><dict><key>flags</key><integer>1</integer></dict></plist>\n"
+        val d = DocIn(id, Array(SpanIn("emlx", emlx, "", 0)))
+        Extract.explode(d).map(o =>
+          (id, o.doc_id, o.parent_id, o.level, o.spans.map(_.text).mkString(""), o.no_content_reason))
+      }
+      .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
+  }
+
   /** §2.4 MHTML page-save route (RFC 2557, Tika's mhtml detection →
     * HtmlParser): each %49 doc becomes an actual `.mht` multipart/related
     * archive — a quoted-printable HTML root part plus two base64 resource
@@ -1170,6 +1191,27 @@ object Queries {
         val slides = paras.grouped(2).map(_.toSeq).toSeq
         val bytes = graft.core.office.Odf.buildPresentation(slides)
         val (txt, _) = Extract.extractSpan("zip", new String(bytes, ISO_8859_1))
+        (id, txt)
+      }
+      .toDF("doc_id", "txt")
+  }
+
+  /** §2.3 XPS fixed-document route (ECMA-388, the Tika XPS surface): each
+    * %79 doc becomes an OPC package whose fpage parts carry 4-word Glyphs
+    * runs, two per page, with the pages DELIBERATELY written to the
+    * archive in reverse — only numeric part ordering reproduces the
+    * document text.
+    */
+  def xpsText(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .filter(_._1 % 79 == 0)
+      .map { case (id, t) =>
+        val lines = t.split(" ", -1).grouped(4).map(_.mkString(" ")).toSeq
+        val pages = lines.grouped(2).map(_.toSeq).toSeq
+        val xps = graft.core.office.Xps.build(pages)
+        val (txt, _) = Extract.extractSpan("zip", new String(xps, ISO_8859_1))
         (id, txt)
       }
       .toDF("doc_id", "txt")
@@ -2440,6 +2482,7 @@ object Queries {
     "q_pptx_slides" -> (pptxSlides _),
     "q_tgz_explode" -> (tgzExplode _),
     "q_eml_explode" -> (emlExplode _),
+    "q_emlx_explode" -> (emlxExplode _),
     "q_mhtml_explode" -> (mhtmlExplode _),
     "q_msg_explode" -> (msgExplode _),
     "q_pst_explode" -> (pstExplode _),
@@ -2461,6 +2504,7 @@ object Queries {
     "q_odt_explode" -> (odtExplode _),
     "q_ods_table" -> (odsTable _),
     "q_odp_slides" -> (odpSlides _),
+    "q_xps_text" -> (xpsText _),
     "q_epub_explode" -> (epubExplode _),
     "q_sqlite_explode" -> (sqliteExplode _),
     "q_plist_explode" -> (plistExplode _),

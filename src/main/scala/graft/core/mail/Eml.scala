@@ -26,6 +26,35 @@ object Eml {
       attachments: Vector[(String, Array[Byte])] // (filename, raw bytes)
   )
 
+  /** Apple Mail `.emlx` framing: a decimal byte-count line, that many
+    * bytes of RFC-822 message, then an XML plist of message flags (which
+    * carries no content and is dropped). The length line is authoritative
+    * — the plist trailer must never leak into the parsed body. A head
+    * that doesn't match the framing parses as a bare message (total).
+    */
+  def parseEmlx(raw: String): Message = {
+    val nl = raw.indexOf('\n')
+    val len = if (nl <= 0) None else raw.substring(0, nl).trim.toIntOption
+    len match {
+      case Some(n) if n >= 0 && nl + 1 + n <= raw.length =>
+        parse(raw.substring(nl + 1, nl + 1 + n))
+      case _ => parse(raw)
+    }
+  }
+
+  /** The emlx head shape: a short decimal line followed by a header-ish
+    * line — enough to separate it from plain digits-led text.
+    */
+  def isEmlx(head: String): Boolean = {
+    val nl = head.indexOf('\n')
+    nl > 0 && nl <= 12 && head.substring(0, nl).trim.forall(_.isDigit) &&
+      head.substring(0, nl).trim.nonEmpty && {
+        val rest = head.substring(nl + 1)
+        val line = rest.takeWhile(c => c != '\r' && c != '\n')
+        line.matches("(?i)[a-z][a-z0-9-]*:.*")
+      }
+  }
+
   /** Headers as the (key -> values) multimap Meta.normalizeMap consumes.
     * RFC 2047 encoded-words decode HERE — the human-facing metadata
     * surface — never on the raw values param() parses: RFC 2046 bchars

@@ -299,7 +299,8 @@ object Ooxml {
     * [[Odf.isOdf]] / [[Epub.isEpub]]).
     */
   def isPackageEntries(entries: Seq[(String, Option[Array[Byte]])]): Boolean =
-    isPackage(entries.map(_._1)) || Odf.isOdf(entries) || Epub.isEpub(entries)
+    isPackage(entries.map(_._1)) || Odf.isOdf(entries) || Epub.isEpub(entries) ||
+      Xps.isXps(entries.map(_._1))
 
   /** Embedded parts that spawn as children (media AND OLE-embedded
     * objects, consistently across the three package types); package
@@ -317,7 +318,8 @@ object Ooxml {
       n.startsWith(SheetPrefix) || n.startsWith(SlidePrefix) ||
       n == "content.xml" || n == "mimetype" || // mimetype VALUE gates the ODF/EPUB routes
       n == "META-INF/container.xml" || n.endsWith(".opf") || // EPUB package docs
-      n.endsWith(".xhtml") || n.endsWith(".html") || n.endsWith(".htm") // EPUB chapters
+      n.endsWith(".xhtml") || n.endsWith(".html") || n.endsWith(".htm") || // EPUB chapters
+      n.endsWith(".fpage") // XPS fixed pages
 
   /** Numeric suffix for sheetN/slideN ordering (archive order is not the
     * document order).
@@ -336,6 +338,8 @@ object Ooxml {
       byName.collectFirst { case (Docx.DocumentEntry, b) => Docx.bodyText(str(b)) }.getOrElse("")
     else if (Epub.isEpub(entries)) // checked before ODF: mimetypes disjoint
       Epub.bookText(entries)
+    else if (Xps.isXps(entries.map(_._1)))
+      Xps.pagesText(entries)
     else if (Odf.isOdf(entries))
       byName.collectFirst { case ("content.xml", b) =>
         Odf.contentText(str(b), Odf.mimeOf(entries)) }.getOrElse("")
@@ -563,5 +567,56 @@ object Odf {
       }.mkString +
       "</office:presentation></office:body></office:document-content>"
     zipPackage(OdfMime + ".presentation", content, Nil)
+  }
+}
+
+/** XPS / OpenXPS fixed documents (ECMA-388; Tika's XPS surface): an OPC
+  * package whose `*.fpage` parts carry the rendered text as `<Glyphs>`
+  * elements with `UnicodeString` attributes. Pages read in NUMERIC part
+  * order (archive order is not document order), one line per Glyphs run,
+  * entities unescaped — the same flattening the reference inherits.
+  */
+object Xps {
+
+  def isXps(names: Seq[String]): Boolean = names.exists(_.endsWith(".fpage"))
+
+  /** `UnicodeString="..."` attribute values of every Glyphs element, in
+    * markup order; tolerant of single quotes and attribute spacing.
+    */
+  private val GlyphsAttr =
+    """(?s)<Glyphs\b[^>]*?UnicodeString\s*=\s*("([^"]*)"|'([^']*)')""".r
+
+  def pageText(xml: String): String =
+    GlyphsAttr.findAllMatchIn(xml).map { m =>
+      Docx.unescape(Option(m.group(2)).getOrElse(m.group(3)))
+    }.mkString("\n")
+
+  private def pageNo(name: String): Int =
+    name.reverse.dropWhile(!_.isDigit).takeWhile(_.isDigit).reverse
+      .toIntOption.getOrElse(Int.MaxValue)
+
+  def pagesText(entries: Seq[(String, Option[Array[Byte]])]): String =
+    entries.collect { case (n, Some(b)) if n.endsWith(".fpage") => (n, b) }
+      .sortBy { case (n, _) => (pageNo(n), n) }
+      .map { case (_, b) =>
+        pageText(new String(b, java.nio.charset.StandardCharsets.UTF_8)) }
+      .mkString("\n")
+
+  /** Deterministic minimal XPS package; pages are written to the archive
+    * in REVERSE order so only numeric-part ordering reads correctly.
+    */
+  def build(pages: Seq[Seq[String]]): Array[Byte] = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val pageEntries = pages.zipWithIndex.map { case (lines, i) =>
+      val glyphs = lines.map(l =>
+        s"""<Glyphs OriginX="16" OriginY="${32 + 16 * i}" FontRenderingEmSize="12" UnicodeString="${Docx.escape(l)}" />""").mkString
+      (s"Documents/1/Pages/${i + 1}.fpage",
+        (s"""<FixedPage xmlns="http://schemas.microsoft.com/xps/2005/06" Width="816" Height="1056">""" +
+          glyphs + "</FixedPage>").getBytes(UTF_8))
+    }
+    graft.sources.Archive.zipBytes(Seq(
+      ("[Content_Types].xml", "<Types/>".getBytes(UTF_8)),
+      ("FixedDocSeq.fdseq", "<FixedDocumentSequence/>".getBytes(UTF_8))) ++
+      pageEntries.reverse)
   }
 }

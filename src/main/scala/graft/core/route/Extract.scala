@@ -114,6 +114,7 @@ object Extract {
       // file is a pure container (streams explode to children)
       case "cfb"       => (graft.core.office.Msg.cfbText(t, cfg.maxSpanChars), "")
       case "eml"       => (graft.core.mail.Eml.parse(t).body, "") // RFC-822: body text; attachments explode
+      case "emlx"      => (graft.core.mail.Eml.parseEmlx(t).body, "") // Apple Mail length-framed message
       case "mhtml"     => // RFC 2557 page save: root part through the HTML
         // extractor (Tika routes mhtml to HtmlParser); resources explode
         (HtmlExtractor.mainText(graft.core.mail.Mhtml.parse(t).html), "")
@@ -134,7 +135,7 @@ object Extract {
     * span-parallel path for reassembly).
     */
   val ContainerKinds: Set[String] =
-    Set("media", "zip", "gzip", "tar", "eml", "mhtml", "cfb", "zstd", "bzip2", "xz", "lz4", "snappy", "compress", "warc", "jsonl", "7z", "rar", "pst", "tnef", "mbox", "parquet", "avro", "sqlite", "ar", "cpio", "rpm", "plist")
+    Set("media", "zip", "gzip", "tar", "eml", "emlx", "mhtml", "cfb", "zstd", "bzip2", "xz", "lz4", "snappy", "compress", "warc", "jsonl", "7z", "rar", "pst", "tnef", "mbox", "parquet", "avro", "sqlite", "ar", "cpio", "rpm", "plist")
 
   /** Null spans (a row written with spans=NULL) are treated as an empty
     * span array — reason=empty-file, never a failure — in BOTH the batch and
@@ -744,6 +745,16 @@ object Extract {
             graft.core.mail.Mbox.split(latin1).zipWithIndex.foreach {
               case (raw, i) => spawnMboxMessage(raw, cid, i, level + 1)
             }
+          } else if (kind == "emlx") {
+            // nested Apple Mail store file (the Mail-folder-tarball
+            // shape): a document child carrying the framed message's
+            // body, attachments recursing
+            val m = graft.core.mail.Eml.parseEmlx(latin1)
+            val cid = Ids.embedId(latin1, parentId, ord, resourceName = name)
+            emitDoc(cid, parentId, level, m.body)
+            m.attachments.zipWithIndex.foreach { case ((n, b), i) =>
+              spawnEntry(n, Some(b), cid, i, level + 1)
+            }
           } else if (kind == "mhtml") {
             // nested page save (mht-in-zip, mht mail attachment): a
             // document child carrying the page's extracted main text,
@@ -911,6 +922,11 @@ object Extract {
           // semantics): filename as resource name; a zipped attachment
           // re-enters the archive recursion via spawnEntry's sniff
           graft.core.mail.Eml.parse(content).attachments.foreach { case (n, b) =>
+            spawnEntry(n, Some(b), rootId, ord, 1); ord += 1
+          }
+        case "emlx" =>
+          // same attachment explosion as eml, behind the length framing
+          graft.core.mail.Eml.parseEmlx(content).attachments.foreach { case (n, b) =>
             spawnEntry(n, Some(b), rootId, ord, 1); ord += 1
           }
         case "mhtml" =>

@@ -99,6 +99,9 @@ object Ingest {
         // single messages with a leading "From - <asctime>" line, which
         // would otherwise reclassify the file as a one-message mailbox
         else if (lname.endsWith(".eml")) "eml"
+        // Apple Mail message store: "<len>\n" framing ahead of the headers
+        else if (lname.endsWith(".emlx") || graft.core.mail.Eml.isEmlx(
+          new String(bytes.take(64), StandardCharsets.ISO_8859_1))) "emlx"
         else if (graft.core.mail.Mbox.isMbox(new String(bytes.take(128),
           StandardCharsets.ISO_8859_1))) "mbox" // postmark before header sniff
         // extensionless browser save: ANY header-shaped first line (Chrome

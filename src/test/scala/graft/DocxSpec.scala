@@ -174,6 +174,19 @@ class DocxSpec extends AnyFunSuite {
     assert(Extract.extractSpan("zip", latin1)._1 == "slide one line\nslide two line")
   }
 
+  test("xps: Glyphs text in numeric page order despite reversed archive order") {
+    import graft.core.office.Xps
+    import graft.core.route.Extract
+    val xps = Xps.build(Seq(Seq("page one line a", "page one line b"), Seq("page two line")))
+    val latin1 = new String(xps, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(Extract.extractSpan("zip", latin1)._1 ==
+      "page one line a\npage one line b\npage two line")
+    // attribute tolerance: single quotes, spacing, entity unescape
+    val page = """<FixedPage><Glyphs Fill='#000' UnicodeString = 'a &amp; b'/>""" +
+      """<Glyphs UnicodeString="second"></Glyphs><Path Data="M0,0"/></FixedPage>"""
+    assert(Xps.pageText(page) == "a & b\nsecond")
+  }
+
   test("a non-ODF zip with lookalike entry names still explodes generically") {
     import graft.core.{DocIn, SpanIn}
     import graft.core.route.Extract

@@ -374,4 +374,28 @@ class EmlSpec extends AnyFunSuite {
     assert(graft.sources.Ingest.sniffKind(tb.getBytes("UTF-8"), "saved.eml") == "eml")
     assert(graft.sources.Ingest.sniffKind(tb.getBytes("UTF-8"), "inbox") == "mbox")
   }
+
+  test("emlx: length framing honored, plist trailer never leaks, sniff works") {
+    val msg = "From: a@x\r\nContent-Type: multipart/mixed; boundary=\"B\"\r\n\r\n" +
+      "--B\r\nContent-Type: text/plain\r\n\r\nemlx body here\r\n" +
+      "--B\r\nContent-Disposition: attachment; filename=\"f.txt\"\r\n\r\natt data\r\n--B--\r\n"
+    val emlx = s"${msg.length}\n$msg" +
+      "<?xml version=\"1.0\"?><plist><dict><key>flags</key><integer>1</integer></dict></plist>\n"
+    val m = Eml.parseEmlx(emlx)
+    assert(m.body == "emlx body here")
+    assert(m.attachments.map(_._1) == Vector("f.txt"))
+    assert(!m.body.contains("plist"))
+    // sniff: extension and extensionless head shape
+    assert(graft.sources.Ingest.sniffKind(emlx.getBytes("UTF-8"), "1.emlx") == "emlx")
+    assert(graft.sources.Ingest.sniffKind(emlx.getBytes("UTF-8"), "12345") == "emlx")
+    // a digits-led plain text file must NOT sniff as emlx
+    assert(graft.sources.Ingest.sniffKind("1234\nplain prose line".getBytes("UTF-8"), "n") == "text")
+    // malformed length degrades to bare-message parse
+    assert(Eml.parseEmlx("999999\nFrom: b@y\r\n\r\nshort").body == "short")
+    // explode end-to-end: framed message behaves exactly like bare eml
+    val d = graft.core.DocIn(5L, Array(graft.core.SpanIn("emlx", emlx, "", 0)))
+    val out = graft.core.route.Extract.explode(d)
+    assert(out.exists(o => o.level == 0 && o.spans.exists(_.text == "emlx body here")))
+    assert(out.exists(o => o.level == 1 && o.spans.exists(_.text == "att data")))
+  }
 }

@@ -113,13 +113,18 @@ class OmnibusIngestSpec extends AnyFunSuite {
     put("notes.txt.Z", Archive.compressZBytes("compress member text".getBytes(UTF_8)))
     put("pack.rar", graft.sources.Rar.buildRar4(Seq(("m.txt", "rar member text".getBytes(UTF_8)))))
     put("pack5.rar", graft.sources.Rar.buildRar5(Seq(("n.txt", "rar5 member text".getBytes(UTF_8)))))
+    put("doc.xps", graft.core.office.Xps.build(Seq(Seq("xps glyph text"))))
+    put("msg.emlx", ("From: e@x\r\nContent-Type: text/plain\r\n\r\nemlx store body").getBytes(UTF_8).length.toString.getBytes(UTF_8)
+      ++ "\n".getBytes(UTF_8)
+      ++ ("From: e@x\r\nContent-Type: text/plain\r\n\r\nemlx store body").getBytes(UTF_8)
+      ++ "<plist/>".getBytes(UTF_8))
     put("saved.mht", graft.core.mail.Mhtml.build("https://x.example/p.html",
       "<html><body><p>mhtml page body</p></body></html>",
       Seq("https://x.example/r/res.txt" -> "mht resource text".getBytes(UTF_8))))
     put("Thumbs.db", Array[Byte](1, 2, 3)) // junk: must be excluded
 
     val docs = Ingest.readDir(spark, dir.toString).collect()
-    assert(docs.length == 53) // every file except the junk one
+    assert(docs.length == 55) // every file except the junk one
 
     // media classify by magic and parse to empty-file (metadata, no OCR)
     val kinds = docs.flatMap(_.spans.map(_.kind))
@@ -146,7 +151,7 @@ class OmnibusIngestSpec extends AnyFunSuite {
       "cpio member text", "rpm file text",
       "mhtml page body", "mht resource text",
       "ods alpha\tods beta", "odp slide text", "compress member text",
-      "rar member text", "rar5 member text")
+      "rar member text", "rar5 member text", "xps glyph text", "emlx store body")
     val missing = expected -- texts
     assert(missing.isEmpty, s"formats missing from extraction: $missing")
   }
