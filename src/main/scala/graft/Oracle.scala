@@ -1606,6 +1606,28 @@ object Oracle {
   /** Mirror of Queries.wordFreqScore: corpus unigram counts joined back,
     * mean frequency x100 in integer arithmetic.
     */
+  /** Mirror of Queries.rareTerms: df over deduped doc-terms, per-doc
+    * top-3 by (df, term).
+    */
+  private val rareTerms: String =
+    """WITH t AS (SELECT DISTINCT doc_id, term FROM (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents)
+      |  WHERE term <> ''),
+      |d AS (SELECT term, count(*) AS df FROM t GROUP BY term),
+      |r AS (SELECT t.doc_id, t.term, d.df,
+      |  row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.term) AS rnk
+      |  FROM t JOIN d USING(term))
+      |SELECT doc_id, term, df, rnk::BIGINT AS rnk FROM r WHERE rnk <= 3""".stripMargin
+
+  /** Mirror of Queries.chunkOverlap: 8-word windows at stride 4. */
+  private val chunkOverlap: String =
+    """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
+      |  len(string_split(text,' ')) AS m FROM documents)
+      |SELECT doc_id, i::BIGINT AS chunk_idx,
+      |  array_to_string(w[4*i+1:4*i+8],' ') AS chunk,
+      |  least(8, m - 4*i)::BIGINT AS n_words
+      |FROM p, LATERAL unnest(generate_series(0, (m-1)//4)) AS t(i)""".stripMargin
+
   private val wordFreq: String =
     """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
       |w2 AS (SELECT doc_id, w FROM w WHERE w <> ''),
@@ -1837,6 +1859,8 @@ object Oracle {
     "q_html_charset" -> htmlCharset,
     "q_split_assign" -> splitAssign,
     "q_word_freq" -> wordFreq,
+    "q_rare_terms" -> rareTerms,
+    "q_chunk_overlap" -> chunkOverlap,
     "q_dedup_cluster" -> dedupCluster,
     "q_zstd_explode" -> zstdExplode,
     "q_warc_explode" -> warcExplode,

@@ -2431,6 +2431,40 @@ object Queries {
       .withColumn("mean_freq_x100", expr("(freq_sum * 100) div n_words"))
   }
 
+  /** Per-document rarest terms (the tf-idf shuffle shape kept
+    * integer-exact: rank terms by document frequency ASCENDING — a real
+    * keyword-extraction signal with no float idf in the compared output).
+    * Doc-term pairs dedupe BEFORE the df aggregation, df joins back
+    * hint-free (AQE picks broadcast while the vocab fits, shuffle join at
+    * web scale), and the per-doc top-3 is a rank window Spark rewrites to
+    * WindowGroupLimit — only 3 rows per doc survive the partial sort, the
+    * same pushdown q_knn_brute rides.
+    */
+  def rareTerms(spark: SparkSession, dir: String): DataFrame = {
+    val terms = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "").distinct()
+    val dfreq = terms.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("term"))
+    terms.join(dfreq, "term")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("doc_id", "term", "df", "rnk")
+  }
+
+  /** Overlapping chunking (the RAG/embedding-prep shape: 8-word windows,
+    * stride 4): starts from codegen'd `sequence`, windows from `slice` —
+    * map-only, no UDF, no shuffle; a 100 TB corpus chunks in one pass.
+    */
+  def chunkOverlap(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(expr("sequence(0, (size(w) - 1) div 4)")).as("i"))
+      .select(col("doc_id"), col("i").cast("long").as("chunk_idx"),
+        array_join(slice(col("w"), col("i") * 4 + 1, lit(8)), " ").as("chunk"),
+        least(lit(8), size(col("w")) - col("i") * 4).cast("long").as("n_words"))
+
   // ------------------------------------------------ relational headline
 
   def tpchQ1(spark: SparkSession, dir: String): DataFrame =
@@ -2516,6 +2550,8 @@ object Queries {
     "q_html_charset" -> (htmlCharsetQ _),
     "q_split_assign" -> (splitAssign _),
     "q_word_freq" -> (wordFreqScore _),
+    "q_rare_terms" -> (rareTerms _),
+    "q_chunk_overlap" -> (chunkOverlap _),
     "q_dedup_cluster" -> (dedupCluster _),
     "q_zstd_explode" -> (zstdExplode _),
     "q_warc_explode" -> (warcExplode _),
