@@ -116,8 +116,20 @@ object Msg {
     * text; a generic compound file is a pure container whose content
     * lives in its stream children.
     */
+  /** Password-protected OOXML saved as a compound file (ECMA-376 Part 2
+    * / MS-OFFCRYPTO): the EncryptionInfo + EncryptedPackage stream pair.
+    * Must classify NOT_DECRYPTED — exploding the ciphertext package as
+    * generic stream children would index garbage (the reference raises
+    * EncryptedDocumentException from Tika here).
+    */
+  def isEncryptedOffice(entries: Seq[(String, Option[Array[Byte]])]): Boolean =
+    entries.exists(_._1 == "EncryptionInfo") &&
+      entries.exists(_._1 == "EncryptedPackage")
+
   def cfbText(latin1: String, maxEntryBytes: Int): String = {
     val entries = Cfb.streamEntriesOf(latin1, maxEntryBytes)
+    if (isEncryptedOffice(entries))
+      throw new graft.core.DecryptFailure("password-protected Office document")
     if (isMsg(entries)) parse(entries).body
     else docText(entries).getOrElse("")
   }

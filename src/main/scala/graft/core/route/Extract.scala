@@ -579,6 +579,9 @@ object Extract {
         // spawned count — spawnMsg re-applies its own guards); a generic
         // compound file is a container node whose streams recurse
         val entries = graft.core.office.Cfb.streamEntries(data, cfg.maxSpanChars)
+        if (graft.core.office.Msg.isEncryptedOffice(entries))
+          // nested password-protected Office doc: one encrypted child
+          throw new graft.core.DecryptFailure("password-protected Office document")
         if (graft.core.office.Msg.isMsg(entries)) {
           spawned -= 1
           spawnMsg(graft.core.office.Msg.parse(entries), name, parentId, ord, level)
@@ -901,6 +904,9 @@ object Extract {
           // generic compound file spawns each stream sniffed like an
           // archive entry
           val entries = graft.core.office.Cfb.streamEntriesOf(content, cfg.maxSpanChars)
+          if (graft.core.office.Msg.isEncryptedOffice(entries))
+            // ciphertext package: never explode garbage children
+            throw new graft.core.DecryptFailure("password-protected Office document")
           if (graft.core.office.Msg.isMsg(entries))
             graft.core.office.Msg.parse(entries).attachments.foreach {
               case graft.core.office.Msg.FileAtt(n, b) =>

@@ -531,4 +531,23 @@ class ArchiveSpec extends AnyFunSuite {
     val out = Extract.explode(DocIn(5L, Array(SpanIn("zip", new String(zip, ISO_8859_1), "", 0))))
     assert(out.exists(o => o.level == 2 && o.spans.map(_.text).mkString == "m"))
   }
+
+  test("7z LZMA2-compressed archives decode (not just COPY method)") {
+    import org.apache.commons.compress.archivers.sevenz.{SevenZMethod, SevenZOutputFile}
+    import org.apache.commons.compress.utils.SeekableInMemoryByteChannel
+    import graft.sources.Archive
+    val ch = new SeekableInMemoryByteChannel()
+    val w = new SevenZOutputFile(ch)
+    w.setContentCompression(SevenZMethod.LZMA2)
+    val e = new org.apache.commons.compress.archivers.sevenz.SevenZArchiveEntry()
+    e.setName("deep.txt"); e.setDirectory(false)
+    w.putArchiveEntry(e)
+    w.write(("lzma2 payload " * 40).getBytes("UTF-8"))
+    w.closeArchiveEntry(); w.close()
+    val bytes = java.util.Arrays.copyOf(ch.array(), ch.size().toInt)
+    assert(Archive.is7z(bytes))
+    val es = Archive.un7z(bytes, 1 << 20)
+    assert(es.map(_._1) == Vector("deep.txt"))
+    assert(new String(es.head._2.get, "UTF-8").startsWith("lzma2 payload "))
+  }
 }

@@ -326,4 +326,24 @@ class CfbSpec extends AnyFunSuite {
       DocIn(10L, Array(SpanIn("zip", new String(zip, StandardCharsets.ISO_8859_1), "", 0))))
     assert(nodes.exists(n => n.level == 1 && n.spans.map(_.text).mkString == "msg body in zip"))
   }
+
+  test("password-protected Office docs classify encrypted, never explode") {
+    import graft.core.route.Extract
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    val enc = Cfb.build(Seq(
+      ("EncryptionInfo", Array[Byte](4, 0, 4, 0, 0x40, 0, 0, 0)),
+      ("EncryptedPackage", "ciphertext-bytes-here".getBytes(UTF_8))))
+    val latin1 = new String(enc, ISO_8859_1)
+    intercept[graft.core.DecryptFailure](Extract.extractSpan("cfb", latin1))
+    // nested in a zip: ONE encrypted failure child, no ciphertext leak
+    val zip = graft.sources.Archive.zipBytes(Seq(("locked.docx", enc)))
+    val out = Extract.explode(graft.core.DocIn(6L,
+      Array(graft.core.SpanIn("zip", new String(zip, ISO_8859_1), "", 0))))
+    val kids = out.filter(_.level == 1)
+    assert(kids.length == 1 && kids.head.no_content_reason == graft.core.Reason.Encrypted)
+    assert(!out.exists(_.spans.exists(_.text.contains("ciphertext"))))
+    // a generic compound file with only ONE of the two streams still explodes
+    val one = Cfb.build(Seq(("EncryptionInfo", "x".getBytes(UTF_8))))
+    assert(Extract.extractSpan("cfb", new String(one, ISO_8859_1))._1 == "")
+  }
 }
