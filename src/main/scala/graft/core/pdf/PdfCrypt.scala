@@ -59,9 +59,12 @@ object PdfCrypt {
   private def leInt(v: Int): Array[Byte] =
     Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
 
-  /** The /Encrypt dictionary's standard-handler fields + the file ID. */
+  /** The /Encrypt dictionary's standard-handler fields + the file ID.
+    * `aes` = V4 with an AESV2 crypt filter (AES-128-CBC streams).
+    */
   final case class StdSec(v: Int, r: Int, o: Array[Byte], u: Array[Byte],
-      p: Int, keyBytes: Int, id0: Array[Byte], objNum: Int)
+      p: Int, keyBytes: Int, id0: Array[Byte], objNum: Int,
+      aes: Boolean = false)
 
   /** Algorithm 2 with the empty user password. */
   def fileKeyEmptyUser(sec: StdSec): Array[Byte] = {
@@ -93,13 +96,15 @@ object PdfCrypt {
     if (ok) Some(key) else None
   }
 
-  /** Algorithm 1's per-object key: MD5(fileKey ‖ objNum_le3 ‖ gen_le2),
-    * truncated to min(fileKeyLen + 5, 16).
+  /** Algorithm 1's per-object key: MD5(fileKey ‖ objNum_le3 ‖ gen_le2
+    * [‖ "sAlT" for AESV2]), truncated to min(fileKeyLen + 5, 16).
     */
-  def objKey(fileKey: Array[Byte], num: Int, gen: Int): Array[Byte] =
+  def objKey(fileKey: Array[Byte], num: Int, gen: Int,
+             aes: Boolean = false): Array[Byte] =
     md5(fileKey,
       Array(num, num >> 8, num >> 16).map(_.toByte),
-      Array(gen, gen >> 8).map(_.toByte))
+      Array(gen, gen >> 8).map(_.toByte),
+      if (aes) Array[Byte](0x73, 0x41, 0x6c, 0x54) else Array.emptyByteArray)
       .take(math.min(fileKey.length + 5, 16))
 
   // ---- document parsing --------------------------------------------------
@@ -197,8 +202,12 @@ object PdfCrypt {
     if (!dict.contains("/Standard")) return None
     val v = intAfter(dict, "/V").getOrElse(0)
     val r = intAfter(dict, "/R").getOrElse(0)
-    if (v < 1 || v > 2 || r < 2 || r > 3) return None // AES/newer: not RC4
-    val lenBits = intAfter(dict, "/Length").getOrElse(40)
+    // V1/V2 = RC4; V4 with an AESV2 stream filter = AES-128-CBC. V5/R6
+    // (AES-256) stays refused — classify encrypted
+    val rc4 = v >= 1 && v <= 2 && r >= 2 && r <= 3
+    val aes = v == 4 && r == 4 && dict.contains("/AESV2")
+    if (!rc4 && !aes) return None
+    val lenBits = intAfter(dict, "/Length").getOrElse(if (aes) 128 else 40)
     if (lenBits < 40 || lenBits > 128 || lenBits % 8 != 0) return None
     for {
       o <- stringAfter(dict, "/O") if o.length == 32
@@ -213,8 +222,30 @@ object PdfCrypt {
           while (j < pdf.length && (pdf.charAt(j).isWhitespace || pdf.charAt(j) == '[')) j += 1
           parseStringAt(pdf, j).getOrElse(Array.emptyByteArray)
         }
-      StdSec(v, r, o, u, p, if (r == 2) 5 else lenBits / 8, id0, objNum)
+      StdSec(v, r, o, u, p, if (r == 2) 5 else lenBits / 8, id0, objNum, aes)
     }
+  }
+
+  /** AES-128-CBC with the PDF stream layout: 16-byte IV prefix, PKCS#5
+    * padding. None on malformed ciphertext (degrade, never throw).
+    */
+  private def aesDecrypt(key: Array[Byte], data: Array[Byte]): Option[Array[Byte]] =
+    if (data.length < 32 || (data.length % 16) != 0) None
+    else try {
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+      c.init(javax.crypto.Cipher.DECRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(java.util.Arrays.copyOf(data, 16)))
+      Some(c.doFinal(data, 16, data.length - 16))
+    } catch { case _: java.security.GeneralSecurityException => None }
+
+  private def aesEncrypt(key: Array[Byte], iv: Array[Byte],
+                         plain: Array[Byte]): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    iv ++ c.doFinal(plain)
   }
 
   /** Decrypt every stream payload in place with its per-object RC4 key and
@@ -259,7 +290,13 @@ object PdfCrypt {
           head match {
             case Some((num, gen)) if num != sec.objNum =>
               val cipher = pdf.substring(payloadStart, pEnd).getBytes(ISO_8859_1)
-              sb.append(new String(rc4(objKey(key, num, gen), cipher), ISO_8859_1))
+              val clear =
+                if (sec.aes)
+                  // bad padding/framing degrades to the raw bytes (the
+                  // extractor simply finds no text ops), never a throw
+                  aesDecrypt(objKey(key, num, gen, aes = true), cipher).getOrElse(cipher)
+                else rc4(objKey(key, num, gen), cipher)
+              sb.append(new String(clear, ISO_8859_1))
             case _ => sb.append(pdf.substring(payloadStart, pEnd))
           }
           sb.append(pdf.substring(pEnd, e + "endstream".length))
@@ -307,6 +344,7 @@ object PdfCrypt {
     */
   def encrypt(pdf: String, ownerPw: String, userPw: String, r: Int,
       lenBits: Int, idSeed: String): String = {
+    val aes = r == 4 // V4/AESV2 (Acrobat 7+ default); r 2/3 are RC4
     val keyBytes = if (r == 2) 5 else lenBits / 8
     val id0 = md5(idSeed.getBytes(ISO_8859_1))
     val o = ownerValue(ownerPw, r, keyBytes)
@@ -346,19 +384,30 @@ object PdfCrypt {
           val head = objHead.findAllMatchIn(pdf.substring(0, s)).foldLeft(
             Option.empty[(Int, Int)])((_, m) => Some((m.group(1).toInt, m.group(2).toInt)))
           val (num, gen) = head.getOrElse((0, 0))
-          val cipher = rc4(objKey(fk, num, gen),
-            pdf.substring(ps, pEnd).getBytes(ISO_8859_1))
-          sb.append(pdf.substring(from, ps))
-          // declared /Length (if present) no longer matches the ciphertext
-          // framing the decrypter uses; ciphertext length == plaintext
+          val plain = pdf.substring(ps, pEnd).getBytes(ISO_8859_1)
+          val cipher =
+            if (aes) aesEncrypt(objKey(fk, num, gen, aes = true),
+              md5(s"$idSeed-$num-$gen".getBytes(ISO_8859_1)), plain)
+            else rc4(objKey(fk, num, gen), plain)
+          // RC4 preserves length so the declared /Length stays valid; AES
+          // grows the payload (IV + padding) and real writers update the
+          // dict — the decrypter slices ciphertext by /Length
+          val pre = pdf.substring(from, ps)
+          sb.append(
+            if (aes) pre.replace(s"/Length ${plain.length}", s"/Length ${cipher.length}")
+            else pre)
           sb.append(new String(cipher, ISO_8859_1))
           sb.append(pdf.substring(pEnd, e + "endstream".length))
           from = e + "endstream".length
         }
       }
     }
-    sb.append(s"\n$encNum 0 obj << /Filter /Standard /V ${if (r == 2) 1 else 2} /R $r" +
-      (if (r >= 3) s" /Length $lenBits" else "") +
+    val vSpec =
+      if (aes) s"/V 4 /R 4 /Length $lenBits /CF << /StdCF << /CFM /AESV2 " +
+        "/AuthEvent /DocOpen /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+      else s"/V ${if (r == 2) 1 else 2} /R $r" +
+        (if (r >= 3) s" /Length $lenBits" else "")
+    sb.append(s"\n$encNum 0 obj << /Filter /Standard $vSpec" +
       s" /O ${hexStr(o)} /U ${hexStr(u)} /P $p >> endobj\n")
     sb.append(s"trailer << /Root 1 0 R /Encrypt $encNum 0 R /ID [ ${hexStr(id0)} ${hexStr(id0)} ] >>\n%%EOF")
     sb.toString
