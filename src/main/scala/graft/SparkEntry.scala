@@ -249,9 +249,11 @@ object Queries {
         val content = pdfContentStream(t)
         val body = s"%PDF-1.4\n1 0 obj << /Length ${content.length} >>\n" +
           s"stream\n$content\nendstream\nendobj\n"
-        // cycle the handler revisions: V4/AES-128 (%145), R2/RC4-40 (%87),
-        // R3/RC4-128 otherwise — the oracle text is identical for all
-        val r = if (id % 145 == 0) 4 else if (id % 87 == 0) 2 else 3
+        // cycle the handler revisions: V5/AES-256 (%203), V4/AES-128
+        // (%145), R2/RC4-40 (%87), R3/RC4-128 otherwise — the oracle
+        // text is identical for all
+        val r = if (id % 203 == 0) 6 else if (id % 145 == 0) 4
+          else if (id % 87 == 0) 2 else 3
         val userPw = if (id % 58 == 0) s"user-$id" else ""
         val pdf = PdfCrypt.encrypt(body, s"owner-$id", userPw, r, 128, s"id-$id")
         val (txt, why) = Extract.extractSpan("pdf_bytes", pdf)

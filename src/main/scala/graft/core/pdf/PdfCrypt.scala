@@ -60,11 +60,50 @@ object PdfCrypt {
     Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
 
   /** The /Encrypt dictionary's standard-handler fields + the file ID.
-    * `aes` = V4 with an AESV2 crypt filter (AES-128-CBC streams).
+    * `aes` = V4/AESV2 (AES-128-CBC streams, per-object salted keys);
+    * `v5` = V5/R6 AES-256 (SHA-2 hardened hash, file key from /UE, no
+    * per-object keys). For V5, `u` is the 48-byte hash‖validation‖key
+    * salt block and `ue` the encrypted file key.
     */
   final case class StdSec(v: Int, r: Int, o: Array[Byte], u: Array[Byte],
       p: Int, keyBytes: Int, id0: Array[Byte], objNum: Int,
-      aes: Boolean = false)
+      aes: Boolean = false, v5: Boolean = false,
+      ue: Array[Byte] = Array.emptyByteArray)
+
+  /** Algorithm 2.B (ISO 32000-2 7.6.4.3.4): the hardened SHA-2 hash —
+    * ≥64 rounds of (64× password‖K‖udata) → AES-CBC(K₀₋₁₆, K₁₆₋₃₂) →
+    * SHA-256/384/512 selected by E's first-16-byte sum mod 3, until the
+    * last byte of E is ≤ round − 32.
+    */
+  def hash2B(password: Array[Byte], salt: Array[Byte],
+             udata: Array[Byte]): Array[Byte] = {
+    val sha256 = java.security.MessageDigest.getInstance("SHA-256")
+    sha256.update(password); sha256.update(salt); sha256.update(udata)
+    var k = sha256.digest()
+    var i = 0
+    var lastE = 0
+    while (i < 64 || lastE > i - 32) {
+      val one = password ++ k ++ udata
+      val k1 = new Array[Byte](one.length * 64)
+      var j = 0
+      while (j < 64) { System.arraycopy(one, 0, k1, j * one.length, one.length); j += 1 }
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(java.util.Arrays.copyOf(k, 16), "AES"),
+        new javax.crypto.spec.IvParameterSpec(java.util.Arrays.copyOfRange(k, 16, 32)))
+      val e = c.doFinal(k1)
+      var sum = 0
+      var m = 0
+      while (m < 16) { sum += e(m) & 0xff; m += 1 }
+      val alg = (sum % 3) match {
+        case 0 => "SHA-256"; case 1 => "SHA-384"; case _ => "SHA-512"
+      }
+      k = java.security.MessageDigest.getInstance(alg).digest(e)
+      lastE = e(e.length - 1) & 0xff
+      i += 1
+    }
+    java.util.Arrays.copyOf(k, 32)
+  }
 
   /** Algorithm 2 with the empty user password. */
   def fileKeyEmptyUser(sec: StdSec): Array[Byte] = {
@@ -76,10 +115,30 @@ object PdfCrypt {
     key
   }
 
-  /** Algorithms 4 (R2) / 5 (R3): Some(fileKey) iff the EMPTY user password
-    * reproduces the stored /U.
+  private def aesCbcNoPad(key: Array[Byte], iv: Array[Byte],
+                          data: Array[Byte], decrypt: Boolean): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(if (decrypt) javax.crypto.Cipher.DECRYPT_MODE else javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
+  /** Algorithms 4 (R2) / 5 (R3/R4) / 11+8.1 (R6): Some(fileKey) iff the
+    * EMPTY user password reproduces the stored /U.
     */
   def emptyUserKey(sec: StdSec): Option[Array[Byte]] = {
+    if (sec.v5) {
+      // R6: U = hash(32) ‖ validationSalt(8) ‖ keySalt(8); the file key
+      // decrypts out of /UE with the intermediate key over the key salt
+      if (sec.u.length < 48 || sec.ue.length != 32) return None
+      val vs = java.util.Arrays.copyOfRange(sec.u, 32, 40)
+      val ks = java.util.Arrays.copyOfRange(sec.u, 40, 48)
+      val h = hash2B(Array.emptyByteArray, vs, Array.emptyByteArray)
+      if (!java.util.Arrays.equals(h, java.util.Arrays.copyOf(sec.u, 32))) return None
+      val ik = hash2B(Array.emptyByteArray, ks, Array.emptyByteArray)
+      return Some(aesCbcNoPad(ik, new Array[Byte](16), sec.ue, decrypt = true))
+    }
     val key = fileKeyEmptyUser(sec)
     val ok =
       if (sec.r == 2) java.util.Arrays.equals(rc4(key, Pad), sec.u)
@@ -158,9 +217,21 @@ object PdfCrypt {
     } else None
   }
 
+  /** First occurrence of `/Key` as a COMPLETE name (the next char must
+    * end a PDF name — `/U` must not match inside `/UE`, `/P` not inside
+    * `/Perms`).
+    */
+  private def keyAt(dict: String, key: String): Int = {
+    var k = dict.indexOf(key)
+    while (k >= 0 && k + key.length < dict.length &&
+      dict.charAt(k + key.length).isLetterOrDigit)
+      k = dict.indexOf(key, k + 1)
+    k
+  }
+
   /** An integer value following `/Key` in `dict` (first occurrence). */
   private def intAfter(dict: String, key: String): Option[Int] = {
-    val k = dict.indexOf(key)
+    val k = keyAt(dict, key)
     if (k < 0) None
     else {
       var i = k + key.length
@@ -173,7 +244,7 @@ object PdfCrypt {
   }
 
   private def stringAfter(dict: String, key: String): Option[Array[Byte]] = {
-    val k = dict.indexOf(key)
+    val k = keyAt(dict, key)
     if (k < 0) None else parseStringAt(dict, k + key.length)
   }
 
@@ -202,16 +273,19 @@ object PdfCrypt {
     if (!dict.contains("/Standard")) return None
     val v = intAfter(dict, "/V").getOrElse(0)
     val r = intAfter(dict, "/R").getOrElse(0)
-    // V1/V2 = RC4; V4 with an AESV2 stream filter = AES-128-CBC. V5/R6
-    // (AES-256) stays refused — classify encrypted
+    // V1/V2 = RC4; V4 + AESV2 filter = AES-128-CBC with salted object
+    // keys; V5/R6 + AESV3 = AES-256-CBC with the file key directly
     val rc4 = v >= 1 && v <= 2 && r >= 2 && r <= 3
     val aes = v == 4 && r == 4 && dict.contains("/AESV2")
-    if (!rc4 && !aes) return None
-    val lenBits = intAfter(dict, "/Length").getOrElse(if (aes) 128 else 40)
-    if (lenBits < 40 || lenBits > 128 || lenBits % 8 != 0) return None
+    val v5 = v == 5 && r == 6 && dict.contains("/AESV3")
+    if (!rc4 && !aes && !v5) return None
+    val lenBits = intAfter(dict, "/Length").getOrElse(
+      if (v5) 256 else if (aes) 128 else 40)
+    if (!v5 && (lenBits < 40 || lenBits > 128 || lenBits % 8 != 0)) return None
+    val sLen = if (v5) 48 else 32
     for {
-      o <- stringAfter(dict, "/O") if o.length == 32
-      u <- stringAfter(dict, "/U") if u.length == 32
+      o <- stringAfter(dict, "/O") if o.length == sLen
+      u <- stringAfter(dict, "/U") if u.length == sLen
       p <- intAfter(dict, "/P")
     } yield {
       val idAt = pdf.indexOf("/ID")
@@ -222,7 +296,11 @@ object PdfCrypt {
           while (j < pdf.length && (pdf.charAt(j).isWhitespace || pdf.charAt(j) == '[')) j += 1
           parseStringAt(pdf, j).getOrElse(Array.emptyByteArray)
         }
-      StdSec(v, r, o, u, p, if (r == 2) 5 else lenBits / 8, id0, objNum, aes)
+      val ue = if (v5) stringAfter(dict, "/UE").getOrElse(Array.emptyByteArray)
+        else Array.emptyByteArray
+      StdSec(v, r, o, u, p,
+        if (v5) 32 else if (r == 2) 5 else lenBits / 8,
+        id0, objNum, aes = aes || v5, v5 = v5, ue = ue)
     }
   }
 
@@ -291,9 +369,10 @@ object PdfCrypt {
             case Some((num, gen)) if num != sec.objNum =>
               val cipher = pdf.substring(payloadStart, pEnd).getBytes(ISO_8859_1)
               val clear =
-                if (sec.aes)
-                  // bad padding/framing degrades to the raw bytes (the
-                  // extractor simply finds no text ops), never a throw
+                // bad padding/framing degrades to the raw bytes (the
+                // extractor simply finds no text ops), never a throw
+                if (sec.v5) aesDecrypt(key, cipher).getOrElse(cipher) // file key direct
+                else if (sec.aes)
                   aesDecrypt(objKey(key, num, gen, aes = true), cipher).getOrElse(cipher)
                 else rc4(objKey(key, num, gen), cipher)
               sb.append(new String(clear, ISO_8859_1))
@@ -345,21 +424,53 @@ object PdfCrypt {
   def encrypt(pdf: String, ownerPw: String, userPw: String, r: Int,
       lenBits: Int, idSeed: String): String = {
     val aes = r == 4 // V4/AESV2 (Acrobat 7+ default); r 2/3 are RC4
-    val keyBytes = if (r == 2) 5 else lenBits / 8
+    val v5 = r == 6  // V5/AESV3 AES-256 (Acrobat X+ default)
+    val keyBytes = if (v5) 32 else if (r == 2) 5 else lenBits / 8
     val id0 = md5(idSeed.getBytes(ISO_8859_1))
-    val o = ownerValue(ownerPw, r, keyBytes)
     val p = -44
-    // U from the real user password (empty → openable; else restricted)
-    val padUser = padded(userPw.getBytes(ISO_8859_1))
-    var fk = md5(padUser, o, leInt(p), id0).take(keyBytes)
-    if (r >= 3) { var i = 0; while (i < 50) { fk = md5(fk).take(keyBytes); i += 1 } }
-    val u =
-      if (r == 2) rc4(fk, Pad)
+    // V5 values (Algorithms 8/9): salts and the 256-bit file key are
+    // deterministic functions of the seed; /UE carries the file key
+    // encrypted with the user-password intermediate key
+    val userB = userPw.getBytes(ISO_8859_1)
+    val v5FileKey = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(("fk-" + idSeed).getBytes(ISO_8859_1))
+    val (o, u, ue, oe) =
+      if (v5) {
+        val vs = md5((idSeed + "-vs").getBytes(ISO_8859_1)).take(8)
+        val ks = md5((idSeed + "-ks").getBytes(ISO_8859_1)).take(8)
+        val u5 = hash2B(userB, vs, Array.emptyByteArray) ++ vs ++ ks
+        val ue5 = aesCbcNoPad(hash2B(userB, ks, Array.emptyByteArray),
+          new Array[Byte](16), v5FileKey, decrypt = false)
+        val ownerB = ownerPw.getBytes(ISO_8859_1)
+        val vs2 = md5((idSeed + "-vo").getBytes(ISO_8859_1)).take(8)
+        val ks2 = md5((idSeed + "-ko").getBytes(ISO_8859_1)).take(8)
+        val o5 = hash2B(ownerB, vs2, u5) ++ vs2 ++ ks2
+        val oe5 = aesCbcNoPad(hash2B(ownerB, ks2, u5),
+          new Array[Byte](16), v5FileKey, decrypt = false)
+        (o5, u5, ue5, oe5)
+      } else {
+        val o4 = ownerValue(ownerPw, r, keyBytes)
+        // U from the real user password (empty → openable; else restricted)
+        val padUser = padded(userB)
+        var fk0 = md5(padUser, o4, leInt(p), id0).take(keyBytes)
+        if (r >= 3) { var i = 0; while (i < 50) { fk0 = md5(fk0).take(keyBytes); i += 1 } }
+        val u4 =
+          if (r == 2) rc4(fk0, Pad)
+          else {
+            var x = rc4(fk0, md5(Pad, id0))
+            var i = 1
+            while (i <= 19) { x = rc4(fk0.map(b => (b ^ i).toByte), x); i += 1 }
+            x ++ new Array[Byte](16)
+          }
+        (o4, u4, Array.emptyByteArray, Array.emptyByteArray)
+      }
+    val fk =
+      if (v5) v5FileKey
       else {
-        var x = rc4(fk, md5(Pad, id0))
-        var i = 1
-        while (i <= 19) { x = rc4(fk.map(b => (b ^ i).toByte), x); i += 1 }
-        x ++ new Array[Byte](16)
+        val padUser = padded(userB)
+        var k = md5(padUser, o, leInt(p), id0).take(keyBytes)
+        if (r >= 3) { var i = 0; while (i < 50) { k = md5(k).take(keyBytes); i += 1 } }
+        k
       }
     val encNum = 9999
     // encrypt every stream payload with its object key
@@ -386,7 +497,9 @@ object PdfCrypt {
           val (num, gen) = head.getOrElse((0, 0))
           val plain = pdf.substring(ps, pEnd).getBytes(ISO_8859_1)
           val cipher =
-            if (aes) aesEncrypt(objKey(fk, num, gen, aes = true),
+            if (v5) aesEncrypt(fk,
+              md5(s"$idSeed-$num-$gen".getBytes(ISO_8859_1)), plain)
+            else if (aes) aesEncrypt(objKey(fk, num, gen, aes = true),
               md5(s"$idSeed-$num-$gen".getBytes(ISO_8859_1)), plain)
             else rc4(objKey(fk, num, gen), plain)
           // RC4 preserves length so the declared /Length stays valid; AES
@@ -394,7 +507,7 @@ object PdfCrypt {
           // dict — the decrypter slices ciphertext by /Length
           val pre = pdf.substring(from, ps)
           sb.append(
-            if (aes) pre.replace(s"/Length ${plain.length}", s"/Length ${cipher.length}")
+            if (aes || v5) pre.replace(s"/Length ${plain.length}", s"/Length ${cipher.length}")
             else pre)
           sb.append(new String(cipher, ISO_8859_1))
           sb.append(pdf.substring(pEnd, e + "endstream".length))
@@ -403,7 +516,10 @@ object PdfCrypt {
       }
     }
     val vSpec =
-      if (aes) s"/V 4 /R 4 /Length $lenBits /CF << /StdCF << /CFM /AESV2 " +
+      if (v5) "/V 5 /R 6 /Length 256 /CF << /StdCF << /CFM /AESV3 " +
+        "/AuthEvent /DocOpen /Length 32 >> >> /StmF /StdCF /StrF /StdCF" +
+        s" /UE ${hexStr(ue)} /OE ${hexStr(oe)} /Perms ${hexStr(new Array[Byte](16))}"
+      else if (aes) s"/V 4 /R 4 /Length $lenBits /CF << /StdCF << /CFM /AESV2 " +
         "/AuthEvent /DocOpen /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
       else s"/V ${if (r == 2) 1 else 2} /R $r" +
         (if (r >= 3) s" /Length $lenBits" else "")

@@ -138,8 +138,9 @@ class IngestSpec extends AnyFunSuite {
     val content = "BT 1 0 0 1 72 700 Tm (secret line) Tj ET"
     val body = s"%PDF-1.4\n1 0 obj << /Length ${content.length} >>\n" +
       s"stream\n$content\nendstream\nendobj\n"
-    // AES-128 (V4/R4), R3 / RC4-128, and R2 / RC4-40, owner password only
-    for (r <- Seq(4, 3, 2)) {
+    // AES-256 (V5/R6), AES-128 (V4/R4), R3 / RC4-128, R2 / RC4-40 —
+    // all owner-password-only, all must open with the empty user password
+    for (r <- Seq(6, 4, 3, 2)) {
       val enc = PdfCrypt.encrypt(body, "owner-pw", "", r, 128, "fid")
       assert(PdfMini.isEncryptedLatin1(enc)) // ciphertext until decrypted
       assert(enc.indexOf(content) < 0)       // stream really is encrypted
@@ -150,15 +151,12 @@ class IngestSpec extends AnyFunSuite {
     val locked = PdfCrypt.encrypt(body, "owner-pw", "user-pw", 3, 128, "fid")
     val (txt2, why2) = Extract.extractSpan("pdf_bytes", locked)
     assert(txt2 == "" && why2 == graft.core.Reason.Encrypted)
-    // an AES file with a REAL user password classifies too
-    val lockedAes = PdfCrypt.encrypt(body, "owner-pw", "user-pw", 4, 128, "fid")
-    val (txt4, why4) = Extract.extractSpan("pdf_bytes", lockedAes)
-    assert(txt4 == "" && why4 == graft.core.Reason.Encrypted)
-    // V5 (AES-256) stays classified — not silently garbled
-    val v5 = body + "\ntrailer << /Encrypt << /Filter /Standard /V 5 /R 6 " +
-      "/O <00> /U <00> /P -44 >> >>\n%%EOF"
-    val (txt3, why3) = Extract.extractSpan("pdf_bytes", v5)
-    assert(txt3 == "" && why3 == graft.core.Reason.Encrypted)
+    // AES files with a REAL user password classify too (128 and 256)
+    for (r <- Seq(4, 6)) {
+      val lockedAes = PdfCrypt.encrypt(body, "owner-pw", "user-pw", r, 128, "fid")
+      val (txt4, why4) = Extract.extractSpan("pdf_bytes", lockedAes)
+      assert(txt4 == "" && why4 == graft.core.Reason.Encrypted, s"r=$r")
+    }
   }
 
   test("PdfMini shows hex-string operands, alone and inside TJ arrays") {
