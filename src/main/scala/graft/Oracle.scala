@@ -643,6 +643,21 @@ object Oracle {
       | string_agg(row, chr(10) ORDER BY i) || chr(10) || 'total' || chr(9) || doc_id AS txt
       |FROM r GROUP BY doc_id""".stripMargin
 
+  /** Mirror of Queries.xlsDecrypt: VelvetSweatshop-encrypted workbooks
+    * extract the exact q_xls_table text; %115 real-password docs classify
+    * encrypted with empty text.
+    */
+  private val xlsDecrypt: String =
+    """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
+      |  len(string_split(text,' ')) AS m FROM documents WHERE doc_id%23=0),
+      |r AS (SELECT doc_id, i, array_to_string(w[2*i+1:2*i+2], chr(9)) AS row
+      |      FROM p, LATERAL unnest(generate_series(0, (m-1)//2)) AS t(i))
+      |SELECT doc_id,
+      | CASE WHEN doc_id%115=0 THEN ''
+      |      ELSE string_agg(row, chr(10) ORDER BY i) || chr(10) || 'total' || chr(9) || doc_id END AS txt,
+      | CASE WHEN doc_id%115=0 THEN 'encrypted' ELSE '' END AS reason
+      |FROM r GROUP BY doc_id""".stripMargin
+
   /** Mirror of Queries.pdfEncrypted: %38 docs classify encrypted (empty
     * text), the rest extract their 5-word lines.
     */
@@ -1844,6 +1859,7 @@ object Oracle {
     "q_docx_media" -> docxMedia,
     "q_doc_bytes" -> pdfBytes, // same 5-word-line text, shared mirror
     "q_xls_table" -> xlsTable,
+    "q_xls_decrypt" -> xlsDecrypt,
     "q_odt_explode" -> odtExplode,
     "q_ods_table" -> odsTable,
     "q_odp_slides" -> odpSlides,

@@ -1372,6 +1372,40 @@ object Queries {
       .toDF("doc_id", "txt")
   }
 
+  /** §2.3 FilePass-encrypted legacy Excel (the POI silent-open path the
+    * reference rides through Tika, parity with q_pdf_decrypt): each %23
+    * doc is the q_xls_table workbook RC4-ENCRYPTED from scratch per
+    * [MS-OFFCRYPTO] under Excel's hardcoded default password
+    * `VelvetSweatshop` — cycling standard-RC4/MD5 (%69), CryptoAPI/SHA1
+    * 128-bit, and CryptoAPI 40-bit (%92) — and must extract exactly the
+    * plaintext table. %115 docs carry a REAL password: those classify
+    * encrypted, never emit garbage.
+    */
+  def xlsDecrypt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    import graft.core.office.{Cfb, Xls, XlsCrypt}
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .filter(_._1 % 23 == 0)
+      .map { case (id, t) =>
+        val rows = t.split(" ", -1).grouped(2)
+          .map(_.toSeq.map(w => (w, false))).toSeq ++
+          Seq(Seq(("total", false), (id.toString, true)))
+        val pw = if (id % 115 == 0) s"secret-$id" else "VelvetSweatshop"
+        val cryptoApi = id % 69 != 0
+        val keyBits = if (cryptoApi && id % 92 == 0) 40 else 128
+        val streams = Xls.buildStreams(rows).map { case (nm, b) =>
+          (nm, XlsCrypt.encrypt(b, pw, s"doc-$id", cryptoApi, keyBits))
+        }
+        val latin1 = new String(Cfb.build(streams), ISO_8859_1)
+        val (txt, why) =
+          try Extract.extractSpan("cfb", latin1)
+          catch { case _: graft.core.DecryptFailure => ("", graft.core.Reason.Encrypted) }
+        (id, txt, why)
+      }
+      .toDF("doc_id", "txt", "reason")
+  }
+
   /** §2.3 REAL legacy PowerPoint binary route (POI PowerPointExtractor
     * fixtures): 5-word lines as alternating TextBytesAtom/TextCharsAtom
     * records inside a container, walked back out in document order.
@@ -2539,6 +2573,7 @@ object Queries {
     "q_docx_media" -> (docxMedia _),
     "q_doc_bytes" -> (docBytes _),
     "q_xls_table" -> (xlsTable _),
+    "q_xls_decrypt" -> (xlsDecrypt _),
     "q_odt_explode" -> (odtExplode _),
     "q_ods_table" -> (odsTable _),
     "q_odp_slides" -> (odpSlides _),

@@ -95,9 +95,12 @@ object Xls {
     * tab-joined; rows newline-joined — the [[Xlsx.sheetText]] convention.
     */
   def text(entries: Seq[(String, Option[Array[Byte]])]): String = {
-    val book = entries.collectFirst {
+    val book0 = entries.collectFirst {
       case (n, Some(b)) if n == "Workbook" || n == "Book" => b
     }.getOrElse(throw new ParseFailure("xls: Workbook stream missing or refused"))
+    // FilePass-encrypted workbooks silently open under the POI default
+    // passwords (empty / VelvetSweatshop); real passwords classify
+    val book = XlsCrypt.decryptIfNeeded(book0)
 
     // pass 1: record directory, merging CONTINUE payloads into their
     // predecessor (SSTs larger than the 64 KiB record cap span continues;
