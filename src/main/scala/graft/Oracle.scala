@@ -246,6 +246,22 @@ object Oracle {
       |  sha256('64:'||sha256('doc '||doc_id)||'64:'||rid||'1:1'||'0:'||'13:usr/share/doc'),
       |  rid, 1, 'doc '||doc_id, '' FROM z""".stripMargin
 
+  /** Mirror of Queries.isoExplode: the image is an empty container node,
+    * its files path-named children (Joliet variants yield identical
+    * children — same content, same names, same ordinals).
+    */
+  private val isoExplode: String =
+    """WITH z AS (SELECT doc_id, sha256(doc_id::VARCHAR) AS rid
+      |           FROM documents WHERE doc_id%51=0)
+      |SELECT doc_id, rid AS node_id, '' AS parent_id, 0 AS level, '' AS txt,
+      |       'empty-file' AS reason FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('iso note '||doc_id)||'64:'||rid||'1:0'||'0:'||'10:README.TXT'),
+      |  rid, 1, 'iso note '||doc_id, '' FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('deep '||doc_id)||'64:'||rid||'1:1'||'0:'||'13:DOCS/DEEP.TXT'),
+      |  rid, 1, 'deep '||doc_id, '' FROM z""".stripMargin
+
   /** Mirror of Queries.rpmExplode: the flattened package — payload
     * framing (gzip+cpio) never appears, the files are direct children.
     */
@@ -1885,6 +1901,7 @@ object Oracle {
     "q_rar_explode" -> rarExplode,
     "q_ar_explode" -> arExplode,
     "q_cpio_explode" -> cpioExplode,
+    "q_iso_explode" -> isoExplode,
     "q_rpm_explode" -> rpmExplode,
     "q_url_filter" -> urlFilter,
     "q_web_funnel" -> webFunnel,

@@ -1424,6 +1424,30 @@ object Queries {
       .toDF("doc_id", "txt")
   }
 
+  /** §2.4 ISO 9660 disk-image explosion (ECMA-119; the evidence-image
+    * shape investigations drop whole as `.iso`): each %51 doc becomes a
+    * real image — a root file plus a subdirectory file whose names
+    * path-join — read back through the volume-descriptor walk; %102 docs
+    * master the SAME hierarchy through a Joliet supplementary descriptor
+    * (UTF-16BE names), which must yield identical children.
+    */
+  def isoExplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    docs(spark, dir).select("doc_id").as[Long]
+      .filter(id => id % 51 == 0)
+      .flatMap { id =>
+        val iso = graft.sources.Iso.build(Seq(
+          ("README.TXT", s"iso note $id".getBytes(UTF_8)),
+          ("DOCS/DEEP.TXT", s"deep $id".getBytes(UTF_8))),
+          joliet = id % 102 == 0)
+        val d = DocIn(id, Array(SpanIn("iso", new String(iso, ISO_8859_1), "", 0)))
+        Extract.explode(d).map(o =>
+          (id, o.doc_id, o.parent_id, o.level, o.spans.map(_.text).mkString(""), o.no_content_reason))
+      }
+      .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
+  }
+
   /** §2.4 embedded OLE objects in a legacy .doc (POI's ObjectPool walk):
     * %21 docs build a real .doc whose ObjectPool carries a text object;
     * extraction yields the body on the root and the object as a sniffed
@@ -2599,6 +2623,7 @@ object Queries {
     "q_rar_explode" -> (rarExplode _),
     "q_ar_explode" -> (arExplode _),
     "q_cpio_explode" -> (cpioExplode _),
+    "q_iso_explode" -> (isoExplode _),
     "q_rpm_explode" -> (rpmExplode _),
     "q_url_filter" -> (urlFilterQ _),
     "q_web_funnel" -> (webFunnel _),

@@ -74,6 +74,7 @@ object Ingest {
       graft.core.media.Probe.isIco(bytes)) "image" // raster image: header metadata, no text without OCR
     else if (graft.core.media.Probe.isMp4(bytes) || graft.core.media.Probe.isMp3(bytes) ||
       graft.core.media.Probe.isRiffAv(bytes)) "av" // audio/video container: duration/rate metadata
+    else if (Iso.isIso(bytes)) "iso"       // ISO 9660 disk image (ECMA-119)
     else if (Archive.isTar(bytes)) "tar"
     else if (hasUtf16Bom(bytes)) "text" // UTF-16 BOM: decoded per-charset below
     else if (graft.core.text.Jsonl.looksJsonl(bytes)) "jsonl" // one JSON object per line (corpus dumps)

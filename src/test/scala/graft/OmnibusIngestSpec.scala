@@ -121,10 +121,13 @@ class OmnibusIngestSpec extends AnyFunSuite {
     put("saved.mht", graft.core.mail.Mhtml.build("https://x.example/p.html",
       "<html><body><p>mhtml page body</p></body></html>",
       Seq("https://x.example/r/res.txt" -> "mht resource text".getBytes(UTF_8))))
+    put("evidence.iso", graft.sources.Iso.build(Seq(
+      ("R.TXT", "iso root text".getBytes(UTF_8)),
+      ("D/N.TXT", "iso nested text".getBytes(UTF_8)))))
     put("Thumbs.db", Array[Byte](1, 2, 3)) // junk: must be excluded
 
     val docs = Ingest.readDir(spark, dir.toString).collect()
-    assert(docs.length == 55) // every file except the junk one
+    assert(docs.length == 56) // every file except the junk one
 
     // media classify by magic and parse to empty-file (metadata, no OCR)
     val kinds = docs.flatMap(_.spans.map(_.kind))
@@ -151,7 +154,8 @@ class OmnibusIngestSpec extends AnyFunSuite {
       "cpio member text", "rpm file text",
       "mhtml page body", "mht resource text",
       "ods alpha\tods beta", "odp slide text", "compress member text",
-      "rar member text", "rar5 member text", "xps glyph text", "emlx store body")
+      "rar member text", "rar5 member text", "xps glyph text", "emlx store body",
+      "iso root text", "iso nested text")
     val missing = expected -- texts
     assert(missing.isEmpty, s"formats missing from extraction: $missing")
   }
