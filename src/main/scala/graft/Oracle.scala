@@ -659,6 +659,25 @@ object Oracle {
       | string_agg(row, chr(10) ORDER BY i) || chr(10) || 'total' || chr(9) || doc_id AS txt
       |FROM r GROUP BY doc_id""".stripMargin
 
+  /** Mirror of Queries.dbfTable: header K/V + two-word rows (odd tails
+    * pad with an empty value); %66 docs lose their FIRST row (deleted
+    * flag). Empty-body edge handled by the left join.
+    */
+  private val dbfTable: String =
+    """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
+      |  len(string_split(text,' ')) AS m FROM documents WHERE doc_id%33=0),
+      |r AS (SELECT doc_id, i,
+      |        w[2*i+1] || chr(9) || coalesce(w[2*i+2],'') AS row
+      |      FROM p, LATERAL unnest(generate_series(0, (m-1)//2)) AS t(i)
+      |      WHERE NOT (doc_id%66=0 AND i=0)),
+      |a AS (SELECT doc_id, string_agg(row, chr(10) ORDER BY i) AS body
+      |      FROM r GROUP BY doc_id)
+      |SELECT p.doc_id,
+      | 'K' || chr(9) || 'V' ||
+      |   CASE WHEN a.body IS NULL THEN '' ELSE chr(10) || a.body END AS txt,
+      | 'dbf' AS kind
+      |FROM p LEFT JOIN a ON p.doc_id = a.doc_id""".stripMargin
+
   /** Mirror of Queries.xlsDecrypt: VelvetSweatshop-encrypted workbooks
     * extract the exact q_xls_table text; %115 real-password docs classify
     * encrypted with empty text.
@@ -1876,6 +1895,7 @@ object Oracle {
     "q_doc_bytes" -> pdfBytes, // same 5-word-line text, shared mirror
     "q_xls_table" -> xlsTable,
     "q_xls_decrypt" -> xlsDecrypt,
+    "q_dbf_table" -> dbfTable,
     "q_odt_explode" -> odtExplode,
     "q_ods_table" -> odsTable,
     "q_odp_slides" -> odpSlides,

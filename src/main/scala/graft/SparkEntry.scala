@@ -1349,6 +1349,34 @@ object Queries {
       .toDF("doc_id", "txt", "kind")
   }
 
+  /** §2.3 dBase .dbf table route (the xBase fixed-width era; Tika
+    * DBFParser surface): each %33 doc becomes a real dBASE III file —
+    * two-word rows as space-padded character fields — sniffed
+    * structurally (the format has no magic) and rendered back to the
+    * shared header + tab-joined-rows convention. A deleted row (%66,
+    * flag 0x2A spliced over the first record) must be skipped.
+    */
+  def dbfTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .filter(_._1 % 33 == 0)
+      .map { case (id, t) =>
+        val rows = t.split(" ", -1).grouped(2).map(_.toSeq.padTo(2, "")).toSeq
+        val bytes = graft.core.db.Dbf.build(Seq("K", "V"), rows)
+        if (id % 66 == 0) {
+          // mark the FIRST record deleted: its flag byte sits right after
+          // the header area
+          val headerSize = (bytes(8) & 0xff) | ((bytes(9) & 0xff) << 8)
+          bytes(headerSize) = 0x2a
+        }
+        val kind = graft.sources.Ingest.sniffKind(bytes, "table.dbf")
+        val (txt, _) = Extract.extractSpan(kind, new String(bytes, ISO_8859_1))
+        (id, txt, kind)
+      }
+      .toDF("doc_id", "txt", "kind")
+  }
+
   /** §2.3 REAL legacy Excel binary route (POI ExcelExtractor fixtures):
     * the xlsx construction re-typeset as an actual BIFF8 workbook —
     * two-word rows as SST-indirected LABELSST cells (alternating
@@ -2598,6 +2626,7 @@ object Queries {
     "q_doc_bytes" -> (docBytes _),
     "q_xls_table" -> (xlsTable _),
     "q_xls_decrypt" -> (xlsDecrypt _),
+    "q_dbf_table" -> (dbfTable _),
     "q_odt_explode" -> (odtExplode _),
     "q_ods_table" -> (odsTable _),
     "q_odp_slides" -> (odpSlides _),

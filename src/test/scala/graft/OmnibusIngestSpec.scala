@@ -124,10 +124,11 @@ class OmnibusIngestSpec extends AnyFunSuite {
     put("evidence.iso", graft.sources.Iso.build(Seq(
       ("R.TXT", "iso root text".getBytes(UTF_8)),
       ("D/N.TXT", "iso nested text".getBytes(UTF_8)))))
+    put("gis.dbf", graft.core.db.Dbf.build(Seq("COL"), Seq(Seq("dbf cell text"))))
     put("Thumbs.db", Array[Byte](1, 2, 3)) // junk: must be excluded
 
     val docs = Ingest.readDir(spark, dir.toString).collect()
-    assert(docs.length == 56) // every file except the junk one
+    assert(docs.length == 57) // every file except the junk one
 
     // media classify by magic and parse to empty-file (metadata, no OCR)
     val kinds = docs.flatMap(_.spans.map(_.kind))
@@ -155,7 +156,7 @@ class OmnibusIngestSpec extends AnyFunSuite {
       "mhtml page body", "mht resource text",
       "ods alpha\tods beta", "odp slide text", "compress member text",
       "rar member text", "rar5 member text", "xps glyph text", "emlx store body",
-      "iso root text", "iso nested text")
+      "iso root text", "iso nested text", "COL\ndbf cell text")
     val missing = expected -- texts
     assert(missing.isEmpty, s"formats missing from extraction: $missing")
   }
