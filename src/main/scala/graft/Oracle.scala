@@ -746,6 +746,19 @@ object Oracle {
       |SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS txt
       |FROM l GROUP BY doc_id""".stripMargin
 
+  /** Mirror of Queries.wpdText: 5-word hard-return lines; %78 docs are
+    * password-flagged and classify encrypted with empty text.
+    */
+  private val wpdText: String =
+    """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
+      |  len(string_split(text,' ')) AS m FROM documents WHERE doc_id%39=0),
+      |l AS (SELECT doc_id, i, array_to_string(w[5*i+1:5*i+5],' ') AS line
+      |      FROM p, LATERAL unnest(generate_series(0, (m-1)//5)) AS t(i))
+      |SELECT doc_id,
+      | CASE WHEN doc_id%78=0 THEN '' ELSE string_agg(line, chr(10) ORDER BY i) END AS txt,
+      | CASE WHEN doc_id%78=0 THEN 'encrypted' ELSE '' END AS reason
+      |FROM l GROUP BY doc_id""".stripMargin
+
   /** Mirror of Queries.artifactLookup: the level-1 embed fetched by its
     * independently recomputed digest, with the content-addressed path.
     */
@@ -1896,6 +1909,7 @@ object Oracle {
     "q_xls_table" -> xlsTable,
     "q_xls_decrypt" -> xlsDecrypt,
     "q_dbf_table" -> dbfTable,
+    "q_wpd_text" -> wpdText,
     "q_odt_explode" -> odtExplode,
     "q_ods_table" -> odsTable,
     "q_odp_slides" -> odpSlides,

@@ -1476,6 +1476,30 @@ object Queries {
       .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
   }
 
+  /** §2.3 WordPerfect route (the legal-archive era format Tika parses):
+    * each %39 doc becomes a real WP5 document — 5-word lines joined by
+    * hard returns, with a single-byte function, a sized variable
+    * function, and (on %78 docs) a password flag interleaved — decoded
+    * back through the document-area byte grammar. Encrypted docs
+    * classify, never emit garbage.
+    */
+  def wpdText(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .filter(_._1 % 39 == 0)
+      .map { case (id, t) =>
+        val lines = t.split(" ", -1).grouped(5).map(_.mkString(" ")).toSeq
+        val bytes = graft.core.office.Wpd.build(lines)
+        if (id % 78 == 0) bytes(10) = 0x42 // non-zero encryption key
+        val (txt, why) =
+          try Extract.extractSpan("wpd", new String(bytes, ISO_8859_1))
+          catch { case _: graft.core.DecryptFailure => ("", graft.core.Reason.Encrypted) }
+        (id, txt, why)
+      }
+      .toDF("doc_id", "txt", "reason")
+  }
+
   /** §2.4 embedded OLE objects in a legacy .doc (POI's ObjectPool walk):
     * %21 docs build a real .doc whose ObjectPool carries a text object;
     * extraction yields the body on the root and the object as a sniffed
@@ -2627,6 +2651,7 @@ object Queries {
     "q_xls_table" -> (xlsTable _),
     "q_xls_decrypt" -> (xlsDecrypt _),
     "q_dbf_table" -> (dbfTable _),
+    "q_wpd_text" -> (wpdText _),
     "q_odt_explode" -> (odtExplode _),
     "q_ods_table" -> (odsTable _),
     "q_odp_slides" -> (odpSlides _),
