@@ -1672,6 +1672,34 @@ object Oracle {
   /** Mirror of Queries.rareTerms: df over deduped doc-terms, per-doc
     * top-3 by (df, term).
     */
+  /** Mirror of Queries.bpeMerges: two unrolled merge rounds — pair counts
+    * weighted by word frequency over double-separator sequences, top pair
+    * by (count DESC, lhs, rhs), merge applied by the same boundary-sharing
+    * `replace`.
+    */
+  private val bpeMerges: String =
+    """WITH w AS (SELECT word, count(*)::BIGINT AS freq FROM (
+      |    SELECT unnest(string_split(text,' ')) AS word FROM documents)
+      |  WHERE word <> '' GROUP BY word),
+      |s0 AS (SELECT freq, chr(1)||chr(1) ||
+      |         array_to_string(string_split(word,''), chr(1)||chr(1)) ||
+      |         chr(1)||chr(1) AS seq FROM w),
+      |p1 AS (SELECT syms[i] AS lhs, syms[i+1] AS rhs, sum(freq)::BIGINT AS cnt FROM (
+      |    SELECT freq, list_filter(string_split(seq, chr(1)||chr(1)), x -> x <> '') AS syms
+      |    FROM s0), LATERAL unnest(generate_series(1, len(syms)-1)) AS t(i)
+      |  GROUP BY 1, 2),
+      |m1 AS (SELECT lhs, rhs, cnt FROM p1 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+      |s1 AS (SELECT s0.freq, replace(s0.seq,
+      |         chr(1)||m1.lhs||chr(1)||chr(1)||m1.rhs||chr(1),
+      |         chr(1)||m1.lhs||m1.rhs||chr(1)) AS seq FROM s0, m1),
+      |p2 AS (SELECT syms[i] AS lhs, syms[i+1] AS rhs, sum(freq)::BIGINT AS cnt FROM (
+      |    SELECT freq, list_filter(string_split(seq, chr(1)||chr(1)), x -> x <> '') AS syms
+      |    FROM s1), LATERAL unnest(generate_series(1, len(syms)-1)) AS t(i)
+      |  GROUP BY 1, 2),
+      |m2 AS (SELECT lhs, rhs, cnt FROM p2 ORDER BY cnt DESC, lhs, rhs LIMIT 1)
+      |SELECT 1::BIGINT AS merge_rank, lhs, rhs, cnt FROM m1
+      |UNION ALL SELECT 2::BIGINT, lhs, rhs, cnt FROM m2""".stripMargin
+
   private val rareTerms: String =
     """WITH t AS (SELECT DISTINCT doc_id, term FROM (
       |  SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents)
@@ -1926,6 +1954,7 @@ object Oracle {
     "q_split_assign" -> splitAssign,
     "q_word_freq" -> wordFreq,
     "q_rare_terms" -> rareTerms,
+    "q_bpe_merges" -> bpeMerges,
     "q_chunk_overlap" -> chunkOverlap,
     "q_dedup_cluster" -> dedupCluster,
     "q_zstd_explode" -> zstdExplode,

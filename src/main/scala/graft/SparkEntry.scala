@@ -2545,6 +2545,58 @@ object Queries {
       .withColumn("mean_freq_x100", expr("(freq_sum * 100) div n_words"))
   }
 
+  /** BPE merge learning (tokenizer FITTING, not application — the
+    * Sennrich 2016 subword algorithm as relational rounds, the op a
+    * training-data pipeline runs corpus-wide before q_token_bpe can
+    * tokenize): start from the word-frequency table with words as
+    * character sequences; each round counts adjacent symbol pairs
+    * weighted by word frequency (map-side partial agg, one shuffle on the
+    * pair), picks the top pair (count DESC, then lexicographic — fully
+    * deterministic), and applies the merge to every sequence.
+    *
+    * The merge application is a single codegen'd `replace`: sequences are
+    * rendered with DOUBLED  separators (`␟␟a␟␟b␟␟`) and the pattern
+    * `␟a␟␟b␟` consumes one separator from each boundary, so left-to-right
+    * non-overlapping string replace IS greedy BPE merge application —
+    * bit-identical in Spark and DuckDB, no UDF, no per-row loop. The only
+    * driver materialization is the 1-row top-pair per round (the same
+    * bounded barrier connectedComponents uses for convergence). At 100 TB
+    * the pair counting is the standard map-combine shuffle; the vocab
+    * table this iterates on is O(distinct words), already reduced.
+    */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val Sep = ""
+    val Sep2 = Sep + Sep
+    var seqs = docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(concat(lit(Sep2), array_join(split(col("word"), ""), Sep2), lit(Sep2)).as("seq"),
+        col("freq"))
+    val merges = Vector.newBuilder[(Long, String, String, Long)]
+    var round = 1
+    while (round <= 2) {
+      val top = seqs
+        .select(col("freq"), expr(s"filter(split(seq, '$Sep$Sep'), s -> s != '')").as("syms"))
+        .select(col("freq"), col("syms"), posexplode(col("syms")).as(Seq("i", "lhs")))
+        .withColumn("rhs", expr("get(syms, i + 1)")) // NULL past the end
+        .filter(col("rhs").isNotNull)
+        .groupBy("lhs", "rhs").agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1)
+        .as[(String, String, Long)]
+        .head() // 1-row driver barrier: the round's learned merge
+      val (l, r, cnt) = top
+      merges += ((round.toLong, l, r, cnt))
+      seqs = seqs.withColumn("seq",
+        call_function("replace", col("seq"),
+          lit(Sep + l + Sep2 + r + Sep), lit(Sep + l + r + Sep)))
+      round += 1
+    }
+    merges.result().toDF("merge_rank", "lhs", "rhs", "cnt")
+  }
+
   /** Per-document rarest terms (the tf-idf shuffle shape kept
     * integer-exact: rank terms by document frequency ASCENDING — a real
     * keyword-extraction signal with no float idf in the compared output).
@@ -2668,6 +2720,7 @@ object Queries {
     "q_split_assign" -> (splitAssign _),
     "q_word_freq" -> (wordFreqScore _),
     "q_rare_terms" -> (rareTerms _),
+    "q_bpe_merges" -> (bpeMerges _),
     "q_chunk_overlap" -> (chunkOverlap _),
     "q_dedup_cluster" -> (dedupCluster _),
     "q_zstd_explode" -> (zstdExplode _),

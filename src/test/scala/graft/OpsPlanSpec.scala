@@ -27,6 +27,43 @@ class OpsPlanSpec extends AnyFunSuite {
       s"expected the rank filter to push down:\n${plan.take(1500)}")
   }
 
+  test("bpeMerges: two rounds match a direct in-memory BPE trainer") {
+    val rows = Queries.bpeMerges(spark, sf).collect()
+    assert(rows.length == 2)
+    // independent trainer: plain Scala maps, no separators trick
+    val texts = graft.core.Corpus.documents(spark, sf)
+      .select("text").collect().map(_.getString(0))
+    var freqs: Map[Vector[String], Long] = texts.iterator
+      .flatMap(_.split(" ", -1)).filter(_.nonEmpty).toSeq
+      .groupBy(identity).map { case (w, g) => (w.map(_.toString).toVector, g.size.toLong) }
+    def topPair: (String, String, Long) = {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      freqs.foreach { case (syms, f) =>
+        syms.indices.dropRight(1).foreach { i =>
+          counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+        }
+      }
+      val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+      (l, r, c)
+    }
+    def applyMerge(l: String, r: String): Unit =
+      freqs = freqs.groupMapReduce { case (syms, _) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2 // greedy left-to-right, non-overlapping
+          } else { out += syms(i); i += 1 }
+        }
+        out.result()
+      }(_._2)(_ + _)
+    val m1 = topPair
+    assert((rows(0).getString(1), rows(0).getString(2), rows(0).getLong(3)) == m1)
+    applyMerge(m1._1, m1._2)
+    val m2 = topPair
+    assert((rows(1).getString(1), rows(1).getString(2), rows(1).getLong(3)) == m2)
+  }
+
   test("chunkOverlap: stride-4 windows of 8 words, exchange-free plan") {
     val df = Queries.chunkOverlap(spark, sf)
     val rows = df.collect()
