@@ -1567,6 +1567,23 @@ object Oracle {
        |FROM documents""".stripMargin
   }
 
+  /** Mirror of Queries.domainBalance: hash domains, per-domain counts,
+    * inverse-frequency keep thresholds off the global min count.
+    */
+  private val domainBalance: String = {
+    val domain = s"(${hex2int("substr(md5(text),1,8)")} % 16)"
+    val draw = s"(${hex2int("substr(md5(text || '~draw'),1,8)")} % 256)"
+    s"""WITH d AS (SELECT doc_id, $domain::BIGINT AS domain, $draw::BIGINT AS draw
+       |           FROM documents),
+       |c AS (SELECT domain, count(*)::BIGINT AS n_domain FROM d GROUP BY domain),
+       |m AS (SELECT min(n_domain) AS min_cnt FROM c)
+       |SELECT doc_id, domain, n_domain,
+       | LEAST(256, (min_cnt * 256) // n_domain)::BIGINT AS threshold,
+       | (CASE WHEN draw < LEAST(256, (min_cnt * 256) // n_domain)
+       |       THEN 1 ELSE 0 END)::BIGINT AS kept
+       |FROM d JOIN c USING (domain) CROSS JOIN m""".stripMargin
+  }
+
   /** Mirror of Queries.packSequences: per-bucket running token sum into
     * capacity-256 bins.
     */
@@ -1955,6 +1972,7 @@ object Oracle {
     "q_word_freq" -> wordFreq,
     "q_rare_terms" -> rareTerms,
     "q_bpe_merges" -> bpeMerges,
+    "q_domain_balance" -> domainBalance,
     "q_chunk_overlap" -> chunkOverlap,
     "q_dedup_cluster" -> dedupCluster,
     "q_zstd_explode" -> zstdExplode,

@@ -2494,6 +2494,32 @@ object Queries {
       .withColumn("kept", (col("draw") < col("weight")).cast("long"))
   }
 
+  /** Domain-mixture rebalancing (the data-mixing step a pretraining
+    * pipeline runs after importance sampling: flatten the domain
+    * distribution toward uniform, the integer-exact limit of
+    * temperature resampling): domain = content-hash bucket, per-domain
+    * counts aggregate map-side and join back HINT-FREE (O(domains)
+    * side — AQE picks broadcast while it fits), the global min count is
+    * a 1-row broadcast, and each document keeps iff its independent
+    * draw clears the inverse-frequency threshold
+    * `min(256, (min_cnt * 256) div n_domain)` — the rarest domain keeps
+    * everything, a 10x-overrepresented domain keeps ~1/10. Map-only per
+    * row after the one counts shuffle; deterministic across runs/shards.
+    */
+  def domainBalance(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val d = docs(spark, dir).select(col("doc_id"),
+      (call_function("graft_code32", col("text")) % 16).cast("long").as("domain"),
+      (call_function("graft_code32", concat(col("text"), lit("~draw"))) % 256).as("draw"))
+    val counts = d.groupBy("domain").agg(count(lit(1)).as("n_domain"))
+    val minCnt = counts.agg(min(col("n_domain")).as("min_cnt"))
+    d.join(counts, "domain")
+      .crossJoin(broadcast(minCnt)) // 1 row, bounded by construction
+      .withColumn("threshold", least(lit(256L), expr("(min_cnt * 256) div n_domain")))
+      .withColumn("kept", (col("draw") < col("threshold")).cast("long"))
+      .select("doc_id", "domain", "n_domain", "threshold", "kept")
+  }
+
   /** Sequence packing (pretraining batch prep): within each content-hash
     * bucket, documents pack greedily in doc_id order into fixed-capacity
     * token bins — bin = floor(preceding-tokens / capacity). The window
@@ -2721,6 +2747,7 @@ object Queries {
     "q_word_freq" -> (wordFreqScore _),
     "q_rare_terms" -> (rareTerms _),
     "q_bpe_merges" -> (bpeMerges _),
+    "q_domain_balance" -> (domainBalance _),
     "q_chunk_overlap" -> (chunkOverlap _),
     "q_dedup_cluster" -> (dedupCluster _),
     "q_zstd_explode" -> (zstdExplode _),
