@@ -1607,7 +1607,7 @@ object Oracle {
       |           FROM documents WHERE doc_id%43=0),
       |n AS (SELECT doc_id, rid,
       |  sha256('64:'||sha256('5:s.txt'||octet_length(encode('sinner '||doc_id))||':sinner '||doc_id)
-      |    ||'64:'||rid||'1:3'||'0:'||'0:') AS ns
+      |    ||'64:'||rid||'1:4'||'0:'||'0:') AS ns
       | FROM z WHERE doc_id%86=0)
       |SELECT doc_id, rid AS node_id, '' AS parent_id, 0 AS level, '' AS txt,
       |       'empty-file' AS reason FROM z
@@ -1620,6 +1620,9 @@ object Oracle {
       |UNION ALL SELECT doc_id,
       |  sha256('64:'||sha256('unz '||doc_id)||'64:'||rid||'1:2'||'0:'||'0:'),
       |  rid, 1, 'unz '||doc_id, '' FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('lzm '||doc_id)||'64:'||rid||'1:3'||'0:'||'0:'),
+      |  rid, 1, 'lzm '||doc_id, '' FROM z
       |UNION ALL SELECT doc_id, ns, rid, 1, '', 'empty-file' FROM n
       |UNION ALL SELECT doc_id,
       |  sha256('64:'||sha256('sinner '||doc_id)||'64:'||ns||'1:0'||'0:'||'5:s.txt'),

@@ -847,11 +847,12 @@ object Queries {
         val base = Array(
           SpanIn("xz", new String(Archive.xzBytes(s"xzp $id".getBytes(UTF_8)), ISO_8859_1), "", 0),
           SpanIn("lz4", new String(Archive.lz4Bytes(s"lzf $id".getBytes(UTF_8)), ISO_8859_1), "", 1),
-          SpanIn("compress", new String(Archive.compressZBytes(s"unz $id".getBytes(UTF_8)), ISO_8859_1), "", 2))
+          SpanIn("compress", new String(Archive.compressZBytes(s"unz $id".getBytes(UTF_8)), ISO_8859_1), "", 2),
+          SpanIn("lzma", new String(Archive.lzmaBytes(s"lzm $id".getBytes(UTF_8)), ISO_8859_1), "", 3))
         val extra =
           if (id % 86 == 0) Array(SpanIn("snappy",
             new String(Archive.snappyBytes(
-              Archive.zipBytes(Seq(("s.txt", s"sinner $id".getBytes(UTF_8))))), ISO_8859_1), "", 3))
+              Archive.zipBytes(Seq(("s.txt", s"sinner $id".getBytes(UTF_8))))), ISO_8859_1), "", 4))
           else Array.empty[SpanIn]
         Extract.explode(DocIn(id, base ++ extra)).map(o =>
           (id, o.doc_id, o.parent_id, o.level, o.spans.map(_.text).mkString(""), o.no_content_reason))

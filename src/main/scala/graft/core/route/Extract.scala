@@ -109,7 +109,7 @@ object Extract {
       // zip: an OOXML PACKAGE (docx/xlsx/pptx) yields its body text;
       // a plain archive has none
       case "zip"       => (graft.core.office.Ooxml.packageText(t, cfg.maxSpanChars), "")
-      case "gzip" | "tar" | "zstd" | "bzip2" | "xz" | "lz4" | "snappy" | "compress" | "warc" | "jsonl" | "7z" | "rar" | "pst" | "mbox" | "parquet" | "avro" | "sqlite" | "ar" | "cpio" | "rpm" | "iso" => ("", "") // container: no own text, entries explode to children
+      case "gzip" | "tar" | "zstd" | "bzip2" | "xz" | "lz4" | "snappy" | "compress" | "lzma" | "warc" | "jsonl" | "7z" | "rar" | "pst" | "mbox" | "parquet" | "avro" | "sqlite" | "ar" | "cpio" | "rpm" | "iso" => ("", "") // container: no own text, entries explode to children
       // cfb: an Outlook MESSAGE yields its body text; a generic compound
       // file is a pure container (streams explode to children)
       case "cfb"       => (graft.core.office.Msg.cfbText(t, cfg.maxSpanChars), "")
@@ -139,7 +139,7 @@ object Extract {
     * span-parallel path for reassembly).
     */
   val ContainerKinds: Set[String] =
-    Set("media", "zip", "gzip", "tar", "eml", "emlx", "mhtml", "cfb", "zstd", "bzip2", "xz", "lz4", "snappy", "compress", "warc", "jsonl", "7z", "rar", "pst", "tnef", "mbox", "parquet", "avro", "sqlite", "ar", "cpio", "rpm", "plist", "iso")
+    Set("media", "zip", "gzip", "tar", "eml", "emlx", "mhtml", "cfb", "zstd", "bzip2", "xz", "lz4", "snappy", "compress", "lzma", "warc", "jsonl", "7z", "rar", "pst", "tnef", "mbox", "parquet", "avro", "sqlite", "ar", "cpio", "rpm", "plist", "iso")
 
   /** Null spans (a row written with spans=NULL) are treated as an empty
     * span array — reason=empty-file, never a failure — in BOTH the batch and
@@ -651,6 +651,8 @@ object Extract {
           Some(Vector(graft.sources.Archive.unxz(data, cfg.maxSpanChars)))
         else if (graft.sources.Archive.isCompressZ(data))
           Some(Vector(graft.sources.Archive.uncompressZ(data, cfg.maxSpanChars)))
+        else if (graft.sources.Archive.isLzma(data))
+          Some(Vector(graft.sources.Archive.unlzma(data, cfg.maxSpanChars)))
         else if (graft.sources.Archive.isLz4(data))
           Some(Vector(graft.sources.Archive.unlz4(data, cfg.maxSpanChars)))
         else if (graft.sources.Archive.isSnappy(data))
@@ -892,6 +894,10 @@ object Extract {
         case "compress" =>
           val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
           val (n, b) = graft.sources.Archive.uncompressZ(bytes, cfg.maxSpanChars)
+          spawnEntry(n, b, rootId, ord, 1); ord += 1
+        case "lzma" =>
+          val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          val (n, b) = graft.sources.Archive.unlzma(bytes, cfg.maxSpanChars)
           spawnEntry(n, b, rootId, ord, 1); ord += 1
         case "lz4" =>
           val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)

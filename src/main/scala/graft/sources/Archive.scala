@@ -385,6 +385,53 @@ object Archive {
       case e: java.io.IOException => throw new ParseFailure(s"corrupt xz: ${e.getMessage}")
     }
 
+  /** LZMA-alone (.lzma, the pre-xz container): no magic — validated
+    * structurally per the published header: a decodable properties byte
+    * (lc/lp/pb < 9*5*5), a power-of-two dictionary size in the range real
+    * encoders emit, and an uncompressed-size field that is either the
+    * unknown marker (-1) or plausible. Strict enough that prose and the
+    * other magic-less formats can't collide.
+    */
+  def isLzma(bytes: Array[Byte]): Boolean = {
+    if (bytes.length < 14) return false
+    val props = bytes(0) & 0xff
+    if (props >= 9 * 5 * 5) return false
+    val dict = (bytes(1) & 0xffL) | ((bytes(2) & 0xffL) << 8) |
+      ((bytes(3) & 0xffL) << 16) | ((bytes(4) & 0xffL) << 24)
+    if (dict < 4096 || dict > (1L << 27) || (dict & (dict - 1)) != 0) return false
+    var size = 0L
+    var i = 12
+    while (i >= 5) { size = (size << 8) | (bytes(i) & 0xffL); i -= 1 }
+    size == -1L || (size >= 0 && size < (1L << 40))
+  }
+
+  /** Decode an LZMA-alone stream (xz-java on the Spark classpath),
+    * 64 MiB memory cap like [[unxz]].
+    */
+  def unlzma(bytes: Array[Byte], maxBytes: Int): (String, Option[Array[Byte]]) =
+    try {
+      val in = new org.tukaani.xz.LZMAInputStream(new ByteArrayInputStream(bytes), 64 * 1024)
+      try ("", readCapped(in, maxBytes))
+      finally in.close()
+    } catch {
+      case e: org.tukaani.xz.MemoryLimitException =>
+        throw new ParseFailure(s"lzma dictionary over the 64 MiB decode cap: ${e.getMessage}")
+      case e: RuntimeException =>
+        throw new ParseFailure(s"corrupt lzma: ${e.getMessage}")
+      case e: java.io.IOException => throw new ParseFailure(s"corrupt lzma: ${e.getMessage}")
+    }
+
+  /** Deterministic LZMA-alone bytes (known size in the header, preset 0
+    * like [[xzBytes]] — tiny fixture payloads, bounded decoder memory).
+    */
+  def lzmaBytes(payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val opts = new org.tukaani.xz.LZMA2Options(0)
+    val los = new org.tukaani.xz.LZMAOutputStream(out, opts, payload.length.toLong)
+    los.write(payload); los.close()
+    out.toByteArray
+  }
+
   /** Unix compress(1) magic 1F 9D — the .Z tarball era's codec, still
     * common in long-lived archives and old Usenet/FTP mirrors.
     */

@@ -53,6 +53,7 @@ object Ingest {
     else if (Archive.isZstd(bytes)) "zstd"   // RFC 8878 frame (.zst corpora)
     else if (Archive.isXz(bytes)) "xz"       // xz stream (.xz tarball era)
     else if (Archive.isCompressZ(bytes)) "compress" // unix compress .Z (LZW)
+    else if (Archive.isLzma(bytes)) "lzma"   // LZMA-alone (.lzma, pre-xz)
     else if (Archive.isLz4(bytes)) "lz4"     // LZ4 frame
     else if (Archive.isSnappy(bytes)) "snappy" // snappy framed (.sz Hadoop era)
     else if (Archive.is7z(bytes)) "7z"       // 7-Zip archive

@@ -550,4 +550,25 @@ class ArchiveSpec extends AnyFunSuite {
     assert(es.map(_._1) == Vector("deep.txt"))
     assert(new String(es.head._2.get, "UTF-8").startsWith("lzma2 payload "))
   }
+
+  test("LZMA-alone streams round-trip, sniff structurally, and recurse") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val payload = "lzma alone member text".getBytes(UTF_8)
+    val b = Archive.lzmaBytes(payload)
+    assert(Archive.isLzma(b))
+    assert(graft.sources.Ingest.sniffKind(b, "old.lzma") == "lzma")
+    assert(Archive.unlzma(b, 1 << 20)._2.map(new String(_, UTF_8)) == Some("lzma alone member text"))
+    // prose and zero-fill must not collide with the magic-less sniff
+    assert(!Archive.isLzma("plain prose that is long enough to check the sniff".getBytes(UTF_8)))
+    assert(!Archive.isLzma(new Array[Byte](64)))
+    // corrupt body classifies
+    val bad = b.clone(); bad(b.length - 1) = (bad(b.length - 1) ^ 0x7f).toByte
+    intercept[graft.core.ParseFailure] { Archive.unlzma(bad, 1 << 20) }
+    // nested: .tar.lzma chains codec -> tar -> file
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    val tl = Archive.lzmaBytes(Archive.tarBytes(Seq(("t.txt", "tar in lzma".getBytes(UTF_8)))))
+    val out = graft.core.route.Extract.explode(graft.core.DocIn(5L,
+      Array(graft.core.SpanIn("lzma", new String(tl, ISO_8859_1), "", 0))))
+    assert(out.filter(_.level == 2).flatMap(_.spans).map(_.text) == Seq("tar in lzma"))
+  }
 }
