@@ -746,6 +746,17 @@ object Oracle {
       |SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS txt
       |FROM l GROUP BY doc_id""".stripMargin
 
+  /** Mirror of Queries.lnkText: target path from the first word, name
+    * and size lines.
+    */
+  private val lnkText: String =
+    """SELECT doc_id,
+      | 'target: C:\docs\' || string_split(text,' ')[1] || '.doc' || chr(10) ||
+      | 'name: opened ' || doc_id || chr(10) ||
+      | 'size: ' || (doc_id + 7) AS txt,
+      | 'lnk' AS kind
+      |FROM documents WHERE doc_id%47=0""".stripMargin
+
   /** Mirror of Queries.wpdText: 5-word hard-return lines; %78 docs are
     * password-flagged and classify encrypted with empty text.
     */
@@ -1958,6 +1969,7 @@ object Oracle {
     "q_xls_decrypt" -> xlsDecrypt,
     "q_dbf_table" -> dbfTable,
     "q_wpd_text" -> wpdText,
+    "q_lnk_text" -> lnkText,
     "q_odt_explode" -> odtExplode,
     "q_ods_table" -> odsTable,
     "q_odp_slides" -> odpSlides,

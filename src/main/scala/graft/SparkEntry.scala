@@ -1378,6 +1378,28 @@ object Queries {
       .toDF("doc_id", "txt", "kind")
   }
 
+  /** §2.3 Windows shell-link route ([MS-SHLLINK]; the Recent-Items
+    * forensic artifact Tika parses): each %47 doc becomes a real .lnk —
+    * LinkInfo local base path from the document's first word, unicode
+    * NAME string data, declared target size — rendered back to key:value
+    * metadata text.
+    */
+  def lnkText(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .filter(_._1 % 47 == 0)
+      .map { case (id, t) =>
+        val w = t.split(" ", -1).head
+        val bytes = graft.core.office.Lnk.build(
+          target = s"C:\\docs\\$w.doc", name = s"opened $id", fileSize = id + 7)
+        val kind = graft.sources.Ingest.sniffKind(bytes, "recent.lnk")
+        val (txt, _) = Extract.extractSpan(kind, new String(bytes, ISO_8859_1))
+        (id, txt, kind)
+      }
+      .toDF("doc_id", "txt", "kind")
+  }
+
   /** §2.3 REAL legacy Excel binary route (POI ExcelExtractor fixtures):
     * the xlsx construction re-typeset as an actual BIFF8 workbook —
     * two-word rows as SST-indirected LABELSST cells (alternating
@@ -2731,6 +2753,7 @@ object Queries {
     "q_xls_decrypt" -> (xlsDecrypt _),
     "q_dbf_table" -> (dbfTable _),
     "q_wpd_text" -> (wpdText _),
+    "q_lnk_text" -> (lnkText _),
     "q_odt_explode" -> (odtExplode _),
     "q_ods_table" -> (odsTable _),
     "q_odp_slides" -> (odpSlides _),

@@ -125,6 +125,8 @@ object Extract {
         (graft.core.db.Dbf.text(t.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)), "")
       case "wpd"       => // WordPerfect: document-area byte-stream decode
         (graft.core.office.Wpd.text(t.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)), "")
+      case "lnk"       => // Windows shortcut: target/string-data metadata text
+        (graft.core.office.Lnk.text(t.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)), "")
       case "vcard"     => (graft.core.text.Contact.vcardText(t), "") // RFC 6350 contact card
       case "ics"       => (graft.core.text.Contact.icsText(t), "")   // RFC 5545 calendar
       case "xml"       => (graft.core.text.Xml.text(t), "") // standalone XML: markup stripped (Tika XMLParser)

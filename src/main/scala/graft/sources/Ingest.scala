@@ -71,6 +71,7 @@ object Ingest {
     else if (graft.core.db.Plist.isBplist(bytes)) "plist" // Apple binary property list (bplist00)
     else if (graft.core.db.Dbf.isDbf(bytes)) "dbf" // dBase table (xBase, Tika DBFParser surface)
     else if (graft.core.office.Wpd.isWpd(bytes)) "wpd" // WordPerfect document (0xFF WPC)
+    else if (graft.core.office.Lnk.isLnk(bytes)) "lnk" // Windows shell link (MS-SHLLINK)
     else if (graft.core.media.Probe.isPng(bytes) || graft.core.media.Probe.isJpeg(bytes) ||
       graft.core.media.Probe.isGif(bytes) || graft.core.media.Probe.isTiff(bytes) ||
       graft.core.media.Probe.isWebp(bytes) || graft.core.media.Probe.isBmp(bytes) ||

@@ -126,10 +126,12 @@ class OmnibusIngestSpec extends AnyFunSuite {
       ("D/N.TXT", "iso nested text".getBytes(UTF_8)))))
     put("gis.dbf", graft.core.db.Dbf.build(Seq("COL"), Seq(Seq("dbf cell text"))))
     put("brief.wpd", graft.core.office.Wpd.build(Seq("wpd brief text")))
+    put("recent.lnk", graft.core.office.Lnk.build("C:\\omni\\seen.doc"))
+    put("old.lzma", graft.sources.Archive.lzmaBytes("lzma member text".getBytes(UTF_8)))
     put("Thumbs.db", Array[Byte](1, 2, 3)) // junk: must be excluded
 
     val docs = Ingest.readDir(spark, dir.toString).collect()
-    assert(docs.length == 58) // every file except the junk one
+    assert(docs.length == 60) // every file except the junk one
 
     // media classify by magic and parse to empty-file (metadata, no OCR)
     val kinds = docs.flatMap(_.spans.map(_.kind))
@@ -157,7 +159,8 @@ class OmnibusIngestSpec extends AnyFunSuite {
       "mhtml page body", "mht resource text",
       "ods alpha\tods beta", "odp slide text", "compress member text",
       "rar member text", "rar5 member text", "xps glyph text", "emlx store body",
-      "iso root text", "iso nested text", "COL\ndbf cell text", "wpd brief text")
+      "iso root text", "iso nested text", "COL\ndbf cell text", "wpd brief text",
+      "target: C:\\omni\\seen.doc", "lzma member text")
     val missing = expected -- texts
     assert(missing.isEmpty, s"formats missing from extraction: $missing")
   }
