@@ -71,7 +71,11 @@ object Eml {
     val boundary = param(ct, "boundary")
     if (boundary.isEmpty) {
       val cte = firstHeader(headers, "Content-Transfer-Encoding").getOrElse("")
-      Message(headers, new String(decodeBody(body, cte), UTF_8), Vector.empty)
+      val text = new String(decodeBody(body, cte), UTF_8)
+      // pre-MIME mail reality: uuencoded blocks inline in a plain body
+      // become attachments, the surrounding prose stays the body
+      val (clean, uuAtts) = extractUuencode(text)
+      Message(headers, clean, uuAtts)
     } else {
       val (mainBody, atts) = walkMultipart(body, boundary, MaxNesting)
       Message(headers, mainBody.getOrElse(""), atts)
@@ -336,6 +340,71 @@ object Eml {
     * (ISO-8859-1: byte-transparent). Malformed encodings degrade to the
     * raw bytes — never throw.
     */
+  /** Inline uuencode blocks (`begin <mode> <name>` … `end`, the pre-MIME
+    * attachment convention old mail archives are full of; uudecode(1) is
+    * the published spec): each well-formed block becomes an attachment
+    * and is removed from the body text. TOLERANT by design — a malformed
+    * block (no end line, invalid length char, chars outside the 0x20-0x60
+    * alphabet) is left verbatim in the body: untrusted prose that merely
+    * mentions `begin 644` must never be eaten or fail the message.
+    */
+  private[mail] def extractUuencode(text: String)
+  : (String, Vector[(String, Array[Byte])]) = {
+    if (!text.contains("begin ")) return (text, Vector.empty)
+    val BeginRe = "^begin [0-7]{3,4} (.+)$".r
+    val lines = text.split("\n", -1)
+    val keep = Vector.newBuilder[String]
+    val atts = Vector.newBuilder[(String, Array[Byte])]
+    var i = 0
+    while (i < lines.length) {
+      val line = lines(i).stripSuffix("\r")
+      BeginRe.findFirstMatchIn(line) match {
+        case Some(m) =>
+          val name = m.group(1)
+          val data = new java.io.ByteArrayOutputStream()
+          var j = i + 1
+          var ok = true
+          var ended = false
+          while (ok && !ended && j < lines.length) {
+            val l = lines(j).stripSuffix("\r")
+            if (l == "end") ended = true
+            else if (l.isEmpty) ok = false
+            else {
+              val n = (l.charAt(0) - 0x20) & 0x3f
+              if (n == 0) () // length-0 terminator line before "end"
+              else if (l.exists(c => c < 0x20 || c > 0x60)) ok = false
+              else if (l.length < 1 + ((n + 2) / 3) * 4) ok = false
+              else {
+                var p = 1
+                var remaining = n
+                while (remaining > 0) {
+                  val v = (0 until 4).map(k => (l.charAt(p + k) - 0x20) & 0x3f)
+                  val bs = Array((v(0) << 2 | v(1) >> 4).toByte,
+                    ((v(1) << 4 | v(2) >> 2) & 0xff).toByte,
+                    ((v(2) << 6 | v(3)) & 0xff).toByte)
+                  data.write(bs, 0, math.min(3, remaining))
+                  remaining -= 3
+                  p += 4
+                }
+              }
+              if (ok && !ended) j += 1
+            }
+          }
+          if (ended && ok) {
+            atts += ((name, data.toByteArray))
+            i = j + 1 // skip past "end"
+          } else {
+            keep += lines(i) // malformed: keep the begin line verbatim
+            i += 1
+          }
+        case None =>
+          keep += lines(i)
+          i += 1
+      }
+    }
+    (keep.result().mkString("\n"), atts.result())
+  }
+
   def decodeBody(body: String, cte: String): Array[Byte] =
     cte.trim.toLowerCase(java.util.Locale.ROOT) match {
       case "base64" =>

@@ -398,4 +398,31 @@ class EmlSpec extends AnyFunSuite {
     assert(out.exists(o => o.level == 0 && o.spans.exists(_.text == "emlx body here")))
     assert(out.exists(o => o.level == 1 && o.spans.exists(_.text == "att data")))
   }
+
+  test("inline uuencode blocks become attachments, prose stays the body") {
+    // encode "uu payload!" by hand via the published uudecode alphabet
+    def uuLine(bs: Array[Byte]): String = {
+      val sb = new StringBuilder
+      sb.append((bs.length + 0x20).toChar)
+      bs.grouped(3).foreach { g =>
+        val b = g.padTo(3, 0.toByte)
+        val v = Seq((b(0) & 0xff) >> 2, ((b(0) & 0x03) << 4) | ((b(1) & 0xff) >> 4),
+          ((b(1) & 0x0f) << 2) | ((b(2) & 0xff) >> 6), b(2) & 0x3f)
+        v.foreach(x => sb.append((if (x == 0) 0x60 else x + 0x20).toChar))
+      }
+      sb.toString
+    }
+    val payload = "uu payload!".getBytes("UTF-8")
+    val raw = "From: u@x\r\nContent-Type: text/plain\r\n\r\n" +
+      "see attached\nbegin 644 legacy.bin\n" + uuLine(payload) + "\n`\nend\nbye"
+    val m = graft.core.mail.Eml.parse(raw)
+    assert(m.body === "see attached\nbye")
+    assert(m.attachments.map(_._1) === Vector("legacy.bin"))
+    assert(new String(m.attachments.head._2, "UTF-8") === "uu payload!")
+    // malformed block (no end): body kept verbatim, no attachment
+    val bad = "From: u@x\r\n\r\nprose begin 644 x\nbegin 644 y.bin\n" + uuLine(payload)
+    val m2 = graft.core.mail.Eml.parse(bad)
+    assert(m2.attachments.isEmpty)
+    assert(m2.body.contains("begin 644 y.bin"))
+  }
 }
