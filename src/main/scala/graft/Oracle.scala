@@ -1648,6 +1648,25 @@ object Oracle {
        |FROM documents""".stripMargin
   }
 
+  /** Mirror of Queries.robotsFilterQ: longest-match REP decisions over
+    * the three synthetic hosts' rules.
+    */
+  private val robotsFilter: String =
+    """SELECT doc_id,
+      | (CASE WHEN doc_id%7=0 THEN 'ftp' ELSE 'http' END) || '://' ||
+      | (CASE doc_id%3 WHEN 0 THEN 'good.example' WHEN 1 THEN 'spam.example'
+      |       ELSE 'sub.bad.example' END) ||
+      | '/p' || doc_id || (CASE WHEN doc_id%5=0 THEN '?track=1' ELSE '' END) AS url,
+      | CASE WHEN doc_id%3=1 THEN 'blocked'
+      |      WHEN doc_id%3=0 AND doc_id::VARCHAR LIKE '1%'
+      |           AND doc_id::VARCHAR NOT LIKE '12%' THEN 'blocked'
+      |      ELSE 'fetch' END AS verdict,
+      | CASE WHEN doc_id%3=1 THEN '/'
+      |      WHEN doc_id%3=0 AND doc_id::VARCHAR LIKE '12%' THEN '/p12'
+      |      WHEN doc_id%3=0 AND doc_id::VARCHAR LIKE '1%' THEN '/p1'
+      |      ELSE '' END AS rule
+      |FROM documents""".stripMargin
+
   /** Mirror of Queries.urlFilterQ: the deterministic crawl URLs with the
     * rule cascade (scheme, domain suffix, keyword) and first-matching
     * reason.
@@ -2000,6 +2019,7 @@ object Oracle {
     "q_iso_explode" -> isoExplode,
     "q_rpm_explode" -> rpmExplode,
     "q_url_filter" -> urlFilter,
+    "q_robots_filter" -> robotsFilter,
     "q_web_funnel" -> webFunnel,
     "q_eml_headers" -> emlHeaders,
     "q_artifact_lookup" -> artifactLookup,

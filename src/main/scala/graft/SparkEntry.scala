@@ -2420,6 +2420,28 @@ object Queries {
     graft.operators.Scrub.urlFilter(urls, CrawlBlockedDomains, CrawlBlockedKeywords)
   }
 
+  /** Robots-exclusion filtering (RFC 9309, the politeness gate ahead of
+    * every crawl-derived corpus): REAL robots.txt bodies — comments, a
+    * non-`*` group that must not apply, an empty Disallow meaning no
+    * rule, Allow/Disallow prefixes — parse into per-host rules, join the
+    * crawl URLs hint-free, and decide with longest-match semantics
+    * (Allow beats Disallow on ties) via one max(struct) aggregation.
+    */
+  def robotsFilterQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val robots = Seq(
+      ("good.example",
+        "# corpus crawler policy\nUser-agent: evilbot\nDisallow: /\n\n" +
+          "User-agent: *\nDisallow: /p1\nAllow: /p12\n"),
+      ("spam.example", "User-agent: *\nDisallow: /\n"),
+      ("sub.bad.example", "User-agent: *\nDisallow:\nCrawl-delay: 10\n"))
+      .toDF("host", "robots_txt")
+    val rules = graft.operators.Scrub.robotsRules(spark, robots)
+    val urls = docs(spark, dir).select("doc_id").as[Long]
+      .map(id => (id, crawlUrlOf(id))).toDF("doc_id", "url")
+    graft.operators.Scrub.robotsFilter(urls, rules)
+  }
+
   /** The WEB funnel — crawl-to-corpus as ONE Catalyst plan, composing the
     * round's web-native operators end-to-end the way a 100 TB pipeline
     * would: REAL WARC bytes built and exploded per document (mapPartitions,
@@ -2772,6 +2794,7 @@ object Queries {
     "q_rare_terms" -> (rareTerms _),
     "q_bpe_merges" -> (bpeMerges _),
     "q_domain_balance" -> (domainBalance _),
+    "q_robots_filter" -> (robotsFilterQ _),
     "q_chunk_overlap" -> (chunkOverlap _),
     "q_dedup_cluster" -> (dedupCluster _),
     "q_zstd_explode" -> (zstdExplode _),

@@ -76,4 +76,69 @@ object Scrub {
       .withColumn("reason", reason)
       .withColumn("kept", (reason === "").cast("long"))
   }
+
+  /** Parse robots.txt bodies into per-host (allow, prefix) rules for the
+    * `*` user-agent group — the REP grammar (RFC 9309): `#` comments
+    * strip, field names are case-insensitive, a group is one or more
+    * User-agent lines followed by rules, and an empty Disallow value
+    * means "no rule". Only groups naming `*` apply (a polite bulk crawler
+    * has no product token). A real parser over untrusted text, so a typed
+    * flatMap — per-row work, no shuffle.
+    */
+  def robotsRules(spark: SparkSession, robots: DataFrame): DataFrame = {
+    import spark.implicits._
+    robots.select(col("host"), col("robots_txt")).as[(String, String)]
+      .flatMap { case (host, txt) =>
+        val out = Vector.newBuilder[(String, Int, String)]
+        var agents = Set.empty[String]
+        var collecting = false // inside a group that names '*'
+        var inAgentRun = true  // consecutive UA lines accumulate one group
+        txt.split("\r?\n", -1).foreach { raw =>
+          val line = raw.takeWhile(_ != '#').trim
+          val colonAt = line.indexOf(':')
+          if (colonAt > 0) {
+            val field = line.substring(0, colonAt).trim.toLowerCase(java.util.Locale.ROOT)
+            val value = line.substring(colonAt + 1).trim
+            field match {
+              case "user-agent" =>
+                if (!inAgentRun) { agents = Set.empty; inAgentRun = true }
+                agents += value.toLowerCase(java.util.Locale.ROOT)
+                collecting = agents.contains("*")
+              case "allow" | "disallow" =>
+                inAgentRun = false
+                if (collecting && value.nonEmpty)
+                  out += ((host, if (field == "allow") 1 else 0, value))
+              case _ => inAgentRun = false // crawl-delay, sitemap, unknown
+            }
+          }
+        }
+        out.result()
+      }
+      .toDF("host", "allow", "prefix")
+  }
+
+  /** Apply robots rules to crawl URLs with REP longest-match semantics:
+    * among rules whose prefix matches the URL path, the LONGEST wins,
+    * Allow beating Disallow on ties; no matching rule means fetchable.
+    * The rules side is O(hosts x rules) — tiny next to the URL set, so
+    * the join stays hint-free (AQE broadcasts it); the per-URL argmax is
+    * one max(struct) aggregation, no window.
+    */
+  def robotsFilter(urls: DataFrame, rules: DataFrame, urlCol: String = "url"): DataFrame = {
+    val u = lower(col(urlCol))
+    val withParts = urls
+      .withColumn("host", regexp_extract(u, "^[a-z]+://([^/?#]+)", 1))
+      .withColumn("path", regexp_extract(u, "^[a-z]+://[^/?#]+([^?#]*)", 1))
+    val matched = withParts.join(rules, Seq("host"), "left")
+      .withColumn("hit", col("prefix").isNotNull && expr("startswith(path, prefix)"))
+    matched
+      .groupBy(urls.columns.map(col) :+ col("path"): _*)
+      .agg(max(when(col("hit"),
+        struct(length(col("prefix")).as("l"), col("allow").as("a"), col("prefix").as("p"))))
+        .as("best"))
+      .withColumn("verdict",
+        when(col("best").isNull || col("best.a") === 1, "fetch").otherwise("blocked"))
+      .withColumn("rule", coalesce(col("best.p"), lit("")))
+      .drop("best", "path")
+  }
 }
