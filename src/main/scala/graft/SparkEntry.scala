@@ -2639,12 +2639,18 @@ object Queries {
     import spark.implicits._
     val Sep = ""
     val Sep2 = Sep + Sep
+    // materialize the vocab ONCE (localCheckpoint, the connectedComponents
+    // pattern): it is O(distinct words) — already reduced — and every
+    // round would otherwise re-scan the corpus and re-run the word
+    // aggregation through the growing replace chain (measured 4.0s -> the
+    // checkpointed form at sf0.1)
     var seqs = docs(spark, dir)
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(concat(lit(Sep2), array_join(split(col("word"), ""), Sep2), lit(Sep2)).as("seq"),
         col("freq"))
+      .localCheckpoint()
     val merges = Vector.newBuilder[(Long, String, String, Long)]
     var round = 1
     while (round <= 2) {
