@@ -195,4 +195,36 @@ object BinaryFuzzProps extends Properties("BinaryFuzz") {
       total(Probe.probeWebp("RIFF    WEBP".getBytes ++ b)) &&
       total(Probe.probeIco(Array[Byte](0, 0, 1, 0, 1, 0) ++ b))
   }
+
+  property("iso entries: descriptor-stamped junk classifies") = Prop.forAll(junk) { b =>
+    // junk placed where the descriptor set lives (sector 16)
+    val img = new Array[Byte](16 * 2048) ++ "\u0001CD001".getBytes ++ b
+    total { if (graft.sources.Iso.isIso(img)) graft.sources.Iso.entries(img, 1 << 20) }
+  }
+
+  property("dbf: structurally-plausible junk classifies") = Prop.forAll(junk) { b =>
+    val head = Array[Byte](3, 24, 1, 15) ++ b
+    total { if (graft.core.db.Dbf.isDbf(head)) graft.core.db.Dbf.parse(head) }
+  }
+
+  property("wpd: magic-stamped junk classifies") = Prop.forAll(junk) { b =>
+    val doc = Array(0xff.toByte, 'W'.toByte, 'P'.toByte, 'C'.toByte,
+      16, 0, 0, 0, 1, 0x0a, 0, 0, 0, 0, 0, 0).map(_.toByte) ++ b
+    total(graft.core.office.Wpd.text(doc))
+  }
+
+  property("lnk: header-stamped junk classifies") = Prop.forAll(junk) { b =>
+    val head = Array[Byte](0x4c, 0, 0, 0) ++ Array(
+      0x01, 0x14, 0x02, 0x00, 0x00, 0x00, 0x00, 0x00,
+      0xc0, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x46).map(_.toByte) ++ b
+    total { if (graft.core.office.Lnk.isLnk(head)) graft.core.office.Lnk.parse(head) }
+  }
+
+  property("xls filepass: junk-bodied encrypted workbooks classify") = Prop.forAll(junk) { b =>
+    // BOF + FILEPASS framing with junk payload, then junk records
+    val bof = Array[Byte](0x09, 0x08, 4, 0, 0, 6, 5, 0)
+    val fpLen = math.min(b.length, 120)
+    val fp = Array[Byte](0x2f, 0x00, (fpLen & 0xff).toByte, ((fpLen >> 8) & 0xff).toByte) ++ b.take(fpLen)
+    total(graft.core.office.Xls.text(Vector(("Workbook", Some(bof ++ fp ++ b)))))
+  }
 }
