@@ -924,7 +924,9 @@ object Queries {
     * C4/Pile-style dumps ship): %39 docs carry three lines — a record
     * with a nested DECOY text key that depth tracking must skip, a record
     * whose value needs real escape decoding, and a text-less record that
-    * must yield an empty child, not a failure. Ids hash the raw lines.
+    * must yield an empty child, not a failure. Ids hash the TRIMMED
+    * lines — the engine's CRLF/indent-insensitive identity (a dump
+    * re-serialized with different line endings keeps its ids).
     */
   def jsonlExplode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
