@@ -262,6 +262,21 @@ object Oracle {
       |  sha256('64:'||sha256('deep '||doc_id)||'64:'||rid||'1:1'||'0:'||'13:DOCS/DEEP.TXT'),
       |  rid, 1, 'deep '||doc_id, '' FROM z""".stripMargin
 
+  /** Mirror of Queries.chmExplode: directory-sorted path-named children
+    * out of the LZX-compressed section.
+    */
+  private val chmExplode: String =
+    """WITH z AS (SELECT doc_id, sha256(doc_id::VARCHAR) AS rid
+      |           FROM documents WHERE doc_id%61=0)
+      |SELECT doc_id, rid AS node_id, '' AS parent_id, 0 AS level, '' AS txt,
+      |       'empty-file' AS reason FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('chm note '||doc_id)||'64:'||rid||'1:0'||'0:'||'9:intro.txt'),
+      |  rid, 1, 'chm note '||doc_id, '' FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('deep '||doc_id)||'64:'||rid||'1:1'||'0:'||'14:topic/deep.txt'),
+      |  rid, 1, 'deep '||doc_id, '' FROM z""".stripMargin
+
   /** Mirror of Queries.rpmExplode: the flattened package — payload
     * framing (gzip+cpio) never appears, the files are direct children.
     */
@@ -2017,6 +2032,7 @@ object Oracle {
     "q_ar_explode" -> arExplode,
     "q_cpio_explode" -> cpioExplode,
     "q_iso_explode" -> isoExplode,
+    "q_chm_explode" -> chmExplode,
     "q_rpm_explode" -> rpmExplode,
     "q_url_filter" -> urlFilter,
     "q_robots_filter" -> robotsFilter,

@@ -1525,6 +1525,29 @@ object Queries {
       .toDF("doc_id", "txt", "reason")
   }
 
+  /** §2.4 CHM help-file explosion (Tika ChmParser surface, LZX and all):
+    * each %61 doc becomes a real compiled-help container whose topic
+    * files live in the LZX-COMPRESSED section — extraction must walk the
+    * ITSS directory, decode the reset segments, and slice the entries
+    * back out as path-named children.
+    */
+  def chmExplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    docs(spark, dir).select("doc_id").as[Long]
+      .filter(id => id % 61 == 0)
+      .flatMap { id =>
+        val chm = graft.sources.Chm.build(Seq(
+          ("intro.txt", s"chm note $id".getBytes(UTF_8)),
+          ("topic/deep.txt", s"deep $id".getBytes(UTF_8))),
+          compress = true)
+        val d = DocIn(id, Array(SpanIn("chm", new String(chm, ISO_8859_1), "", 0)))
+        Extract.explode(d).map(o =>
+          (id, o.doc_id, o.parent_id, o.level, o.spans.map(_.text).mkString(""), o.no_content_reason))
+      }
+      .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
+  }
+
   /** §2.4 embedded OLE objects in a legacy .doc (POI's ObjectPool walk):
     * %21 docs build a real .doc whose ObjectPool carries a text object;
     * extraction yields the body on the root and the object as a sniffed
@@ -2813,6 +2836,7 @@ object Queries {
     "q_ar_explode" -> (arExplode _),
     "q_cpio_explode" -> (cpioExplode _),
     "q_iso_explode" -> (isoExplode _),
+    "q_chm_explode" -> (chmExplode _),
     "q_rpm_explode" -> (rpmExplode _),
     "q_url_filter" -> (urlFilterQ _),
     "q_web_funnel" -> (webFunnel _),

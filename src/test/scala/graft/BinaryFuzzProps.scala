@@ -220,6 +220,15 @@ object BinaryFuzzProps extends Properties("BinaryFuzz") {
     total { if (graft.core.office.Lnk.isLnk(head)) graft.core.office.Lnk.parse(head) }
   }
 
+  property("chm: header-stamped junk classifies") = Prop.forAll(junk) { b =>
+    val head = "ITSF".getBytes ++ Array[Byte](3, 0, 0, 0) ++ b
+    total { if (graft.sources.Chm.isChm(head)) graft.sources.Chm.entries(head, 1 << 20) }
+  }
+
+  property("lzx: junk segments classify") = Prop.forAll(junk) { b =>
+    total(graft.core.compress.Lzx.decodeSegment(b, 16, math.max(1, b.length)))
+  }
+
   property("xls filepass: junk-bodied encrypted workbooks classify") = Prop.forAll(junk) { b =>
     // BOF + FILEPASS framing with junk payload, then junk records
     val bof = Array[Byte](0x09, 0x08, 4, 0, 0, 6, 5, 0)
