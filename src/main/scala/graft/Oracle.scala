@@ -277,6 +277,21 @@ object Oracle {
       |  sha256('64:'||sha256('deep '||doc_id)||'64:'||rid||'1:1'||'0:'||'14:topic/deep.txt'),
       |  rid, 1, 'deep '||doc_id, '' FROM z""".stripMargin
 
+  /** Mirror of Queries.cabExplode: CFFILE-ordered children sliced out of
+    * the MSZIP folder stream.
+    */
+  private val cabExplode: String =
+    """WITH z AS (SELECT doc_id, sha256(doc_id::VARCHAR) AS rid
+      |           FROM documents WHERE doc_id%83=0)
+      |SELECT doc_id, rid AS node_id, '' AS parent_id, 0 AS level, '' AS txt,
+      |       'empty-file' AS reason FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('cab note '||doc_id)||'64:'||rid||'1:0'||'0:'||'10:readme.txt'),
+      |  rid, 1, 'cab note '||doc_id, '' FROM z
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('deep '||doc_id)||'64:'||rid||'1:1'||'0:'||'15:sub/payload.txt'),
+      |  rid, 1, 'deep '||doc_id, '' FROM z""".stripMargin
+
   /** Mirror of Queries.rpmExplode: the flattened package — payload
     * framing (gzip+cpio) never appears, the files are direct children.
     */
@@ -2033,6 +2048,7 @@ object Oracle {
     "q_cpio_explode" -> cpioExplode,
     "q_iso_explode" -> isoExplode,
     "q_chm_explode" -> chmExplode,
+    "q_cab_explode" -> cabExplode,
     "q_rpm_explode" -> rpmExplode,
     "q_url_filter" -> urlFilter,
     "q_robots_filter" -> robotsFilter,

@@ -1548,6 +1548,28 @@ object Queries {
       .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
   }
 
+  /** §2.4 CAB cabinet explosion (the Windows installer/driver-package
+    * shape): each %83 doc becomes a real MSZIP-compressed cabinet —
+    * extraction must walk the CFFOLDER/CFFILE tables, inflate the folder
+    * stream with cross-block history, and slice the files back out.
+    */
+  def cabExplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    docs(spark, dir).select("doc_id").as[Long]
+      .filter(id => id % 83 == 0)
+      .flatMap { id =>
+        val cab = graft.sources.Cab.build(Seq(
+          ("readme.txt", s"cab note $id".getBytes(UTF_8)),
+          ("sub/payload.txt", s"deep $id".getBytes(UTF_8))),
+          compress = true)
+        val d = DocIn(id, Array(SpanIn("cab", new String(cab, ISO_8859_1), "", 0)))
+        Extract.explode(d).map(o =>
+          (id, o.doc_id, o.parent_id, o.level, o.spans.map(_.text).mkString(""), o.no_content_reason))
+      }
+      .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
+  }
+
   /** §2.4 embedded OLE objects in a legacy .doc (POI's ObjectPool walk):
     * %21 docs build a real .doc whose ObjectPool carries a text object;
     * extraction yields the body on the root and the object as a sniffed
@@ -2837,6 +2859,7 @@ object Queries {
     "q_cpio_explode" -> (cpioExplode _),
     "q_iso_explode" -> (isoExplode _),
     "q_chm_explode" -> (chmExplode _),
+    "q_cab_explode" -> (cabExplode _),
     "q_rpm_explode" -> (rpmExplode _),
     "q_url_filter" -> (urlFilterQ _),
     "q_web_funnel" -> (webFunnel _),

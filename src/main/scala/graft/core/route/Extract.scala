@@ -109,7 +109,7 @@ object Extract {
       // zip: an OOXML PACKAGE (docx/xlsx/pptx) yields its body text;
       // a plain archive has none
       case "zip"       => (graft.core.office.Ooxml.packageText(t, cfg.maxSpanChars), "")
-      case "gzip" | "tar" | "zstd" | "bzip2" | "xz" | "lz4" | "snappy" | "compress" | "lzma" | "warc" | "jsonl" | "7z" | "rar" | "pst" | "mbox" | "parquet" | "avro" | "sqlite" | "ar" | "cpio" | "rpm" | "iso" | "chm" => ("", "") // container: no own text, entries explode to children
+      case "gzip" | "tar" | "zstd" | "bzip2" | "xz" | "lz4" | "snappy" | "compress" | "lzma" | "warc" | "jsonl" | "7z" | "rar" | "pst" | "mbox" | "parquet" | "avro" | "sqlite" | "ar" | "cpio" | "rpm" | "iso" | "chm" | "cab" => ("", "") // container: no own text, entries explode to children
       // cfb: an Outlook MESSAGE yields its body text; a generic compound
       // file is a pure container (streams explode to children)
       case "cfb"       => (graft.core.office.Msg.cfbText(t, cfg.maxSpanChars), "")
@@ -141,7 +141,7 @@ object Extract {
     * span-parallel path for reassembly).
     */
   val ContainerKinds: Set[String] =
-    Set("media", "zip", "gzip", "tar", "eml", "emlx", "mhtml", "cfb", "zstd", "bzip2", "xz", "lz4", "snappy", "compress", "lzma", "warc", "jsonl", "7z", "rar", "pst", "tnef", "mbox", "parquet", "avro", "sqlite", "ar", "cpio", "rpm", "plist", "iso", "chm")
+    Set("media", "zip", "gzip", "tar", "eml", "emlx", "mhtml", "cfb", "zstd", "bzip2", "xz", "lz4", "snappy", "compress", "lzma", "warc", "jsonl", "7z", "rar", "pst", "tnef", "mbox", "parquet", "avro", "sqlite", "ar", "cpio", "rpm", "plist", "iso", "chm", "cab")
 
   /** Null spans (a row written with spans=NULL) are treated as an empty
     * span array — reason=empty-file, never a failure — in BOTH the batch and
@@ -644,6 +644,9 @@ object Extract {
         else if (graft.sources.Chm.isChm(data))
           // nested compiled help: topic files recurse as entries
           Some(graft.sources.Chm.entries(data, cfg.maxSpanChars))
+        else if (graft.sources.Cab.isCab(data))
+          // nested cabinet (cab-in-zip, the driver-package shape)
+          Some(graft.sources.Cab.entries(data, cfg.maxSpanChars))
         else if (graft.sources.Archive.isGzip(data))
           // a nested gzip member (e.g. a .tgz mail attachment) is a
           // single-entry container; a tar payload then recurses below
@@ -877,6 +880,13 @@ object Extract {
           // compressed section LZX-decodes once for all of them
           val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
           graft.sources.Chm.entries(bytes, cfg.maxSpanChars).foreach { case (n, b) =>
+            spawnEntry(n, b, rootId, ord, 1); ord += 1
+          }
+        case "cab" =>
+          // cabinet: files are children; each MSZIP folder inflates once
+          // for all of its files (history carried across blocks)
+          val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          graft.sources.Cab.entries(bytes, cfg.maxSpanChars).foreach { case (n, b) =>
             spawnEntry(n, b, rootId, ord, 1); ord += 1
           }
         case "rpm" =>

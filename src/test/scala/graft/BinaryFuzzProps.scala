@@ -229,6 +229,12 @@ object BinaryFuzzProps extends Properties("BinaryFuzz") {
     total(graft.core.compress.Lzx.decodeSegment(b, 16, math.max(1, b.length)))
   }
 
+  property("cab: header-stamped junk classifies") = Prop.forAll(junk) { b =>
+    val head = ("MSCF".getBytes ++ Array.fill[Byte](4)(0) ++ b).padTo(36, 0.toByte)
+    head(24) = 3; head(25) = 1 // version 1.3 so the sniff engages
+    total { if (graft.sources.Cab.isCab(head)) graft.sources.Cab.entries(head, 1 << 20) }
+  }
+
   property("xls filepass: junk-bodied encrypted workbooks classify") = Prop.forAll(junk) { b =>
     // BOF + FILEPASS framing with junk payload, then junk records
     val bof = Array[Byte](0x09, 0x08, 4, 0, 0, 6, 5, 0)
