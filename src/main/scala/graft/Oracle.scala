@@ -723,6 +723,20 @@ object Oracle {
       | CASE WHEN doc_id%115=0 THEN 'encrypted' ELSE '' END AS reason
       |FROM r GROUP BY doc_id""".stripMargin
 
+  /** Mirror of Queries.ooxmlDecrypt: VelvetSweatshop-encrypted .docx
+    * packages extract their 5-word paragraphs; %178 real-password docs
+    * classify encrypted with empty text.
+    */
+  private val ooxmlDecrypt: String =
+    """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
+      |  len(string_split(text,' ')) AS m FROM documents WHERE doc_id%89=0),
+      |l AS (SELECT doc_id, i, array_to_string(w[5*i+1:5*i+5],' ') AS line
+      |      FROM p, LATERAL unnest(generate_series(0, (m-1)//5)) AS t(i))
+      |SELECT doc_id,
+      | CASE WHEN doc_id%178=0 THEN '' ELSE string_agg(line, chr(10) ORDER BY i) END AS txt,
+      | CASE WHEN doc_id%178=0 THEN 'encrypted' ELSE '' END AS reason
+      |FROM l GROUP BY doc_id""".stripMargin
+
   /** Mirror of Queries.pdfEncrypted: %38 docs classify encrypted (empty
     * text), the rest extract their 5-word lines.
     */
@@ -2049,6 +2063,7 @@ object Oracle {
     "q_iso_explode" -> isoExplode,
     "q_chm_explode" -> chmExplode,
     "q_cab_explode" -> cabExplode,
+    "q_ooxml_decrypt" -> ooxmlDecrypt,
     "q_rpm_explode" -> rpmExplode,
     "q_url_filter" -> urlFilter,
     "q_robots_filter" -> robotsFilter,

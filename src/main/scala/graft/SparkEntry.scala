@@ -1459,6 +1459,30 @@ object Queries {
       .toDF("doc_id", "txt", "reason")
   }
 
+  /** §2.3 ECMA-376 STANDARD-encrypted OOXML (the [MS-OFFCRYPTO] silent
+    * open): %89 docs become AES-encrypted .docx compound files —
+    * VelvetSweatshop-keyed ones must decrypt and extract their package
+    * body; real-password ones (%178) classify encrypted, never leaking
+    * ciphertext.
+    */
+  def ooxmlDecrypt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .filter(_._1 % 89 == 0)
+      .map { case (id, t) =>
+        val paras = t.split(" ", -1).grouped(5).map(_.mkString(" ")).toSeq
+        val docx = graft.core.office.Docx.buildMinimal(paras)
+        val pw = if (id % 178 == 0) s"secret-$id" else "VelvetSweatshop"
+        val enc = graft.core.office.OoxmlCrypt.buildEncrypted(docx, pw)
+        val (txt, why) =
+          try Extract.extractSpan("cfb", new String(enc, ISO_8859_1))
+          catch { case _: graft.core.DecryptFailure => ("", graft.core.Reason.Encrypted) }
+        (id, txt, why)
+      }
+      .toDF("doc_id", "txt", "reason")
+  }
+
   /** §2.3 REAL legacy PowerPoint binary route (POI PowerPointExtractor
     * fixtures): 5-word lines as alternating TextBytesAtom/TextCharsAtom
     * records inside a container, walked back out in document order.
@@ -2860,6 +2884,7 @@ object Queries {
     "q_iso_explode" -> (isoExplode _),
     "q_chm_explode" -> (chmExplode _),
     "q_cab_explode" -> (cabExplode _),
+    "q_ooxml_decrypt" -> (ooxmlDecrypt _),
     "q_rpm_explode" -> (rpmExplode _),
     "q_url_filter" -> (urlFilterQ _),
     "q_web_funnel" -> (webFunnel _),

@@ -128,9 +128,14 @@ object Msg {
 
   def cfbText(latin1: String, maxEntryBytes: Int): String = {
     val entries = Cfb.streamEntriesOf(latin1, maxEntryBytes)
-    if (isEncryptedOffice(entries))
-      throw new graft.core.DecryptFailure("password-protected Office document")
-    if (isMsg(entries)) parse(entries).body
+    if (isEncryptedOffice(entries)) {
+      // try the silent-open defaults (VelvetSweatshop, empty) before
+      // classifying encrypted — POI/Tika parity; a successful open is an
+      // ordinary OOXML package whose body text flows as usual
+      val zip = OoxmlCrypt.decryptDefault(entries)
+      Ooxml.packageText(new String(zip, StandardCharsets.ISO_8859_1), maxEntryBytes)
+    }
+    else if (isMsg(entries)) parse(entries).body
     else docText(entries).getOrElse("")
   }
 

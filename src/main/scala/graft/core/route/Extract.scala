@@ -585,9 +585,16 @@ object Extract {
         // spawned count — spawnMsg re-applies its own guards); a generic
         // compound file is a container node whose streams recurse
         val entries = graft.core.office.Cfb.streamEntries(data, cfg.maxSpanChars)
-        if (graft.core.office.Msg.isEncryptedOffice(entries))
-          // nested password-protected Office doc: one encrypted child
-          throw new graft.core.DecryptFailure("password-protected Office document")
+        if (graft.core.office.Msg.isEncryptedOffice(entries)) {
+          // nested password-protected Office doc: the silent-open
+          // defaults (VelvetSweatshop, empty) may open it as an ordinary
+          // package — then it re-enters as the decrypted ZIP; a real
+          // password classifies this child encrypted
+          val zip = graft.core.office.OoxmlCrypt.decryptDefault(entries)
+          spawned -= 1
+          spawnEntry(name, Some(zip), parentId, ord, level)
+          return
+        }
         if (graft.core.office.Msg.isMsg(entries)) {
           spawned -= 1
           spawnMsg(graft.core.office.Msg.parse(entries), name, parentId, ord, level)
@@ -947,10 +954,22 @@ object Extract {
           // generic compound file spawns each stream sniffed like an
           // archive entry
           val entries = graft.core.office.Cfb.streamEntriesOf(content, cfg.maxSpanChars)
-          if (graft.core.office.Msg.isEncryptedOffice(entries))
-            // ciphertext package: never explode garbage children
-            throw new graft.core.DecryptFailure("password-protected Office document")
-          if (graft.core.office.Msg.isMsg(entries))
+          if (graft.core.office.Msg.isEncryptedOffice(entries)) {
+            // the silent-open defaults may open it as an ordinary OOXML
+            // package (body text already flowed via cfbText): spawn only
+            // its embedded parts, like the zip route; a real password
+            // throws DecryptFailure — never explode ciphertext children
+            val zip = graft.core.office.OoxmlCrypt.decryptDefault(entries)
+            val zipEntries = graft.sources.Archive.unzip(zip, cfg.maxSpanChars)
+            val spawnable =
+              if (graft.core.office.Ooxml.isPackageEntries(zipEntries))
+                zipEntries.filter(e => graft.core.office.Ooxml.isEmbeddedPart(e._1))
+              else zipEntries
+            spawnable.foreach { case (n, b) =>
+              spawnEntry(n, b, rootId, ord, 1); ord += 1
+            }
+          }
+          else if (graft.core.office.Msg.isMsg(entries))
             graft.core.office.Msg.parse(entries).attachments.foreach {
               case graft.core.office.Msg.FileAtt(n, b) =>
                 spawnEntry(n, Some(b), rootId, ord, 1); ord += 1

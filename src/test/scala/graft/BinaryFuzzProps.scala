@@ -229,6 +229,14 @@ object BinaryFuzzProps extends Properties("BinaryFuzz") {
     total(graft.core.compress.Lzx.decodeSegment(b, 16, math.max(1, b.length)))
   }
 
+  property("offcrypto: junk EncryptionInfo classifies") = Prop.forAll(junk) { b =>
+    // a structurally-valid compound file whose crypto streams are junk:
+    // the standard-encryption parser must classify, never throw raw
+    val entries = Seq[(String, Option[Array[Byte]])](
+      ("EncryptionInfo", Some(b)), ("EncryptedPackage", Some(b)))
+    total(graft.core.office.OoxmlCrypt.decryptDefault(entries))
+  }
+
   property("cab: header-stamped junk classifies") = Prop.forAll(junk) { b =>
     val head = ("MSCF".getBytes ++ Array.fill[Byte](4)(0) ++ b).padTo(36, 0.toByte)
     head(24) = 3; head(25) = 1 // version 1.3 so the sniff engages

@@ -3,7 +3,7 @@ package graft
 import java.nio.charset.StandardCharsets
 import org.scalatest.funsuite.AnyFunSuite
 import graft.core.{DocIn, ParseFailure, SpanIn}
-import graft.core.office.{Cfb, Msg}
+import graft.core.office.{Cfb, Docx, Msg, OoxmlCrypt}
 import graft.core.route.Extract
 import graft.sources.{Archive, Ingest}
 
@@ -345,5 +345,40 @@ class CfbSpec extends AnyFunSuite {
     // a generic compound file with only ONE of the two streams still explodes
     val one = Cfb.build(Seq(("EncryptionInfo", "x".getBytes(UTF_8))))
     assert(Extract.extractSpan("cfb", new String(one, ISO_8859_1))._1 == "")
+  }
+
+  test("standard-encrypted OOXML opens silently under the default password") {
+    import graft.core.route.Extract
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    val png = graft.multimodal.Media.encodePng(2, 2, 7)
+    val docx = Docx.buildMinimal(Seq("sealed body text"), Seq(("word/media/img1.png", png)))
+    for (pw <- Seq("VelvetSweatshop", "")) {
+      val enc = OoxmlCrypt.buildEncrypted(docx, pw)
+      assert(graft.sources.Ingest.sniffKind(enc, "locked.docx") === "cfb")
+      // body text flows as if the package were plaintext
+      assert(Extract.extractSpan("cfb", new String(enc, ISO_8859_1))._1 === "sealed body text")
+      // top-level explosion spawns only the embedded media part
+      val out = Extract.explode(graft.core.DocIn(7L,
+        Array(graft.core.SpanIn("cfb", new String(enc, ISO_8859_1), "", 0))))
+      assert(out.head.spans.map(_.text).mkString === "sealed body text")
+      assert(out.count(_.level == 1) === 1) // img1.png, media child
+      // nested in a zip: the decrypted package re-enters as a document
+      // child carrying the body text
+      val zip = graft.sources.Archive.zipBytes(Seq(("locked.docx", enc)))
+      val out2 = Extract.explode(graft.core.DocIn(8L,
+        Array(graft.core.SpanIn("zip", new String(zip, ISO_8859_1), "", 0))))
+      val kids = out2.filter(_.level == 1)
+      assert(kids.exists(_.spans.exists(_.text == "sealed body text")))
+      assert(!out2.exists(_.no_content_reason == graft.core.Reason.Encrypted))
+    }
+    // a REAL password still classifies encrypted at every site
+    val sealed_ = OoxmlCrypt.buildEncrypted(docx, "actual-secret")
+    intercept[graft.core.DecryptFailure](
+      Extract.extractSpan("cfb", new String(sealed_, ISO_8859_1)))
+    val zip = graft.sources.Archive.zipBytes(Seq(("locked.docx", sealed_)))
+    val out = Extract.explode(graft.core.DocIn(9L,
+      Array(graft.core.SpanIn("zip", new String(zip, ISO_8859_1), "", 0))))
+    val kids = out.filter(_.level == 1)
+    assert(kids.length == 1 && kids.head.no_content_reason == graft.core.Reason.Encrypted)
   }
 }
