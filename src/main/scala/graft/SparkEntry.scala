@@ -1474,7 +1474,11 @@ object Queries {
         val paras = t.split(" ", -1).grouped(5).map(_.mkString(" ")).toSeq
         val docx = graft.core.office.Docx.buildMinimal(paras)
         val pw = if (id % 178 == 0) s"secret-$id" else "VelvetSweatshop"
-        val enc = graft.core.office.OoxmlCrypt.buildEncrypted(docx, pw)
+        // %3 docs take the AGILE (2010+) cipher, the rest STANDARD (2007)
+        // — same silent-open/refuse contract either way
+        val enc =
+          if (id % 3 == 0) graft.core.office.OoxmlCrypt.buildAgileEncrypted(docx, pw)
+          else graft.core.office.OoxmlCrypt.buildEncrypted(docx, pw)
         val (txt, why) =
           try Extract.extractSpan("cfb", new String(enc, ISO_8859_1))
           catch { case _: graft.core.DecryptFailure => ("", graft.core.Reason.Encrypted) }

@@ -237,6 +237,13 @@ object BinaryFuzzProps extends Properties("BinaryFuzz") {
     total(graft.core.office.OoxmlCrypt.decryptDefault(entries))
   }
 
+  property("offcrypto agile: version-stamped junk descriptors classify") = Prop.forAll(junk) { b =>
+    val info = Array[Byte](4, 0, 4, 0, 0x40, 0, 0, 0) ++ b
+    val entries = Seq[(String, Option[Array[Byte]])](
+      ("EncryptionInfo", Some(info)), ("EncryptedPackage", Some(b.padTo(16, 0.toByte))))
+    total(graft.core.office.OoxmlCrypt.decryptDefault(entries))
+  }
+
   property("cab: header-stamped junk classifies") = Prop.forAll(junk) { b =>
     val head = ("MSCF".getBytes ++ Array.fill[Byte](4)(0) ++ b).padTo(36, 0.toByte)
     head(24) = 3; head(25) = 1 // version 1.3 so the sniff engages

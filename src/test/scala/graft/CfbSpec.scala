@@ -330,9 +330,8 @@ class CfbSpec extends AnyFunSuite {
   test("password-protected Office docs classify encrypted, never explode") {
     import graft.core.route.Extract
     import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
-    val enc = Cfb.build(Seq(
-      ("EncryptionInfo", Array[Byte](4, 0, 4, 0, 0x40, 0, 0, 0)),
-      ("EncryptedPackage", "ciphertext-bytes-here".getBytes(UTF_8))))
+    val enc = OoxmlCrypt.buildAgileEncrypted(
+      "ciphertext-bytes-here".getBytes(UTF_8), "a-real-password")
     val latin1 = new String(enc, ISO_8859_1)
     intercept[graft.core.DecryptFailure](Extract.extractSpan("cfb", latin1))
     // nested in a zip: ONE encrypted failure child, no ciphertext leak
@@ -371,6 +370,26 @@ class CfbSpec extends AnyFunSuite {
       assert(kids.exists(_.spans.exists(_.text == "sealed body text")))
       assert(!out2.exists(_.no_content_reason == graft.core.Reason.Encrypted))
     }
+    // AGILE (2010+) encryption: same silent open, HMAC verified
+    for (pw <- Seq("VelvetSweatshop", "")) {
+      val agile = OoxmlCrypt.buildAgileEncrypted(docx, pw)
+      assert(Extract.extractSpan("cfb", new String(agile, ISO_8859_1))._1 === "sealed body text")
+    }
+    // agile real password refuses; a tampered package fails integrity
+    val agileSealed = OoxmlCrypt.buildAgileEncrypted(docx, "actual-secret")
+    intercept[graft.core.DecryptFailure](
+      Extract.extractSpan("cfb", new String(agileSealed, ISO_8859_1)))
+    val agileOk = OoxmlCrypt.buildAgileEncrypted(docx, "VelvetSweatshop")
+    val streams = Cfb.streamEntriesOf(new String(agileOk, ISO_8859_1), Int.MaxValue)
+      .map { case (n, b) =>
+        val bytes = b.get.clone()
+        if (n == "EncryptedPackage") bytes(100) = (bytes(100) ^ 1).toByte
+        (n, bytes)
+      }
+    val tampered = Cfb.build(streams)
+    intercept[ParseFailure](
+      graft.core.office.OoxmlCrypt.decryptDefault(streams.map { case (n, b) => (n, Some(b)) }))
+    intercept[Exception](Extract.extractSpan("cfb", new String(tampered, ISO_8859_1)))
     // a REAL password still classifies encrypted at every site
     val sealed_ = OoxmlCrypt.buildEncrypted(docx, "actual-secret")
     intercept[graft.core.DecryptFailure](
