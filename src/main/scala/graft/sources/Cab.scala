@@ -23,10 +23,13 @@ import graft.core.ParseFailure
   * output so far — `Inflater.setDictionary` on a nowrap inflater).
   * Files slice out of that stream by (uoffFolderStart, cbFile).
   *
-  * QUANTUM/LZX folders and cross-cabinet continuations refuse per file
-  * as counted `(name, None)` (the Rar.scala convention: classify and
-  * surface, never mis-extract). Malformed framing, geometry lies, and
-  * bad checksums throw [[ParseFailure]].
+  * LZX folders decode through [[graft.core.compress.Lzx]] — the CFDATA
+  * payloads of a folder are one continuous LZX bitstream (window bits in
+  * the typeCompress high byte, no reset table). QUANTUM folders and
+  * cross-cabinet continuations refuse per file as counted `(name, None)`
+  * (the Rar.scala convention: classify and surface, never mis-extract).
+  * Malformed framing, geometry lies, and bad checksums throw
+  * [[ParseFailure]].
   */
 object Cab {
 
@@ -77,85 +80,110 @@ object Cab {
 
   private final val CompNone = 0
   private final val CompMszip = 1
+  private final val CompLzx = 3
   private final val MaxFolderBytes = 64 << 20 // shared zip-bomb output cap
   private final val MszipBlock = 32768        // spec: cbUncomp <= 32768
 
-  private final case class Folder(dataOff: Long, nBlocks: Int, compType: Int)
+  /** `compParam` is the high byte of typeCompress: the LZX window bits. */
+  private final case class Folder(dataOff: Long, nBlocks: Int, compType: Int, compParam: Int)
 
   /** Decode one folder's CFDATA chain to its uncompressed stream.
     * `cbReserveData` is the per-CFDATA reserve size from the header.
     */
   private def folderStream(bytes: Array[Byte], f: Folder, cbReserveData: Int,
                            maxOut: Long): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
-    val inflater = new java.util.zip.Inflater(true)
-    var history = Array.emptyByteArray
+    // one checksum-verified walk collects the block payloads; codecs
+    // that span blocks (MSZIP history, LZX's continuous bitstream) then
+    // decode over the sequence
     var p = f.dataOff
     var blk = 0
-    try {
-      while (blk < f.nBlocks) {
-        val declaredSum = u32(bytes, p.toInt).toInt
-        val cbData = u16(bytes, p.toInt + 4)
-        val cbUncomp = u16(bytes, p.toInt + 6)
-        val payloadOff = p + 8 + cbReserveData
-        if (payloadOff < 0 || payloadOff + cbData > bytes.length)
-          throw new ParseFailure("cab: CFDATA payload past end")
-        if (cbUncomp > MszipBlock)
-          throw new ParseFailure(s"cab: CFDATA uncompressed size $cbUncomp exceeds the 32 KiB spec cap")
-        if (out.size().toLong + cbUncomp > maxOut)
-          throw new ParseFailure("cab: folder output exceeds cap")
-        val payload = java.util.Arrays.copyOfRange(bytes, payloadOff.toInt, (payloadOff + cbData).toInt)
-        if (declaredSum != 0) {
-          val hdr = Array[Byte]((cbData & 0xff).toByte, ((cbData >> 8) & 0xff).toByte,
-            (cbUncomp & 0xff).toByte, ((cbUncomp >> 8) & 0xff).toByte)
-          if (csum(payload, hdr) != declaredSum)
-            throw new ParseFailure(s"cab: CFDATA checksum mismatch in block $blk")
-        }
-        f.compType match {
-          case CompNone =>
-            if (cbData != cbUncomp)
-              throw new ParseFailure("cab: stored block sizes disagree")
-            out.write(payload)
-          case CompMszip =>
-            if (cbData < 2 || payload(0) != 'C' || payload(1) != 'K')
-              throw new ParseFailure(s"cab: MSZIP block $blk missing CK signature")
-            inflater.reset()
-            if (history.nonEmpty) inflater.setDictionary(history)
-            inflater.setInput(payload, 2, cbData - 2)
-            val dec = new Array[Byte](cbUncomp)
-            var got = 0
-            while (got < cbUncomp && !inflater.finished()) {
-              val n = inflater.inflate(dec, got, cbUncomp - got)
-              if (n == 0 && inflater.needsInput())
-                throw new ParseFailure(s"cab: MSZIP block $blk truncated")
-              got += n
-            }
-            if (got != cbUncomp)
-              throw new ParseFailure(s"cab: MSZIP block $blk produced $got of $cbUncomp bytes")
-            out.write(dec)
-            // the next block's preset dictionary is the trailing window of
-            // folder output (spec: history spans blocks, window 32 KiB)
-            history =
-              if (dec.length >= MszipBlock) dec
-              else {
-                val keep = math.min(MszipBlock, history.length + dec.length)
-                val h = new Array[Byte](keep)
-                val fromHist = keep - dec.length
-                System.arraycopy(history, history.length - fromHist, h, 0, fromHist)
-                System.arraycopy(dec, 0, h, fromHist, dec.length)
-                h
-              }
-          case other =>
-            throw new ParseFailure(s"cab: unsupported compression type $other")
-        }
-        p = payloadOff + cbData
-        blk += 1
+    var totalUncomp = 0L
+    val payloads = Vector.newBuilder[(Array[Byte], Int)]
+    while (blk < f.nBlocks) {
+      val declaredSum = u32(bytes, p.toInt).toInt
+      val cbData = u16(bytes, p.toInt + 4)
+      val cbUncomp = u16(bytes, p.toInt + 6)
+      val payloadOff = p + 8 + cbReserveData
+      if (payloadOff < 0 || payloadOff + cbData > bytes.length)
+        throw new ParseFailure("cab: CFDATA payload past end")
+      if (cbUncomp > MszipBlock)
+        throw new ParseFailure(s"cab: CFDATA uncompressed size $cbUncomp exceeds the 32 KiB spec cap")
+      totalUncomp += cbUncomp
+      if (totalUncomp > maxOut)
+        throw new ParseFailure("cab: folder output exceeds cap")
+      val payload = java.util.Arrays.copyOfRange(bytes, payloadOff.toInt, (payloadOff + cbData).toInt)
+      if (declaredSum != 0) {
+        val hdr = Array[Byte]((cbData & 0xff).toByte, ((cbData >> 8) & 0xff).toByte,
+          (cbUncomp & 0xff).toByte, ((cbUncomp >> 8) & 0xff).toByte)
+        if (csum(payload, hdr) != declaredSum)
+          throw new ParseFailure(s"cab: CFDATA checksum mismatch in block $blk")
       }
-    } catch {
-      case e: java.util.zip.DataFormatException =>
-        throw new ParseFailure(s"cab: corrupt MSZIP stream: ${e.getMessage}")
-    } finally inflater.end()
-    out.toByteArray
+      payloads += ((payload, cbUncomp))
+      p = payloadOff + cbData
+      blk += 1
+    }
+    val blocks = payloads.result()
+
+    f.compType match {
+      case CompNone =>
+        val out = new java.io.ByteArrayOutputStream()
+        blocks.foreach { case (payload, un) =>
+          if (payload.length != un)
+            throw new ParseFailure("cab: stored block sizes disagree")
+          out.write(payload)
+        }
+        out.toByteArray
+      case CompMszip =>
+        val out = new java.io.ByteArrayOutputStream()
+        val inflater = new java.util.zip.Inflater(true)
+        var history = Array.emptyByteArray
+        try blocks.zipWithIndex.foreach { case ((payload, cbUncomp), i) =>
+          if (payload.length < 2 || payload(0) != 'C' || payload(1) != 'K')
+            throw new ParseFailure(s"cab: MSZIP block $i missing CK signature")
+          inflater.reset()
+          if (history.nonEmpty) inflater.setDictionary(history)
+          inflater.setInput(payload, 2, payload.length - 2)
+          val dec = new Array[Byte](cbUncomp)
+          var got = 0
+          while (got < cbUncomp && !inflater.finished()) {
+            val n = inflater.inflate(dec, got, cbUncomp - got)
+            if (n == 0 && inflater.needsInput())
+              throw new ParseFailure(s"cab: MSZIP block $i truncated")
+            got += n
+          }
+          if (got != cbUncomp)
+            throw new ParseFailure(s"cab: MSZIP block $i produced $got of $cbUncomp bytes")
+          out.write(dec)
+          // the next block's preset dictionary is the trailing window of
+          // folder output (spec: history spans blocks, window 32 KiB)
+          history =
+            if (dec.length >= MszipBlock) dec
+            else {
+              val keep = math.min(MszipBlock, history.length + dec.length)
+              val h = new Array[Byte](keep)
+              val fromHist = keep - dec.length
+              System.arraycopy(history, history.length - fromHist, h, 0, fromHist)
+              System.arraycopy(dec, 0, h, fromHist, dec.length)
+              h
+            }
+        } catch {
+          case e: java.util.zip.DataFormatException =>
+            throw new ParseFailure(s"cab: corrupt MSZIP stream: ${e.getMessage}")
+        } finally inflater.end()
+        out.toByteArray
+      case CompLzx =>
+        // the folder's CFDATA payloads are one continuous LZX bitstream
+        // (no reset table — CFDATA framing is transport, not codec);
+        // window bits ride in the typeCompress high byte
+        if (f.compParam < 15 || f.compParam > 21)
+          throw new ParseFailure(s"cab: LZX window bits ${f.compParam} out of range")
+        val joined = new Array[Byte](blocks.map(_._1.length).sum)
+        var o = 0
+        blocks.foreach { case (b, _) => System.arraycopy(b, 0, joined, o, b.length); o += b.length }
+        graft.core.compress.Lzx.decodeSegment(joined, f.compParam, totalUncomp.toInt)
+      case other =>
+        throw new ParseFailure(s"cab: unsupported compression type $other")
+    }
   }
 
   /** Decode entries in CFFILE order. Files in QUANTUM/LZX folders, files
@@ -201,18 +229,18 @@ object Cab {
       val off = p + i * (8 + cbReserveFolder)
       val dataOff = u32(bytes, off)
       val nBlocks = u16(bytes, off + 4)
-      val compType = u16(bytes, off + 6) & 0xf
+      val typeCompress = u16(bytes, off + 6)
       if (dataOff > bytes.length) throw new ParseFailure("cab: CFDATA offset past end")
       if (nBlocks > 65535) throw new ParseFailure("cab: block count out of range")
-      Folder(dataOff, nBlocks, compType)
+      Folder(dataOff, nBlocks, typeCompress & 0xf, (typeCompress >> 8) & 0x1f)
     }.toVector
 
     // one decode per referenced folder, shared by all its files
     val streams = scala.collection.mutable.Map.empty[Int, Either[String, Array[Byte]]]
     def stream(i: Int): Either[String, Array[Byte]] = streams.getOrElseUpdate(i, {
       val f = folders(i)
-      if (f.compType != CompNone && f.compType != CompMszip)
-        Left(s"unsupported compression type ${f.compType}")
+      if (f.compType != CompNone && f.compType != CompMszip && f.compType != CompLzx)
+        Left(s"unsupported compression type ${f.compType}") // QUANTUM: per-file refusal
       else Right(folderStream(bytes, f, cbReserveData, MaxFolderBytes))
     })
 
@@ -257,9 +285,7 @@ object Cab {
     * date/time so identical inputs master identical bytes.
     */
   def build(files: Seq[(String, Array[Byte])], compress: Boolean = false): Array[Byte] = {
-    require(files.nonEmpty)
     val plain = files.flatMap(_._2).toArray
-
     val blocks: Seq[(Array[Byte], Int)] = // (payload, cbUncomp)
       if (!compress) plain.grouped(MszipBlock).map(b => (b, b.length)).toSeq
       else {
@@ -279,7 +305,38 @@ object Cab {
           (buf.toByteArray, b.length)
         } finally deflater.end()
       }
+    assemble(files, blocks, if (compress) CompMszip else CompNone)
+  }
 
+  /** LZX-folder cabinet (window bits 16): the folder's plain stream as
+    * ONE uncompressed-block LZX stream, its ciphertext split across
+    * CFDATA blocks whose cbUncomp fields carve the output into the
+    * spec's 32 KiB frames.
+    */
+  def buildLzx(files: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val plain = files.flatMap(_._2).toArray
+    val stream = graft.core.compress.Lzx.encodeUncompressed(plain)
+    // cbData split is transport-arbitrary; cbUncomp must SUM to the
+    // folder output, 32 KiB per block like real cabinets
+    val dataParts = stream.grouped(MszipBlock).toVector
+    val unParts = (0 until dataParts.length).map { i =>
+      math.max(0, math.min(MszipBlock, plain.length - i * MszipBlock))
+    }
+    // pad the cbUncomp sequence so it sums to plain.length even when the
+    // ciphertext has fewer blocks than the output (never for uncompressed
+    // LZX, where stream >= plain) or more (header overhead): fold the
+    // remainder into the last block
+    val totalDeclared = unParts.sum
+    val blocks = dataParts.zip(unParts).toSeq match {
+      case init :+ ((lastB, lastU)) => init :+ ((lastB, lastU + plain.length - totalDeclared))
+      case empty => empty
+    }
+    assemble(files, blocks, (16 << 8) | CompLzx)
+  }
+
+  private def assemble(files: Seq[(String, Array[Byte])],
+                       blocks: Seq[(Array[Byte], Int)], typeCompress: Int): Array[Byte] = {
+    require(files.nonEmpty)
     val dataSec = new java.io.ByteArrayOutputStream()
     blocks.foreach { case (payload, un) =>
       val hdr = Array[Byte]((payload.length & 0xff).toByte, ((payload.length >> 8) & 0xff).toByte,
@@ -289,7 +346,6 @@ object Cab {
       dataSec.write(hdr)
       dataSec.write(payload)
     }
-    if (plain.isEmpty) () // zero-byte folder: no CFDATA blocks at all
 
     val fileSec = new java.io.ByteArrayOutputStream()
     var uoff = 0L
@@ -327,7 +383,7 @@ object Cab {
     // CFFOLDER
     w32(dataOff.toLong)
     w16(blocks.length)
-    w16(if (compress) CompMszip else CompNone)
+    w16(typeCompress)
     out.write(fileSec.toByteArray)
     out.write(dataSec.toByteArray)
     out.toByteArray

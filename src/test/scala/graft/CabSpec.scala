@@ -45,6 +45,22 @@ class CabSpec extends AnyFunSuite {
     intercept[ParseFailure] { Cab.entries(cab.take(cab.length - 6), Int.MaxValue) }
   }
 
+  test("LZX folders decode through the continuous-bitstream route") {
+    // small file and a two-frame file (> 32 KiB output) both round-trip
+    val big = ("lzx folder stream payload " * 2500).getBytes(UTF_8) // 65 KB
+    for (files <- Seq(
+      Seq(("t.txt", "lzx member text".getBytes(UTF_8))),
+      Seq(("a.txt", "first member".getBytes(UTF_8)), ("big.bin", big)))) {
+      val cab = Cab.buildLzx(files)
+      assert(Cab.isCab(cab))
+      val es = Cab.entries(cab, Int.MaxValue)
+      assert(es.map(_._1) === files.map(_._1).toVector)
+      files.zip(es).foreach { case ((_, want), (_, got)) =>
+        assert(java.util.Arrays.equals(got.get, want))
+      }
+    }
+  }
+
   test("unsupported codecs and cabinet-spanning files refuse per entry") {
     val cab = Cab.build(Seq(("q.txt", "quantum text".getBytes(UTF_8))), compress = false)
     // folder typeCompress lives 6 bytes into the CFFOLDER at offset 36
