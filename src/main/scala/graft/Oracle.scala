@@ -848,6 +848,18 @@ object Oracle {
       |   ||octet_length(encode('word/media/img1.bin'))||':word/media/img1.bin'),
       | rid, 1, 'img '||doc_id, '' FROM r WHERE doc_id%12=0""".stripMargin
 
+  /** Mirror of Queries.xlsbTable: the xlsx construction at %101, decoded
+    * out of BIFF12 records.
+    */
+  private val xlsbTable: String =
+    """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
+      |  len(string_split(text,' ')) AS m FROM documents WHERE doc_id%101=0),
+      |r AS (SELECT doc_id, i, array_to_string(w[2*i+1:2*i+2], chr(9)) AS row
+      |      FROM p, LATERAL unnest(generate_series(0, (m-1)//2)) AS t(i))
+      |SELECT doc_id,
+      | string_agg(row, chr(10) ORDER BY i) || chr(10) || 'total' || chr(9) || doc_id AS txt
+      |FROM r GROUP BY doc_id""".stripMargin
+
   /** Mirror of Queries.xlsxTable: two-word tab rows + 'total<TAB><id>'. */
   private val xlsxTable: String =
     """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
@@ -2064,6 +2076,7 @@ object Oracle {
     "q_chm_explode" -> chmExplode,
     "q_cab_explode" -> cabExplode,
     "q_ooxml_decrypt" -> ooxmlDecrypt,
+    "q_xlsb_table" -> xlsbTable,
     "q_rpm_explode" -> rpmExplode,
     "q_url_filter" -> urlFilter,
     "q_robots_filter" -> robotsFilter,

@@ -363,6 +363,27 @@ object Queries {
       .toDF("doc_id", "txt")
   }
 
+  /** §2.3 BINARY Excel (.xlsb, [MS-XLSB]) route: the xlsx construction
+    * as BIFF12 record parts — shared-string cells plus an RK-int total
+    * row the reader must decode from the packed representation.
+    */
+  def xlsbTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .filter(_._1 % 101 == 0)
+      .map { case (id, t) =>
+        val rows = t.split(" ", -1).grouped(2)
+          .map(_.toSeq.map(w => (w, false))).toSeq ++
+          Seq(Seq(("total", false), (id.toString, true)))
+        val bytes = graft.core.office.Xlsb.buildMinimal(rows)
+        val d = DocIn(id, Array(SpanIn("zip", new String(bytes, ISO_8859_1), "", 0)))
+        val out = Extract.extractDoc(d)
+        (id, out.spans.map(_.text).mkString(""))
+      }
+      .toDF("doc_id", "txt")
+  }
+
   /** §2.3 REAL PresentationML (pptx) route: the document's 5-word lines
     * split round-robin over two slides (even-indexed lines on slide 1, odd
     * on slide 2); extraction must order slides numerically and paragraphs
@@ -2889,6 +2910,7 @@ object Queries {
     "q_chm_explode" -> (chmExplode _),
     "q_cab_explode" -> (cabExplode _),
     "q_ooxml_decrypt" -> (ooxmlDecrypt _),
+    "q_xlsb_table" -> (xlsbTable _),
     "q_rpm_explode" -> (rpmExplode _),
     "q_url_filter" -> (urlFilterQ _),
     "q_web_funnel" -> (webFunnel _),

@@ -315,6 +315,7 @@ object Ooxml {
 
   private def wantedPart(n: String): Boolean =
     n == Docx.DocumentEntry || n == "xl/sharedStrings.xml" ||
+      n == "xl/sharedStrings.bin" || // .xlsb BIFF12 SST
       n.startsWith(SheetPrefix) || n.startsWith(SlidePrefix) ||
       n == "content.xml" || n == "mimetype" || // mimetype VALUE gates the ODF/EPUB routes
       n == "META-INF/container.xml" || n.endsWith(".opf") || // EPUB package docs
@@ -343,7 +344,16 @@ object Ooxml {
     else if (Odf.isOdf(entries))
       byName.collectFirst { case ("content.xml", b) =>
         Odf.contentText(str(b), Odf.mimeOf(entries)) }.getOrElse("")
-    else if (entries.exists(_._1.startsWith(SheetPrefix))) {
+    else if (entries.exists(e => e._1.startsWith(SheetPrefix) && e._1.endsWith(".bin"))) {
+      // BINARY Excel (.xlsb): BIFF12 record parts, checked before the
+      // XML branch whose prefix also matches these names
+      val shared = byName.collectFirst { case ("xl/sharedStrings.bin", b) =>
+        Xlsb.sharedStrings(b) }.getOrElse(Vector.empty)
+      byName.filter(e => e._1.startsWith(SheetPrefix) && e._1.endsWith(".bin"))
+        .sortBy(e => (partNo(e._1.stripSuffix(".bin")), e._1))
+        .map(e => Xlsb.sheetText(e._2, shared))
+        .mkString("\n")
+    } else if (entries.exists(_._1.startsWith(SheetPrefix))) {
       val shared = byName.collectFirst { case ("xl/sharedStrings.xml", b) =>
         Xlsx.sharedStrings(str(b)) }.getOrElse(Vector.empty)
       byName.filter(_._1.startsWith(SheetPrefix))

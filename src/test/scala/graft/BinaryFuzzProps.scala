@@ -244,6 +244,11 @@ object BinaryFuzzProps extends Properties("BinaryFuzz") {
     total(graft.core.office.OoxmlCrypt.decryptDefault(entries))
   }
 
+  property("xlsb: junk record streams classify") = Prop.forAll(junk) { b =>
+    total { graft.core.office.Xlsb.sharedStrings(b) }
+    total { graft.core.office.Xlsb.sheetText(b, Vector("s")) }
+  }
+
   property("cab: header-stamped junk classifies") = Prop.forAll(junk) { b =>
     val head = ("MSCF".getBytes ++ Array.fill[Byte](4)(0) ++ b).padTo(36, 0.toByte)
     head(24) = 3; head(25) = 1 // version 1.3 so the sniff engages

@@ -239,4 +239,39 @@ class DocxSpec extends AnyFunSuite {
     intercept[ParseFailure](Extract.explode(
       DocIn(23L, Array(SpanIn("zip", new String(broken, ISO_8859_1), "", 0)))))
   }
+
+  test("xlsb: BIFF12 cells decode — SST, inline, RK ints, doubles, bools") {
+    import graft.core.office.Xlsb
+    val rows = Seq(
+      Seq(("alpha", false), ("beta", false)),
+      Seq(("alpha", false), ("42", true)),      // SST dedupe + RK int
+      Seq(("-7", true), ("2.5", true)),          // negative RK, real
+      Seq(("total", false), ("123456789", true)))
+    val bytes = Xlsb.buildMinimal(rows)
+    val txt = graft.core.office.Ooxml.packageText(new String(bytes, ISO_8859_1), 1 << 20)
+    assert(txt == "alpha\tbeta\nalpha\t42\n-7\t2.5\ntotal\t123456789")
+    // routes as a PACKAGE through the zip span: body on the root document
+    val d = DocIn(24L, Array(SpanIn("zip", new String(bytes, ISO_8859_1), "", 0)))
+    val out = Extract.explode(d)
+    assert(out.head.spans.map(_.text).mkString("") == txt)
+    assert(out.length == 1) // no generic entry children
+  }
+
+  test("xlsb: malformed record streams throw ParseFailure") {
+    import graft.core.office.Xlsb
+    // shared-string index out of range
+    val sheet = {
+      val good = Xlsb.buildMinimal(Seq(Seq(("x", false))))
+      val entries = graft.sources.Archive.unzip(good, 1 << 20)
+      val bad = entries.map {
+        case ("xl/sharedStrings.bin", _) => ("xl/sharedStrings.bin", Array.emptyByteArray)
+        case (n, b) => (n, b.get)
+      }
+      graft.sources.Archive.zipBytes(bad)
+    }
+    intercept[ParseFailure](
+      graft.core.office.Ooxml.packageText(new String(sheet, ISO_8859_1), 1 << 20))
+    // truncated record payload
+    intercept[ParseFailure](Xlsb.sheetText(Array[Byte](7, 20, 1, 2), Vector.empty))
+  }
 }

@@ -132,10 +132,11 @@ class OmnibusIngestSpec extends AnyFunSuite {
     put("driver.cab", graft.sources.Cab.build(Seq(("t.txt", "cab member text".getBytes(UTF_8))), compress = true))
     put("sealed.docx", graft.core.office.OoxmlCrypt.buildEncrypted(
       graft.core.office.Docx.buildMinimal(Seq("velvet docx text")), "VelvetSweatshop"))
+    put("book.xlsb", graft.core.office.Xlsb.buildMinimal(Seq(Seq(("xlsb cell text", false)))))
     put("Thumbs.db", Array[Byte](1, 2, 3)) // junk: must be excluded
 
     val docs = Ingest.readDir(spark, dir.toString).collect()
-    assert(docs.length == 63) // every file except the junk one
+    assert(docs.length == 64) // every file except the junk one
 
     // media classify by magic and parse to empty-file (metadata, no OCR)
     val kinds = docs.flatMap(_.spans.map(_.kind))
@@ -165,7 +166,7 @@ class OmnibusIngestSpec extends AnyFunSuite {
       "rar member text", "rar5 member text", "xps glyph text", "emlx store body",
       "iso root text", "iso nested text", "COL\ndbf cell text", "wpd brief text",
       "target: C:\\omni\\seen.doc", "lzma member text", "chm topic text",
-      "cab member text", "velvet docx text")
+      "cab member text", "velvet docx text", "xlsb cell text")
     val missing = expected -- texts
     assert(missing.isEmpty, s"formats missing from extraction: $missing")
   }
