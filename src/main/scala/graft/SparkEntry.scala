@@ -363,6 +363,25 @@ object Queries {
       .toDF("doc_id", "txt")
   }
 
+  /** §2.3 legacy iWork route (Tika IWorkPackageParser): the document's
+    * 5-word lines as `<sf:p>` paragraphs (styled-run split exercised) in
+    * a gzipped index.xml inside a .pages zip.
+    */
+  def iworkText(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .filter(_._1 % 103 == 0)
+      .map { case (id, t) =>
+        val paras = t.split(" ", -1).grouped(5).map(_.mkString(" ")).toSeq
+        val bytes = graft.core.office.Iwork.buildPages(paras)
+        val d = DocIn(id, Array(SpanIn("zip", new String(bytes, ISO_8859_1), "", 0)))
+        val out = Extract.extractDoc(d)
+        (id, out.spans.map(_.text).mkString(""))
+      }
+      .toDF("doc_id", "txt")
+  }
+
   /** §2.3 BINARY Excel (.xlsb, [MS-XLSB]) route: the xlsx construction
     * as BIFF12 record parts — shared-string cells plus an RK-int total
     * row the reader must decode from the packed representation.
@@ -2911,6 +2930,7 @@ object Queries {
     "q_cab_explode" -> (cabExplode _),
     "q_ooxml_decrypt" -> (ooxmlDecrypt _),
     "q_xlsb_table" -> (xlsbTable _),
+    "q_iwork_text" -> (iworkText _),
     "q_rpm_explode" -> (rpmExplode _),
     "q_url_filter" -> (urlFilterQ _),
     "q_web_funnel" -> (webFunnel _),

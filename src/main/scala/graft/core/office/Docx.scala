@@ -300,7 +300,7 @@ object Ooxml {
     */
   def isPackageEntries(entries: Seq[(String, Option[Array[Byte]])]): Boolean =
     isPackage(entries.map(_._1)) || Odf.isOdf(entries) || Epub.isEpub(entries) ||
-      Xps.isXps(entries.map(_._1))
+      Xps.isXps(entries.map(_._1)) || Iwork.isIwork(entries.map(_._1))
 
   /** Embedded parts that spawn as children (media AND OLE-embedded
     * objects, consistently across the three package types); package
@@ -320,7 +320,8 @@ object Ooxml {
       n == "content.xml" || n == "mimetype" || // mimetype VALUE gates the ODF/EPUB routes
       n == "META-INF/container.xml" || n.endsWith(".opf") || // EPUB package docs
       n.endsWith(".xhtml") || n.endsWith(".html") || n.endsWith(".htm") || // EPUB chapters
-      n.endsWith(".fpage") // XPS fixed pages
+      n.endsWith(".fpage") || // XPS fixed pages
+      Iwork.wantedIndex(n) // legacy iWork document index
 
   /** Numeric suffix for sheetN/slideN ordering (archive order is not the
     * document order).
@@ -341,6 +342,8 @@ object Ooxml {
       Epub.bookText(entries)
     else if (Xps.isXps(entries.map(_._1)))
       Xps.pagesText(entries)
+    else if (Iwork.isIwork(entries.map(_._1)))
+      Iwork.docText(entries)
     else if (Odf.isOdf(entries))
       byName.collectFirst { case ("content.xml", b) =>
         Odf.contentText(str(b), Odf.mimeOf(entries)) }.getOrElse("")
@@ -628,5 +631,86 @@ object Xps {
       ("[Content_Types].xml", "<Types/>".getBytes(UTF_8)),
       ("FixedDocSeq.fdseq", "<FixedDocumentSequence/>".getBytes(UTF_8))) ++
       pageEntries.reverse)
+  }
+}
+
+/** Legacy iWork packages (`.pages`/`.key`/`.numbers`, the pre-2013
+  * XML era Tika's IWorkPackageParser reads): a zip whose document
+  * lives in `index.xml` / `index.apxl` (possibly gzipped in place).
+  * Body text rides in `<sf:p>` paragraphs across all three apps; one
+  * output line per paragraph, runs flattened, entities decoded —
+  * the Docx convention. (The 2013+ IWA snappy-protobuf era is a
+  * different format and classifies as a generic zip.)
+  */
+object Iwork {
+
+  private val IndexNames = Set(
+    "index.xml", "index.xml.gz", "index.apxl", "index.apxl.gz",
+    "presentation.apxl", "presentation.apxl.gz")
+
+  def isIwork(names: Seq[String]): Boolean = names.exists(IndexNames)
+
+  def wantedIndex(n: String): Boolean = IndexNames(n)
+
+  /** One line per `<sf:p>` element; nested run markup stripped through
+    * the shared XML text machinery.
+    */
+  def paragraphs(xml: String): String = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    var nP = 0
+    while (i < xml.length) {
+      val p = xml.indexOf("<sf:p", i)
+      if (p < 0) i = xml.length
+      else {
+        val after = p + 5
+        // tag-name boundary: <sf:p> or <sf:p attr=...>, never <sf:path>
+        if (after < xml.length && (xml.charAt(after) == '>' || xml.charAt(after) == ' ' ||
+            xml.charAt(after) == '/' || xml.charAt(after) == '\t' || xml.charAt(after) == '\n')) {
+          val open = xml.indexOf('>', p)
+          if (open < 0) throw new graft.core.ParseFailure("iwork: unterminated sf:p tag")
+          if (xml.charAt(open - 1) == '/') { out += ""; i = open + 1 } // empty paragraph
+          else {
+            val close = xml.indexOf("</sf:p>", open)
+            if (close < 0) throw new graft.core.ParseFailure("iwork: sf:p never closes")
+            out += graft.core.text.Xml.text(xml.substring(open + 1, close)).replace('\n', ' ')
+            i = close + 7
+          }
+          nP += 1
+          if (nP > (1 << 20)) throw new graft.core.ParseFailure("iwork: paragraph flood")
+        } else i = after
+      }
+    }
+    out.result().mkString("\n")
+  }
+
+  def docText(entries: Seq[(String, Option[Array[Byte]])]): String = {
+    val idx = entries.collectFirst { case (n, Some(b)) if IndexNames(n) => (n, b) }
+      .getOrElse(throw new graft.core.ParseFailure("iwork: index part refused or missing"))
+    val xmlBytes =
+      if (idx._1.endsWith(".gz"))
+        graft.sources.Archive.gunzip(idx._2, 64 << 20)._2
+          .getOrElse(throw new graft.core.ParseFailure("iwork: gzipped index refused"))
+      else idx._2
+    paragraphs(new String(xmlBytes, UTF_8))
+  }
+
+  /** Deterministic legacy-Pages package: gzipped `index.xml` with one
+    * `<sf:p>` per paragraph (styled runs exercise the flattening).
+    */
+  def buildPages(paragraphsIn: Seq[String]): Array[Byte] = {
+    val body = paragraphsIn.map { p =>
+      val words = p.split(" ", -1)
+      // split each paragraph across a styled run boundary like real output
+      if (words.length > 1)
+        s"<sf:p sf:style=\"paragraph-style-1\"><sf:span>${Docx.escape(words.head)}</sf:span> ${Docx.escape(words.tail.mkString(" "))}</sf:p>"
+      else s"<sf:p>${Docx.escape(p)}</sf:p>"
+    }.mkString
+    val xml = """<?xml version="1.0"?>""" +
+      """<sl:document xmlns:sl="http://developer.apple.com/namespaces/sl" xmlns:sf="http://developer.apple.com/namespaces/sf">""" +
+      "<sf:text-storage><sf:text-body>" + body + "</sf:text-body></sf:text-storage></sl:document>"
+    graft.sources.Archive.zipBytes(Seq(
+      ("index.xml.gz", graft.sources.Archive.gzipBytes(xml.getBytes(UTF_8))),
+      ("buildVersionHistory.plist", "<plist/>".getBytes(UTF_8))))
   }
 }

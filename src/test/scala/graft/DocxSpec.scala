@@ -240,6 +240,23 @@ class DocxSpec extends AnyFunSuite {
       DocIn(23L, Array(SpanIn("zip", new String(broken, ISO_8859_1), "", 0)))))
   }
 
+  test("iwork: legacy .pages text extracts, gzipped index, styled runs flatten") {
+    import graft.core.office.Iwork
+    val paras = Seq("alpha beta gamma", "delta & <epsilon>", "solo")
+    val bytes = Iwork.buildPages(paras)
+    val txt = graft.core.office.Ooxml.packageText(new String(bytes, ISO_8859_1), 1 << 20)
+    assert(txt == paras.mkString("\n"))
+    // routes as a PACKAGE, not a generic zip: body on the root, no children
+    val out = Extract.explode(DocIn(25L,
+      Array(SpanIn("zip", new String(bytes, ISO_8859_1), "", 0))))
+    assert(out.head.spans.map(_.text).mkString("") == txt)
+    assert(out.length == 1)
+    // <sf:path> lookalike tags never parse as paragraphs
+    assert(Iwork.paragraphs("<sf:path d=\"x\"/><sf:p>real</sf:p>") == "real")
+    // unclosed paragraph classifies
+    intercept[ParseFailure](Iwork.paragraphs("<sf:p>never closes"))
+  }
+
   test("xlsb: BIFF12 cells decode — SST, inline, RK ints, doubles, bools") {
     import graft.core.office.Xlsb
     val rows = Seq(
