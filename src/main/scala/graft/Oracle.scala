@@ -848,6 +848,17 @@ object Oracle {
       |   ||octet_length(encode('word/media/img1.bin'))||':word/media/img1.bin'),
       | rid, 1, 'img '||doc_id, '' FROM r WHERE doc_id%12=0""".stripMargin
 
+  /** Mirror of Queries.oneText: 5-word RichEditTextUnicode paragraphs
+    * back out of the revision-store walk.
+    */
+  private val oneText: String =
+    """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
+      |  len(string_split(text,' ')) AS m FROM documents WHERE doc_id%107=0),
+      |l AS (SELECT doc_id, i, array_to_string(w[5*i+1:5*i+5],' ') AS line
+      |      FROM p, LATERAL unnest(generate_series(0, (m-1)//5)) AS t(i))
+      |SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS txt, '' AS reason
+      |FROM l GROUP BY doc_id""".stripMargin
+
   /** Mirror of Queries.iworkText: 5-word sf:p paragraphs back out of the
     * gzipped legacy-Pages index.
     */
@@ -2089,6 +2100,7 @@ object Oracle {
     "q_ooxml_decrypt" -> ooxmlDecrypt,
     "q_xlsb_table" -> xlsbTable,
     "q_iwork_text" -> iworkText,
+    "q_one_text" -> oneText,
     "q_rpm_explode" -> rpmExplode,
     "q_url_filter" -> urlFilter,
     "q_robots_filter" -> robotsFilter,

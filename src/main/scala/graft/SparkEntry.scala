@@ -363,6 +363,24 @@ object Queries {
       .toDF("doc_id", "txt")
   }
 
+  /** §2.3 OneNote section route (Tika OneNoteParser, [MS-ONESTORE]): the
+    * document's 5-word lines as RichEditTextUnicode properties behind the
+    * root -> object-space -> revision list chain.
+    */
+  def oneText(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .filter(_._1 % 107 == 0)
+      .map { case (id, t) =>
+        val paras = t.split(" ", -1).grouped(5).map(_.mkString(" ")).toSeq
+        val one = graft.core.office.OneNote.build(paras)
+        val (txt, why) = Extract.extractSpan("one", new String(one, ISO_8859_1))
+        (id, txt, why)
+      }
+      .toDF("doc_id", "txt", "reason")
+  }
+
   /** §2.3 legacy iWork route (Tika IWorkPackageParser): the document's
     * 5-word lines as `<sf:p>` paragraphs (styled-run split exercised) in
     * a gzipped index.xml inside a .pages zip.
@@ -2931,6 +2949,7 @@ object Queries {
     "q_ooxml_decrypt" -> (ooxmlDecrypt _),
     "q_xlsb_table" -> (xlsbTable _),
     "q_iwork_text" -> (iworkText _),
+    "q_one_text" -> (oneText _),
     "q_rpm_explode" -> (rpmExplode _),
     "q_url_filter" -> (urlFilterQ _),
     "q_web_funnel" -> (webFunnel _),

@@ -123,6 +123,8 @@ object Extract {
       case "csv"       => (graft.core.text.Csv.text(t), "")  // delimited table text (reference csv fixture)
       case "dbf"       => // dBase table: header + active rows, tab-joined
         (graft.core.db.Dbf.text(t.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)), "")
+      case "one"       => // OneNote section: RichEditTextUnicode paragraphs
+        (graft.core.office.OneNote.text(t.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)), "")
       case "wpd"       => // WordPerfect: document-area byte-stream decode
         (graft.core.office.Wpd.text(t.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)), "")
       case "lnk"       => // Windows shortcut: target/string-data metadata text

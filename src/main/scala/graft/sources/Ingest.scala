@@ -80,6 +80,7 @@ object Ingest {
       graft.core.media.Probe.isRiffAv(bytes)) "av" // audio/video container: duration/rate metadata
     else if (Chm.isChm(bytes)) "chm"       // compiled HTML help (ITSS + LZX)
     else if (Cab.isCab(bytes)) "cab"       // Microsoft cabinet (MSZIP folders)
+    else if (graft.core.office.OneNote.isOne(bytes)) "one" // OneNote revision store
     else if (Iso.isIso(bytes)) "iso"       // ISO 9660 disk image (ECMA-119)
     else if (Archive.isTar(bytes)) "tar"
     else if (hasUtf16Bom(bytes)) "text" // UTF-16 BOM: decoded per-charset below

@@ -244,6 +244,16 @@ object BinaryFuzzProps extends Properties("BinaryFuzz") {
     total(graft.core.office.OoxmlCrypt.decryptDefault(entries))
   }
 
+  property("onenote: guid-stamped junk classifies") = Prop.forAll(junk) { b =>
+    val head = new Array[Byte](1024)
+    // stamp the revision-store format GUID so the sniff engages, then
+    // splatter junk over the rest of the header and body
+    b.take(1024 - 64).copyToArray(head, 64)
+    val one = graft.core.office.OneNote.build(Seq("seed"))
+    System.arraycopy(one, 48, head, 48, 16)
+    total { if (graft.core.office.OneNote.isOne(head)) graft.core.office.OneNote.text(head) }
+  }
+
   property("xlsb: junk record streams classify") = Prop.forAll(junk) { b =>
     total { graft.core.office.Xlsb.sharedStrings(b) }
     total { graft.core.office.Xlsb.sheetText(b, Vector("s")) }
