@@ -1855,6 +1855,19 @@ object Oracle {
       |  ((sum(cnt)*100)//count(*))::BIGINT AS mean_freq_x100
       |FROM w2 JOIN c USING (w) GROUP BY doc_id""".stripMargin
 
+  /** Mirror of Queries.surprisalScore: per-token bit length of
+    * total/count (ilog2 surrogate), summed per doc, mean x100 integral.
+    */
+  private val surprisal: String =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+      |w2 AS (SELECT doc_id, w FROM w WHERE w <> ''),
+      |c AS (SELECT w, count(*) AS cnt FROM w2 GROUP BY w),
+      |t AS (SELECT sum(cnt) AS total FROM c)
+      |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+      |  sum(length(bin(total//cnt)))::BIGINT AS surprisal_bits,
+      |  ((sum(length(bin(total//cnt)))*100)//count(*))::BIGINT AS mean_bits_x100
+      |FROM w2 JOIN c USING (w) CROSS JOIN t GROUP BY doc_id""".stripMargin
+
   /** BIGINT value of the idx-th (1-based) UTF-8 BYTE of `textExpr` — byte
     * semantics matching Media's binary processing (ord()/substr() would use
     * character semantics and diverge on non-ASCII).
@@ -2082,6 +2095,7 @@ object Oracle {
     "q_html_charset" -> htmlCharset,
     "q_split_assign" -> splitAssign,
     "q_word_freq" -> wordFreq,
+    "q_surprisal" -> surprisal,
     "q_rare_terms" -> rareTerms,
     "q_bpe_merges" -> bpeMerges,
     "q_domain_balance" -> domainBalance,

@@ -2724,6 +2724,30 @@ object Queries {
       .select("doc_id", "bucket", "n_tok", "cum", "bin")
   }
 
+  /** Unigram surprisal scoring (the CCNet perplexity-bucketing signal in
+    * integer-exact form): each token contributes the BIT LENGTH of
+    * total/count — an ilog2 surrogate for -log p(w) that both engines
+    * compute identically via `bin()` — summed per document plus a
+    * mean x100. Rare-word-heavy documents score HIGH (the perplexity
+    * tail CCNet trims). Same scale shape as [[wordFreqScore]]: one
+    * shuffle on the token, hint-free count join, and the corpus total as
+    * a genuine 1-row broadcast.
+    */
+  def surprisalScore(spark: SparkSession, dir: String): DataFrame = {
+    val words = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val counts = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    words.join(counts, "w")
+      .crossJoin(broadcast(total)) // 1 row: the legitimate broadcast case
+      .withColumn("bits", length(bin(expr("total div cnt"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("bits")).as("surprisal_bits"))
+      .withColumn("mean_bits_x100", expr("(surprisal_bits * 100) div n_tokens"))
+  }
+
   /** Corpus word-frequency scoring (the CCNet-style LM-quality signal,
     * integer-exact stand-in: a document of globally rare words scores
     * low): words explode, the corpus unigram counts aggregate map-side
@@ -2930,6 +2954,7 @@ object Queries {
     "q_html_charset" -> (htmlCharsetQ _),
     "q_split_assign" -> (splitAssign _),
     "q_word_freq" -> (wordFreqScore _),
+    "q_surprisal" -> (surprisalScore _),
     "q_rare_terms" -> (rareTerms _),
     "q_bpe_merges" -> (bpeMerges _),
     "q_domain_balance" -> (domainBalance _),
