@@ -24,6 +24,28 @@ object OoxmlCrypt {
 
   private val SpinCount = 50000
 
+  /** The spun password hash depends only on (algorithm, spins, salt,
+    * password) — and extraction derives it TWICE per document (the
+    * own-text route and the container-spawn route both open the
+    * package). A small bounded per-JVM cache collapses the second
+    * 50 000-hash derivation; different files have different salts, so
+    * entries never collide across documents.
+    */
+  private val spunCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Array[Byte]](32, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, Array[Byte]]): Boolean =
+        size() > 64
+    })
+
+  private def spunCached(alg: String, spins: Int, salt: Array[Byte], password: String)
+                        (compute: => Array[Byte]): Array[Byte] = {
+    val key = alg + ":" + spins + ":" +
+      java.util.Base64.getEncoder.encodeToString(salt) + ":" + password
+    val hit = spunCache.get(key)
+    if (hit != null) hit
+    else { val v = compute; spunCache.put(key, v); v }
+  }
+
   private def u16(b: Array[Byte], off: Int): Int = {
     if (off < 0 || off + 2 > b.length) throw new ParseFailure(s"offcrypto: u16 past end at $off")
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
@@ -131,7 +153,8 @@ object OoxmlCrypt {
     if (plainLen < 0 || plainLen > cipher.length)
       throw new ParseFailure("offcrypto: declared package size past ciphertext")
     val key = DefaultPasswords.iterator
-      .map(p => deriveKey(p, si.salt, si.keyBytes))
+      .map(p => spunCached("standard-SHA1-" + si.keyBytes, SpinCount, si.salt, p)(
+        deriveKey(p, si.salt, si.keyBytes)))
       .find(verifies(_, si))
       .getOrElse(throw new DecryptFailure("password-protected Office document"))
     java.util.Arrays.copyOf(aesEcb(javax.crypto.Cipher.DECRYPT_MODE, key, cipher), plainLen.toInt)
@@ -237,7 +260,8 @@ object OoxmlCrypt {
       fit(md.digest(), keyBytes)
     }
     val iv = fit(salt, 16) // encryptor decryptions use the raw salt as IV
-    val hFinal = DefaultPasswords.iterator.map(spun).find { h =>
+    val hFinal = DefaultPasswords.iterator
+      .map(p => spunCached(hashAlg, spins, salt, p)(spun(p))).find { h =>
       val vhi = aesCbc(javax.crypto.Cipher.DECRYPT_MODE, purposeKey(h, BkVerifierInput), iv, encVhi)
       val vhv = aesCbc(javax.crypto.Cipher.DECRYPT_MODE, purposeKey(h, BkVerifierValue), iv, encVhv)
       md.reset()
