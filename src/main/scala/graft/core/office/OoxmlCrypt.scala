@@ -196,6 +196,10 @@ object OoxmlCrypt {
     m.group(1)
   }
 
+  private def intAttr(xml: String, el: String, name: String): Int =
+    attr(xml, el, name).toIntOption
+      .getOrElse(throw new ParseFailure(s"offcrypto: agile <$el> $name is not a number"))
+
   private def b64(s: String): Array[Byte] =
     try java.util.Base64.getDecoder.decode(s)
     catch { case _: IllegalArgumentException => throw new ParseFailure("offcrypto: bad base64 in agile descriptor") }
@@ -221,8 +225,8 @@ object OoxmlCrypt {
     val xml = new String(info, 8, info.length - 8, StandardCharsets.UTF_8)
     // keyData: the package cipher parameters
     val kdSalt = b64(attr(xml, "keyData", "saltValue"))
-    val kdKeyBytes = attr(xml, "keyData", "keyBits").toInt / 8
-    val kdBlock = attr(xml, "keyData", "blockSize").toInt
+    val kdKeyBytes = intAttr(xml, "keyData", "keyBits") / 8
+    val kdBlock = intAttr(xml, "keyData", "blockSize")
     val kdHash = digestName(attr(xml, "keyData", "hashAlgorithm"))
     if (attr(xml, "keyData", "cipherAlgorithm") != "AES" ||
         attr(xml, "keyData", "cipherChaining") != "ChainingModeCBC")
@@ -232,12 +236,12 @@ object OoxmlCrypt {
     // password key encryptor
     val ek = xml.indexOf("encryptedKey")
     if (ek < 0) throw new ParseFailure("offcrypto: agile descriptor missing encryptedKey")
-    val exml = xml.substring(ek - 3)
+    val exml = xml.substring(math.max(0, ek - 3))
     val salt = b64(attr(exml, "encryptedKey", "saltValue"))
-    val spins = attr(exml, "encryptedKey", "spinCount").toInt
-    val keyBytes = attr(exml, "encryptedKey", "keyBits").toInt / 8
+    val spins = intAttr(exml, "encryptedKey", "spinCount")
+    val keyBytes = intAttr(exml, "encryptedKey", "keyBits") / 8
     val hashAlg = digestName(attr(exml, "encryptedKey", "hashAlgorithm"))
-    val hashSize = attr(exml, "encryptedKey", "hashSize").toInt
+    val hashSize = intAttr(exml, "encryptedKey", "hashSize")
     val encVhi = b64(attr(exml, "encryptedKey", "encryptedVerifierHashInput"))
     val encVhv = b64(attr(exml, "encryptedKey", "encryptedVerifierHashValue"))
     val encKv = b64(attr(exml, "encryptedKey", "encryptedKeyValue"))

@@ -390,6 +390,14 @@ class CfbSpec extends AnyFunSuite {
     intercept[ParseFailure](
       graft.core.office.OoxmlCrypt.decryptDefault(streams.map { case (n, b) => (n, Some(b)) }))
     intercept[Exception](Extract.extractSpan("cfb", new String(tampered, ISO_8859_1)))
+    // malformed agile descriptors classify, never raw exceptions
+    def agileInfo(xml: String): Seq[(String, Option[Array[Byte]])] = Seq(
+      ("EncryptionInfo", Some(Array[Byte](4, 0, 4, 0, 0x40, 0, 0, 0) ++ xml.getBytes(UTF_8))),
+      ("EncryptedPackage", Some(new Array[Byte](24))))
+    intercept[ParseFailure](OoxmlCrypt.decryptDefault(agileInfo(
+      """<encryption><keyData saltSize="16" blockSize="junk" keyBits="128" hashSize="64" cipherAlgorithm="AES" cipherChaining="ChainingModeCBC" hashAlgorithm="SHA512" saltValue="AA=="/></encryption>""")))
+    intercept[ParseFailure](OoxmlCrypt.decryptDefault(agileInfo(
+      "encryptedKey with no real structure")))
     // a REAL password still classifies encrypted at every site
     val sealed_ = OoxmlCrypt.buildEncrypted(docx, "actual-secret")
     intercept[graft.core.DecryptFailure](
