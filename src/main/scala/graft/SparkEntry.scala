@@ -381,6 +381,24 @@ object Queries {
       .toDF("doc_id", "txt", "reason")
   }
 
+  /** §2.3 Microsoft Publisher route (Tika/POI HPBF PublisherTextExtractor):
+    * the document's 5-word lines as CR-marked paragraphs in one Quill TEXT
+    * bit behind the `Quill/QuillSub/CONTENTS` chunk index.
+    */
+  def pubText(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .filter(_._1 % 109 == 0)
+      .map { case (id, t) =>
+        val paras = t.split(" ", -1).grouped(5).map(_.mkString(" ")).toSeq
+        val pub = graft.core.office.Pub.build(paras)
+        val (txt, why) = Extract.extractSpan("cfb", new String(pub, ISO_8859_1))
+        (id, txt, why)
+      }
+      .toDF("doc_id", "txt", "reason")
+  }
+
   /** §2.3 legacy iWork route (Tika IWorkPackageParser): the document's
     * 5-word lines as `<sf:p>` paragraphs (styled-run split exercised) in
     * a gzipped index.xml inside a .pages zip.
@@ -2975,6 +2993,7 @@ object Queries {
     "q_xlsb_table" -> (xlsbTable _),
     "q_iwork_text" -> (iworkText _),
     "q_one_text" -> (oneText _),
+    "q_pub_text" -> (pubText _),
     "q_rpm_explode" -> (rpmExplode _),
     "q_url_filter" -> (urlFilterQ _),
     "q_web_funnel" -> (webFunnel _),

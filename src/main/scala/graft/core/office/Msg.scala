@@ -148,13 +148,15 @@ object Msg {
     if (WordDoc.isDoc(entries)) Some(WordDoc.text(entries))
     else if (Xls.isXls(entries)) Some(Xls.text(entries))
     else if (Ppt.isPpt(entries)) Some(Ppt.text(entries))
+    else if (Pub.isPub(entries)) Some(Pub.text(entries))
     else None
 
   /** Cheap name-only predicate for [[docText]]'s Some case — for callers
     * that only need to know whether stream children should be suppressed.
     */
   def isLegacyDoc(entries: Seq[(String, Option[Array[Byte]])]): Boolean =
-    WordDoc.isDoc(entries) || Xls.isXls(entries) || Ppt.isPpt(entries)
+    WordDoc.isDoc(entries) || Xls.isXls(entries) || Ppt.isPpt(entries) ||
+      Pub.isPub(entries)
 
   // ---------------------------------------------------------------- writer
 

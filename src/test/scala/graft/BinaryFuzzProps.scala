@@ -254,6 +254,14 @@ object BinaryFuzzProps extends Properties("BinaryFuzz") {
     total { if (graft.core.office.OneNote.isOne(head)) graft.core.office.OneNote.text(head) }
   }
 
+  property("pub: chnkink-stamped junk CONTENTS classifies") = Prop.forAll(junk) { b =>
+    val data = new Array[Byte](math.max(b.length, 8))
+    b.copyToArray(data)
+    System.arraycopy("CHNKINK ".getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+      0, data, 0, 8)
+    total { graft.core.office.Pub.quillText(data) }
+  }
+
   property("xlsb: junk record streams classify") = Prop.forAll(junk) { b =>
     total { graft.core.office.Xlsb.sharedStrings(b) }
     total { graft.core.office.Xlsb.sheetText(b, Vector("s")) }

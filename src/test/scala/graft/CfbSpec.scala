@@ -319,6 +319,27 @@ class CfbSpec extends AnyFunSuite {
     assert(texts == Set("cell\t7", "deck text here"))
   }
 
+  test("a .pub explodes as a document: Quill story text, no stream children") {
+    import graft.core.office.Pub
+    val latin1 = new String(Pub.build(Seq("publisher story text", "second frame")),
+      StandardCharsets.ISO_8859_1)
+    val nodes = Extract.explode(DocIn(61L, Array(SpanIn("cfb", latin1, "", 0))))
+    assert(nodes.length == 1) // no Quill/Escher/Contents stream children
+    assert(nodes.head.spans.map(_.text).mkString == "publisher story text\nsecond frame")
+  }
+
+  test("Pub malformed CONTENTS throws ParseFailure") {
+    import graft.core.office.Pub
+    val good = Pub.contents(Seq("x"))
+    intercept[ParseFailure](Pub.quillText(good.take(100))) // shorter than the index
+    val magic = good.clone(); magic(0) = 'X'.toByte
+    intercept[ParseFailure](Pub.quillText(magic))
+    val past = good.clone(); past(0x20 + 21) = 0x7f // len high byte: span past end
+    intercept[ParseFailure](Pub.quillText(past))
+    val odd = good.clone(); odd(0x20 + 18) = 1 // TEXT bit with odd byte length
+    intercept[ParseFailure](Pub.quillText(odd))
+  }
+
   test("msg nested inside a zip becomes a document child with body text") {
     val inner = Msg.MsgDoc("zipped msg", "z@example.com", "msg body in zip", Vector.empty)
     val zip = Archive.zipBytes(Seq(("mail.msg", Msg.build(inner))))
