@@ -870,6 +870,17 @@ object Oracle {
       |SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS txt, '' AS reason
       |FROM l GROUP BY doc_id""".stripMargin
 
+  /** Mirror of Queries.msgRtf: 5-word lines back out of the LZFu
+    * decompress + RTF render of a PR_RTF_COMPRESSED-only message.
+    */
+  private val msgRtf: String =
+    """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
+      |  len(string_split(text,' ')) AS m FROM documents WHERE doc_id%111=0),
+      |l AS (SELECT doc_id, i, array_to_string(w[5*i+1:5*i+5],' ') AS line
+      |      FROM p, LATERAL unnest(generate_series(0, (m-1)//5)) AS t(i))
+      |SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS txt, '' AS reason
+      |FROM l GROUP BY doc_id""".stripMargin
+
   /** Mirror of Queries.iworkText: 5-word sf:p paragraphs back out of the
     * gzipped legacy-Pages index.
     */
@@ -2127,6 +2138,7 @@ object Oracle {
     "q_iwork_text" -> iworkText,
     "q_one_text" -> oneText,
     "q_pub_text" -> pubText,
+    "q_msg_rtf" -> msgRtf,
     "q_rpm_explode" -> rpmExplode,
     "q_url_filter" -> urlFilter,
     "q_robots_filter" -> robotsFilter,

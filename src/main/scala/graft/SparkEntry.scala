@@ -399,6 +399,25 @@ object Queries {
       .toDF("doc_id", "txt", "reason")
   }
 
+  /** §2.6 RTF-only Outlook mail (MS-OXRTFCP): the document's text as a
+    * PR_RTF_COMPRESSED body (LZFu dictionary compression, no PR_BODY) —
+    * the body must come back verbatim through decompress + RTF render.
+    */
+  def msgRtf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    import graft.core.office.Msg
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .filter(_._1 % 111 == 0)
+      .map { case (id, t) =>
+        val body = t.split(" ", -1).grouped(5).map(_.mkString(" ")).mkString("\n")
+        val m = Msg.MsgDoc(s"subject $id", s"sender $id", body, Vector.empty)
+        val (txt, why) = Extract.extractSpan("cfb", new String(Msg.buildRtfBody(m), ISO_8859_1))
+        (id, txt, why)
+      }
+      .toDF("doc_id", "txt", "reason")
+  }
+
   /** §2.3 legacy iWork route (Tika IWorkPackageParser): the document's
     * 5-word lines as `<sf:p>` paragraphs (styled-run split exercised) in
     * a gzipped index.xml inside a .pages zip.
@@ -2994,6 +3013,7 @@ object Queries {
     "q_iwork_text" -> (iworkText _),
     "q_one_text" -> (oneText _),
     "q_pub_text" -> (pubText _),
+    "q_msg_rtf" -> (msgRtf _),
     "q_rpm_explode" -> (rpmExplode _),
     "q_url_filter" -> (urlFilterQ _),
     "q_web_funnel" -> (webFunnel _),

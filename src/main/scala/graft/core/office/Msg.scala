@@ -95,7 +95,21 @@ object Msg {
         FileAtt(name, data)
       }
     }
-    MsgDoc(str("0037"), str("0C1A"), str("1000"), atts)
+    // body: plain-text PR_BODY when present; else the PR_RTF_COMPRESSED
+    // stream (MS-OXRTFCP) real Outlook writes for RTF-only messages,
+    // decompressed and rendered through the shared RTF text extractor
+    val body = {
+      val plain = str("1000")
+      if (plain.nonEmpty) plain
+      else entries.collectFirst {
+        case ("__substg1.0_10090102", Some(b)) => b
+      } match {
+        case Some(comp) =>
+          graft.core.text.Rtf.text(new String(RtfComp.decompress(comp), Cp1252))
+        case None => plain
+      }
+    }
+    MsgDoc(str("0037"), str("0C1A"), body, atts)
   }
 
   /** Logical canonical content key (embed-id preimage) of a message:
@@ -183,4 +197,30 @@ object Msg {
 
   /** Deterministic `.msg` bytes: [[streams]] framed by [[Cfb.build]]. */
   def build(m: MsgDoc): Array[Byte] = Cfb.build(streams(m))
+
+  /** Minimal RTF document wrapping `text` so that the shared RTF
+    * extractor renders it back verbatim (specials escaped, newlines as
+    * `\par`, non-cp1252-safe chars as `\uN` with the default 1-char
+    * fallback).
+    */
+  def rtfWrap(text: String): Array[Byte] = {
+    val sb = new StringBuilder("{\\rtf1\\ansi ")
+    text.foreach {
+      case '\\' => sb.append("\\\\")
+      case '{' => sb.append("\\{")
+      case '}' => sb.append("\\}")
+      case '\n' => sb.append("\\par ")
+      case c if c >= 0x20 && c < 0x7f => sb.append(c)
+      case c => sb.append("\\u").append(c.toInt).append('?')
+    }
+    sb.append('}').toString.getBytes(StandardCharsets.US_ASCII)
+  }
+
+  /** `.msg` bytes for an RTF-only message: PR_BODY omitted, the body
+    * carried as MS-OXRTFCP PR_RTF_COMPRESSED instead — the shape real
+    * Outlook writes for rich-text mail.
+    */
+  def buildRtfBody(m: MsgDoc): Array[Byte] = Cfb.build(
+    streams(m).filterNot(_._1 == "__substg1.0_1000001F") :+
+      (("__substg1.0_10090102", RtfComp.compress(rtfWrap(m.body)))))
 }

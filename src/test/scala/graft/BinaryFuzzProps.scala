@@ -254,6 +254,19 @@ object BinaryFuzzProps extends Properties("BinaryFuzz") {
     total { if (graft.core.office.OneNote.isOne(head)) graft.core.office.OneNote.text(head) }
   }
 
+  property("rtfcomp: compress/decompress round-trips arbitrary bytes") =
+    Prop.forAll(junk) { b =>
+      java.util.Arrays.equals(
+        graft.core.office.RtfComp.decompress(graft.core.office.RtfComp.compress(b)), b)
+    }
+
+  property("rtfcomp: lzfu-stamped junk classifies") = Prop.forAll(junk) { b =>
+    val data = new Array[Byte](math.max(b.length, 16))
+    b.copyToArray(data)
+    data(8) = 'L'; data(9) = 'Z'; data(10) = 'F'; data(11) = 'u'
+    total { graft.core.office.RtfComp.decompress(data) }
+  }
+
   property("pub: chnkink-stamped junk CONTENTS classifies") = Prop.forAll(junk) { b =>
     val data = new Array[Byte](math.max(b.length, 8))
     b.copyToArray(data)

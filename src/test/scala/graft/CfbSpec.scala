@@ -340,6 +340,34 @@ class CfbSpec extends AnyFunSuite {
     intercept[ParseFailure](Pub.quillText(odd))
   }
 
+  test("an RTF-only msg body decompresses and renders verbatim") {
+    import graft.core.office.RtfComp
+    val body = "first line of the rich body\nsecond line repeats repeats repeats\n\\brace{d}"
+    val m = Msg.MsgDoc("rich subject", "rich@example.com", body, Vector.empty)
+    val latin1 = new String(Msg.buildRtfBody(m), StandardCharsets.ISO_8859_1)
+    val nodes = Extract.explode(DocIn(62L, Array(SpanIn("cfb", latin1, "", 0))))
+    assert(nodes.length == 1)
+    assert(nodes.head.spans.map(_.text).mkString == body)
+    // the encoder really compresses: the preload dictionary covers the
+    // RTF prologue and repeats become references
+    val raw = Msg.rtfWrap(body)
+    val comp = RtfComp.compress(raw)
+    assert(comp.length < raw.length + 16)
+    assert(RtfComp.decompress(comp).sameElements(raw))
+  }
+
+  test("RtfComp malformed streams throw ParseFailure") {
+    import graft.core.office.RtfComp
+    val good = RtfComp.compress("{\\rtf1\\ansi hello}".getBytes(StandardCharsets.US_ASCII))
+    intercept[ParseFailure](RtfComp.decompress(good.take(10))) // header truncated
+    val crc = good.clone(); crc(20) = (crc(20) ^ 1).toByte
+    intercept[ParseFailure](RtfComp.decompress(crc)) // payload CRC mismatch
+    val kind = good.clone(); kind(8) = 'X'.toByte
+    intercept[ParseFailure](RtfComp.decompress(kind)) // unknown COMPTYPE
+    val short = good.clone(); short(0) = (good.length + 50).toByte
+    intercept[ParseFailure](RtfComp.decompress(short)) // COMPSIZE past end
+  }
+
   test("msg nested inside a zip becomes a document child with body text") {
     val inner = Msg.MsgDoc("zipped msg", "z@example.com", "msg body in zip", Vector.empty)
     val zip = Archive.zipBytes(Seq(("mail.msg", Msg.build(inner))))

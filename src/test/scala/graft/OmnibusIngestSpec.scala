@@ -136,10 +136,12 @@ class OmnibusIngestSpec extends AnyFunSuite {
     put("brief.pages", graft.core.office.Iwork.buildPages(Seq("iwork pages text")))
     put("notes.one", graft.core.office.OneNote.build(Seq("onenote note text")))
     put("flyer.pub", graft.core.office.Pub.build(Seq("publisher story text")))
+    put("rich.msg", graft.core.office.Msg.buildRtfBody(graft.core.office.Msg.MsgDoc(
+      "rich", "r@example.com", "compressed rtf body text", Vector.empty)))
     put("Thumbs.db", Array[Byte](1, 2, 3)) // junk: must be excluded
 
     val docs = Ingest.readDir(spark, dir.toString).collect()
-    assert(docs.length == 67) // every file except the junk one
+    assert(docs.length == 68) // every file except the junk one
 
     // media classify by magic and parse to empty-file (metadata, no OCR)
     val kinds = docs.flatMap(_.spans.map(_.kind))
@@ -170,7 +172,8 @@ class OmnibusIngestSpec extends AnyFunSuite {
       "iso root text", "iso nested text", "COL\ndbf cell text", "wpd brief text",
       "target: C:\\omni\\seen.doc", "lzma member text", "chm topic text",
       "cab member text", "velvet docx text", "xlsb cell text",
-      "iwork pages text", "onenote note text", "publisher story text")
+      "iwork pages text", "onenote note text", "publisher story text",
+      "compressed rtf body text")
     val missing = expected -- texts
     assert(missing.isEmpty, s"formats missing from extraction: $missing")
   }
