@@ -57,6 +57,7 @@ object Tnef {
 
   private val PidSenderName = 0x0C1A
   private val PidBody = 0x1000
+  private val PidRtfCompressed = 0x1009
 
   def isTnef(bytes: Array[Byte]): Boolean =
     bytes.length >= 6 && Biff.u32(bytes, 0) == Signature
@@ -114,6 +115,10 @@ object Tnef {
           if (pid == PidSenderName && ptype == PtUnicode) sender = uni16
           else if (pid == PidSenderName && ptype == PtString8) sender = cstr(raw)
           else if (pid == PidBody && ptype == PtUnicode) uniBody = Some(uni16)
+          else if (pid == PidRtfCompressed && ptype == PtBinary && uniBody.isEmpty)
+            // RTF-only mail: MS-OXRTFCP body (a plain PidTagBody outranks it)
+            uniBody = Some(graft.core.text.Rtf.text(new String(
+              graft.core.office.RtfComp.decompress(raw), Biff.Cp1252)))
         case t =>
           throw new ParseFailure(f"TNEF MAPI property type 0x$t%04x unsupported")
       }
@@ -185,7 +190,8 @@ object Tnef {
     * oracle use; reader and writer are independent spec derivations).
     */
   def build(subject: String, from: String, body: String,
-            atts: Seq[(String, Array[Byte])] = Nil): Array[Byte] = {
+            atts: Seq[(String, Array[Byte])] = Nil,
+            rtfBody: Boolean = false): Array[Byte] = {
     val out = ArrayBuffer.empty[Byte]
     putU32(out, Signature)
     putU16(out, 0x0001) // attach key
@@ -211,15 +217,20 @@ object Tnef {
       // sender AND a PT_UNICODE body ride the MAPI stream so the parse is
       // Unicode-transparent (attBody below is the lossy cp1252 fallback
       // real readers also accept)
-      val props = ArrayBuffer.empty[(Long, String)]
-      if (from.nonEmpty) props += (((PidSenderName.toLong << 16) | PtUnicode, from))
-      props += (((PidBody.toLong << 16) | PtUnicode, body))
+      val props = ArrayBuffer.empty[(Long, Array[Byte])]
+      // counted NUL-terminated unicode value
+      def uniVal(s: String): Array[Byte] = (s + "\u0000").getBytes(StandardCharsets.UTF_16LE)
+      if (from.nonEmpty)
+        props += (((PidSenderName.toLong << 16) | PtUnicode, uniVal(from)))
+      if (rtfBody) // RTF-only shape: PR_RTF_COMPRESSED instead of PidTagBody
+        props += (((PidRtfCompressed.toLong << 16) | PtBinary,
+          graft.core.office.RtfComp.compress(graft.core.office.Msg.rtfWrap(body))))
+      else props += (((PidBody.toLong << 16) | PtUnicode, uniVal(body)))
       val mp = ArrayBuffer.empty[Byte]
       putU32(mp, props.length.toLong)
-      props.foreach { case (tag, v) =>
+      props.foreach { case (tag, raw) =>
         putU32(mp, tag)
         putU32(mp, 1L) // cValues
-        val raw = (v + "\u0000").getBytes(StandardCharsets.UTF_16LE) // counted NUL-terminated
         putU32(mp, raw.length.toLong)
         mp ++= raw
         (0 until (4 - raw.length % 4) % 4).foreach(_ => mp += 0.toByte)
@@ -227,7 +238,7 @@ object Tnef {
       attribute(LvlMessage, AttMsgProps, mp.toArray)
     }
     attribute(LvlMessage, AttSubject, cbytes(subject))
-    attribute(LvlMessage, AttBody, cbytes(body))
+    if (!rtfBody) attribute(LvlMessage, AttBody, cbytes(body))
     atts.foreach { case (name, data) =>
       // RendData (14 bytes): atyp=file(1), position 0, size 0x0, flags 0
       val rd = ArrayBuffer.empty[Byte]

@@ -95,6 +95,7 @@ object Pst {
   private val PidSubject = 0x0037
   private val PidSenderName = 0x0C1A
   private val PidBody = 0x1000
+  private val PidRtfCompressed = 0x1009
   private val PidDisplayName = 0x3001
   private val PidContentCount = 0x3602
   private val PidAttachData = 0x3701
@@ -667,7 +668,18 @@ object Pst {
       val subject =
         if (subject0.length >= 2 && subject0.charAt(0).toInt == 1) subject0.substring(2)
         else subject0
-      val body = pc.str(PidBody)
+      // body: plain PR_BODY when present, else the PR_RTF_COMPRESSED
+      // stream (MS-OXRTFCP) Outlook writes for RTF-only mail — same
+      // fallback order as Msg.parse
+      val body = {
+        val plain = pc.str(PidBody)
+        if (plain.nonEmpty) plain
+        else pc.bytesOf(PidRtfCompressed) match {
+          case Some(comp) => graft.core.text.Rtf.text(
+            new String(RtfComp.decompress(comp), Biff.Cp1252))
+          case None => plain
+        }
+      }
       val from = pc.str(PidSenderName)
       val attNids = sub.keysIterator.filter(n => (n & 0x1f) == TypeAttachment).toVector.sorted
       val atts = attNids.map { anid =>
@@ -734,7 +746,8 @@ object Pst {
   final case class BuildMsg(subject: String, body: String, from: String = "",
                             atts: Seq[(String, Array[Byte])] = Nil,
                             attachedMsgs: Seq[BuildMsg] = Nil,
-                            linked: Boolean = true, corrupt: Boolean = false)
+                            linked: Boolean = true, corrupt: Boolean = false,
+                            rtfBody: Boolean = false)
   /** `path` uses '/' separators; intermediate folders are created. */
   final case class BuildFolder(path: String, messages: Seq[BuildMsg] = Nil)
 
@@ -917,11 +930,15 @@ object Pst {
       if (attNids.nonEmpty) // attachment table node, spec §2.4.6.2 shape
         subEntries += (((0x671L), buildTcBlock(attNids.toSeq), 0L))
       val msgSub = ArrayBuffer.empty[(Long, Long, Long)]
+      val bodyProp =
+        if (m.rtfBody) // RTF-only shape: no PR_BODY, MS-OXRTFCP stream instead
+          PidRtfCompressed -> PvBytes(PtBinary, RtfComp.compress(Msg.rtfWrap(m.body)))
+        else PidBody -> PvBytes(PtUnicode, uni(m.body))
       val pcBid = buildPcBlock(Seq(
         PidMessageClass -> PvBytes(PtUnicode, uni("IPM.Note")),
         PidSubject -> PvBytes(PtUnicode, uni(m.subject)),
         PidSenderName -> PvBytes(PtUnicode, uni(m.from)),
-        PidBody -> PvBytes(PtUnicode, uni(m.body))), msgSub, nextLtp)
+        bodyProp), msgSub, nextLtp)
       (pcBid, writeSub((subEntries ++ msgSub).toSeq))
     }
 

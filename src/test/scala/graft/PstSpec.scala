@@ -45,6 +45,15 @@ class PstSpec extends AnyFunSuite {
     assert(f.folders.find(_.path == "empty").get.declaredCount == 0)
   }
 
+  test("an RTF-only message body decompresses via PR_RTF_COMPRESSED") {
+    val body = "rich pst line one\nrich pst line two"
+    val pst = Pst.build(Seq(Pst.BuildFolder("inbox", Seq(
+      Pst.BuildMsg("rich", body, from = "alice", rtfBody = true)))))
+    val f = Pst.parse(pst, Cap)
+    assert(f.failures.isEmpty)
+    assert(f.messages.head.body == body)
+  }
+
   test("attached message (msg-in-pst) recurses; deep chains stay bounded") {
     val nested = Pst.BuildMsg("inner", "inner body",
       atts = Seq(("n.txt", b("nested att"))))

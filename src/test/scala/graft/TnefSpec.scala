@@ -23,6 +23,13 @@ class TnefSpec extends AnyFunSuite {
       Vector(("a.txt", "att one".getBytes(UTF_8).toSeq), ("b.bin", Seq[Byte](1, 2, 3))))
   }
 
+  test("an RTF-only winmail.dat body decompresses via PR_RTF_COMPRESSED") {
+    val body = "rich tnef line one\nrich tnef line two"
+    val bytes = Tnef.build("rich", "Alice Sender", body, rtfBody = true)
+    val m = Tnef.parse(bytes)
+    assert(m.subject == "rich" && m.body == body)
+  }
+
   test("a flipped data byte fails the attribute checksum") {
     val bytes = Tnef.build("s", "", "body", Nil)
     // find the body text and corrupt one byte of it
