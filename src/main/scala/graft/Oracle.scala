@@ -551,6 +551,27 @@ object Oracle {
     * first owner per span text the min (doc_id, sid) key, later
     * occurrences counted as duplicates.
     */
+  /** Mirror of Queries.substrDedup: window anchors, corpus-wide count,
+    * gaps-and-islands interval merge per doc.
+    */
+  private val substrDedup: String =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS w,
+      |  len(string_split(text,' ')) AS n FROM documents),
+      |win AS (SELECT doc_id, i AS pos, array_to_string(w[i+1:i+15],' ') AS s
+      |        FROM t, LATERAL unnest(generate_series(0, n-15)) AS g(i) WHERE n >= 15),
+      |hot AS (SELECT s FROM win GROUP BY s HAVING count(*) >= 2),
+      |dup AS (SELECT doc_id, pos FROM win JOIN hot USING (s)),
+      |isl AS (SELECT doc_id, pos,
+      |        CASE WHEN pos >= coalesce(max(pos+15) OVER (PARTITION BY doc_id ORDER BY pos
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) THEN 1 ELSE 0 END AS st
+      |        FROM dup),
+      |g2 AS (SELECT doc_id, pos, sum(st) OVER (PARTITION BY doc_id ORDER BY pos) AS isle FROM isl),
+      |r AS (SELECT doc_id, isle, min(pos) AS a, max(pos)+15 AS b FROM g2 GROUP BY doc_id, isle)
+      |SELECT w2.doc_id, w2.nw AS n_dup_windows, r2.k AS n_ranges, r2.c AS dup_tokens
+      |FROM (SELECT doc_id, count(*) AS nw FROM dup GROUP BY doc_id) w2
+      |JOIN (SELECT doc_id, count(*) AS k, sum(b - a)::BIGINT AS c FROM r GROUP BY doc_id) r2
+      |  USING (doc_id)""".stripMargin
+
   private val c4SpanDedup: String =
     """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
       |  len(string_split(text,' ')) AS m FROM documents),
@@ -2171,6 +2192,7 @@ object Oracle {
     "q_quality_gopher" -> qualityGopher,
     "q_quality_c4" -> qualityC4,
     "q_c4_spandedup" -> c4SpanDedup,
+    "q_substr_dedup" -> substrDedup,
     "q_token_count" -> tokenCount,
     "q_fingerprint" -> fingerprint,
     "q_winnow" -> winnow,

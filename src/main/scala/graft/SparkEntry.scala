@@ -2071,6 +2071,40 @@ object Queries {
     * next to the two shuffles, and caching an O(corpus) explode is
     * exactly what a 100 TB run cannot do.
     */
+  /** Exact-substring dedup (Lee et al. 2021, the ExactSubstr operator) as
+    * its scalable relational reformulation: fixed-length token-window
+    * anchors (15 words, stride 1) replace the suffix array — any window
+    * duplicated anywhere in the corpus marks its token range, and per-doc
+    * overlapping ranges merge into the MAXIMAL duplicated intervals the
+    * paper removes. Plan shape: windows + sha2 anchors map-side
+    * (codegen'd higher-order functions, no UDF), one shuffle on the fixed
+    * 64-char digest for the corpus-wide count, a hint-free join back, and
+    * a per-doc interval merge via `aggregate` whose state is bounded by
+    * document length — nothing O(corpus) ever sits on one task.
+    */
+  def substrDedup(spark: SparkSession, dir: String): DataFrame = {
+    val L = 15
+    val wins = docs(spark, dir)
+      .selectExpr("doc_id", "split(text, ' ') AS w")
+      .selectExpr("doc_id", "w", "size(w) AS n")
+      .filter(s"n >= $L")
+      .selectExpr("doc_id",
+        s"explode(transform(sequence(0, n - $L), i -> " +
+          s"struct(i AS pos, sha2(array_join(slice(w, i + 1, $L), ' '), 256) AS h))) AS t")
+      .selectExpr("doc_id", "t.pos AS pos", "t.h AS h")
+    val hot = wins.groupBy("h").count().filter(col("count") >= 2).select("h")
+    wins.join(hot, "h")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .selectExpr("doc_id",
+        "CAST(size(ps) AS BIGINT) AS n_dup_windows",
+        s"""aggregate(ps, named_struct('k', CAST(0 AS BIGINT), 'e', -1, 'c', CAST(0 AS BIGINT)),
+           |  (s, p) -> IF(p >= s.e,
+           |    named_struct('k', s.k + 1, 'e', p + $L, 'c', s.c + $L),
+           |    named_struct('k', s.k, 'e', p + $L, 'c', s.c + CAST(p + $L - s.e AS BIGINT)))) AS m""".stripMargin)
+      .selectExpr("doc_id", "n_dup_windows", "m.k AS n_ranges", "m.c AS dup_tokens")
+  }
+
   def c4SpanDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // both shuffles key on sha2(span) — a fixed 64-char key instead of the
@@ -3045,6 +3079,7 @@ object Queries {
     "q_quality_gopher" -> (qualityGopher _),
     "q_quality_c4" -> (qualityC4 _),
     "q_c4_spandedup" -> (c4SpanDedup _),
+    "q_substr_dedup" -> (substrDedup _),
     "q_token_count" -> (tokenCountQ _),
     "q_fingerprint" -> (fingerprintQ _),
     "q_winnow" -> (winnowQ _),

@@ -64,6 +64,41 @@ class OpsPlanSpec extends AnyFunSuite {
     assert((rows(1).getString(1), rows(1).getString(2), rows(1).getLong(3)) == m2)
   }
 
+  test("substrDedup: matches a direct in-memory interval merge; no Window op") {
+    val df = Queries.substrDedup(spark, sf)
+    val rows = df.collect().map(r =>
+      (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.nonEmpty)
+    // independent twin: brute-force window counts + interval merge
+    val L = 15
+    val texts = graft.core.Corpus.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    texts.foreach { case (_, w) =>
+      (0 to w.length - L).foreach { i =>
+        val s = w.slice(i, i + L).mkString(" ")
+        counts(s) = counts.getOrElse(s, 0) + 1
+      }
+    }
+    val expect = texts.flatMap { case (id, w) =>
+      val ps = (0 to w.length - L).filter(i => counts(w.slice(i, i + L).mkString(" ")) >= 2)
+      if (ps.isEmpty) None
+      else {
+        var k = 0L; var e = -1; var c = 0L
+        ps.foreach { p =>
+          if (p >= e) { k += 1; c += L } else c += p + L - e
+          e = p + L
+        }
+        Some(id -> ((ps.length.toLong, k, c)))
+      }
+    }.toMap
+    assert(rows == expect)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), // interval merge is an aggregate, never a per-doc sort window
+      s"substrDedup must not use window functions:\n${plan.take(1500)}")
+  }
+
   test("chunkOverlap: stride-4 windows of 8 words, exchange-free plan") {
     val df = Queries.chunkOverlap(spark, sf)
     val rows = df.collect()
