@@ -902,6 +902,18 @@ object Oracle {
       |SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS txt, '' AS reason
       |FROM l GROUP BY doc_id""".stripMargin
 
+  /** Mirror of Queries.hwpText: 5-word PARA_TEXT paragraphs back out of
+    * the deflated-section record walk; every paragraph keeps its
+    * paragraph-break newline (char 13 -> chr(10)).
+    */
+  private val hwpText: String =
+    """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
+      |  len(string_split(text,' ')) AS m FROM documents WHERE doc_id%113=0),
+      |l AS (SELECT doc_id, i, array_to_string(w[5*i+1:5*i+5],' ') AS line
+      |      FROM p, LATERAL unnest(generate_series(0, (m-1)//5)) AS t(i))
+      |SELECT doc_id, string_agg(line || chr(10), '' ORDER BY i) AS txt, '' AS reason
+      |FROM l GROUP BY doc_id""".stripMargin
+
   /** Mirror of Queries.iworkText: 5-word sf:p paragraphs back out of the
     * gzipped legacy-Pages index.
     */
@@ -2160,6 +2172,7 @@ object Oracle {
     "q_one_text" -> oneText,
     "q_pub_text" -> pubText,
     "q_msg_rtf" -> msgRtf,
+    "q_hwp_text" -> hwpText,
     "q_rpm_explode" -> rpmExplode,
     "q_url_filter" -> urlFilter,
     "q_robots_filter" -> robotsFilter,

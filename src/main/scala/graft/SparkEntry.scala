@@ -418,6 +418,24 @@ object Queries {
       .toDF("doc_id", "txt", "reason")
   }
 
+  /** §2.3 HWP 5.x route (Tika HwpV5Parser): the document's 5-word lines
+    * as paragraph-break-terminated PARA_TEXT records in a deflated
+    * BodyText section (each paragraph renders with its trailing break).
+    */
+  def hwpText(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .filter(_._1 % 113 == 0)
+      .map { case (id, t) =>
+        val paras = t.split(" ", -1).grouped(5).map(_.mkString(" ")).toSeq
+        val hwp = graft.core.office.Hwp.build(paras)
+        val (txt, why) = Extract.extractSpan("cfb", new String(hwp, ISO_8859_1))
+        (id, txt, why)
+      }
+      .toDF("doc_id", "txt", "reason")
+  }
+
   /** §2.3 legacy iWork route (Tika IWorkPackageParser): the document's
     * 5-word lines as `<sf:p>` paragraphs (styled-run split exercised) in
     * a gzipped index.xml inside a .pages zip.
@@ -3048,6 +3066,7 @@ object Queries {
     "q_one_text" -> (oneText _),
     "q_pub_text" -> (pubText _),
     "q_msg_rtf" -> (msgRtf _),
+    "q_hwp_text" -> (hwpText _),
     "q_rpm_explode" -> (rpmExplode _),
     "q_url_filter" -> (urlFilterQ _),
     "q_web_funnel" -> (webFunnel _),

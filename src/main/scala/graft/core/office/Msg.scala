@@ -163,6 +163,7 @@ object Msg {
     else if (Xls.isXls(entries)) Some(Xls.text(entries))
     else if (Ppt.isPpt(entries)) Some(Ppt.text(entries))
     else if (Pub.isPub(entries)) Some(Pub.text(entries))
+    else if (Hwp.isHwp(entries)) Some(Hwp.text(entries))
     else None
 
   /** Cheap name-only predicate for [[docText]]'s Some case — for callers
@@ -170,7 +171,7 @@ object Msg {
     */
   def isLegacyDoc(entries: Seq[(String, Option[Array[Byte]])]): Boolean =
     WordDoc.isDoc(entries) || Xls.isXls(entries) || Ppt.isPpt(entries) ||
-      Pub.isPub(entries)
+      Pub.isPub(entries) || Hwp.isHwp(entries)
 
   // ---------------------------------------------------------------- writer
 

@@ -267,6 +267,16 @@ object BinaryFuzzProps extends Properties("BinaryFuzz") {
     total { graft.core.office.RtfComp.decompress(data) }
   }
 
+  property("hwp: signature-stamped junk sections classify") = Prop.forAll(junk) { b =>
+    val header = new Array[Byte](256)
+    System.arraycopy("HWP Document File".getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+      0, header, 0, 17)
+    header(36) = 1 // compressed flag: junk must fail inflate or the record walk
+    val entries = Seq[(String, Option[Array[Byte]])](
+      ("FileHeader", Some(header)), ("BodyText/Section0", Some(b)))
+    total { if (graft.core.office.Hwp.isHwp(entries)) graft.core.office.Hwp.text(entries) }
+  }
+
   property("pub: chnkink-stamped junk CONTENTS classifies") = Prop.forAll(junk) { b =>
     val data = new Array[Byte](math.max(b.length, 8))
     b.copyToArray(data)

@@ -340,6 +340,48 @@ class CfbSpec extends AnyFunSuite {
     intercept[ParseFailure](Pub.quillText(odd))
   }
 
+  test("an .hwp explodes as a document: deflated PARA_TEXT, no stream children") {
+    import graft.core.office.Hwp
+    val latin1 = new String(Hwp.build(Seq("hangul line one", "line two")),
+      StandardCharsets.ISO_8859_1)
+    val nodes = Extract.explode(DocIn(63L, Array(SpanIn("cfb", latin1, "", 0))))
+    assert(nodes.length == 1)
+    assert(nodes.head.spans.map(_.text).mkString == "hangul line one\nline two\n")
+  }
+
+  test("hwp control codes follow the width table; encrypted flag classifies") {
+    import graft.core.office.Hwp
+    import java.nio.charset.StandardCharsets.UTF_16LE
+    // hand-build a section: tab (8 units), an extended control (8 units),
+    // a space variant, then prose — exercise the walk directly
+    val units = new StringBuilder()
+      .append('\u0009').append("AAAAAAA") // tab control: emits \t, consumes 8
+      .append('\u000B').append("BBBBBBB") // drawing control: consumed silently
+      .append('\u001E') // no-break space variant -> ' '
+      .append("ok").append('\r') // prose + paragraph break
+      .toString
+    val entries = graft.core.office.Cfb.streamEntries(
+      Hwp.build(Seq("seed")), 1 << 20)
+    // swap in an uncompressed section via a crafted FileHeader (flags=0)
+    val header = entries.collectFirst { case ("FileHeader", Some(b)) => b.clone() }.get
+    header(36) = 0 // not compressed, not encrypted
+    val rec = {
+      val payload = units.getBytes(UTF_16LE)
+      val out = new Array[Byte](4 + payload.length)
+      val hdr = (payload.length.toLong << 22) | 0x43L
+      out(0) = hdr.toByte; out(1) = (hdr >>> 8).toByte
+      out(2) = (hdr >>> 16).toByte; out(3) = (hdr >>> 24).toByte
+      System.arraycopy(payload, 0, out, 4, payload.length)
+      out
+    }
+    val crafted = Seq[(String, Option[Array[Byte]])](
+      ("FileHeader", Some(header)), ("BodyText/Section0", Some(rec)))
+    assert(Hwp.text(crafted) == "\t ok\n")
+    intercept[graft.core.DecryptFailure](
+      Hwp.text(graft.core.office.Cfb.streamEntries(
+        Hwp.build(Seq("x"), encrypted = true), 1 << 20)))
+  }
+
   test("an RTF-only msg body decompresses and renders verbatim") {
     import graft.core.office.RtfComp
     val body = "first line of the rich body\nsecond line repeats repeats repeats\n\\brace{d}"

@@ -138,10 +138,11 @@ class OmnibusIngestSpec extends AnyFunSuite {
     put("flyer.pub", graft.core.office.Pub.build(Seq("publisher story text")))
     put("rich.msg", graft.core.office.Msg.buildRtfBody(graft.core.office.Msg.MsgDoc(
       "rich", "r@example.com", "compressed rtf body text", Vector.empty)))
+    put("brief.hwp", graft.core.office.Hwp.build(Seq("hangul body text")))
     put("Thumbs.db", Array[Byte](1, 2, 3)) // junk: must be excluded
 
     val docs = Ingest.readDir(spark, dir.toString).collect()
-    assert(docs.length == 68) // every file except the junk one
+    assert(docs.length == 69) // every file except the junk one
 
     // media classify by magic and parse to empty-file (metadata, no OCR)
     val kinds = docs.flatMap(_.spans.map(_.kind))
@@ -173,7 +174,7 @@ class OmnibusIngestSpec extends AnyFunSuite {
       "target: C:\\omni\\seen.doc", "lzma member text", "chm topic text",
       "cab member text", "velvet docx text", "xlsb cell text",
       "iwork pages text", "onenote note text", "publisher story text",
-      "compressed rtf body text")
+      "compressed rtf body text", "hangul body text\n")
     val missing = expected -- texts
     assert(missing.isEmpty, s"formats missing from extraction: $missing")
   }
