@@ -914,6 +914,19 @@ object Oracle {
       |SELECT doc_id, string_agg(line || chr(10), '' ORDER BY i) AS txt, '' AS reason
       |FROM l GROUP BY doc_id""".stripMargin
 
+  /** Mirror of Queries.oneFiles: the root's 5-word paragraphs (level 0)
+    * plus the embedded FileDataStoreObject text child (level 1).
+    */
+  private val oneFiles: String =
+    """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
+      |  len(string_split(text,' ')) AS m FROM documents WHERE doc_id%117=0),
+      |l AS (SELECT doc_id, i, array_to_string(w[5*i+1:5*i+5],' ') AS line
+      |      FROM p, LATERAL unnest(generate_series(0, (m-1)//5)) AS t(i))
+      |SELECT doc_id, 0 AS level, string_agg(line, chr(10) ORDER BY i) AS txt
+      |FROM l GROUP BY doc_id
+      |UNION ALL
+      |SELECT doc_id, 1 AS level, 'embedded note ' || doc_id AS txt FROM p""".stripMargin
+
   /** Mirror of Queries.iworkText: 5-word sf:p paragraphs back out of the
     * gzipped legacy-Pages index.
     */
@@ -2173,6 +2186,7 @@ object Oracle {
     "q_pub_text" -> pubText,
     "q_msg_rtf" -> msgRtf,
     "q_hwp_text" -> hwpText,
+    "q_one_files" -> oneFiles,
     "q_rpm_explode" -> rpmExplode,
     "q_url_filter" -> urlFilter,
     "q_robots_filter" -> robotsFilter,

@@ -418,6 +418,26 @@ object Queries {
       .toDF("doc_id", "txt", "reason")
   }
 
+  /** §2.4 OneNote embedded files (FileDataStoreObject, [MS-ONESTORE]
+    * §2.6.13): a section carrying the document's paragraphs PLUS one
+    * GUID-framed embedded text file — the root keeps the prose, the
+    * payload spawns as a sniffed child.
+    */
+  def oneFiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .filter(_._1 % 117 == 0)
+      .flatMap { case (id, t) =>
+        val paras = t.split(" ", -1).grouped(5).map(_.mkString(" ")).toSeq
+        val one = graft.core.office.OneNote.build(paras,
+          files = Seq(s"embedded note $id".getBytes(UTF_8)))
+        val d = DocIn(id, Array(SpanIn("one", new String(one, ISO_8859_1), "", 0)))
+        Extract.explode(d).map(o => (id, o.level, o.spans.map(_.text).mkString("")))
+      }
+      .toDF("doc_id", "level", "txt")
+  }
+
   /** §2.3 HWP 5.x route (Tika HwpV5Parser): the document's 5-word lines
     * as paragraph-break-terminated PARA_TEXT records in a deflated
     * BodyText section (each paragraph renders with its trailing break).
@@ -3067,6 +3087,7 @@ object Queries {
     "q_pub_text" -> (pubText _),
     "q_msg_rtf" -> (msgRtf _),
     "q_hwp_text" -> (hwpText _),
+    "q_one_files" -> (oneFiles _),
     "q_rpm_explode" -> (rpmExplode _),
     "q_url_filter" -> (urlFilterQ _),
     "q_web_funnel" -> (webFunnel _),

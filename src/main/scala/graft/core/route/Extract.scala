@@ -143,7 +143,7 @@ object Extract {
     * span-parallel path for reassembly).
     */
   val ContainerKinds: Set[String] =
-    Set("media", "zip", "gzip", "tar", "eml", "emlx", "mhtml", "cfb", "zstd", "bzip2", "xz", "lz4", "snappy", "compress", "lzma", "warc", "jsonl", "7z", "rar", "pst", "tnef", "mbox", "parquet", "avro", "sqlite", "ar", "cpio", "rpm", "plist", "iso", "chm", "cab")
+    Set("media", "zip", "gzip", "tar", "eml", "emlx", "mhtml", "cfb", "zstd", "bzip2", "xz", "lz4", "snappy", "compress", "lzma", "warc", "jsonl", "7z", "rar", "pst", "tnef", "mbox", "parquet", "avro", "sqlite", "ar", "cpio", "rpm", "plist", "iso", "chm", "cab", "one")
 
   /** Null spans (a row written with spans=NULL) are treated as an empty
     * span array — reason=empty-file, never a failure — in BOTH the batch and
@@ -795,6 +795,16 @@ object Extract {
             m.parts.zipWithIndex.foreach { case ((n, b), i) =>
               spawnEntry(n, Some(b), cid, i, level + 1)
             }
+          } else if (kind == "one") {
+            // nested OneNote section (.one inside a notebook zip): a
+            // document child carrying its paragraphs, embedded
+            // FileDataStoreObject payloads recursing as sniffed children
+            val (txt1, fs) = graft.core.office.OneNote.parse(data)
+            val cid = Ids.embedId(latin1, parentId, ord, resourceName = name)
+            emitDoc(cid, parentId, level, txt1)
+            fs.zipWithIndex.foreach { case (fb, i) =>
+              spawnEntry(s"fileData_$i", Some(fb), cid, i, level + 1)
+            }
           } else if (kind == "tnef") {
             // nested winmail.dat (the REAL shape: a TNEF attachment inside
             // an eml): a document child carrying the body, attachments
@@ -1044,6 +1054,14 @@ object Extract {
               spawnEntry(n, Some(b), rootId, ord, 1); ord += 1
             case graft.core.office.Msg.MsgAtt(sub) =>
               spawnMsg(sub, sub.subject, rootId, ord, 1); ord += 1
+          }
+        case "one" =>
+          // the section's paragraphs are the parent's span (extractSpan
+          // route); embedded FileDataStoreObject payloads spawn as
+          // sniffed children with ordinal resource names
+          val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          graft.core.office.OneNote.parse(bytes)._2.foreach { b =>
+            spawnEntry(s"fileData_$ord", Some(b), rootId, ord, 1); ord += 1
           }
         case "pst" =>
           // the mailbox IS the parent document: folders, messages,

@@ -51,6 +51,35 @@ class OneNoteSpec extends AnyFunSuite {
     intercept[ParseFailure](OneNote.text(looped))
   }
 
+  test("embedded FileDataStoreObjects round-trip and spawn as children") {
+    import graft.core.{DocIn, SpanIn}
+    import graft.core.route.Extract
+    val inner = graft.sources.Archive.zipBytes(Seq(("z.txt", "zip in onenote".getBytes(UTF_8))))
+    val one = OneNote.build(Seq("host note text"),
+      files = Seq("plain embedded file".getBytes(UTF_8), inner))
+    val (txt, fs) = OneNote.parse(one)
+    assert(txt == "host note text")
+    assert(fs.length == 2 && fs(0).sameElements("plain embedded file".getBytes(UTF_8)))
+    // top-level route: root prose + sniffed children (the zip recurses)
+    val nodes = Extract.explode(DocIn(71L, Array(SpanIn("one", new String(one, ISO_8859_1), "", 0))))
+    val texts = nodes.map(n => (n.level, n.spans.map(_.text).mkString)).toSet
+    assert(texts.contains((0, "host note text")))
+    assert(texts.contains((1, "plain embedded file")))
+    assert(texts.contains((2, "zip in onenote"))) // file -> zip -> entry
+    // nested route: one-in-zip still spawns its embedded file below it
+    val zipped = graft.sources.Archive.zipBytes(Seq(("notes.one", one)))
+    val nested = Extract.explode(DocIn(72L, Array(SpanIn("zip", new String(zipped, ISO_8859_1), "", 0))))
+    val host = nested.find(n => n.spans.map(_.text).mkString == "host note text").get
+    assert(nested.exists(n => n.parent_id == host.doc_id &&
+      n.spans.map(_.text).mkString == "plain embedded file"))
+    // framing lies classify
+    val broken = one.clone()
+    val gIdx = broken.indexOfSlice(Array(0xe7, 0x16, 0xe3, 0xbd).map(_.toByte))
+    assert(gIdx > 0)
+    broken(gIdx) = 0x00
+    intercept[ParseFailure](OneNote.parse(broken))
+  }
+
   test("routes end-to-end: own text on the span, nested one-in-zip extracts") {
     val one = OneNote.build(Seq("onenote body text"))
     val out = graft.core.route.Extract.explode(graft.core.DocIn(26L,
