@@ -438,6 +438,25 @@ object Queries {
       .toDF("doc_id", "level", "txt")
   }
 
+  /** §2.3 Visio .vsdx route (Tika XDGFParser): the document's 5-word
+    * lines as shape `<Text>` elements across two drawing pages — prose
+    * harvested out of the attribute-heavy page XML in page order.
+    */
+  def vsdxText(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .filter(_._1 % 119 == 0)
+      .map { case (id, t) =>
+        val lines = t.split(" ", -1).grouped(5).map(_.mkString(" ")).toSeq
+        val (a, b) = lines.splitAt((lines.length + 1) / 2)
+        val vsdx = graft.core.office.Vsdx.buildMinimal(Seq(a, b).filter(_.nonEmpty))
+        val (txt, why) = Extract.extractSpan("zip", new String(vsdx, ISO_8859_1))
+        (id, txt, why)
+      }
+      .toDF("doc_id", "txt", "reason")
+  }
+
   /** §2.3 HWP 5.x route (Tika HwpV5Parser): the document's 5-word lines
     * as paragraph-break-terminated PARA_TEXT records in a deflated
     * BodyText section (each paragraph renders with its trailing break).
@@ -3088,6 +3107,7 @@ object Queries {
     "q_msg_rtf" -> (msgRtf _),
     "q_hwp_text" -> (hwpText _),
     "q_one_files" -> (oneFiles _),
+    "q_vsdx_text" -> (vsdxText _),
     "q_rpm_explode" -> (rpmExplode _),
     "q_url_filter" -> (urlFilterQ _),
     "q_web_funnel" -> (webFunnel _),

@@ -274,6 +274,69 @@ object Pptx {
   }
 }
 
+/** Visio `.vsdx` drawings (OPC packages, the Tika XDGFParser surface):
+  * page parts at `visio/pages/page<N>.xml` keep all geometry in
+  * attributes — prose lives only as character data inside `<Text>`
+  * elements (one per shape), which this harvests in document order
+  * through the shared XML text machinery (nested `<cp/>`-style field
+  * markers stripped, entities decoded).
+  */
+object Vsdx {
+
+  private val PagePrefix = "visio/pages/page"
+
+  /** page<N>.xml parts only — `visio/pages/pages.xml` (the page INDEX)
+    * must not parse as a page.
+    */
+  def isPage(n: String): Boolean =
+    n.startsWith(PagePrefix) && n.endsWith(".xml") && {
+      val rest = n.substring(PagePrefix.length, n.length - 4)
+      rest.nonEmpty && rest.forall(_.isDigit)
+    }
+
+  /** Character data of each `<Text>` element, one line per shape. */
+  def pageText(xml: String): String = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    var done = false
+    while (!done) {
+      val a = xml.indexOf("<Text", i)
+      // exact element name: "<TextXForm"-style lookalikes don't match
+      if (a < 0 || a + 5 >= xml.length) done = true
+      else if (xml.charAt(a + 5) != '>' && !xml.charAt(a + 5).isWhitespace &&
+        xml.charAt(a + 5) != '/') i = a + 5
+      else {
+        val open = xml.indexOf('>', a)
+        if (open < 0) done = true
+        else if (xml.charAt(open - 1) == '/') i = open + 1 // <Text/>: empty shape
+        else {
+          val close = xml.indexOf("</Text>", open)
+          if (close < 0) done = true
+          else {
+            out += graft.core.text.Xml.text(
+              "<t>" + xml.substring(open + 1, close) + "</t>")
+            i = close + 7
+          }
+        }
+      }
+    }
+    out.result().mkString("\n")
+  }
+
+  def buildMinimal(pages: Seq[Seq[String]]): Array[Byte] = {
+    val pageEntries = pages.zipWithIndex.map { case (shapes, i) =>
+      val body = shapes.map(s =>
+        s"<Shape ID='${i + 1}' Type='Shape'><Text>${Docx.escape(s)}</Text></Shape>").mkString
+      (s"visio/pages/page${i + 1}.xml",
+        s"<PageContents><Shapes>$body</Shapes></PageContents>".getBytes(UTF_8))
+    }
+    graft.sources.Archive.zipBytes(Seq(
+      ("[Content_Types].xml", "<Types/>".getBytes(UTF_8)),
+      ("visio/document.xml", "<VisioDocument/>".getBytes(UTF_8)),
+      ("visio/pages/pages.xml", "<Pages/>".getBytes(UTF_8))) ++ pageEntries)
+  }
+}
+
 /** The OOXML package router: one streaming pass over a zip span reads only
   * the text-bearing parts (word/document.xml, xl/sharedStrings + sheets,
   * ppt/slides) and renders the package's body text; a plain archive
@@ -292,7 +355,8 @@ object Ooxml {
   def isPackage(names: Seq[String]): Boolean =
     names.contains(Docx.DocumentEntry) ||
       names.exists(_.startsWith(SheetPrefix)) ||
-      names.exists(_.startsWith(SlidePrefix))
+      names.exists(_.startsWith(SlidePrefix)) ||
+      names.exists(Vsdx.isPage)
 
   /** Package detection over full entries — OOXML by its well-known part
     * names, ODF and EPUB by a VERIFIED mimetype payload (see
@@ -321,6 +385,7 @@ object Ooxml {
       n == "META-INF/container.xml" || n.endsWith(".opf") || // EPUB package docs
       n.endsWith(".xhtml") || n.endsWith(".html") || n.endsWith(".htm") || // EPUB chapters
       n.endsWith(".fpage") || // XPS fixed pages
+      Vsdx.isPage(n) || // Visio drawing pages
       Iwork.wantedIndex(n) // legacy iWork document index
 
   /** Numeric suffix for sheetN/slideN ordering (archive order is not the
@@ -367,6 +432,11 @@ object Ooxml {
       byName.filter(_._1.startsWith(SlidePrefix))
         .sortBy(e => (partNo(e._1), e._1))
         .map(e => Pptx.slideText(str(e._2)))
+        .mkString("\n")
+    else if (entries.exists(e => Vsdx.isPage(e._1)))
+      byName.filter(e => Vsdx.isPage(e._1))
+        .sortBy(e => (partNo(e._1), e._1))
+        .map(e => Vsdx.pageText(str(e._2)))
         .mkString("\n")
     else ""
   }

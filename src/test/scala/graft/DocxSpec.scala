@@ -257,6 +257,23 @@ class DocxSpec extends AnyFunSuite {
     intercept[ParseFailure](Iwork.paragraphs("<sf:p>never closes"))
   }
 
+  test("vsdx: shape Text harvests in page order; lookalikes and the index skip") {
+    import graft.core.office.Vsdx
+    val bytes = Vsdx.buildMinimal(Seq(Seq("box one", "arrow & <label>"), Seq("page two box")))
+    val txt = graft.core.office.Ooxml.packageText(new String(bytes, ISO_8859_1), 1 << 20)
+    assert(txt == "box one\narrow & <label>\npage two box")
+    // routes as a PACKAGE, not a generic zip: body on the root, no children
+    val out = Extract.explode(DocIn(26L,
+      Array(SpanIn("zip", new String(bytes, ISO_8859_1), "", 0))))
+    assert(out.length == 1 && out.head.spans.map(_.text).mkString("") == txt)
+    // <TextXForm> lookalike elements and self-closed <Text/> never harvest
+    assert(Vsdx.pageText("<Shape><TextXForm>geom</TextXForm><Text/><Text>real</Text></Shape>") == "real")
+    // nested field markers strip, entities decode
+    assert(Vsdx.pageText("<Text><cp IX='0'/>a &amp; b</Text>") == "a & b")
+    // the pages INDEX part is not a page
+    assert(!Vsdx.isPage("visio/pages/pages.xml") && Vsdx.isPage("visio/pages/page12.xml"))
+  }
+
   test("xlsb: BIFF12 cells decode — SST, inline, RK ints, doubles, bools") {
     import graft.core.office.Xlsb
     val rows = Seq(
