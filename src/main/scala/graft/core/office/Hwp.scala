@@ -51,6 +51,8 @@ object Hwp {
     val flags = u32(header, 36)
     if ((flags & 2L) != 0)
       throw new DecryptFailure("hwp: password-encrypted document")
+    if ((flags & 4L) != 0) // distribution document: body rides encrypted ViewText
+      throw new DecryptFailure("hwp: distribution (ViewText) document")
     val compressed = (flags & 1L) != 0
     val sections = entries.collect {
       case (p, b) if p.startsWith("BodyText/Section") =>

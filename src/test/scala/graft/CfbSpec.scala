@@ -380,6 +380,10 @@ class CfbSpec extends AnyFunSuite {
     intercept[graft.core.DecryptFailure](
       Hwp.text(graft.core.office.Cfb.streamEntries(
         Hwp.build(Seq("x"), encrypted = true), 1 << 20)))
+    // distribution documents (ViewText, flags bit 2) classify too
+    val dist = header.clone(); dist(36) = 4
+    intercept[graft.core.DecryptFailure](
+      Hwp.text(Seq(("FileHeader", Some(dist)))))
   }
 
   test("an RTF-only msg body decompresses and renders verbatim") {
