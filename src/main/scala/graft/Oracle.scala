@@ -572,6 +572,26 @@ object Oracle {
       |JOIN (SELECT doc_id, count(*) AS k, sum(b - a)::BIGINT AS c FROM r GROUP BY doc_id) r2
       |  USING (doc_id)""".stripMargin
 
+  /** Mirror of Queries.substrClean: tokens kept unless covered by any
+    * duplicated window; empty-after-removal docs keep an empty string.
+    */
+  private val substrClean: String =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS w,
+      |  len(string_split(text,' ')) AS n FROM documents),
+      |win AS (SELECT doc_id, i AS pos, array_to_string(w[i+1:i+15],' ') AS s
+      |        FROM t, LATERAL unnest(generate_series(0, n-15)) AS g(i) WHERE n >= 15),
+      |hot AS (SELECT s FROM win GROUP BY s HAVING count(*) >= 2),
+      |dup AS (SELECT doc_id, pos FROM win JOIN hot USING (s)),
+      |tok AS (SELECT t.doc_id, u.idx, w[u.idx+1] AS tokk
+      |        FROM t, LATERAL unnest(generate_series(0, n-1)) AS u(idx)),
+      |k AS (SELECT tok.doc_id, idx, tokk,
+      |        NOT EXISTS (SELECT 1 FROM dup d WHERE d.doc_id = tok.doc_id
+      |                    AND tok.idx >= d.pos AND tok.idx < d.pos + 15) AS kept
+      |      FROM tok)
+      |SELECT doc_id,
+      |  coalesce(string_agg(tokk, ' ' ORDER BY idx) FILTER (WHERE kept), '') AS txt
+      |FROM k GROUP BY doc_id""".stripMargin
+
   private val c4SpanDedup: String =
     """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
       |  len(string_split(text,' ')) AS m FROM documents),
@@ -2232,6 +2252,7 @@ object Oracle {
     "q_quality_c4" -> qualityC4,
     "q_c4_spandedup" -> c4SpanDedup,
     "q_substr_dedup" -> substrDedup,
+    "q_substr_clean" -> substrClean,
     "q_token_count" -> tokenCount,
     "q_fingerprint" -> fingerprint,
     "q_winnow" -> winnow,

@@ -2162,6 +2162,34 @@ object Queries {
       .selectExpr("doc_id", "n_dup_windows", "m.k AS n_ranges", "m.c AS dup_tokens")
   }
 
+  /** The APPLICATION half of [[substrDedup]] (Lee et al. 2021's actual
+    * transformation): emit each document's text with every duplicated
+    * token range REMOVED. Same anchor/count/join-back shape; the removal
+    * itself is a codegen'd `filter` lambda with a nested `exists` over
+    * the doc's duplicated positions — per-token cost bounded by the
+    * doc's own duplicate count, nothing corpus-sized per task. Docs
+    * below the window length (or with no duplicates) keep their full
+    * text via the left join.
+    */
+  def substrClean(spark: SparkSession, dir: String): DataFrame = {
+    val L = 15
+    val d = docs(spark, dir).selectExpr("doc_id", "split(text, ' ') AS w")
+    val wins = d
+      .selectExpr("doc_id", "w", "size(w) AS n")
+      .filter(s"n >= $L")
+      .selectExpr("doc_id",
+        s"explode(transform(sequence(0, n - $L), i -> " +
+          s"struct(i AS pos, sha2(array_join(slice(w, i + 1, $L), ' '), 256) AS h))) AS t")
+      .selectExpr("doc_id", "t.pos AS pos", "t.h AS h")
+    val hot = wins.groupBy("h").count().filter(col("count") >= 2).select("h")
+    val cov = wins.join(hot, "h")
+      .groupBy("doc_id").agg(collect_list(col("pos")).as("ps"))
+    d.join(cov, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        s"array_join(filter(w, (x, i) -> ps IS NULL OR " +
+          s"NOT exists(ps, p -> i >= p AND i < p + $L)), ' ') AS txt")
+  }
+
   def c4SpanDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // both shuffles key on sha2(span) — a fixed 64-char key instead of the
@@ -3140,6 +3168,7 @@ object Queries {
     "q_quality_c4" -> (qualityC4 _),
     "q_c4_spandedup" -> (c4SpanDedup _),
     "q_substr_dedup" -> (substrDedup _),
+    "q_substr_clean" -> (substrClean _),
     "q_token_count" -> (tokenCountQ _),
     "q_fingerprint" -> (fingerprintQ _),
     "q_winnow" -> (winnowQ _),

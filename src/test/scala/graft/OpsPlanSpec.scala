@@ -97,6 +97,16 @@ class OpsPlanSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), // interval merge is an aggregate, never a per-doc sort window
       s"substrDedup must not use window functions:\n${plan.take(1500)}")
+    // the application half agrees: tokens removed == dup_tokens, docs
+    // without duplicates keep their text verbatim
+    val cleaned = Queries.substrClean(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    texts.foreach { case (id, w) =>
+      val kept = if (cleaned(id).isEmpty) 0 else cleaned(id).split(" ", -1).length
+      val removed = rows.get(id).map(_._3).getOrElse(0L)
+      assert(kept.toLong == w.length - removed, s"doc $id: $kept kept, $removed removed")
+      if (!rows.contains(id)) assert(cleaned(id) == w.mkString(" "))
+    }
   }
 
   test("chunkOverlap: stride-4 windows of 8 words, exchange-free plan") {
