@@ -572,6 +572,18 @@ object Oracle {
       |JOIN (SELECT doc_id, count(*) AS k, sum(b - a)::BIGINT AS c FROM r GROUP BY doc_id) r2
       |  USING (doc_id)""".stripMargin
 
+  /** Mirror of Queries.tokenBudget: the bucket decomposition collapses to
+    * one global running sum over the same sha2 shuffle order.
+    */
+  private val tokenBudget: String =
+    """WITH t AS (SELECT doc_id,
+      |  len(string_split(text,' '))::BIGINT AS n_tokens,
+      |  sha256(doc_id::VARCHAR) AS k FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |  sum(n_tokens) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND CURRENT ROW)::BIGINT AS cum_end FROM t)
+      |SELECT doc_id, n_tokens, cum_end FROM c WHERE cum_end <= 12000""".stripMargin
+
   /** Mirror of Queries.substrClean: tokens kept unless covered by any
     * duplicated window; empty-after-removal docs keep an empty string.
     */
@@ -2253,6 +2265,7 @@ object Oracle {
     "q_c4_spandedup" -> c4SpanDedup,
     "q_substr_dedup" -> substrDedup,
     "q_substr_clean" -> substrClean,
+    "q_token_budget" -> tokenBudget,
     "q_token_count" -> tokenCount,
     "q_fingerprint" -> fingerprint,
     "q_winnow" -> winnow,

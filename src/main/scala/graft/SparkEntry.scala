@@ -2162,6 +2162,32 @@ object Queries {
       .selectExpr("doc_id", "n_dup_windows", "m.k AS n_ranges", "m.c AS dup_tokens")
   }
 
+  /** Token-budget corpus sampling: take whole documents in DETERMINISTIC
+    * shuffled order (sha2 of the doc id — the training-prep corpus
+    * shuffle) until a token budget fills. The global cumulative sum is
+    * decomposed scale-shaped: per-bucket partial sums (256 hash-prefix
+    * buckets) -> a 256-row window for bucket offsets (O(1) at any corpus
+    * size) -> a within-bucket running-sum window whose partitions are
+    * 1/256th of the corpus each — never a single-partition global window.
+    */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val B = 12000L
+    val d = docs(spark, dir).selectExpr("doc_id",
+      "size(split(text, ' ')) AS n_tokens",
+      "sha2(CAST(doc_id AS STRING), 256) AS k")
+      .selectExpr("doc_id", "CAST(n_tokens AS BIGINT) AS n_tokens", "k",
+        "substring(k, 1, 2) AS bucket")
+    val offsets = d.groupBy("bucket").agg(sum(col("n_tokens")).as("btot"))
+      .selectExpr("bucket",
+        "sum(btot) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS boff")
+      .na.fill(0L, Seq("boff"))
+    d.join(offsets, "bucket")
+      .selectExpr("doc_id", "n_tokens",
+        "boff + sum(n_tokens) OVER (PARTITION BY bucket ORDER BY k " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end")
+      .filter(s"cum_end <= $B")
+  }
+
   /** The APPLICATION half of [[substrDedup]] (Lee et al. 2021's actual
     * transformation): emit each document's text with every duplicated
     * token range REMOVED. Same anchor/count/join-back shape; the removal
@@ -3169,6 +3195,7 @@ object Queries {
     "q_c4_spandedup" -> (c4SpanDedup _),
     "q_substr_dedup" -> (substrDedup _),
     "q_substr_clean" -> (substrClean _),
+    "q_token_budget" -> (tokenBudget _),
     "q_token_count" -> (tokenCountQ _),
     "q_fingerprint" -> (fingerprintQ _),
     "q_winnow" -> (winnowQ _),

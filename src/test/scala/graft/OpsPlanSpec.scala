@@ -109,6 +109,31 @@ class OpsPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenBudget: bucket decomposition matches a direct global running sum") {
+    val rows = Queries.tokenBudget(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // independent twin: one global running sum over the sha2 shuffle order
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+    def key(id: Long): String =
+      sha.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.core.Corpus.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong))
+      .sortBy(d => key(d._1))
+    var cum = 0L
+    val expect = docs.flatMap { case (id, n) =>
+      cum += n
+      if (cum <= 12000L) Some((id, n, cum)) else None
+    }
+    assert(rows.sortBy(_._3).toSeq == expect.toSeq)
+    // the corpus-sized window is PARTITIONED (by bucket) — the only
+    // unpartitioned window is the 256-row bucket-offset frame
+    val plan = Queries.tokenBudget(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(bucket"),
+      s"running sum must partition by bucket:\n${plan.take(1500)}")
+  }
+
   test("chunkOverlap: stride-4 windows of 8 words, exchange-free plan") {
     val df = Queries.chunkOverlap(spark, sf)
     val rows = df.collect()
