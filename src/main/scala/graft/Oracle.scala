@@ -959,6 +959,15 @@ object Oracle {
       |UNION ALL
       |SELECT doc_id, 1 AS level, 'embedded note ' || doc_id AS txt FROM p""".stripMargin
 
+  /** Mirror of Queries.appleText: transport envelope (empty level 0) +
+    * the data fork's verbatim text at level 1.
+    */
+  private val appleText: String =
+    """WITH p AS (SELECT doc_id, text FROM documents WHERE doc_id%121=0)
+      |SELECT doc_id, 0 AS level, '' AS txt FROM p
+      |UNION ALL
+      |SELECT doc_id, 1 AS level, text AS txt FROM p""".stripMargin
+
   /** Mirror of Queries.vsdxText: 5-word shape texts back out of the
     * two-page drawing walk (page split preserves line order).
     */
@@ -2231,6 +2240,7 @@ object Oracle {
     "q_hwp_text" -> hwpText,
     "q_one_files" -> oneFiles,
     "q_vsdx_text" -> vsdxText,
+    "q_apple_text" -> appleText,
     "q_rpm_explode" -> rpmExplode,
     "q_url_filter" -> urlFilter,
     "q_robots_filter" -> robotsFilter,

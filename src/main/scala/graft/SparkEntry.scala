@@ -457,6 +457,24 @@ object Queries {
       .toDF("doc_id", "txt", "reason")
   }
 
+  /** §2.1 AppleSingle route (RFC 1740, Tika AppleSingleFileParser): the
+    * document's text as the DATA FORK of an envelope whose real-name
+    * entry names it — the envelope node is pure transport (empty), the
+    * fork re-sniffs and carries the text at level 1.
+    */
+  def appleText(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .filter(_._1 % 121 == 0)
+      .flatMap { case (id, t) =>
+        val env = graft.sources.Apple.build(s"note_$id.txt", t.getBytes(UTF_8))
+        val d = DocIn(id, Array(SpanIn("applesingle", new String(env, ISO_8859_1), "", 0)))
+        Extract.explode(d).map(o => (id, o.level, o.spans.map(_.text).mkString("")))
+      }
+      .toDF("doc_id", "level", "txt")
+  }
+
   /** §2.3 HWP 5.x route (Tika HwpV5Parser): the document's 5-word lines
     * as paragraph-break-terminated PARA_TEXT records in a deflated
     * BodyText section (each paragraph renders with its trailing break).
@@ -3162,6 +3180,7 @@ object Queries {
     "q_hwp_text" -> (hwpText _),
     "q_one_files" -> (oneFiles _),
     "q_vsdx_text" -> (vsdxText _),
+    "q_apple_text" -> (appleText _),
     "q_rpm_explode" -> (rpmExplode _),
     "q_url_filter" -> (urlFilterQ _),
     "q_web_funnel" -> (webFunnel _),

@@ -109,7 +109,7 @@ object Extract {
       // zip: an OOXML PACKAGE (docx/xlsx/pptx) yields its body text;
       // a plain archive has none
       case "zip"       => (graft.core.office.Ooxml.packageText(t, cfg.maxSpanChars), "")
-      case "gzip" | "tar" | "zstd" | "bzip2" | "xz" | "lz4" | "snappy" | "compress" | "lzma" | "warc" | "jsonl" | "7z" | "rar" | "pst" | "mbox" | "parquet" | "avro" | "sqlite" | "ar" | "cpio" | "rpm" | "iso" | "chm" | "cab" => ("", "") // container: no own text, entries explode to children
+      case "gzip" | "tar" | "zstd" | "bzip2" | "xz" | "lz4" | "snappy" | "compress" | "lzma" | "warc" | "jsonl" | "7z" | "rar" | "pst" | "mbox" | "parquet" | "avro" | "sqlite" | "ar" | "cpio" | "rpm" | "iso" | "chm" | "cab" | "applesingle" => ("", "") // container: no own text, entries explode to children
       // cfb: an Outlook MESSAGE yields its body text; a generic compound
       // file is a pure container (streams explode to children)
       case "cfb"       => (graft.core.office.Msg.cfbText(t, cfg.maxSpanChars), "")
@@ -143,7 +143,7 @@ object Extract {
     * span-parallel path for reassembly).
     */
   val ContainerKinds: Set[String] =
-    Set("media", "zip", "gzip", "tar", "eml", "emlx", "mhtml", "cfb", "zstd", "bzip2", "xz", "lz4", "snappy", "compress", "lzma", "warc", "jsonl", "7z", "rar", "pst", "tnef", "mbox", "parquet", "avro", "sqlite", "ar", "cpio", "rpm", "plist", "iso", "chm", "cab", "one")
+    Set("media", "zip", "gzip", "tar", "eml", "emlx", "mhtml", "cfb", "zstd", "bzip2", "xz", "lz4", "snappy", "compress", "lzma", "warc", "jsonl", "7z", "rar", "pst", "tnef", "mbox", "parquet", "avro", "sqlite", "ar", "cpio", "rpm", "plist", "iso", "chm", "cab", "one", "applesingle")
 
   /** Null spans (a row written with spans=NULL) are treated as an empty
     * span array — reason=empty-file, never a failure — in BOTH the batch and
@@ -674,6 +674,10 @@ object Extract {
           Some(Vector(graft.sources.Archive.unlz4(data, cfg.maxSpanChars)))
         else if (graft.sources.Archive.isSnappy(data))
           Some(Vector(graft.sources.Archive.unsnappy(data, cfg.maxSpanChars)))
+        else if (graft.sources.Apple.isAppleSingle(data))
+          // nested AppleSingle (Mac tarball shape): one transport entry —
+          // the data fork under the real name, re-sniffed below
+          Some(Vector(graft.sources.Apple.unwrap(data, cfg.maxSpanChars)))
         else if (graft.sources.Warc.isWarc(data))
           // nested web archive (the .warc.gz shape): records are its
           // entries, target URIs their resource names
@@ -1055,6 +1059,12 @@ object Extract {
             case graft.core.office.Msg.MsgAtt(sub) =>
               spawnMsg(sub, sub.subject, rootId, ord, 1); ord += 1
           }
+        case "applesingle" =>
+          // the envelope is transport: the data fork IS the file, spawned
+          // sniffed under the envelope's real name (RFC 1740 entry 3)
+          val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          val (aname, fork) = graft.sources.Apple.unwrap(bytes, cfg.maxSpanChars)
+          spawnEntry(aname, fork, rootId, ord, 1); ord += 1
         case "one" =>
           // the section's paragraphs are the parent's span (extractSpan
           // route); embedded FileDataStoreObject payloads spawn as

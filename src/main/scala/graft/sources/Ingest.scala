@@ -66,6 +66,7 @@ object Ingest {
     else if (AvroDump.isAvro(bytes)) "avro" // Avro object container dump (Obj\x01)
     else if (graft.core.office.Pst.isPst(bytes)) "pst" // Outlook mailbox (!BDN, MS-PST)
     else if (graft.core.mail.Tnef.isTnef(bytes)) "tnef" // winmail.dat (MS-OXTNEF)
+    else if (Apple.isAppleSingle(bytes)) "applesingle" // RFC 1740 envelope (Mac data fork + metadata)
     else if (graft.core.office.Cfb.isCfb(bytes)) "cfb" // OLE2 compound file (.msg/.doc era)
     else if (graft.core.db.Sqlite.isSqlite(bytes)) "sqlite" // SQLite database (Tika SQLite3Parser surface)
     else if (graft.core.db.Plist.isBplist(bytes)) "plist" // Apple binary property list (bplist00)

@@ -14,6 +14,33 @@ import graft.sources.Archive
 class ArchiveSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
 
+  test("AppleSingle: data fork spawns under the real name at both routes") {
+    import graft.sources.Apple
+    val env = Apple.build("memo.txt", "mac data fork text".getBytes(UTF_8))
+    assert(Apple.isAppleSingle(env))
+    assert(graft.sources.Ingest.sniffKind(env) == "applesingle")
+    val (n, f) = Apple.unwrap(env, 1 << 20)
+    assert(n == "memo.txt" && f.get.sameElements("mac data fork text".getBytes(UTF_8)))
+    // top-level: empty transport root + the fork child
+    val nodes = Extract.explode(DocIn(81L,
+      Array(SpanIn("applesingle", new String(env, ISO_8859_1), "", 0))))
+    assert(nodes.length == 2)
+    assert(nodes.find(_.level == 0).get.spans.map(_.text).mkString == "") // transport root
+    assert(nodes.find(_.level == 1).get.spans.map(_.text).mkString == "mac data fork text")
+    // nested (the Mac tarball shape): envelope unwraps, fork re-sniffs —
+    // a wrapped zip keeps exploding below
+    val inner = Archive.zipBytes(Seq(("z.txt", "zip under applesingle".getBytes(UTF_8))))
+    val wrapped = Archive.zipBytes(Seq(("arch.as", Apple.build("arch.zip", inner))))
+    val nested = Extract.explode(DocIn(82L,
+      Array(SpanIn("zip", new String(wrapped, ISO_8859_1), "", 0))))
+    assert(nested.exists(o => o.spans.map(_.text).mkString == "zip under applesingle"))
+    // declared-size refusal before copy; malformed envelopes classify
+    assert(Apple.unwrap(env, 4)._2.isEmpty)
+    val bad = env.clone(); bad(46) = 0x7f // fork length past end
+    intercept[ParseFailure](Apple.unwrap(bad, 1 << 20))
+    intercept[ParseFailure](Apple.unwrap(env.take(30), 1 << 20))
+  }
+
   private def zipDoc(id: Long, entries: Seq[(String, Array[Byte])]): DocIn =
     DocIn(id, Array(SpanIn("zip",
       new String(Archive.zipBytes(entries), ISO_8859_1), "", 0)))

@@ -140,10 +140,11 @@ class OmnibusIngestSpec extends AnyFunSuite {
       "rich", "r@example.com", "compressed rtf body text", Vector.empty)))
     put("brief.hwp", graft.core.office.Hwp.build(Seq("hangul body text")))
     put("diagram.vsdx", graft.core.office.Vsdx.buildMinimal(Seq(Seq("visio shape text"))))
+    put("memo.as", graft.sources.Apple.build("memo.txt", "apple fork text".getBytes(UTF_8)))
     put("Thumbs.db", Array[Byte](1, 2, 3)) // junk: must be excluded
 
     val docs = Ingest.readDir(spark, dir.toString).collect()
-    assert(docs.length == 70) // every file except the junk one
+    assert(docs.length == 71) // every file except the junk one
 
     // media classify by magic and parse to empty-file (metadata, no OCR)
     val kinds = docs.flatMap(_.spans.map(_.kind))
@@ -175,7 +176,8 @@ class OmnibusIngestSpec extends AnyFunSuite {
       "target: C:\\omni\\seen.doc", "lzma member text", "chm topic text",
       "cab member text", "velvet docx text", "xlsb cell text",
       "iwork pages text", "onenote note text", "publisher story text",
-      "compressed rtf body text", "hangul body text\n", "visio shape text")
+      "compressed rtf body text", "hangul body text\n", "visio shape text",
+      "apple fork text")
     val missing = expected -- texts
     assert(missing.isEmpty, s"formats missing from extraction: $missing")
   }
