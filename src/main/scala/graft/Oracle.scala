@@ -1551,6 +1551,25 @@ object Oracle {
        |SELECT id AS doc_id, min(r)::BIGINT AS component
        |FROM reach GROUP BY id""".stripMargin
 
+  /** Mirror of Queries.clusterRep: the cluster CTE joined with the
+    * quality score over the SAME injected corpus; representative picked
+    * by the identical composite key.
+    */
+  private val clusterRep: String =
+    s"""WITH comp AS ( $dedupCluster ),
+       |inj AS (SELECT doc_id, text FROM documents
+       |        UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100),
+       |q AS (SELECT doc_id,
+       |  (least(40, n//2) + least(30, 100*n_stop//n) + least(30, (100*uniq//n)//3))::BIGINT AS score
+       | FROM (SELECT doc_id, len(string_split(text,' ')) AS n,
+       |   len(list_filter(string_split(text,' '), x -> x IN $stopEnSql)) AS n_stop,
+       |   len(list_distinct(string_split(text,' '))) AS uniq FROM inj) c)
+       |SELECT comp.component, arg_min(comp.doc_id, -q.score * 10000000000 + comp.doc_id)::BIGINT AS rep_id,
+       |  count(*)::BIGINT AS n_members, max(q.score)::BIGINT AS rep_score
+       |FROM comp JOIN q ON comp.doc_id = q.doc_id
+       |GROUP BY comp.component""".stripMargin
+
+
   private val dedupSimhash: String =
     s"""WITH e AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
        |c AS (SELECT doc_id, ${hex2int("substr(md5(word),1,8)")} AS x FROM e),
@@ -2221,6 +2240,7 @@ object Oracle {
     "q_domain_balance" -> domainBalance,
     "q_chunk_overlap" -> chunkOverlap,
     "q_dedup_cluster" -> dedupCluster,
+    "q_cluster_rep" -> clusterRep,
     "q_zstd_explode" -> zstdExplode,
     "q_warc_explode" -> warcExplode,
     "q_jsonl_explode" -> jsonlExplode,

@@ -2412,6 +2412,30 @@ object Queries {
     Dedup.connectedComponents(
       Dedup.minhashPairs(spark, Dedup.withInjectedDups(docs(spark, dir))))
 
+  /** Cluster-representative selection — the dedup POLICY step real
+    * pipelines run after clustering: per duplicate cluster keep the
+    * highest-quality member (ties broken by lowest id). The choice is
+    * one `min_by` over a composite integer key (never a per-cluster
+    * sort), so the aggregate stays map-side-partial + one shuffle on
+    * the component id.
+    */
+  def clusterRep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val injected = Dedup.withInjectedDups(docs(spark, dir))
+    val clusters = Dedup.connectedComponents(
+      Dedup.minhashPairs(spark, injected))
+    val scores = injected.select("doc_id", "text").as[(Long, String)]
+      .map { case (id, t) => (id, TextStats.quality(t).score.toLong) }
+      .toDF("doc_id", "score")
+    clusters.join(scores, "doc_id")
+      .groupBy("component")
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(col("score")).as("rep_score"),
+        expr("min_by(doc_id, -score * 10000000000L + doc_id)").as("rep_id"))
+      .select("component", "rep_id", "n_members", "rep_score")
+  }
+
   /** SimHash via the native codegen'd expression (Scala twin:
     * Dedup.simhash / TextStats.simhash32).
     */
@@ -3161,6 +3185,7 @@ object Queries {
     "q_robots_filter" -> (robotsFilterQ _),
     "q_chunk_overlap" -> (chunkOverlap _),
     "q_dedup_cluster" -> (dedupCluster _),
+    "q_cluster_rep" -> (clusterRep _),
     "q_zstd_explode" -> (zstdExplode _),
     "q_warc_explode" -> (warcExplode _),
     "q_jsonl_explode" -> (jsonlExplode _),
