@@ -86,7 +86,8 @@ object Tnef {
     if (cProps < 0 || cProps > 4096) throw new ParseFailure("TNEF implausible MAPI count")
     var off = 4
     var sender = ""
-    var uniBody: Option[String] = None
+    var plainBody: Option[String] = None
+    var rtfBody: Option[String] = None
     var i = 0L
     while (i < cProps) {
       val tag = Biff.u32(b, off)
@@ -114,17 +115,19 @@ object Tnef {
             StandardCharsets.UTF_16LE)
           if (pid == PidSenderName && ptype == PtUnicode) sender = uni16
           else if (pid == PidSenderName && ptype == PtString8) sender = cstr(raw)
-          else if (pid == PidBody && ptype == PtUnicode) uniBody = Some(uni16)
-          else if (pid == PidRtfCompressed && ptype == PtBinary && uniBody.isEmpty)
-            // RTF-only mail: MS-OXRTFCP body (a plain PidTagBody outranks it)
-            uniBody = Some(graft.core.text.Rtf.text(new String(
+          else if (pid == PidBody && ptype == PtUnicode) plainBody = Some(uni16)
+          else if (pid == PidRtfCompressed && ptype == PtBinary)
+            rtfBody = Some(graft.core.text.Rtf.text(new String(
               graft.core.office.RtfComp.decompress(raw), Biff.Cp1252)))
         case t =>
           throw new ParseFailure(f"TNEF MAPI property type 0x$t%04x unsupported")
       }
       i += 1
     }
-    (sender, uniBody)
+    // a NON-EMPTY plain PidTagBody outranks PR_RTF_COMPRESSED — the same
+    // fallback order (and empty-string handling) as Msg.parse and the
+    // PST messaging layer, independent of property order in the stream
+    (sender, plainBody.filter(_.nonEmpty).orElse(rtfBody).orElse(plainBody))
   }
 
   /** Parse a TNEF stream to the same logical message shape `.msg` uses. */

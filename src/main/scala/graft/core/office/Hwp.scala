@@ -57,9 +57,9 @@ object Hwp {
     val sections = entries.collect {
       case (p, b) if p.startsWith("BodyText/Section") =>
         val n = p.substring("BodyText/Section".length)
-        if (!n.nonEmpty || !n.forall(_.isDigit))
-          throw new ParseFailure(s"hwp: non-numeric section name $p")
-        (n.toInt, b.getOrElse(
+        val num = if (n.nonEmpty && n.forall(_.isDigit)) n.toIntOption else None
+        (num.getOrElse(throw new ParseFailure(s"hwp: non-numeric section name $p")),
+          b.getOrElse(
           throw new ParseFailure(s"hwp: section stream $p refused")))
     }.sortBy(_._1)
     val sb = new StringBuilder
@@ -101,7 +101,7 @@ object Hwp {
       if (off + 4 > b.length) throw new ParseFailure("hwp: record header truncated")
       val hdr = u32(b, off)
       val tag = (hdr & 0x3ff).toInt
-      var size = ((hdr >>> 22) & 0xfff).toInt
+      var size = ((hdr >>> 20) & 0xfff).toInt
       off += 4
       if (size == 0xfff) {
         size = u32(b, off).toInt
@@ -136,13 +136,13 @@ object Hwp {
   private def record(tag: Int, payload: Array[Byte]): Array[Byte] = {
     if (payload.length >= 0xfff) {
       val out = new Array[Byte](8 + payload.length)
-      putU32(out, 0, (0xfffL << 22) | tag.toLong)
+      putU32(out, 0, (0xfffL << 20) | tag.toLong)
       putU32(out, 4, payload.length.toLong)
       System.arraycopy(payload, 0, out, 8, payload.length)
       out
     } else {
       val out = new Array[Byte](4 + payload.length)
-      putU32(out, 0, (payload.length.toLong << 22) | tag.toLong)
+      putU32(out, 0, (payload.length.toLong << 20) | tag.toLong)
       System.arraycopy(payload, 0, out, 4, payload.length)
       out
     }

@@ -131,13 +131,31 @@ object RtfComp {
   /** Encode raw RTF bytes as an LZFu PR_RTF_COMPRESSED stream: greedy
     * longest-match over the circular dictionary (matches never read bytes
     * the same copy writes, so decode order can't diverge), end marker,
-    * spec header + CRC.
+    * spec header + CRC. Candidates come from a byte-pair chain index
+    * (depth-capped, newest-first, content revalidated against the live
+    * dictionary) — near-linear encode instead of a 4096-offset scan per
+    * input byte.
     */
   def compress(raw: Array[Byte]): Array[Byte] = {
     val dict = new Array[Byte](4096)
     System.arraycopy(Preload, 0, dict, 0, Preload.length)
     var wp = Preload.length
     var filled = Preload.length // bytes of dict that are valid (until first wrap)
+
+    // pair index: dict positions whose 2-byte content starts a candidate;
+    // stale (overwritten) entries are harmless — the byte comparison below
+    // revalidates against the CURRENT dictionary, and any position whose
+    // live content matches is a legal reference
+    val chains = new Array[scala.collection.mutable.ArrayBuffer[Int]](1 << 16)
+    def chainKey(a: Byte, b2: Byte): Int = ((a & 0xff) << 8) | (b2 & 0xff)
+    def index(pos: Int): Unit = {
+      val k = chainKey(dict(pos & 0xfff), dict((pos + 1) & 0xfff))
+      var c = chains(k)
+      if (c == null) { c = new scala.collection.mutable.ArrayBuffer[Int](8); chains(k) = c }
+      c += (pos & 0xfff)
+    }
+    var seed = 0
+    while (seed < Preload.length - 1) { index(seed); seed += 1 }
 
     val tokens = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
     var flags = 0
@@ -155,7 +173,9 @@ object RtfComp {
       if (nTok == 8) flush()
     }
     def push(b: Byte): Unit = {
-      dict(wp) = b; wp = (wp + 1) & 0xfff
+      dict(wp) = b
+      index((wp - 1) & 0xfff) // the pair ending at the byte just written
+      wp = (wp + 1) & 0xfff
       if (filled < 4096) filled += 1
     }
 
@@ -167,15 +187,26 @@ object RtfComp {
       var bestLen = 0
       val maxLen = math.min(17, raw.length - p)
       if (maxLen >= 2) {
-        var o = 0
-        while (o < filled) {
-          var l = 0
-          // distance from o to wp in circular order bounds the read
-          val room = if (filled < 4096) wp - o else ((wp - o) & 0xfff)
-          val lim = math.min(maxLen, room)
-          while (l < lim && dict((o + l) & 0xfff) == raw(p + l)) l += 1
-          if (l > bestLen) { bestLen = l; bestOff = o }
-          o += 1
+        val c = chains(chainKey(raw(p), raw(p + 1)))
+        if (c != null) {
+          var ci = c.length - 1
+          var checked = 0
+          while (ci >= 0 && checked < 64) {
+            val o = c(ci)
+            // distance from o to wp in circular order bounds the read;
+            // o == wp would encode the end marker, so room 0 skips it
+            val room = if (filled < 4096) wp - o else ((wp - o) & 0xfff)
+            if (room >= 2) {
+              val lim = math.min(maxLen, room)
+              var l = 0
+              while (l < lim && dict((o + l) & 0xfff) == raw(p + l)) l += 1
+              if (l >= 2 && (l > bestLen || (l == bestLen && o < bestOff))) {
+                bestLen = l; bestOff = o
+              }
+            }
+            checked += 1
+            ci -= 1
+          }
         }
       }
       if (bestLen >= 2) {

@@ -124,7 +124,7 @@ object Extract {
       case "dbf"       => // dBase table: header + active rows, tab-joined
         (graft.core.db.Dbf.text(t.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)), "")
       case "one"       => // OneNote section: RichEditTextUnicode paragraphs
-        (graft.core.office.OneNote.text(t.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)), "")
+        (graft.core.office.OneNote.parseLatin1(t)._1, "")
       case "wpd"       => // WordPerfect: document-area byte-stream decode
         (graft.core.office.Wpd.text(t.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)), "")
       case "lnk"       => // Windows shortcut: target/string-data metadata text
@@ -1069,8 +1069,7 @@ object Extract {
           // the section's paragraphs are the parent's span (extractSpan
           // route); embedded FileDataStoreObject payloads spawn as
           // sniffed children with ordinal resource names
-          val bytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-          graft.core.office.OneNote.parse(bytes)._2.foreach { b =>
+          graft.core.office.OneNote.parseLatin1(content)._2.foreach { b =>
             spawnEntry(s"fileData_$ord", Some(b), rootId, ord, 1); ord += 1
           }
         case "pst" =>

@@ -368,7 +368,7 @@ class CfbSpec extends AnyFunSuite {
     val rec = {
       val payload = units.getBytes(UTF_16LE)
       val out = new Array[Byte](4 + payload.length)
-      val hdr = (payload.length.toLong << 22) | 0x43L
+      val hdr = (payload.length.toLong << 20) | 0x43L
       out(0) = hdr.toByte; out(1) = (hdr >>> 8).toByte
       out(2) = (hdr >>> 16).toByte; out(3) = (hdr >>> 24).toByte
       System.arraycopy(payload, 0, out, 4, payload.length)
@@ -384,6 +384,25 @@ class CfbSpec extends AnyFunSuite {
     val dist = header.clone(); dist(36) = 4
     intercept[graft.core.DecryptFailure](
       Hwp.text(Seq(("FileHeader", Some(dist)))))
+    // a paragraph past the 12-bit size field exercises the extended-size
+    // record form (size sentinel 0xFFF + u32) — bits 20-31 per the spec
+    val long = ("word " * 1000).trim
+    assert(Hwp.text(graft.core.office.Cfb.streamEntries(
+      Hwp.build(Seq(long)), 1 << 20)) == long + "\n")
+  }
+
+  test("RtfComp round-trips bodies past the 4096-byte dictionary wrap") {
+    import graft.core.office.RtfComp
+    val rnd = new scala.util.Random(7)
+    val raw = Array.tabulate[Byte](20000) { i =>
+      if (i % 97 < 40) ('a' + (i % 7)).toByte else rnd.nextInt(256).toByte
+    }
+    assert(java.util.Arrays.equals(RtfComp.decompress(RtfComp.compress(raw)), raw))
+    val repetitive = ("{\\rtf1\\ansi " + ("the same phrase again " * 400) + "}")
+      .getBytes(StandardCharsets.US_ASCII)
+    val comp = RtfComp.compress(repetitive)
+    assert(comp.length < repetitive.length / 4) // references really engage
+    assert(java.util.Arrays.equals(RtfComp.decompress(comp), repetitive))
   }
 
   test("an RTF-only msg body decompresses and renders verbatim") {

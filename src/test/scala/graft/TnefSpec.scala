@@ -28,6 +28,10 @@ class TnefSpec extends AnyFunSuite {
     val bytes = Tnef.build("rich", "Alice Sender", body, rtfBody = true)
     val m = Tnef.parse(bytes)
     assert(m.subject == "rich" && m.body == body)
+    // an EMPTY plain PidTagBody must not shadow the RTF body — the same
+    // nonEmpty gating as Msg.parse and the PST messaging layer
+    val both = Tnef.build("rich", "Alice Sender", "", rtfBody = false)
+    assert(Tnef.parse(both).body == "")
   }
 
   test("a flipped data byte fails the attribute checksum") {
