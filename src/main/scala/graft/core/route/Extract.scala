@@ -174,6 +174,7 @@ object Extract {
     val sorted = spansOrEmpty(doc).sortBy(_.offset).take(cfg.maxSpans)
     var anyContent = false
     var anyEncrypted = false
+    var anyUnsupported = false
     val out = new Array[SpanOut](sorted.length)
     var i = 0
     while (i < sorted.length) {
@@ -182,12 +183,18 @@ object Extract {
       val (txt, why) = extractSpan(s.kind, s.text, cfg)
       if (txt.nonEmpty) anyContent = true
       if (why == Reason.Encrypted) anyEncrypted = true
+      if (why == Reason.Unsupported) anyUnsupported = true
       out(i) = SpanOut(s.kind, txt, if (s.media_ref == null) "" else s.media_ref, i)
       i += 1
     }
-    // doc-level reason: encrypted outranks empty (NOT_DECRYPTED taxonomy)
+    // doc-level reason: encrypted outranks unsupported outranks empty —
+    // a document that is ONLY unparseable binary reports
+    // unsupported-media-type exactly as the reference's FallbackParser
+    // does for its garbage.bin fixture (`ExtractorTest.java` expects it);
+    // empty-file stays reserved for genuinely content-less documents
     val reason =
       if (!anyContent && anyEncrypted) Reason.Encrypted
+      else if (!anyContent && anyUnsupported) Reason.Unsupported
       else if (sorted.isEmpty || !anyContent) Reason.Empty
       else ""
     val rid = Ids.rootId(doc.doc_id)
@@ -546,6 +553,18 @@ object Extract {
       if (bytes.isEmpty || guardsRefuse(level, declaredLen)) { skipped += 1; return }
       spawned += 1
       val data = bytes.get
+      if (graft.core.office.Ole.isOle10Name(name)) {
+        // OLE packager stream: pure transport — the wrapped file spawns
+        // sniffed under its LABEL (the recursive_embedded.docx chain);
+        // an unparseable packager falls through to the generic spawn
+        graft.core.office.Ole.tryUnwrap(data) match {
+          case Some((label, payload)) =>
+            spawned -= 1
+            spawnEntry(label, Some(payload), parentId, ord, level)
+            return
+          case None => ()
+        }
+      }
       if (graft.core.office.Pst.isPst(data)) {
         // nested Outlook mailbox (pst-in-zip): a container child whose
         // folder/message tree hangs below it; untrusted entry bytes must

@@ -235,11 +235,24 @@ object Ingest {
   /** The hidden/system junk predicate as a Column over a `path` column
     * (shared batch/stream): OS-junk names, dotfiles, Office lock files.
     */
-  def junkNameFilter(path: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{element_at, split}
-    val name = element_at(split(path, "/"), -1)
-    name.startsWith(".") || name.startsWith("~$") ||
-      name.isin(SystemFileNames.toSeq: _*)
+  def junkNameFilter(path: org.apache.spark.sql.Column,
+                     root: String = ""): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{exists, regexp_replace, split}
+    // EVERY path component BELOW the scan root is checked, not just the
+    // file name: a clean-named file under `lost+found/` (or any
+    // dot-directory) is system junk — the reference's matchers test each
+    // Path element the same way. Components above the root never match
+    // (a corpus legitimately rooted under a dot-directory still scans).
+    val below =
+      if (root.isEmpty) path
+      else {
+        val abs = new java.io.File(root).getAbsolutePath
+        regexp_replace(path,
+          "^(file:)?" + java.util.regex.Pattern.quote(abs) + "/", "")
+      }
+    exists(split(below, "/"), p =>
+      p.startsWith(".") || p.startsWith("~$") ||
+        p.isin(SystemFileNames.toSeq: _*))
   }
 
   /** The binaryFile source's fixed schema — streaming reads require it
@@ -271,8 +284,10 @@ object Ingest {
     import org.apache.spark.sql.functions.{col, not}
     val base = spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true") // the reference Scanner WALKS (Scanner.java visitor)
       .load(dir)
-    val kept = if (excludeHidden) base.filter(not(junkNameFilter(col("path")))) else base
+    val kept =
+      if (excludeHidden) base.filter(not(junkNameFilter(col("path"), dir))) else base
     kept
       .select("path", "content")
       .as[(String, Array[Byte])]

@@ -90,7 +90,7 @@ object StreamJob {
       .option("maxFilesPerTrigger", 16) // bounded micro-batches = backpressure
       .load(inputDir)
     val docs = base
-      .filter(!Ingest.junkNameFilter(col("path")))
+      .filter(!Ingest.junkNameFilter(col("path"), inputDir))
       .select("path", "content")
       .as[(String, Array[Byte])]
       .map { case (p, b) => Ingest.toDocIn(p, b) }

@@ -47,10 +47,13 @@ class ExtractSpec extends AnyFunSuite {
     assert(Extract.extractDoc(mixed).no_content_reason == "")
   }
 
-  test("all-empty extraction stamps empty-file reason") {
+  test("no-content reasons: unsupported for garbage, empty for nothing") {
     val d = doc(1, SpanIn("bin", "junk", "", 0))
-    assert(Extract.extractDoc(d).no_content_reason == Reason.Empty)
+    assert(Extract.extractDoc(d).no_content_reason == Reason.Unsupported)
     assert(Extract.extractDoc(DocIn(2, Array.empty[SpanIn])).no_content_reason == Reason.Empty)
+    // an empty-text span of a SUPPORTED kind is still an empty file
+    assert(Extract.extractDoc(doc(3, SpanIn("text", "", "", 0)))
+      .no_content_reason == Reason.Empty)
   }
 
   test("size guard: oversized span becomes empty, siblings unaffected") {

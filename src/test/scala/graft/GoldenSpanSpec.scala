@@ -73,8 +73,9 @@ class GoldenSpanSpec extends AnyFunSuite {
   }
 
   test("golden: unparseable/garbage and empty docs degrade with reasons") {
+    // all-garbage -> unsupported-media-type (the reference's garbage.bin golden)
     assert(Extract.extractDoc(DocIn(107, Array(SpanIn("bin", "\u0000\u0001garbage", "", 0))))
-      .no_content_reason == Reason.Empty)
+      .no_content_reason == Reason.Unsupported)
     assert(Extract.extractDoc(DocIn(108, Array.empty[SpanIn])).no_content_reason == Reason.Empty)
     assert(Extract.extractDoc(DocIn(109, Array(SpanIn("text", "", "", 0))))
       .no_content_reason == Reason.Empty)

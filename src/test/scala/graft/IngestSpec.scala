@@ -291,7 +291,7 @@ class IngestSpec extends AnyFunSuite {
     assert(textOf("b.html") == "real page body")
     assert(textOf("c.txt") == "just plain text")
     assert(byId(graft.core.Ids.rootId(Ingest.pathId(s"file:${dir.resolve("d.bin")}")))
-      .no_content_reason == graft.core.Reason.Empty) // unsupported kind -> empty, never a failure
+      .no_content_reason == graft.core.Reason.Unsupported) // the reference's garbage.bin golden
     // lineage: all four SUCCESS
     assert(extracted.flatMap(_._2).count(_.status == graft.core.Status.Success) == 4)
   }
