@@ -651,6 +651,21 @@ object Odf {
       "</office:presentation></office:body></office:document-content>"
     zipPackage(OdfMime + ".presentation", content, Nil)
   }
+
+  /** Deterministic minimal odg package: drawing pages with text frames —
+    * the graphics flavor rides the same mimetype prefix and paragraph
+    * scan as presentations (Tika's OpenDocumentParser does likewise).
+    */
+  def buildGraphics(pages: Seq[Seq[String]]): Array[Byte] = {
+    val content = ContentPrefix + "<office:body><office:drawing>" +
+      pages.zipWithIndex.map { case (paras, i) =>
+        s"""<draw:page draw:name="page${i + 1}"><draw:frame><draw:text-box>""" +
+          paras.map(p => s"<text:p>${Docx.escape(p)}</text:p>").mkString +
+          "</draw:text-box></draw:frame></draw:page>"
+      }.mkString +
+      "</office:drawing></office:body></office:document-content>"
+    zipPackage(OdfMime + ".graphics", content, Nil)
+  }
 }
 
 /** XPS / OpenXPS fixed documents (ECMA-388; Tika's XPS surface): an OPC

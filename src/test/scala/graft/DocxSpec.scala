@@ -257,6 +257,16 @@ class DocxSpec extends AnyFunSuite {
     intercept[ParseFailure](Iwork.paragraphs("<sf:p>never closes"))
   }
 
+  test("odg: graphics pages route as ODF and flatten their text frames") {
+    import graft.core.office.Odf
+    val bytes = Odf.buildGraphics(Seq(Seq("drawing label one"), Seq("page two label")))
+    val txt = graft.core.office.Ooxml.packageText(new String(bytes, ISO_8859_1), 1 << 20)
+    assert(txt == "drawing label one\npage two label")
+    val out = Extract.explode(DocIn(27L,
+      Array(SpanIn("zip", new String(bytes, ISO_8859_1), "", 0))))
+    assert(out.length == 1 && out.head.spans.map(_.text).mkString("") == txt)
+  }
+
   test("vsdx: shape Text harvests in page order; lookalikes and the index skip") {
     import graft.core.office.Vsdx
     val bytes = Vsdx.buildMinimal(Seq(Seq("box one", "arrow & <label>"), Seq("page two box")))
