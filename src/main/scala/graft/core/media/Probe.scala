@@ -597,6 +597,33 @@ object Probe {
 
   // --------------------------------------------------------------- TIFF ----
 
+  /** Netpbm raster (P1-P6 + whitespace + a dimension digit past optional
+    * `#` comments): binary pixel data rides after an ASCII header, so the
+    * printable-text probe would otherwise index megabytes of pixels as
+    * prose -- the exact garbage Tika's image/x-portable-* detection avoids.
+    */
+  def isPnm(b: Array[Byte]): Boolean =
+    b.length >= 4 && b(0) == 'P' && b(1) >= '1' && b(1) <= '6' &&
+      (b(2) == ' ' || b(2) == '\n' || b(2) == '\r' || b(2) == '\t') && {
+        var i = 3
+        var ok = false
+        var done = false
+        while (!done && i < math.min(b.length, 512)) {
+          val c = b(i)
+          if (c == '#') { // comment line: skip to newline
+            while (i < math.min(b.length, 512) && b(i) != '\n') i += 1
+          } else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') i += 1
+          else { ok = c >= '0' && c <= '9'; done = true }
+        }
+        ok
+      }
+
+  /** JP2 signature box (ISO 15444-1): 00 00 00 0C 'jP  ' 0D 0A 87 0A. */
+  def isJp2(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 0 && b(1) == 0 && b(2) == 0 && b(3) == 0x0c &&
+      b(4) == 'j' && b(5) == 'P' && b(6) == ' ' && b(7) == ' ' &&
+      b(8) == 0x0d && b(9) == 0x0a && (b(10) & 0xff) == 0x87 && b(11) == 0x0a
+
   def isTiff(b: Array[Byte]): Boolean =
     b.length >= 8 &&
       ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||

@@ -120,9 +120,18 @@ class RealFixturesSpec extends AnyFunSuite {
   test("ocr image fixtures sniff as media kinds") {
     Seq("ocr/test.png" -> "image", "ocr/test.jpg" -> "image",
       "ocr/test.tif" -> "image", "ocr/test.gif" -> "image",
-      "ocr/test.bmp" -> "image").foreach { case (f, k) =>
+      "ocr/test.bmp" -> "image",
+      // the 2.4 MB netpbm file must NEVER index its pixels as prose, and
+      // the JP2 signature box is an image, not bin
+      "ocr/test.ppm" -> "image", "ocr/test.jp2" -> "image",
+      "ocr/test.jpx" -> "image",
+      "ocr/test_tiff_multipage.tif" -> "image").foreach { case (f, k) =>
       assert(Ingest.sniffKind(bytesOf(f), f.split('/').last) == k, f)
     }
+    // the embedded-doc mail extracts its body; attachment spawns
+    val n = explodeFile("ocr/embedded_doc.eml")
+    assert(n.head.spans.map(_.text).mkString("").trim == "test embedded")
+    assert(n.exists(_.level == 1))
   }
 
   test("the directory walk drops the reference's hidden and system files") {
