@@ -618,6 +618,22 @@ object Probe {
         ok
       }
 
+  /** EMF metafile (MS-EMF): EMR_HEADER record type 1 at offset 0 plus the
+    * " EMF" signature dword at offset 40.
+    */
+  def isEmf(b: Array[Byte]): Boolean =
+    b.length >= 44 && b(0) == 1 && b(1) == 0 && b(2) == 0 && b(3) == 0 &&
+      b(40) == ' ' && b(41) == 'E' && b(42) == 'M' && b(43) == 'F'
+
+  /** WMF metafile: the placeable header magic 9AC6CDD7 (little-endian on
+    * disk: D7 CD C6 9A), or a standard header (type 1/2, headerSize 9).
+    */
+  def isWmf(b: Array[Byte]): Boolean =
+    b.length >= 6 && (
+      ((b(0) & 0xff) == 0xd7 && (b(1) & 0xff) == 0xcd &&
+        (b(2) & 0xff) == 0xc6 && (b(3) & 0xff) == 0x9a) ||
+      ((b(0) == 1 || b(0) == 2) && b(1) == 0 && b(2) == 9 && b(3) == 0))
+
   /** JP2 signature box (ISO 15444-1): 00 00 00 0C 'jP  ' 0D 0A 87 0A. */
   def isJp2(b: Array[Byte]): Boolean =
     b.length >= 12 && b(0) == 0 && b(1) == 0 && b(2) == 0 && b(3) == 0x0c &&

@@ -77,7 +77,8 @@ object Ingest {
       graft.core.media.Probe.isGif(bytes) || graft.core.media.Probe.isTiff(bytes) ||
       graft.core.media.Probe.isWebp(bytes) || graft.core.media.Probe.isBmp(bytes) ||
       graft.core.media.Probe.isIco(bytes) || graft.core.media.Probe.isPnm(bytes) ||
-      graft.core.media.Probe.isJp2(bytes)) "image" // raster image: header metadata, no text without OCR
+      graft.core.media.Probe.isJp2(bytes) || graft.core.media.Probe.isEmf(bytes) ||
+      graft.core.media.Probe.isWmf(bytes)) "image" // raster image: header metadata, no text without OCR
     else if (graft.core.media.Probe.isMp4(bytes) || graft.core.media.Probe.isMp3(bytes) ||
       graft.core.media.Probe.isRiffAv(bytes)) "av" // audio/video container: duration/rate metadata
     else if (Chm.isChm(bytes)) "chm"       // compiled HTML help (ITSS + LZX)

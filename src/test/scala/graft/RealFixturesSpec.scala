@@ -69,6 +69,11 @@ class RealFixturesSpec extends AnyFunSuite {
     assert(texts.exists(_.startsWith("embed_3"))) // the long declaration text
     assert(nodes.map(_.level).max >= 6) // docx > ole > zip > zip > zip > zip > txt
     assert(nodes.map(_.doc_id).distinct.length == nodes.length) // ids all distinct
+    // the real EMF print image (word/media/image1.emf) sniffs as an image
+    val zipEntries = graft.sources.Archive.unzip(
+      bytesOf("recursive_embedded.docx"), 1 << 24)
+    val emf = zipEntries.collectFirst { case (n, Some(b)) if n.endsWith(".emf") => b }.get
+    assert(Ingest.sniffKind(emf, "image1.emf") == "image")
   }
 
   test("3rd-level-bug-732.msg: real Outlook nesting explodes three levels") {
