@@ -112,6 +112,62 @@ object StreamJob {
     * O(watermark-window) memory instead of O(stream) — the only dedup
     * contract that survives an unbounded source.
     */
+  final case class StreamDocIn(doc_id: Long, ts: Timestamp, text: String)
+  final case class NearDup(doc_id: Long, dup_of: Long, bucket: String)
+  final case class BucketOwner(owner: Long, lastSec: Long)
+
+  /** Streaming MinHash+LSH near-dup — the streaming twin of
+    * `Dedup.minhashPairs`, built on the SAME per-document signature and
+    * band-key functions so batch and stream agree on candidates. Each doc
+    * explodes to its band buckets; per-bucket state keeps the FIRST-SEEN
+    * owner id (watermark-bounded, timeout-evicted — state never grows past
+    * the window), and every later arrival emits (doc, dup_of=owner). A doc
+    * colliding in several buckets emits once per bucket; consumers take
+    * min(dup_of) per doc, like the batch pair generator's distinct.
+    * In-batch arrivals process in doc_id order, so parallel == serial.
+    */
+  def nearDupStream(docs: Dataset[StreamDocIn]): Dataset[NearDup] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.operators.Dedup
+    docs
+      .withWatermark("ts", "1 hour")
+      .flatMap(d => Dedup.bandKeys(Dedup.minhashSig(d.text))
+        .map(b => (b, d.doc_id, d.ts)))
+      .toDF("bucket", "doc_id", "ts")
+      .withWatermark("ts", "1 hour")
+      .as[(String, Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BucketOwner, NearDup](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (bucket: String, batch: Iterator[(String, Long, Timestamp)],
+         state: GroupState[BucketOwner]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rows = batch.toVector.sortBy(_._2) // doc_id order: deterministic
+            var cur = state.getOption
+            val out = Vector.newBuilder[NearDup]
+            rows.foreach { case (_, id, t) =>
+              val sec = t.getTime / 1000
+              cur match {
+                case Some(o) =>
+                  if (id != o.owner) out += NearDup(id, o.owner, bucket)
+                  cur = Some(o.copy(lastSec = math.max(o.lastSec, sec)))
+                case None =>
+                  cur = Some(BucketOwner(id, sec))
+              }
+            }
+            cur.foreach { o =>
+              state.update(o)
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs() + 3600 * 1000,
+                o.lastSec * 1000 + 3600 * 1000))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   def dedupStream(events: Dataset[Event]): Dataset[Event] =
     events
       .withWatermark("ts", "30 minutes")

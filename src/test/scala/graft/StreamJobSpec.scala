@@ -129,6 +129,30 @@ class StreamJobSpec extends AnyFunSuite {
       .select("doc.doc_id").distinct().count() == 2)
   }
 
+  test("streaming near-dup flags copies against in-batch AND prior-batch owners") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[StreamJob.StreamDocIn]
+    val q = StreamJob.nearDupStream(src.toDS())
+      .writeStream.format("memory").queryName("neardup").outputMode(OutputMode.Append).start()
+    val body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "one two three four five six seven eight nine ten"
+    try {
+      // batch 1: an original, its in-batch copy, and an unrelated doc
+      src.addData(
+        StreamJob.StreamDocIn(10, ts(100), body),
+        StreamJob.StreamDocIn(11, ts(110), body),
+        StreamJob.StreamDocIn(20, ts(120), other))
+      q.processAllAvailable()
+      // batch 2: a copy arriving later must match batch 1's owner state
+      src.addData(StreamJob.StreamDocIn(30, ts(200), body))
+      q.processAllAvailable()
+      val dups = spark.table("neardup").as[StreamJob.NearDup].collect()
+        .map(d => (d.doc_id, d.dup_of)).distinct.sorted.toSeq
+      assert(dups == Seq((11L, 10L), (30L, 10L))) // 20 never flags
+    } finally q.stop()
+  }
+
   test("streaming dedup drops watermark-window duplicates across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
