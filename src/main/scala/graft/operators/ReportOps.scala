@@ -51,4 +51,24 @@ object ReportOps {
     import spark.implicits._
     spark.read.schema(spark.emptyDataset[DocIn].schema).json(path).as[DocIn]
   }
+
+  /** JSON report dump/load (`DumpReportTask`/`LoadReportTask`): the lineage
+    * table serialized as newline-delimited JSON and read back with the
+    * WRITER's schema enforced (a dump is a contract, not schema inference —
+    * a malformed line surfaces as nulls against the declared columns, never
+    * as a silently different shape).
+    */
+  def dumpReport(lineage: DataFrame, path: String): Unit =
+    lineage.write.mode("overwrite").json(path)
+
+  def loadReport(spark: SparkSession, path: String,
+                 schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** `InspectDumpTask`: the dump summarized without loading payloads —
+    * row count + status histogram off the same narrow projection.
+    */
+  def inspectDump(spark: SparkSession, path: String,
+                  schema: org.apache.spark.sql.types.StructType): DataFrame =
+    statusCounts(loadReport(spark, path, schema))
 }

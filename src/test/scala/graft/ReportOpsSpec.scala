@@ -33,6 +33,21 @@ class ReportOpsSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 3L, 4L))
   }
 
+  test("report JSON dump/load round-trips the lineage; inspect summarizes it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-report").toString + "/r"
+    val lineage = Seq(
+      ("a1", "SUCCESS"), ("a2", "SUCCESS"), ("a3", "FAILURE_NOT_PARSED"),
+      ("a4", "FAILURE_TIMEOUT")).toDF("doc_id", "status")
+    ReportOps.dumpReport(lineage, dir)
+    val loaded = ReportOps.loadReport(spark, dir, lineage.schema)
+    assert(loaded.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq ==
+      lineage.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq)
+    val hist = ReportOps.inspectDump(spark, dir, lineage.schema).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(hist == Map("SUCCESS" -> 2L, "FAILURE_NOT_PARSED" -> 1L, "FAILURE_TIMEOUT" -> 1L))
+  }
+
   test("queue JSON dump/load round-trips the spans queue (reference dump/load tasks)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-queue").toString + "/q"
