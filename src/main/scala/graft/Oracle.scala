@@ -968,6 +968,17 @@ object Oracle {
       |UNION ALL
       |SELECT doc_id, 1 AS level, text AS txt FROM p""".stripMargin
 
+  /** Mirror of Queries.pdfCid: 5-word lines back out of the ToUnicode
+    * CMap decode of 2-byte glyph codes.
+    */
+  private val pdfCid: String =
+    """WITH p AS (SELECT doc_id, string_split(text,' ') AS w,
+      |  len(string_split(text,' ')) AS m FROM documents WHERE doc_id%123=0),
+      |l AS (SELECT doc_id, i, array_to_string(w[5*i+1:5*i+5],' ') AS line
+      |      FROM p, LATERAL unnest(generate_series(0, (m-1)//5)) AS t(i))
+      |SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS txt, '' AS reason
+      |FROM l GROUP BY doc_id""".stripMargin
+
   /** Mirror of Queries.vsdxText: 5-word shape texts back out of the
     * two-page drawing walk (page split preserves line order).
     */
@@ -2261,6 +2272,7 @@ object Oracle {
     "q_one_files" -> oneFiles,
     "q_vsdx_text" -> vsdxText,
     "q_apple_text" -> appleText,
+    "q_pdf_cid" -> pdfCid,
     "q_rpm_explode" -> rpmExplode,
     "q_url_filter" -> urlFilter,
     "q_robots_filter" -> robotsFilter,

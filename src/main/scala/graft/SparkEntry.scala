@@ -475,6 +475,24 @@ object Queries {
       .toDF("doc_id", "level", "txt")
   }
 
+  /** §2.7 CID/subset-font PDF route (ToUnicode CMaps, PDF 9.10.3 — the
+    * modern Word/LaTeX shape): the document's 5-word lines as 2-byte
+    * glyph codes whose meaning lives only in the font's CMap; extraction
+    * must recover the text through the map, never emit raw code units.
+    */
+  def pdfCid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .filter(_._1 % 123 == 0)
+      .map { case (id, t) =>
+        val lines = t.split(" ", -1).grouped(5).map(_.mkString(" ")).toSeq
+        val pdf = graft.core.pdf.PdfMini.buildCid(lines)
+        val (txt, why) = Extract.extractSpan("pdf_bytes", pdf)
+        (id, txt, why)
+      }
+      .toDF("doc_id", "txt", "reason")
+  }
+
   /** §2.3 HWP 5.x route (Tika HwpV5Parser): the document's 5-word lines
     * as paragraph-break-terminated PARA_TEXT records in a deflated
     * BodyText section (each paragraph renders with its trailing break).
@@ -3206,6 +3224,7 @@ object Queries {
     "q_one_files" -> (oneFiles _),
     "q_vsdx_text" -> (vsdxText _),
     "q_apple_text" -> (appleText _),
+    "q_pdf_cid" -> (pdfCid _),
     "q_rpm_explode" -> (rpmExplode _),
     "q_url_filter" -> (urlFilterQ _),
     "q_web_funnel" -> (webFunnel _),

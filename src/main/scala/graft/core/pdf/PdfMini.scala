@@ -363,7 +363,10 @@ object PdfMini {
   }
 
   def textFromLatin1(pdf: String): String = {
-    val chunks = ArrayBuffer.empty[Chunk]
+    // pass 1: decode every stream once, keyed by its owning object number
+    // (the number ahead of the preceding `obj` keyword)
+    final case class Decoded(objNum: Int, text: String)
+    val streams = ArrayBuffer.empty[Decoded]
     var from = 0
     while (from >= 0 && from < pdf.length) {
       val s = pdf.indexOf("stream", from)
@@ -385,17 +388,120 @@ object PdfMini {
           decodeFilters(filters,
             raw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
             .foreach { b =>
-              extractStream(new String(b, java.nio.charset.StandardCharsets.ISO_8859_1), chunks)
+              streams += Decoded(objNumBefore(pdf, dictStart),
+                new String(b, java.nio.charset.StandardCharsets.ISO_8859_1))
             } // malformed/unsupported filter data: skip the stream, never throw
           from = e + "endstream".length
         }
       }
+    }
+    // pass 2: ToUnicode CMaps (PDF 9.10.3) -- subset/CID fonts carry glyph
+    // codes, not text; the font's CMap recovers the Unicode. Font-name ->
+    // CMap resolution only engages when a CMap stream exists, so the
+    // simple-PDF path is untouched
+    val cmaps: Map[Int, PdfCmap.CMap] = streams.iterator
+      .filter(d => d.objNum >= 0 && PdfCmap.looksCmap(d.text))
+      .map(d => d.objNum -> PdfCmap.parse(d.text)).toMap
+    val fonts: Map[String, PdfCmap.CMap] =
+      if (cmaps.isEmpty) Map.empty else fontMap(pdf, cmaps)
+    val chunks = ArrayBuffer.empty[Chunk]
+    streams.foreach { d =>
+      if (!cmaps.contains(d.objNum)) extractStream(d.text, chunks, fonts)
     }
     val lines = chunks.groupBy(_.y).toSeq.sortBy(-_._1)
     lines.iterator
       .map { case (_, cs) => cs.sortBy(_.x).iterator.map(_.text).mkString(" ") }
       .filter(_.nonEmpty)
       .mkString("\n")
+  }
+
+  /** The object number of the `N G obj` header whose `obj` keyword starts
+    * at `objKeyword` (-1 when the framing is absent/malformed).
+    */
+  private def objNumBefore(pdf: String, objKeyword: Int): Int = {
+    var i = objKeyword - 1
+    while (i >= 0 && pdf.charAt(i).isWhitespace) i -= 1
+    while (i >= 0 && pdf.charAt(i).isDigit) i -= 1 // generation
+    while (i >= 0 && pdf.charAt(i).isWhitespace) i -= 1
+    val e = i
+    while (i >= 0 && pdf.charAt(i).isDigit) i -= 1
+    if (e > i) pdf.substring(i + 1, e + 1).toIntOption.getOrElse(-1) else -1
+  }
+
+  private val FontResRe = """(?s)/Font\s*<<(.*?)>>""".r
+  private val FontRefRe = """/([A-Za-z0-9._#-]+)\s+(\d+)\s+\d+\s+R""".r
+  private val ToUniRe = """/ToUnicode\s+(\d+)\s+\d+\s+R""".r
+
+  /** Resource font names -> their ToUnicode CMaps: `/Font << /F1 7 0 R >>`
+    * resource dicts name font objects, whose bodies reference the CMap
+    * stream. First mapping wins on (rare) cross-page name collisions.
+    */
+  private def fontMap(pdf: String,
+                      cmaps: Map[Int, PdfCmap.CMap]): Map[String, PdfCmap.CMap] = {
+    val out = scala.collection.mutable.HashMap.empty[String, PdfCmap.CMap]
+    FontResRe.findAllMatchIn(pdf).foreach { m =>
+      FontRefRe.findAllMatchIn(m.group(1)).foreach { fm =>
+        val name = fm.group(1)
+        if (!out.contains(name)) fm.group(2).toIntOption.foreach { objNum =>
+          fontBody(pdf, objNum).foreach { body =>
+            ToUniRe.findFirstMatchIn(body).foreach(um =>
+              um.group(1).toIntOption.flatMap(cmaps.get)
+                .foreach(cm => out(name) = cm))
+          }
+        }
+      }
+    }
+    out.toMap
+  }
+
+  /** Body of object `objNum` (header to endobj), boundary-checked so
+    * object 12 never matches inside object 112.
+    */
+  private def fontBody(pdf: String, objNum: Int): Option[String] = {
+    val key = s"$objNum 0 obj"
+    var i = pdf.indexOf(key)
+    while (i >= 0 && i > 0 && pdf.charAt(i - 1).isDigit)
+      i = pdf.indexOf(key, i + 1)
+    if (i < 0) None
+    else {
+      val e = pdf.indexOf("endobj", i)
+      Some(if (e < 0) pdf.substring(i) else pdf.substring(i, e))
+    }
+  }
+
+  /** Deterministic CID-font fixture: line text as 2-byte glyph codes in
+    * hex `Tj` operands, a Type0 font whose ToUnicode CMap maps the codes
+    * back -- the modern subset-font PDF shape (codes are meaningless
+    * without the CMap, exactly like real Word/LaTeX output).
+    */
+  def buildCid(lines: Seq[String]): String = {
+    val chars = lines.flatMap(_.toSeq).distinct
+    val code = chars.zipWithIndex.map { case (c, k) => c -> (k + 1) }.toMap
+    val bf = chars.map(c => f"<${code(c)}%04X> <${c.toInt}%04X>").mkString("\n")
+    val cmap =
+      s"""/CIDInit /ProcSet findresource begin
+         |begincmap
+         |1 begincodespacerange <0000> <FFFF> endcodespacerange
+         |${chars.size} beginbfchar
+         |$bf
+         |endbfchar
+         |endcmap end""".stripMargin
+    val content = "BT /F9 12 Tf " + lines.zipWithIndex.map { case (ln, r) =>
+      s"1 0 0 1 10 ${700 - 20 * r} Tm <${ln.map(c => f"${code(c)}%04X").mkString}> Tj"
+    }.mkString(" ") + " ET"
+    s"""%PDF-1.4
+       |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+       |2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
+       |3 0 obj << /Type /Page /Resources << /Font << /F9 4 0 R >> >> /Contents 5 0 R >> endobj
+       |4 0 obj << /Type /Font /Subtype /Type0 /BaseFont /Subset-Fx /ToUnicode 6 0 R >> endobj
+       |5 0 obj << /Length ${content.length} >> stream
+       |$content
+       |endstream endobj
+       |6 0 obj << /Length ${cmap.length} >> stream
+       |$cmap
+       |endstream endobj
+       |trailer << /Root 1 0 R >>
+       |%%EOF""".stripMargin
   }
 
   /** The standard PDF document-information keys the reference's
@@ -446,7 +552,8 @@ object PdfMini {
   }
 
   /** Parse one content stream's text operators. */
-  private def extractStream(s: String, out: ArrayBuffer[Chunk]): Unit = {
+  private def extractStream(s: String, out: ArrayBuffer[Chunk],
+                            fonts: Map[String, PdfCmap.CMap] = Map.empty): Unit = {
     var i = 0
     val n = s.length
     var x = 0.0; var y = 0.0          // current text position
@@ -454,10 +561,18 @@ object PdfMini {
     var leading = 12.0
     var inText = false
     var pendingStr: String = null     // last parsed literal/array string
+    var pendingName: String = null    // last name token (Tf font operand)
+    var curCmap: Option[PdfCmap.CMap] = None // active font's ToUnicode
     val nums = ArrayBuffer.empty[Double] // numeric operand stack
 
     def emit(str: String): Unit =
-      if (inText && str != null && str.nonEmpty) out += Chunk(y, x, str)
+      if (inText && str != null && str.nonEmpty) {
+        val mapped = curCmap match {
+          case Some(cm) => PdfCmap.mapString(str, cm)
+          case None => str
+        }
+        if (mapped.nonEmpty) out += Chunk(y, x, mapped)
+      }
 
     def parseString(start: Int): (String, Int) = {
       // literal string with escapes and balanced-paren nesting (PDF 7.3.4.2)
@@ -537,9 +652,10 @@ object PdfMini {
         val (str, j) = parseHexString(i)
         pendingStr = str; i = j
       } else if (c == '/' ) {
-        // name token: skip to delimiter
+        // name token: recorded (the Tf font operand), then skipped
         var j = i + 1
         while (j < n && !s.charAt(j).isWhitespace && "()<>[]{}/%".indexOf(s.charAt(j)) < 0) j += 1
+        pendingName = s.substring(i + 1, j)
         i = j
       } else if (c == '-' || c == '+' || c == '.' || (c >= '0' && c <= '9')) {
         var j = i + 1
@@ -567,6 +683,8 @@ object PdfMini {
           case "Tm" if nums.size >= 6 =>
             lineX = nums(nums.size - 2); x = lineX; y = nums.last
           case "T*" => y -= leading; x = lineX
+          case "Tf" => // font select: engage its ToUnicode map, if any
+            curCmap = if (pendingName == null) None else fonts.get(pendingName)
           case "Tj" => emit(pendingStr); pendingStr = null
           case "TJ" => emit(pendingStr); pendingStr = null
           case "'" => y -= leading; x = lineX; emit(pendingStr); pendingStr = null

@@ -277,6 +277,13 @@ object BinaryFuzzProps extends Properties("BinaryFuzz") {
     total { if (graft.core.office.Hwp.isHwp(entries)) graft.core.office.Hwp.text(entries) }
   }
 
+  property("pdf cmap: junk parses best-effort, never throws") = Prop.forAll(junk) { b =>
+    val s = "beginbfchar " + new String(b, java.nio.charset.StandardCharsets.ISO_8859_1) +
+      " endbfchar beginbfrange <00> <ff> <41> endbfrange"
+    graft.core.pdf.PdfCmap.parse(s)
+    Prop.passed
+  }
+
   property("pub: chnkink-stamped junk CONTENTS classifies") = Prop.forAll(junk) { b =>
     val data = new Array[Byte](math.max(b.length, 8))
     b.copyToArray(data)

@@ -168,6 +168,26 @@ class IngestSpec extends AnyFunSuite {
       "stream\nBT <48656C6C6F2> Tj ET\nendstream") == "Hello ")
   }
 
+  test("ToUnicode CMaps decode CID glyph codes to text; bfrange forms work") {
+    import graft.core.pdf.{PdfCmap, PdfMini}
+    // the builder round-trips arbitrary line text through 2-byte codes
+    val lines = Seq("heavy métal lives", "second line")
+    assert(PdfMini.textFromLatin1(PdfMini.buildCid(lines)) == lines.mkString("\n"))
+    // bfrange: incrementing destination and the bracketed array form
+    val cm = PdfCmap.parse(
+      """2 beginbfrange
+        |<0001> <0003> <0041>
+        |<0010> <0011> [<00480069> <0079006F>]
+        |endbfrange""".stripMargin)
+    assert(cm.codeBytes == 2)
+    assert(PdfCmap.mapString("\u0000\u0001\u0000\u0003\u0000\u0010", cm) == "ACHi")
+    // unmapped 2-byte codes emit nothing, never raw code units
+    assert(PdfCmap.mapString("\u0000\u00ff", cm) == "")
+    // junk CMaps parse best-effort without throwing
+    PdfCmap.parse("beginbfchar <zz> <qq> endbfchar beginbfrange <1> endbfrange")
+    PdfCmap.parse("beginbfrange <0001> <ffffffffffffffff> <41> endbfrange")
+  }
+
   test("PdfMini never throws on arbitrary junk") {
     PdfMini.textFromLatin1("stream BT ( unclosed \\ ET endstream ((( [ /// 1 2")
     PdfMini.textFromLatin1("")
