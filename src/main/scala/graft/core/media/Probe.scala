@@ -602,21 +602,51 @@ object Probe {
     * printable-text probe would otherwise index megabytes of pixels as
     * prose -- the exact garbage Tika's image/x-portable-* detection avoids.
     */
-  def isPnm(b: Array[Byte]): Boolean =
-    b.length >= 4 && b(0) == 'P' && b(1) >= '1' && b(1) <= '6' &&
-      (b(2) == ' ' || b(2) == '\n' || b(2) == '\r' || b(2) == '\t') && {
-        var i = 3
-        var ok = false
-        var done = false
-        while (!done && i < math.min(b.length, 512)) {
-          val c = b(i)
-          if (c == '#') { // comment line: skip to newline
-            while (i < math.min(b.length, 512) && b(i) != '\n') i += 1
-          } else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') i += 1
-          else { ok = c >= '0' && c <= '9'; done = true }
+  def isPnm(b: Array[Byte]): Boolean = {
+    def ws(c: Byte): Boolean = c == ' ' || c == '\n' || c == '\r' || c == '\t'
+    b.length >= 8 && b(0) == 'P' && b(1) >= '1' && b(1) <= '6' && ws(b(2)) && {
+      // structural validation past the magic so prose like "P4 500 errors"
+      // never classifies: the header must read <width> <height> (digits,
+      // comments allowed), and the body must LOOK like the variant --
+      // binary for P4-P6 (a non-printable byte appears), digits-only for
+      // the ASCII P1-P3 sample data
+      val lim = math.min(b.length, 2048)
+      var i = 3
+      def skipWsComments(): Unit = {
+        var going = true
+        while (going && i < lim) {
+          if (b(i) == '#') { while (i < lim && b(i) != '\n') i += 1 }
+          else if (ws(b(i))) i += 1
+          else going = false
+        }
+      }
+      def dimension(): Boolean = {
+        skipWsComments()
+        val s0 = i
+        while (i < lim && b(i) >= '0' && b(i) <= '9') i += 1
+        i > s0 && i < lim && (ws(b(i)) || b(i) == '#')
+      }
+      if (!dimension() || !dimension()) false
+      else if (b(1) >= '4') { // binary variants
+        var j = i
+        var bin = false
+        while (!bin && j < lim) {
+          val u = b(j) & 0xff
+          if (u < 9 || (u > 13 && u < 32) || u > 126) bin = true
+          j += 1
+        }
+        bin
+      } else { // ASCII variants: only digits/whitespace/comments follow
+        var j = i
+        var ok = true
+        while (ok && j < lim) {
+          if (b(j) == '#') { while (j < lim && b(j) != '\n') j += 1 }
+          else { ok = ws(b(j)) || (b(j) >= '0' && b(j) <= '9'); j += 1 }
         }
         ok
       }
+    }
+  }
 
   /** EMF metafile (MS-EMF): EMR_HEADER record type 1 at offset 0 plus the
     * " EMF" signature dword at offset 40.

@@ -75,8 +75,8 @@ object PdfCmap {
           if (dst == null || dst._2 > stop) ok = false
           else
             try {
-              noteWidth(src._1)
               map(hexInt(src._1)) = dstString(dst._1)
+              noteWidth(src._1) // width only counts after BOTH tokens parse
               p = dst._2
             } catch { case _: NumberFormatException => ok = false }
         }
@@ -97,8 +97,8 @@ object PdfCmap {
         if (lo == null || hi == null || hi._2 > stop) ok = false
         else {
           try {
-            noteWidth(lo._1)
             val a = hexInt(lo._1); val b = hexInt(hi._1)
+            noteWidth(lo._1) // width only counts after the tokens parse
             if (b < a || b - a > MaxRangeWidth) ok = false
             else {
               var q = hi._2

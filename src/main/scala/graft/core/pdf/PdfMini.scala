@@ -399,14 +399,21 @@ object PdfMini {
     // codes, not text; the font's CMap recovers the Unicode. Font-name ->
     // CMap resolution only engages when a CMap stream exists, so the
     // simple-PDF path is untouched
-    val cmaps: Map[Int, PdfCmap.CMap] = streams.iterator
+    val cmapCandidates: Map[Int, PdfCmap.CMap] = streams.iterator
       .filter(d => d.objNum >= 0 && PdfCmap.looksCmap(d.text))
       .map(d => d.objNum -> PdfCmap.parse(d.text)).toMap
     val fonts: Map[String, PdfCmap.CMap] =
-      if (cmaps.isEmpty) Map.empty else fontMap(pdf, cmaps)
+      if (cmapCandidates.isEmpty) Map.empty else fontMap(pdf, cmapCandidates)
+    // only objects a font's /ToUnicode actually REFERENCES are CMaps --
+    // a content stream whose prose merely mentions beginbfchar keeps
+    // extracting (the candidate parse was just a lookup-table attempt)
+    val referenced: Set[Int] =
+      if (cmapCandidates.isEmpty) Set.empty
+      else ToUniRe.findAllMatchIn(pdf)
+        .flatMap(_.group(1).toIntOption).filter(cmapCandidates.contains).toSet
     val chunks = ArrayBuffer.empty[Chunk]
     streams.foreach { d =>
-      if (!cmaps.contains(d.objNum)) extractStream(d.text, chunks, fonts)
+      if (!referenced.contains(d.objNum)) extractStream(d.text, chunks, fonts)
     }
     val lines = chunks.groupBy(_.y).toSeq.sortBy(-_._1)
     lines.iterator

@@ -183,7 +183,11 @@ object Extract {
       val (txt, why) = extractSpan(s.kind, s.text, cfg)
       if (txt.nonEmpty) anyContent = true
       if (why == Reason.Encrypted) anyEncrypted = true
-      if (why == Reason.Unsupported) anyUnsupported = true
+      // the size-guard refusal of a SUPPORTED kind also reads Unsupported
+      // at span level; an oversized text file is not an unsupported media
+      // type, so only in-size refusals count toward the doc-level reason
+      if (why == Reason.Unsupported && s.text != null &&
+        s.text.length <= cfg.maxSpanChars) anyUnsupported = true
       out(i) = SpanOut(s.kind, txt, if (s.media_ref == null) "" else s.media_ref, i)
       i += 1
     }
@@ -556,13 +560,23 @@ object Extract {
       if (graft.core.office.Ole.isOle10Name(name)) {
         // OLE packager stream: pure transport — the wrapped file spawns
         // sniffed under its LABEL (the recursive_embedded.docx chain);
-        // an unparseable packager falls through to the generic spawn
-        graft.core.office.Ole.tryUnwrap(data) match {
-          case Some((label, payload)) =>
-            spawned -= 1
-            spawnEntry(label, Some(payload), parentId, ord, level)
-            return
-          case None => ()
+        // an unparseable packager falls through to the generic spawn.
+        // Unwrapping loops HERE (hop-capped) instead of recursing, so a
+        // crafted packager-in-packager chain can never bypass the depth
+        // guard or overflow the stack
+        var label = name
+        var payload = data
+        var hops = 0
+        var more = graft.core.office.Ole.tryUnwrap(payload)
+        while (more.isDefined && hops < 4) {
+          label = more.get._1; payload = more.get._2; hops += 1
+          more = if (graft.core.office.Ole.isOle10Name(label))
+            graft.core.office.Ole.tryUnwrap(payload) else None
+        }
+        if (hops > 0 && !graft.core.office.Ole.isOle10Name(label)) {
+          spawned -= 1
+          spawnEntry(label, Some(payload), parentId, ord, level)
+          return
         }
       }
       if (graft.core.office.Pst.isPst(data)) {

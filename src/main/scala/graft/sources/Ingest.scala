@@ -248,9 +248,20 @@ object Ingest {
     val below =
       if (root.isEmpty) path
       else {
-        val abs = new java.io.File(root).getAbsolutePath
+        // the root may be a plain path OR a URI (file:/..., hdfs://nn/...):
+        // strip any scheme, keep the authority+path, and only resolve
+        // relative plain paths against the cwd — a URI-form root must
+        // never be glued onto the working directory
+        val hasScheme = root.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:.*")
+        val raw =
+          if (hasScheme) root.replaceFirst("^[A-Za-z][A-Za-z0-9+.\\-]*:(//)?", "")
+          else root
+        val abs =
+          if (hasScheme || raw.startsWith("/")) raw
+          else new java.io.File(raw).getAbsolutePath
         regexp_replace(path,
-          "^(file:)?" + java.util.regex.Pattern.quote(abs) + "/", "")
+          "^([A-Za-z][A-Za-z0-9+.\\-]*:(//)?)?" +
+            java.util.regex.Pattern.quote(abs) + "/", "")
       }
     exists(split(below, "/"), p =>
       p.startsWith(".") || p.startsWith("~$") ||

@@ -87,6 +87,7 @@ object StreamJob {
       .format("binaryFile")
       .schema(Ingest.BinaryFileSchema)
       .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true") // batch/stream row identity: both walks descend
       .option("maxFilesPerTrigger", 16) // bounded micro-batches = backpressure
       .load(inputDir)
     val docs = base

@@ -405,6 +405,43 @@ class CfbSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(RtfComp.decompress(comp), repetitive))
   }
 
+  test("a crafted nested Ole10Native chain is bounded, never a stack overflow") {
+    import graft.core.office.Ole
+    def wrap(label: String, payload: Array[Byte]): Array[Byte] = {
+      val lb = label.getBytes(StandardCharsets.US_ASCII)
+      val body = new java.io.ByteArrayOutputStream()
+      def p16(v: Int): Unit = { body.write(v & 0xff); body.write((v >>> 8) & 0xff) }
+      def p32(v: Int): Unit = { p16(v & 0xffff); p16(v >>> 16) }
+      p16(2) // flags1: labeled
+      body.write(lb); body.write(0)
+      body.write('c'); body.write(0) // source path
+      p16(0); p16(0) // flags2 + unknown
+      p32(1); body.write('x') // command
+      p32(payload.length); body.write(payload)
+      val inner = body.toByteArray
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(inner.length & 0xff); out.write(inner.length >>> 8 & 0xff)
+      out.write(inner.length >>> 16 & 0xff); out.write(inner.length >>> 24 & 0xff)
+      out.write(inner) // totalSize = bytes following the field
+      out.toByteArray
+    }
+    var chain = "innermost payload".getBytes(StandardCharsets.UTF_8)
+    (0 until 100).foreach(_ => chain = wrap("Ole10Native", chain))
+    val cfb = Cfb.build(Seq(("Ole10Native", chain)))
+    val zip = Archive.zipBytes(Seq(("evil.bin", cfb)))
+    // must complete (hop-capped) with the parent intact — contents of the
+    // over-deep chain degrade, the document never fails
+    val nodes = Extract.explode(
+      DocIn(64L, Array(SpanIn("zip", new String(zip, StandardCharsets.ISO_8859_1), "", 0))))
+    assert(nodes.nonEmpty)
+    // a legitimate single wrap still unwraps to its payload
+    val ok = Cfb.build(Seq(("Ole10Native", wrap("note.txt", "packaged text".getBytes(StandardCharsets.UTF_8)))))
+    val good = Extract.explode(
+      DocIn(65L, Array(SpanIn("cfb", new String(ok, StandardCharsets.ISO_8859_1), "", 0))))
+    assert(good.exists(_.spans.map(_.text).mkString == "packaged text"))
+    assert(Ole.tryUnwrap("junk".getBytes).isEmpty)
+  }
+
   test("an RTF-only msg body decompresses and renders verbatim") {
     import graft.core.office.RtfComp
     val body = "first line of the rich body\nsecond line repeats repeats repeats\n\\brace{d}"

@@ -54,6 +54,10 @@ class ExtractSpec extends AnyFunSuite {
     // an empty-text span of a SUPPORTED kind is still an empty file
     assert(Extract.extractDoc(doc(3, SpanIn("text", "", "", 0)))
       .no_content_reason == Reason.Empty)
+    // an OVERSIZED span of a supported kind is not an unsupported media
+    // type — the size guard's refusal stays empty-file at doc level
+    assert(Extract.extractDoc(doc(4, SpanIn("text", "x" * 50, "", 0)),
+      Extract.Config(maxSpanChars = 10)).no_content_reason == Reason.Empty)
   }
 
   test("size guard: oversized span becomes empty, siblings unaffected") {

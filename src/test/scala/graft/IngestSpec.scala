@@ -168,6 +168,22 @@ class IngestSpec extends AnyFunSuite {
       "stream\nBT <48656C6C6F2> Tj ET\nendstream") == "Hello ")
   }
 
+  test("prose starting like a netpbm magic stays text; real pnm is image") {
+    // "P4 500 errors" reads like a magic but fails structural validation
+    val prose = "P4 500 errors observed in the last deploy window".getBytes
+    assert(Ingest.sniffKind(prose) == "text")
+    val p3 = "P3 2 1 255\n255 0 0  0 255 0\n".getBytes
+    assert(Ingest.sniffKind(p3) == "image")
+    val p6 = ("P6\n# made by hand\n2 1\n255\n" + " ÿ ÿ ÿ").getBytes("ISO-8859-1")
+    assert(Ingest.sniffKind(p6) == "image")
+  }
+
+  test("content streams MENTIONING bfchar still extract; only referenced CMaps are tables") {
+    val pdf = "%PDF-1.4\n7 0 obj << /Length 60 >>\nstream\n" +
+      "BT 1 0 0 1 10 700 Tm (the beginbfchar operator) Tj ET\nendstream endobj\n%%EOF"
+    assert(PdfMini.textFromLatin1(pdf) == "the beginbfchar operator")
+  }
+
   test("ToUnicode CMaps decode CID glyph codes to text; bfrange forms work") {
     import graft.core.pdf.{PdfCmap, PdfMini}
     // the builder round-trips arbitrary line text through 2-byte codes
