@@ -152,10 +152,16 @@ object Ingest {
 
   /** Charset-aware text decode: UTF-16 (BOM-detecting, either endianness,
     * BOM stripped by the JDK decoder) when a BOM is present, else UTF-8.
+    * A UTF-8 BOM (EF BB BF) is stripped too — the JDK's UTF-8 decoder
+    * deliberately keeps it as U+FEFF, which would otherwise lead every
+    * BOM'd Windows text file with an invisible char (Tika strips it).
     */
   def decodeText(bytes: Array[Byte]): String =
     if (hasUtf16Bom(bytes)) new String(bytes, StandardCharsets.UTF_16)
-    else new String(bytes, StandardCharsets.UTF_8)
+    else {
+      val s = new String(bytes, StandardCharsets.UTF_8)
+      if (s.nonEmpty && s.charAt(0) == '\uFEFF') s.substring(1) else s
+    }
 
   /** Declared-charset sniff for HTML bytes (Tika's HtmlEncodingDetector):
     * a `charset=` token — `<meta charset="...">` or the http-equiv

@@ -168,6 +168,13 @@ class IngestSpec extends AnyFunSuite {
       "stream\nBT <48656C6C6F2> Tj ET\nendstream") == "Hello ")
   }
 
+  test("a UTF-8 BOM never leads the extracted text") {
+    val bom = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte)
+    val bytes = bom ++ "bom-led windows note".getBytes(StandardCharsets.UTF_8)
+    assert(Ingest.sniffKind(bytes) == "text")
+    assert(Ingest.decodePayload("text", bytes) == "bom-led windows note")
+  }
+
   test("prose starting like a netpbm magic stays text; real pnm is image") {
     // "P4 500 errors" reads like a magic but fails structural validation
     val prose = "P4 500 errors observed in the last deploy window".getBytes
