@@ -1868,6 +1868,30 @@ object Oracle {
       |  ns, 2, 'sinner '||doc_id, '' FROM n""".stripMargin
 
   /** Mirror of Queries.splitAssign: content-hash bucket + split label. */
+  /** Mirror of Queries.corpusCard: quality/lang/split/dup signals joined
+    * in one aggregation, all integer-exact.
+    */
+  private val corpusCard: String = {
+    val bucket = s"(${hex2int("substr(md5(text),1,8)")} % 100)"
+    s"""WITH q AS (SELECT doc_id, text,
+       |  len(string_split(text,' ')) AS n,
+       |  len(list_filter(string_split(text,' '), x -> x IN $stopEnSql)) AS en,
+       |  len(list_filter(string_split(text,' '), x -> x IN $stopFrSql)) AS fr,
+       |  len(list_filter(string_split(text,' '), x -> x IN $stopDeSql)) AS de,
+       |  len(list_distinct(string_split(text,' '))) AS uniq FROM documents),
+       |s AS (SELECT doc_id, text, n::BIGINT AS n_tokens,
+       |  (least(40, n//2) + least(30, 100*en//n) + least(30, (100*uniq//n)//3))::BIGINT AS score,
+       |  CASE WHEN en>=fr AND en>=de AND en>0 THEN 'en'
+       |       WHEN fr>=de AND fr>0 THEN 'fr' WHEN de>0 THEN 'de' ELSE 'und' END AS lang,
+       |  CASE WHEN $bucket < 80 THEN 'train'
+       |       WHEN $bucket < 90 THEN 'val' ELSE 'test' END AS split FROM q)
+       |SELECT split, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+       |  (sum(score) * 100 // count(*))::BIGINT AS score_x100,
+       |  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en,
+       |  (count(*) - count(DISTINCT md5(text)))::BIGINT AS n_dup_docs
+       |FROM s GROUP BY split""".stripMargin
+  }
+
   private val splitAssign: String = {
     val bucket = s"(${hex2int("substr(md5(text),1,8)")} % 100)"
     s"""SELECT doc_id, $bucket::BIGINT AS bucket,
@@ -2252,6 +2276,7 @@ object Oracle {
     "q_chunk_overlap" -> chunkOverlap,
     "q_dedup_cluster" -> dedupCluster,
     "q_cluster_rep" -> clusterRep,
+    "q_corpus_card" -> corpusCard,
     "q_zstd_explode" -> zstdExplode,
     "q_warc_explode" -> warcExplode,
     "q_jsonl_explode" -> jsonlExplode,

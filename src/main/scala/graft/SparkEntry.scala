@@ -2890,6 +2890,37 @@ object Queries {
     * re-runs and shards: bucket = code32(text) % 100 via the native
     * codegen'd expression, split thresholds 80/90. Map-only, no state.
     */
+  /** The corpus DATASHEET: one pass over the corpus producing the
+    * per-split report card a training run starts from — doc/token
+    * counts, mean quality (integer x100), language mix, and an exact
+    * duplicate count — every signal integer-exact and computed in the
+    * SAME scan (map-side partials, one shuffle on the 3 split keys).
+    */
+  def corpusCard(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val scored = docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .map { case (id, t) =>
+        val q = TextStats.quality(t)
+        (id, t, q.nTokens.toLong, q.score.toLong, TextStats.langId(t))
+      }
+      .toDF("doc_id", "text", "n_tokens", "score", "lang")
+    scored
+      .withColumn("bucket", call_function("graft_code32", col("text")) % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        expr("(sum(score) * 100) div count(1)").as("score_x100"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dup_docs"))
+      .select("split", "n_docs", "n_tokens", "score_x100", "n_en", "n_dup_docs")
+  }
+
   def splitAssign(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     docs(spark, dir).select(col("doc_id"),
@@ -3204,6 +3235,7 @@ object Queries {
     "q_chunk_overlap" -> (chunkOverlap _),
     "q_dedup_cluster" -> (dedupCluster _),
     "q_cluster_rep" -> (clusterRep _),
+    "q_corpus_card" -> (corpusCard _),
     "q_zstd_explode" -> (zstdExplode _),
     "q_warc_explode" -> (warcExplode _),
     "q_jsonl_explode" -> (jsonlExplode _),
