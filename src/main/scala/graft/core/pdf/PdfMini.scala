@@ -259,6 +259,15 @@ object PdfMini {
     reset()
     var next = 258
     put(256) // leading clear, as real encoders emit
+    // the DECODER grows its table once per received data code (after the
+    // first) -- including the final-w code, which adds NO encoder entry.
+    // Width changes must therefore track the decoder's table size, not
+    // the encoder's `next`, or the EOD width diverges when the early
+    // change lands exactly on the last data code
+    var emittedData = 0
+    def decoderLen: Int = if (emittedData <= 1) 258 else 257 + emittedData
+    def bumpIfNeeded(): Unit =
+      if (decoderLen >= (1 << width) - 2 && width < 12) width += 1
     var w = ""
     var i = 0
     while (i < data.length) {
@@ -266,17 +275,18 @@ object PdfMini {
       val wc = w + c
       if (dict.containsKey(wc)) w = wc
       else {
-        put(dict.get(w))
+        put(dict.get(w)); emittedData += 1
         dict.put(wc, next); next += 1
-        // early change mirrors the decoder: width bumps at 2^w - 1
-        if (next >= (1 << width) - 1 && width < 12) width += 1
-        if (next >= 4096) { put(256); reset(); next = 258; width = 9 }
+        bumpIfNeeded()
+        if (decoderLen >= 4095) {
+          put(256); reset(); next = 258; width = 9; emittedData = 0
+        }
         w = c.toString
       }
       i += 1
     }
-    if (w.nonEmpty) put(dict.get(w))
-    put(257) // EOD
+    if (w.nonEmpty) { put(dict.get(w)); emittedData += 1; bumpIfNeeded() }
+    put(257) // EOD (at the width the decoder reads it after its last add)
     if (bits > 0) out.write(((acc << (8 - bits)) & 0xff).toInt) // pad
     out.toByteArray
   }
