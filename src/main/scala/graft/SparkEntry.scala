@@ -2885,28 +2885,43 @@ object Queries {
     docs(spark, dir).agg(count(lit(1)).as("n_pages")).crossJoin(counts)
   }
 
-  /** Deterministic content-hash dataset split — how a training pipeline
-    * assigns train/val/test held-out sets so membership is stable across
-    * re-runs and shards: bucket = code32(text) % 100 via the native
-    * codegen'd expression, split thresholds 80/90. Map-only, no state.
-    */
   /** The corpus DATASHEET: one pass over the corpus producing the
     * per-split report card a training run starts from — doc/token
     * counts, mean quality (integer x100), language mix, and an exact
     * duplicate count — every signal integer-exact and computed in the
-    * SAME scan (map-side partials, one shuffle on the 3 split keys).
+    * SAME scan. Plan: map-side partials, then the two exchanges Spark's
+    * distinct-aggregate rewrite needs — the first keyed on (split, md5),
+    * a fixed ~35-byte pair, the second on the 3 split keys.
     */
   def corpusCard(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(spark)
     import spark.implicits._
+    // ONE tokenization per row serves quality AND language; ONE md5
+    // serves the split bucket AND the duplicate count
     val scored = docs(spark, dir).select("doc_id", "text").as[(Long, String)]
       .map { case (id, t) =>
-        val q = TextStats.quality(t)
-        (id, t, q.nTokens.toLong, q.score.toLong, TextStats.langId(t))
+        val w = t.split(" ", -1)
+        var en = 0; var fr = 0; var de = 0
+        val uniq = new scala.collection.mutable.HashSet[String]
+        w.foreach { tok =>
+          if (TextStats.StopEn.contains(tok)) en += 1
+          if (TextStats.StopFr.contains(tok)) fr += 1
+          if (TextStats.StopDe.contains(tok)) de += 1
+          uniq += tok
+        }
+        val n = w.length
+        val score = math.min(40, n / 2) + math.min(30, 100 * en / n) +
+          math.min(30, (100 * uniq.size / n) / 3)
+        val lang =
+          if (en >= fr && en >= de && en > 0) "en"
+          else if (fr >= de && fr > 0) "fr"
+          else if (de > 0) "de" else "und"
+        (id, t, n.toLong, score.toLong, lang)
       }
       .toDF("doc_id", "text", "n_tokens", "score", "lang")
     scored
-      .withColumn("bucket", call_function("graft_code32", col("text")) % 100)
+      .withColumn("h", md5(col("text")))
+      .withColumn("bucket",
+        expr("CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT) % 100"))
       .withColumn("split",
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "val")
@@ -2917,10 +2932,15 @@ object Queries {
         sum("n_tokens").as("n_tokens"),
         expr("(sum(score) * 100) div count(1)").as("score_x100"),
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
-        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dup_docs"))
+        (count(lit(1)) - countDistinct(col("h"))).as("n_dup_docs"))
       .select("split", "n_docs", "n_tokens", "score_x100", "n_en", "n_dup_docs")
   }
 
+  /** Deterministic content-hash dataset split — how a training pipeline
+    * assigns train/val/test held-out sets so membership is stable across
+    * re-runs and shards: bucket = code32(text) % 100 via the native
+    * codegen'd expression, split thresholds 80/90. Map-only, no state.
+    */
   def splitAssign(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     docs(spark, dir).select(col("doc_id"),

@@ -5,13 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    // optional 3rd arg: comma-separated query-name filter (builder-side
-    // iteration aid; the driver always passes two args = full dump)
     // args: <sfDir> <outDir> [queryName ...] — any further args (space- or
     // comma-separated) filter the dump; the driver always passes two
     require(args.length >= 2, "usage: Verify <sfDir> <outDir> [queryName ...]")
     val (sfDir, outDir) = (args(0), args(1))
-    val only: Set[String] = args.drop(2).flatMap(_.split(",")).toSet
+    val only: Set[String] =
+      args.drop(2).flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

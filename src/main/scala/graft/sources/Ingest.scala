@@ -40,6 +40,13 @@ object Ingest {
     * the same way (`Extractor.java:937`).
     */
   def sniffKind(bytes: Array[Byte], name: String): String = {
+    // a UTF-8 BOM blinds every head magic (a BOM'd HTML file would read
+    // as plain text): detection runs on the BOM-less view, exactly as
+    // Tika strips it before its detectors. BOMs only front text-like
+    // files, so the copy is small in practice
+    if (bytes.length >= 3 && bytes(0) == 0xef.toByte && bytes(1) == 0xbb.toByte &&
+      bytes(2) == 0xbf.toByte)
+      return sniffKind(java.util.Arrays.copyOfRange(bytes, 3, bytes.length), name)
     def startsWith(sig: Array[Byte]): Boolean =
       bytes.length >= sig.length && sig.indices.forall(i => bytes(i) == sig(i))
     val lowerHead = new String(bytes.take(64), StandardCharsets.ISO_8859_1)
@@ -198,7 +205,9 @@ object Ingest {
     * ISO-8859-1.
     */
   def decodePayload(kind: String, bytes: Array[Byte]): String = kind match {
-    case "html" => htmlCharset(bytes).map(new String(bytes, _)).getOrElse(decodeText(bytes))
+    case "html" =>
+      val t = htmlCharset(bytes).map(new String(bytes, _)).getOrElse(decodeText(bytes))
+      if (t.nonEmpty && t.charAt(0) == '\uFEFF') t.substring(1) else t
     case "text" | "jsonl" | "csv" | "vcard" | "ics" | "xml" => decodeText(bytes)
     // NOT eml: MIME is byte-transparent latin1 on purpose — base64
     // attachment decoding needs the raw octets

@@ -168,11 +168,17 @@ class IngestSpec extends AnyFunSuite {
       "stream\nBT <48656C6C6F2> Tj ET\nendstream") == "Hello ")
   }
 
-  test("a UTF-8 BOM never leads the extracted text") {
+  test("a UTF-8 BOM never leads the extracted text or blinds the sniff") {
     val bom = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte)
     val bytes = bom ++ "bom-led windows note".getBytes(StandardCharsets.UTF_8)
     assert(Ingest.sniffKind(bytes) == "text")
     assert(Ingest.decodePayload("text", bytes) == "bom-led windows note")
+    // BOM'd markup still routes by its head magic (Tika strips pre-detect)
+    val html = bom ++ "<html><body><p>bom page body</p></body></html>".getBytes(StandardCharsets.UTF_8)
+    assert(Ingest.sniffKind(html) == "html")
+    assert(Ingest.decodePayload("html", html).charAt(0) != '\uFEFF')
+    val xml = bom ++ "<?xml version=\"1.0\"?><r><e>bom xml</e></r>".getBytes(StandardCharsets.UTF_8)
+    assert(Ingest.sniffKind(xml) == "xml")
   }
 
   test("prose starting like a netpbm magic stays text; real pnm is image") {
