@@ -142,7 +142,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + pipeSec
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec":$docsPerSec,"docs_per_sec_median_last3":$medianDocsPerSec,"pipeline_sec":$pipeSec,"pipeline_sec_median_last3":$medianLast3,"pipeline_runs_sec":$runTimes,"n_docs":$nDocs,"cpus":$cpus,"replication":$factor}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec":$docsPerSec,"docs_per_sec_median_last3":$medianDocsPerSec,"pipeline_sec":$pipeSec,"pipeline_sec_median_last3":$medianLast3,"pipeline_runs_sec":$runTimes,"n_docs":$nDocs,"cpus":$cpus,"replication":$factor}"""
+    println(json)
+    // ALSO persist to a file: the driver's stdout capture truncates to a
+    // tail, and the full per-query sweep must survive regardless
+    // (BENCH_r04.json lost 97 of 155 timings that way)
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

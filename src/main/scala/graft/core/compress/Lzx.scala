@@ -51,10 +51,20 @@ object Lzx {
       nBits -= n
       v
     }
-    /** Byte-align per the uncompressed-block rule: discard the partial
-      * word; if the buffer is exactly empty, nothing to discard.
+    /** Word-align per the uncompressed-block rule: the encoder emits
+      * 1-16 padding bits, so when the stream is ALREADY word-aligned a
+      * full 16-bit pad word must still be consumed (chmlib/cabextract do
+      * the same; discarding nothing here desyncs the R0-R2 header).
+      * After any bits() call nBits is in [0,15], so discarding the
+      * buffer realigns except in the nBits == 0 case.
       */
-    def alignToWord(): Unit = { buf = 0; nBits = 0 }
+    def alignToWord(): Unit = {
+      if (nBits == 0) {
+        if (pos + 2 > data.length) throw new ParseFailure("lzx: align pad word past end")
+        pos += 2
+      }
+      buf = 0; nBits = 0
+    }
     def bitsLeft: Int = nBits
     def readRawBytes(n: Int): Array[Byte] = {
       if (pos + n > data.length) throw new ParseFailure("lzx: raw bytes past end")
@@ -285,7 +295,13 @@ object Lzx {
         nBits -= 16
       }
     }
+    /** Final flush only: 0-15 zero bits to close the last word. */
     def alignToWord(): Unit = if (nBits > 0) put(0, 16 - nBits)
+    /** The uncompressed-block padding rule: ALWAYS emit 1-16 bits — a
+      * full pad word when already aligned — mirroring
+      * [[BitReader.alignToWord]].
+      */
+    def padToWord(): Unit = if (nBits > 0) put(0, 16 - nBits) else put(0, 16)
     def putRaw(bytes: Array[Byte]): Unit = {
       require(nBits == 0, "raw bytes need word alignment")
       out.write(bytes)
@@ -303,7 +319,7 @@ object Lzx {
     bw.put(3, 3)                 // block type: uncompressed
     bw.put(payload.length >> 8, 16)
     bw.put(payload.length & 0xff, 8)
-    bw.alignToWord()
+    bw.padToWord()
     val hdr = new Array[Byte](12)
     hdr(0) = 1; hdr(4) = 1; hdr(8) = 1 // R0=R1=R2=1
     bw.putRaw(hdr)

@@ -364,7 +364,7 @@ object Ooxml {
     */
   def isPackageEntries(entries: Seq[(String, Option[Array[Byte]])]): Boolean =
     isPackage(entries.map(_._1)) || Odf.isOdf(entries) || Epub.isEpub(entries) ||
-      Xps.isXps(entries.map(_._1)) || Iwork.isIwork(entries.map(_._1))
+      Xps.isXps(entries.map(_._1)) || Iwork.isIwork(entries)
 
   /** Embedded parts that spawn as children (media AND OLE-embedded
     * objects, consistently across the three package types); package
@@ -407,7 +407,7 @@ object Ooxml {
       Epub.bookText(entries)
     else if (Xps.isXps(entries.map(_._1)))
       Xps.pagesText(entries)
-    else if (Iwork.isIwork(entries.map(_._1)))
+    else if (Iwork.isIwork(entries))
       Iwork.docText(entries)
     else if (Odf.isOdf(entries))
       byName.collectFirst { case ("content.xml", b) =>
@@ -733,7 +733,34 @@ object Iwork {
     "index.xml", "index.xml.gz", "index.apxl", "index.apxl.gz",
     "presentation.apxl", "presentation.apxl.gz")
 
-  def isIwork(names: Seq[String]): Boolean = names.exists(IndexNames)
+  /** Routing gate: the index part must VALIDATE as an Apple document
+    * (sl:/sf:/key: namespaces or roots) before the package is treated as
+    * iWork — name-only detection would hijack any generic zip carrying a
+    * root `index.xml`, silencing its child spawns and emptying its body.
+    */
+  def isIwork(entries: Seq[(String, Option[Array[Byte]])]): Boolean =
+    indexXml(entries).isDefined
+
+  /** The located, gunzipped, VALIDATED index payload — None when absent,
+    * refused, undecodable, or not Apple-namespaced.
+    */
+  def indexXml(entries: Seq[(String, Option[Array[Byte]])]): Option[String] =
+    entries.collectFirst { case (n, Some(b)) if IndexNames(n) => (n, b) }
+      .flatMap { case (n, b) =>
+        val payload =
+          if (n.endsWith(".gz"))
+            scala.util.Try(graft.sources.Archive.gunzip(b, 64 << 20)._2).toOption.flatten
+          else Some(b)
+        payload.map(new String(_, UTF_8)).filter(looksApple)
+      }
+
+  private def looksApple(xml: String): Boolean = {
+    val head = xml.substring(0, math.min(xml.length, 4096))
+    head.contains("xmlns:sf=") || head.contains("xmlns:sl=") ||
+      head.contains("xmlns:key=") || head.contains("xmlns:ls=") ||
+      head.contains("<sl:document") || head.contains("<key:presentation") ||
+      head.contains("<ls:document")
+  }
 
   def wantedIndex(n: String): Boolean = IndexNames(n)
 
@@ -769,16 +796,9 @@ object Iwork {
     out.result().mkString("\n")
   }
 
-  def docText(entries: Seq[(String, Option[Array[Byte]])]): String = {
-    val idx = entries.collectFirst { case (n, Some(b)) if IndexNames(n) => (n, b) }
-      .getOrElse(throw new graft.core.ParseFailure("iwork: index part refused or missing"))
-    val xmlBytes =
-      if (idx._1.endsWith(".gz"))
-        graft.sources.Archive.gunzip(idx._2, 64 << 20)._2
-          .getOrElse(throw new graft.core.ParseFailure("iwork: gzipped index refused"))
-      else idx._2
-    paragraphs(new String(xmlBytes, UTF_8))
-  }
+  def docText(entries: Seq[(String, Option[Array[Byte]])]): String =
+    paragraphs(indexXml(entries).getOrElse(
+      throw new graft.core.ParseFailure("iwork: index part refused, missing, or not Apple-namespaced")))
 
   /** Deterministic legacy-Pages package: gzipped `index.xml` with one
     * `<sf:p>` per paragraph (styled runs exercise the flattening).

@@ -124,9 +124,14 @@ object Chm {
     */
   def entries(bytes: Array[Byte], maxEntryBytes: Int): Vector[Archive.UnzippedEntry] = {
     val dir = directory(bytes)
-    // content section 0 starts where the directory ends — the layout
-    // compilers emit and this writer mirrors
-    val contentOff = (u64(bytes, 0x58 + 16) + u64(bytes, 0x58 + 24)).toInt
+    // ITSF v3 carries an explicit content-section-0 offset (u64 at 0x78,
+    // inside the extended header) — real readers (chmlib) honour it, and
+    // a v3 file whose content is NOT laid out right after the directory
+    // would mis-slice every entry under the v2 fallback below
+    val headerLen = u32(bytes, 8)
+    val contentOff =
+      (if (u32(bytes, 4) == 3 && headerLen >= 0x80) u64(bytes, 0x78)
+       else u64(bytes, 0x58 + 16) + u64(bytes, 0x58 + 24)).toInt
     def sect0(off: Long, len: Long): Array[Byte] = {
       val s = contentOff + off
       if (off < 0 || off > bytes.length || len < 0 || len > bytes.length ||
@@ -217,9 +222,12 @@ object Chm {
 
   /** Deterministic CHM: named files in content section 0 (`compress =
     * false`) or in the LZX-compressed section 1 (uncompressed LZX blocks,
-    * one reset segment per 0x8000-byte frame).
+    * one reset segment per 0x8000-byte frame). `contentGap` inserts dead
+    * bytes between the directory and content section 0, proving readers
+    * honour the v3 ContentOffset field rather than assuming adjacency.
     */
-  def build(files: Seq[(String, Array[Byte])], compress: Boolean = false): Array[Byte] = {
+  def build(files: Seq[(String, Array[Byte])], compress: Boolean = false,
+            contentGap: Int = 0): Array[Byte] = {
     require(files.nonEmpty)
     // content section 1 (compressed) layout
     val (sec1Entries, sec1Plain) = {
@@ -292,15 +300,19 @@ object Chm {
     ib.putInt(0x10, 0x1000) // chunk size
     ib.putInt(0x28, 1)    // number of chunks
 
-    val header = new Array[Byte](0x58 + 32)
+    // v3 extended header: the section table (0x58..0x78) is followed by
+    // the explicit content-section-0 offset at 0x78
+    val header = new Array[Byte](0x80)
     "ITSF".getBytes(StandardCharsets.ISO_8859_1).copyToArray(header, 0)
     val hb = java.nio.ByteBuffer.wrap(header).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     hb.putInt(4, 3)            // version
     hb.putInt(8, header.length)
     val dirOff = header.length.toLong
+    val dirLen = (itsp.length + chunk.length).toLong
     hb.putLong(0x58, 0L); hb.putLong(0x60, 0L) // header section 0 (unused here)
     hb.putLong(0x68, dirOff)
-    hb.putLong(0x70, (itsp.length + chunk.length).toLong)
-    header ++ itsp ++ chunk ++ sect0.toByteArray
+    hb.putLong(0x70, dirLen)
+    hb.putLong(0x78, dirOff + dirLen + contentGap) // v3 ContentOffset
+    header ++ itsp ++ chunk ++ new Array[Byte](contentGap) ++ sect0.toByteArray
   }
 }

@@ -274,9 +274,15 @@ object Ingest {
         val abs =
           if (hasScheme || raw.startsWith("/")) raw
           else new java.io.File(raw).getAbsolutePath
+        // normalize away any trailing slash BEFORE quoting: a scheme'd
+        // root like `file:/x/` keeps its slash (File.getAbsolutePath
+        // never ran), the pattern would end `//` and never match, and
+        // every component ABOVE the root would get junk-checked — a
+        // corpus rooted under a dot-directory would ingest zero files
+        val absNorm = abs.stripSuffix("/")
         regexp_replace(path,
           "^([A-Za-z][A-Za-z0-9+.\\-]*:(//)?)?" +
-            java.util.regex.Pattern.quote(abs) + "/", "")
+            java.util.regex.Pattern.quote(absNorm) + "/", "")
       }
     exists(split(below, "/"), p =>
       p.startsWith(".") || p.startsWith("~$") ||

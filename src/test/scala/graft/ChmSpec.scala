@@ -23,6 +23,39 @@ class ChmSpec extends AnyFunSuite {
       Lzx.decodeSegment(Lzx.encodeUncompressed(odd), 16, 3), odd))
   }
 
+  test("lzx: word-align consumes a FULL pad word when already aligned") {
+    // the uncompressed-block rule is 1-16 padding bits: a stream that is
+    // word-aligned before the R0-R2 header still pads 16 bits. Writer and
+    // reader must agree on both sides of the boundary.
+    val raw = Array[Byte](7, 8, 9, 10)
+    // aligned case: 16 bits consumed -> padToWord emits one pad word
+    val bw1 = new Lzx.BitWriter()
+    bw1.put(0xabcd, 16)
+    bw1.padToWord()
+    bw1.putRaw(raw)
+    val d1 = bw1.result()
+    assert(d1.length == 2 + 2 + 4) // data word + PAD WORD + raw
+    val br1 = new Lzx.BitReader(d1, 0)
+    assert(br1.bits(16) == 0xabcd)
+    br1.alignToWord()
+    assert(java.util.Arrays.equals(br1.readRawBytes(4), raw))
+    // unaligned case: 12 bits consumed -> 4 pad bits, no extra word
+    val bw2 = new Lzx.BitWriter()
+    bw2.put(0xabc, 12)
+    bw2.padToWord()
+    bw2.putRaw(raw)
+    val d2 = bw2.result()
+    assert(d2.length == 2 + 4)
+    val br2 = new Lzx.BitReader(d2, 0)
+    assert(br2.bits(12) == 0xabc)
+    br2.alignToWord()
+    assert(java.util.Arrays.equals(br2.readRawBytes(4), raw))
+    // aligned align at stream end with no pad word available: classifies
+    val br3 = new Lzx.BitReader(Array[Byte](1, 2), 0)
+    br3.bits(16)
+    intercept[ParseFailure](br3.alignToWord())
+  }
+
   test("lzx: hand-composed VERBATIM block decodes literals and an R0 match") {
     // main tree: 255 literals at length 8, literal 255 and match symbol 256
     // at length 9 — a complete canonical tree; length tree empty (header
@@ -90,6 +123,17 @@ class ChmSpec extends AnyFunSuite {
       assert(es.forall(_._2.isDefined))
       assert(es.map(e => new String(e._2.get, UTF_8)).toSet ===
         Set("chm intro text", "chm deep text"))
+    }
+  }
+
+  test("chm: v3 ContentOffset is honoured when content is NOT after the directory") {
+    // a 64-byte gap between the directory and content section 0: readers
+    // assuming adjacency (dirOff + dirLen) mis-slice every entry
+    for (compress <- Seq(false, true)) {
+      val chm = Chm.build(Seq(("gap.txt", "survives the gap".getBytes(UTF_8))),
+        compress, contentGap = 64)
+      val es = Chm.entries(chm, Int.MaxValue)
+      assert(es.map(e => new String(e._2.get, UTF_8)) === Vector("survives the gap"))
     }
   }
 

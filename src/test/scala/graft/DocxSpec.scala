@@ -257,6 +257,25 @@ class DocxSpec extends AnyFunSuite {
     intercept[ParseFailure](Iwork.paragraphs("<sf:p>never closes"))
   }
 
+  test("iwork: a generic zip carrying a non-Apple index.xml is NOT hijacked") {
+    import graft.core.office.Iwork
+    // name-only routing would swallow this archive: empty body, no spawns
+    val generic = graft.sources.Archive.zipBytes(Seq(
+      ("index.xml", "<catalog><item>not apple</item></catalog>".getBytes(UTF_8)),
+      ("data/readme.txt", "archive payload".getBytes(UTF_8))))
+    def ents(b: Array[Byte]) = graft.sources.Archive.unzip(b, Int.MaxValue)
+    assert(!Iwork.isIwork(ents(generic)))
+    val out = Extract.explode(DocIn(26L,
+      Array(SpanIn("zip", new String(generic, ISO_8859_1), "", 0))))
+    // generic-archive route: children spawn (the readme is one of them)
+    assert(out.exists(d => d.level == 1 && d.spans.exists(_.text == "archive payload")))
+    // the real fixture still validates (namespaced, gzipped)
+    assert(Iwork.isIwork(ents(Iwork.buildPages(Seq("p")))))
+    // refused/undecodable index: not iWork either, no throw from the gate
+    assert(!Iwork.isIwork(Seq(("index.xml.gz", Some(Array[Byte](1, 2, 3))))))
+    assert(!Iwork.isIwork(Seq(("index.xml", None))))
+  }
+
   test("odg: graphics pages route as ODF and flatten their text frames") {
     import graft.core.office.Odf
     val bytes = Odf.buildGraphics(Seq(Seq("drawing label one"), Seq("page two label")))

@@ -383,6 +383,34 @@ class IngestSpec extends AnyFunSuite {
     assert(!Ingest.isHiddenOrSystem("/a/b/report.pdf"))
   }
 
+  test("a corpus rooted under a dot-directory scans via a trailing-slash URI root") {
+    // components ABOVE the scan root must never junk-match — including
+    // when the root arrives as a scheme'd URI with a trailing slash
+    // (file:/x/), where the quoted pattern used to end '//' and never
+    // strip, junk-checking the dot-directory root itself
+    val base = Files.createTempDirectory("graft-dotroot")
+    val dotRoot = base.resolve(".archive")
+    Files.createDirectories(dotRoot.resolve("sub"))
+    Files.write(dotRoot.resolve("sub").resolve("keep.txt"),
+      "kept under dot root".getBytes(StandardCharsets.UTF_8))
+    Files.write(dotRoot.resolve("sub").resolve(".drop.txt"),
+      "dropped".getBytes(StandardCharsets.UTF_8))
+    val uriRoot = "file:" + dotRoot.toString + "/"
+    val got = Ingest.readDir(spark, uriRoot).collect()
+    assert(got.length == 1)
+    assert(got.head.spans.head.text == "kept under dot root")
+    // the column predicate directly: above-root dot component is immune,
+    // below-root one matches
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val paths = Seq(
+      "file:/corpus/.archive/data/report.pdf",
+      "file:/corpus/.archive/data/.hidden.pdf").toDF("path")
+    val junk = paths.filter(Ingest.junkNameFilter(col("path"), "file:/corpus/.archive/"))
+      .as[String].collect().toSet
+    assert(junk == Set("file:/corpus/.archive/data/.hidden.pdf"))
+  }
+
   test("decodeAviMjpeg round-trips and rejects malformed containers cleanly") {
     import graft.multimodal.Media
     val avi = Media.encodeAviMjpeg(40, 28, Seq(0xff0000, 0x00ff00, 0x0000ff))
