@@ -128,10 +128,20 @@ class OpsPlanSpec extends AnyFunSuite {
     }
     assert(rows.sortBy(_._3).toSeq == expect.toSeq)
     // the corpus-sized window is PARTITIONED (by bucket) — the only
-    // unpartitioned window is the 256-row bucket-offset frame
-    val plan = Queries.tokenBudget(spark, sf).queryExecution.executedPlan.toString
+    // unpartitioned window is the ~sqrt(n)-row bucket-offset frame
+    val q = Queries.tokenBudget(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("windowspecdefinition(bucket"),
       s"running sum must partition by bucket:\n${plan.take(1500)}")
+    // budget-exceeded buckets are pruned BEFORE the running-sum window
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("boff") && opt.contains("<= 12000"),
+      s"bucket offsets past the budget must filter out pre-window:\n${opt.take(2000)}")
+    // the prefix width DERIVES from corpus size: 16^w ~ sqrt(n)
+    assert(Queries.tokenBudgetPrefixWidth(500L) == 2)      // sf0.001
+    assert(Queries.tokenBudgetPrefixWidth(65536L) == 2)    // 256 buckets up to ~65k
+    assert(Queries.tokenBudgetPrefixWidth(100000000L) == 4)   // 10^8 -> 64k buckets
+    assert(Queries.tokenBudgetPrefixWidth(1000000000000L) == 5) // 10^12 -> 1M buckets
   }
 
   test("chunkOverlap: stride-4 windows of 8 words, exchange-free plan") {
