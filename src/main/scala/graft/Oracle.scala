@@ -389,6 +389,97 @@ object Oracle {
       |  sha256('0:'||'64:'||crashid||'1:0'||'0:'||'0:'),
       |  crashid, 2, '', 'parse-failure' FROM h WHERE doc_id%99=0""".stripMargin
 
+  /** Mirror of Queries.ostExplode: the pstExplode tree PLUS the "big"
+    * message (box ordinal after m/rich), its multi-block attachment child
+    * (text recomputed via repeat()), and the %99 truncated attachment as
+    * a named content-less parse-failure stub at ordinal 1. Ids recompute
+    * over the same logical canonical fields — container-format parity by
+    * construction.
+    */
+  private val ostExplode: String =
+    """WITH z AS (SELECT doc_id, text, sha256(doc_id::VARCHAR) AS rid,
+      |  repeat('ost big '||doc_id||' ', 2000) AS bt
+      |           FROM documents WHERE doc_id%33=0),
+      |g AS (SELECT doc_id, text, rid, bt,
+      |  sha256('64:'||sha256('box')||'64:'||rid||'1:0'||'0:'||'3:box') AS boxid,
+      |  sha256('64:'||sha256('crash')||'64:'||rid||'1:1'||'0:'||'5:crash') AS crashid,
+      |  sha256('64:'||sha256('[recovered]')||'64:'||rid||'1:'
+      |    ||CASE WHEN doc_id%99=0 THEN 2 ELSE 1 END||'0:'||'11:[recovered]') AS recid
+      | FROM z),
+      |h AS (SELECT *,
+      |  sha256('64:'||sha256('deep')||'64:'||boxid||'1:0'||'0:'||'4:deep') AS deepid,
+      |  sha256('64:'||sha256('7:subject'||octet_length(encode('big '||doc_id))||':big '||doc_id
+      |      ||'4:from'||'0:'||'4:body'||octet_length(encode('big body '||doc_id))||':big body '||doc_id
+      |      ||octet_length(encode('b'||doc_id||'.bin'))||':b'||doc_id||'.bin'
+      |      ||octet_length(encode(bt))||':'||bt
+      |      ||CASE WHEN doc_id%99=0
+      |             THEN octet_length(encode('t'||doc_id||'.bin'))||':t'||doc_id||'.bin'||'0:'
+      |             ELSE '' END)
+      |    ||'64:'||boxid||'1:'||CASE WHEN doc_id%66=0 THEN 3 ELSE 2 END||'0:'
+      |    ||octet_length(encode('big '||doc_id))||':big '||doc_id) AS bigid
+      | FROM g),
+      |r AS (SELECT *,
+      |  sha256('64:'||sha256('7:subject'||octet_length(encode('rich '||doc_id))||':rich '||doc_id
+      |      ||'4:from'||'0:'||'4:body'||octet_length(encode('rich body '||doc_id))||':rich body '||doc_id
+      |      ||octet_length(encode('a'||doc_id||'.txt'))||':a'||doc_id||'.txt'
+      |      ||octet_length(encode('att '||doc_id))||':att '||doc_id)
+      |    ||'64:'||boxid||'1:2'||'0:'
+      |    ||octet_length(encode('rich '||doc_id))||':rich '||doc_id) AS richid
+      | FROM h WHERE doc_id%66=0)
+      |SELECT doc_id, rid AS node_id, '' AS parent_id, 0 AS level, '' AS txt,
+      |       'empty-file' AS reason FROM h
+      |UNION ALL SELECT doc_id, boxid, rid, 1, '', 'empty-file' FROM h
+      |UNION ALL SELECT doc_id, crashid, rid, 1, '', 'empty-file' FROM h WHERE doc_id%99=0
+      |UNION ALL SELECT doc_id, recid, rid, 1, '', 'empty-file' FROM h
+      |UNION ALL SELECT doc_id, deepid, boxid, 2, '', 'empty-file' FROM h
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('7:subject'||octet_length(encode('m '||doc_id))||':m '||doc_id
+      |      ||'4:from'||'0:'||'4:body'||octet_length(encode(text))||':'||text)
+      |    ||'64:'||boxid||'1:1'||'0:'||octet_length(encode('m '||doc_id))||':m '||doc_id),
+      |  boxid, 2, text, CASE WHEN text='' THEN 'empty-file' ELSE '' END FROM h
+      |UNION ALL SELECT doc_id, richid, boxid, 2, 'rich body '||doc_id, '' FROM r
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('att '||doc_id)||'64:'||richid||'1:0'||'0:'
+      |    ||octet_length(encode('a'||doc_id||'.txt'))||':a'||doc_id||'.txt'),
+      |  richid, 3, 'att '||doc_id, '' FROM r
+      |UNION ALL SELECT doc_id, bigid, boxid, 2, 'big body '||doc_id, '' FROM h
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256(bt)||'64:'||bigid||'1:0'||'0:'
+      |    ||octet_length(encode('b'||doc_id||'.bin'))||':b'||doc_id||'.bin'),
+      |  bigid, 3, bt, '' FROM h
+      |UNION ALL SELECT doc_id,
+      |  sha256('0:'||'64:'||bigid||'1:1'||'0:'
+      |    ||octet_length(encode('t'||doc_id||'.bin'))||':t'||doc_id||'.bin'),
+      |  bigid, 3, '', 'parse-failure' FROM h WHERE doc_id%99=0
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('7:subject'||octet_length(encode('deep '||doc_id))||':deep '||doc_id
+      |      ||'4:from'||'0:'||'4:body'||octet_length(encode('deep body '||doc_id))||':deep body '||doc_id)
+      |    ||'64:'||deepid||'1:0'||'0:'||octet_length(encode('deep '||doc_id))||':deep '||doc_id),
+      |  deepid, 3, 'deep body '||doc_id, '' FROM h
+      |UNION ALL SELECT doc_id,
+      |  sha256('64:'||sha256('7:subject'||octet_length(encode('lost '||doc_id))||':lost '||doc_id
+      |      ||'4:from'||'0:'||'4:body'||octet_length(encode('orphan '||doc_id))||':orphan '||doc_id)
+      |    ||'64:'||recid||'1:0'||'0:'||octet_length(encode('lost '||doc_id))||':lost '||doc_id),
+      |  recid, 2, 'orphan '||doc_id, '' FROM h
+      |UNION ALL SELECT doc_id,
+      |  sha256('0:'||'64:'||crashid||'1:0'||'0:'||'0:'),
+      |  crashid, 2, '', 'parse-failure' FROM h WHERE doc_id%99=0""".stripMargin
+
+  /** Mirror of Queries.ostReconcile: pstReconcile's arithmetic plus the
+    * big message (one more declared+extracted everywhere) and the %99
+    * truncated-attachment stub count.
+    */
+  private val ostReconcile: String =
+    """SELECT doc_id,
+      | (2 + CASE WHEN doc_id%99=0 THEN 1 ELSE 0 END)::BIGINT AS n_folders,
+      | (4 + CASE WHEN doc_id%66=0 THEN 1 ELSE 0 END
+      |     + CASE WHEN doc_id%99=0 THEN 1 ELSE 0 END)::BIGINT AS n_declared,
+      | (3 + CASE WHEN doc_id%66=0 THEN 1 ELSE 0 END)::BIGINT AS n_extracted,
+      | 1::BIGINT AS n_recovered,
+      | (CASE WHEN doc_id%99=0 THEN 1 ELSE 0 END)::BIGINT AS n_failed,
+      | (CASE WHEN doc_id%99=0 THEN 1 ELSE 0 END)::BIGINT AS n_att_stubs
+      |FROM documents WHERE doc_id%33=0""".stripMargin
+
   /** Mirror of Queries.tnefExplode: the TNEF root carries the document
     * text as its body; the single file attachment recomputes like an eml
     * attachment child (content hash + root + ordinal + resource name).
@@ -2233,6 +2324,8 @@ object Oracle {
     "q_mhtml_explode" -> mhtmlExplode,
     "q_msg_explode" -> msgExplode,
     "q_pst_explode" -> pstExplode,
+    "q_ost_explode" -> ostExplode,
+    "q_ost_reconcile" -> ostReconcile,
     // same SQL on purpose: permute encryption and the ANSI 32-bit format
     // must both be invisible to logical output
     "q_pst_permute" -> pstExplode,

@@ -801,6 +801,86 @@ object Queries {
       .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
   }
 
+  /** The 4K-OST fixture: the SAME logical tree as [[pstFixture]] plus a
+    * "big" message whose multi-block attachment rides an XBLOCK with the
+    * writer's MIXED raw/zlib internal compression (the OST-2013 layout
+    * class) and, for %99 docs, a TRUNCATED attachment (zlib header, no
+    * valid stream) that must surface as a named recovery stub. Built
+    * permute-encrypted: compression and crypt compose.
+    */
+  private def ostFixture(id: Long, t: String): Array[Byte] = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import graft.core.office.Pst
+    val bigText = s"ost big $id " * 2000 // ~24 KB: three leaves, mixed compression
+    val boxMsgs = Seq(
+      Pst.BuildMsg(s"m $id", t),
+      Pst.BuildMsg(s"lost $id", s"orphan $id", linked = false)) ++
+      (if (id % 66 == 0)
+        Seq(Pst.BuildMsg(s"rich $id", s"rich body $id",
+          atts = Seq((s"a$id.txt", s"att $id".getBytes(UTF_8)))))
+      else Nil) ++
+      Seq(Pst.BuildMsg(s"big $id", s"big body $id",
+        atts = Seq((s"b$id.bin", bigText.getBytes(UTF_8))),
+        truncAtts = if (id % 99 == 0) Seq(s"t$id.bin") else Nil))
+    val folders = Seq(
+      Pst.BuildFolder("box", boxMsgs),
+      Pst.BuildFolder("box/deep", Seq(Pst.BuildMsg(s"deep $id", s"deep body $id")))) ++
+      (if (id % 99 == 0)
+        Seq(Pst.BuildFolder("crash", Seq(Pst.BuildMsg("broken", "x", corrupt = true))))
+      else Nil)
+    Pst.build(folders, crypt = 1, ost4k = true)
+  }
+
+  /** §2.6 4K-page OST route (wVer 36 — Outlook-2013 cached-exchange, the
+    * format the reference's patched-libpst recovery exists for): the
+    * pstExplode tree PLUS the internal-compression attachment (reads back
+    * byte-identically through mixed raw/zlib leaves) and the %99
+    * truncated attachment as a NAMED content-less parse-failure stub —
+    * id parity with the .msg/.pst routes holds because ids derive from
+    * logical content, never the container format.
+    */
+  def ostExplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .filter(_._1 % 33 == 0)
+      .flatMap { case (id, t) =>
+        val d = DocIn(id, Array(SpanIn("pst",
+          new String(ostFixture(id, t), ISO_8859_1), "", 0)))
+        Extract.explode(d).map(o =>
+          (id, o.doc_id, o.parent_id, o.level, o.spans.map(_.text).mkString(""), o.no_content_reason))
+      }
+      .toDF("doc_id", "node_id", "parent_id", "level", "txt", "reason")
+  }
+
+  /** OST reconciliation counters: [[pstReconcile]]'s bookkeeping plus the
+    * truncated-attachment stub count (the reference's
+    * countUnreadableAttachments signal) — loss is queryable per document,
+    * never only a log line.
+    */
+  def ostReconcile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.core.office.Pst
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .filter(_._1 % 33 == 0)
+      .map { case (id, t) =>
+        val f = Pst.parse(ostFixture(id, t),
+          Pst.byteBudget(Extract.DefaultConfig.maxSpanChars))
+        val stubs = f.messages.iterator.flatMap(_.attachments).count {
+          case graft.core.office.Msg.StubAtt(_, _) => true
+          case _ => false
+        }
+        (id, f.folders.count(_.path.nonEmpty).toLong,
+          f.folders.map(_.declaredCount.toLong).sum,
+          f.messages.count(!_.recovered).toLong,
+          f.messages.count(_.recovered).toLong,
+          f.failures.size.toLong,
+          stubs.toLong)
+      }
+      .toDF("doc_id", "n_folders", "n_declared", "n_extracted", "n_recovered",
+        "n_failed", "n_att_stubs")
+  }
+
   /** mbox mailbox route (RFC 4155 — the mailing-list-archive format):
     * each %41 doc becomes a two-message mailbox; the postmark split, the
     * per-message RFC-822 parse, and the base64 attachment explosion are
@@ -3259,6 +3339,8 @@ object Queries {
     "q_mhtml_explode" -> (mhtmlExplode _),
     "q_msg_explode" -> (msgExplode _),
     "q_pst_explode" -> (pstExplode _),
+    "q_ost_explode" -> (ostExplode _),
+    "q_ost_reconcile" -> (ostReconcile _),
     "q_pst_permute" -> (pstPermute _),
     "q_pst_ansi" -> (pstAnsi _),
     "q_tnef_explode" -> (tnefExplode _),

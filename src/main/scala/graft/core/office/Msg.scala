@@ -27,6 +27,13 @@ object Msg {
   sealed trait Attachment
   final case class FileAtt(name: String, bytes: Array[Byte]) extends Attachment
   final case class MsgAtt(msg: MsgDoc) extends Attachment
+  /** An attachment whose bytes could not be materialized (the OST-2013
+    * truncation class): name + reason, spawned downstream as a
+    * content-less parse-failure child — the reference's recovery-stub
+    * semantics (`ResilientOutlookPSTParser.java:580-596`). Only the PST
+    * reader produces these; the `.msg` writer never emits them.
+    */
+  final case class StubAtt(name: String, reason: String) extends Attachment
 
   final case class MsgDoc(subject: String, from: String, body: String,
                           attachments: Vector[Attachment])
@@ -121,6 +128,10 @@ object Msg {
       m.attachments.map {
         case FileAtt(n, b) => (n, new String(b, StandardCharsets.ISO_8859_1))
         case MsgAtt(sub) => (sub.subject, canonical(sub))
+        // a stub contributes its name with no content (the reason is
+        // diagnostic, not identity — retrying a truncated file that now
+        // reads fully SHOULD change the id, and it does, via the bytes)
+        case StubAtt(n, _) => (n, "")
       }
     graft.core.Ids.canonicalEntries(fields)
   }
@@ -191,6 +202,7 @@ object Msg {
           (s"$g/__substg1.0_3707001F", u16(n)),
           (s"$g/__substg1.0_37010102", b))
         case MsgAtt(sub) => streams(sub, s"$g/__substg1.0_3701000D/")
+        case StubAtt(_, _) => Vector.empty // stubs never round-trip to .msg
       }
     }
     base ++ atts

@@ -32,20 +32,36 @@ import graft.core.ParseFailure
   *     every folder contents table are RECOVERED into `[recovered]`
   *     (`ResilientOutlookPSTParser.java:225-320` recovery semantics).
   *
-  * Scope (documented honestly): Unicode (wVer 23) AND ANSI (wVer 14/15)
-  * PSTs — the NDB layer is parameterized over the spec's parallel 32-bit
-  * layouts (BREFs, page/block trailers, B-tree entries, SL/SI/XBLOCK
-  * shapes); the LTP and messaging layers are format-identical. The
+  * Scope (documented honestly): Unicode (wVer 23), ANSI (wVer 14/15),
+  * AND 4K-page OST (wVer 36 — Outlook-2013 cached-exchange) files. The
+  * NDB layer is parameterized over the three published layouts (BREFs,
+  * page/block trailers, B-tree entries, SL/SI/XBLOCK shapes, page sizes);
+  * the LTP and messaging layers are format-identical. The 4K variant adds
+  * per-leaf zlib "internal compression" of end-user data blocks — MIXED
+  * raw/deflated leaves, the layout java-libpst mis-reads and the
+  * reference recovers via `com/pff/OstCompressedBlockReader.java` (sniff
+  * the zlib header per decoded leaf, inflate independently, size-gate).
+  * An attachment whose blocks fail that recovery becomes a TRUNCATION
+  * STUB child with the failure reason — never a message or file failure —
+  * mirroring `ResilientOutlookPSTParser.java:598-628` (truncated
+  * by-value detection) and its `emitRecoveryStub` status children. The
   * Unicode path is validated against a real Outlook-written fixture; the
-  * ANSI path is spec-derived and reader/writer round-trip-verified (no
-  * real ANSI file ships in this sandbox — noted so a future real-file
-  * check knows it is still owed). WIP/4K-page OST (wVer 36+) throws
-  * ParseFailure with a precise reason. `bCryptMethod` NDB_CRYPT_NONE and
-  * NDB_CRYPT_PERMUTE (§5.1, the default "compressible encryption" every
-  * stock Outlook profile writes) parse fully; CYCLIC files throw at the
-  * LTP layer but still yield the full NDB [[inventory]] — header,
-  * B-trees, blocks, folder/message node structure — which is unencrypted
-  * by design.
+  * ANSI and 4K paths are spec-derived and reader/writer
+  * round-trip-verified (no real ANSI/OST file ships in this sandbox —
+  * noted so a future real-file check knows it is still owed). WIP
+  * (wVer 37+) throws ParseFailure with a precise reason. `bCryptMethod`
+  * NDB_CRYPT_NONE and NDB_CRYPT_PERMUTE (§5.1, the default "compressible
+  * encryption" every stock Outlook profile writes) parse fully.
+  * NDB_CRYPT_CYCLIC refuses with a DecryptFailure — DELIBERATE parity:
+  * java-libpst (the reference's parser) itself rejects crypt methods
+  * beyond none/permute ("Only unencrypted and compressable PST files are
+  * supported"), §5.2's mpbbS table is not independently verifiable here
+  * (no real cyclic fixture exists to crib against, unlike the permute
+  * table's three-way validation), and a wrong substitution table would
+  * extract GARBAGE text silently — classify-don't-pretend wins. Cyclic
+  * files still yield the full NDB [[inventory]] — header, B-trees,
+  * blocks, folder/message node structure — which is unencrypted by
+  * design.
   *
   * The [[build]] writer emits spec-shaped Unicode crypt-none or permute
   * PSTs (deterministic: a pure function of its input) used by fixtures and the
@@ -58,20 +74,35 @@ object Pst {
   // ---------------------------------------------------------------- common
 
   private val HeaderSize = 512 // ANSI header length; Unicode extends to 564
-  private val PageSize = 512
   val RootFolderNid = 0x122L
 
-  /** On-disk layout parameters that differ between Unicode (wVer 23) and
-    * ANSI (wVer 14/15) files: MS-PST §2 defines parallel layouts for every
-    * NDB structure, with ANSI BIDs/IBs 32-bit. The LTP and messaging
-    * layers are byte-identical across the two.
+  /** On-disk layout parameters across the THREE published NDB variants:
+    * Unicode (wVer 23), ANSI (wVer 14/15, 32-bit BIDs/IBs), and the
+    * 4K-page OST (wVer 36, Outlook-2013 cached-exchange files). MS-PST §2
+    * defines the first two in parallel; the 4K variant follows the
+    * publicly documented PFF layout: 4096-byte B-tree pages whose entry
+    * counts widen to 16 bits (metadata at 4056, trailer at 4072, the
+    * final 8 bytes reserved), Unicode-shaped entries and block trailers,
+    * and per-leaf zlib "internal compression" of end-user data blocks
+    * (mixed raw/deflated leaves — the exact layout class the reference's
+    * OST-2013 recovery reader handles,
+    * `com/pff/OstCompressedBlockReader.java:90-115`). The LTP and
+    * messaging layers are byte-identical across all three. The 4K path
+    * is spec-derived and reader/writer round-trip-verified; no real
+    * wVer-36 OST ships in this sandbox — noted so a future real-file
+    * check knows it is still owed (the same validation debt the ANSI
+    * path documents).
     */
-  private final class Fmt(val ansi: Boolean) {
+  private final class Fmt(val ansi: Boolean, val ost4k: Boolean) {
+    val pageSize: Int = if (ost4k) 4096 else 512
     val blockTrailerLen: Int = if (ansi) 12 else 16
     val maxBlockData: Int = 8192 - blockTrailerLen
-    val pageMetaOff: Int = if (ansi) 496 else 488 // cEnt/cEntMax/cbEnt/cLevel
-    val pageTrailerOff: Int = if (ansi) 500 else 496
-    val pageCrcLen: Int = if (ansi) 500 else 496 // dwCRC covers every byte before the trailer
+    // page metadata (cEnt/cEntMax/cbEnt/cLevel); 4K pages widen the two
+    // counts to u16, so cbEnt/cLevel sit at meta+4/meta+5
+    val pageMetaOff: Int = if (ost4k) 4056 else if (ansi) 496 else 488
+    val cEnt16: Boolean = ost4k
+    val pageTrailerOff: Int = if (ost4k) 4072 else if (ansi) 500 else 496
+    val pageCrcLen: Int = pageTrailerOff // dwCRC covers every byte before the trailer
     val btIndexEntLen: Int = if (ansi) 12 else 24 // btkey + BREF
     val bbtEntLen: Int = if (ansi) 12 else 24
     val nbtEntLen: Int = if (ansi) 16 else 32
@@ -80,8 +111,9 @@ object Pst {
     val siEntLen: Int = if (ansi) 8 else 16
     val xKidLen: Int = if (ansi) 4 else 8
   }
-  private val UniFmt = new Fmt(false)
-  private val AnsiFmt = new Fmt(true)
+  private val UniFmt = new Fmt(false, false)
+  private val AnsiFmt = new Fmt(true, false)
+  private val Ost4kFmt = new Fmt(false, true)
 
   // nidType = low 5 bits of a NID (MS-PST §2.2.2.1)
   private val TypeFolder = 0x02
@@ -207,6 +239,57 @@ object Pst {
   private[office] def permuteEncode(data: Array[Byte]): Array[Byte] =
     substitute(data, PermuteEncode)
 
+  /** Structurally valid zlib header: CM = deflate and the (CMF,FLG) pair
+    * a multiple of 31 — the same cheap pre-filter the reference's
+    * OST-recovery reader uses before attempting inflation
+    * (`OstCompressedBlockReader.java:117-133`). False positives on raw
+    * data are ~1/8192 per the header arithmetic and resolve at the
+    * inflate attempt.
+    */
+  private[office] def looksZlib(data: Array[Byte]): Boolean =
+    data.length >= 2 && (data(0) & 0x0f) == 8 &&
+      (((data(0) & 0xff) << 8 | (data(1) & 0xff)) % 31) == 0
+
+  /** Bounded zlib inflation for 4K-OST internal compression: output
+    * capped (zip-bomb guard — a leaf's logical payload can never exceed
+    * the block format's own ceiling anyway), failure classified with the
+    * truncation reason the attachment stub surfaces.
+    */
+  private[office] def inflateCapped(data: Array[Byte], cap: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(math.min(data.length * 4, 1 << 16))
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n =
+          try inf.inflate(buf)
+          catch { case _: java.util.zip.DataFormatException =>
+            throw new ParseFailure("ost: zlib leaf block failed to inflate (truncated data)") }
+        if (n == 0 && inf.needsInput())
+          throw new ParseFailure("ost: zlib leaf block ends mid-stream (truncated data)")
+        out.write(buf, 0, n)
+        if (out.size() > cap)
+          throw new ParseFailure(s"ost: inflated leaf exceeds cap $cap")
+      }
+      out.toByteArray
+    } finally inf.end()
+  }
+
+  /** Writer-side deflate (zlib-wrapped, max compression for determinism
+    * across JDKs at these sizes).
+    */
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_COMPRESSION)
+    try {
+      d.setInput(data); d.finish()
+      val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
   /** The byte budget a character budget implies for PST values: property
     * strings are UTF-16LE on disk (2 bytes/char), so the same message must
     * pass or refuse identically whether it arrives as .msg (char guards)
@@ -265,12 +348,23 @@ object Pst {
 
     /** End-user data payload: crypt applies ONLY to leaf data blocks, and
       * the block trailer's CRC covers the ON-DISK (encoded) bytes — so
-      * decode strictly after [[payload]]'s validation.
+      * decode strictly after [[payload]]'s validation. 4K-OST files add
+      * per-leaf "internal compression" UNDER the crypt layer: a decoded
+      * leaf carrying a structurally valid zlib header inflates
+      * independently (the reference's OstCompressedBlockReader recovery
+      * order — decode, sniff, inflate per block, mixed raw/zlib legal).
+      * A sniffed-zlib leaf that fails inflation IS the truncation signal
+      * (the reference reaches the same verdict via its declared-size
+      * gate) and throws the reason the attachment stub carries.
       */
-    private def dataPayload(bid: Long): Array[Byte] = crypt match {
-      case 0 => payload(bid)
-      case 1 => permuteDecode(payload(bid))
-      case c => throw cryptRefusal(c)
+    private def dataPayload(bid: Long): Array[Byte] = {
+      val decoded = crypt match {
+        case 0 => payload(bid)
+        case 1 => permuteDecode(payload(bid))
+        case c => throw cryptRefusal(c)
+      }
+      if (fmt.ost4k && looksZlib(decoded)) inflateCapped(decoded, maxEntryBytes)
+      else decoded
     }
 
     /** The ordered leaf data blocks of a data tree (plain block, XBLOCK of
@@ -280,6 +374,7 @@ object Pst {
     def dataBlocks(bid: Long): Vector[Array[Byte]] = {
       if (bid == 0) return Vector.empty
       var declared = 0L
+      var inflated = 0L // 4K internal compression can EXPAND past the stored budget
       def walk(b: Long, depth: Int): Vector[Array[Byte]] = {
         if (depth > 3) throw new ParseFailure("data tree deeper than XXBLOCK allows")
         if ((b & 2) == 0) {
@@ -288,7 +383,11 @@ object Pst {
           declared += cb
           if (declared > maxEntryBytes)
             throw new ParseFailure(s"declared data size exceeds cap $maxEntryBytes")
-          Vector(dataPayload(b))
+          val p = dataPayload(b)
+          inflated += p.length
+          if (inflated > maxEntryBytes)
+            throw new ParseFailure(s"inflated data size exceeds cap $maxEntryBytes")
+          Vector(p)
         } else {
           val p = payload(b) // internal blocks are never encrypted (§2.2.2.8.3)
           if (p.length < 8 || (p(0) & 0xff) != 0x01)
@@ -358,12 +457,12 @@ object Pst {
   private def readHeader(bytes: Array[Byte]): (Int, Long, Long, Fmt) = {
     if (!isPst(bytes)) throw new ParseFailure("not a PST: bad !BDN signature")
     if (u16(bytes, 8) != 0x4d53) throw new ParseFailure("bad wMagicClient (not SM)")
-    // version before checksums: a WIP/4K OST deserves the version reason,
+    // version before checksums: a WIP file deserves the version reason,
     // not a CRC complaint about a layout it never claimed to have
     val wVer = u16(bytes, 10)
     val ansi = wVer == 14 || wVer == 15
-    if (!ansi && wVer != 23)
-      throw new ParseFailure(s"unsupported PST wVer $wVer (WIP/4K OST?) — Unicode (23) or ANSI (14/15) only")
+    if (!ansi && wVer != 23 && wVer != 36)
+      throw new ParseFailure(s"unsupported PST wVer $wVer (WIP?) — Unicode (23), ANSI (14/15), or 4K OST (36) only")
     // dwCRCPartial covers the 471 bytes from wMagicClient in both layouts;
     // only Unicode carries the additional dwCRCFull
     if (u32(bytes, 4) != crc(bytes, 8, 471))
@@ -375,13 +474,16 @@ object Pst {
       // ANSI BREFs are {bid(4), ib(4)}: NBT at 184, BBT at 192
       (bytes(461) & 0xff, u32(bytes, 188), u32(bytes, 196), AnsiFmt)
     } else {
+      // the 4K-page OST header keeps the Unicode 564-byte layout — only
+      // wVer and the page geometry differ
       if (bytes.length < 564) throw new ParseFailure("Unicode header truncated")
       if (u32(bytes, 524) != crc(bytes, 8, 516))
         throw new ParseFailure("header full CRC mismatch")
       val ibFileEof = u64(bytes, 184)
       if (ibFileEof != bytes.length)
         throw new ParseFailure(s"ibFileEof $ibFileEof disagrees with file length ${bytes.length}")
-      (bytes(513) & 0xff, u64(bytes, 224), u64(bytes, 240), UniFmt)
+      (bytes(513) & 0xff, u64(bytes, 224), u64(bytes, 240),
+        if (wVer == 36) Ost4kFmt else UniFmt)
     }
   }
 
@@ -391,19 +493,20 @@ object Pst {
     */
   private def walkBt(bytes: Array[Byte], rootIb: Long, ptype: Int, fmt: Fmt): Vector[Array[Byte]] = {
     val out = Vector.newBuilder[Array[Byte]]
-    val maxPages = bytes.length / PageSize + 1
+    val maxPages = bytes.length / fmt.pageSize + 1
     var visited = 0
     def page(ib: Long, depth: Int): Unit = {
       visited += 1
       if (visited > maxPages) throw new ParseFailure("B-tree page cycle")
       if (depth > 8) throw new ParseFailure("B-tree deeper than the format allows")
-      if (ib < 0 || ib > bytes.length - PageSize) // subtraction: no Long overflow
+      if (ib < 0 || ib > bytes.length - fmt.pageSize) // subtraction: no Long overflow
         throw new ParseFailure("B-tree page past file end")
       val o = ib.toInt
       val m = o + fmt.pageMetaOff
-      val cEnt = bytes(m) & 0xff
-      val cbEnt = bytes(m + 2) & 0xff
-      val cLevel = bytes(m + 3) & 0xff
+      // 4K pages carry u16 entry counts (cbEnt/cLevel shift to +4/+5)
+      val cEnt = if (fmt.cEnt16) u16(bytes, m) else bytes(m) & 0xff
+      val cbEnt = bytes(m + (if (fmt.cEnt16) 4 else 2)) & 0xff
+      val cLevel = bytes(m + (if (fmt.cEnt16) 5 else 3)) & 0xff
       val t = o + fmt.pageTrailerOff
       if ((bytes(t) & 0xff) != ptype || (bytes(t + 1) & 0xff) != ptype)
         throw new ParseFailure(s"B-tree page trailer type != 0x${ptype.toHexString}")
@@ -682,7 +785,16 @@ object Pst {
       }
       val from = pc.str(PidSenderName)
       val attNids = sub.keysIterator.filter(n => (n & 0x1f) == TypeAttachment).toVector.sorted
+      // per-ATTACHMENT isolation (the reference's recovery-stub semantics,
+      // `ResilientOutlookPSTParser.java:580-628`): a by-value attachment
+      // whose bytes cannot be materialized — the OST-2013 truncation
+      // class, or any other per-attachment breakage — degrades to a
+      // named STUB carrying the reason, never a message failure. The
+      // best-known name travels out of the failing scope so the stub is
+      // attributable like the reference's RESOURCE_NAME_KEY stubs.
       val atts = attNids.map { anid =>
+        var knownName = f"attachment_0x$anid%x"
+        try {
         val (bidData, bidSub) = sub(anid)
         val attSub = ndb.subnodes(bidSub)
         val attResolve = (vnid: Long) => attSub.get(vnid).map { case (bd, _) => ndb.data(bd) }
@@ -691,6 +803,7 @@ object Pst {
           val n = apc.str(PidAttachLongName)
           if (n.nonEmpty) n else apc.str(0x3704)
         }
+        if (name.nonEmpty) knownName = name
         val method = apc.int(PidAttachMethod).getOrElse(1)
         if (method == 5 || apc.typeOf(PidAttachData).contains(PtObject)) {
           // embedded message: 0x3701 is PtypObject — its HNID names a heap
@@ -708,6 +821,12 @@ object Pst {
           Msg.MsgAtt(Msg.MsgDoc(s, f, b, a))
         } else
           Msg.FileAtt(name, apc.bytesOf(PidAttachData).getOrElse(Array.empty))
+        } catch {
+          // nesting-depth breaches stay message-level (a bomb must not
+          // degrade into a polite stub per level); everything else stubs
+          case pf: ParseFailure if !pf.getMessage.contains("nesting deeper") =>
+            Msg.StubAtt(knownName, pf.getMessage)
+        }
       }
       (subject, from, body, atts)
     }
@@ -747,38 +866,66 @@ object Pst {
                             atts: Seq[(String, Array[Byte])] = Nil,
                             attachedMsgs: Seq[BuildMsg] = Nil,
                             linked: Boolean = true, corrupt: Boolean = false,
-                            rtfBody: Boolean = false)
+                            rtfBody: Boolean = false,
+                            // 4K-OST truncation fixtures: attachments whose
+                            // data block claims zlib but cannot inflate —
+                            // the reader must stub them with the reason
+                            truncAtts: Seq[String] = Nil)
   /** `path` uses '/' separators; intermediate folders are created. */
   final case class BuildFolder(path: String, messages: Seq[BuildMsg] = Nil)
 
   private sealed trait Pv
   private final case class PvInline(ptype: Int, v: Long) extends Pv
   private final case class PvBytes(ptype: Int, bytes: Array[Byte]) extends Pv
+  private final case class PvRef(ptype: Int, nid: Long) extends Pv // pre-written subnode
 
-  /** Deterministic minimal PST: Unicode (wVer 23, default) or ANSI
+  /** Deterministic minimal PST: Unicode (wVer 23, default), ANSI
     * (wVer 15, `ansi = true` — 32-bit BIDs/IBs, 12-byte trailers, the
-    * MS-PST parallel layouts). `crypt` 0 (none) or 1 (§5.1 permute: leaf
-    * data blocks substituted on disk, trailer CRCs over the encoded
-    * bytes — the stock-Outlook shape). Both axes compose.
+    * MS-PST parallel layouts), or 4K-page OST (wVer 36, `ost4k = true` —
+    * 4096-byte pages with u16 entry counts, plus per-leaf zlib internal
+    * compression: alternate end-user leaves deflate, so every file
+    * exercises the MIXED raw/zlib layout java-libpst mishandles and the
+    * reference's OST recovery reader exists for). `crypt` 0 (none) or 1
+    * (§5.1 permute: leaf data blocks substituted on disk AFTER
+    * compression, trailer CRCs over the encoded bytes — the
+    * decode-then-inflate order the reference recovery uses). The axes
+    * compose (except ansi+ost4k, which no real file pairs).
     */
-  def build(folders: Seq[BuildFolder], crypt: Int = 0, ansi: Boolean = false): Array[Byte] = {
+  def build(folders: Seq[BuildFolder], crypt: Int = 0, ansi: Boolean = false,
+            ost4k: Boolean = false): Array[Byte] = {
     require(crypt == 0 || crypt == 1, s"writer supports crypt none/permute, not $crypt")
-    val fmt = if (ansi) AnsiFmt else UniFmt
+    require(!(ansi && ost4k), "ANSI and 4K-page layouts never pair")
+    val fmt = if (ost4k) Ost4kFmt else if (ansi) AnsiFmt else UniFmt
     val blocks = ArrayBuffer.empty[(Long, Array[Byte])]
     var nextBid = 4L
+    var leafOrd = 0
     def allocBid(internal: Boolean): Long = {
       val b = nextBid | (if (internal) 2L else 0L); nextBid += 4; b
     }
-    def writeLeaf(data: Array[Byte]): Long = {
+    def writeLeaf(data: Array[Byte], noCompress: Boolean = false): Long = {
       require(data.length <= fmt.maxBlockData, s"leaf block ${data.length} > ${fmt.maxBlockData}")
-      val b = allocBid(internal = false); blocks += ((b, data)); b
+      // 4K internal compression, deterministic MIXED pattern (alternate
+      // leaves). A raw-stored leaf must never sniff as zlib — when the
+      // payload happens to carry a valid zlib header it is ALWAYS
+      // deflated so the reader's sniff stays truthful. noCompress is the
+      // truncation fixture's escape hatch (stores the lying header as-is).
+      val stored =
+        if (!fmt.ost4k || noCompress) data
+        else if (looksZlib(data)) deflate(data)
+        else if (leafOrd % 2 == 0) {
+          val d = deflate(data)
+          if (d.length < data.length) d else data
+        } else data
+      require(stored.length <= fmt.maxBlockData, "deflated leaf exceeds block capacity")
+      leafOrd += 1
+      val b = allocBid(internal = false); blocks += ((b, stored)); b
     }
     def writeData(data: Array[Byte]): Long =
       if (data.length <= fmt.maxBlockData) writeLeaf(data)
       else {
         val chunks = data.grouped(fmt.maxBlockData).toVector
         require(chunks.length <= 1021, "data tree larger than one XBLOCK (unsupported by writer)")
-        val kids = chunks.map(writeLeaf)
+        val kids = chunks.map(writeLeaf(_))
         val xb = new Array[Byte](8 + fmt.xKidLen * kids.length)
         xb(0) = 0x01; xb(1) = 0x01
         putU16(xb, 2, kids.length); putU32(xb, 4, data.length.toLong)
@@ -835,6 +982,7 @@ object Pst {
       val values = ArrayBuffer.empty[Array[Byte]]
       val resolved = props.sortBy(_._1).map {
         case (pid, PvInline(t, v)) => (pid, t, v)
+        case (pid, PvRef(t, nid)) => (pid, t, nid)
         case (pid, PvBytes(t, bytes)) =>
           // small values stay in the heap; the threshold keeps a PC with
           // several values inside one 8176-byte block, larger values ride
@@ -907,6 +1055,24 @@ object Pst {
           PidAttachMethod -> PvInline(PtLong, 1),
           PidAttachLongName -> PvBytes(PtUnicode, uni(name)),
           PidAttachData -> PvBytes(PtBinary, bytes)), attSub, nextLtp)
+        subEntries += ((anid, pcBid, writeSub(attSub.toSeq)))
+        attNids += anid
+      }
+      require(m.truncAtts.isEmpty || ost4k, "truncAtts is a 4K-OST fixture feature")
+      m.truncAtts.foreach { name =>
+        attCounter += 1
+        val anid = (attCounter << 5) | TypeAttachment
+        val dataNid = nextLtp()
+        // a zlib header followed by a stream no inflater accepts (deflate
+        // btype 11 is reserved): stored raw, so the reader's sniff sees a
+        // compressed leaf that cannot inflate — the truncation class
+        val garbage = Array[Byte](0x78, 0x9c.toByte) ++ Array.fill[Byte](2047)(0xff.toByte)
+        val rawBid = writeLeaf(garbage, noCompress = true)
+        val attSub = ArrayBuffer[(Long, Long, Long)]((dataNid, rawBid, 0L))
+        val pcBid = buildPcBlock(Seq(
+          PidAttachMethod -> PvInline(PtLong, 1),
+          PidAttachLongName -> PvBytes(PtUnicode, uni(name)),
+          PidAttachData -> PvRef(PtBinary, dataNid)), attSub, nextLtp)
         subEntries += ((anid, pcBid, writeSub(attSub.toSeq)))
         attNids += anid
       }
@@ -1002,22 +1168,29 @@ object Pst {
       cursor += ((data.length + fmt.blockTrailerLen + 63) / 64) * 64
       (bid, ib, data)
     }
-    var pageCursor = ((cursor + PageSize - 1) / PageSize) * PageSize
+    var pageCursor = ((cursor + fmt.pageSize - 1) / fmt.pageSize) * fmt.pageSize
     var nextPageBid = nextBid
     val pages = ArrayBuffer.empty[(Long, Array[Byte])] // ib -> page bytes
 
     def buildPage(entries: Seq[Array[Byte]], cbEnt: Int, cLevel: Int, ptype: Int): (Long, Long) = {
-      val pg = new Array[Byte](PageSize)
+      val pg = new Array[Byte](fmt.pageSize)
       entries.zipWithIndex.foreach { case (e, i) =>
         System.arraycopy(e, 0, pg, i * cbEnt, e.length)
       }
       val m = fmt.pageMetaOff
-      pg(m) = entries.length.toByte
-      pg(m + 1) = (m / cbEnt).toByte
-      pg(m + 2) = cbEnt.toByte
-      pg(m + 3) = cLevel.toByte
+      if (fmt.cEnt16) { // 4K pages: u16 counts, cbEnt/cLevel at +4/+5
+        putU16(pg, m, entries.length)
+        putU16(pg, m + 2, m / cbEnt)
+        pg(m + 4) = cbEnt.toByte
+        pg(m + 5) = cLevel.toByte
+      } else {
+        pg(m) = entries.length.toByte
+        pg(m + 1) = (m / cbEnt).toByte
+        pg(m + 2) = cbEnt.toByte
+        pg(m + 3) = cLevel.toByte
+      }
       val bid = nextPageBid; nextPageBid += 4
-      val ib = pageCursor; pageCursor += PageSize
+      val ib = pageCursor; pageCursor += fmt.pageSize
       val t = fmt.pageTrailerOff
       pg(t) = ptype.toByte; pg(t + 1) = ptype.toByte
       putU16(pg, t + 2, sig(ib, bid))
@@ -1093,12 +1266,13 @@ object Pst {
         putU64(out, t + 8, bid)
       }
     }
-    pages.foreach { case (ib, pg) => System.arraycopy(pg, 0, out, ib.toInt, PageSize) }
+    pages.foreach { case (ib, pg) => System.arraycopy(pg, 0, out, ib.toInt, fmt.pageSize) }
 
     // header (MS-PST §2.2.2.6: parallel Unicode/ANSI layouts)
     out(0) = '!'; out(1) = 'B'; out(2) = 'D'; out(3) = 'N'
     putU16(out, 8, 0x4d53) // "SM"
-    putU16(out, 10, if (ansi) 15 else 23); putU16(out, 12, 19) // wVer, wVerClient
+    putU16(out, 10, if (ansi) 15 else if (ost4k) 36 else 23)
+    putU16(out, 12, 19) // wVerClient
     out(14) = 1; out(15) = 1 // bPlatformCreate/Access
     if (ansi) {
       putU32(out, 24, nextBid) // bidNextB

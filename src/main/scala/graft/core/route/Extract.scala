@@ -462,10 +462,27 @@ object Extract {
       spawned += 1
       val cid = Ids.embedId(canon, parentId, ord, resourceName = resourceName)
       emitDoc(cid, parentId, level, m.body)
-      m.attachments.zipWithIndex.foreach {
-        case (graft.core.office.Msg.FileAtt(n, b), i) => spawnEntry(n, Some(b), cid, i, level + 1)
-        case (graft.core.office.Msg.MsgAtt(sub), i) => spawnMsg(sub, sub.subject, cid, i, level + 1)
-      }
+      m.attachments.zipWithIndex.foreach { case (a, i) => spawnAtt(a, cid, i, level + 1) }
+    }
+
+    /** One attachment of any message-shaped parse (.msg, .pst, TNEF):
+      * files sniff like archive entries, nested messages recurse, and a
+      * truncation STUB (OST-2013 recovery semantics) becomes a NAMED
+      * content-less parse-failure child — the attachment is visibly lost
+      * per document, never silently dropped and never a message failure
+      * (`ResilientOutlookPSTParser.java:580-628`).
+      */
+    def spawnAtt(a: graft.core.office.Msg.Attachment, pid: String, ord: Int,
+                 lvl: Int): Unit = a match {
+      case graft.core.office.Msg.FileAtt(n, b) => spawnEntry(n, Some(b), pid, ord, lvl)
+      case graft.core.office.Msg.MsgAtt(sub) => spawnMsg(sub, sub.subject, pid, ord, lvl)
+      case graft.core.office.Msg.StubAtt(n, _) =>
+        if (guardsRefuse(lvl, 0)) skipped += 1
+        else {
+          spawned += 1
+          out += DocOut(Ids.embedId("", pid, ord, resourceName = n), pid, rootId,
+            lvl, Array.empty, Reason.ParseFailed)
+        }
     }
 
     // one parsed PST mailbox -> its folder tree as container nodes
@@ -849,12 +866,7 @@ object Extract {
             val m = graft.core.mail.Tnef.parseLatin1(latin1)
             val cid = Ids.embedId(latin1, parentId, ord, resourceName = name)
             emitDoc(cid, parentId, level, m.body)
-            m.attachments.zipWithIndex.foreach {
-              case (graft.core.office.Msg.FileAtt(n, b), i) =>
-                spawnEntry(n, Some(b), cid, i, level + 1)
-              case (graft.core.office.Msg.MsgAtt(sub), i) =>
-                spawnMsg(sub, sub.subject, cid, i, level + 1)
-            }
+            m.attachments.zipWithIndex.foreach { case (a, i) => spawnAtt(a, cid, i, level + 1) }
           } else {
             val payload = graft.sources.Ingest.decodePayload(kind, data)
             // markers=false: failure-injection markers are a top-level-span
@@ -1019,11 +1031,8 @@ object Extract {
             }
           }
           else if (graft.core.office.Msg.isMsg(entries))
-            graft.core.office.Msg.parse(entries).attachments.foreach {
-              case graft.core.office.Msg.FileAtt(n, b) =>
-                spawnEntry(n, Some(b), rootId, ord, 1); ord += 1
-              case graft.core.office.Msg.MsgAtt(sub) =>
-                spawnMsg(sub, sub.subject, rootId, ord, 1); ord += 1
+            graft.core.office.Msg.parse(entries).attachments.foreach { a =>
+              spawnAtt(a, rootId, ord, 1); ord += 1
             }
           else if (graft.core.office.Msg.isLegacyDoc(entries))
             // legacy Office document: body text via routeKind; only
@@ -1086,11 +1095,8 @@ object Extract {
         case "tnef" =>
           // winmail.dat IS the message: body text on the root (routeKind),
           // attachments as sniffed children — same shape as eml
-          graft.core.mail.Tnef.parseLatin1(content).attachments.foreach {
-            case graft.core.office.Msg.FileAtt(n, b) =>
-              spawnEntry(n, Some(b), rootId, ord, 1); ord += 1
-            case graft.core.office.Msg.MsgAtt(sub) =>
-              spawnMsg(sub, sub.subject, rootId, ord, 1); ord += 1
+          graft.core.mail.Tnef.parseLatin1(content).attachments.foreach { a =>
+            spawnAtt(a, rootId, ord, 1); ord += 1
           }
         case "applesingle" =>
           // the envelope is transport: the data fork IS the file, spawned

@@ -120,6 +120,25 @@ object BinaryFuzzProps extends Properties("BinaryFuzz") {
         total(graft.core.office.Pst.inventory(b))
     }
 
+  // byte-flip fuzz over a REAL 4K OST (mixed-compression leaves, permute):
+  // corruption anywhere — header, pages, compressed payloads — must
+  // classify, and per-message/per-attachment isolation must never leak a
+  // raw Inflater/array exception
+  private val ostFixtureBytes: Array[Byte] = graft.core.office.Pst.build(
+    Seq(graft.core.office.Pst.BuildFolder("inbox", Seq(
+      graft.core.office.Pst.BuildMsg("s", "ost fuzz body " * 400,
+        atts = Seq(("a.bin", Array.tabulate[Byte](1500)(i => (i * 3).toByte))),
+        truncAtts = Seq("t.bin"))))), crypt = 1, ost4k = true)
+
+  property("4K OST with flipped bytes classifies") =
+    Prop.forAll(Gen.chooseNum(0, ostFixtureBytes.length - 1),
+      Gen.chooseNum(1, 255)) { (pos, x) =>
+      val b = ostFixtureBytes.clone()
+      b(pos) = (b(pos) ^ x).toByte
+      total(graft.core.office.Pst.parse(b, 1 << 20)) &&
+        total(graft.core.office.Pst.inventory(b))
+    }
+
   property("tnef parse: junk classifies") =
     Prop.forAll(stamped(Array[Byte](0x78, 0x9f.toByte, 0x3e, 0x22))) { b =>
       total(graft.core.mail.Tnef.parse(b))

@@ -109,11 +109,16 @@ class PstSpec extends AnyFunSuite {
     val o = c1.length - 512 + 100
     c1(o) = (c1(o) ^ 0x41).toByte
     intercept[ParseFailure](Pst.parse(c1, Cap))
-    // WIP/4K-OST version refused with a precise reason (version outranks
-    // the CRC complaint: the file never claimed a parsable layout)
-    val c2 = good.clone(); c2(10) = 36; c2(11) = 0
+    // WIP version refused with a precise reason (version outranks the
+    // CRC complaint: the file never claimed a parsable layout)
+    val c2 = good.clone(); c2(10) = 37; c2(11) = 0
     val e = intercept[ParseFailure](Pst.parse(c2, Cap))
-    assert(e.getMessage.contains("wVer 36"))
+    assert(e.getMessage.contains("wVer 37"))
+    // wVer 36 (4K OST) now ENGAGES: a Unicode file re-stamped 36 without
+    // re-CRCing fails the header checksum, not the version gate
+    val c3 = good.clone(); c3(10) = 36; c3(11) = 0
+    val e2 = intercept[ParseFailure](Pst.parse(c3, Cap))
+    assert(e2.getMessage.contains("CRC"))
     // truncation
     intercept[ParseFailure](Pst.parse(good.take(good.length / 2), Cap))
   }
@@ -390,5 +395,99 @@ class PstSpec extends AnyFunSuite {
     }
     // all four format x crypt corners yield identical logical content
     assert(results.distinct.size == 1)
+  }
+
+  test("4K OST (wVer 36) round-trips every layer; leaves really compress") {
+    // big body forces XBLOCK; the writer's alternate-leaf rule makes the
+    // file MIXED raw/zlib — the exact OST-2013 layout class the reference
+    // recovers (OstCompressedBlockReader). Unlinked + corrupt exercise
+    // recovery and isolation on the 4K path.
+    val big = "ost body " * 3000 // ~27 KB > three 8176-byte leaves
+    val folders = Seq(
+      Pst.BuildFolder("inbox", Seq(
+        Pst.BuildMsg("big", big, from = "who",
+          atts = Seq(("x.bin", Array.tabulate[Byte](2000)(i => (i * 7).toByte)))),
+        Pst.BuildMsg("lost", "orphan", linked = false),
+        Pst.BuildMsg("bad", "x", corrupt = true))),
+      Pst.BuildFolder("inbox/sub", Seq(
+        Pst.BuildMsg("outer", "o", attachedMsgs = Seq(Pst.BuildMsg("inner", "i"))))))
+    val ost = Pst.build(folders, ost4k = true)
+    assert((java.nio.ByteBuffer.wrap(ost, 10, 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getShort & 0xffff) == 36) // wVer
+    val inv = Pst.inventory(ost)
+    assert(inv.nFolders == 3 && inv.nMessages == 4 && inv.nSubnodeMessages == 1)
+    // stored bytes beat the uncompressed twin: compression REALLY happened
+    val plain = Pst.inventory(Pst.build(folders))
+    assert(inv.dataBytes < plain.dataBytes,
+      s"4K stored ${inv.dataBytes} not smaller than Unicode ${plain.dataBytes}")
+    val f = Pst.parse(ost, Cap)
+    assert(f.failures.size == 1) // the corrupt message isolates, never aborts
+    val byPath = f.messages.groupBy(_.folderPath)
+    assert(byPath("inbox").find(_.subject == "big").get.body == big)
+    assert(f.messages.find(_.subject == "lost").get.folderPath == "[recovered]")
+    val att = byPath("inbox").find(_.subject == "big").get.attachments
+    assert(att.collect { case Msg.FileAtt(n, bs) => (n, bs.length) } == Vector(("x.bin", 2000)))
+    byPath("inbox/sub").head.attachments.head match {
+      case Msg.MsgAtt(inner) => assert(inner.subject == "inner" && inner.body == "i")
+      case other => fail(s"expected attached message, got $other")
+    }
+  }
+
+  test("4K OST composes with permute; logical output matches the other formats") {
+    val folders = Seq(Pst.BuildFolder("box", Seq(
+      Pst.BuildMsg("s", "same body", from = "f", atts = Seq(("a.txt", b("att")))))))
+    val results = for {
+      (ansi, ost4k) <- Seq((false, false), (true, false), (false, true))
+      crypt <- Seq(0, 1)
+    } yield {
+      val f = Pst.parse(Pst.build(folders, crypt, ansi, ost4k), Cap)
+      assert(f.failures.isEmpty)
+      f.messages.map(m => (m.folderPath, m.subject, m.from, m.body,
+        m.attachments.collect { case Msg.FileAtt(n, bs) => (n, bs.toSeq) }))
+    }
+    // all six format x crypt corners yield identical logical content
+    assert(results.distinct.size == 1)
+  }
+
+  test("truncated OST attachment degrades to a NAMED stub, never a failure") {
+    // the reference's semantics (ResilientOutlookPSTParser.java:598-628 +
+    // emitRecoveryStub): a by-value attachment whose compressed blocks
+    // cannot inflate is visibly lost — stub with the name and the reason —
+    // while the message and its readable attachments survive intact
+    val ost = Pst.build(Seq(Pst.BuildFolder("inbox", Seq(
+      Pst.BuildMsg("m", "the body", atts = Seq(("ok.txt", b("fine"))),
+        truncAtts = Seq("cut.bin"))))), crypt = 1, ost4k = true)
+    val f = Pst.parse(ost, Cap)
+    assert(f.failures.isEmpty, f.failures.map(_.error).mkString("; "))
+    val m = f.messages.find(_.subject == "m").get
+    assert(m.body == "the body")
+    assert(m.attachments.collect { case Msg.FileAtt(n, _) => n } == Vector("ok.txt"))
+    val stubs = m.attachments.collect { case Msg.StubAtt(n, r) => (n, r) }
+    assert(stubs.map(_._1) == Vector("cut.bin"))
+    assert(stubs.head._2.contains("inflate"), stubs.head._2)
+    // and through the explode route: a named content-less parse-failure
+    // child under the message, ordinal after the readable attachment
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    import graft.core.{DocIn, SpanIn}
+    val out = graft.core.route.Extract.explode(
+      DocIn(7L, Array(SpanIn("pst", new String(ost, ISO_8859_1), "", 0))))
+    val msgNode = out.find(_.spans.exists(_.text == "the body")).get
+    val kids = out.filter(_.parent_id == msgNode.doc_id).sortBy(_.doc_id)
+    assert(kids.exists(k => k.spans.exists(_.text == "fine")))
+    val stub = kids.find(_.no_content_reason == graft.core.Reason.ParseFailed).get
+    assert(stub.spans.isEmpty)
+    assert(stub.doc_id == graft.core.Ids.embedId("", msgNode.doc_id, 1, resourceName = "cut.bin"))
+  }
+
+  test("a truncated-style block in a NON-4K pst is data, not a stub") {
+    // the zlib sniff is gated to wVer 36: Unicode/ANSI files never carry
+    // internal compression, so bytes that merely look like a zlib header
+    // must come back verbatim
+    val lying = Array[Byte](0x78, 0x9c.toByte) ++ Array.fill[Byte](1100)(0x2a)
+    val pst = Pst.build(Seq(Pst.BuildFolder("inbox", Seq(
+      Pst.BuildMsg("m", "b", atts = Seq(("z.bin", lying)))))))
+    val f = Pst.parse(pst, Cap)
+    val Msg.FileAtt(n, bytes) = f.messages.head.attachments.head: @unchecked
+    assert(n == "z.bin" && bytes.sameElements(lying))
   }
 }
