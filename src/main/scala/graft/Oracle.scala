@@ -1070,6 +1070,17 @@ object Oracle {
       |SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS txt, '' AS reason
       |FROM l GROUP BY doc_id""".stripMargin
 
+  /** Mirror of Queries.pdfForm: the page line plus the three terminal
+    * field values as `name: value` lines, document order, the kid dotted
+    * under its parent.
+    */
+  private val pdfForm: String =
+    """SELECT doc_id,
+      |  'form doc '||doc_id||chr(10)||'applicant: name '||doc_id||chr(10)
+      |    ||'agree: Yes'||chr(10)||'grp.sub: deep '||doc_id AS txt,
+      |  '' AS reason
+      |FROM documents WHERE doc_id%71=0""".stripMargin
+
   /** Mirror of Queries.vsdxText: 5-word shape texts back out of the
     * two-page drawing walk (page split preserves line order).
     */
@@ -2391,6 +2402,7 @@ object Oracle {
     "q_vsdx_text" -> vsdxText,
     "q_apple_text" -> appleText,
     "q_pdf_cid" -> pdfCid,
+    "q_pdf_form" -> pdfForm,
     "q_rpm_explode" -> rpmExplode,
     "q_url_filter" -> urlFilter,
     "q_robots_filter" -> robotsFilter,

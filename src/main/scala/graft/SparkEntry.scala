@@ -493,6 +493,25 @@ object Queries {
       .toDF("doc_id", "txt", "reason")
   }
 
+  /** §2.7 PDF AcroForm route (ISO 32000 §12.7; Tika's PDFBox surface
+    * prints field values): each %71 doc becomes a real interactive form —
+    * a text field, a NAME-valued checkbox, and a hierarchical parent/kid
+    * exercising the dotted fully-qualified naming — whose values append
+    * to the body text as `name: value` lines in document order.
+    */
+  def pdfForm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select("doc_id").as[Long]
+      .filter(_ % 71 == 0)
+      .map { id =>
+        val pdf = graft.core.pdf.PdfMini.buildForm(Seq(s"form doc $id"),
+          ("applicant", s"name $id"), ("agree", "Yes"), ("grp", "sub", s"deep $id"))
+        val (txt, why) = Extract.extractSpan("pdf_bytes", pdf)
+        (id, txt, why)
+      }
+      .toDF("doc_id", "txt", "reason")
+  }
+
   /** §2.3 HWP 5.x route (Tika HwpV5Parser): the document's 5-word lines
     * as paragraph-break-terminated PARA_TEXT records in a deflated
     * BodyText section (each paragraph renders with its trailing break).
@@ -522,7 +541,12 @@ object Queries {
       .filter(_._1 % 103 == 0)
       .map { case (id, t) =>
         val paras = t.split(" ", -1).grouped(5).map(_.mkString(" ")).toSeq
-        val bytes = graft.core.office.Iwork.buildPages(paras)
+        // BOTH eras, alternating: legacy XML bundles (gzipped index.xml,
+        // sf:p paragraphs) and 2013-era IWA bundles (snappy-chunked
+        // protobuf text runs) must yield the same logical text
+        val bytes =
+          if ((id / 103) % 2 == 0) graft.core.office.Iwork.buildPages(paras)
+          else graft.core.office.Iwa.buildPages13(paras)
         val d = DocIn(id, Array(SpanIn("zip", new String(bytes, ISO_8859_1), "", 0)))
         val out = Extract.extractDoc(d)
         (id, out.spans.map(_.text).mkString(""))
@@ -3405,6 +3429,7 @@ object Queries {
     "q_vsdx_text" -> (vsdxText _),
     "q_apple_text" -> (appleText _),
     "q_pdf_cid" -> (pdfCid _),
+    "q_pdf_form" -> (pdfForm _),
     "q_rpm_explode" -> (rpmExplode _),
     "q_url_filter" -> (urlFilterQ _),
     "q_web_funnel" -> (webFunnel _),

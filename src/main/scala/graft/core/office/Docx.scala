@@ -386,7 +386,8 @@ object Ooxml {
       n.endsWith(".xhtml") || n.endsWith(".html") || n.endsWith(".htm") || // EPUB chapters
       n.endsWith(".fpage") || // XPS fixed pages
       Vsdx.isPage(n) || // Visio drawing pages
-      Iwork.wantedIndex(n) // legacy iWork document index
+      Iwork.wantedIndex(n) || // legacy iWork document index
+      (n.startsWith("Index/") && n.endsWith(".iwa")) // 2013-era iWork parts
 
   /** Numeric suffix for sheetN/slideN ordering (archive order is not the
     * document order).
@@ -733,13 +734,21 @@ object Iwork {
     "index.xml", "index.xml.gz", "index.apxl", "index.apxl.gz",
     "presentation.apxl", "presentation.apxl.gz")
 
-  /** Routing gate: the index part must VALIDATE as an Apple document
-    * (sl:/sf:/key: namespaces or roots) before the package is treated as
-    * iWork — name-only detection would hijack any generic zip carrying a
-    * root `index.xml`, silencing its child spawns and emptying its body.
+  /** Routing gate, both eras: the legacy XML index part must VALIDATE as
+    * an Apple document (sl:/sf:/key: namespaces or roots) before the
+    * package is treated as iWork — name-only detection would hijack any
+    * generic zip carrying a root `index.xml`, silencing its child spawns
+    * and emptying its body. The 2013-era gate is a `.iwa` part under
+    * `Index/`
+    * (Apple's own layout; the extension+directory pair has no generic-zip
+    * collision class the way `index.xml` does).
     */
   def isIwork(entries: Seq[(String, Option[Array[Byte]])]): Boolean =
-    indexXml(entries).isDefined
+    indexXml(entries).isDefined || isIwork13(entries)
+
+  /** 2013-era (IWA) bundle: snappy-chunked protobuf parts under Index/. */
+  def isIwork13(entries: Seq[(String, Option[Array[Byte]])]): Boolean =
+    entries.exists { case (n, _) => n.startsWith("Index/") && n.endsWith(".iwa") }
 
   /** The located, gunzipped, VALIDATED index payload — None when absent,
     * refused, undecodable, or not Apple-namespaced.
@@ -797,8 +806,25 @@ object Iwork {
   }
 
   def docText(entries: Seq[(String, Option[Array[Byte]])]): String =
-    paragraphs(indexXml(entries).getOrElse(
-      throw new graft.core.ParseFailure("iwork: index part refused, missing, or not Apple-namespaced")))
+    indexXml(entries) match {
+      case Some(xml) => paragraphs(xml)
+      case None if isIwork13(entries) =>
+        // 2013-era: harvest text runs from every .iwa part under Index/,
+        // name order (deterministic; Document.iwa leads in real bundles).
+        // A refused (size-guarded) part classifies rather than silently
+        // shortening the harvest.
+        entries.iterator
+          .filter { case (n, _) => n.startsWith("Index/") && n.endsWith(".iwa") }
+          .toSeq.sortBy(_._1)
+          .flatMap {
+            case (_, Some(b)) => Iwa.harvest(b)
+            case (n, None) =>
+              throw new graft.core.ParseFailure(s"iwork: iwa part $n refused by size guard")
+          }
+          .mkString("\n")
+      case None =>
+        throw new graft.core.ParseFailure("iwork: index part refused, missing, or not Apple-namespaced")
+    }
 
   /** Deterministic legacy-Pages package: gzipped `index.xml` with one
     * `<sf:p>` per paragraph (styled runs exercise the flattening).

@@ -426,10 +426,19 @@ object PdfMini {
       if (!referenced.contains(d.objNum)) extractStream(d.text, chunks, fonts)
     }
     val lines = chunks.groupBy(_.y).toSeq.sortBy(-_._1)
-    lines.iterator
+    val contentText = lines.iterator
       .map { case (_, cs) => cs.sortBy(_.x).iterator.map(_.text).mkString(" ") }
       .filter(_.nonEmpty)
       .mkString("\n")
+    // AcroForm field values ARE body text (the reference's PDFBox surface
+    // prints them): appended after the content, one `name: value` line
+    // per terminal field, document order
+    val form = formFields(pdf)
+    if (form.isEmpty) contentText
+    else {
+      val formText = form.iterator.map { case (n, v) => s"$n: $v" }.mkString("\n")
+      if (contentText.isEmpty) formText else contentText + "\n" + formText
+    }
   }
 
   /** The object number of the `N G obj` header whose `obj` keyword starts
@@ -460,7 +469,7 @@ object PdfMini {
       FontRefRe.findAllMatchIn(m.group(1)).foreach { fm =>
         val name = fm.group(1)
         if (!out.contains(name)) fm.group(2).toIntOption.foreach { objNum =>
-          fontBody(pdf, objNum).foreach { body =>
+          objBody(pdf, objNum).foreach { body =>
             ToUniRe.findFirstMatchIn(body).foreach(um =>
               um.group(1).toIntOption.flatMap(cmaps.get)
                 .foreach(cm => out(name) = cm))
@@ -474,7 +483,7 @@ object PdfMini {
   /** Body of object `objNum` (header to endobj), boundary-checked so
     * object 12 never matches inside object 112.
     */
-  private def fontBody(pdf: String, objNum: Int): Option[String] = {
+  private def objBody(pdf: String, objNum: Int): Option[String] = {
     val key = s"$objNum 0 obj"
     var i = pdf.indexOf(key)
     while (i >= 0 && i > 0 && pdf.charAt(i - 1).isDigit)
@@ -484,6 +493,155 @@ object PdfMini {
       val e = pdf.indexOf("endobj", i)
       Some(if (e < 0) pdf.substring(i) else pdf.substring(i, e))
     }
+  }
+
+  // ---------------------------------------------------------- AcroForm
+
+  private val RootRe = """/Root\s+(\d+)\s+\d+\s+R""".r
+  private val AcroRe = """/AcroForm\s+(\d+)\s+\d+\s+R""".r
+  private val ArrRefRe = """(\d+)\s+\d+\s+R""".r
+
+  /** One PDF direct value at/after `from` in `s`: literal string (escape-
+    * and nesting-aware), hex string (UTF-16BE when BOM'd, else
+    * PDFDocEncoding ~ latin1 for the printable range), or a name token.
+    * None for anything else (arrays/dicts/numbers aren't field values the
+    * text surface prints).
+    */
+  private def pdfValue(s: String, from: Int): Option[String] = {
+    var i = from
+    while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    if (i >= s.length) None
+    else s.charAt(i) match {
+      case '(' =>
+        val sb = new StringBuilder
+        var depth = 1
+        i += 1
+        while (i < s.length && depth > 0) {
+          val c = s.charAt(i)
+          if (c == '\\' && i + 1 < s.length) {
+            s.charAt(i + 1) match {
+              case 'n' => sb += '\n'
+              case 'r' => sb += '\r'
+              case 't' => sb += '\t'
+              case 'b' => sb += '\b'
+              case 'f' => sb += '\f'
+              case o => sb += o // \( \) \\ and unknown escapes: literal
+            }
+            i += 2
+          } else if (c == '(') { depth += 1; sb += c; i += 1 }
+          else if (c == ')') { depth -= 1; if (depth > 0) sb += c; i += 1 }
+          else { sb += c; i += 1 }
+        }
+        Some(sb.toString)
+      case '<' =>
+        val e = s.indexOf('>', i)
+        if (e < 0) None
+        else {
+          val hex = s.substring(i + 1, e).filterNot(_.isWhitespace)
+          val padded = if (hex.length % 2 == 1) hex + "0" else hex
+          val bytes = padded.grouped(2).map(p =>
+            Integer.parseInt(p, 16).toByte).toArray
+          if (bytes.length >= 2 && bytes(0) == 0xfe.toByte && bytes(1) == 0xff.toByte)
+            Some(new String(bytes, 2, bytes.length - 2,
+              java.nio.charset.StandardCharsets.UTF_16BE))
+          else Some(new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1))
+        }
+      case '/' =>
+        var e = i + 1
+        while (e < s.length && !s.charAt(e).isWhitespace &&
+          "()<>[]{}/%".indexOf(s.charAt(e).toInt) < 0) e += 1
+        Some(s.substring(i + 1, e))
+      case _ => None
+    }
+  }
+
+  private def keyedValue(body: String, key: String): Option[String] = {
+    var i = body.indexOf(key)
+    while (i >= 0) {
+      val after = i + key.length
+      // a real key ends the name token here ('/T' must not match '/TU')
+      if (after >= body.length || body.charAt(after).isWhitespace ||
+        "(<[/".indexOf(body.charAt(after).toInt) >= 0) {
+        return pdfValue(body, after)
+      }
+      i = body.indexOf(key, i + 1)
+    }
+    None
+  }
+
+  /** AcroForm field values (ISO 32000-1 §12.7, the reference's PDFBox
+    * form surface): trailer `/Root` -> catalog `/AcroForm` -> `/Fields`,
+    * `/Kids` recursion with `/T` partial names dotted into fully-
+    * qualified paths (§12.7.3.2), terminal `/V` values as strings
+    * (literal or hex, UTF-16BE-aware) or names (checkbox/radio states).
+    * Document order preserved; depth-capped and cycle-proof on crafted
+    * files. The LAST `/Root` wins (incremental-update convention).
+    */
+  def formFields(pdf: String): Vector[(String, String)] = {
+    val rootNum = RootRe.findAllMatchIn(pdf).toSeq.lastOption
+      .flatMap(_.group(1).toIntOption)
+    val catalog = rootNum.flatMap(objBody(pdf, _)).getOrElse(return Vector.empty)
+    // the AcroForm dict may be a referenced object or inline in the catalog
+    val acro = AcroRe.findFirstMatchIn(catalog)
+      .flatMap(_.group(1).toIntOption).flatMap(objBody(pdf, _))
+      .orElse {
+        val i = catalog.indexOf("/AcroForm")
+        if (i < 0) None else Some(catalog.substring(i))
+      }
+      .getOrElse(return Vector.empty)
+    val out = Vector.newBuilder[(String, String)]
+    val seen = scala.collection.mutable.HashSet.empty[Int]
+    def arrayRefs(body: String, key: String): Seq[Int] = {
+      val i = body.indexOf(key)
+      if (i < 0) Nil
+      else {
+        val a = body.indexOf('[', i)
+        val e = if (a < 0) -1 else body.indexOf(']', a)
+        if (a < 0 || e < 0) Nil
+        else ArrRefRe.findAllMatchIn(body.substring(a, e))
+          .flatMap(_.group(1).toIntOption).toSeq
+      }
+    }
+    def walk(num: Int, prefix: String, depth: Int): Unit = {
+      if (depth > 8 || !seen.add(num)) return
+      objBody(pdf, num).foreach { body =>
+        val t = keyedValue(body, "/T").getOrElse("")
+        val fq = if (prefix.isEmpty) t else if (t.isEmpty) prefix else s"$prefix.$t"
+        val kids = arrayRefs(body, "/Kids")
+        if (kids.nonEmpty) kids.foreach(walk(_, fq, depth + 1))
+        else keyedValue(body, "/V").foreach(v => out += ((fq, v)))
+      }
+    }
+    arrayRefs(acro, "/Fields").foreach(walk(_, "", 0))
+    out.result()
+  }
+
+  /** Deterministic AcroForm fixture: page content lines plus a text
+    * field, a checkbox with a NAME value, and a hierarchical parent whose
+    * kid exercises the dotted fully-qualified naming.
+    */
+  def buildForm(lines: Seq[String], textField: (String, String),
+                checkbox: (String, String), parentKid: (String, String, String)): String = {
+    val content = "BT /F1 12 Tf " + lines.zipWithIndex.map { case (ln, r) =>
+      s"1 0 0 1 10 ${700 - 20 * r} Tm ($ln) Tj"
+    }.mkString(" ") + " ET"
+    val (tn, tv) = textField
+    val (cn, cv) = checkbox
+    val (pn, kn, kv) = parentKid
+    s"""%PDF-1.4
+       |1 0 obj << /Type /Catalog /Pages 2 0 R /AcroForm 6 0 R >> endobj
+       |2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
+       |3 0 obj << /Type /Page /Contents 5 0 R >> endobj
+       |5 0 obj << /Length ${content.length} >> stream
+       |$content
+       |endstream endobj
+       |6 0 obj << /Fields [7 0 R 8 0 R 9 0 R] >> endobj
+       |7 0 obj << /FT /Tx /T ($tn) /V ($tv) >> endobj
+       |8 0 obj << /FT /Btn /T ($cn) /V /$cv >> endobj
+       |9 0 obj << /T ($pn) /Kids [10 0 R] >> endobj
+       |10 0 obj << /FT /Tx /T ($kn) /V ($kv) >> endobj
+       |trailer << /Root 1 0 R >>
+       |%%EOF""".stripMargin
   }
 
   /** Deterministic CID-font fixture: line text as 2-byte glyph codes in

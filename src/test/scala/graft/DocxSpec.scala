@@ -257,6 +257,58 @@ class DocxSpec extends AnyFunSuite {
     intercept[ParseFailure](Iwork.paragraphs("<sf:p>never closes"))
   }
 
+  test("iwa: 2013-era bundle round-trips text runs through snappy chunks") {
+    import graft.core.office.{Iwa, Iwork}
+    val paras = Seq("first paragraph", "second one", "unicode ünïcødé ✓")
+    val pkg = Iwa.buildPages13(paras)
+    def ents(b: Array[Byte]) = graft.sources.Archive.unzip(b, Int.MaxValue)
+    assert(Iwork.isIwork(ents(pkg)) && Iwork.isIwork13(ents(pkg)))
+    assert(Iwork.docText(ents(pkg)) == paras.mkString("\n"))
+    // part-level: harvest sees exactly the runs, order preserved
+    assert(Iwa.harvest(Iwa.buildIwa(paras)) == paras.toVector)
+    assert(Iwa.harvest(Iwa.buildIwa(Nil)).isEmpty)
+    // non-StorageArchive messages are skipped, not text
+    // (type 1 ArchiveInfo with an empty payload in front)
+    val multi = Iwa.buildIwa(Seq("kept"))
+    assert(Iwa.harvest(multi) == Vector("kept"))
+    // the explode route: body text on the package node, era-invisible
+    val legacy = Iwork.buildPages(paras.take(2))
+    val modern = Iwa.buildPages13(paras.take(2))
+    for (b <- Seq(legacy, modern)) {
+      val out = Extract.explode(DocIn(31L,
+        Array(SpanIn("zip", new String(b, ISO_8859_1), "", 0))))
+      assert(out.head.spans.map(_.text).mkString("") == paras.take(2).mkString("\n"))
+    }
+  }
+
+  test("iwa: malformed chunks/snappy/protobuf classify as ParseFailure") {
+    import graft.core.office.Iwa
+    // bad chunk type byte
+    intercept[ParseFailure](Iwa.decodeChunks(Array[Byte](1, 0, 0, 0)))
+    // declared chunk length past end
+    intercept[ParseFailure](Iwa.decodeChunks(Array[Byte](0, 9, 0, 0, 1)))
+    // valid framing, garbage snappy
+    intercept[ParseFailure](Iwa.decodeChunks(Array[Byte](0, 3, 0, 0, 0x7f, 0x7f, 0x7f)))
+    // truncated protobuf stream: drop the trailing text bytes so the
+    // declared payload length overruns
+    val good = Iwa.buildIwa(Seq("x"))
+    val shortOne = Iwa.buildIwa(Seq("xy")) // same shapes, longer payload
+    intercept[ParseFailure] {
+      // re-chunk a stream cut mid-payload
+      val stream = Iwa.decodeChunks(shortOne)
+      val cut = java.util.Arrays.copyOf(stream, stream.length - 1)
+      val comp = org.xerial.snappy.Snappy.compress(cut)
+      val part = Array[Byte](0, (comp.length & 0xff).toByte,
+        ((comp.length >> 8) & 0xff).toByte, ((comp.length >> 16) & 0xff).toByte) ++ comp
+      Iwa.harvest(part)
+    }
+    // byte-flip fuzz over the whole part: always ParseFailure or success
+    (0 until good.length).foreach { i =>
+      val b = good.clone(); b(i) = (b(i) ^ 0x2a).toByte
+      try { Iwa.harvest(b); () } catch { case _: ParseFailure => () }
+    }
+  }
+
   test("iwork: a generic zip carrying a non-Apple index.xml is NOT hijacked") {
     import graft.core.office.Iwork
     // name-only routing would swallow this archive: empty body, no spawns

@@ -42,4 +42,48 @@ class PdfLayoutSpec extends AnyFunSuite {
     val words = (0 until 50).map(i => s"w$i").toArray
     assert(PdfLayout.text(Corpus.pdfPayload(words)) == words.mkString(" "))
   }
+
+  test("acroform: field values append as body text, kids dot-qualified") {
+    import graft.core.pdf.PdfMini
+    val pdf = PdfMini.buildForm(Seq("page line"),
+      ("who", "W. Name"), ("ok", "Yes"), ("outer", "inner", "kid value"))
+    assert(PdfMini.formFields(pdf) == Vector(
+      ("who", "W. Name"), ("ok", "Yes"), ("outer.inner", "kid value")))
+    assert(PdfMini.textFromLatin1(pdf) ==
+      "page line\nwho: W. Name\nok: Yes\nouter.inner: kid value")
+    // a form-less pdf is untouched by the walker
+    assert(PdfMini.formFields(PdfMini.buildCid(Seq("x"))).isEmpty)
+  }
+
+  test("acroform: escapes, hex UTF-16BE values, cycles, junk all classify") {
+    import graft.core.pdf.PdfMini
+    // literal-string escapes and nested parens in values
+    val esc =
+      """1 0 obj << /AcroForm << /Fields [2 0 R] >> >> endobj
+        |2 0 obj << /T (a) /V (line1\nline(2) 50\% \(x\)) >> endobj
+        |trailer << /Root 1 0 R >>""".stripMargin
+    assert(PdfMini.formFields(esc) == Vector(("a", "line1\nline(2) 50% (x)")))
+    // hex string with UTF-16BE BOM
+    val hex =
+      """1 0 obj << /AcroForm << /Fields [2 0 R] >> >> endobj
+        |2 0 obj << /T (u) /V <FEFF00480069> >> endobj
+        |trailer << /Root 1 0 R >>""".stripMargin
+    assert(PdfMini.formFields(hex) == Vector(("u", "Hi")))
+    // /T must not match /TU (name-token boundary)
+    val tu =
+      """1 0 obj << /AcroForm << /Fields [2 0 R] >> >> endobj
+        |2 0 obj << /TU (tooltip) /T (real) /V (v) >> endobj
+        |trailer << /Root 1 0 R >>""".stripMargin
+    assert(PdfMini.formFields(tu) == Vector(("real", "v")))
+    // a kids CYCLE terminates (visited set + depth cap)
+    val cyc =
+      """1 0 obj << /AcroForm << /Fields [2 0 R] >> >> endobj
+        |2 0 obj << /T (p) /Kids [3 0 R] >> endobj
+        |3 0 obj << /T (k) /Kids [2 0 R] >> endobj
+        |trailer << /Root 1 0 R >>""".stripMargin
+    assert(PdfMini.formFields(cyc).isEmpty)
+    // junk never throws
+    assert(PdfMini.formFields("/Root 9 0 R garbage").isEmpty)
+    assert(PdfMini.formFields("").isEmpty)
+  }
 }
