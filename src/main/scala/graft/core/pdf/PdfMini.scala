@@ -495,6 +495,102 @@ object PdfMini {
     }
   }
 
+  // ------------------------------------------------------ image XObjects
+
+  private def intAfter(dict: String, key: String): Option[Int] = {
+    val i = dict.indexOf(key)
+    if (i < 0) None
+    else {
+      var p = i + key.length
+      while (p < dict.length && dict.charAt(p).isWhitespace) p += 1
+      val e0 = p
+      var e = p
+      while (e < dict.length && dict.charAt(e).isDigit) e += 1
+      if (e > e0) dict.substring(e0, e).toIntOption else None
+    }
+  }
+
+  /** Embedded image XObjects (ISO 32000 §8.9.5) in document order, as
+    * (fileName, fileBytes) the embed machinery spawns like any archive
+    * entry — the reference's `embedded:imageN` children (Tika renders
+    * each page image as `<img src="embedded:imageN.png">` in its HTML
+    * output; PDFBox's ExtractImages naming). DCTDecode streams ARE JPEG
+    * files and pass through; FlateDecode 8-bit gray/RGB rasters wrap as
+    * PNG via ImageIO (component count inferred from the raster size, so
+    * no ColorSpace object resolution is needed); other encodings
+    * (CCITT/JBIG2/JPX, unusual depths) are skipped — image DECODE parity
+    * ends where the north rule's no-OCR line starts.
+    */
+  def imageXObjects(pdf: String): Vector[(String, Array[Byte])] = {
+    val out = Vector.newBuilder[(String, Array[Byte])]
+    var idx = 0
+    var from = 0
+    while (from >= 0 && from < pdf.length) {
+      val s = pdf.indexOf("stream", from)
+      if (s < 0) from = -1
+      else {
+        var payloadStart = s + "stream".length
+        if (payloadStart < pdf.length && pdf.charAt(payloadStart) == '\r') payloadStart += 1
+        if (payloadStart < pdf.length && pdf.charAt(payloadStart) == '\n') payloadStart += 1
+        val e = pdf.indexOf("endstream", payloadStart)
+        if (e < 0) from = -1
+        else {
+          val dictStart = math.max(0, pdf.lastIndexOf("obj", s))
+          val dict = pdf.substring(dictStart, s)
+          if (dict.contains("/Subtype") && dict.contains("/Image")) {
+            val raw = pdf.substring(payloadStart, e)
+              .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+            val filters = filtersOf(dict)
+            if (filters == Vector("DCTDecode")) {
+              out += ((s"image$idx.jpg", raw)); idx += 1
+            } else if (filters == Vector("FlateDecode") &&
+              intAfter(dict, "/BitsPerComponent").contains(8)) {
+              val wOpt = intAfter(dict, "/Width")
+              val hOpt = intAfter(dict, "/Height")
+              val pixOpt =
+                if (wOpt.exists(w => w > 0) && hOpt.exists(h => h > 0) &&
+                  wOpt.get.toLong * hOpt.get <= (64L << 20)) inflate(raw)
+                else None
+              pixOpt.foreach { pix =>
+                val w = wOpt.get
+                val h = hOpt.get
+                val ncomp = pix.length / (w * h)
+                if (pix.length == ncomp * w * h && (ncomp == 1 || ncomp == 3)) {
+                val img = new java.awt.image.BufferedImage(w, h,
+                  if (ncomp == 1) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+                  else java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+                val data = img.getRaster
+                var p = 0
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    if (ncomp == 1) data.setSample(x, y, 0, pix(p) & 0xff)
+                    else {
+                      data.setSample(x, y, 0, pix(p) & 0xff)
+                      data.setSample(x, y, 1, pix(p + 1) & 0xff)
+                      data.setSample(x, y, 2, pix(p + 2) & 0xff)
+                    }
+                    p += ncomp
+                    x += 1
+                  }
+                  y += 1
+                }
+                val bos = new java.io.ByteArrayOutputStream()
+                if (javax.imageio.ImageIO.write(img, "png", bos)) {
+                  out += ((s"image$idx.png", bos.toByteArray)); idx += 1
+                }
+                }
+              }
+            } // other filters/depths: skipped (no-OCR-line scope note above)
+          }
+          from = e + "endstream".length
+        }
+      }
+    }
+    out.result()
+  }
+
   // ---------------------------------------------------------- AcroForm
 
   private val RootRe = """/Root\s+(\d+)\s+\d+\s+R""".r

@@ -143,7 +143,7 @@ object Extract {
     * span-parallel path for reassembly).
     */
   val ContainerKinds: Set[String] =
-    Set("media", "zip", "gzip", "tar", "eml", "emlx", "mhtml", "cfb", "zstd", "bzip2", "xz", "lz4", "snappy", "compress", "lzma", "warc", "jsonl", "7z", "rar", "pst", "tnef", "mbox", "parquet", "avro", "sqlite", "ar", "cpio", "rpm", "plist", "iso", "chm", "cab", "one", "applesingle")
+    Set("media", "zip", "gzip", "tar", "eml", "emlx", "mhtml", "cfb", "zstd", "bzip2", "xz", "lz4", "snappy", "compress", "lzma", "warc", "jsonl", "7z", "rar", "pst", "tnef", "mbox", "parquet", "avro", "sqlite", "ar", "cpio", "rpm", "plist", "iso", "chm", "cab", "one", "applesingle", "pdf_bytes")
 
   /** Null spans (a row written with spans=NULL) are treated as an empty
     * span array — reason=empty-file, never a failure — in BOTH the batch and
@@ -1110,6 +1110,21 @@ object Extract {
           // sniffed children with ordinal resource names
           graft.core.office.OneNote.parseLatin1(content)._2.foreach { b =>
             spawnEntry(s"fileData_$ord", Some(b), rootId, ord, 1); ord += 1
+          }
+        case "pdf_bytes" =>
+          // body text is the extractSpan route's; the page images (image
+          // XObjects) spawn as media children — the reference's
+          // `embedded:imageN` HTML children. Encrypted files spawn from
+          // the silently-opened cleartext; password-protected ones
+          // already classified and spawn nothing.
+          val clear =
+            if (graft.core.pdf.PdfMini.isEncryptedLatin1(content))
+              graft.core.pdf.PdfCrypt.decryptEmptyUser(content)
+            else Some(content)
+          clear.foreach { c =>
+            graft.core.pdf.PdfMini.imageXObjects(c).foreach { case (n, b) =>
+              spawnEntry(n, Some(b), rootId, ord, 1); ord += 1
+            }
           }
         case "pst" =>
           // the mailbox IS the parent document: folders, messages,

@@ -139,6 +139,56 @@ class RealFixturesSpec extends AnyFunSuite {
     assert(n.exists(_.level == 1))
   }
 
+  test("expected/ goldens: every reference golden is pinned or documented n-a") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val E = "/root/reference/extract-lib/src/test/resources/expected"
+    def golden(f: String): String =
+      new String(Files.readAllBytes(Paths.get(E, f)), UTF_8)
+    def bodyOf(html: String): String =
+      html.substring(html.indexOf("<body>") + 6, html.indexOf("</body>"))
+
+    // --- utf16-txt.html (ExtractorTest.java:328): the HTML-format output
+    // of text/utf16.txt. The Tika meta headers are engine internals (n-a);
+    // the BODY TEXT is the contract — our HTML renderer must carry it
+    // exactly (UTF-16LE decoded, BOM stripped, trailing newline kept).
+    val gText = bodyOf(golden("utf16-txt.html")).replaceAll("<[^>]*>", "")
+    assert(gText == "This is a test.\n") // the golden really pins this
+    val utf16 = explodeFile("text/utf16.txt").head
+    val ourHtml = graft.pipeline.Sink.renderHtml(utf16)
+    val ourText = "<p>(.*?)</p>".r.findAllMatchIn(ourHtml).map(_.group(1)).mkString("\n")
+    assert(ourText == gText)
+
+    // --- embedded-pdf.html + embedded-data-uri-pdf.html
+    // (ExtractorTest.java:358): ocr/embedded.pdf renders one div per page,
+    // each with an embedded image child (embedded:imageN.png) and its
+    // Tesseract OCR text ("HEAVY METAL"). The OCR TEXT is out per the
+    // north rule (documented n-a); the embedded-image STRUCTURE is
+    // pinned: both pages' Flate rasters spawn as decodable PNG children
+    // under the golden's names at the golden images' dimensions.
+    Seq("embedded-pdf.html", "embedded-data-uri-pdf.html").foreach { g =>
+      val h = golden(g)
+      Vector("image0.png", "image1.png").foreach(n =>
+        assert(h.contains(s"embedded:$n"), s"$g lost its $n"))
+    }
+    val pdfLatin1 = new String(bytesOf("ocr/embedded.pdf"), ISO_8859_1)
+    val imgs = graft.core.pdf.PdfMini.imageXObjects(pdfLatin1)
+    assert(imgs.map(_._1) == Vector("image0.png", "image1.png"))
+    imgs.foreach { case (n, b) =>
+      val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      assert(im != null && im.getWidth == 306 && im.getHeight == 165, n)
+    }
+    val nodes = explodeFile("ocr/embedded.pdf")
+    val root = nodes.find(_.level == 0).get
+    val kids = nodes.filter(_.level == 1)
+    assert(kids.size == 2)
+    // content-derived id parity: the children ARE those PNG bytes
+    assert(kids.map(_.doc_id).toSet == imgs.zipWithIndex.map { case ((n, b), i) =>
+      graft.core.Ids.embedId(new String(b, ISO_8859_1), root.doc_id, i, resourceName = n)
+    }.toSet)
+    // no OCR: the root body stays empty (the goldens' div.ocr text is n-a)
+    assert(root.spans.map(_.text).mkString("").isEmpty)
+  }
+
   test("the directory walk drops the reference's hidden and system files") {
     val spark = SparkTestBase.spark
     val docs = Ingest.readDir(spark, D).collect()
