@@ -1081,6 +1081,16 @@ object Oracle {
       |  '' AS reason
       |FROM documents WHERE doc_id%71=0""".stripMargin
 
+  /** Mirror of Queries.pdfObjStm: same surface as pdfForm — the modern
+    * object-stream layout must be invisible in the output.
+    */
+  private val pdfObjStm: String =
+    """SELECT doc_id,
+      |  'modern doc '||doc_id||chr(10)||'applicant: name '||doc_id||chr(10)
+      |    ||'agree: Yes'||chr(10)||'grp.sub: deep '||doc_id AS txt,
+      |  '' AS reason
+      |FROM documents WHERE doc_id%127=0""".stripMargin
+
   /** Mirror of Queries.vsdxText: 5-word shape texts back out of the
     * two-page drawing walk (page split preserves line order).
     */
@@ -2403,6 +2413,7 @@ object Oracle {
     "q_apple_text" -> appleText,
     "q_pdf_cid" -> pdfCid,
     "q_pdf_form" -> pdfForm,
+    "q_pdf_objstm" -> pdfObjStm,
     "q_rpm_explode" -> rpmExplode,
     "q_url_filter" -> urlFilter,
     "q_robots_filter" -> robotsFilter,

@@ -512,6 +512,25 @@ object Queries {
       .toDF("doc_id", "txt", "reason")
   }
 
+  /** The SAME form surface in the MODERN file layout (PDF 1.5+): fields
+    * inside a FlateDecode object stream, /Root on an xref-stream dict —
+    * the shape virtually all post-2010 writers emit. Same oracle columns
+    * as a layout-visibility check would produce: the ObjStm expansion
+    * must make the two layouts indistinguishable in output.
+    */
+  def pdfObjStm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select("doc_id").as[Long]
+      .filter(_ % 127 == 0)
+      .map { id =>
+        val pdf = graft.core.pdf.PdfMini.buildFormObjStm(Seq(s"modern doc $id"),
+          ("applicant", s"name $id"), ("agree", "Yes"), ("grp", "sub", s"deep $id"))
+        val (txt, why) = Extract.extractSpan("pdf_bytes", pdf)
+        (id, txt, why)
+      }
+      .toDF("doc_id", "txt", "reason")
+  }
+
   /** §2.3 HWP 5.x route (Tika HwpV5Parser): the document's 5-word lines
     * as paragraph-break-terminated PARA_TEXT records in a deflated
     * BodyText section (each paragraph renders with its trailing break).
@@ -3430,6 +3449,7 @@ object Queries {
     "q_apple_text" -> (appleText _),
     "q_pdf_cid" -> (pdfCid _),
     "q_pdf_form" -> (pdfForm _),
+    "q_pdf_objstm" -> (pdfObjStm _),
     "q_rpm_explode" -> (rpmExplode _),
     "q_url_filter" -> (urlFilterQ _),
     "q_web_funnel" -> (webFunnel _),

@@ -372,7 +372,10 @@ object PdfMini {
     false
   }
 
-  def textFromLatin1(pdf: String): String = {
+  def textFromLatin1(pdf0: String): String = {
+    // object-stream members (catalog/fields/fonts in post-2010 files)
+    // expand up front so every object lookup below sees them
+    val pdf = expandObjStm(pdf0)
     // pass 1: decode every stream once, keyed by its owning object number
     // (the number ahead of the preceding `obj` keyword)
     final case class Decoded(objNum: Int, text: String)
@@ -432,8 +435,8 @@ object PdfMini {
       .mkString("\n")
     // AcroForm field values ARE body text (the reference's PDFBox surface
     // prints them): appended after the content, one `name: value` line
-    // per terminal field, document order
-    val form = formFields(pdf)
+    // per terminal field, document order (pdf is already ObjStm-expanded)
+    val form = formFieldsIn(pdf)
     if (form.isEmpty) contentText
     else {
       val formText = form.iterator.map { case (n, v) => s"$n: $v" }.mkString("\n")
@@ -495,6 +498,72 @@ object PdfMini {
     }
   }
 
+  // ------------------------------------------------------ object streams
+
+  /** PDF 1.5+ object streams (`/Type /ObjStm`, ISO 32000 §7.5.7): the
+    * compressed containers most post-2010 writers put the document's
+    * non-stream objects in — catalog, AcroForm dict, form fields, font
+    * dictionaries. Members are expanded TEXTUALLY: each re-framed as
+    * `N 0 obj ... endobj` and appended to the document string, so
+    * [[objBody]] (and everything above it — form fields, ToUnicode font
+    * resolution) sees members exactly like top-level objects. Stream
+    * objects can never live inside an ObjStm (spec rule), so content
+    * extraction is untouched. Malformed headers skip that stream;
+    * expansion is capped at [[MaxInflatedBytes]] total.
+    */
+  private[pdf] def expandObjStm(pdf: String): String = {
+    if (!pdf.contains("/ObjStm")) return pdf
+    val sb = new StringBuilder(pdf)
+    var budget = MaxInflatedBytes.toLong
+    var from = 0
+    while (from >= 0 && from < pdf.length) {
+      val s = pdf.indexOf("stream", from)
+      if (s < 0) from = -1
+      else {
+        var payloadStart = s + "stream".length
+        if (payloadStart < pdf.length && pdf.charAt(payloadStart) == '\r') payloadStart += 1
+        if (payloadStart < pdf.length && pdf.charAt(payloadStart) == '\n') payloadStart += 1
+        val e = pdf.indexOf("endstream", payloadStart)
+        if (e < 0) from = -1
+        else {
+          val dictStart = math.max(0, pdf.lastIndexOf("obj", s))
+          val dict = pdf.substring(dictStart, s)
+          if (dict.contains("/ObjStm")) {
+            val decoded = decodeFilters(filtersOf(dict),
+              pdf.substring(payloadStart, e)
+                .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+            for {
+              payload <- decoded.map(b =>
+                new String(b, java.nio.charset.StandardCharsets.ISO_8859_1))
+              n <- intAfter(dict, "/N")
+              first <- intAfter(dict, "/First")
+              if n > 0 && n <= 100000 && first >= 0 && first <= payload.length
+            } {
+              // header: N whitespace-separated (objNum, offset) int pairs
+              val nums = payload.substring(0, first).trim
+                .split("\\s+").toVector.flatMap(_.toIntOption)
+              if (nums.length >= 2 * n) {
+                val pairs = (0 until n).map(i => (nums(2 * i), nums(2 * i + 1)))
+                pairs.zipWithIndex.foreach { case ((objNum, off), i) =>
+                  val a = first.toLong + off
+                  val b = if (i + 1 < n) first.toLong + pairs(i + 1)._2 else payload.length.toLong
+                  if (a >= first && a <= b && b <= payload.length && objNum > 0) {
+                    val body = payload.substring(a.toInt, b.toInt)
+                    budget -= body.length + 32
+                    if (budget > 0)
+                      sb.append(s"\n$objNum 0 obj\n").append(body).append("\nendobj\n")
+                  }
+                }
+              }
+            }
+          }
+          from = e + "endstream".length
+        }
+      }
+    }
+    sb.toString
+  }
+
   // ------------------------------------------------------ image XObjects
 
   private def intAfter(dict: String, key: String): Option[Int] = {
@@ -522,6 +591,7 @@ object PdfMini {
     * ends where the north rule's no-OCR line starts.
     */
   def imageXObjects(pdf: String): Vector[(String, Array[Byte])] = {
+    if (!pdf.contains("/Image")) return Vector.empty // hot-path quick reject
     val out = Vector.newBuilder[(String, Array[Byte])]
     var idx = 0
     var from = 0
@@ -673,7 +743,12 @@ object PdfMini {
     * Document order preserved; depth-capped and cycle-proof on crafted
     * files. The LAST `/Root` wins (incremental-update convention).
     */
-  def formFields(pdf: String): Vector[(String, String)] = {
+  def formFields(pdf: String): Vector[(String, String)] =
+    formFieldsIn(expandObjStm(pdf))
+
+  /** [[formFields]] over an already-ObjStm-expanded document string. */
+  private def formFieldsIn(pdf: String): Vector[(String, String)] = {
+    if (!pdf.contains("/AcroForm")) return Vector.empty // hot-path quick reject
     val rootNum = RootRe.findAllMatchIn(pdf).toSeq.lastOption
       .flatMap(_.group(1).toIntOption)
     val catalog = rootNum.flatMap(objBody(pdf, _)).getOrElse(return Vector.empty)
@@ -737,6 +812,51 @@ object PdfMini {
        |9 0 obj << /T ($pn) /Kids [10 0 R] >> endobj
        |10 0 obj << /FT /Tx /T ($kn) /V ($kv) >> endobj
        |trailer << /Root 1 0 R >>
+       |%%EOF""".stripMargin
+  }
+
+  /** The [[buildForm]] fixture in the MODERN (PDF 1.5+) layout: the
+    * AcroForm dict and every field object live inside a FlateDecode
+    * object stream, and /Root rides an xref-STREAM dict (no `trailer`
+    * keyword anywhere) — the file shape virtually all post-2010 writers
+    * emit, which a top-level-objects-only scanner would see as formless.
+    */
+  def buildFormObjStm(lines: Seq[String], textField: (String, String),
+                      checkbox: (String, String),
+                      parentKid: (String, String, String)): String = {
+    val content = "BT /F1 12 Tf " + lines.zipWithIndex.map { case (ln, r) =>
+      s"1 0 0 1 10 ${700 - 20 * r} Tm ($ln) Tj"
+    }.mkString(" ") + " ET"
+    val (tn, tv) = textField
+    val (cn, cv) = checkbox
+    val (pn, kn, kv) = parentKid
+    val bodies = Seq(
+      6 -> s"<< /Fields [7 0 R 8 0 R 9 0 R] >>",
+      7 -> s"<< /FT /Tx /T ($tn) /V ($tv) >>",
+      8 -> s"<< /FT /Btn /T ($cn) /V /$cv >>",
+      9 -> s"<< /T ($pn) /Kids [10 0 R] >>",
+      10 -> s"<< /FT /Tx /T ($kn) /V ($kv) >>")
+    val offs = bodies.scanLeft(0)(_ + _._2.length + 1).init
+    val header = bodies.zip(offs).map { case ((num, _), o) => s"$num $o" }.mkString(" ") + " "
+    val payload = header + bodies.map(_._2 + "\n").mkString
+    val comp = new String(deflate(
+      payload.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    s"""%PDF-1.5
+       |1 0 obj << /Type /Catalog /Pages 2 0 R /AcroForm 6 0 R >> endobj
+       |2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
+       |3 0 obj << /Type /Page /Contents 5 0 R >> endobj
+       |5 0 obj << /Length ${content.length} >> stream
+       |$content
+       |endstream endobj
+       |11 0 obj << /Type /ObjStm /N ${bodies.length} /First ${header.length} /Filter /FlateDecode /Length ${comp.length} >> stream
+       |$comp
+       |endstream endobj
+       |12 0 obj << /Type /XRef /Size 13 /Root 1 0 R /W [1 2 1] /Length 2 >> stream
+       |00
+       |endstream endobj
+       |startxref
+       |0
        |%%EOF""".stripMargin
   }
 

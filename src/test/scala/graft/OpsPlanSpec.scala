@@ -97,6 +97,9 @@ class OpsPlanSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), // interval merge is an aggregate, never a per-doc sort window
       s"substrDedup must not use window functions:\n${plan.take(1500)}")
+    // the token-level shuffle keys are 8-byte integers, not hex strings
+    assert(df.queryExecution.optimizedPlan.toString.contains("xxhash64"),
+      "anchors must be 64-bit integer hashes")
     // the application half agrees: tokens removed == dup_tokens, docs
     // without duplicates keep their text verbatim
     val cleaned = Queries.substrClean(spark, sf).collect()

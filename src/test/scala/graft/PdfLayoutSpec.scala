@@ -55,6 +55,23 @@ class PdfLayoutSpec extends AnyFunSuite {
     assert(PdfMini.formFields(PdfMini.buildCid(Seq("x"))).isEmpty)
   }
 
+  test("objstm: the modern layout (fields in an object stream) extracts identically") {
+    import graft.core.pdf.PdfMini
+    val classic = PdfMini.buildForm(Seq("same doc"),
+      ("who", "Q"), ("ok", "Off"), ("g", "k", "v2"))
+    val modern = PdfMini.buildFormObjStm(Seq("same doc"),
+      ("who", "Q"), ("ok", "Off"), ("g", "k", "v2"))
+    assert(!modern.contains("trailer")) // really the xref-stream layout
+    assert(PdfMini.textFromLatin1(modern) == PdfMini.textFromLatin1(classic))
+    assert(PdfMini.formFields(modern) ==
+      Vector(("who", "Q"), ("ok", "Off"), ("g.k", "v2")))
+    // a corrupt object stream degrades to formless, never throws
+    val broken = modern.replace("/First", "/Fxrst")
+    assert(PdfMini.formFields(broken).isEmpty)
+    val junkStm = modern.replaceFirst("stream", "strxam")
+    PdfMini.formFields(junkStm) // must not throw
+  }
+
   test("acroform: escapes, hex UTF-16BE values, cycles, junk all classify") {
     import graft.core.pdf.PdfMini
     // literal-string escapes and nested parens in values
