@@ -1935,6 +1935,44 @@ object Oracle {
        |FROM d JOIN c USING (domain) CROSS JOIN m""".stripMargin
   }
 
+  /** Mirror of Queries.embedQuant: the identical double-precision
+    * quantization expression (x*127.0/s + 0.5 floored — single IEEE ops,
+    * no reassociation), integer stats of the quantized vectors.
+    */
+  private val embedQuant: String =
+    """WITH q AS (SELECT vec_id,
+      |  len(embedding)::BIGINT AS n_dims,
+      |  list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS s,
+      |  embedding FROM embeddings),
+      |t AS (SELECT vec_id, n_dims,
+      |  list_transform(embedding, x -> CASE WHEN s = 0 THEN 0
+      |    ELSE floor(x::DOUBLE * 127.0 / s + 0.5)::BIGINT END) AS qs
+      | FROM q)
+      |SELECT vec_id, n_dims,
+      |  list_min(qs)::BIGINT AS q_min,
+      |  list_max(qs)::BIGINT AS q_max,
+      |  list_sum(qs)::BIGINT AS q_sum,
+      |  list_sum(list_transform(qs, qq -> qq * qq))::BIGINT AS q_norm2
+      |FROM t""".stripMargin
+
+  /** Mirror of Queries.domainMix: alpha=1/2 temperature thresholds over
+    * floor(sqrt(n_domain)) — IEEE sqrt is identical in both engines.
+    */
+  private val domainMix: String = {
+    val domain = s"(${hex2int("substr(md5(text),1,8)")} % 16)"
+    val draw = s"(${hex2int("substr(md5(text || '~mixdraw'),1,8)")} % 256)"
+    s"""WITH d AS (SELECT doc_id, $domain::BIGINT AS domain, $draw::BIGINT AS draw
+       |           FROM documents),
+       |c AS (SELECT domain, count(*)::BIGINT AS n_domain FROM d GROUP BY domain),
+       |m AS (SELECT min(n_domain) AS min_cnt FROM c)
+       |SELECT doc_id, domain, n_domain,
+       | LEAST(256, (CAST(floor(sqrt(min_cnt)) AS BIGINT) * 256)
+       |   // CAST(floor(sqrt(n_domain)) AS BIGINT))::BIGINT AS threshold,
+       | (CASE WHEN draw < LEAST(256, (CAST(floor(sqrt(min_cnt)) AS BIGINT) * 256)
+       |   // CAST(floor(sqrt(n_domain)) AS BIGINT)) THEN 1 ELSE 0 END)::BIGINT AS kept
+       |FROM d JOIN c USING (domain) CROSS JOIN m""".stripMargin
+  }
+
   /** Mirror of Queries.packSequences: per-bucket running token sum into
     * capacity-256 bins.
     */
@@ -2387,6 +2425,8 @@ object Oracle {
     "q_rare_terms" -> rareTerms,
     "q_bpe_merges" -> bpeMerges,
     "q_domain_balance" -> domainBalance,
+    "q_domain_mix" -> domainMix,
+    "q_embed_quant" -> embedQuant,
     "q_chunk_overlap" -> chunkOverlap,
     "q_dedup_cluster" -> dedupCluster,
     "q_cluster_rep" -> clusterRep,

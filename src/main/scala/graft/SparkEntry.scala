@@ -3160,6 +3160,55 @@ object Queries {
       .select("doc_id", "domain", "n_domain", "threshold", "kept")
   }
 
+  /** Symmetric int8 embedding quantization (the ANN-index memory-4x
+    * compression step real vector pipelines run before sharding): per
+    * vector, scale = max|x| and q_i = round(x_i * 127 / scale), with the
+    * rounded integers' stats as the oracle surface (quantized values are
+    * EXACT integers in both engines — float ops stay single IEEE-defined
+    * double multiplies/divides, never a reassociated aggregation).
+    * Map-only codegen over the embeddings scan: zero exchanges, scales
+    * with the table like the fingerprint ops.
+    */
+  def embedQuant(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Corpus.embeddings(spark, dir)
+      .selectExpr("vec_id", "embedding",
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))) AS s")
+      .selectExpr("vec_id",
+        "CAST(size(embedding) AS BIGINT) AS n_dims",
+        "transform(embedding, x -> IF(s = 0D, CAST(0 AS BIGINT), " +
+          "CAST(floor(CAST(x AS DOUBLE) * 127.0 / s + 0.5) AS BIGINT))) AS qs")
+      .selectExpr("vec_id", "n_dims",
+        "array_min(qs) AS q_min",
+        "array_max(qs) AS q_max",
+        "aggregate(qs, CAST(0 AS BIGINT), (a, q) -> a + q) AS q_sum",
+        "aggregate(qs, CAST(0 AS BIGINT), (a, q) -> a + q * q) AS q_norm2")
+
+  /** Temperature-based domain mixing (the multilingual-pretraining
+    * sampling rule: domain mass rebalances toward p^alpha, here
+    * alpha = 1/2): per-document keep probability proportional to
+    * 1/sqrt(n_domain), normalized so the rarest domain keeps everything —
+    * interpolating between natural sampling (alpha=1) and
+    * [[domainBalance]]'s equal-mass rule (alpha=0). Integer thresholds
+    * over floor(sqrt(n)) — IEEE-754 sqrt is correctly rounded, so both
+    * engines compute the identical integer — and the same
+    * one-counts-shuffle + map-only shape as domainBalance: scale-ready
+    * at any corpus size.
+    */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val d = docs(spark, dir).select(col("doc_id"),
+      (call_function("graft_code32", col("text")) % 16).cast("long").as("domain"),
+      (call_function("graft_code32", concat(col("text"), lit("~mixdraw"))) % 256).as("draw"))
+    val counts = d.groupBy("domain").agg(count(lit(1)).as("n_domain"))
+    val minCnt = counts.agg(min(col("n_domain")).as("min_cnt"))
+    d.join(counts, "domain")
+      .crossJoin(broadcast(minCnt)) // 1 row, bounded by construction
+      .withColumn("threshold", least(lit(256L),
+        expr("(CAST(floor(sqrt(min_cnt)) AS BIGINT) * 256) div CAST(floor(sqrt(n_domain)) AS BIGINT)")))
+      .withColumn("kept", (col("draw") < col("threshold")).cast("long"))
+      .select("doc_id", "domain", "n_domain", "threshold", "kept")
+  }
+
   /** Sequence packing (pretraining batch prep): within each content-hash
     * bucket, documents pack greedily in doc_id order into fixed-capacity
     * token bins — bin = floor(preceding-tokens / capacity). The window
@@ -3422,6 +3471,8 @@ object Queries {
     "q_rare_terms" -> (rareTerms _),
     "q_bpe_merges" -> (bpeMerges _),
     "q_domain_balance" -> (domainBalance _),
+    "q_domain_mix" -> (domainMix _),
+    "q_embed_quant" -> (embedQuant _),
     "q_robots_filter" -> (robotsFilterQ _),
     "q_chunk_overlap" -> (chunkOverlap _),
     "q_dedup_cluster" -> (dedupCluster _),

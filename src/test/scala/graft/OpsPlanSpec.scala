@@ -147,6 +147,42 @@ class OpsPlanSpec extends AnyFunSuite {
     assert(Queries.tokenBudgetPrefixWidth(1000000000000L) == 5) // 10^12 -> 1M buckets
   }
 
+  test("embedQuant: exchange-free map-only plan; quantized range bounded") {
+    val df = Queries.embedQuant(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= -127 && r.getLong(3) <= 127) // q in [-127,127]
+      assert(r.getLong(5) >= 0) // norm2 non-negative
+      // at least one component saturates to +/-127 (scale = max|x|)
+      assert(r.getLong(3) == 127 || r.getLong(2) == -127)
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"quantization must not shuffle:\n${plan.take(1500)}")
+  }
+
+  test("domainMix: alpha=1/2 thresholds recompute exactly; rarest keeps all") {
+    val rows = Queries.domainMix(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))) // domain, n, thr
+    val counts = rows.map(t => (t._1, t._2)).distinct.toMap
+    val minCnt = counts.values.min
+    def isqrt(n: Long): Long = math.floor(math.sqrt(n.toDouble)).toLong
+    rows.foreach { case (d, n, t) =>
+      assert(t == math.min(256L, isqrt(minCnt) * 256L / isqrt(n)), s"domain $d")
+    }
+    // the rarest domain keeps everything; the REAL-valued temperature rule
+    // interpolates above equal-mass (sqrt(min/n) >= min/n for n >= min) —
+    // the integer floors can undershoot by isqrt granularity, never more
+    assert(rows.collect { case (_, n, t) if n == minCnt => t }.forall(_ == 256L))
+    val bal = Queries.domainBalance(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(3))).toMap
+    rows.foreach { case (d, n, t) =>
+      assert(t >= bal(d) - 256 / math.max(1, isqrt(n)).toInt,
+        s"domain $d: mix $t far below balance ${bal(d)}")
+    }
+  }
+
   test("chunkOverlap: stride-4 windows of 8 words, exchange-free plan") {
     val df = Queries.chunkOverlap(spark, sf)
     val rows = df.collect()
