@@ -744,11 +744,40 @@ object Iwork {
     * collision class the way `index.xml` does).
     */
   def isIwork(entries: Seq[(String, Option[Array[Byte]])]): Boolean =
-    indexXml(entries).isDefined || isIwork13(entries)
+    indexHead(entries).isDefined || isIwork13(entries)
 
   /** 2013-era (IWA) bundle: snappy-chunked protobuf parts under Index/. */
   def isIwork13(entries: Seq[(String, Option[Array[Byte]])]): Boolean =
     entries.exists { case (n, _) => n.startsWith("Index/") && n.endsWith(".iwa") }
+
+  /** HEAD-limited validation for the ROUTING gates: only the first 8 KiB
+    * decode (looksApple reads the namespace head), so the gates — which
+    * run twice per package on the extraction hot path — never pay a full
+    * 64 MB gunzip; the full payload decodes exactly once, in [[docText]].
+    */
+  private def indexHead(entries: Seq[(String, Option[Array[Byte]])]): Option[String] =
+    entries.collectFirst { case (n, Some(b)) if IndexNames(n) => (n, b) }
+      .flatMap { case (n, b) =>
+        val head =
+          if (n.endsWith(".gz")) gunzipHead(b, 8192)
+          else Some(java.util.Arrays.copyOf(b, math.min(b.length, 8192)))
+        head.map(new String(_, UTF_8)).filter(looksApple)
+      }
+
+  private def gunzipHead(b: Array[Byte], n: Int): Option[Array[Byte]] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b))
+      try {
+        val buf = new Array[Byte](n)
+        var off = 0
+        var k = 0
+        while (off < n && k >= 0) {
+          k = in.read(buf, off, n - off)
+          if (k > 0) off += k
+        }
+        Some(java.util.Arrays.copyOf(buf, off))
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
 
   /** The located, gunzipped, VALIDATED index payload — None when absent,
     * refused, undecodable, or not Apple-namespaced.

@@ -146,7 +146,9 @@ object Iwa {
       val info = java.util.Arrays.copyOfRange(stream, p, p + infoLen.toInt)
       var pos = p + infoLen.toInt
       messageInfos(info).foreach { case (tpe, plen) =>
-        if (pos + plen > stream.length) throw new ParseFailure("iwa: payload truncated")
+        // Long arithmetic: a crafted plen near Int.MaxValue would wrap
+        // `pos + plen` negative and bypass the bound into an AIOOBE
+        if (pos.toLong + plen > stream.length) throw new ParseFailure("iwa: payload truncated")
         if (tpe == StorageArchiveType)
           out ++= storageText(java.util.Arrays.copyOfRange(stream, pos, pos + plen))
         pos += plen

@@ -266,8 +266,14 @@ object Pst {
           try inf.inflate(buf)
           catch { case _: java.util.zip.DataFormatException =>
             throw new ParseFailure("ost: zlib leaf block failed to inflate (truncated data)") }
-        if (n == 0 && inf.needsInput())
-          throw new ParseFailure("ost: zlib leaf block ends mid-stream (truncated data)")
+        // n == 0 without progress covers ALL stall states: truncated
+        // input, preset-dictionary demands (FDICT — inflate() returns 0
+        // with needsDictionary(), which would otherwise spin forever on
+        // a crafted leaf), and any other non-finished zero-byte state
+        if (n == 0 && !inf.finished())
+          throw new ParseFailure(
+            if (inf.needsDictionary()) "ost: zlib leaf demands a preset dictionary (unsupported)"
+            else "ost: zlib leaf block ends mid-stream (truncated data)")
         out.write(buf, 0, n)
         if (out.size() > cap)
           throw new ParseFailure(s"ost: inflated leaf exceeds cap $cap")

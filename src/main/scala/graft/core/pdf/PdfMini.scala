@@ -372,41 +372,50 @@ object PdfMini {
     false
   }
 
-  def textFromLatin1(pdf0: String): String = {
-    // object-stream members (catalog/fields/fonts in post-2010 files)
-    // expand up front so every object lookup below sees them
-    val pdf = expandObjStm(pdf0)
-    // pass 1: decode every stream once, keyed by its owning object number
-    // (the number ahead of the preceding `obj` keyword)
-    final case class Decoded(objNum: Int, text: String)
-    val streams = ArrayBuffer.empty[Decoded]
+  /** Iterate every top-level stream object as (dictStart, dictText,
+    * payloadStart, payloadEnd) — the ONE place the PDF stream framing
+    * rules live (the `stream` keyword's CRLF/LF skip, the owning dict
+    * between the preceding `obj` token and the keyword). Shared by text
+    * extraction, ObjStm expansion, and image-XObject spawning.
+    */
+  private def foreachStream(pdf: String)(f: (Int, String, Int, Int) => Unit): Unit = {
     var from = 0
     while (from >= 0 && from < pdf.length) {
       val s = pdf.indexOf("stream", from)
       if (s < 0) from = -1
       else {
-        // stream keyword is followed by CRLF or LF, payload runs to endstream
         var payloadStart = s + "stream".length
         if (payloadStart < pdf.length && pdf.charAt(payloadStart) == '\r') payloadStart += 1
         if (payloadStart < pdf.length && pdf.charAt(payloadStart) == '\n') payloadStart += 1
         val e = pdf.indexOf("endstream", payloadStart)
         if (e < 0) from = -1
         else {
-          // the owning stream dict sits between the preceding 'obj' token
-          // and the stream keyword: its /Filter entry (name or array, in
-          // application order) selects the decode chain (PDF 7.4)
           val dictStart = math.max(0, pdf.lastIndexOf("obj", s))
-          val filters = filtersOf(pdf.substring(dictStart, s))
-          val raw = pdf.substring(payloadStart, e)
-          decodeFilters(filters,
-            raw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
-            .foreach { b =>
-              streams += Decoded(objNumBefore(pdf, dictStart),
-                new String(b, java.nio.charset.StandardCharsets.ISO_8859_1))
-            } // malformed/unsupported filter data: skip the stream, never throw
+          f(dictStart, pdf.substring(dictStart, s), payloadStart, e)
           from = e + "endstream".length
         }
       }
+    }
+  }
+
+  def textFromLatin1(pdf0: String): String = {
+    // object-stream members (catalog/fields/fonts in post-2010 files)
+    // expand up front so every object lookup below sees them
+    val pdf = expandObjStm(pdf0)
+    // pass 1: decode every stream once, keyed by its owning object number
+    // (the number ahead of the preceding `obj` keyword); the dict's
+    // /Filter entry (name or array, in application order) selects the
+    // decode chain (PDF 7.4)
+    final case class Decoded(objNum: Int, text: String)
+    val streams = ArrayBuffer.empty[Decoded]
+    foreachStream(pdf) { (dictStart, dict, payloadStart, e) =>
+      val raw = pdf.substring(payloadStart, e)
+      decodeFilters(filtersOf(dict),
+        raw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+        .foreach { b =>
+          streams += Decoded(objNumBefore(pdf, dictStart),
+            new String(b, java.nio.charset.StandardCharsets.ISO_8859_1))
+        } // malformed/unsupported filter data: skip the stream, never throw
     }
     // pass 2: ToUnicode CMaps (PDF 9.10.3) -- subset/CID fonts carry glyph
     // codes, not text; the font's CMap recovers the Unicode. Font-name ->
@@ -515,49 +524,34 @@ object PdfMini {
     if (!pdf.contains("/ObjStm")) return pdf
     val sb = new StringBuilder(pdf)
     var budget = MaxInflatedBytes.toLong
-    var from = 0
-    while (from >= 0 && from < pdf.length) {
-      val s = pdf.indexOf("stream", from)
-      if (s < 0) from = -1
-      else {
-        var payloadStart = s + "stream".length
-        if (payloadStart < pdf.length && pdf.charAt(payloadStart) == '\r') payloadStart += 1
-        if (payloadStart < pdf.length && pdf.charAt(payloadStart) == '\n') payloadStart += 1
-        val e = pdf.indexOf("endstream", payloadStart)
-        if (e < 0) from = -1
-        else {
-          val dictStart = math.max(0, pdf.lastIndexOf("obj", s))
-          val dict = pdf.substring(dictStart, s)
-          if (dict.contains("/ObjStm")) {
-            val decoded = decodeFilters(filtersOf(dict),
-              pdf.substring(payloadStart, e)
-                .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
-            for {
-              payload <- decoded.map(b =>
-                new String(b, java.nio.charset.StandardCharsets.ISO_8859_1))
-              n <- intAfter(dict, "/N")
-              first <- intAfter(dict, "/First")
-              if n > 0 && n <= 100000 && first >= 0 && first <= payload.length
-            } {
-              // header: N whitespace-separated (objNum, offset) int pairs
-              val nums = payload.substring(0, first).trim
-                .split("\\s+").toVector.flatMap(_.toIntOption)
-              if (nums.length >= 2 * n) {
-                val pairs = (0 until n).map(i => (nums(2 * i), nums(2 * i + 1)))
-                pairs.zipWithIndex.foreach { case ((objNum, off), i) =>
-                  val a = first.toLong + off
-                  val b = if (i + 1 < n) first.toLong + pairs(i + 1)._2 else payload.length.toLong
-                  if (a >= first && a <= b && b <= payload.length && objNum > 0) {
-                    val body = payload.substring(a.toInt, b.toInt)
-                    budget -= body.length + 32
-                    if (budget > 0)
-                      sb.append(s"\n$objNum 0 obj\n").append(body).append("\nendobj\n")
-                  }
-                }
+    foreachStream(pdf) { (_, dict, payloadStart, e) =>
+      if (dict.contains("/ObjStm")) {
+        val decoded = decodeFilters(filtersOf(dict),
+          pdf.substring(payloadStart, e)
+            .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+        for {
+          payload <- decoded.map(b =>
+            new String(b, java.nio.charset.StandardCharsets.ISO_8859_1))
+          n <- intAfter(dict, "/N")
+          first <- intAfter(dict, "/First")
+          if n > 0 && n <= 100000 && first >= 0 && first <= payload.length
+        } {
+          // header: N whitespace-separated (objNum, offset) int pairs
+          val nums = payload.substring(0, first).trim
+            .split("\\s+").toVector.flatMap(_.toIntOption)
+          if (nums.length >= 2 * n) {
+            val pairs = (0 until n).map(i => (nums(2 * i), nums(2 * i + 1)))
+            pairs.zipWithIndex.foreach { case ((objNum, off), i) =>
+              val a = first.toLong + off
+              val b = if (i + 1 < n) first.toLong + pairs(i + 1)._2 else payload.length.toLong
+              if (a >= first && a <= b && b <= payload.length && objNum > 0) {
+                val body = payload.substring(a.toInt, b.toInt)
+                budget -= body.length + 32
+                if (budget > 0)
+                  sb.append(s"\n$objNum 0 obj\n").append(body).append("\nendobj\n")
               }
             }
           }
-          from = e + "endstream".length
         }
       }
     }
@@ -594,26 +588,16 @@ object PdfMini {
     if (!pdf.contains("/Image")) return Vector.empty // hot-path quick reject
     val out = Vector.newBuilder[(String, Array[Byte])]
     var idx = 0
-    var from = 0
-    while (from >= 0 && from < pdf.length) {
-      val s = pdf.indexOf("stream", from)
-      if (s < 0) from = -1
-      else {
-        var payloadStart = s + "stream".length
-        if (payloadStart < pdf.length && pdf.charAt(payloadStart) == '\r') payloadStart += 1
-        if (payloadStart < pdf.length && pdf.charAt(payloadStart) == '\n') payloadStart += 1
-        val e = pdf.indexOf("endstream", payloadStart)
-        if (e < 0) from = -1
-        else {
-          val dictStart = math.max(0, pdf.lastIndexOf("obj", s))
-          val dict = pdf.substring(dictStart, s)
+    foreachStream(pdf) { (_, dict, payloadStart, e) =>
           if (dict.contains("/Subtype") && dict.contains("/Image")) {
             val raw = pdf.substring(payloadStart, e)
               .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
             val filters = filtersOf(dict)
-            if (filters == Vector("DCTDecode")) {
+            // abbreviated inline names (§7.4) accepted exactly like
+            // decodeFilters does ("/DCT", "/Fl")
+            if (filters == Vector("DCTDecode") || filters == Vector("DCT")) {
               out += ((s"image$idx.jpg", raw)); idx += 1
-            } else if (filters == Vector("FlateDecode") &&
+            } else if ((filters == Vector("FlateDecode") || filters == Vector("Fl")) &&
               intAfter(dict, "/BitsPerComponent").contains(8)) {
               val wOpt = intAfter(dict, "/Width")
               val hOpt = intAfter(dict, "/Height")
@@ -654,9 +638,6 @@ object PdfMini {
               }
             } // other filters/depths: skipped (no-OCR-line scope note above)
           }
-          from = e + "endstream".length
-        }
-      }
     }
     out.result()
   }
@@ -686,31 +667,55 @@ object PdfMini {
           val c = s.charAt(i)
           if (c == '\\' && i + 1 < s.length) {
             s.charAt(i + 1) match {
-              case 'n' => sb += '\n'
-              case 'r' => sb += '\r'
-              case 't' => sb += '\t'
-              case 'b' => sb += '\b'
-              case 'f' => sb += '\f'
-              case o => sb += o // \( \) \\ and unknown escapes: literal
+              case 'n' => sb += '\n'; i += 2
+              case 'r' => sb += '\r'; i += 2
+              case 't' => sb += '\t'; i += 2
+              case 'b' => sb += '\b'; i += 2
+              case 'f' => sb += '\f'; i += 2
+              // octal escape \d, \dd, \ddd (§7.3.4.2) — how writers
+              // encode non-ASCII PDFDocEncoding bytes
+              case d if d >= '0' && d <= '7' =>
+                var v = 0
+                var k = i + 1
+                while (k < s.length && k < i + 4 &&
+                  s.charAt(k) >= '0' && s.charAt(k) <= '7') {
+                  v = v * 8 + (s.charAt(k) - '0'); k += 1
+                }
+                sb += (v & 0xff).toChar
+                i = k
+              // line continuation: backslash-EOL splices the line away
+              case '\n' => i += 2
+              case '\r' =>
+                i += 2
+                if (i < s.length && s.charAt(i) == '\n') i += 1
+              case o => sb += o; i += 2 // \( \) \\ and unknown escapes: literal
             }
-            i += 2
           } else if (c == '(') { depth += 1; sb += c; i += 1 }
           else if (c == ')') { depth -= 1; if (depth > 0) sb += c; i += 1 }
           else { sb += c; i += 1 }
         }
         Some(sb.toString)
       case '<' =>
-        val e = s.indexOf('>', i)
-        if (e < 0) None
+        // '<<' is a dictionary (e.g. an inline /V signature dict), not a
+        // hex string — out of the printed-value surface
+        if (i + 1 < s.length && s.charAt(i + 1) == '<') None
         else {
-          val hex = s.substring(i + 1, e).filterNot(_.isWhitespace)
-          val padded = if (hex.length % 2 == 1) hex + "0" else hex
-          val bytes = padded.grouped(2).map(p =>
-            Integer.parseInt(p, 16).toByte).toArray
-          if (bytes.length >= 2 && bytes(0) == 0xfe.toByte && bytes(1) == 0xff.toByte)
-            Some(new String(bytes, 2, bytes.length - 2,
-              java.nio.charset.StandardCharsets.UTF_16BE))
-          else Some(new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1))
+          val e = s.indexOf('>', i)
+          if (e < 0) None
+          else {
+            val hex = s.substring(i + 1, e).filterNot(_.isWhitespace)
+            if (!hex.forall(c => (c >= '0' && c <= '9') ||
+              (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F'))) None // junk, not a crash
+            else {
+              val padded = if (hex.length % 2 == 1) hex + "0" else hex
+              val bytes = padded.grouped(2).map(p =>
+                Integer.parseInt(p, 16).toByte).toArray
+              if (bytes.length >= 2 && bytes(0) == 0xfe.toByte && bytes(1) == 0xff.toByte)
+                Some(new String(bytes, 2, bytes.length - 2,
+                  java.nio.charset.StandardCharsets.UTF_16BE))
+              else Some(new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1))
+            }
+          }
         }
       case '/' =>
         var e = i + 1
@@ -721,14 +726,29 @@ object PdfMini {
     }
   }
 
-  private def keyedValue(body: String, key: String): Option[String] = {
+  private val LeadingRefRe = """^\s*(\d+)\s+\d+\s+R""".r
+
+  /** The direct value after `key` in `body`, following ONE level of
+    * indirect reference (`/V 12 0 R` — common for long values and
+    * near-universal for signature fields) into the document's objects.
+    */
+  private def keyedValue(pdf: String, body: String, key: String): Option[String] = {
     var i = body.indexOf(key)
     while (i >= 0) {
       val after = i + key.length
       // a real key ends the name token here ('/T' must not match '/TU')
       if (after >= body.length || body.charAt(after).isWhitespace ||
         "(<[/".indexOf(body.charAt(after).toInt) >= 0) {
-        return pdfValue(body, after)
+        return pdfValue(body, after).orElse {
+          for {
+            m <- LeadingRefRe.findFirstMatchIn(body.substring(after))
+            num <- m.group(1).toIntOption
+            ref <- objBody(pdf, num)
+            objAt = ref.indexOf("obj")
+            if objAt >= 0
+            v <- pdfValue(ref, objAt + 3)
+          } yield v
+        }
       }
       i = body.indexOf(key, i + 1)
     }
@@ -776,11 +796,16 @@ object PdfMini {
     def walk(num: Int, prefix: String, depth: Int): Unit = {
       if (depth > 8 || !seen.add(num)) return
       objBody(pdf, num).foreach { body =>
-        val t = keyedValue(body, "/T").getOrElse("")
+        val t = keyedValue(pdf, body, "/T").getOrElse("")
         val fq = if (prefix.isEmpty) t else if (t.isEmpty) prefix else s"$prefix.$t"
-        val kids = arrayRefs(body, "/Kids")
-        if (kids.nonEmpty) kids.foreach(walk(_, fq, depth + 1))
-        else keyedValue(body, "/V").foreach(v => out += ((fq, v)))
+        // a field carrying its own /V is TERMINAL even with /Kids: radio
+        // groups and multi-widget text fields keep the value on the field
+        // dict while their kids are widget annotations (§12.7.3.1) —
+        // recursing past the value would silently drop it
+        keyedValue(pdf, body, "/V") match {
+          case Some(v) => out += ((fq, v))
+          case None => arrayRefs(body, "/Kids").foreach(walk(_, fq, depth + 1))
+        }
       }
     }
     arrayRefs(acro, "/Fields").foreach(walk(_, "", 0))

@@ -62,9 +62,12 @@ object Chm {
     if (!isChm(bytes)) throw new ParseFailure("not a chm file")
     val version = u32(bytes, 4)
     if (version < 2 || version > 3) throw new ParseFailure(s"chm: unsupported ITSF version $version")
-    // header-section table at 0x58: (offset,u64)(length,u64) x2
-    val dirOff = u64(bytes, 0x58 + 16)
-    val dirLen = u64(bytes, 0x58 + 24)
+    // header-section table at 0x38, two (offset u64, length u64) entries:
+    // entry 0 is the file-size section, entry 1 (0x48/0x50) the ITSP
+    // directory — the chmlib/published layout (chmItsfHeader: dir_offset
+    // 0x48, dir_len 0x50)
+    val dirOff = u64(bytes, 0x48)
+    val dirLen = u64(bytes, 0x50)
     // each bound checked alone: a crafted huge offset + huge length would
     // overflow their Long sum negative and slip the combined check
     if (dirOff < 0 || dirOff > bytes.length || dirLen < 0x54 ||
@@ -124,14 +127,15 @@ object Chm {
     */
   def entries(bytes: Array[Byte], maxEntryBytes: Int): Vector[Archive.UnzippedEntry] = {
     val dir = directory(bytes)
-    // ITSF v3 carries an explicit content-section-0 offset (u64 at 0x78,
-    // inside the extended header) — real readers (chmlib) honour it, and
-    // a v3 file whose content is NOT laid out right after the directory
-    // would mis-slice every entry under the v2 fallback below
+    // ITSF v3 carries an explicit content-section-0 offset — the u64 at
+    // 0x58, right after the directory section-table entry; v3 header
+    // length is 0x60 (chmlib's _CHM_ITSF_V3_LEN). Real readers honour
+    // it, and a v3 file whose content is NOT laid out right after the
+    // directory would mis-slice every entry under the v2 fallback below.
     val headerLen = u32(bytes, 8)
     val contentOff =
-      (if (u32(bytes, 4) == 3 && headerLen >= 0x80) u64(bytes, 0x78)
-       else u64(bytes, 0x58 + 16) + u64(bytes, 0x58 + 24)).toInt
+      (if (u32(bytes, 4) == 3 && headerLen >= 0x60) u64(bytes, 0x58)
+       else u64(bytes, 0x48) + u64(bytes, 0x50)).toInt
     def sect0(off: Long, len: Long): Array[Byte] = {
       val s = contentOff + off
       if (off < 0 || off > bytes.length || len < 0 || len > bytes.length ||
@@ -300,19 +304,20 @@ object Chm {
     ib.putInt(0x10, 0x1000) // chunk size
     ib.putInt(0x28, 1)    // number of chunks
 
-    // v3 extended header: the section table (0x58..0x78) is followed by
-    // the explicit content-section-0 offset at 0x78
-    val header = new Array[Byte](0x80)
+    // ITSF v3 header, the chmlib/published layout: section table at 0x38
+    // (entry 0 = file-size section, entry 1 = directory at 0x48/0x50),
+    // then the explicit content-section-0 offset at 0x58; total 0x60
+    val header = new Array[Byte](0x60)
     "ITSF".getBytes(StandardCharsets.ISO_8859_1).copyToArray(header, 0)
     val hb = java.nio.ByteBuffer.wrap(header).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     hb.putInt(4, 3)            // version
     hb.putInt(8, header.length)
     val dirOff = header.length.toLong
     val dirLen = (itsp.length + chunk.length).toLong
-    hb.putLong(0x58, 0L); hb.putLong(0x60, 0L) // header section 0 (unused here)
-    hb.putLong(0x68, dirOff)
-    hb.putLong(0x70, dirLen)
-    hb.putLong(0x78, dirOff + dirLen + contentGap) // v3 ContentOffset
+    hb.putLong(0x38, 0L); hb.putLong(0x40, 0L) // file-size section (unused here)
+    hb.putLong(0x48, dirOff)
+    hb.putLong(0x50, dirLen)
+    hb.putLong(0x58, dirOff + dirLen + contentGap) // v3 ContentOffset
     header ++ itsp ++ chunk ++ new Array[Byte](contentGap) ++ sect0.toByteArray
   }
 }

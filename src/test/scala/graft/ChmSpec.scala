@@ -126,6 +126,20 @@ class ChmSpec extends AnyFunSuite {
     }
   }
 
+  test("chm: ITSF header fields sit at the published chmlib offsets") {
+    // chmItsfHeader: dir_offset 0x48, dir_len 0x50, data_offset 0x58,
+    // v3 header length 0x60 — a file written to any OTHER layout would
+    // misparse in real readers even if our own round-trip passed
+    val chm = Chm.build(Seq(("a.txt", "x".getBytes(UTF_8))))
+    val bb = java.nio.ByteBuffer.wrap(chm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getInt(8) == 0x60) // header length
+    val dirOff = bb.getLong(0x48)
+    val dirLen = bb.getLong(0x50)
+    assert(dirOff == 0x60)
+    assert(new String(chm, dirOff.toInt, 4, UTF_8) == "ITSP")
+    assert(bb.getLong(0x58) == dirOff + dirLen) // v3 ContentOffset (no gap)
+  }
+
   test("chm: v3 ContentOffset is honoured when content is NOT after the directory") {
     // a 64-byte gap between the directory and content section 0: readers
     // assuming adjacency (dirOff + dirLen) mis-slice every entry

@@ -302,6 +302,18 @@ class DocxSpec extends AnyFunSuite {
         ((comp.length >> 8) & 0xff).toByte, ((comp.length >> 16) & 0xff).toByte) ++ comp
       Iwa.harvest(part)
     }
+    // a crafted MessageInfo length near Int.MaxValue must CLASSIFY, not
+    // wrap the bound check negative into an AIOOBE (Long arithmetic)
+    intercept[ParseFailure] {
+      val mi = Array[Byte](0x08, 0xD1.toByte, 0x0F, // type = 2001
+        0x18, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0x07) // len = MaxInt
+      val info = Array[Byte](0x08, 0x01, 0x12, mi.length.toByte) ++ mi
+      val stream = Array[Byte](info.length.toByte) ++ info // varint len + info, no payload
+      val comp = org.xerial.snappy.Snappy.compress(stream)
+      val part = Array[Byte](0, (comp.length & 0xff).toByte,
+        ((comp.length >> 8) & 0xff).toByte, ((comp.length >> 16) & 0xff).toByte) ++ comp
+      Iwa.harvest(part)
+    }
     // byte-flip fuzz over the whole part: always ParseFailure or success
     (0 until good.length).foreach { i =>
       val b = good.clone(); b(i) = (b(i) ^ 0x2a).toByte

@@ -103,4 +103,40 @@ class PdfLayoutSpec extends AnyFunSuite {
     assert(PdfMini.formFields("/Root 9 0 R garbage").isEmpty)
     assert(PdfMini.formFields("").isEmpty)
   }
+
+  test("acroform: review findings — octal, dict /V, refs, radio kids, bad hex") {
+    import graft.core.pdf.PdfMini
+    def doc(fields: String): String =
+      s"""1 0 obj << /AcroForm << /Fields [2 0 R] >> >> endobj
+         |$fields
+         |trailer << /Root 1 0 R >>""".stripMargin
+    // octal escapes (how writers encode non-ASCII PDFDocEncoding bytes)
+    // and the backslash-EOL line continuation
+    assert(PdfMini.formFields(doc(
+      "2 0 obj << /T (o) /V (\\101\\102\\7C) >> endobj")) ==
+      Vector(("o", "ABC")))
+    assert(PdfMini.formFields(doc(
+      "2 0 obj << /T (c) /V (long\\\nvalue) >> endobj")) ==
+      Vector(("c", "longvalue")))
+    // an inline signature DICTIONARY value must not crash (it is not a
+    // printed value) — the pre-fix parser fed '<< /Type /Sig' to parseInt
+    assert(PdfMini.formFields(doc(
+      "2 0 obj << /T (sig) /V << /Type /Sig /Contents <ABCD> >> >> endobj")).isEmpty)
+    // non-hex inside <> degrades to no value, never NumberFormatException
+    assert(PdfMini.formFields(doc(
+      "2 0 obj << /T (zz) /V <zz> >> endobj")).isEmpty)
+    // indirect /V (near-universal for long values): one level resolves
+    assert(PdfMini.formFields(doc(
+      "2 0 obj << /T (ind) /V 7 0 R >> endobj\n7 0 obj (resolved text) endobj")) ==
+      Vector(("ind", "resolved text")))
+    // the RADIO-GROUP shape: /T and /V on the field, kids are widget
+    // annotations without /T or /V — the value must not be lost
+    assert(PdfMini.formFields(
+      """1 0 obj << /AcroForm << /Fields [2 0 R] >> >> endobj
+        |2 0 obj << /FT /Btn /T (choice) /V /Opt2 /Kids [3 0 R 4 0 R] >> endobj
+        |3 0 obj << /Subtype /Widget >> endobj
+        |4 0 obj << /Subtype /Widget >> endobj
+        |trailer << /Root 1 0 R >>""".stripMargin) ==
+      Vector(("choice", "Opt2")))
+  }
 }
