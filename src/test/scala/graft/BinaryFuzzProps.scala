@@ -95,6 +95,24 @@ object BinaryFuzzProps extends Properties("BinaryFuzz") {
           Array(0x1f, 0x9d).map(_.toByte) ++ b, 1 << 20))
     }
 
+  // the WHOLE pdf text surface — including the round-5 ObjStm expansion,
+  // AcroForm walk, and image-XObject spawn — must be total on junk that
+  // carries the trigger keywords (a reviewer found a NumberFormatException
+  // escaping the form-value parser; this net keeps that class closed)
+  private val pdfKeywordJunk: Gen[String] = for {
+    b <- junk
+    kw <- Gen.oneOf("/AcroForm /Fields [2 0 R] /Root 1 0 R", "/ObjStm /N 3 /First 9",
+      "/Subtype /Image /Width 4 /Height 4 stream", "/V <", "/V (", "/Kids [1 0 R]")
+  } yield new String(b.take(b.length / 2), java.nio.charset.StandardCharsets.ISO_8859_1) +
+    kw + new String(b.drop(b.length / 2), java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  property("pdf text/forms/objstm/images are total on keyword-stamped junk") =
+    Prop.forAll(pdfKeywordJunk) { s =>
+      total(graft.core.pdf.PdfMini.textFromLatin1(s)) &&
+        total(graft.core.pdf.PdfMini.formFields(s)) &&
+        total(graft.core.pdf.PdfMini.imageXObjects(s))
+    }
+
   property("pdf decrypt path is total on arbitrary bytes") =
     Prop.forAll(junk) { b =>
       val latin1 = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
