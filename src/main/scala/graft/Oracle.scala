@@ -1091,6 +1091,15 @@ object Oracle {
       |  '' AS reason
       |FROM documents WHERE doc_id%127=0""".stripMargin
 
+  /** Mirror of Queries.pdfXfa: the page line plus the datasets packet's
+    * two values in element order.
+    */
+  private val pdfXfa: String =
+    """SELECT doc_id,
+      |  'xfa doc '||doc_id||chr(10)||'name '||doc_id||chr(10)||'town '||doc_id AS txt,
+      |  '' AS reason
+      |FROM documents WHERE doc_id%131=0""".stripMargin
+
   /** Mirror of Queries.vsdxText: 5-word shape texts back out of the
     * two-page drawing walk (page split preserves line order).
     */
@@ -2454,6 +2463,7 @@ object Oracle {
     "q_pdf_cid" -> pdfCid,
     "q_pdf_form" -> pdfForm,
     "q_pdf_objstm" -> pdfObjStm,
+    "q_pdf_xfa" -> pdfXfa,
     "q_rpm_explode" -> rpmExplode,
     "q_url_filter" -> urlFilter,
     "q_robots_filter" -> robotsFilter,

@@ -531,6 +531,23 @@ object Queries {
       .toDF("doc_id", "txt", "reason")
   }
 
+  /** XFA forms (the XML Forms Architecture half of the PDF form surface;
+    * PDFBox exposes the packet XML): the datasets packet's filled values
+    * surface as body text through the shared XML machinery.
+    */
+  def pdfXfa(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select("doc_id").as[Long]
+      .filter(_ % 131 == 0)
+      .map { id =>
+        val pdf = graft.core.pdf.PdfMini.buildXfa(Seq(s"xfa doc $id"),
+          Seq(("applicant", s"name $id"), ("city", s"town $id")))
+        val (txt, why) = Extract.extractSpan("pdf_bytes", pdf)
+        (id, txt, why)
+      }
+      .toDF("doc_id", "txt", "reason")
+  }
+
   /** §2.3 HWP 5.x route (Tika HwpV5Parser): the document's 5-word lines
     * as paragraph-break-terminated PARA_TEXT records in a deflated
     * BodyText section (each paragraph renders with its trailing break).
@@ -3501,6 +3518,7 @@ object Queries {
     "q_pdf_cid" -> (pdfCid _),
     "q_pdf_form" -> (pdfForm _),
     "q_pdf_objstm" -> (pdfObjStm _),
+    "q_pdf_xfa" -> (pdfXfa _),
     "q_rpm_explode" -> (rpmExplode _),
     "q_url_filter" -> (urlFilterQ _),
     "q_web_funnel" -> (webFunnel _),

@@ -442,15 +442,13 @@ object PdfMini {
       .map { case (_, cs) => cs.sortBy(_.x).iterator.map(_.text).mkString(" ") }
       .filter(_.nonEmpty)
       .mkString("\n")
-    // AcroForm field values ARE body text (the reference's PDFBox surface
-    // prints them): appended after the content, one `name: value` line
-    // per terminal field, document order (pdf is already ObjStm-expanded)
-    val form = formFieldsIn(pdf)
-    if (form.isEmpty) contentText
-    else {
-      val formText = form.iterator.map { case (n, v) => s"$n: $v" }.mkString("\n")
-      if (contentText.isEmpty) formText else contentText + "\n" + formText
-    }
+    // form values ARE body text (the reference's PDFBox surface prints
+    // them): AcroForm fields as `name: value` lines, then any XFA
+    // packets' character data, after the content (pdf is ObjStm-expanded)
+    val formText = formFieldsIn(pdf).iterator
+      .map { case (n, v) => s"$n: $v" }.mkString("\n")
+    Vector(contentText, formText, xfaTextIn(pdf))
+      .filter(_.nonEmpty).mkString("\n")
   }
 
   /** The object number of the `N G obj` header whose `obj` keyword starts
@@ -767,19 +765,24 @@ object PdfMini {
     formFieldsIn(expandObjStm(pdf))
 
   /** [[formFields]] over an already-ObjStm-expanded document string. */
-  private def formFieldsIn(pdf: String): Vector[(String, String)] = {
-    if (!pdf.contains("/AcroForm")) return Vector.empty // hot-path quick reject
+  /** The AcroForm dictionary text, via the trailer's (last) /Root —
+    * referenced object or inline in the catalog.
+    */
+  private def acroDict(pdf: String): Option[String] = {
+    if (!pdf.contains("/AcroForm")) return None // hot-path quick reject
     val rootNum = RootRe.findAllMatchIn(pdf).toSeq.lastOption
       .flatMap(_.group(1).toIntOption)
-    val catalog = rootNum.flatMap(objBody(pdf, _)).getOrElse(return Vector.empty)
-    // the AcroForm dict may be a referenced object or inline in the catalog
-    val acro = AcroRe.findFirstMatchIn(catalog)
+    val catalog = rootNum.flatMap(objBody(pdf, _)).getOrElse(return None)
+    AcroRe.findFirstMatchIn(catalog)
       .flatMap(_.group(1).toIntOption).flatMap(objBody(pdf, _))
       .orElse {
         val i = catalog.indexOf("/AcroForm")
         if (i < 0) None else Some(catalog.substring(i))
       }
-      .getOrElse(return Vector.empty)
+  }
+
+  private def formFieldsIn(pdf: String): Vector[(String, String)] = {
+    val acro = acroDict(pdf).getOrElse(return Vector.empty)
     val out = Vector.newBuilder[(String, String)]
     val seen = scala.collection.mutable.HashSet.empty[Int]
     def arrayRefs(body: String, key: String): Seq[Int] = {
@@ -810,6 +813,80 @@ object PdfMini {
     }
     arrayRefs(acro, "/Fields").foreach(walk(_, "", 0))
     out.result()
+  }
+
+  /** XFA form text (XML Forms Architecture — the /AcroForm /XFA entry;
+    * PDFBox surfaces the form's XML, and the DATASETS packet carries the
+    * filled values): packet streams resolved in array order, decoded
+    * through the filter chain, character data extracted through the
+    * shared XML machinery. Appended to body text after any AcroForm
+    * lines — a PDF may legally carry both.
+    */
+  def xfaText(pdf0: String): String = xfaTextIn(expandObjStm(pdf0))
+
+  private def xfaTextIn(pdf: String): String = {
+    if (!pdf.contains("/XFA")) return "" // hot-path quick reject
+    val acro = acroDict(pdf).getOrElse(return "")
+    val i = acro.indexOf("/XFA")
+    if (i < 0) return ""
+    // value: an array of (packetName, streamRef) pairs, or one stream ref
+    val after = acro.substring(i + 4)
+    val refs: Seq[Int] = {
+      val t = after.dropWhile(_.isWhitespace)
+      if (t.startsWith("[")) {
+        val e = t.indexOf(']')
+        if (e < 0) Nil
+        else ArrRefRe.findAllMatchIn(t.substring(0, e))
+          .flatMap(_.group(1).toIntOption).toSeq
+      } else LeadingRefRe.findFirstMatchIn(after).map(_.group(1))
+        .flatMap(_.toIntOption).toSeq
+    }
+    if (refs.isEmpty) return ""
+    val want = refs.toSet
+    val decoded = scala.collection.mutable.HashMap.empty[Int, String]
+    foreachStream(pdf) { (dictStart, dict, payloadStart, e) =>
+      val num = objNumBefore(pdf, dictStart)
+      if (want.contains(num) && !decoded.contains(num)) {
+        decodeFilters(filtersOf(dict), pdf.substring(payloadStart, e)
+          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+          .foreach(b => decoded(num) =
+            new String(b, java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }
+    refs.distinct.flatMap(decoded.get)
+      .map(graft.core.text.Xml.text)
+      .filter(_.nonEmpty)
+      .mkString("\n")
+  }
+
+  /** Deterministic XFA fixture: page content lines plus a datasets
+    * packet (Flate stream) carrying the filled field values.
+    */
+  def buildXfa(lines: Seq[String], values: Seq[(String, String)]): String = {
+    val content = "BT /F1 12 Tf " + lines.zipWithIndex.map { case (ln, r) =>
+      s"1 0 0 1 10 ${700 - 20 * r} Tm ($ln) Tj"
+    }.mkString(" ") + " ET"
+    val datasets =
+      "<xfa:datasets xmlns:xfa=\"http://www.xfa.org/schema/xfa-data/1.0/\">" +
+        "<xfa:data><form1>" +
+        values.map { case (k, v) => s"<$k>$v</$k>" }.mkString +
+        "</form1></xfa:data></xfa:datasets>"
+    val comp = new String(deflate(
+      datasets.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    s"""%PDF-1.6
+       |1 0 obj << /Type /Catalog /Pages 2 0 R /AcroForm 6 0 R >> endobj
+       |2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
+       |3 0 obj << /Type /Page /Contents 5 0 R >> endobj
+       |5 0 obj << /Length ${content.length} >> stream
+       |$content
+       |endstream endobj
+       |6 0 obj << /XFA [ (datasets) 7 0 R ] >> endobj
+       |7 0 obj << /Filter /FlateDecode /Length ${comp.length} >> stream
+       |$comp
+       |endstream endobj
+       |trailer << /Root 1 0 R >>
+       |%%EOF""".stripMargin
   }
 
   /** Deterministic AcroForm fixture: page content lines plus a text

@@ -104,6 +104,20 @@ class PdfLayoutSpec extends AnyFunSuite {
     assert(PdfMini.formFields("").isEmpty)
   }
 
+  test("xfa: the datasets packet's values surface as body text") {
+    import graft.core.pdf.PdfMini
+    val pdf = PdfMini.buildXfa(Seq("page one"),
+      Seq(("who", "Some Body"), ("where", "A Town")))
+    assert(PdfMini.xfaText(pdf) == "Some Body\nA Town")
+    assert(PdfMini.textFromLatin1(pdf) == "page one\nSome Body\nA Town")
+    // no XFA entry: empty, instantly
+    assert(PdfMini.xfaText(PdfMini.buildCid(Seq("x"))).isEmpty)
+    // a broken packet stream degrades to no XFA text, never a throw
+    val broken = pdf.replace("/FlateDecode", "/LZWDecode")
+    assert(PdfMini.xfaText(broken).isEmpty)
+    assert(PdfMini.textFromLatin1(broken) == "page one")
+  }
+
   test("acroform: review findings — octal, dict /V, refs, radio kids, bad hex") {
     import graft.core.pdf.PdfMini
     def doc(fields: String): String =
