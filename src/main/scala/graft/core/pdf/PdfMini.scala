@@ -1165,7 +1165,24 @@ object PdfMini {
         var j = i + 1
         while (j < n && !s.charAt(j).isWhitespace && "()<>[]{}/%".indexOf(s.charAt(j)) < 0) j += 1
         val op = s.substring(i, j)
+        var jumpTo = -1
         op match {
+          case "BI" =>
+            // inline image (§8.9.7): skip the dict and the raw sample
+            // bytes to the closing EI — binary that happens to contain
+            // '(' or text operators would otherwise parse as bogus
+            // strings/chunks and could swallow the REAL text after it.
+            // EI must be whitespace-delimited on both sides.
+            val id = s.indexOf("ID", j)
+            var k = if (id < 0) n else id + 3 // ID + one whitespace byte
+            var found = -1
+            while (found < 0 && k + 1 < n) {
+              if (s.charAt(k) == 'E' && s.charAt(k + 1) == 'I' &&
+                s.charAt(k - 1).isWhitespace &&
+                (k + 2 >= n || s.charAt(k + 2).isWhitespace)) found = k
+              else k += 1
+            }
+            jumpTo = if (found < 0) n else found + 2
           case "BT" => inText = true; x = 0; y = 0; lineX = 0
           case "ET" => inText = false
           case "Td" if nums.size >= 2 =>
@@ -1185,7 +1202,7 @@ object PdfMini {
           case _ => ()
         }
         nums.clear()
-        i = if (j > i) j else i + 1
+        i = if (jumpTo >= 0) jumpTo else if (j > i) j else i + 1
       }
     }
   }
