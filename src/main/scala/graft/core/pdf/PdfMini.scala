@@ -444,10 +444,14 @@ object PdfMini {
       .mkString("\n")
     // form values ARE body text (the reference's PDFBox surface prints
     // them): AcroForm fields as `name: value` lines, then any XFA
-    // packets' character data, after the content (pdf is ObjStm-expanded)
-    val formText = formFieldsIn(pdf).iterator
+    // packets' character data, after the content. The AcroForm dict
+    // resolves ONCE and the XFA packets reuse pass 1's decoded streams
+    // (last occurrence per objNum — the incremental-update convention)
+    val acro = acroDict(pdf)
+    val formText = formFieldsIn(pdf, acro).iterator
       .map { case (n, v) => s"$n: $v" }.mkString("\n")
-    Vector(contentText, formText, xfaTextIn(pdf))
+    val decodedByNum = streams.iterator.map(d => d.objNum -> d.text).toMap
+    Vector(contentText, formText, xfaTextIn(pdf, acro, Some(decodedByNum)))
       .filter(_.nonEmpty).mkString("\n")
   }
 
@@ -761,12 +765,15 @@ object PdfMini {
     * Document order preserved; depth-capped and cycle-proof on crafted
     * files. The LAST `/Root` wins (incremental-update convention).
     */
-  def formFields(pdf: String): Vector[(String, String)] =
-    formFieldsIn(expandObjStm(pdf))
+  def formFields(pdf: String): Vector[(String, String)] = {
+    val x = expandObjStm(pdf)
+    formFieldsIn(x, acroDict(x))
+  }
 
-  /** [[formFields]] over an already-ObjStm-expanded document string. */
   /** The AcroForm dictionary text, via the trailer's (last) /Root —
-    * referenced object or inline in the catalog.
+    * referenced object or inline in the catalog. Computed ONCE per
+    * document and threaded into both the field walk and the XFA packet
+    * resolution.
     */
   private def acroDict(pdf: String): Option[String] = {
     if (!pdf.contains("/AcroForm")) return None // hot-path quick reject
@@ -781,21 +788,32 @@ object PdfMini {
       }
   }
 
-  private def formFieldsIn(pdf: String): Vector[(String, String)] = {
-    val acro = acroDict(pdf).getOrElse(return Vector.empty)
-    val out = Vector.newBuilder[(String, String)]
-    val seen = scala.collection.mutable.HashSet.empty[Int]
-    def arrayRefs(body: String, key: String): Seq[Int] = {
-      val i = body.indexOf(key)
-      if (i < 0) Nil
-      else {
-        val a = body.indexOf('[', i)
+  /** The `N 0 R` refs inside the array following `key` in `body` —
+    * shared by the /Fields, /Kids, and /XFA array walks. The key must
+    * end its name token (`/XFA` never matches `/XFAResources`).
+    */
+  private def arrayRefs(body: String, key: String): Seq[Int] = {
+    var i = body.indexOf(key)
+    while (i >= 0) {
+      val after = i + key.length
+      if (after >= body.length || body.charAt(after).isWhitespace ||
+        "(<[/".indexOf(body.charAt(after).toInt) >= 0) {
+        val a = body.indexOf('[', after)
         val e = if (a < 0) -1 else body.indexOf(']', a)
-        if (a < 0 || e < 0) Nil
+        return if (a < 0 || e < 0) Nil
         else ArrRefRe.findAllMatchIn(body.substring(a, e))
           .flatMap(_.group(1).toIntOption).toSeq
       }
+      i = body.indexOf(key, i + 1)
     }
+    Nil
+  }
+
+  /** [[formFields]] over an already-expanded document + its AcroForm dict. */
+  private def formFieldsIn(pdf: String, acroOpt: Option[String]): Vector[(String, String)] = {
+    val acro = acroOpt.getOrElse(return Vector.empty)
+    val out = Vector.newBuilder[(String, String)]
+    val seen = scala.collection.mutable.HashSet.empty[Int]
     def walk(num: Int, prefix: String, depth: Int): Unit = {
       if (depth > 8 || !seen.add(num)) return
       objBody(pdf, num).foreach { body =>
@@ -822,38 +840,58 @@ object PdfMini {
     * shared XML machinery. Appended to body text after any AcroForm
     * lines — a PDF may legally carry both.
     */
-  def xfaText(pdf0: String): String = xfaTextIn(expandObjStm(pdf0))
+  def xfaText(pdf0: String): String = {
+    val x = expandObjStm(pdf0)
+    xfaTextIn(x, acroDict(x), None)
+  }
 
-  private def xfaTextIn(pdf: String): String = {
+  /** [[xfaText]] over an already-expanded document + its AcroForm dict.
+    * `preDecoded` (objNum -> decoded latin1 text, LAST occurrence wins —
+    * the incremental-update convention /Root resolution also uses) lets
+    * textFromLatin1 reuse its pass-1 stream decode instead of inflating
+    * the document twice.
+    */
+  private def xfaTextIn(pdf: String, acroOpt: Option[String],
+                        preDecoded: Option[Map[Int, String]]): String = {
     if (!pdf.contains("/XFA")) return "" // hot-path quick reject
-    val acro = acroDict(pdf).getOrElse(return "")
-    val i = acro.indexOf("/XFA")
-    if (i < 0) return ""
-    // value: an array of (packetName, streamRef) pairs, or one stream ref
-    val after = acro.substring(i + 4)
+    val acro = acroOpt.getOrElse(return "")
+    // value: an array of (packetName, streamRef) pairs, or one stream
+    // ref — the key must end its name token (never /XFAResources)
     val refs: Seq[Int] = {
-      val t = after.dropWhile(_.isWhitespace)
-      if (t.startsWith("[")) {
-        val e = t.indexOf(']')
-        if (e < 0) Nil
-        else ArrRefRe.findAllMatchIn(t.substring(0, e))
-          .flatMap(_.group(1).toIntOption).toSeq
-      } else LeadingRefRe.findFirstMatchIn(after).map(_.group(1))
-        .flatMap(_.toIntOption).toSeq
-    }
-    if (refs.isEmpty) return ""
-    val want = refs.toSet
-    val decoded = scala.collection.mutable.HashMap.empty[Int, String]
-    foreachStream(pdf) { (dictStart, dict, payloadStart, e) =>
-      val num = objNumBefore(pdf, dictStart)
-      if (want.contains(num) && !decoded.contains(num)) {
-        decodeFilters(filtersOf(dict), pdf.substring(payloadStart, e)
-          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
-          .foreach(b => decoded(num) =
-            new String(b, java.nio.charset.StandardCharsets.UTF_8))
+      val arr = arrayRefs(acro, "/XFA")
+      if (arr.nonEmpty) arr
+      else {
+        var i = acro.indexOf("/XFA")
+        var found: Seq[Int] = Nil
+        while (i >= 0 && found.isEmpty) {
+          val after = i + 4
+          if (after >= acro.length || acro.charAt(after).isWhitespace)
+            found = LeadingRefRe.findFirstMatchIn(acro.substring(after))
+              .map(_.group(1)).flatMap(_.toIntOption).toSeq
+          i = acro.indexOf("/XFA", i + 1)
+        }
+        found
       }
     }
+    if (refs.isEmpty) return ""
+    val decoded: Map[Int, String] = preDecoded.getOrElse {
+      val want = refs.toSet
+      val m = scala.collection.mutable.HashMap.empty[Int, String]
+      foreachStream(pdf) { (dictStart, dict, payloadStart, e) =>
+        val num = objNumBefore(pdf, dictStart)
+        if (want.contains(num)) { // last occurrence wins (incremental update)
+          decodeFilters(filtersOf(dict), pdf.substring(payloadStart, e)
+            .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+            .foreach(b => m(num) =
+              new String(b, java.nio.charset.StandardCharsets.ISO_8859_1))
+        }
+      }
+      m.toMap
+    }
     refs.distinct.flatMap(decoded.get)
+      // latin1 text -> bytes -> UTF-8 is lossless for the packet payload
+      .map(t => new String(t.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
+        java.nio.charset.StandardCharsets.UTF_8))
       .map(graft.core.text.Xml.text)
       .filter(_.nonEmpty)
       .mkString("\n")
@@ -874,6 +912,9 @@ object PdfMini {
     val comp = new String(deflate(
       datasets.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
       java.nio.charset.StandardCharsets.ISO_8859_1)
+    // the compressed bytes are OPAQUE BINARY and must never pass through
+    // stripMargin (a '\n' + blanks + '|' sequence inside them would be
+    // eaten as a margin) — spliced AFTER the template renders
     s"""%PDF-1.6
        |1 0 obj << /Type /Catalog /Pages 2 0 R /AcroForm 6 0 R >> endobj
        |2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
@@ -883,10 +924,7 @@ object PdfMini {
        |endstream endobj
        |6 0 obj << /XFA [ (datasets) 7 0 R ] >> endobj
        |7 0 obj << /Filter /FlateDecode /Length ${comp.length} >> stream
-       |$comp
-       |endstream endobj
-       |trailer << /Root 1 0 R >>
-       |%%EOF""".stripMargin
+       |""".stripMargin + comp + "\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF"
   }
 
   /** Deterministic AcroForm fixture: page content lines plus a text
@@ -952,14 +990,15 @@ object PdfMini {
        |$content
        |endstream endobj
        |11 0 obj << /Type /ObjStm /N ${bodies.length} /First ${header.length} /Filter /FlateDecode /Length ${comp.length} >> stream
-       |$comp
-       |endstream endobj
-       |12 0 obj << /Type /XRef /Size 13 /Root 1 0 R /W [1 2 1] /Length 2 >> stream
-       |00
-       |endstream endobj
-       |startxref
-       |0
-       |%%EOF""".stripMargin
+       |""".stripMargin + comp + // binary: never through stripMargin
+      """
+        |endstream endobj
+        |12 0 obj << /Type /XRef /Size 13 /Root 1 0 R /W [1 2 1] /Length 2 >> stream
+        |00
+        |endstream endobj
+        |startxref
+        |0
+        |%%EOF""".stripMargin
   }
 
   /** Deterministic CID-font fixture: line text as 2-byte glyph codes in
