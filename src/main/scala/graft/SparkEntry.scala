@@ -8,7 +8,7 @@ import graft.core.meta.Meta
 import graft.core.route.Extract
 import graft.core.text.TextStats
 import graft.operators.{Dedup, Knn, SetOps}
-import graft.multimodal.Media
+import graft.multimodal.{Media, Phash}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -2806,6 +2806,27 @@ object Queries {
   def mediaFrames(spark: SparkSession, dir: String): DataFrame =
     Media.sampleFrames(spark, docs(spark, dir))
 
+  /** Multimodal near-dup over REAL decoded pixels ([[Phash]]): every %17
+    * doc renders one of 12 block patterns as one of 4 byte-disjoint
+    * variants (PNG, 2x-rescaled PNG, JPEG re-encode, 1-cell retouch) —
+    * exact byte dedup finds nothing, but the decode -> 9x8 area-average
+    * -> dHash -> banded-LSH -> Hamming-verify -> connected-components
+    * pipeline must recover exactly the 12 pattern groups. The oracle
+    * recomputes every hash bit AND the cluster memberships arithmetically
+    * from the fixture formula, so a match requires the real decode and
+    * the real Hamming clustering both to be right.
+    */
+  def dedupPhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val imgs = docs(spark, dir).select("doc_id").as[Long]
+      .filter(_ % 17 == 0)
+      .map { id =>
+        val k = id / 17
+        (id, Phash.fixtureBytes(((k / 4) % 12).toInt, (k % 4).toInt))
+      }
+    Phash.clusters(spark, imgs)
+  }
+
   /** §2.5/§2.8 image metadata probing — the reference's Tika image
     * metadata surface (`JpegParser` + EXIF walk, `ImageParser` for
     * PNG/GIF, behind `Extractor.java`'s AutoDetectParser): each %23 doc
@@ -3584,6 +3605,7 @@ object Queries {
     "q_media_audio" -> (mediaAudio _),
     "q_media_video" -> (mediaVideo _),
     "q_media_frames" -> (mediaFrames _),
+    "q_dedup_phash" -> (dedupPhash _),
     "q_image_probe" -> (imageProbe _),
     "q_image_probe2" -> (imageProbe2 _),
     "q_av_probe" -> (avProbe _),
