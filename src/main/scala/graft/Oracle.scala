@@ -2269,6 +2269,47 @@ object Oracle {
       |SELECT h.doc_id, h.hash_hi, h.hash_lo, grp.rep_id, grp.n_cluster
       |FROM hashes h JOIN grp USING (g)""".stripMargin
 
+  /** Mirror of Queries.dedupAudiofp: the 63 energy-contour bits and the
+    * clusters recomputed from the fixture formula (same affine-walk
+    * family as dedupPhash, on the time axis; variant 3 inverts exactly
+    * bit 0). The engine only matches if the real WAV decode recovered
+    * the per-frame loudness ordering across the resample/gain variants.
+    */
+  private val dedupAudiofp: String =
+    """WITH clips AS (
+      |  SELECT doc_id,
+      |    ((doc_id//19)//4) % 12 AS g,
+      |    (doc_id//19) % 4 AS v
+      |  FROM documents WHERE doc_id%19=0
+      |), params AS (
+      |  SELECT doc_id, g, v,
+      |    CASE (g%6) WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
+      |               WHEN 3 THEN 5 WHEN 4 THEN 7 ELSE 8 END AS a,
+      |    (g*5+3)%9 AS b
+      |  FROM clips
+      |), bits AS (
+      |  SELECT p.doc_id, p.g, i.i,
+      |    CASE WHEN p.v = 3 AND i.i = 0
+      |      THEN CASE WHEN p.b < 9 - p.a THEN 0 ELSE 1 END
+      |      ELSE CASE WHEN (p.a*i.i + p.b) % 9 < 9 - p.a THEN 1 ELSE 0 END
+      |    END AS bit
+      |  FROM params p, range(63) AS i(i)
+      |), hashes AS (
+      |  SELECT doc_id, g,
+      |    SUM(CASE WHEN i >= 32
+      |      THEN bit * (1::BIGINT << CAST(i - 32 AS INTEGER))
+      |      ELSE 0 END)::BIGINT AS hash_hi,
+      |    SUM(CASE WHEN i < 32
+      |      THEN bit * (1::BIGINT << CAST(i AS INTEGER))
+      |      ELSE 0 END)::BIGINT AS hash_lo
+      |  FROM bits GROUP BY doc_id, g
+      |), grp AS (
+      |  SELECT g, MIN(doc_id) AS rep_id, COUNT(*) AS n_cluster
+      |  FROM hashes GROUP BY g
+      |)
+      |SELECT h.doc_id, h.hash_hi, h.hash_lo, grp.rep_id, grp.n_cluster
+      |FROM hashes h JOIN grp USING (g)""".stripMargin
+
   private val mediaDecode: String =
     """SELECT doc_id,
       | (16 + doc_id%16)::BIGINT AS width,
@@ -2579,6 +2620,7 @@ object Oracle {
     "q_media_video" -> mediaVideo,
     "q_media_frames" -> mediaFrames,
     "q_dedup_phash" -> dedupPhash,
+    "q_dedup_audiofp" -> dedupAudiofp,
     "q_tpch_q1" -> tpchQ1,
     "q_join_topn" -> joinTopn,
     "q_window_topn" -> windowTopn

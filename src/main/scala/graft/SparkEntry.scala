@@ -2827,6 +2827,25 @@ object Queries {
     Phash.clusters(spark, imgs)
   }
 
+  /** Audio near-dup over REAL decoded PCM ([[graft.multimodal.Afp]]):
+    * every %19 doc renders one of 12 loudness contours as one of 4
+    * byte-disjoint variants (8 kHz, 16 kHz resample, half volume, 1-frame
+    * edit) — the energy-contour fingerprint + the shared LSH/Hamming/CC
+    * clustering must recover exactly the contour groups, and the oracle
+    * recomputes every bit and membership arithmetically.
+    */
+  def dedupAudiofp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.Afp
+    val clips = docs(spark, dir).select("doc_id").as[Long]
+      .filter(_ % 19 == 0)
+      .map { id =>
+        val k = id / 19
+        (id, Afp.fixtureBytes(((k / 4) % 12).toInt, (k % 4).toInt))
+      }
+    Afp.clusters(spark, clips)
+  }
+
   /** §2.5/§2.8 image metadata probing — the reference's Tika image
     * metadata surface (`JpegParser` + EXIF walk, `ImageParser` for
     * PNG/GIF, behind `Extractor.java`'s AutoDetectParser): each %23 doc
@@ -3606,6 +3625,7 @@ object Queries {
     "q_media_video" -> (mediaVideo _),
     "q_media_frames" -> (mediaFrames _),
     "q_dedup_phash" -> (dedupPhash _),
+    "q_dedup_audiofp" -> (dedupAudiofp _),
     "q_image_probe" -> (imageProbe _),
     "q_image_probe2" -> (imageProbe2 _),
     "q_av_probe" -> (avProbe _),

@@ -114,10 +114,18 @@ object Phash {
     * n_cluster = that component's size (1 for singletons).
     */
   def clusters(spark: SparkSession, imgs: Dataset[(Long, Array[Byte])],
-               maxHamming: Int = 3, bucketCap: Int = 10000): DataFrame = {
-    // narrow (16 bytes/row) and read four times below: checkpoint so the
-    // image decode map runs exactly once
-    val hs = hashes(spark, imgs).localCheckpoint()
+               maxHamming: Int = 3, bucketCap: Int = 10000): DataFrame =
+    // the hash frame is narrow (16 bytes/row) and read four times below:
+    // checkpoint so the image decode map runs exactly once
+    clusterHashes(spark, hashes(spark, imgs).localCheckpoint(), maxHamming, bucketCap)
+
+  /** The signature-agnostic clustering stage: any (doc_id, 64-bit hash)
+    * frame — image dHash, audio energy contour ([[Afp]]), … — through the
+    * banded-LSH / Hamming-verify / connected-components pipeline.
+    * Callers pass a checkpointed/cached frame (it is read four times).
+    */
+  def clusterHashes(spark: SparkSession, hs: DataFrame,
+                    maxHamming: Int, bucketCap: Int): DataFrame = {
     val bands = hs.select(col("doc_id"),
       explode(array((0 until 4).map(b =>
         shiftrightunsigned(col("hash"), 16 * b).bitwiseAND(lit(0xffffL))
