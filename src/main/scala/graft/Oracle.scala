@@ -2310,6 +2310,48 @@ object Oracle {
       |SELECT h.doc_id, h.hash_hi, h.hash_lo, grp.rep_id, grp.n_cluster
       |FROM hashes h JOIN grp USING (g)""".stripMargin
 
+  /** Mirror of Queries.dedupVideofp: the keyframe dHash IS the pattern
+    * hash of dedupPhash (same affine-walk bits; variant 3 inverts exactly
+    * bit(0,0)), recomputed with the %29 layout. The engine only matches
+    * if the RIFF walk found the first '00dc' frame, decoded the real
+    * JPEG, and recovered the 64 bits at both block scales.
+    */
+  private val dedupVideofp: String =
+    """WITH clips AS (
+      |  SELECT doc_id,
+      |    ((doc_id//29)//4) % 12 AS g,
+      |    (doc_id//29) % 4 AS v
+      |  FROM documents WHERE doc_id%29=0
+      |), params AS (
+      |  SELECT doc_id, g, v,
+      |    CASE (g%6) WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
+      |               WHEN 3 THEN 5 WHEN 4 THEN 7 ELSE 8 END AS a,
+      |    (g*5+3)%9 AS b
+      |  FROM clips
+      |), bits AS (
+      |  SELECT p.doc_id, p.g, r.r, c.c,
+      |    CASE WHEN p.v = 3 AND r.r = 0 AND c.c = 0
+      |      THEN CASE WHEN p.b < 9 - p.a THEN 0 ELSE 1 END
+      |      ELSE CASE WHEN (p.a*(r.r*10 + c.c) + p.b) % 9 < 9 - p.a
+      |                THEN 1 ELSE 0 END
+      |    END AS bit
+      |  FROM params p, range(8) AS r(r), range(8) AS c(c)
+      |), hashes AS (
+      |  SELECT doc_id, g,
+      |    SUM(CASE WHEN r >= 4
+      |      THEN bit * (1::BIGINT << CAST((r-4)*8 + c AS INTEGER))
+      |      ELSE 0 END)::BIGINT AS hash_hi,
+      |    SUM(CASE WHEN r < 4
+      |      THEN bit * (1::BIGINT << CAST(r*8 + c AS INTEGER))
+      |      ELSE 0 END)::BIGINT AS hash_lo
+      |  FROM bits GROUP BY doc_id, g
+      |), grp AS (
+      |  SELECT g, MIN(doc_id) AS rep_id, COUNT(*) AS n_cluster
+      |  FROM hashes GROUP BY g
+      |)
+      |SELECT h.doc_id, h.hash_hi, h.hash_lo, grp.rep_id, grp.n_cluster
+      |FROM hashes h JOIN grp USING (g)""".stripMargin
+
   private val mediaDecode: String =
     """SELECT doc_id,
       | (16 + doc_id%16)::BIGINT AS width,
@@ -2621,6 +2663,7 @@ object Oracle {
     "q_media_frames" -> mediaFrames,
     "q_dedup_phash" -> dedupPhash,
     "q_dedup_audiofp" -> dedupAudiofp,
+    "q_dedup_videofp" -> dedupVideofp,
     "q_tpch_q1" -> tpchQ1,
     "q_join_topn" -> joinTopn,
     "q_window_topn" -> windowTopn

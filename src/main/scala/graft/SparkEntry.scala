@@ -2846,6 +2846,26 @@ object Queries {
     Afp.clusters(spark, clips)
   }
 
+  /** Video near-dup over REAL AVI container walks
+    * ([[graft.multimodal.Vfp]]): every %29 doc wraps one of 12 pattern
+    * keyframes in one of 4 byte-disjoint clip variants (re-cut with extra
+    * trailing frames, rescaled, retouched keyframe) — the guarded RIFF
+    * walk + first-frame decode + dHash + shared LSH/Hamming/CC clustering
+    * must recover exactly the keyframe groups; the oracle recomputes
+    * every hash bit and membership arithmetically.
+    */
+  def dedupVideofp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.Vfp
+    val clips = docs(spark, dir).select("doc_id").as[Long]
+      .filter(_ % 29 == 0)
+      .map { id =>
+        val k = id / 29
+        (id, Vfp.fixtureBytes(((k / 4) % 12).toInt, (k % 4).toInt))
+      }
+    Vfp.clusters(spark, clips)
+  }
+
   /** §2.5/§2.8 image metadata probing — the reference's Tika image
     * metadata surface (`JpegParser` + EXIF walk, `ImageParser` for
     * PNG/GIF, behind `Extractor.java`'s AutoDetectParser): each %23 doc
@@ -3626,6 +3646,7 @@ object Queries {
     "q_media_frames" -> (mediaFrames _),
     "q_dedup_phash" -> (dedupPhash _),
     "q_dedup_audiofp" -> (dedupAudiofp _),
+    "q_dedup_videofp" -> (dedupVideofp _),
     "q_image_probe" -> (imageProbe _),
     "q_image_probe2" -> (imageProbe2 _),
     "q_av_probe" -> (avProbe _),

@@ -128,7 +128,14 @@ object Media {
     * header carrying frame count + dims } LIST('movi'){ '00dc' JPEG
     * chunks } }. Frames are solid-color JPEGs encoded by ImageIO.
     */
-  def encodeAviMjpeg(width: Int, height: Int, frameRgbs: Seq[Int]): Array[Byte] = {
+  def encodeAviMjpeg(width: Int, height: Int, frameRgbs: Seq[Int]): Array[Byte] =
+    encodeAviMjpegJpegs(width, height,
+      frameRgbs.map(rgb => encodeSolid(width, height, rgb, "jpg")))
+
+  /** Same container, caller-supplied JPEG frame payloads (the [[Vfp]]
+    * fixtures wrap pattern keyframes).
+    */
+  def encodeAviMjpegJpegs(width: Int, height: Int, frameJpegs: Seq[Array[Byte]]): Array[Byte] = {
     def chunk(fourcc: String, body: Array[Byte]): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -148,13 +155,12 @@ object Media {
       val bb = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       bb.putInt(33333) // dwMicroSecPerFrame (30fps)
       bb.putInt(0).putInt(0).putInt(0)
-      bb.putInt(frameRgbs.length) // dwTotalFrames
+      bb.putInt(frameJpegs.length) // dwTotalFrames
       bb.putInt(0).putInt(1).putInt(0)
       bb.putInt(width).putInt(height)
       bb.array()
     }
-    val frames = frameRgbs.map(rgb =>
-      chunk("00dc", encodeSolid(width, height, rgb, "jpg")))
+    val frames = frameJpegs.map(chunk("00dc", _))
     val inner = list("hdrl", Seq(chunk("avih", avih))) ++ list("movi", frames)
     val bb = java.nio.ByteBuffer.allocate(12 + inner.length)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -220,6 +226,46 @@ object Media {
         (img.getWidth, img.getHeight)
       }
     (declaredFrames, w, h, chunks, fw, fh)
+  }
+
+  /** The first `maxFrames` '00dc' frame payloads, via the same guarded
+    * RIFF walk as [[decodeAviMjpeg]] (lying sizes classify, nesting
+    * capped). [[Vfp]] keyframe hashing reads exactly one.
+    */
+  def aviFrameChunks(bytes: Array[Byte], maxFrames: Int): Vector[Array[Byte]] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    require(bytes.length >= 12, "truncated RIFF header")
+    if (fourcc() != "RIFF") throw new graft.core.ParseFailure("not a RIFF file")
+    bb.getInt
+    if (fourcc() != "AVI ") throw new graft.core.ParseFailure("not an AVI")
+    val out = Vector.newBuilder[Array[Byte]]
+    var n = 0
+    def walk(end: Int, depth: Int): Unit = {
+      if (depth > 64) throw new graft.core.ParseFailure("RIFF list nesting > 64")
+      while (bb.position() + 8 <= end && n < maxFrames) {
+        val id = fourcc(); val rawSize = bb.getInt
+        if (rawSize < 0 || rawSize > end - bb.position())
+          throw new graft.core.ParseFailure(s"RIFF chunk '$id' size $rawSize out of bounds")
+        val next = bb.position() + rawSize + (rawSize & 1)
+        id match {
+          case "LIST" =>
+            val contentEnd = bb.position() + rawSize
+            if (rawSize < 4) throw new graft.core.ParseFailure("RIFF LIST too small")
+            fourcc()
+            walk(contentEnd, depth + 1)
+          case "00dc" =>
+            val f = new Array[Byte](rawSize); bb.get(f)
+            out += f; n += 1
+          case _ => ()
+        }
+        bb.position(math.min(math.max(next, bb.position()), end))
+      }
+    }
+    walk(bytes.length, 0)
+    out.result()
   }
 
   /** Real-video pipeline: REAL AVI/MJPEG containers (params = f(doc_id))

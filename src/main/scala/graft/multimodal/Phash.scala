@@ -186,6 +186,14 @@ object Phash {
     */
   def fixtureBytes(g: Int, variant: Int): Array[Byte] = {
     val block = if (variant == 1 || variant == 2) 16 else 8
+    encodePattern(g, block, flip = variant == 3,
+      format = if (variant == 2) "jpg" else "png")
+  }
+
+  /** The rendered pattern grid itself — [[Vfp]] wraps these as video
+    * keyframes at its own block sizes.
+    */
+  def patternImage(g: Int, block: Int, flip: Boolean): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(
       9 * block, 8 * block, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var r = 0
@@ -193,8 +201,7 @@ object Phash {
       var c = 0
       while (c < 9) {
         val v0 = patternValue(g, r, c)
-        val v = if (variant == 3 && r == 0 && c == 0) (if (baseBit00(g)) 255 else 0)
-        else v0
+        val v = if (flip && r == 0 && c == 0) (if (baseBit00(g)) 255 else 0) else v0
         val rgb = (v << 16) | (v << 8) | v
         var y = r * block
         while (y < (r + 1) * block) {
@@ -206,8 +213,12 @@ object Phash {
       }
       r += 1
     }
+    img
+  }
+
+  def encodePattern(g: Int, block: Int, flip: Boolean, format: String): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, if (variant == 2) "jpg" else "png", bos)
+    javax.imageio.ImageIO.write(patternImage(g, block, flip), format, bos)
     bos.toByteArray
   }
 }
