@@ -126,6 +126,26 @@ object Phash {
     */
   def clusterHashes(spark: SparkSession, hs: DataFrame,
                     maxHamming: Int, bucketCap: Int): DataFrame = {
+    val comp = graft.operators.Dedup.connectedComponents(
+      verifiedPairs(hs, maxHamming, bucketCap))
+    val labeled = hs.join(comp, Seq("doc_id"), "left")
+      .withColumn("rep_id", coalesce(col("component"), col("doc_id")))
+    val sizes = labeled.groupBy("rep_id").agg(count(lit(1)).as("n_cluster"))
+    labeled.join(sizes, "rep_id")
+      .select(col("doc_id"),
+        shiftrightunsigned(col("hash"), 32).as("hash_hi"),
+        col("hash").bitwiseAND(lit(0xffffffffL)).as("hash_lo"),
+        col("rep_id"), col("n_cluster"))
+  }
+
+  /** The candidate + verify stage on its own: banded buckets, bounded
+    * per-bucket membership (lowest ids kept — plan- and retry-stable),
+    * within-bucket pair join on the narrow bucket key, then the
+    * codegen'd `bit_count(xor)` Hamming filter. Exposed so plan tests
+    * can pin the verify shape (the clustering stage checkpoints, hiding
+    * this subtree from the final plan).
+    */
+  def verifiedPairs(hs: DataFrame, maxHamming: Int, bucketCap: Int): DataFrame = {
     val bands = hs.select(col("doc_id"),
       explode(array((0 until 4).map(b =>
         shiftrightunsigned(col("hash"), 16 * b).bitwiseAND(lit(0xffffL))
@@ -137,21 +157,27 @@ object Phash {
         col("l.bucket") === col("r.bucket") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
       .distinct()
-    val verified = cand
+    cand
       .join(hs.select(col("doc_id").as("a"), col("hash").as("ha")), "a")
       .join(hs.select(col("doc_id").as("b"), col("hash").as("hb")), "b")
       .filter(expr(s"bit_count(ha ^ hb) <= $maxHamming"))
       .select("a", "b")
-    val comp = graft.operators.Dedup.connectedComponents(verified)
-    val labeled = hs.join(comp, Seq("doc_id"), "left")
-      .withColumn("rep_id", coalesce(col("component"), col("doc_id")))
-    val sizes = labeled.groupBy("rep_id").agg(count(lit(1)).as("n_cluster"))
-    labeled.join(sizes, "rep_id")
-      .select(col("doc_id"),
-        shiftrightunsigned(col("hash"), 32).as("hash_hi"),
-        col("hash").bitwiseAND(lit(0xffffffffL)).as("hash_lo"),
-        col("rep_id"), col("n_cluster"))
   }
+
+  /** Band-bucket occupancy vs the cap over any (doc_id, hash) frame — the
+    * multimodal tier's no-silent-caps record, mirroring
+    * [[graft.operators.Dedup.hotBuckets]]: members beyond the cap lose
+    * candidate pairs (they surface as singletons), and this report makes
+    * that loss observable instead of silent.
+    */
+  def hotBuckets(spark: SparkSession, hs: DataFrame, bucketCap: Int): DataFrame =
+    hs.select(col("doc_id"),
+        explode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("hash"), 16 * b).bitwiseAND(lit(0xffffL))
+            .plus(lit(b.toLong * 65536L))): _*)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_members"))
+      .withColumn("n_kept", least(col("n_members"), lit(bucketCap.toLong)))
+      .filter(col("n_members") > bucketCap)
 
   // ------------------------------------------------------------ fixtures
 

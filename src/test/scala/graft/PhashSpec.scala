@@ -81,6 +81,28 @@ class PhashSpec extends AnyFunSuite {
     }
   }
 
+  test("hot buckets cap candidate pairs observably; capped-out members stay singletons") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 6 byte-identical images -> one hash -> every band bucket holds 6;
+    // cap 2 keeps the two lowest ids as a pair, the rest surface as
+    // singletons (and the loss is visible in hotBuckets, never silent)
+    val imgs = (0 until 6).map(i => (10L + i, Phash.fixtureBytes(0, 0)))
+    val out = Phash.clusters(spark, imgs.toDS(), maxHamming = 3, bucketCap = 2).collect()
+    assert(out.length === 6)
+    val reps = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rep_id")).toMap
+    assert(reps(10L) === 10L && reps(11L) === 10L, "kept pair clusters")
+    assert((12L to 15L).forall(id => reps(id) === id), "capped-out members are singletons")
+    val hs = Phash.hashes(spark, imgs.toDS())
+    val hot = Phash.hotBuckets(spark, hs, 2).collect()
+    assert(hot.length === 4, "all four band buckets over the cap must report")
+    assert(hot.forall(r => r.getAs[Long]("n_members") === 6L && r.getAs[Long]("n_kept") === 2L))
+    // the codegen'd Hamming verify is in the verify stage's physical plan
+    // (the clustering stage checkpoints, so assert on the exposed subtree)
+    val plan = Phash.verifiedPairs(hs, 3, 2).queryExecution.executedPlan.toString
+    assert(plan.contains("bit_count"), s"expected codegen'd Hamming verify:\n${plan.take(1200)}")
+  }
+
   test("dHash refuses sub-grid and bomb dimensions; undecodable bytes classify") {
     intercept[IllegalArgumentException](
       Phash.dHash(new java.awt.image.BufferedImage(8, 8,
