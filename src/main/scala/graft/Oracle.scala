@@ -2201,6 +2201,27 @@ object Oracle {
       |  ((sum(length(bin(total//cnt)))*100)//count(*))::BIGINT AS mean_bits_x100
       |FROM w2 JOIN c USING (w) CROSS JOIN t GROUP BY doc_id""".stripMargin
 
+  /** Add-one-smoothed bigram-LM scoring mirror of SparkEntry.perplexity:
+    * bigrams via lag() over ordinality-positioned tokens of the
+    * empty-filtered split list (the same adjacency the Spark slice+zip
+    * produces), Laplace surprisal as length(bin((c1+V)//(c2+1))).
+    */
+  private val perplexitySql: String =
+    """WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+      |            FROM documents),
+      |tok AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos FROM ws),
+      |bg AS (SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1, w AS w2
+      |       FROM tok),
+      |bg2 AS (SELECT doc_id, w1, w2 FROM bg WHERE w1 IS NOT NULL),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg2 GROUP BY w1, w2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM bg2 GROUP BY w1),
+      |v AS (SELECT count(DISTINCT w) AS v FROM tok)
+      |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+      |  sum(length(bin((c1 + v) // (c2 + 1))))::BIGINT AS ppl_bits,
+      |  ((sum(length(bin((c1 + v) // (c2 + 1)))) * 100) // count(*))::BIGINT AS mean_bits_x100
+      |FROM bg2 JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+      |GROUP BY doc_id""".stripMargin
+
   /** BIGINT value of the idx-th (1-based) UTF-8 BYTE of `textExpr` — byte
     * semantics matching Media's binary processing (ord()/substr() would use
     * character semantics and diverge on non-ASCII).
@@ -2558,6 +2579,7 @@ object Oracle {
     "q_split_assign" -> splitAssign,
     "q_word_freq" -> wordFreq,
     "q_surprisal" -> surprisal,
+    "q_perplexity" -> perplexitySql,
     "q_rare_terms" -> rareTerms,
     "q_bpe_merges" -> bpeMerges,
     "q_domain_balance" -> domainBalance,
@@ -2639,6 +2661,11 @@ object Oracle {
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_edit" -> dedupEdit,
     "q_decontaminate" -> decontaminate,
+    // the Bloom prefilter is exact-by-construction (confirm join kills the
+    // bitmap's false positives; false negatives are impossible), so its
+    // oracle IS the exact decontamination semantics — any divergence means
+    // the bitmap lost a member, a correctness failure
+    "q_decontam_bloom" -> decontaminate,
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_jaccard" -> dedupJaccard,
     "q_jaccard_dropped" -> jaccardDropped,

@@ -2706,6 +2706,19 @@ object Queries {
       all.filter(col("doc_id") % 97 === 0), minShared = 20)
   }
 
+  /** Bloom-prefiltered decontamination over the same split as
+    * [[decontaminateQ]] — result bit-identical to the exact op (the
+    * confirm join removes the bitmap's false positives; the oracle IS the
+    * exact semantics), with the corpus-side shingle join replaced by a
+    * codegen'd 2-bit test against a 16 KB broadcast bitmap.
+    */
+  def decontamBloomQ(spark: SparkSession, dir: String): DataFrame = {
+    val all = docs(spark, dir)
+    Dedup.decontaminateBloom(spark,
+      all.filter(col("doc_id") % 97 =!= 0),
+      all.filter(col("doc_id") % 97 === 0), minShared = 20)
+  }
+
   def dedupCosine(spark: SparkSession, dir: String): DataFrame =
     Knn.cosinePairs(spark, emb(spark, dir), probes50(spark, dir), 0.3)
 
@@ -3336,6 +3349,45 @@ object Queries {
       .withColumn("mean_bits_x100", expr("(surprisal_bits * 100) div n_tokens"))
   }
 
+  /** Bigram-LM perplexity scoring (the FULL CCNet quality signal — the
+    * real pipeline trains a 5-gram KenLM on clean text and trims the
+    * high-perplexity tail; [[surprisalScore]] is its unigram floor, this
+    * is the conditional-model step): an add-one-smoothed bigram model is
+    * fit on the corpus itself and every document is scored by its mean
+    * conditional surprisal. Integer-exact like the rest of the quality
+    * tier: each bigram (w1,w2) contributes the BIT LENGTH of
+    * (c1+V)/(c2+1) — the ilog2 surrogate for -log p(w2|w1) under Laplace
+    * smoothing with vocabulary V — so Spark and DuckDB agree bitwise.
+    *
+    * Scale shape: bigrams derive from one `filter(split())` token array
+    * (codegen'd slice+zip, no Window-lag shuffle for adjacency — the
+    * per-doc array IS the order); the model tables are two map-side
+    * partial aggregations shuffling only (w1,w2) and (w1) keys; V is a
+    * genuine 1-row broadcast; scoring re-joins hint-free so AQE
+    * broadcasts the model while it fits and shuffle-joins at web scale.
+    * Documents with fewer than two tokens have no bigrams and drop from
+    * the output in both engines (inner-join semantics).
+    */
+  def perplexity(spark: SparkSession, dir: String): DataFrame = {
+    val ws = docs(spark, dir)
+      .select(col("doc_id"), expr("filter(split(text, ' '), x -> x != '')").as("l"))
+    val bg = ws.filter(size(col("l")) >= 2)
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          expr("slice(l, 1, size(l) - 1)").as("w1"),
+          expr("slice(l, 2, size(l) - 1)").as("w2"))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = ws.select(explode(col("l")).as("w")).agg(countDistinct(col("w")).as("v"))
+    bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(v)) // 1 row: the legitimate broadcast case
+      .withColumn("bits", length(bin(expr("(c1 + v) div (c2 + 1)"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("ppl_bits"))
+      .withColumn("mean_bits_x100", expr("(ppl_bits * 100) div n_bigrams"))
+  }
+
   /** Corpus word-frequency scoring (the CCNet-style LM-quality signal,
     * integer-exact stand-in: a document of globally rare words scores
     * low): words explode, the corpus unigram counts aggregate map-side
@@ -3545,6 +3597,7 @@ object Queries {
     "q_split_assign" -> (splitAssign _),
     "q_word_freq" -> (wordFreqScore _),
     "q_surprisal" -> (surprisalScore _),
+    "q_perplexity" -> (perplexity _),
     "q_rare_terms" -> (rareTerms _),
     "q_bpe_merges" -> (bpeMerges _),
     "q_domain_balance" -> (domainBalance _),
@@ -3626,6 +3679,7 @@ object Queries {
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_edit" -> (dedupEdit _),
     "q_decontaminate" -> (decontaminateQ _),
+    "q_decontam_bloom" -> (decontamBloomQ _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_jaccard" -> (dedupJaccard _),
     "q_jaccard_dropped" -> (jaccardDropped _),

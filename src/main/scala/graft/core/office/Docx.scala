@@ -21,8 +21,46 @@ object Docx {
   /** Body text of word/document.xml: `<w:t>` run contents in document
     * order, a newline per closed paragraph, XML entities unescaped.
     * Tolerant of junk — scans, never throws.
+    *
+    * The run/paragraph prefix is RESOLVED from the document's own xmlns
+    * declarations rather than assumed to be `w:` — ISO 29500 STRICT
+    * documents bind a different namespace URI
+    * (`http://purl.oclc.org/ooxml/wordprocessingml/main`), and any
+    * conformant producer may pick an arbitrary prefix (or the default
+    * namespace) for either URI. Tika/POI match by URI; matching the
+    * literal `w:` would silently extract nothing from such files.
     */
-  def bodyText(xml: String): String = runsText(xml, "w:t", "w:p")
+  def bodyText(xml: String): String = {
+    val p = nsPrefix(xml, WmlUris, "w")
+    runsText(xml, tagOf(p, "t"), tagOf(p, "p"))
+  }
+
+  /** Transitional + strict WordprocessingML main-namespace URIs. */
+  private val WmlUris = Seq(
+    "http://schemas.openxmlformats.org/wordprocessingml/2006/main",
+    "http://purl.oclc.org/ooxml/wordprocessingml/main")
+
+  /** Transitional + strict DrawingML main-namespace URIs. */
+  private[office] val DmlUris = Seq(
+    "http://schemas.openxmlformats.org/drawingml/2006/main",
+    "http://purl.oclc.org/ooxml/drawingml/main")
+
+  private[office] def tagOf(prefix: String, local: String): String =
+    if (prefix.isEmpty) local else prefix + ":" + local
+
+  private val XmlnsDecl =
+    """xmlns(?::([A-Za-z0-9_.\-]+))?\s*=\s*"([^"]*)"""".r
+
+  /** The prefix the document binds to any of `uris` (first declaration
+    * wins; "" means the default namespace — unprefixed tags), or
+    * `fallback` when none is declared (fragments and legacy fixtures).
+    * A linear scan over declarations only — tolerant of junk XML like
+    * the rest of this scanner family.
+    */
+  private[office] def nsPrefix(xml: String, uris: Seq[String], fallback: String): String =
+    XmlnsDecl.findAllMatchIn(xml)
+      .collectFirst { case m if uris.contains(m.group(2)) => Option(m.group(1)).getOrElse("") }
+      .getOrElse(fallback)
 
   /** Generic OOXML run scanner: `<runTag>` contents in document order, a
     * newline per closed `</paraTag>` (WordprocessingML w:t/w:p,
@@ -259,7 +297,14 @@ object Xlsx {
   */
 object Pptx {
 
-  def slideText(xml: String): String = Docx.runsText(xml, "a:t", "a:p")
+  /** DrawingML prefix resolved from the slide's own xmlns declarations
+    * (strict vs transitional URI, arbitrary prefix) — see
+    * [[Docx.bodyText]].
+    */
+  def slideText(xml: String): String = {
+    val p = Docx.nsPrefix(xml, Docx.DmlUris, "a")
+    Docx.runsText(xml, Docx.tagOf(p, "t"), Docx.tagOf(p, "p"))
+  }
 
   def buildMinimal(slides: Seq[Seq[String]]): Array[Byte] = {
     val slideEntries = slides.zipWithIndex.map { case (paras, i) =>

@@ -55,10 +55,15 @@ import graft.core.ParseFailure
   * NDB_CRYPT_CYCLIC refuses with a DecryptFailure — DELIBERATE parity:
   * java-libpst (the reference's parser) itself rejects crypt methods
   * beyond none/permute ("Only unencrypted and compressable PST files are
-  * supported"), §5.2's mpbbS table is not independently verifiable here
-  * (no real cyclic fixture exists to crib against, unlike the permute
-  * table's three-way validation), and a wrong substitution table would
-  * extract GARBAGE text silently — classify-don't-pretend wins. Cyclic
+  * supported"), so refusal matches the reference's behavior EXACTLY.
+  * Implementing it would additionally require §5.2's mpbbS substitution
+  * table, which is not independently verifiable in this sandbox: the
+  * spec text is not on disk, no real cyclic fixture exists to crib
+  * against (unlike the permute table's three-way validation vs the real
+  * Outlook file), and the self-inverse property alone cannot
+  * authenticate a remembered table — a wrong one would pass a writer
+  * round-trip yet extract GARBAGE text from real files silently.
+  * Classify-don't-pretend wins. Cyclic
   * files still yield the full NDB [[inventory]] — header, B-trees,
   * blocks, folder/message node structure — which is unencrypted by
   * design.

@@ -219,6 +219,74 @@ object Dedup {
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
 
+  /** Bloom-prefiltered decontamination — [[decontaminate]]'s web-scale
+    * variant (Bloom 1970; the standard contamination-screen shape at
+    * trillion-token scale): instead of joining EVERY corpus shingle
+    * against the benchmark set, a k=2 Bloom bitmap over the benchmark
+    * shingles broadcasts (8 bits/element vs the ~100+ bits/element of the
+    * exact broadcast set) and a fully codegen'd bit-test drops the
+    * overwhelming non-member majority map-side; only the tiny surviving
+    * candidate stream reaches the exact confirm join, which removes the
+    * bitmap's false positives. False NEGATIVES are impossible (every
+    * inserted element tests positive), so the result is BIT-IDENTICAL to
+    * [[decontaminate]] — the DuckDB oracle is the exact semantics and any
+    * lost row is a correctness failure, not tuning noise.
+    *
+    * Plan shape: the bitmap builds as explode(2 positions) → map-side
+    * partial `bit_or` per 64-bit word → ONE collect_list into a 1-row
+    * array (m/64 longs — 16 KB at the default m=2^20), crossed in via the
+    * legitimate 1-row broadcast; positions derive from md5 hex windows
+    * (`conv(substring(md5(s)..),16,10) % m`), the engine-shared hash
+    * family the fingerprint tier already mirrors. No driver collect, no
+    * UDF: the membership test is two element_at + bitwise-AND expressions
+    * inside whole-stage codegen.
+    */
+  def decontaminateBloom(spark: SparkSession, corpus: DataFrame, benchmark: DataFrame,
+                         minShared: Long, mBits: Int = 1 << 20): DataFrame = {
+    val bench = shingled(spark, benchmark).select("shingle").distinct()
+    bloomCandidates(spark, corpus, bench, mBits)
+      .join(broadcast(bench), "shingle") // exact confirm: kills FPs, keeps parity
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** The prefilter stage of [[decontaminateBloom]]: corpus (doc_id,
+    * shingle) rows whose two Bloom positions are both set in the bitmap
+    * built over `bench` — the candidate stream the exact confirm join
+    * then reduces. Exposed so effectiveness (candidates vs total corpus
+    * shingles) is testable and reportable, never a silent cap.
+    */
+  def bloomCandidates(spark: SparkSession, corpus: DataFrame, bench: DataFrame,
+                      mBits: Int): DataFrame = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0, s"mBits must be a power of two: $mBits")
+    val nWords = mBits / 64
+    def positions(c: org.apache.spark.sql.Column) = {
+      val h = md5(c)
+      Seq(1, 9).map(o =>
+        conv(substring(h, o, 8), 16, 10).cast("long") % mBits)
+    }
+    val posCols = positions(col("shingle"))
+    val bitmap = bench
+      .select(explode(array(posCols: _*)).as("p"))
+      .select((col("p") / 64).cast("long").as("w"),
+        expr("shiftleft(1L, CAST(p % 64 AS INT))").as("mask"))
+      .groupBy("w").agg(expr("bit_or(mask)").as("bits"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("bits")))).as("mp"))
+      .select(expr(
+        s"transform(sequence(0L, ${nWords - 1}L), i -> coalesce(element_at(mp, i), 0L))")
+        .as("bm"))
+    val Seq(p1, p2) = positions(col("shingle"))
+    shingled(spark, corpus)
+      .crossJoin(broadcast(bitmap)) // 1 row: the legitimate broadcast case
+      .withColumn("p1", p1).withColumn("p2", p2)
+      .filter(
+        (expr("element_at(bm, CAST(p1 div 64 AS INT) + 1)")
+          .bitwiseAND(expr("shiftleft(1L, CAST(p1 % 64 AS INT))")) =!= 0L) &&
+        (expr("element_at(bm, CAST(p2 div 64 AS INT) + 1)")
+          .bitwiseAND(expr("shiftleft(1L, CAST(p2 % 64 AS INT))")) =!= 0L))
+      .select("doc_id", "shingle")
+  }
+
   /** The shingles [[ngramJaccard]] dropped at `dfCap` — the no-silent-caps
     * record: (n_dropped distinct shingles, max document frequency seen).
     */

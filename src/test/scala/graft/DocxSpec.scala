@@ -3,7 +3,7 @@ package graft
 import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.core._
-import graft.core.office.Docx
+import graft.core.office.{Docx, Pptx}
 import graft.core.route.Extract
 import graft.sources.Archive
 
@@ -29,6 +29,37 @@ class DocxSpec extends AnyFunSuite {
     Docx.bodyText("<w:t unclosed")
     Docx.bodyText("")
     assert(Docx.bodyText("<w:tblGrid/>") == "")
+  }
+
+  test("bodyText resolves the prefix from xmlns: strict URI, odd prefix, default ns") {
+    // ISO 29500 STRICT namespace with the conventional w: prefix
+    val strict = """<w:document xmlns:w="http://purl.oclc.org/ooxml/wordprocessingml/main">""" +
+      """<w:body><w:p><w:r><w:t>strict text</w:t></w:r></w:p></w:body></w:document>"""
+    assert(Docx.bodyText(strict) == "strict text")
+    // transitional URI bound to an arbitrary prefix — legal for any producer
+    val odd = """<ns0:document xmlns:ns0="http://schemas.openxmlformats.org/wordprocessingml/2006/main">""" +
+      """<ns0:body><ns0:p><ns0:r><ns0:t>odd prefix</ns0:t></ns0:r></ns0:p></ns0:body></ns0:document>"""
+    assert(Docx.bodyText(odd) == "odd prefix")
+    // DEFAULT namespace: unprefixed tags
+    val deflt = """<document xmlns="http://purl.oclc.org/ooxml/wordprocessingml/main">""" +
+      """<body><p><r><t>default ns</t></r></p></body></document>"""
+    assert(Docx.bodyText(deflt) == "default ns")
+    // no declaration at all (fragments, legacy fixtures): w: fallback holds
+    assert(Docx.bodyText("<w:p><w:r><w:t>bare</w:t></w:r></w:p>") == "bare")
+    // an unrelated xmlns must not hijack the prefix
+    val other = """<w:document xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"""" +
+      """ xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">""" +
+      """<w:body><w:p><w:r><w:t>both declared</w:t></w:r></w:p></w:body></w:document>"""
+    assert(Docx.bodyText(other) == "both declared")
+  }
+
+  test("pptx slideText resolves strict/odd DrawingML prefixes") {
+    val strict = """<p:sld xmlns:a="http://purl.oclc.org/ooxml/drawingml/main">""" +
+      """<a:p><a:r><a:t>strict slide</a:t></a:r></a:p></p:sld>"""
+    assert(Pptx.slideText(strict) == "strict slide")
+    val odd = """<sld xmlns:d="http://schemas.openxmlformats.org/drawingml/2006/main">""" +
+      """<d:p><d:r><d:t>renamed</d:t></d:r></d:p></sld>"""
+    assert(Pptx.slideText(odd) == "renamed")
   }
 
   test("buildMinimal round-trips paragraphs (incl. XML-special chars)") {

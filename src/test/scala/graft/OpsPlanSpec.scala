@@ -162,6 +162,63 @@ class OpsPlanSpec extends AnyFunSuite {
       s"quantization must not shuffle:\n${plan.take(1500)}")
   }
 
+  test("perplexity: matches a direct in-memory bigram LM; no Window op") {
+    val df = Queries.perplexity(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // independent model: plain Scala maps over the same corpus
+    val texts = graft.core.Corpus.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).filter(_.nonEmpty).toSeq))
+    val bigrams = texts.flatMap { case (id, ws) => ws.sliding(2).collect {
+      case Seq(a, b) => (id, a, b) } }
+    val c2 = bigrams.groupBy(t => (t._2, t._3)).map { case (k, g) => (k, g.length.toLong) }
+    val c1 = bigrams.groupBy(_._2).map { case (k, g) => (k, g.length.toLong) }
+    val v = texts.flatMap(_._2).distinct.length.toLong
+    val expected = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val bits = bs.map { case (_, a, b) =>
+        java.lang.Long.toBinaryString((c1(a) + v) / (c2((a, b)) + 1L)).length.toLong }.sum
+      (id, (bs.length.toLong, bits, bits * 100 / bs.length))
+    }
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (n, bits, mean) = expected(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == bits && r.getLong(3) == mean)
+    }
+    // adjacency comes from the per-doc token array (slice+zip), never a
+    // lag() Window — the one shape that would serialize per-doc scoring
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no Window expected:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastExchange"), "V must broadcast as 1 row")
+  }
+
+  test("decontamBloom: bit-identical to exact op; prefilter actually drops") {
+    import org.apache.spark.sql.functions._
+    val all = graft.core.Corpus.documents(spark, sf)
+    val corpus = all.filter(col("doc_id") % 97 =!= 0)
+    val bench = all.filter(col("doc_id") % 97 === 0)
+    val exact = graft.operators.Dedup.decontaminate(spark, corpus, bench, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val bloom = Queries.decontamBloomQ(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(bloom == exact && bloom.nonEmpty)
+    // the prefilter must be real: at a tiny m the bit-test passes more
+    // candidates (more collisions) yet the confirm join keeps the result
+    // exact — and at the default m it must reject a visible majority of
+    // the corpus shingle stream
+    val tiny = graft.operators.Dedup
+      .decontaminateBloom(spark, corpus, bench, 20, mBits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(tiny == exact, "FP-heavy bitmap must still confirm to the exact result")
+    val nShingles = graft.operators.Dedup.shingled(spark, corpus).count()
+    val benchSet = graft.operators.Dedup.shingled(spark, bench)
+      .select("shingle").distinct()
+    val nCandidates = graft.operators.Dedup
+      .bloomCandidates(spark, corpus, benchSet, 1 << 20).count()
+    assert(nCandidates * 2 < nShingles,
+      s"bloom should reject most of $nShingles shingles, kept $nCandidates")
+  }
+
   test("domainMix: alpha=1/2 thresholds recompute exactly; rarest keeps all") {
     val rows = Queries.domainMix(spark, sf).collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))) // domain, n, thr
