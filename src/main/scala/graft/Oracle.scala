@@ -1665,6 +1665,30 @@ object Oracle {
        |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
        |FROM k l JOIN k r ON l.key=r.key AND l.doc_id<r.doc_id""".stripMargin
 
+  /** Mirror of Queries.dedupIncremental: the new shard (doc_id%3=0) joins
+    * the committed remainder's band keys (committed side capped per key,
+    * lowest ids — the BoundedMinIds semantics); flagged incoming docs
+    * carry their smallest committed match.
+    */
+  private val dedupIncremental: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS words,
+       |  len(string_split(text,' ')) AS m FROM $dupDocs AS d),
+       |si AS (SELECT doc_id, words, unnest(generate_series(1, greatest(1, m-2))) AS i FROM w),
+       |cx AS (SELECT doc_id, ${hex2int("substr(md5(array_to_string(words[i:i+2],' ')),1,8)")} AS x FROM si),
+       |sg AS (SELECT doc_id, hi, min(((2*hi+3)*x + (7*hi+1)) % 2038074743) AS v
+       |       FROM cx, (SELECT unnest(generate_series(0,11)) AS hi) hs GROUP BY doc_id, hi),
+       |k0 AS (SELECT doc_id, (hi//3)||':'||string_agg(v::VARCHAR, ',' ORDER BY hi) AS key
+       |      FROM sg GROUP BY doc_id, hi//3),
+       |ke AS (SELECT doc_id, key FROM (
+       |      SELECT doc_id, key,
+       |        row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rk
+       |      FROM k0 WHERE doc_id%3<>0)
+       |      WHERE rk<=10000),
+       |ki AS (SELECT doc_id, key FROM k0 WHERE doc_id%3=0)
+       |SELECT i.doc_id, min(e.doc_id)::BIGINT AS dup_of
+       |FROM ki i JOIN ke e ON i.key=e.key
+       |GROUP BY i.doc_id""".stripMargin
+
   /** Mirror of Queries.dedupCluster: connected components of the minhash
     * pair graph via a recursive reachability closure, component = min
     * reachable id. (The closure is O(component^2) rows — fine for the
@@ -2659,6 +2683,7 @@ object Oracle {
     "q_cosine_zipwith" -> cosineZipwith,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinhash,
+    "q_dedup_incremental" -> dedupIncremental,
     "q_dedup_edit" -> dedupEdit,
     "q_decontaminate" -> decontaminate,
     // the Bloom prefilter is exact-by-construction (confirm join kills the

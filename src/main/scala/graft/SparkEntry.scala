@@ -2585,6 +2585,18 @@ object Queries {
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(spark, Dedup.withInjectedDups(docs(spark, dir)))
 
+  /** Incremental screening of a new shard (doc_id%3==0 of the injected-dup
+    * corpus) against the committed remainder — flagged incoming docs with
+    * their smallest committed match; see
+    * [[graft.operators.Dedup.incrementalFlags]].
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val all = Dedup.withInjectedDups(docs(spark, dir))
+    Dedup.incrementalFlags(spark,
+      all.filter(col("doc_id") % 3 =!= 0),
+      all.filter(col("doc_id") % 3 === 0))
+  }
+
   /** Pairs -> duplicate CLUSTERS: connected components over the MinHash
     * near-dup graph (min-label propagation; see
     * [[graft.operators.Dedup.connectedComponents]]) — the keep-one-per-
@@ -3677,6 +3689,7 @@ object Queries {
     "q_cosine_zipwith" -> (cosineZipwith _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash" -> (dedupMinhash _),
+    "q_dedup_incremental" -> (dedupIncremental _),
     "q_dedup_edit" -> (dedupEdit _),
     "q_decontaminate" -> (decontaminateQ _),
     "q_decontam_bloom" -> (decontamBloomQ _),

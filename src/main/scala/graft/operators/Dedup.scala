@@ -138,6 +138,30 @@ object Dedup {
       .toDF("bucket", "doc_id")
   }
 
+  /** Incremental (cross-shard) near-dup screening — the shape a GROWING
+    * corpus actually runs: a NEW shard is checked against the already-
+    * committed corpus without ever re-pairing the committed corpus with
+    * itself. Each incoming doc that shares any LSH band bucket with a
+    * committed doc is flagged with `dup_of` = the smallest matching
+    * committed id (retry-stable); unflagged docs are admitted. The
+    * committed side is per-bucket CAPPED with the same bounded-heap
+    * aggregate [[minhashPairs]] uses (a hot templated bucket must not
+    * fan a single incoming doc out |bucket|-fold); the incoming side is
+    * never capped — every new doc gets screened. At scale the committed
+    * side's band keys are a persisted index (bucket, doc_id) table
+    * bucketed on the key, so only the new shard's signatures are
+    * computed per run and the join is index-shaped, not corpus x corpus.
+    */
+  def incrementalFlags(spark: SparkSession, committed: DataFrame, incoming: DataFrame,
+                       bucketCap: Int = 10000): DataFrame = {
+    val eCap = minhashBuckets(spark, committed).groupBy("bucket")
+      .agg(graft.functions.BoundedMinIds.minIds(bucketCap)(col("doc_id")).as("ids"))
+      .select(col("bucket"), explode(col("ids")).as("eid"))
+    minhashBuckets(spark, incoming)
+      .join(eCap, "bucket")
+      .groupBy("doc_id").agg(min("eid").as("dup_of"))
+  }
+
   /** Band-bucket occupancy vs the cap — the no-silent-caps record. */
   def hotBuckets(spark: SparkSession, docs: DataFrame, bucketCap: Int): DataFrame =
     minhashBuckets(spark, docs)

@@ -219,6 +219,25 @@ class OpsPlanSpec extends AnyFunSuite {
       s"bloom should reject most of $nShingles shingles, kept $nCandidates")
   }
 
+  test("dedupIncremental: flags only incoming docs, against committed only") {
+    import org.apache.spark.sql.functions._
+    val rows = Queries.dedupIncremental(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 3 == 0, "flagged ids must be incoming-shard")
+      assert(r.getLong(1) % 3 != 0, "dup_of must be a committed id")
+    }
+    // an injected exact copy whose original landed in the committed shard
+    // MUST be flagged: ids k<100 with k%3==2 put the copy (k+1e6, %3==0)
+    // incoming and the original (k, committed) shares every band bucket
+    val flagged = rows.map(_.getLong(0)).toSet
+    (0 until 100).filter(_ % 3 == 2).foreach { k =>
+      assert(flagged.contains(k + 1000000L), s"copy of committed doc $k not flagged")
+    }
+    // screening is one-directional: committed docs never appear as doc_id
+    assert(rows.forall(_.getLong(0) % 3 == 0))
+  }
+
   test("domainMix: alpha=1/2 thresholds recompute exactly; rarest keeps all") {
     val rows = Queries.domainMix(spark, sf).collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))) // domain, n, thr
