@@ -417,6 +417,25 @@ object PdfMini {
             new String(b, java.nio.charset.StandardCharsets.ISO_8859_1))
         } // malformed/unsupported filter data: skip the stream, never throw
     }
+    // liveness (incremental updates, ISO 32000 7.5.6): a re-saved PDF
+    // APPENDS updated objects, so the same objNum can own several stream
+    // generations; only the physically LAST one is live — extracting all
+    // of them would duplicate every edited page's text (old + new). The
+    // xref /Prev chain is the authoritative record, but last-occurrence
+    // matches it for every appending writer and stays resilient to the
+    // broken xrefs this scanner is built to survive. Unframed streams
+    // (objNum -1, malformed) all keep — classify-don't-drop.
+    locally {
+      val lastIdx = scala.collection.mutable.HashMap.empty[Int, Int]
+      streams.iterator.zipWithIndex.foreach { case (d, i) =>
+        if (d.objNum >= 0) lastIdx(d.objNum) = i
+      }
+      val live = streams.iterator.zipWithIndex.collect {
+        case (d, i) if d.objNum < 0 || lastIdx(d.objNum) == i => d
+      }.to(ArrayBuffer)
+      streams.clear()
+      streams ++= live
+    }
     // pass 2: ToUnicode CMaps (PDF 9.10.3) -- subset/CID fonts carry glyph
     // codes, not text; the font's CMap recovers the Unicode. Font-name ->
     // CMap resolution only engages when a CMap stream exists, so the
@@ -524,10 +543,17 @@ object PdfMini {
     */
   private[pdf] def expandObjStm(pdf: String): String = {
     if (!pdf.contains("/ObjStm")) return pdf
-    val sb = new StringBuilder(pdf)
+    // members SPLICE in right after their ObjStm's endstream rather than
+    // appending at the document end: physical order encodes revision
+    // order in incrementally-updated files (later occurrence = newer
+    // object), and the liveness dedup in textFromLatin1 and the
+    // last-/Root-wins rules depend on it — an end-append would place an
+    // ORIGINAL revision's members after a newer direct update
+    val splices = ArrayBuffer.empty[(Int, String)] // (insert offset, text)
     var budget = MaxInflatedBytes.toLong
     foreachStream(pdf) { (_, dict, payloadStart, e) =>
       if (dict.contains("/ObjStm")) {
+        val sb = new StringBuilder
         val decoded = decodeFilters(filtersOf(dict),
           pdf.substring(payloadStart, e)
             .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
@@ -555,9 +581,20 @@ object PdfMini {
             }
           }
         }
+        // e is the payload end (where `endstream` starts): insert after
+        // the keyword so the member objects land OUTSIDE the stream body
+        if (sb.nonEmpty) splices += ((e + "endstream".length, sb.toString))
       }
     }
-    sb.toString
+    if (splices.isEmpty) return pdf
+    val out = new StringBuilder(pdf.length + splices.iterator.map(_._2.length).sum)
+    var at = 0
+    splices.sortBy(_._1).foreach { case (pos, text) =>
+      out.append(pdf, at, pos).append(text)
+      at = pos
+    }
+    out.append(pdf, at, pdf.length)
+    out.toString
   }
 
   // ------------------------------------------------------ image XObjects
