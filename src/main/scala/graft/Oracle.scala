@@ -2106,6 +2106,18 @@ object Oracle {
     * rule cascade (scheme, domain suffix, keyword) and first-matching
     * reason.
     */
+  /** Mirror of Queries.urlDedupQ: the canonical form recomputes
+    * ARITHMETICALLY from doc_id (the messy-URL construction is
+    * deterministic), so every normalization rule — case, default port,
+    * fragment, tracking params, trailing slash, kept real params — is
+    * hash-checked: a missed rule splits a group and changes the counts.
+    */
+  private val urlDedup: String =
+    """SELECT 'http://site'||((doc_id%100)%10)||'.example/p'||(doc_id%100)
+      |  ||(CASE WHEN doc_id%17=0 THEN '?id=7' ELSE '' END) AS canon_url,
+      | count(*)::BIGINT AS n_copies, min(doc_id)::BIGINT AS keeper_id
+      |FROM documents GROUP BY 1""".stripMargin
+
   private val urlFilter: String =
     """WITH u AS (SELECT doc_id,
       |  (CASE WHEN doc_id%7=0 THEN 'ftp' ELSE 'http' END)||'://'||
@@ -2639,6 +2651,7 @@ object Oracle {
     "q_pdf_xfa" -> pdfXfa,
     "q_rpm_explode" -> rpmExplode,
     "q_url_filter" -> urlFilter,
+    "q_url_dedup" -> urlDedup,
     "q_robots_filter" -> robotsFilter,
     "q_web_funnel" -> webFunnel,
     "q_eml_headers" -> emlHeaders,

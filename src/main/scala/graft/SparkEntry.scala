@@ -3055,6 +3055,32 @@ object Queries {
   private val CrawlBlockedDomains = Seq("spam.example", "bad.example")
   private val CrawlBlockedKeywords = Seq("track")
 
+  /** Deterministic MESSY crawl URLs for the canonicalization/URL-dedup
+    * tier: every id targets canonical `http://site{k%10}.example/p{k}`
+    * (k = id%100, plus `?id=7` when id%17==0 — a REAL parameter that must
+    * survive), wrapped in the classic aliasing noise — upper-case
+    * host/scheme, an explicit default port, a trailing slash, tracking
+    * parameters, a fragment. The oracle recomputes the canonical form
+    * arithmetically from doc_id, so every normalization rule is
+    * hash-checked (a missed rule splits a group and changes counts).
+    */
+  private def messyUrlOf(id: Long): String = {
+    val key = id % 100
+    val host0 = s"site${key % 10}.example"
+    val host = if (id % 2 == 0) host0.toUpperCase else host0
+    val scheme = if (id % 11 == 0) "HTTP" else "http"
+    val port = if (id % 3 == 0) ":80" else ""
+    val path0 = s"/p$key"
+    val path = if (id % 13 == 0) path0 + "/" else path0
+    val keep = if (id % 17 == 0) "?id=7" else ""
+    val track =
+      if (id % 5 == 0) (if (keep.isEmpty) "?utm_source=x&utm_campaign=y"
+                        else "&utm_source=x&utm_campaign=y")
+      else ""
+    val frag = if (id % 7 == 0) "#sec2" else ""
+    s"$scheme://$host$port$path$keep$track$frag"
+  }
+
   /** RefinedWeb-style URL filtering over the deterministic crawl URLs —
     * every rule and the first-matching-reason precedence oracle-checked.
     */
@@ -3064,6 +3090,23 @@ object Queries {
       .map(id => (id, crawlUrlOf(id)))
       .toDF("doc_id", "url")
     graft.operators.Scrub.urlFilter(urls, CrawlBlockedDomains, CrawlBlockedKeywords)
+  }
+
+  /** URL-level crawl dedup: canonicalize the messy URLs (all aliasing
+    * noise normalized by codegen'd regexps — see
+    * [[graft.operators.Scrub.urlCanonicalize]]) then exact-group on the
+    * canonical form: (canon_url, n_copies, keeper = min doc_id). The one
+    * shuffle keys on the canonical string; at web scale it would key on
+    * its 64-bit hash like the content-dedup tier.
+    */
+  def urlDedupQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val urls = docs(spark, dir).select("doc_id").as[Long]
+      .map(id => (id, messyUrlOf(id)))
+      .toDF("doc_id", "url")
+    graft.operators.Scrub.urlCanonicalize(urls)
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper_id"))
   }
 
   /** Robots-exclusion filtering (RFC 9309, the politeness gate ahead of
@@ -3646,6 +3689,7 @@ object Queries {
     "q_pdf_xfa" -> (pdfXfa _),
     "q_rpm_explode" -> (rpmExplode _),
     "q_url_filter" -> (urlFilterQ _),
+    "q_url_dedup" -> (urlDedupQ _),
     "q_web_funnel" -> (webFunnel _),
     "q_eml_headers" -> (emlHeaders _),
     "q_artifact_lookup" -> (artifactLookup _),

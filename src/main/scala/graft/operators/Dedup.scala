@@ -257,13 +257,15 @@ object Dedup {
     * lost row is a correctness failure, not tuning noise.
     *
     * Plan shape: the bitmap builds as explode(2 positions) → map-side
-    * partial `bit_or` per 64-bit word → ONE collect_list into a 1-row
-    * array (m/64 longs — 16 KB at the default m=2^20), crossed in via the
-    * legitimate 1-row broadcast; positions derive from md5 hex windows
-    * (`conv(substring(md5(s)..),16,10) % m`), the engine-shared hash
-    * family the fingerprint tier already mirrors. No driver collect, no
-    * UDF: the membership test is two element_at + bitwise-AND expressions
-    * inside whole-stage codegen.
+    * partial `bit_or` per 64-bit word → ONE bounded driver collect (m/64
+    * longs — 16 KB at the default m=2^20; the same bounded-collect class
+    * as the IVF seed quantizer) embedded as a LITERAL array, so the
+    * membership test references a plan constant — never a join column
+    * that would copy the bitmap into every corpus-shingle row. Positions
+    * derive from md5 hex windows (`conv(substring(md5(s)..),16,10) % m`),
+    * the engine-shared hash family the fingerprint tier already mirrors.
+    * No UDF: the test is two element_at + bitwise-AND expressions inside
+    * whole-stage codegen.
     */
   def decontaminateBloom(spark: SparkSession, corpus: DataFrame, benchmark: DataFrame,
                          minShared: Long, mBits: Int = 1 << 20): DataFrame = {
@@ -289,24 +291,28 @@ object Dedup {
       Seq(1, 9).map(o =>
         conv(substring(h, o, 8), 16, 10).cast("long") % mBits)
     }
+    // bounded driver materialization: m/64 longs (16 KB default). A 1-row
+    // broadcast join would instead COPY the whole array into every
+    // corpus-shingle row's join output — measured 6x slower than the
+    // exact op at sf0.1; the literal is referenced by codegen as one
+    // constant object per task.
     val posCols = positions(col("shingle"))
-    val bitmap = bench
+    val bm = new Array[Long](nWords)
+    bench
       .select(explode(array(posCols: _*)).as("p"))
-      .select((col("p") / 64).cast("long").as("w"),
+      .select((col("p") / 64).cast("int").as("w"),
         expr("shiftleft(1L, CAST(p % 64 AS INT))").as("mask"))
       .groupBy("w").agg(expr("bit_or(mask)").as("bits"))
-      .agg(map_from_entries(collect_list(struct(col("w"), col("bits")))).as("mp"))
-      .select(expr(
-        s"transform(sequence(0L, ${nWords - 1}L), i -> coalesce(element_at(mp, i), 0L))")
-        .as("bm"))
+      .collect()
+      .foreach(r => bm(r.getInt(0)) = r.getLong(1))
+    val bmLit = typedLit(bm)
     val Seq(p1, p2) = positions(col("shingle"))
     shingled(spark, corpus)
-      .crossJoin(broadcast(bitmap)) // 1 row: the legitimate broadcast case
       .withColumn("p1", p1).withColumn("p2", p2)
       .filter(
-        (expr("element_at(bm, CAST(p1 div 64 AS INT) + 1)")
+        (element_at(bmLit, (col("p1") / 64).cast("int") + 1)
           .bitwiseAND(expr("shiftleft(1L, CAST(p1 % 64 AS INT))")) =!= 0L) &&
-        (expr("element_at(bm, CAST(p2 div 64 AS INT) + 1)")
+        (element_at(bmLit, (col("p2") / 64).cast("int") + 1)
           .bitwiseAND(expr("shiftleft(1L, CAST(p2 % 64 AS INT))")) =!= 0L))
       .select("doc_id", "shingle")
   }

@@ -77,6 +77,34 @@ object Scrub {
       .withColumn("kept", (reason === "").cast("long"))
   }
 
+  /** URL canonicalization (the crawl-dedup normal form; the rules every
+    * web pipeline applies before URL-level dedup, cf. the RFC 3986 §6
+    * normalizations plus the de-facto tracking-parameter strip):
+    * scheme and host lowercase, default port dropped (:80 for http, :443
+    * for https), fragment dropped, `utm_*`/`fbclid`/`gclid` tracking
+    * parameters removed (separators repaired), empty path becomes `/`,
+    * and trailing slashes beyond the root collapse. All codegen'd
+    * string/regexp builtins — map-only, no UDF, no shuffle; URL-level
+    * dedup is then an exact groupBy on the canonical form.
+    */
+  def urlCanonicalize(urls: DataFrame, urlCol: String = "url"): DataFrame = {
+    val u = col(urlCol)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1))
+    val hostport = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]+)", 1))
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    // path+query with the fragment excluded by the capture itself
+    val rest0 = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^#]*)", 1)
+    val noTrack = regexp_replace(rest0, "(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*&?", "")
+    val tidied = regexp_replace(regexp_replace(noTrack, "[?&]+$", ""), "\\?&", "?")
+    val noTrailing = regexp_replace(tidied, "^(.+?)/+(\\?|$)", "$1$2")
+    val pathq = when(noTrailing === "", "/").otherwise(noTrailing)
+    urls.withColumn("canon_url",
+      when(scheme === "" || host === "", u) // unparseable: keep verbatim, never null
+        .otherwise(concat(scheme, lit("://"), host, pathq)))
+  }
+
   /** Parse robots.txt bodies into per-host (allow, prefix) rules for the
     * `*` user-agent group — the REP grammar (RFC 9309): `#` comments
     * strip, field names are case-insensitive, a group is one or more
