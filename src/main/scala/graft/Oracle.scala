@@ -1525,6 +1525,22 @@ object Oracle {
       | list_sum(list_transform(string_split(text,' '), x -> (len(x)+3)//4))::BIGINT AS n_subword
       |FROM documents""".stripMargin
 
+  /** Cross-engine NFC check: DuckDB's utf8proc `nfc_normalize` and the
+    * engine's java.text.Normalizer both implement UAX #15 NFC — md5 of
+    * the outputs must agree byte-for-byte on the synthesized
+    * decomposed/precomposed fixtures (chr() literals keep the SQL ASCII).
+    */
+  private val normalizeNfc: String =
+    """WITH r AS (SELECT doc_id,
+      |  CASE WHEN doc_id%3=0 THEN 'cafe'||chr(769)||' vin'||chr(771)||'a '||text
+      |       WHEN doc_id%3=1 THEN 'caf'||chr(233)||' vi'||chr(241)||'a '||text
+      |       ELSE text END AS raw FROM documents),
+      |n AS (SELECT doc_id, raw, nfc_normalize(raw) AS nf FROM r)
+      |SELECT doc_id, (raw <> nf)::BIGINT AS changed,
+      |  length(raw)::BIGINT AS n_raw, length(nf)::BIGINT AS n_nfc,
+      |  substr(md5(nf),1,8) AS h8
+      |FROM n""".stripMargin
+
   private val pow31Sql =
     "([1,31,961,29791,923521,28629151,887503681,27512614111]::BIGINT[])"
 
@@ -2693,6 +2709,7 @@ object Oracle {
     "q_repetition" -> repetition,
     "q_prep_summary" -> prepSummary,
     "q_token_bpe" -> tokenBpe,
+    "q_normalize" -> normalizeNfc,
     "q_cosine_zipwith" -> cosineZipwith,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinhash,

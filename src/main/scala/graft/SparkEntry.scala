@@ -3404,6 +3404,33 @@ object Queries {
       .withColumn("mean_bits_x100", expr("(surprisal_bits * 100) div n_tokens"))
   }
 
+  /** Unicode NFC normalization pass (q_normalize): the same visible text
+    * arrives from the web composed AND decomposed, and every content hash
+    * in the dedup tier would split on it — so normalization runs before
+    * hashing. Decomposed/precomposed fixtures synthesize from doc_id; the
+    * check is CROSS-ENGINE EXACT: md5 of [[graft.functions.Nfc]]'s output
+    * must equal md5 of DuckDB's `nfc_normalize` on the same input (both
+    * implement UAX #15 NFC), plus codepoint counts and a changed flag.
+    * Map-only, zero exchanges; the expression is codegen'd with an ASCII
+    * fast path.
+    */
+  def normalizeQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val raw = docs(spark, dir).select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("cafe\u0301 vin\u0303a "), col("text"))) // DECOMPOSED e+U+0301, n+U+0303
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("caf\u00e9 vi\u00f1a "), col("text"))) // precomposed U+00E9, U+00F1
+        .otherwise(col("text")).as("raw"))
+    raw.select(col("doc_id"),
+        call_function("graft_nfc", col("raw")).as("nf"), col("raw"))
+      .select(col("doc_id"),
+        (col("raw") =!= col("nf")).cast("long").as("changed"),
+        length(col("raw")).cast("long").as("n_raw"),
+        length(col("nf")).cast("long").as("n_nfc"),
+        substring(md5(col("nf")), 1, 8).as("h8"))
+  }
+
   /** Bigram-LM perplexity scoring (the FULL CCNet quality signal — the
     * real pipeline trains a 5-gram KenLM on clean text and trims the
     * high-perplexity tail; [[surprisalScore]] is its unigram floor, this
@@ -3730,6 +3757,7 @@ object Queries {
     "q_repetition" -> (repetitionQ _),
     "q_prep_summary" -> (prepSummary _),
     "q_token_bpe" -> (tokenBpe _),
+    "q_normalize" -> (normalizeQ _),
     "q_cosine_zipwith" -> (cosineZipwith _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash" -> (dedupMinhash _),

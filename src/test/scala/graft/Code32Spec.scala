@@ -49,6 +49,32 @@ class Code32Spec extends AnyFunSuite {
     }
   }
 
+  test("graft_nfc equals java.text.Normalizer; idempotent; ASCII is identity") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val texts = Seq(
+      "plain ascii stays",
+      "",
+      "cafe\u0301 vin\u0303a",   // decomposed -> composes
+      "caf\u00e9 vi\u00f1a",     // already NFC
+      "A\u030aB\u0301 mixed \u212b", // ring/acute + ANGSTROM SIGN (composes)
+      "\ud83d\ude00 non-BMP \ud835\udc9c e\u0301") // surrogates + combining
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+      .select($"id", call_function("graft_nfc", $"t").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val expect = java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
+      assert(got(i.toLong) == expect, s"case $i")
+      // idempotence: NFC(NFC(x)) == NFC(x)
+      assert(graft.functions.TextExprImpl.nfc(
+        org.apache.spark.unsafe.types.UTF8String.fromString(expect)).toString == expect)
+    }
+    // the ASCII fast path returns the SAME buffer (no reallocation)
+    val ascii = org.apache.spark.unsafe.types.UTF8String.fromString("abc 123")
+    assert(graft.functions.TextExprImpl.nfc(ascii) eq ascii)
+  }
+
   test("null input yields null (UnaryExpression null handling)") {
     GraftFunctions.ensureRegistered(spark)
     val row = spark.sql("SELECT graft_code32(CAST(NULL AS STRING)) AS c").collect()(0)
