@@ -2118,10 +2118,6 @@ object Oracle {
       |      ELSE '' END AS rule
       |FROM documents""".stripMargin
 
-  /** Mirror of Queries.urlFilterQ: the deterministic crawl URLs with the
-    * rule cascade (scheme, domain suffix, keyword) and first-matching
-    * reason.
-    */
   /** Mirror of Queries.urlDedupQ: the canonical form recomputes
     * ARITHMETICALLY from doc_id (the messy-URL construction is
     * deterministic), so every normalization rule — case, default port,
@@ -2129,11 +2125,20 @@ object Oracle {
     * hash-checked: a missed rule splits a group and changes the counts.
     */
   private val urlDedup: String =
-    """SELECT 'http://site'||((doc_id%100)%10)||'.example/p'||(doc_id%100)
-      |  ||(CASE WHEN doc_id%17=0 THEN '?id=7' ELSE '' END) AS canon_url,
+    """SELECT 'http://'
+      |  ||(CASE WHEN doc_id%23=0 THEN 'User@' ELSE '' END)
+      |  ||'site'||((doc_id%100)%10)||'.example/p'||(doc_id%100)
+      |  ||(CASE WHEN doc_id%17=0 AND doc_id%19=0 THEN '?id=7&pfbclid=9'
+      |          WHEN doc_id%17=0 THEN '?id=7'
+      |          WHEN doc_id%19=0 THEN '?pfbclid=9'
+      |          ELSE '' END) AS canon_url,
       | count(*)::BIGINT AS n_copies, min(doc_id)::BIGINT AS keeper_id
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** Mirror of Queries.urlFilterQ: the deterministic crawl URLs with the
+    * rule cascade (scheme, domain suffix, keyword) and first-matching
+    * reason.
+    */
   private val urlFilter: String =
     """WITH u AS (SELECT doc_id,
       |  (CASE WHEN doc_id%7=0 THEN 'ftp' ELSE 'http' END)||'://'||

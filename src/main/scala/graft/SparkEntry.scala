@@ -3072,13 +3072,19 @@ object Queries {
     val port = if (id % 3 == 0) ":80" else ""
     val path0 = s"/p$key"
     val path = if (id % 13 == 0) path0 + "/" else path0
-    val keep = if (id % 17 == 0) "?id=7" else ""
-    val track =
-      if (id % 5 == 0) (if (keep.isEmpty) "?utm_source=x&utm_campaign=y"
-                        else "&utm_source=x&utm_campaign=y")
-      else ""
+    // mixed-case userinfo survives VERBATIM (RFC 3986 §6.2.2.1: only
+    // scheme and host case-normalize)
+    val user = if (id % 23 == 0) "User@" else ""
+    // real params that must SURVIVE the tracking strip — including the
+    // lookalike pfbclid, whose name merely CONTAINS fbclid
+    val keeps = Seq(
+      if (id % 17 == 0) Some("id=7") else None,
+      if (id % 19 == 0) Some("pfbclid=9") else None).flatten
+    val track = if (id % 5 == 0) Seq("utm_source=x", "utm_campaign=y") else Seq()
+    val qparts = keeps ++ track
+    val q = if (qparts.isEmpty) "" else "?" + qparts.mkString("&")
     val frag = if (id % 7 == 0) "#sec2" else ""
-    s"$scheme://$host$port$path$keep$track$frag"
+    s"$scheme://$user$host$port$path$q$frag"
   }
 
   /** RefinedWeb-style URL filtering over the deterministic crawl URLs —

@@ -49,17 +49,22 @@ object Docx {
     if (prefix.isEmpty) local else prefix + ":" + local
 
   private val XmlnsDecl =
-    """xmlns(?::([A-Za-z0-9_.\-]+))?\s*=\s*"([^"]*)"""".r
+    """xmlns(?::([A-Za-z0-9_.\-]+))?\s*=\s*(?:"([^"]*)"|'([^']*)')""".r
 
   /** The prefix the document binds to any of `uris` (first declaration
     * wins; "" means the default namespace — unprefixed tags), or
     * `fallback` when none is declared (fragments and legacy fixtures).
-    * A linear scan over declarations only — tolerant of junk XML like
-    * the rest of this scanner family.
+    * Both XML 1.0 AttValue quote forms accepted — a single-quoted
+    * declaration is conformant and would otherwise silently extract
+    * nothing. A linear scan over declarations only — tolerant of junk
+    * XML like the rest of this scanner family.
     */
   private[office] def nsPrefix(xml: String, uris: Seq[String], fallback: String): String =
     XmlnsDecl.findAllMatchIn(xml)
-      .collectFirst { case m if uris.contains(m.group(2)) => Option(m.group(1)).getOrElse("") }
+      .collectFirst {
+        case m if uris.contains(Option(m.group(2)).getOrElse(m.group(3))) =>
+          Option(m.group(1)).getOrElse("")
+      }
       .getOrElse(fallback)
 
   /** Generic OOXML run scanner: `<runTag>` contents in document order, a

@@ -516,15 +516,24 @@ object PdfMini {
   /** Body of object `objNum` (header to endobj), boundary-checked so
     * object 12 never matches inside object 112.
     */
+  /** Body of object `objNum` — the LAST well-framed occurrence wins, the
+    * incremental-update liveness rule (ISO 32000 7.5.6): a re-saved form
+    * appends the updated field/catalog/font dict after the original, and
+    * resolving the first would read the stale revision (the same rule
+    * textFromLatin1 applies to content streams and acroDict to /Root).
+    */
   private def objBody(pdf: String, objNum: Int): Option[String] = {
     val key = s"$objNum 0 obj"
     var i = pdf.indexOf(key)
-    while (i >= 0 && i > 0 && pdf.charAt(i - 1).isDigit)
+    var last = -1
+    while (i >= 0) {
+      if (i == 0 || !pdf.charAt(i - 1).isDigit) last = i
       i = pdf.indexOf(key, i + 1)
-    if (i < 0) None
+    }
+    if (last < 0) None
     else {
-      val e = pdf.indexOf("endobj", i)
-      Some(if (e < 0) pdf.substring(i) else pdf.substring(i, e))
+      val e = pdf.indexOf("endobj", last)
+      Some(if (e < 0) pdf.substring(last) else pdf.substring(last, e))
     }
   }
 
@@ -625,10 +634,24 @@ object PdfMini {
     */
   def imageXObjects(pdf: String): Vector[(String, Array[Byte])] = {
     if (!pdf.contains("/Image")) return Vector.empty // hot-path quick reject
+    // liveness pre-pass (ISO 32000 7.5.6, same rule as the text path): an
+    // incrementally re-saved PDF appends a replacement image object; only
+    // the LAST stream per objNum spawns a child, or an edited image would
+    // emit both generations and shift every later imageN ordinal
+    val lastByNum = scala.collection.mutable.HashMap.empty[Int, Int]
+    foreachStream(pdf) { (dictStart, dict, payloadStart, _) =>
+      if (dict.contains("/Subtype") && dict.contains("/Image")) {
+        val n = objNumBefore(pdf, dictStart)
+        if (n >= 0) lastByNum(n) = payloadStart
+      }
+    }
     val out = Vector.newBuilder[(String, Array[Byte])]
     var idx = 0
-    foreachStream(pdf) { (_, dict, payloadStart, e) =>
-          if (dict.contains("/Subtype") && dict.contains("/Image")) {
+    foreachStream(pdf) { (dictStart, dict, payloadStart, e) =>
+          if (dict.contains("/Subtype") && dict.contains("/Image") && {
+            val n = objNumBefore(pdf, dictStart)
+            n < 0 || lastByNum(n) == payloadStart
+          }) {
             val raw = pdf.substring(payloadStart, e)
               .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
             val filters = filtersOf(dict)

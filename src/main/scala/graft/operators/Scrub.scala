@@ -90,19 +90,29 @@ object Scrub {
   def urlCanonicalize(urls: DataFrame, urlCol: String = "url"): DataFrame = {
     val u = col(urlCol)
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1))
-    val hostport = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]+)", 1))
+    // userinfo is CASE-SENSITIVE per RFC 3986 §6.2.2.1 (only scheme and
+    // host case-normalize) — split it off verbatim before lowering
+    val userinfo = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#@]*@)", 1)
+    val hostport = lower(regexp_extract(u,
+      "^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^/?#@]*@)?([^/?#]+)", 1))
     val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
       .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
       .otherwise(hostport)
     // path+query with the fragment excluded by the capture itself
     val rest0 = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^#]*)", 1)
-    val noTrack = regexp_replace(rest0, "(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*&?", "")
-    val tidied = regexp_replace(regexp_replace(noTrack, "[?&]+$", ""), "\\?&", "?")
+    // the parameter NAME must start right after ? or & (kept as $1) — an
+    // unanchored pattern would also eat lookalikes: a path segment
+    // /blog/utm_tips=x, or the tail of a real name like myfbclid=3
+    val noTrack = regexp_replace(rest0,
+      "([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*", "$1")
+    // repair separators: && runs collapse, ?& -> ?, trailing ?/& drop
+    val tidied = regexp_replace(regexp_replace(regexp_replace(noTrack,
+      "&&+", "&"), "\\?&", "?"), "[?&]+$", "")
     val noTrailing = regexp_replace(tidied, "^(.+?)/+(\\?|$)", "$1$2")
     val pathq = when(noTrailing === "", "/").otherwise(noTrailing)
     urls.withColumn("canon_url",
       when(scheme === "" || host === "", u) // unparseable: keep verbatim, never null
-        .otherwise(concat(scheme, lit("://"), host, pathq)))
+        .otherwise(concat(scheme, lit("://"), userinfo, host, pathq)))
   }
 
   /** Parse robots.txt bodies into per-host (allow, prefix) rules for the

@@ -46,6 +46,10 @@ class DocxSpec extends AnyFunSuite {
     assert(Docx.bodyText(deflt) == "default ns")
     // no declaration at all (fragments, legacy fixtures): w: fallback holds
     assert(Docx.bodyText("<w:p><w:r><w:t>bare</w:t></w:r></w:p>") == "bare")
+    // SINGLE-quoted declarations are conformant XML 1.0 AttValue
+    val single = "<ns1:document xmlns:ns1='http://purl.oclc.org/ooxml/wordprocessingml/main'>" +
+      "<ns1:body><ns1:p><ns1:r><ns1:t>single quoted</ns1:t></ns1:r></ns1:p></ns1:body></ns1:document>"
+    assert(Docx.bodyText(single) == "single quoted")
     // an unrelated xmlns must not hijack the prefix
     val other = """<w:document xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"""" +
       """ xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">""" +
