@@ -68,6 +68,21 @@ object Eml {
     val (headerBlock, body) = splitHeadersBody(raw)
     val headers = unfoldHeaders(headerBlock)
     val ct = firstHeader(headers, "Content-Type").getOrElse("")
+    // encrypted mail CLASSIFIES (FAILURE_NOT_DECRYPTED taxonomy, like
+    // encrypted PDFs/Office) — base64-decoding a CMS envelope would emit
+    // binary garbage as "body text". S/MIME enveloped/opaque-signed is
+    // application/pkcs7-mime (RFC 8551; content recoverable only with the
+    // recipient key — opaque signing too, since the content rides inside
+    // the CMS blob); PGP/MIME is multipart/encrypted (RFC 3156).
+    // multipart/signed (CLEAR signing) stays readable and walks normally.
+    val ctl = ct.toLowerCase(java.util.Locale.ROOT).trim
+    if (ctl.startsWith("application/pkcs7-mime") ||
+        ctl.startsWith("application/x-pkcs7-mime"))
+      throw new graft.core.DecryptFailure(
+        "S/MIME enveloped/opaque-signed mail (application/pkcs7-mime): CMS requires the recipient key")
+    if (ctl.startsWith("multipart/encrypted"))
+      throw new graft.core.DecryptFailure(
+        "PGP/MIME encrypted mail (multipart/encrypted, RFC 3156)")
     val boundary = param(ct, "boundary")
     if (boundary.isEmpty) {
       val cte = firstHeader(headers, "Content-Transfer-Encoding").getOrElse("")

@@ -425,4 +425,29 @@ class EmlSpec extends AnyFunSuite {
     assert(m2.attachments.isEmpty)
     assert(m2.body.contains("begin 644 y.bin"))
   }
+
+  test("S/MIME and PGP/MIME encrypted mail classify, clear-signed extracts") {
+    import graft.core.mail.Eml
+    // enveloped-data: CMS blob as base64 — decoding it as body would be
+    // binary garbage; must classify as a DecryptFailure
+    val smime = "From: a@x\r\nContent-Type: application/pkcs7-mime; " +
+      "smime-type=enveloped-data; name=smime.p7m\r\n" +
+      "Content-Transfer-Encoding: base64\r\n\r\nMIAGCSqGSIb3DQEHA6CAMIACAQAx\r\n"
+    intercept[graft.core.DecryptFailure](Eml.parse(smime))
+    // opaque-signed rides the same content type
+    val opaque = smime.replace("enveloped-data", "signed-data")
+    intercept[graft.core.DecryptFailure](Eml.parse(opaque))
+    // PGP/MIME (RFC 3156)
+    val pgp = "From: a@x\r\nContent-Type: multipart/encrypted; " +
+      "protocol=\"application/pgp-encrypted\"; boundary=bb\r\n\r\n" +
+      "--bb\r\nContent-Type: application/pgp-encrypted\r\n\r\nVersion: 1\r\n" +
+      "--bb\r\nContent-Type: application/octet-stream\r\n\r\nhQEMA...\r\n--bb--\r\n"
+    intercept[graft.core.DecryptFailure](Eml.parse(pgp))
+    // CLEAR signing (multipart/signed) stays readable: body extracts
+    val signed = "From: a@x\r\nContent-Type: multipart/signed; " +
+      "protocol=\"application/pkcs7-signature\"; boundary=sig\r\n\r\n" +
+      "--sig\r\nContent-Type: text/plain\r\n\r\nreadable body\r\n" +
+      "--sig\r\nContent-Type: application/pkcs7-signature\r\n\r\nMIIB...\r\n--sig--\r\n"
+    assert(Eml.parse(signed).body.trim == "readable body")
+  }
 }
