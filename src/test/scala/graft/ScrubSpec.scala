@@ -50,4 +50,30 @@ class ScrubSpec extends AnyFunSuite {
     assert(canon("not a url") == "not a url")
     assert(canon("mailto:x@y.example") == "mailto:x@y.example")
   }
+
+  test("canonicalize is idempotent and total over generated adversarial URLs") {
+    import spark.implicits._
+    // deterministic generator crossing every aliasing axis plus junk
+    val schemes = Seq("http", "HTTP", "https", "ftp", "", "h~bad")
+    val hosts = Seq("H.Example", "h.example:80", "h.example:443", "h.example:8080",
+      "User@H.ex", "USER:p@h.ex:80", "")
+    val paths = Seq("", "/", "/a", "/a/", "/a//b///", "/blog/utm_x=1")
+    val queries = Seq("", "?", "?a=1", "?utm_a=1", "?a=1&utm_b=2&c=3",
+      "?utm_a=1&utm_b=2", "?myfbclid=3", "?fbclid=9", "?gclid=1&gclid=2", "?&&")
+    val frags = Seq("", "#f", "#a?b&utm_c=1")
+    val urls = (for {
+      s <- schemes; h <- hosts; p <- paths; q <- queries; f <- frags
+    } yield s + "://" + h + p + q + f) ++ Seq("", "junk", "://nohost/p")
+    val df = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("doc_id", "url")
+    val once = graft.operators.Scrub.urlCanonicalize(df)
+      .select(col("doc_id"), col("canon_url").as("url"))
+    val twice = graft.operators.Scrub.urlCanonicalize(once)
+    val rows = twice.select("doc_id", "url", "canon_url").collect()
+    assert(rows.length == urls.length)
+    rows.foreach { r =>
+      assert(!r.isNullAt(1) && !r.isNullAt(2), s"null canon for id ${r.getLong(0)}")
+      assert(r.getString(1) == r.getString(2),
+        s"not idempotent: '${r.getString(1)}' -> '${r.getString(2)}'")
+    }
+  }
 }
