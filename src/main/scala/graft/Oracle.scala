@@ -1766,6 +1766,36 @@ object Oracle {
       |FROM sh JOIN b USING(s) WHERE doc_id%97<>0
       |GROUP BY doc_id HAVING count(*) >= 20""".stripMargin
 
+  /** Bit-exact mirror of Queries.bloomStatsQ: rebuild the k=2, m=2^20
+    * Bloom bitmap with the SAME md5-hex-window positions and the same
+    * bit_or/shift/AND arithmetic (two's-complement 64-bit in both
+    * engines), then count the corpus shingles whose two bits are set.
+    * One wrong bit anywhere in the sketch changes n_candidates.
+    */
+  private val bloomStats: String = {
+    val p1 = s"(${hex2int("substr(md5(s),1,8)")} % 1048576)"
+    val p2 = s"(${hex2int("substr(md5(s),9,8)")} % 1048576)"
+    // DuckDB's << overflow-checks 1<<63 (Spark's shiftleft wraps): the
+    // sign bit needs its literal spelled out
+    def bitOf(p: String): String =
+      s"(CASE WHEN ($p)%64 = 63 THEN (-9223372036854775807-1)::BIGINT" +
+        s" ELSE (1::BIGINT << (($p)%64)::INT) END)"
+    s"""WITH sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+1],' ') AS s
+       | FROM (SELECT doc_id, string_split(text,' ') AS w,
+       |       unnest(generate_series(1, len(string_split(text,' '))-1)) AS i FROM documents)),
+       |b AS (SELECT DISTINCT s FROM sh WHERE doc_id%97=0),
+       |cor AS (SELECT doc_id, s FROM sh WHERE doc_id%97<>0),
+       |bp AS (SELECT $p1 AS p FROM b UNION ALL SELECT $p2 AS p FROM b),
+       |bits AS (SELECT p//64 AS w, bit_or(${bitOf("p")}) AS bits FROM bp GROUP BY 1),
+       |cp AS (SELECT doc_id, s, $p1 AS p1, $p2 AS p2 FROM cor),
+       |cand AS (SELECT cp.doc_id, cp.s FROM cp
+       |  JOIN bits b1 ON b1.w = cp.p1//64 AND (b1.bits & ${bitOf("cp.p1")}) <> 0
+       |  JOIN bits b2 ON b2.w = cp.p2//64 AND (b2.bits & ${bitOf("cp.p2")}) <> 0)
+       |SELECT (SELECT count(*) FROM cor)::BIGINT AS n_shingles,
+       |  (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+       |  (SELECT count(*) FROM cand JOIN b USING (s))::BIGINT AS n_confirmed""".stripMargin
+  }
+
   /** Shared by the jaccard queries: injected ubiquitous bigram + distinct
     * shingles + the df>N/10 hot set.
     */
@@ -2726,6 +2756,7 @@ object Oracle {
     // oracle IS the exact decontamination semantics — any divergence means
     // the bitmap lost a member, a correctness failure
     "q_decontam_bloom" -> decontaminate,
+    "q_bloom_stats" -> bloomStats,
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_jaccard" -> dedupJaccard,
     "q_jaccard_dropped" -> jaccardDropped,

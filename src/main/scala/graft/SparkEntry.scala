@@ -2731,6 +2731,25 @@ object Queries {
       all.filter(col("doc_id") % 97 === 0), minShared = 20)
   }
 
+  /** The Bloom PREFILTER itself, bit-exact oracle-checked (q_decontam_bloom
+    * only proves no-false-negatives; this pins the sketch): corpus shingle
+    * count, bit-test survivors, and exact-confirmed count as one row. The
+    * DuckDB mirror rebuilds the same bitmap with bit_or/shift/AND over the
+    * same md5-derived positions, so a single wrong bit anywhere in the
+    * sketch changes n_candidates and fails the hash compare.
+    */
+  def bloomStatsQ(spark: SparkSession, dir: String): DataFrame = {
+    val all = docs(spark, dir)
+    val corpus = all.filter(col("doc_id") % 97 =!= 0)
+    val bench = all.filter(col("doc_id") % 97 === 0)
+    val benchSet = Dedup.shingled(spark, bench).select("shingle").distinct()
+    val cands = Dedup.bloomCandidates(spark, corpus, benchSet, 1 << 20)
+    Dedup.shingled(spark, corpus).agg(count(lit(1)).as("n_shingles"))
+      .crossJoin(cands.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(cands.join(broadcast(benchSet), "shingle")
+        .agg(count(lit(1)).as("n_confirmed")))
+  }
+
   def dedupCosine(spark: SparkSession, dir: String): DataFrame =
     Knn.cosinePairs(spark, emb(spark, dir), probes50(spark, dir), 0.3)
 
@@ -3771,6 +3790,7 @@ object Queries {
     "q_dedup_edit" -> (dedupEdit _),
     "q_decontaminate" -> (decontaminateQ _),
     "q_decontam_bloom" -> (decontamBloomQ _),
+    "q_bloom_stats" -> (bloomStatsQ _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_jaccard" -> (dedupJaccard _),
     "q_jaccard_dropped" -> (jaccardDropped _),
