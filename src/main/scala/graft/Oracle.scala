@@ -2309,6 +2309,24 @@ object Oracle {
       |FROM bg2 JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
       |GROUP BY doc_id""".stripMargin
 
+  /** Mirror of Queries.pplBuckets: exact terciles of the bigram-LM score
+    * via histogram + cumulative sum over the distinct score values; low
+    * perplexity = head (the CCNet keep-slice).
+    */
+  private val pplBucketsSql: String =
+    s"""WITH s AS ($perplexitySql),
+       |p AS (SELECT doc_id, mean_bits_x100 AS ppl FROM s),
+       |h AS (SELECT ppl, count(*) AS c FROM p GROUP BY 1),
+       |ct AS (SELECT sum(c) AS cnt FROM h),
+       |cu AS (SELECT ppl, sum(c) OVER (ORDER BY ppl) AS cum FROM h),
+       |t AS (SELECT min(CASE WHEN cum*3 >= cnt THEN ppl END) AS t1,
+       |             min(CASE WHEN cum*3 >= cnt*2 THEN ppl END) AS t2
+       |      FROM cu CROSS JOIN ct)
+       |SELECT doc_id, ppl,
+       |  CASE WHEN ppl <= t1 THEN 'head' WHEN ppl <= t2 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM p CROSS JOIN t""".stripMargin
+
   /** BIGINT value of the idx-th (1-based) UTF-8 BYTE of `textExpr` — byte
     * semantics matching Media's binary processing (ord()/substr() would use
     * character semantics and diverge on non-ASCII).
@@ -2667,6 +2685,7 @@ object Oracle {
     "q_word_freq" -> wordFreq,
     "q_surprisal" -> surprisal,
     "q_perplexity" -> perplexitySql,
+    "q_ppl_buckets" -> pplBucketsSql,
     "q_rare_terms" -> rareTerms,
     "q_bpe_merges" -> bpeMerges,
     "q_domain_balance" -> domainBalance,

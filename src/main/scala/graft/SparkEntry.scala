@@ -3495,6 +3495,34 @@ object Queries {
       .withColumn("mean_bits_x100", expr("(ppl_bits * 100) div n_bigrams"))
   }
 
+  /** CCNet's head/middle/tail assignment: every document lands in a
+    * perplexity TERCILE of the corpus (low perplexity = head, the slice
+    * CCNet keeps preferentially). Exact thresholds, not approximate
+    * percentiles: a histogram over the (domain-bounded) distinct score
+    * values + a cumulative sum over that histogram — the q_profile
+    * discipline, where the single-task window runs over the VALUE DOMAIN
+    * (hundreds of distinct mean-bits values at any corpus size), never
+    * over documents. Thresholds reduce to one broadcast row; assignment
+    * is a codegen'd when().
+    */
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = perplexity(spark, dir)
+      .select(col("doc_id"), col("mean_bits_x100").as("ppl"))
+    val hist = scored.groupBy("ppl").agg(count(lit(1)).as("c"))
+    val byVal = Window.orderBy("ppl")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val th = hist.crossJoin(broadcast(hist.agg(sum(col("c")).as("cnt"))))
+      .withColumn("cum", sum(col("c")).over(byVal))
+      .agg(
+        min(when(col("cum") * 3 >= col("cnt"), col("ppl"))).as("t1"),
+        min(when(col("cum") * 3 >= col("cnt") * 2, col("ppl"))).as("t2"))
+    scored.crossJoin(broadcast(th)) // 1 row: the legitimate broadcast case
+      .select(col("doc_id"), col("ppl"),
+        when(col("ppl") <= col("t1"), "head")
+          .when(col("ppl") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Corpus word-frequency scoring (the CCNet-style LM-quality signal,
     * integer-exact stand-in: a document of globally rare words scores
     * low): words explode, the corpus unigram counts aggregate map-side
@@ -3705,6 +3733,7 @@ object Queries {
     "q_word_freq" -> (wordFreqScore _),
     "q_surprisal" -> (surprisalScore _),
     "q_perplexity" -> (perplexity _),
+    "q_ppl_buckets" -> (pplBuckets _),
     "q_rare_terms" -> (rareTerms _),
     "q_bpe_merges" -> (bpeMerges _),
     "q_domain_balance" -> (domainBalance _),
