@@ -70,16 +70,28 @@ object Eml {
     val ct = firstHeader(headers, "Content-Type").getOrElse("")
     // encrypted mail CLASSIFIES (FAILURE_NOT_DECRYPTED taxonomy, like
     // encrypted PDFs/Office) — base64-decoding a CMS envelope would emit
-    // binary garbage as "body text". S/MIME enveloped/opaque-signed is
-    // application/pkcs7-mime (RFC 8551; content recoverable only with the
-    // recipient key — opaque signing too, since the content rides inside
-    // the CMS blob); PGP/MIME is multipart/encrypted (RFC 3156).
-    // multipart/signed (CLEAR signing) stays readable and walks normally.
+    // binary garbage as "body text". Discriminated by RFC 8551 smime-type:
+    // enveloped/authEnveloped (or unspecified — stock senders omit it) is
+    // key-gated ciphertext → DecryptFailure; opaque signed-data and
+    // compressed-data are NOT key-gated (the content rides inside plain
+    // CMS structure) but need an ASN.1 walk this parser doesn't have →
+    // ParseFailure, the honest terminal refusal, never the retryable
+    // not-decrypted status; certs-only (RFC 8551 §3.6, routine cert
+    // transport) has NO content by design → empty message, not an error.
+    // PGP/MIME is multipart/encrypted (RFC 3156). multipart/signed
+    // (CLEAR signing) stays readable and walks normally.
     val ctl = ct.toLowerCase(java.util.Locale.ROOT).trim
     if (ctl.startsWith("application/pkcs7-mime") ||
-        ctl.startsWith("application/x-pkcs7-mime"))
-      throw new graft.core.DecryptFailure(
-        "S/MIME enveloped/opaque-signed mail (application/pkcs7-mime): CMS requires the recipient key")
+        ctl.startsWith("application/x-pkcs7-mime")) {
+      param(ct, "smime-type").toLowerCase(java.util.Locale.ROOT) match {
+        case "certs-only" => return Message(headers, "", Vector.empty)
+        case "signed-data" | "compressed-data" =>
+          throw new graft.core.ParseFailure(
+            "S/MIME opaque CMS content (signed-data/compressed-data): ASN.1 extraction not supported")
+        case _ => throw new graft.core.DecryptFailure(
+          "S/MIME enveloped mail (application/pkcs7-mime): CMS requires the recipient key")
+      }
+    }
     if (ctl.startsWith("multipart/encrypted"))
       throw new graft.core.DecryptFailure(
         "PGP/MIME encrypted mail (multipart/encrypted, RFC 3156)")
@@ -113,8 +125,23 @@ object Eml {
       val phs = unfoldHeaders(ph)
       val disp = firstHeader(phs, "Content-Disposition").getOrElse("")
       val pct = firstHeader(phs, "Content-Type").getOrElse("")
+      val pctl = pct.toLowerCase(java.util.Locale.ROOT).trim
       val inner = param(pct, "boundary")
-      if (disp.toLowerCase(java.util.Locale.ROOT).contains("attachment")) {
+      if (pctl.startsWith("application/pkcs7-mime") ||
+          pctl.startsWith("application/x-pkcs7-mime")) {
+        // an encrypted/opaque CMS PART inside multipart/mixed must never
+        // fall through to the body branch — decoding the envelope yields
+        // binary garbage as text. It becomes a named attachment whose
+        // bytes the spawn path sniffs (CMS OID) and classifies; readable
+        // sibling parts keep extracting.
+        val cte = firstHeader(phs, "Content-Transfer-Encoding").getOrElse("")
+        val fn = filenameOf(disp, pct)
+        atts += ((if (fn.nonEmpty) fn else "smime.p7m", decodeBody(pb, cte)))
+      } else if (pctl.startsWith("multipart/encrypted")) {
+        // a nested PGP/MIME envelope: the whole encrypted multipart
+        // becomes one attachment (byte-transparent), classified downstream
+        atts += (("encrypted.asc", pb.getBytes(ISO_8859_1)))
+      } else if (disp.toLowerCase(java.util.Locale.ROOT).contains("attachment")) {
         val cte = firstHeader(phs, "Content-Transfer-Encoding").getOrElse("")
         val fn = filenameOf(disp, pct)
         // an unnamed forwarded message under an attachment disposition

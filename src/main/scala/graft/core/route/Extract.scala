@@ -101,6 +101,11 @@ object Extract {
         else (graft.core.pdf.PdfMini.textFromLatin1(t), "")
       case "text"      => (t, "")
       case "media"     => (t, "") // OCR/media passthrough (north rule): text + media_ref unchanged
+      // CMS/PGP payloads (smime.p7m, PGP armor): key-gated ciphertext
+      // classifies encrypted; other CMS (opaque SignedData) refuses as
+      // unsupported — either way never decoded-envelope garbage as text
+      case "smime_enc" => ("", Reason.Encrypted)
+      case "smime"     => ("", Reason.Unsupported)
       // raster images / AV containers: like Tika's ImageParser+Mp4Parser,
       // the parse SUCCEEDS with header metadata (graft.core.media.Probe)
       // and an empty body — text would need OCR/transcription, so the
@@ -440,8 +445,22 @@ object Extract {
       checkDeadline(deadlineNanos)
       if (guardsRefuse(level, raw.length)) { skipped += 1; return }
       spawned += 1
-      val m = graft.core.mail.Eml.parse(raw)
       val cid = Ids.embedId(raw, parentId, ord)
+      // PER-MESSAGE isolation, parse before any emission: one encrypted
+      // (S/MIME, PGP/MIME) or malformed message becomes ONE classified
+      // failure child — never a mailbox-level failure that would drop
+      // every other message (and, via the retryable NotDecrypted status,
+      // re-fail the whole archive on every resume)
+      val m =
+        try graft.core.mail.Eml.parse(raw)
+        catch {
+          case _: graft.core.DecryptFailure =>
+            out += DocOut(cid, parentId, rootId, level, Array.empty, Reason.Encrypted)
+            return
+          case _: graft.core.ParseFailure =>
+            out += DocOut(cid, parentId, rootId, level, Array.empty, Reason.ParseFailed)
+            return
+        }
       emitDoc(cid, parentId, level, m.body)
       m.attachments.zipWithIndex.foreach { case ((n, b), i) =>
         spawnEntry(n, Some(b), cid, i, level + 1)

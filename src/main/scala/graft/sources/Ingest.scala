@@ -39,6 +39,30 @@ object Ingest {
     * mail) — the reference's Tika detection combines magic and filename
     * the same way (`Extractor.java:937`).
     */
+  /** CMS/PKCS#7 DER sniff (smime.p7m bodies): an ASN.1 SEQUENCE whose
+    * pkcs7 content-type OID arc (1.2.840.113549.1.7.x) appears in the
+    * head. 2 = EnvelopedData (x=3, key-gated ciphertext) or the S/MIME
+    * AuthEnvelopedData arc; 1 = any other CMS (SignedData etc.); 0 = not
+    * CMS.
+    */
+  private def cmsKind(bytes: Array[Byte]): Int = {
+    if (bytes.length < 12 || bytes(0) != 0x30) return 0
+    val arc = Array[Byte](0x2a, 0x86.toByte, 0x48, 0x86.toByte, 0xf7.toByte, 0x0d, 0x01, 0x07)
+    val authArc = Array[Byte](0x2a, 0x86.toByte, 0x48, 0x86.toByte, 0xf7.toByte, 0x0d,
+      0x01, 0x09, 0x10, 0x01, 0x17) // 1.2.840.113549.1.9.16.1.23 AuthEnvelopedData
+    val n = math.min(bytes.length, 32)
+    var i = 1
+    while (i < n) {
+      if (i + authArc.length <= bytes.length &&
+        authArc.indices.forall(k => bytes(i + k) == authArc(k))) return 2
+      if (i + arc.length < bytes.length &&
+        arc.indices.forall(k => bytes(i + k) == arc(k)))
+        return if (bytes(i + arc.length) == 0x03) 2 else 1
+      i += 1
+    }
+    0
+  }
+
   def sniffKind(bytes: Array[Byte], name: String): String = {
     // a UTF-8 BOM blinds every head magic (a BOM'd HTML file would read
     // as plain text): detection runs on the BOM-less view, exactly as
@@ -73,6 +97,9 @@ object Ingest {
     else if (AvroDump.isAvro(bytes)) "avro" // Avro object container dump (Obj\x01)
     else if (graft.core.office.Pst.isPst(bytes)) "pst" // Outlook mailbox (!BDN, MS-PST)
     else if (graft.core.mail.Tnef.isTnef(bytes)) "tnef" // winmail.dat (MS-OXTNEF)
+    else if (cmsKind(bytes) == 2 ||
+      lowerHead.startsWith("-----begin pgp message")) "smime_enc" // key-gated ciphertext (CMS EnvelopedData / PGP armor)
+    else if (cmsKind(bytes) == 1) "smime" // other CMS (opaque SignedData etc.): refuses, never garbage
     else if (Apple.isAppleSingle(bytes)) "applesingle" // RFC 1740 envelope (Mac data fork + metadata)
     else if (graft.core.office.Cfb.isCfb(bytes)) "cfb" // OLE2 compound file (.msg/.doc era)
     else if (graft.core.db.Sqlite.isSqlite(bytes)) "sqlite" // SQLite database (Tika SQLite3Parser surface)

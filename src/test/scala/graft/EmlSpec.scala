@@ -274,6 +274,35 @@ class EmlSpec extends AnyFunSuite {
     assert(nodes2.exists(n => n.level == 3 && n.spans.exists(_.text == "msg two body")))
   }
 
+  test("one encrypted message in an mbox fails ALONE; siblings still extract") {
+    import graft.core.{DocIn, SpanIn}
+    import graft.core.route.Extract
+    val mbox = "From a@x Mon Jan  1 00:00:00 2024\nSubject: one\n\nmsg one body\n" +
+      "From s@x Mon Jan  1 00:01:00 2024\n" +
+      "Content-Type: application/pkcs7-mime; smime-type=enveloped-data\n" +
+      "Content-Transfer-Encoding: base64\n\nMIAGCSqGSIb3DQEHA6CAMIACAQAx\n" +
+      "From b@y Tue Jan  2 00:00:00 2024\nSubject: two\n\nmsg two body\n"
+    val d = DocIn(53L, Array(SpanIn("mbox", mbox, "", 0)))
+    val nodes = Extract.explode(d)
+    // both readable siblings survive; the encrypted one is ONE classified
+    // failure child — never a mailbox-level failure
+    assert(nodes.exists(n => n.level == 1 && n.spans.exists(_.text == "msg one body")))
+    assert(nodes.exists(n => n.level == 1 && n.spans.exists(_.text == "msg two body")))
+    assert(nodes.count(n => n.level == 1 &&
+      n.no_content_reason == graft.core.Reason.Encrypted) == 1)
+    // nested (mbox-in-zip) takes the same per-message path: container node
+    // emitted once, siblings intact
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    val zip = graft.sources.Archive.zipBytes(Seq(("list.mbox", mbox.getBytes("UTF-8"))))
+    val d2 = DocIn(54L, Array(SpanIn("zip", new String(zip, ISO_8859_1), "", 0)))
+    val nodes2 = Extract.explode(d2)
+    assert(nodes2.exists(n => n.spans.exists(_.text == "msg two body")))
+    assert(nodes2.count(n =>
+      n.no_content_reason == graft.core.Reason.Encrypted) == 1)
+    // ids stay unique (no duplicate container/failure rows)
+    assert(nodes2.map(_.doc_id).distinct.length == nodes2.length)
+  }
+
   test("a forwarded message/rfc822 part recurses as a nested mail child") {
     import graft.core.{DocIn, SpanIn}
     import graft.core.route.Extract
@@ -434,9 +463,27 @@ class EmlSpec extends AnyFunSuite {
       "smime-type=enveloped-data; name=smime.p7m\r\n" +
       "Content-Transfer-Encoding: base64\r\n\r\nMIAGCSqGSIb3DQEHA6CAMIACAQAx\r\n"
     intercept[graft.core.DecryptFailure](Eml.parse(smime))
-    // opaque-signed rides the same content type
-    val opaque = smime.replace("enveloped-data", "signed-data")
-    intercept[graft.core.DecryptFailure](Eml.parse(opaque))
+    // smime-type omitted (stock senders do): assume enveloped
+    intercept[graft.core.DecryptFailure](Eml.parse(
+      smime.replace("; smime-type=enveloped-data", "")))
+    // opaque-signed is NOT key-gated — honest terminal refusal, never the
+    // retryable not-decrypted status
+    intercept[graft.core.ParseFailure](Eml.parse(smime.replace("enveloped-data", "signed-data")))
+    intercept[graft.core.ParseFailure](Eml.parse(smime.replace("enveloped-data", "compressed-data")))
+    // certs-only carries no content BY DESIGN: empty message, not an error
+    val certs = Eml.parse(smime.replace("enveloped-data", "certs-only"))
+    assert(certs.body == "" && certs.attachments.isEmpty)
+    // an encrypted CMS PART nested in multipart/mixed becomes a NAMED
+    // attachment — the readable sibling stays the body (per-part isolation)
+    val mixed = "From: a@x\r\nContent-Type: multipart/mixed; boundary=mx\r\n\r\n" +
+      "--mx\r\nContent-Type: text/plain\r\n\r\nreadable sibling\r\n" +
+      "--mx\r\nContent-Type: application/pkcs7-mime; smime-type=enveloped-data\r\n" +
+      "Content-Transfer-Encoding: base64\r\n\r\nMIAGCSqGSIb3DQEHA6CAMIACAQAx\r\n--mx--\r\n"
+    val mm = Eml.parse(mixed)
+    assert(mm.body.trim == "readable sibling")
+    assert(mm.attachments.map(_._1) == Vector("smime.p7m"))
+    // ...and the attachment's DER bytes sniff as key-gated CMS
+    assert(graft.sources.Ingest.sniffKind(mm.attachments.head._2) == "smime_enc")
     // PGP/MIME (RFC 3156)
     val pgp = "From: a@x\r\nContent-Type: multipart/encrypted; " +
       "protocol=\"application/pgp-encrypted\"; boundary=bb\r\n\r\n" +
