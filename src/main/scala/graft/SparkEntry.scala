@@ -2323,13 +2323,20 @@ object Queries {
     */
   def substrDedup(spark: SparkSession, dir: String): DataFrame = {
     val L = 15
+    // window anchors hash the per-token hash array, not re-joined strings
+    // (round 6, guide §1.2 per-task work): each token is xxhash64'd ONCE,
+    // and a window's anchor is xxhash64 over its L-long hash slice — no
+    // O(L x token length) string rebuild per stride-1 window. Collision
+    // freedom argument unchanged: windows with equal token sequences hash
+    // equal; unequal windows collide only via a 64-bit xxhash64 collision
+    // (token- or window-level), which over-marks in the safe direction.
     val wins = docs(spark, dir)
-      .selectExpr("doc_id", "split(text, ' ') AS w")
-      .selectExpr("doc_id", "w", "size(w) AS n")
+      .selectExpr("doc_id", "transform(split(text, ' '), x -> xxhash64(x)) AS th")
+      .selectExpr("doc_id", "th", "size(th) AS n")
       .filter(s"n >= $L")
       .selectExpr("doc_id",
         s"explode(transform(sequence(0, n - $L), i -> " +
-          s"struct(i AS pos, xxhash64(array_join(slice(w, i + 1, $L), ' ')) AS h))) AS t")
+          s"struct(i AS pos, xxhash64(slice(th, i + 1, $L)) AS h))) AS t")
       .selectExpr("doc_id", "t.pos AS pos", "t.h AS h")
     val hot = wins.groupBy("h").count().filter(col("count") >= 2).select("h")
     wins.join(hot, "h")
@@ -2398,12 +2405,14 @@ object Queries {
   def substrClean(spark: SparkSession, dir: String): DataFrame = {
     val L = 15
     val d = docs(spark, dir).selectExpr("doc_id", "split(text, ' ') AS w")
+    // same once-per-token hashing as [[substrDedup]] (round 6)
     val wins = d
-      .selectExpr("doc_id", "w", "size(w) AS n")
+      .selectExpr("doc_id", "transform(w, x -> xxhash64(x)) AS th")
+      .selectExpr("doc_id", "th", "size(th) AS n")
       .filter(s"n >= $L")
       .selectExpr("doc_id",
         s"explode(transform(sequence(0, n - $L), i -> " +
-          s"struct(i AS pos, xxhash64(array_join(slice(w, i + 1, $L), ' ')) AS h))) AS t")
+          s"struct(i AS pos, xxhash64(slice(th, i + 1, $L)) AS h))) AS t")
       .selectExpr("doc_id", "t.pos AS pos", "t.h AS h")
     val hot = wins.groupBy("h").count().filter(col("count") >= 2).select("h")
     val cov = wins.join(hot, "h")
@@ -2743,11 +2752,21 @@ object Queries {
     val corpus = all.filter(col("doc_id") % 97 =!= 0)
     val bench = all.filter(col("doc_id") % 97 === 0)
     val benchSet = Dedup.shingled(spark, bench).select("shingle").distinct()
-    val cands = Dedup.bloomCandidates(spark, corpus, benchSet, 1 << 20)
-    Dedup.shingled(spark, corpus).agg(count(lit(1)).as("n_shingles"))
-      .crossJoin(cands.agg(count(lit(1)).as("n_candidates")))
-      .crossJoin(cands.join(broadcast(benchSet), "shingle")
-        .agg(count(lit(1)).as("n_confirmed")))
+    // ONE conditional-aggregation pass over one corpus-shingle scan (the
+    // q_corpus_card discipline — round 6; previously three crossJoined
+    // aggregates re-ran the shingle scan as three separate jobs): the
+    // bit-test is a projected column, benchmark membership a broadcast
+    // left join probe, and all three counters fall out of a single agg.
+    val bm = Dedup.bloomBitmapLit(benchSet, 1 << 20)
+    Dedup.shingledBloom(spark, corpus, 1 << 20)
+      .join(broadcast(benchSet.withColumn("in_bench", lit(true))),
+        Seq("shingle"), "left")
+      .withColumn("cand",
+        Dedup.bloomBitTest(bm, col("p1")) && Dedup.bloomBitTest(bm, col("p2")))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(when(col("cand"), 1)).as("n_candidates"),
+        count(when(col("cand") && col("in_bench"), 1)).as("n_confirmed"))
   }
 
   def dedupCosine(spark: SparkSession, dir: String): DataFrame =
@@ -3485,7 +3504,11 @@ object Queries {
           expr("slice(l, 2, size(l) - 1)").as("w2"))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // c1 aggregates the ALREADY-AGGREGATED bigram table (round 6): summing
+    // c2 over w2 shuffles O(distinct bigrams) rows instead of re-exploding
+    // and re-shuffling the O(corpus tokens) bigram stream a second time —
+    // identical counts (c1(w1) = Σ_w2 c2(w1,w2) by definition).
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
     val v = ws.select(explode(col("l")).as("w")).agg(countDistinct(col("w")).as("v"))
     bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
       .crossJoin(broadcast(v)) // 1 row: the legitimate broadcast case
@@ -3506,8 +3529,14 @@ object Queries {
     * is a codegen'd when().
     */
   def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    // the scored frame is NARROW (doc_id + one int — the Phash hash-frame
+    // checkpoint discipline) and read three times below (histogram, its
+    // total, final projection): localCheckpoint so the full perplexity DAG
+    // (bigram explode + model joins) runs ONCE instead of three times
+    // (round 6 — was the whole-query cost doubler)
     val scored = perplexity(spark, dir)
       .select(col("doc_id"), col("mean_bits_x100").as("ppl"))
+      .localCheckpoint()
     val hist = scored.groupBy("ppl").agg(count(lit(1)).as("c"))
     val byVal = Window.orderBy("ppl")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -115,21 +115,41 @@ object Phash {
     */
   def clusters(spark: SparkSession, imgs: Dataset[(Long, Array[Byte])],
                maxHamming: Int = 3, bucketCap: Int = 10000): DataFrame =
-    // the hash frame is narrow (16 bytes/row) and read four times below:
-    // checkpoint so the image decode map runs exactly once
+    // the hash frame is narrow (16 bytes/row) and read more than once
+    // below: checkpoint so the image decode map runs exactly once
     clusterHashes(spark, hashes(spark, imgs).localCheckpoint(), maxHamming, bucketCap)
 
   /** The signature-agnostic clustering stage: any (doc_id, 64-bit hash)
     * frame — image dHash, audio energy contour ([[Afp]]), … — through the
     * banded-LSH / Hamming-verify / connected-components pipeline.
-    * Callers pass a checkpointed/cached frame (it is read four times).
+    * Callers pass a checkpointed/cached frame (it is read three times).
+    *
+    * Round-6 scale fix (guide §2.5 — the hot-key case): identical hashes
+    * collapse to a min-id REPRESENTATIVE before banding. The dominant
+    * web-corpus near-dup is the exact duplicate — the same logo/thumbnail
+    * appears millions of times, every copy shares the identical 64-bit
+    * hash and ALL band buckets — so pairing members directly pushed an
+    * at-cap bucket's ~cap^2/2 verified pairs (all Hamming 0) through one
+    * bucket reducer and into connected components as a clique of edges.
+    * Now banding, the pair join, Hamming verification and CC all run on
+    * DISTINCT hashes only (pair volume O(distinct hashes^2) per bucket;
+    * an exact-dup clique costs ONE node), and members rejoin their
+    * representative's component label afterwards by a hash-keyed join.
+    * Uncapped results are IDENTICAL (members of one hash are mutually
+    * Hamming-0 connected through their representative); the cap now
+    * bounds distinct hashes per bucket — exact-duplicate members are
+    * never dropped from their cluster, see [[hotBuckets]].
     */
   def clusterHashes(spark: SparkSession, hs: DataFrame,
                     maxHamming: Int, bucketCap: Int): DataFrame = {
+    val groups = hs.groupBy("hash").agg(min("doc_id").as("rep"))
     val comp = graft.operators.Dedup.connectedComponents(
-      verifiedPairs(hs, maxHamming, bucketCap))
-    val labeled = hs.join(comp, Seq("doc_id"), "left")
-      .withColumn("rep_id", coalesce(col("component"), col("doc_id")))
+      verifiedPairs(groups.select(col("rep").as("doc_id"), col("hash")),
+        maxHamming, bucketCap))
+    val labeled = hs.join(groups, "hash")
+      .join(comp.select(col("doc_id").as("rep"), col("component")),
+        Seq("rep"), "left")
+      .withColumn("rep_id", coalesce(col("component"), col("rep")))
     val sizes = labeled.groupBy("rep_id").agg(count(lit(1)).as("n_cluster"))
     labeled.join(sizes, "rep_id")
       .select(col("doc_id"),
@@ -166,12 +186,16 @@ object Phash {
 
   /** Band-bucket occupancy vs the cap over any (doc_id, hash) frame — the
     * multimodal tier's no-silent-caps record, mirroring
-    * [[graft.operators.Dedup.hotBuckets]]: members beyond the cap lose
-    * candidate pairs (they surface as singletons), and this report makes
-    * that loss observable instead of silent.
+    * [[graft.operators.Dedup.hotBuckets]]. Counts DISTINCT hashes per
+    * bucket — the unit the round-6 [[clusterHashes]] cap actually binds
+    * on: distinct hashes beyond the cap lose candidate pairs (their
+    * groups surface as separate clusters), and this report makes that
+    * loss observable instead of silent. Exact-duplicate members of one
+    * hash are never capped out of their own cluster.
     */
   def hotBuckets(spark: SparkSession, hs: DataFrame, bucketCap: Int): DataFrame =
-    hs.select(col("doc_id"),
+    hs.groupBy("hash").agg(min("doc_id").as("rep"))
+      .select(col("rep"),
         explode(array((0 until 4).map(b =>
           shiftrightunsigned(col("hash"), 16 * b).bitwiseAND(lit(0xffffL))
             .plus(lit(b.toLong * 65536L))): _*)).as("bucket"))

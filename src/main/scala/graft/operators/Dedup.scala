@@ -83,28 +83,71 @@ object Dedup {
   }
 
   /** MinHash+LSH near-duplicate candidate pairs (a<b, distinct), with a
-    * deterministic per-bucket candidate cap: near-empty/templated documents
-    * share entire signatures, and an uncapped hot band bucket goes
-    * quadratic (|bucket|^2 pairs). Members beyond `bucketCap` (lowest
-    * doc_ids kept — plan- and retry-stable) are dropped and observable via
-    * [[hotBuckets]], never silently.
+    * deterministic candidate cap: near-empty/templated documents share
+    * entire signatures, and an uncapped hot band bucket goes quadratic
+    * (|bucket|^2 pairs). Capped-out members (lowest doc_ids kept — plan-
+    * and retry-stable) are dropped and observable via [[hotBuckets]],
+    * never silently.
     *
-    * The cap is a BOUNDED-HEAP aggregate ([[graft.functions.BoundedMinIds]]),
-    * not a row_number window: a window would sort a hot bucket's FULL
-    * membership on one reducer before discarding; the aggregate reduces each
-    * map task's slice to <= cap ids before the shuffle, so no task ever
-    * materializes or sorts an unbounded bucket. Identical kept set.
+    * Round-6 shape (guide §2.3/§2.4 — shuffle fewer bytes, dedup before
+    * the quadratic stage): documents collapse to DISTINCT signatures
+    * before banding. Exact signature duplicates — the dominant web-corpus
+    * case — previously entered every one of the nBands band buckets and
+    * generated the same member-quadratic pair set nBands times, all of it
+    * shuffled through the bucket join and then discarded by `distinct()`.
+    * Now one representative (min doc_id) per distinct signature is banded
+    * and bucket-joined (pair volume O(distinct sigs^2) per bucket), rep
+    * pairs are deduplicated at rep level (each doc pair derives from
+    * exactly one rep pair, so the member expansion needs NO quadratic
+    * distinct), and within-group pairs expand directly from the bounded
+    * membership array. The emitted pair SET in the uncapped regime is
+    * IDENTICAL to the member-level banding (oracle-checked).
+    *
+    * The cap (still the [[graft.functions.BoundedMinIds]] bounded-heap
+    * aggregate — no Window, no full-bucket sort on one task) now binds at
+    * two places: members per signature group (bounding the within-group
+    * expansion at C(cap,2)) and representatives per band bucket (bounding
+    * the bucket join). When no group and no bucket reaches the cap this
+    * is exactly the old per-bucket-members semantics.
     */
   def minhashPairs(spark: SparkSession, docs: DataFrame,
                    bucketCap: Int = 10000): DataFrame = {
-    val buckets = minhashBuckets(spark, docs)
-    val capped = buckets.groupBy("bucket")
-      .agg(graft.functions.BoundedMinIds.minIds(bucketCap)(col("doc_id")).as("ids"))
-      .select(col("bucket"), explode(col("ids")).as("doc_id"))
-    capped.as("l").join(capped.as("r"), col("l.bucket") === col("r.bucket")
-        && col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+    import spark.implicits._
+    // one row per doc: full signature + its band keys, computed ONCE
+    // map-side (everything downstream reuses this stage's one exchange)
+    val sigDocs = docs.select("doc_id", "text").as[(Long, String)]
+      .map { case (id, t) =>
+        val sig = minhashSig(t)
+        (sig.mkString(","), bandKeys(sig), id)
+      }.toDF("sig", "bands", "doc_id")
+    // distinct signatures: min-id representative + capped sorted membership
+    val groups = sigDocs.groupBy("sig").agg(
+      min("doc_id").as("rep"),
+      graft.functions.BoundedMinIds.minIds(bucketCap)(col("doc_id")).as("kept"),
+      first("bands").as("bands")) // bands are a pure function of sig
+    // within-group pairs: all pairs among the (ascending) kept members
+    val within = groups.filter(size(col("kept")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(kept, (x, i) -> " +
+          "transform(slice(kept, i + 2, size(kept) - i - 1), " +
+          "y -> struct(x AS a, y AS b))))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    // cross-group candidates at REPRESENTATIVE level only
+    val capped = groups.select(col("rep"), explode(col("bands")).as("bucket"))
+      .groupBy("bucket")
+      .agg(graft.functions.BoundedMinIds.minIds(bucketCap)(col("rep")).as("reps"))
+      .select(col("bucket"), explode(col("reps")).as("rep"))
+    val repPairs = capped.as("l").join(capped.as("r"),
+        col("l.bucket") === col("r.bucket") && col("l.rep") < col("r.rep"))
+      .select(col("l.rep").as("ra"), col("r.rep").as("rb"))
       .distinct()
+    val members = groups.select(col("rep"), explode(col("kept")).as("m"))
+    val cross = repPairs
+      .join(members.select(col("rep").as("ra"), col("m").as("ma")), "ra")
+      .join(members.select(col("rep").as("rb"), col("m").as("mb")), "rb")
+      .select(least(col("ma"), col("mb")).as("a"),
+        greatest(col("ma"), col("mb")).as("b"))
+    within.unionByName(cross)
   }
 
   /** Candidate-verification stage of the dedup pipeline: LSH candidates are
@@ -284,19 +327,57 @@ object Dedup {
     */
   def bloomCandidates(spark: SparkSession, corpus: DataFrame, bench: DataFrame,
                       mBits: Int): DataFrame = {
+    val bm = bloomBitmapLit(bench, mBits)
+    shingledBloom(spark, corpus, mBits)
+      .filter(bloomBitTest(bm, col("p1")) && bloomBitTest(bm, col("p2")))
+      .select("doc_id", "shingle")
+  }
+
+  /** [[shingled]] plus each shingle's two Bloom bit positions, computed
+    * ONCE per row inside the typed map (round 6). The positions are
+    * bit-identical to the SQL `conv(substring(md5(s), {1,9}, 8), 16, 10)
+    * % m` derivation the q_bloom_stats oracle pins (same md5, same hex
+    * windows, big-endian). In expression form the optimizer's predicate
+    * pushdown inlines the position aliases into the filter condition,
+    * where codegen re-evaluates the md5/conv chain at every reference
+    * site (4x per shingle in the 2-bit test); a typed-boundary column is
+    * computed exactly once.
+    */
+  def shingledBloom(spark: SparkSession, docs: DataFrame, mBits: Int): DataFrame = {
+    import spark.implicits._
+    docs.select("doc_id", "text").as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, t) =>
+          val w = t.split(" ", -1) // string_split semantics
+          val set = scala.collection.mutable.HashSet.empty[String]
+          var i = 0
+          while (i < w.length - 1) { set += (w(i) + " " + w(i + 1)); i += 1 }
+          set.iterator.map { s =>
+            val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val v1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+            val v2 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+              ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+            (id, s, v1 % mBits, v2 % mBits)
+          }
+        }
+      }.toDF("doc_id", "shingle", "p1", "p2")
+  }
+
+  /** The Bloom bitmap over `bench`'s shingle column as a plan LITERAL:
+    * one bounded driver collect of m/64 longs (16 KB at the default m).
+    * A 1-row broadcast join would instead COPY the whole array into every
+    * corpus-shingle row's join output — measured 6x slower than the exact
+    * op at sf0.1; the literal is referenced by codegen as one constant
+    * object per task.
+    */
+  def bloomBitmapLit(bench: DataFrame, mBits: Int): org.apache.spark.sql.Column = {
     require(mBits >= 64 && (mBits & (mBits - 1)) == 0, s"mBits must be a power of two: $mBits")
     val nWords = mBits / 64
-    def positions(c: org.apache.spark.sql.Column) = {
-      val h = md5(c)
-      Seq(1, 9).map(o =>
-        conv(substring(h, o, 8), 16, 10).cast("long") % mBits)
-    }
-    // bounded driver materialization: m/64 longs (16 KB default). A 1-row
-    // broadcast join would instead COPY the whole array into every
-    // corpus-shingle row's join output — measured 6x slower than the
-    // exact op at sf0.1; the literal is referenced by codegen as one
-    // constant object per task.
-    val posCols = positions(col("shingle"))
+    val h = md5(col("shingle"))
+    val posCols = Seq(1, 9).map(o =>
+      conv(substring(h, o, 8), 16, 10).cast("long") % mBits)
     val bm = new Array[Long](nWords)
     bench
       .select(explode(array(posCols: _*)).as("p"))
@@ -305,17 +386,16 @@ object Dedup {
       .groupBy("w").agg(expr("bit_or(mask)").as("bits"))
       .collect()
       .foreach(r => bm(r.getInt(0)) = r.getLong(1))
-    val bmLit = typedLit(bm)
-    val Seq(p1, p2) = positions(col("shingle"))
-    shingled(spark, corpus)
-      .withColumn("p1", p1).withColumn("p2", p2)
-      .filter(
-        (element_at(bmLit, (col("p1") / 64).cast("int") + 1)
-          .bitwiseAND(expr("shiftleft(1L, CAST(p1 % 64 AS INT))")) =!= 0L) &&
-        (element_at(bmLit, (col("p2") / 64).cast("int") + 1)
-          .bitwiseAND(expr("shiftleft(1L, CAST(p2 % 64 AS INT))")) =!= 0L))
-      .select("doc_id", "shingle")
+    typedLit(bm)
   }
+
+  /** Codegen'd single-bit test of position column `p` against the bitmap
+    * literal: two element_at + shift + AND expressions, no UDF.
+    */
+  def bloomBitTest(bmLit: org.apache.spark.sql.Column,
+                   p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    element_at(bmLit, (p / 64).cast("int") + 1)
+      .bitwiseAND(call_function("shiftleft", lit(1L), (p % 64).cast("int"))) =!= 0L
 
   /** The shingles [[ngramJaccard]] dropped at `dfCap` — the no-silent-caps
     * record: (n_dropped distinct shingles, max document frequency seen).

@@ -81,26 +81,65 @@ class PhashSpec extends AnyFunSuite {
     }
   }
 
-  test("hot buckets cap candidate pairs observably; capped-out members stay singletons") {
+  test("exact-dup clique costs ONE node: identical images cluster whole at any cap") {
     import spark.implicits._
-    import org.apache.spark.sql.functions.col
-    // 6 byte-identical images -> one hash -> every band bucket holds 6;
-    // cap 2 keeps the two lowest ids as a pair, the rest surface as
-    // singletons (and the loss is visible in hotBuckets, never silent)
+    import org.apache.spark.sql.functions.{col, min}
+    // round 6: identical hashes collapse to a min-id representative BEFORE
+    // banding, so an exact-dup group can never be split by the bucket cap
+    // (members rejoin the representative's label) and the pair stage sees
+    // ONE node instead of a member-quadratic clique
     val imgs = (0 until 6).map(i => (10L + i, Phash.fixtureBytes(0, 0)))
     val out = Phash.clusters(spark, imgs.toDS(), maxHamming = 3, bucketCap = 2).collect()
     assert(out.length === 6)
-    val reps = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rep_id")).toMap
-    assert(reps(10L) === 10L && reps(11L) === 10L, "kept pair clusters")
-    assert((12L to 15L).forall(id => reps(id) === id), "capped-out members are singletons")
+    assert(out.forall(r => r.getAs[Long]("rep_id") === 10L &&
+      r.getAs[Long]("n_cluster") === 6L), "one cluster, min-id representative")
     val hs = Phash.hashes(spark, imgs.toDS())
-    val hot = Phash.hotBuckets(spark, hs, 2).collect()
-    assert(hot.length === 4, "all four band buckets over the cap must report")
-    assert(hot.forall(r => r.getAs[Long]("n_members") === 6L && r.getAs[Long]("n_kept") === 2L))
+    // candidate-pair volume is DISTINCT-HASH-bounded, not member-quadratic:
+    // the collapsed frame clusterHashes feeds the pair stage has one row
+    val collapsed = hs.groupBy("hash").agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("hash"))
+    assert(Phash.verifiedPairs(collapsed, 3, 2).count() === 0L,
+      "a single distinct hash must generate zero candidate pairs")
+    // one distinct hash is under every bucket cap: nothing hot to report
+    assert(Phash.hotBuckets(spark, hs, 2).collect().isEmpty)
     // the codegen'd Hamming verify is in the verify stage's physical plan
     // (the clustering stage checkpoints, so assert on the exposed subtree)
     val plan = Phash.verifiedPairs(hs, 3, 2).queryExecution.executedPlan.toString
     assert(plan.contains("bit_count"), s"expected codegen'd Hamming verify:\n${plan.take(1200)}")
+  }
+
+  test("member-quadratic pair volume is gone: big clique verifies via one rep pair") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, min}
+    // two exact-dup groups of 200 whose hashes are Hamming-1 apart: the
+    // verify stage must propose exactly ONE rep-level pair (not the
+    // ~2*C(200,2)+200^2 member pairs of the old member-level banding),
+    // and the clusters output still merges all 400 docs
+    val hs = ((0 until 200).map(i => (1000L + i, 0x0123456789abcdefL)) ++
+      (0 until 200).map(i => (2000L + i, 0x0123456789abcdeeL)))
+      .toDF("doc_id", "hash")
+    val collapsed = hs.groupBy("hash").agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("hash"))
+    assert(Phash.verifiedPairs(collapsed, 3, 10000).count() === 1L)
+    val out = Phash.clusterHashes(spark, hs, 3, 10000).collect()
+    assert(out.length === 400)
+    assert(out.forall(r => r.getAs[Long]("rep_id") === 1000L &&
+      r.getAs[Long]("n_cluster") === 400L))
+  }
+
+  test("distinct hashes beyond the bucket cap lose pairs observably, never silently") {
+    import spark.implicits._
+    // 5 DISTINCT hashes i<<16 (pairwise Hamming <= 3) share band buckets
+    // 0, 2 and 3; cap 2 keeps the two lowest representatives per bucket,
+    // the rest surface as singletons and hotBuckets reports the loss
+    val hs = (1 to 5).map(i => (10L + i, i.toLong << 16)).toDF("doc_id", "hash")
+    val out = Phash.clusterHashes(spark, hs, 3, 2).collect()
+    val reps = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rep_id")).toMap
+    assert(reps(11L) === 11L && reps(12L) === 11L, "kept pair clusters")
+    assert((13L to 15L).forall(id => reps(id) === id), "capped-out hashes are singletons")
+    val hot = Phash.hotBuckets(spark, hs, 2).collect()
+    assert(hot.length === 3, "bands 0, 2, 3 each hold 5 distinct hashes > cap")
+    assert(hot.forall(r => r.getAs[Long]("n_members") === 5L && r.getAs[Long]("n_kept") === 2L))
   }
 
   test("dHash refuses sub-grid and bomb dimensions; undecodable bytes classify") {

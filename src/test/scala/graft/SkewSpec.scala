@@ -57,6 +57,37 @@ class SkewSpec extends AnyFunSuite {
     assert(hot.filter(col("n_members") > col("n_kept")).count() > 0)
   }
 
+  test("minhashPairs signature-collapsed banding emits the identical pair set (uncapped)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // mixed corpus: one exact-dup group, a cloud of near-dups sharing some
+    // bands, and uniques — the shapes the collapse must not change
+    val rows = (0 until 40).map { i =>
+      val t =
+        if (i < 12) "alpha beta gamma delta epsilon zeta eta theta"
+        else if (i < 20) s"alpha beta gamma delta epsilon zeta eta v$i"
+        else s"unique text number $i with words w${i * 7} x${i * 13} y${i * 29}"
+      (i.toLong, t)
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val got = Dedup.minhashPairs(spark, docs).as[(Long, Long)].collect()
+    // reference: the old member-level banding, computed in memory
+    val buckets = scala.collection.mutable.Map.empty[String, List[Long]]
+    rows.foreach { case (id, t) =>
+      Dedup.bandKeys(Dedup.minhashSig(t)).foreach { k =>
+        buckets(k) = id :: buckets.getOrElse(k, Nil)
+      }
+    }
+    val ref = buckets.values.flatMap { ids =>
+      val s = ids.sorted
+      for (i <- s.indices; j <- (i + 1) until s.length) yield (s(i), s(j))
+    }.toSet
+    assert(got.toSet === ref, "pair set must match member-level banding")
+    assert(got.length === got.toSet.size, "no duplicate pair rows")
+    // the exact-dup group must contribute its full within-group pair set
+    assert(got.count { case (a, b) => a < 12 && b < 12 } === 12 * 11 / 2)
+  }
+
   test("bounded-heap cap == row_number cap semantics, with NO window sort in the plan") {
     import spark.implicits._
     // adversarial: one hot group (7) with 50k members, plus sparse groups
