@@ -513,14 +513,13 @@ object PdfMini {
     out.toMap
   }
 
-  /** Body of object `objNum` (header to endobj), boundary-checked so
-    * object 12 never matches inside object 112.
-    */
-  /** Body of object `objNum` — the LAST well-framed occurrence wins, the
-    * incremental-update liveness rule (ISO 32000 7.5.6): a re-saved form
-    * appends the updated field/catalog/font dict after the original, and
-    * resolving the first would read the stale revision (the same rule
-    * textFromLatin1 applies to content streams and acroDict to /Root).
+  /** Body of object `objNum` (header to endobj) — the LAST well-framed
+    * occurrence wins, the incremental-update liveness rule (ISO 32000
+    * 7.5.6): a re-saved form appends the updated field/catalog/font dict
+    * after the original, and resolving the first would read the stale
+    * revision (the same rule textFromLatin1 applies to content streams
+    * and acroDict to /Root). Boundary-checked so object 12 never matches
+    * inside object 112.
     */
   private def objBody(pdf: String, objNum: Int): Option[String] = {
     val key = s"$objNum 0 obj"

@@ -256,7 +256,15 @@ object Dedup {
       .filter(col("df") > dfCap).select("shingle")
     val rare = all.join(broadcast(hot), Seq("shingle"), "left_anti")
     val sizes = rare.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val probes = rare.filter(probe).withColumnRenamed("doc_id", "a")
+    // the probe side shingles only the PROBE DOCUMENTS (round 6): the
+    // probe predicate is doc-level and shingle sets are doc-local, so
+    // filtering docs BEFORE the explode is row-identical to filtering the
+    // exploded stream after — and skips re-evaluating the corpus-wide
+    // shingle map (an opaque typed flatMap Catalyst cannot push the
+    // filter below) just to discard ~98% of it.
+    val probes = shingled(spark, docs.filter(probe))
+      .join(broadcast(hot), Seq("shingle"), "left_anti")
+      .withColumnRenamed("doc_id", "a")
     val inter = probes.join(rare.withColumnRenamed("doc_id", "b"), "shingle")
       .filter(col("a") =!= col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
@@ -379,13 +387,18 @@ object Dedup {
     val posCols = Seq(1, 9).map(o =>
       conv(substring(h, o, 8), 16, 10).cast("long") % mBits)
     val bm = new Array[Long](nWords)
+    // map-only build: collect the raw positions (2 per bench shingle —
+    // bounded by the same small-benchmark premise that makes the exact
+    // set broadcastable) and OR the bits driver-side. The previous
+    // per-word bit_or groupBy added a full shuffle stage to the eager
+    // build job, re-paid on every query invocation (round 6).
     bench
       .select(explode(array(posCols: _*)).as("p"))
-      .select((col("p") / 64).cast("int").as("w"),
-        expr("shiftleft(1L, CAST(p % 64 AS INT))").as("mask"))
-      .groupBy("w").agg(expr("bit_or(mask)").as("bits"))
       .collect()
-      .foreach(r => bm(r.getInt(0)) = r.getLong(1))
+      .foreach { r =>
+        val p = r.getLong(0)
+        bm((p / 64).toInt) |= 1L << (p % 64).toInt
+      }
     typedLit(bm)
   }
 

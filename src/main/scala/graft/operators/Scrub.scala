@@ -108,7 +108,13 @@ object Scrub {
     // repair separators: && runs collapse, ?& -> ?, trailing ?/& drop
     val tidied = regexp_replace(regexp_replace(regexp_replace(noTrack,
       "&&+", "&"), "\\?&", "?"), "[?&]+$", "")
-    val noTrailing = regexp_replace(tidied, "^(.+?)/+(\\?|$)", "$1$2")
+    // trailing-slash collapse applies to the PATH part only: running the
+    // pattern over path+query combined would also strip a slash ending
+    // the QUERY string ('/a?p=/x/' -> '/a?p=/x'), mutating an opaque
+    // parameter value and breaking idempotence for '/a/?x=1/'
+    val pathPart = regexp_extract(tidied, "^([^?]*)", 1)
+    val queryPart = regexp_extract(tidied, "(\\?.*)$", 1)
+    val noTrailing = concat(regexp_replace(pathPart, "^(.+?)/+$", "$1"), queryPart)
     val pathq = when(noTrailing === "", "/").otherwise(noTrailing)
     urls.withColumn("canon_url",
       when(scheme === "" || host === "", u) // unparseable: keep verbatim, never null

@@ -26,6 +26,11 @@ class ScrubSpec extends AnyFunSuite {
       "http://h.example/a?id=1&b=3")
     assert(canon("http://h.example/a?utm_a=1&utm_b=2") == "http://h.example/a")
     assert(canon("http://h.example/a?gclid=9") == "http://h.example/a")
+    // the trailing-slash collapse is PATH-only: a slash ending an opaque
+    // query value is content and must survive (and stay idempotent)
+    assert(canon("http://h.example/a/?next=/home/") ==
+      "http://h.example/a?next=/home/")
+    assert(canon("http://h.example/a?p=/x/") == "http://h.example/a?p=/x/")
   }
 
   test("canonicalize: lookalikes survive — only real tracking params strip") {
@@ -59,7 +64,8 @@ class ScrubSpec extends AnyFunSuite {
       "User@H.ex", "USER:p@h.ex:80", "")
     val paths = Seq("", "/", "/a", "/a/", "/a//b///", "/blog/utm_x=1")
     val queries = Seq("", "?", "?a=1", "?utm_a=1", "?a=1&utm_b=2&c=3",
-      "?utm_a=1&utm_b=2", "?myfbclid=3", "?fbclid=9", "?gclid=1&gclid=2", "?&&")
+      "?utm_a=1&utm_b=2", "?myfbclid=3", "?fbclid=9", "?gclid=1&gclid=2", "?&&",
+      "?p=/x/", "?next=/home/") // slash-ended query VALUES are content
     val frags = Seq("", "#f", "#a?b&utm_c=1")
     val urls = (for {
       s <- schemes; h <- hosts; p <- paths; q <- queries; f <- frags
