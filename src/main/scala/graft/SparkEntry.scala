@@ -3536,7 +3536,7 @@ object Queries {
     // (round 6 — was the whole-query cost doubler)
     val scored = perplexity(spark, dir)
       .select(col("doc_id"), col("mean_bits_x100").as("ppl"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the histogram job materializes it
     val hist = scored.groupBy("ppl").agg(count(lit(1)).as("c"))
     val byVal = Window.orderBy("ppl")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

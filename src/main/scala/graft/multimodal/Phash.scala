@@ -117,7 +117,7 @@ object Phash {
                maxHamming: Int = 3, bucketCap: Int = 10000): DataFrame =
     // the hash frame is narrow (16 bytes/row) and read more than once
     // below: checkpoint so the image decode map runs exactly once
-    clusterHashes(spark, hashes(spark, imgs).localCheckpoint(), maxHamming, bucketCap)
+    clusterHashes(spark, hashes(spark, imgs).localCheckpoint(false), maxHamming, bucketCap)
 
   /** The signature-agnostic clustering stage: any (doc_id, 64-bit hash)
     * frame — image dHash, audio energy contour ([[Afp]]), … — through the

@@ -41,7 +41,7 @@ object Vfp {
     */
   def clusters(spark: SparkSession, clips: Dataset[(Long, Array[Byte])],
                maxHamming: Int = 3, bucketCap: Int = 10000): DataFrame =
-    Phash.clusterHashes(spark, hashes(spark, clips).localCheckpoint(),
+    Phash.clusterHashes(spark, hashes(spark, clips).localCheckpoint(false),
       maxHamming, bucketCap)
 
   // ------------------------------------------------------------ fixtures

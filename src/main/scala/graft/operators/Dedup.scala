@@ -438,16 +438,23 @@ object Dedup {
     * algorithms must (the jump reads the previous round's checkpoint, so
     * the propagation result is never materialized separately).
     *
+    * All checkpoints are LAZY (round 6, guide §1.2): an eager
+    * localCheckpoint is its own Spark job, so a round previously paid two
+    * jobs (materialize, then the convergence count) and the edges/labels
+    * seeds two more up front. Lazily, the round's convergence count is
+    * the action that materializes that round's checkpoint — one job per
+    * round, half the per-round scheduling constant, identical blocks.
+    *
     * Input: pair columns (a, b). Output: (doc_id, component) for every
     * endpoint, component = smallest doc_id reachable.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("a").as("s"), col("b").as("d"))
       .union(pairs.select(col("b").as("s"), col("a").as("d")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var labels = edges.select(col("s").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -473,7 +480,8 @@ object Dedup {
           col("x.mid") === col("y.jid"))
         .select(col("x.id").as("id"), col("x.old").as("old"),
           least(col("x.mid"), col("y.jlabel")).as("label"))
-        .localCheckpoint() // truncate iterative lineage
+        .localCheckpoint(false) // truncate iterative lineage (lazy: the
+      // convergence count below is the materializing action — one job)
       val changed = joined.filter(col("label") =!= col("old")).count()
       labels = joined.select("id", "label")
       converged = changed == 0
