@@ -35,6 +35,12 @@ object SparkEntry {
 object Queries {
 
   private def docs(s: SparkSession, dir: String) = Corpus.documents(s, dir)
+  /** [[docs]] behind the scan-parallelism guard (Corpus.documentsDistributed)
+    * — for queries whose per-row map work dominates (fixture synthesis,
+    * real parsing, shingling, signatures); see the guard's scaladoc for
+    * the measured opt-in criterion.
+    */
+  private def docsPar(s: SparkSession, dir: String) = Corpus.documentsDistributed(s, dir)
   private def emb(s: SparkSession, dir: String) = Corpus.embeddings(s, dir)
   private def events(s: SparkSession, dir: String) = Corpus.events(s, dir)
   private def tbl(s: SparkSession, dir: String, n: String) = Corpus.table(s, dir, n)
@@ -165,7 +171,7 @@ object Queries {
 
   def pdfBytes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+    docsPar(spark, dir).select("doc_id", "text").as[(Long, String)]
       .map { case (id, t) =>
         val content = pdfContentStream(t)
         val pdf = s"%PDF-1.4\n1 0 obj << /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\ntrailer\n%%EOF"
@@ -185,7 +191,7 @@ object Queries {
     */
   def pdfFlate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+    docsPar(spark, dir).select("doc_id", "text").as[(Long, String)]
       .map { case (id, t) =>
         val content = pdfContentStream(t)
         val comp = new String(
@@ -210,7 +216,7 @@ object Queries {
     import spark.implicits._
     import java.nio.charset.StandardCharsets.ISO_8859_1
     import graft.core.pdf.PdfMini
-    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+    docsPar(spark, dir).select("doc_id", "text").as[(Long, String)]
       .map { case (id, t) =>
         val content = pdfContentStream(t).getBytes(ISO_8859_1)
         val (fspec, enc) = (id % 5) match {
@@ -243,7 +249,7 @@ object Queries {
   def pdfDecrypt(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.core.pdf.PdfCrypt
-    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+    docsPar(spark, dir).select("doc_id", "text").as[(Long, String)]
       .filter(_._1 % 29 == 0)
       .map { case (id, t) =>
         val content = pdfContentStream(t)
@@ -902,7 +908,7 @@ object Queries {
   def ostExplode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import java.nio.charset.StandardCharsets.ISO_8859_1
-    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+    docsPar(spark, dir).select("doc_id", "text").as[(Long, String)]
       .filter(_._1 % 33 == 0)
       .flatMap { case (id, t) =>
         val d = DocIn(id, Array(SpanIn("pst",
@@ -921,7 +927,7 @@ object Queries {
   def ostReconcile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.core.office.Pst
-    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+    docsPar(spark, dir).select("doc_id", "text").as[(Long, String)]
       .filter(_._1 % 33 == 0)
       .map { case (id, t) =>
         val f = Pst.parse(ostFixture(id, t),
@@ -974,7 +980,7 @@ object Queries {
   def parquetExplode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import java.nio.charset.StandardCharsets.ISO_8859_1
-    docs(spark, dir).select("doc_id").as[Long]
+    docsPar(spark, dir).select("doc_id").as[Long]
       .filter(_ % 47 == 0)
       .flatMap { id =>
         val pq = graft.sources.ParquetDump.build(Seq(s"pr one $id", null, s"pr two $id"))
@@ -992,7 +998,7 @@ object Queries {
   def avroExplode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import java.nio.charset.StandardCharsets.ISO_8859_1
-    docs(spark, dir).select("doc_id").as[Long]
+    docsPar(spark, dir).select("doc_id").as[Long]
       .filter(_ % 53 == 0)
       .flatMap { id =>
         val av = graft.sources.AvroDump.build(Seq(s"av one $id", null, s"av two $id"))
@@ -1114,7 +1120,7 @@ object Queries {
     import spark.implicits._
     import java.nio.charset.StandardCharsets.ISO_8859_1
     import graft.sources.Archive
-    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+    docsPar(spark, dir).select("doc_id", "text").as[(Long, String)]
       .filter(_._1 % 12 == 0)
       .map { case (id, t) =>
         val w = 2 + (id % 3).toInt
@@ -1144,7 +1150,7 @@ object Queries {
     import spark.implicits._
     import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
     import graft.sources.Archive
-    docs(spark, dir).select("doc_id").as[Long]
+    docsPar(spark, dir).select("doc_id").as[Long]
       .filter(id => id % 33 == 0)
       .flatMap { id =>
         val base = Array(SpanIn("zstd",
@@ -1169,7 +1175,7 @@ object Queries {
     import spark.implicits._
     import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
     import graft.sources.Archive
-    docs(spark, dir).select("doc_id").as[Long]
+    docsPar(spark, dir).select("doc_id").as[Long]
       .filter(id => id % 43 == 0)
       .flatMap { id =>
         val base = Array(
@@ -1412,7 +1418,7 @@ object Queries {
   def docBytes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import java.nio.charset.StandardCharsets.ISO_8859_1
-    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+    docsPar(spark, dir).select("doc_id", "text").as[(Long, String)]
       .map { case (id, t) =>
         val lines = t.split(" ", -1).grouped(5).map(_.mkString(" ")).toSeq
         val doc = graft.core.office.WordDoc.build(lines.mkString("\n"))
@@ -1796,7 +1802,7 @@ object Queries {
   def ooxmlDecrypt(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import java.nio.charset.StandardCharsets.ISO_8859_1
-    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+    docsPar(spark, dir).select("doc_id", "text").as[(Long, String)]
       .filter(_._1 % 89 == 0)
       .map { case (id, t) =>
         val paras = t.split(" ", -1).grouped(5).map(_.mkString(" ")).toSeq
@@ -2330,7 +2336,7 @@ object Queries {
     // freedom argument unchanged: windows with equal token sequences hash
     // equal; unequal windows collide only via a 64-bit xxhash64 collision
     // (token- or window-level), which over-marks in the safe direction.
-    val wins = docs(spark, dir)
+    val wins = docsPar(spark, dir)
       .selectExpr("doc_id", "transform(split(text, ' '), x -> xxhash64(x)) AS th")
       .selectExpr("doc_id", "th", "size(th) AS n")
       .filter(s"n >= $L")
@@ -2404,7 +2410,7 @@ object Queries {
     */
   def substrClean(spark: SparkSession, dir: String): DataFrame = {
     val L = 15
-    val d = docs(spark, dir).selectExpr("doc_id", "split(text, ' ') AS w")
+    val d = docsPar(spark, dir).selectExpr("doc_id", "split(text, ' ') AS w")
     // same once-per-token hashing as [[substrDedup]] (round 6)
     val wins = d
       .selectExpr("doc_id", "transform(w, x -> xxhash64(x)) AS th")
@@ -2690,7 +2696,7 @@ object Queries {
   private val docCountMemo = new java.util.concurrent.ConcurrentHashMap[String, Long]()
 
   private def jaccardInput(spark: SparkSession, dir: String): (DataFrame, Long) = {
-    val base = docs(spark, dir)
+    val base = docsPar(spark, dir)
     val n = docCountMemo.computeIfAbsent(dir, _ => base.count())
     val injected = base.withColumn("text", concat(col("text"), lit(" ubiq bigram")))
     (injected, n / 10)
@@ -2849,14 +2855,14 @@ object Queries {
     * matches if the real decode recovered them from the bytes.
     */
   def mediaDecode(spark: SparkSession, dir: String): DataFrame =
-    Media.decodeImages(spark, docs(spark, dir))
+    Media.decodeImages(spark, docsPar(spark, dir))
 
   /** REAL audio decode via JDK javax.sound: actual RIFF/WAVE bytes whose
     * rate/length/amplitude derive from doc_id; oracle recomputes them
     * arithmetically — matching requires genuinely parsing the container.
     */
   def mediaAudio(spark: SparkSession, dir: String): DataFrame =
-    Media.decodeAudios(spark, docs(spark, dir))
+    Media.decodeAudios(spark, docsPar(spark, dir))
 
   /** REAL video-container parse (RIFF/AVI + MJPEG frames via ImageIO):
     * header fields, frame-chunk walk, and an actual first-frame JPEG
@@ -2864,7 +2870,7 @@ object Queries {
     * of it arithmetically from doc_id.
     */
   def mediaVideo(spark: SparkSession, dir: String): DataFrame =
-    Media.decodeVideos(spark, docs(spark, dir))
+    Media.decodeVideos(spark, docsPar(spark, dir))
 
   def mediaFrames(spark: SparkSession, dir: String): DataFrame =
     Media.sampleFrames(spark, docs(spark, dir))
@@ -2881,7 +2887,7 @@ object Queries {
     */
   def dedupPhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val imgs = docs(spark, dir).select("doc_id").as[Long]
+    val imgs = docsPar(spark, dir).select("doc_id").as[Long]
       .filter(_ % 17 == 0)
       .map { id =>
         val k = id / 17
@@ -2900,7 +2906,7 @@ object Queries {
   def dedupAudiofp(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.multimodal.Afp
-    val clips = docs(spark, dir).select("doc_id").as[Long]
+    val clips = docsPar(spark, dir).select("doc_id").as[Long]
       .filter(_ % 19 == 0)
       .map { id =>
         val k = id / 19
@@ -2920,7 +2926,7 @@ object Queries {
   def dedupVideofp(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.multimodal.Vfp
-    val clips = docs(spark, dir).select("doc_id").as[Long]
+    val clips = docsPar(spark, dir).select("doc_id").as[Long]
       .filter(_ % 29 == 0)
       .map { id =>
         val k = id / 29
@@ -2942,7 +2948,7 @@ object Queries {
   def imageProbe(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.core.media.Probe
-    docs(spark, dir).select("doc_id").as[Long]
+    docsPar(spark, dir).select("doc_id").as[Long]
       .filter(_ % 23 == 0)
       .map { id =>
         val png = Probe.pngWithText(
@@ -3204,7 +3210,7 @@ object Queries {
         (id, crawlUrlOf(id), txt.substring(txt.indexOf('\n') + 1)) // content = page sans title
       }
       .toDF("doc_id", "url", "content")
-    val src = docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+    val src = docsPar(spark, dir).select("doc_id", "text").as[(Long, String)]
     val pages = pageify(src)
     // decontamination compares only the PER-DOC words (the fixed
     // 'warc body' prefix stripped) — a universal bigram in the benchmark

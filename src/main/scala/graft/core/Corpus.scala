@@ -150,16 +150,24 @@ object Corpus {
   /** Scan-parallelism guard (round 6, guide §2.5 input skew): the
     * testdata tables are single small parquet files with ONE row group —
     * a 1-task scan no split conf can widen — standing in for production
-    * tables that arrive partitioned/bucketed. Every pre-shuffle map over
-    * them (fixture synthesis, parsing, shingling, hashing — the dominant
-    * per-query cost) was therefore running on one core. When the scan
-    * yields fewer splits than the cluster has slots, redistribute by the
-    * doc key once so the downstream map runs at the parallelism the
-    * production layout would give; at scale a real table has >= slots
-    * splits and the branch never fires (no shuffle is added). The
-    * redistribution is deterministic (hash of the key, no round-robin)
-    * and all query outputs are partitioning-independent (oracle-exact at
-    * both the 4-core verify and 32-core bench parallelism).
+    * tables that arrive partitioned/bucketed. A pre-shuffle map over them
+    * therefore runs on one core. When the scan yields fewer splits than
+    * the cluster has slots, redistribute by the doc key once so the
+    * downstream map runs at the parallelism the production layout would
+    * give; at scale a real table has >= slots splits and the branch never
+    * fires (no shuffle is added). The redistribution is deterministic
+    * (hash of the key, no round-robin) and all query outputs are
+    * partitioning-independent (oracle-exact at both the 4-core verify and
+    * 32-core bench parallelism).
+    *
+    * Applied SELECTIVELY via [[documentsDistributed]], not as the
+    * [[documents]] default: measured on alternating in-JVM A/B pairs, the
+    * extra exchange costs a light aggregation query ~0.28 s (chained
+    * exchange + AQE replanning) and a light map-only query ~0.05 s, while
+    * heavy per-row maps (fixture synthesis, real parsing, shingling,
+    * signatures — >= ~0.5 ms/row) win 2-4x. Queries whose map work
+    * dominates opt in; scan-bound and shuffle-dominated queries read the
+    * raw layout.
     */
   private def parallelized(spark: SparkSession, path: String, key: String): DataFrame = {
     val df = spark.read.parquet(path)
@@ -170,9 +178,16 @@ object Corpus {
   }
 
   def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** [[documents]] behind the scan-parallelism guard — for queries whose
+    * per-row map work (not the scan or the shuffles) dominates.
+    */
+  def documentsDistributed(spark: SparkSession, sfDir: String): DataFrame =
     parallelized(spark, s"$sfDir/documents.parquet", "doc_id")
+
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
-    parallelized(spark, s"$sfDir/embeddings.parquet", "vec_id")
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
   def events(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/events.parquet")
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =

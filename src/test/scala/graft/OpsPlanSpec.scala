@@ -157,13 +157,9 @@ class OpsPlanSpec extends AnyFunSuite {
       // at least one component saturates to +/-127 (scale = max|x|)
       assert(r.getLong(3) == 127 || r.getLong(2) == -127)
     }
-    // the OPERATOR adds no exchange: the only one allowed is the input
-    // scan-parallelism redistribution (Corpus.parallelized — absent on a
-    // production layout with >= slots splits)
     val plan = df.queryExecution.executedPlan.toString
-    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
-    assert(exchanges.forall(_.contains("REPARTITION")),
-      s"quantization must not shuffle beyond the input redistribution:\n${plan.take(1500)}")
+    assert(!plan.contains("Exchange"),
+      s"quantization must not shuffle:\n${plan.take(1500)}")
   }
 
   test("perplexity: matches a direct in-memory bigram LM; no Window op") {
@@ -278,11 +274,8 @@ class OpsPlanSpec extends AnyFunSuite {
       assert(r.getString(2) == w.slice(4 * i, 4 * i + 8).mkString(" "))
       assert(r.getLong(3) == math.min(8, w.length - 4 * i))
     }
-    // the OPERATOR adds no exchange: the only one allowed is the input
-    // scan-parallelism redistribution (Corpus.parallelized)
     val plan = df.queryExecution.executedPlan.toString
-    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
-    assert(exchanges.forall(_.contains("REPARTITION")),
-      s"chunking must not shuffle beyond the input redistribution:\n${plan.take(1500)}")
+    assert(!plan.contains("Exchange"),
+      s"chunking must not shuffle:\n${plan.take(1500)}")
   }
 }
