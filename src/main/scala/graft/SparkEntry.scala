@@ -2862,7 +2862,7 @@ object Queries {
     * arithmetically — matching requires genuinely parsing the container.
     */
   def mediaAudio(spark: SparkSession, dir: String): DataFrame =
-    Media.decodeAudios(spark, docsPar(spark, dir))
+    Media.decodeAudios(spark, docs(spark, dir))
 
   /** REAL video-container parse (RIFF/AVI + MJPEG frames via ImageIO):
     * header fields, frame-chunk walk, and an actual first-frame JPEG

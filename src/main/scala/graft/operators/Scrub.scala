@@ -108,13 +108,11 @@ object Scrub {
     // repair separators: && runs collapse, ?& -> ?, trailing ?/& drop
     val tidied = regexp_replace(regexp_replace(regexp_replace(noTrack,
       "&&+", "&"), "\\?&", "?"), "[?&]+$", "")
-    // trailing-slash collapse applies to the PATH part only: running the
-    // pattern over path+query combined would also strip a slash ending
-    // the QUERY string ('/a?p=/x/' -> '/a?p=/x'), mutating an opaque
-    // parameter value and breaking idempotence for '/a/?x=1/'
-    val pathPart = regexp_extract(tidied, "^([^?]*)", 1)
-    val queryPart = regexp_extract(tidied, "(\\?.*)$", 1)
-    val noTrailing = concat(regexp_replace(pathPart, "^(.+?)/+$", "$1"), queryPart)
+    // trailing-slash collapse applies to the PATH part only: the [^?]
+    // class cannot cross into the query, so a slash ending an opaque
+    // QUERY value ('/a?p=/x/') survives — the old `(.+?)` form stripped
+    // it, mutating the parameter and breaking idempotence for '/a/?x=1/'
+    val noTrailing = regexp_replace(tidied, "^([^?]+?)/+(\\?|$)", "$1$2")
     val pathq = when(noTrailing === "", "/").otherwise(noTrailing)
     urls.withColumn("canon_url",
       when(scheme === "" || host === "", u) // unparseable: keep verbatim, never null
