@@ -75,11 +75,14 @@ object AB {
         d.filter(col("doc_id") % 97 === 0), 20).count(): Unit
     def mh(d: DataFrame): Unit =
       Dedup.minhashPairs(spark, Dedup.withInjectedDups(d)).count(): Unit
+    import graft.operators.Dedup
+    def edit(verifySide: DataFrame): Unit = {
+      val injected = Dedup.withInjectedDups(rawDocs)
+      val candidates = Dedup.minhashPairs(spark, injected)
+      Dedup.editVerify(Dedup.withInjectedDups(verifySide), candidates, 20).count(): Unit
+    }
     val cases: Seq[(String, () => Unit, () => Unit)] = Seq(
-      ("c4 raw/par", () => c4(rawDocs), () => c4(parDocs)),
-      ("jaccard raw/par", () => jac(rawDocs), () => jac(parDocs)),
-      ("dbloom raw/par", () => dbl(rawDocs), () => dbl(parDocs)),
-      ("minhash raw/par", () => mh(rawDocs), () => mh(parDocs))
+      ("edit raw/par", () => edit(rawDocs), () => edit(parDocs))
     )
     cases.foreach { case (name, fa, fb) =>
       fa(); fb()
