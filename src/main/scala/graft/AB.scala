@@ -76,13 +76,24 @@ object AB {
     def mh(d: DataFrame): Unit =
       Dedup.minhashPairs(spark, Dedup.withInjectedDups(d)).count(): Unit
     import graft.operators.Dedup
-    def edit(verifySide: DataFrame): Unit = {
-      val injected = Dedup.withInjectedDups(rawDocs)
-      val candidates = Dedup.minhashPairs(spark, injected)
-      Dedup.editVerify(Dedup.withInjectedDups(verifySide), candidates, 20).count(): Unit
+    import spark.implicits._
+    def ccOn(force: Long): Unit = {
+      val imgs = graft.core.Corpus.documentsDistributed(spark, sfDir)
+        .select("doc_id").as[Long]
+        .filter(_ % 17 == 0)
+        .map { id =>
+          val k = id / 17
+          (id, graft.multimodal.Phash.fixtureBytes(((k / 4) % 12).toInt, (k % 4).toInt))
+        }
+      val hs = graft.multimodal.Phash.hashes(spark, imgs).localCheckpoint(false)
+      val groups = hs.groupBy("hash").agg(min("doc_id").as("rep"))
+      Dedup.connectedComponents(
+        graft.multimodal.Phash.verifiedPairs(
+          groups.select(col("rep").as("doc_id"), col("hash")), 3, 10000),
+        localEdgeMax = force).count(): Unit
     }
     val cases: Seq[(String, () => Unit, () => Unit)] = Seq(
-      ("edit raw/par", () => edit(rawDocs), () => edit(parDocs))
+      ("cc dist/local", () => ccOn(0L), () => ccOn(Long.MaxValue))
     )
     cases.foreach { case (name, fa, fb) =>
       fa(); fb()

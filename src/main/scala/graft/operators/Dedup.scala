@@ -445,12 +445,51 @@ object Dedup {
     * the action that materializes that round's checkpoint — one job per
     * round, half the per-round scheduling constant, identical blocks.
     *
+    * Small-graph fast path (round 6, guide §3.1's broadcast analogy
+    * applied to iterative CC): the pair frame is checkpointed and counted
+    * ONCE (the count doubles as the materializing action, so neither path
+    * recomputes the upstream pair generation), and when the edge count is
+    * within `localEdgeMax` (default 2^20 — 16 MB of (long,long) rows, the
+    * same bounded-driver-collect class as the IVF seed quantizer and the
+    * Bloom bitmap literal) the components come from a driver-side
+    * union-find instead of 2+ label-propagation rounds of ~6 tiny
+    * exchanges each. Identical min-label output by construction; the
+    * distributed loop is unchanged above the bound, and with the round-6
+    * rep-collapse upstream the graph CC sees is distinct-signature-sized,
+    * not member-sized. Pass localEdgeMax = 0 to force the distributed
+    * path (tests do).
+    *
     * Input: pair columns (a, b). Output: (doc_id, component) for every
     * endpoint, component = smallest doc_id reachable.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a").as("s"), col("b").as("d"))
-      .union(pairs.select(col("b").as("s"), col("a").as("d")))
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
+                          localEdgeMax: Long = 1L << 20): DataFrame = {
+    val spark = pairs.sparkSession
+    val p = pairs.select(col("a"), col("b")).localCheckpoint(false)
+    if (p.count() <= localEdgeMax) {
+      import spark.implicits._
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      p.collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      // union by min keeps every root the smallest id of its set, so the
+      // root IS the component label
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+      parent.keySet.forEach(id => out += ((id.toLong, find(id))))
+      return out.toSeq.toDF("doc_id", "component")
+    }
+    val edges = p.select(col("a").as("s"), col("b").as("d"))
+      .union(p.select(col("b").as("s"), col("a").as("d")))
       .localCheckpoint(false)
     var labels = edges.select(col("s").as("id")).distinct()
       .withColumn("label", col("id"))

@@ -114,20 +114,30 @@ class SkewSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"window sort crept back into:\n${plan.take(1500)}")
   }
 
-  test("connected components collapse transitive near-dup chains") {
+  test("connected components collapse transitive near-dup chains (both paths)") {
     import spark.implicits._
     import graft.operators.Dedup
-    // a-b, b-c (transitive, A~C never proposed), d-e, isolated pair f-g
+    // a-b, b-c (transitive, A~C never proposed), d-e, isolated pair f-g —
+    // checked through BOTH the small-graph union-find fast path (default)
+    // and the distributed label-propagation loop (localEdgeMax = 0)
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
       .toDF("a", "b")
-    val cc = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
-    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L)
-    assert(cc(10L) == 10L && cc(11L) == 10L)
-    assert(cc(20L) == 20L && cc(21L) == 20L)
+    for (localMax <- Seq(Long.MaxValue, 0L)) {
+      val cc = Dedup.connectedComponents(pairs, localEdgeMax = localMax)
+        .as[(Long, Long)].collect().toMap
+      assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L)
+      assert(cc(10L) == 10L && cc(11L) == 10L)
+      assert(cc(20L) == 20L && cc(21L) == 20L)
+    }
     // a LONG chain (diameter 120 >> maxIters) must converge via pointer
-    // jumping — plain one-hop propagation would hit the iteration bound
+    // jumping — plain one-hop propagation would hit the iteration bound;
+    // forced onto the DISTRIBUTED path, which the fast path must not hide
     val chain = (1L until 120L).map(i => (i, i + 1)).toDF("a", "b")
-    val ccChain = Dedup.connectedComponents(chain).as[(Long, Long)].collect().toMap
+    val ccChain = Dedup.connectedComponents(chain, localEdgeMax = 0)
+      .as[(Long, Long)].collect().toMap
     assert(ccChain.values.toSet == Set(1L) && ccChain.size == 120)
+    // and the fast path agrees on the same chain
+    val ccLocal = Dedup.connectedComponents(chain).as[(Long, Long)].collect().toMap
+    assert(ccLocal == ccChain)
   }
 }
