@@ -140,4 +140,26 @@ class SkewSpec extends AnyFunSuite {
     val ccLocal = Dedup.connectedComponents(chain).as[(Long, Long)].collect().toMap
     assert(ccLocal == ccChain)
   }
+
+  test("union-find fast path equals distributed CC on random graphs") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // seeded random sparse graphs: many components of varied shapes —
+    // both paths must emit the identical (node -> min-reachable) labeling
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 120 + trial * 40
+      val pairs = (1 to n * 3 / 2)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+        .toDF("a", "b")
+      val local = Dedup.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toMap
+      val dist = Dedup.connectedComponents(pairs, localEdgeMax = 0)
+        .as[(Long, Long)].collect().toMap
+      assert(local == dist, s"trial $trial: paths diverge")
+      // labels are component minima: every label labels itself
+      assert(local.forall { case (_, l) => local(l) == l })
+    }
+  }
 }
